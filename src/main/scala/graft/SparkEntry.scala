@@ -1,13 +1,40 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * One entry per implemented operator from SURVEY.md §2; oracleSql
+  * carries the DuckDB-runnable twin for every SQL-expressible query
+  * (column names aliased identically on both sides — the driver's
+  * compare is name-sorted).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (TPC-H Q1 shape, SURVEY §2 D2) on sf0.001;
+    * driver smoke-checks rows > 0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    AggQueries.queries("agg_groupby")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    ScanQueries.queries ++
+      FilterQueries.queries ++
+      JoinQueries.queries ++
+      AggQueries.queries ++
+      WindowQueries.queries ++
+      SortQueries.queries ++
+      SetQueries.queries ++
+      ScalarFnQueries.queries
+
+  def oracleSql: Map[String, String] =
+    ScanQueries.oracle ++
+      FilterQueries.oracle ++
+      JoinQueries.oracle ++
+      AggQueries.oracle ++
+      WindowQueries.oracle ++
+      SortQueries.oracle ++
+      SetQueries.oracle ++
+      ScalarFnQueries.oracle
 }

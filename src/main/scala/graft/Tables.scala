@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Central table loader for the graft engine.
+  *
+  * All queries read the driver-generated parquet tables through this
+  * object so the cross-engine traps documented in SURVEY.md §7.4 are
+  * fixed in exactly one place:
+  *
+  *  - `events.ts` is nanosecond-precision parquet TIMESTAMP, which the
+  *    Spark 4.1.2 vectorized reader rejects. We read it as Long
+  *    (`nanosAsLong`) and truncate to microseconds with integer `div`
+  *    (epoch-nanos overflow a double's 53-bit mantissa, so `/ 1000`
+  *    would be lossy — SURVEY §7.4.1).
+  *  - money columns stay DoubleType at rest; aggregates must go through
+  *    [[Tables.dec]] for shuffle-order-independent exact sums.
+  *
+  * Reference citation: n/a — /root/reference is empty (SURVEY §0); the
+  * binding data model is FIXTURES.md.
+  */
+object Tables {
+
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Session confs every entry point needs. Idempotent, safe to call
+    * per-query: these are runtime SQL confs, not static ones.
+    */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // INT64 micros parquet output (not INT96) so the DuckDB oracle reads
+    // our Verify dumps without legacy-timestamp ambiguity.
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark
+  }
+
+  /** Load one of the ten driver tables. `events` gets its `ts` column
+    * rebuilt as a proper microsecond TimestampType (see class doc).
+    */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    tune(spark)
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    // NTZ cast: the source tables' timestamps are naive (parquet
+    // isAdjustedToUTC=false, read by Spark 4 as TIMESTAMP_NTZ), so the
+    // rebuilt ts must be NTZ too or Verify's parquet dump would come out
+    // tz-aware and mismatch the DuckDB oracle's naive timestamps.
+    if (name == "events")
+      df.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    else df
+  }
+
+  /** Exact-arithmetic cast for money/quantity doubles (SURVEY §7.4.2):
+    * sum(double) is shuffle-order-dependent; sum(decimal) is exact and
+    * therefore deterministic and DuckDB-comparable.
+    */
+  val dec: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    _.cast(DecimalType(18, 2))
+}

@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables.{dec, load}
+
+/** Family H — scalar function surface (SURVEY.md §2.H).
+  *
+  * One query per function family, ≥4 functions each, all built-ins
+  * (whole-stage-codegen'd — no UDFs in the hot path). Cross-engine type
+  * notes baked into the oracle SQL: DuckDB length/len are BIGINT
+  * (Spark int → cast), DuckDB date_trunc returns DATE (cast to
+  * TIMESTAMP), DuckDB floor/ceil return DOUBLE (cast to BIGINT),
+  * DuckDB regexp_replace needs the 'g' flag for replace-all.
+  */
+object ScalarFnQueries {
+
+  val queries: Map[String, Q] = Map(
+    // H1: string basics over customer.
+    "fn_string" -> ((s, d) =>
+      load(s, d, "customer").select(
+        col("c_custkey"),
+        upper(col("c_name")).as("up_name"),
+        lower(col("c_mktsegment")).as("lo_seg"),
+        substring(col("c_name"), 1, 8).as("sub8"),
+        trim(concat(lit("  "), col("c_mktsegment"), lit("  "))).as("trim_seg"),
+        lpad(col("c_mktsegment"), 12, "*").as("pad_seg"),
+        concat_ws("-", col("c_mktsegment"), col("c_name")).as("seg_name"),
+        expr("replace(c_name, 'Customer', 'Cust')").as("repl_name"),
+        length(col("c_name")).cast("bigint").as("name_len"),
+        element_at(split(col("c_name"), "#"), 2).as("name_num"))
+        .orderBy("c_custkey")),
+
+    // H2: regex family over part.
+    "fn_string_regex" -> ((s, d) =>
+      load(s, d, "part").select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+        col("p_type").rlike("^PROMO").as("is_promo"),
+        regexp_replace(lower(col("p_name")), "[aeiou]", "").as("devoweled"),
+        regexp_extract(col("p_brand"), "(\\d+)$", 1).as("brand_num"))
+        .orderBy("p_partkey")),
+
+    // H3: date/time family over orders.
+    "fn_date" -> ((s, d) =>
+      load(s, d, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        // date_trunc yields LTZ even for NTZ input — cast back so the
+        // parquet dump stays naive like the oracle's.
+        date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("month_start"),
+        datediff(lit("2002-01-01").cast("date"), col("o_orderdate")).as("days_to_2002"),
+        date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+        last_day(col("o_orderdate")).as("eom"))
+        .orderBy("o_orderkey")),
+
+    // H4: math family over part. ln goes through a decimal(18,6) cast
+    // on both engines: libm log may differ by 1 ulp between JVM and C.
+    "fn_math" -> ((s, d) =>
+      load(s, d, "part").select(
+        col("p_partkey"),
+        round(dec(col("p_retailprice")), 1).cast(DecimalType(18, 1)).as("price_r1"),
+        floor(col("p_retailprice")).as("price_fl"),
+        ceil(col("p_retailprice")).as("price_ce"),
+        abs(col("p_size") - 25).as("size_dev"),
+        pow(col("p_size"), 2).as("size_sq"),
+        sqrt(col("p_size").cast("double")).as("size_sqrt"),
+        expr("cast(ln(p_retailprice) as decimal(18,6))").as("log_price"),
+        greatest(col("p_size"), lit(25)).as("size_hi"),
+        least(col("p_size"), lit(25)).as("size_lo"))
+        .orderBy("p_partkey")),
+
+    // H5: array family over documents (split → list ops).
+    "fn_array" -> ((s, d) => {
+      val words = split(col("text"), " ")
+      load(s, d, "documents").select(
+        col("doc_id"),
+        size(words).cast("bigint").as("n_words"),
+        array_contains(words, "select").as("has_select"),
+        array_sort(array_distinct(words)).as("vocab"),
+        slice(words, 1, 5).as("first5"),
+        element_at(words, 1).as("w1"))
+        .orderBy("doc_id")
+    }),
+
+    // H6: map family — Spark-only (DuckDB map literal/ordering
+    // semantics differ ⇒ no oracle, SURVEY §2.H6).
+    "fn_map" -> ((s, d) => {
+      val meta = map_from_arrays(
+        array(lit("lang"), lit("source")),
+        array(col("lang"), col("source")))
+      load(s, d, "documents").select(
+        col("doc_id"),
+        meta.as("meta"),
+        map_keys(meta).as("meta_keys"),
+        map_values(meta).as("meta_vals"),
+        element_at(meta, "lang").as("doc_lang"))
+        .orderBy("doc_id")
+    }),
+
+    // H7: JSON family over events.props.
+    "fn_json" -> ((s, d) =>
+      load(s, d, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        expr("from_json(props, 'k INT').k").as("k_int"),
+        to_json(struct(col("event_id").as("e"))).as("j"),
+        json_tuple(col("props"), "k").as("k2"))
+        .orderBy("event_id")),
+
+    // H8: null-handling conditionals over orders.
+    "fn_conditional" -> ((s, d) => {
+      val st = expr("nullif(o_orderstatus, 'P')")
+      load(s, d, "orders").select(
+        col("o_orderkey"),
+        st.as("st"),
+        coalesce(st, lit("ZZ")).as("st_or_zz"),
+        expr("nvl(nullif(o_orderstatus, 'P'), 'NA')").as("st_nvl"),
+        greatest(st, col("o_orderpriority")).as("hi_str"),
+        least(st, col("o_orderpriority")).as("lo_str"),
+        when(col("o_totalprice") > 100000.0, "hi").otherwise("lo").as("band"))
+        .orderBy("o_orderkey")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "fn_string" ->
+      """SELECT c_custkey, upper(c_name) AS up_name, lower(c_mktsegment) AS lo_seg,
+        | substring(c_name, 1, 8) AS sub8,
+        | trim('  ' || c_mktsegment || '  ') AS trim_seg,
+        | lpad(c_mktsegment, 12, '*') AS pad_seg,
+        | concat_ws('-', c_mktsegment, c_name) AS seg_name,
+        | replace(c_name, 'Customer', 'Cust') AS repl_name,
+        | CAST(length(c_name) AS BIGINT) AS name_len,
+        | split_part(c_name, '#', 2) AS name_num
+        | FROM customer ORDER BY c_custkey""".stripMargin,
+    "fn_string_regex" ->
+      """SELECT p_partkey,
+        | regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+        | regexp_matches(p_type, '^PROMO') AS is_promo,
+        | regexp_replace(lower(p_name), '[aeiou]', '', 'g') AS devoweled,
+        | regexp_extract(p_brand, '(\d+)$', 1) AS brand_num
+        | FROM part ORDER BY p_partkey""".stripMargin,
+    "fn_date" ->
+      """SELECT o_orderkey,
+        | CAST(year(o_orderdate) AS INTEGER) AS yr,
+        | CAST(month(o_orderdate) AS INTEGER) AS mo,
+        | CAST(day(o_orderdate) AS INTEGER) AS dom,
+        | CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        | CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) AS days_to_2002,
+        | CAST(o_orderdate AS DATE) + 30 AS plus30,
+        | last_day(CAST(o_orderdate AS DATE)) AS eom
+        | FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_math" ->
+      """SELECT p_partkey,
+        | CAST(round(CAST(p_retailprice AS DECIMAL(18,2)), 1) AS DECIMAL(18,1)) AS price_r1,
+        | CAST(floor(p_retailprice) AS BIGINT) AS price_fl,
+        | CAST(ceil(p_retailprice) AS BIGINT) AS price_ce,
+        | abs(p_size - 25) AS size_dev,
+        | pow(p_size, 2) AS size_sq,
+        | sqrt(CAST(p_size AS DOUBLE)) AS size_sqrt,
+        | CAST(ln(p_retailprice) AS DECIMAL(18,6)) AS log_price,
+        | greatest(p_size, 25) AS size_hi,
+        | least(p_size, 25) AS size_lo
+        | FROM part ORDER BY p_partkey""".stripMargin,
+    "fn_array" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        | list_contains(string_split(text, ' '), 'select') AS has_select,
+        | list_sort(list_distinct(string_split(text, ' '))) AS vocab,
+        | (string_split(text, ' '))[1:5] AS first5,
+        | (string_split(text, ' '))[1] AS w1
+        | FROM documents ORDER BY doc_id""".stripMargin,
+    "fn_json" ->
+      """SELECT event_id,
+        | json_extract_string(props, '$.k') AS k_str,
+        | CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+        | CAST(to_json(struct_pack(e := event_id)) AS VARCHAR) AS j,
+        | json_extract_string(props, '$.k') AS k2
+        | FROM events ORDER BY event_id""".stripMargin,
+    "fn_conditional" ->
+      """SELECT o_orderkey,
+        | nullif(o_orderstatus, 'P') AS st,
+        | coalesce(nullif(o_orderstatus, 'P'), 'ZZ') AS st_or_zz,
+        | coalesce(nullif(o_orderstatus, 'P'), 'NA') AS st_nvl,
+        | greatest(nullif(o_orderstatus, 'P'), o_orderpriority) AS hi_str,
+        | least(nullif(o_orderstatus, 'P'), o_orderpriority) AS lo_str,
+        | CASE WHEN o_totalprice > 100000.0 THEN 'hi' ELSE 'lo' END AS band
+        | FROM orders ORDER BY o_orderkey""".stripMargin,
+  )
+}

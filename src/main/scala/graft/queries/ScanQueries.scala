@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables.load
+
+/** Family A — scans, sources, sinks (SURVEY.md §2.A).
+  *
+  * Scale notes: column pruning (A2) and predicate pushdown (A3) are the
+  * two levers that matter most at 100 TB — they shrink parquet I/O at
+  * the row-group level before a single byte hits an executor. Both are
+  * Catalyst built-ins as long as the plan stays declarative; the test
+  * suite asserts `PushedFilters`/`ReadSchema` in the explain output so
+  * a regression fails loudly (SURVEY §4).
+  */
+object ScanQueries {
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  val queries: Map[String, Q] = Map(
+    // A1: full-scan row count. At scale this is a metadata-only parquet
+    // read (row-group stats), no data pages touched.
+    "scan_parquet" -> ((s, d) =>
+      load(s, d, "lineitem").agg(count(lit(1)).as("n_rows"))),
+
+    // A2: 2-of-11-column projection; ReadSchema must show only these two.
+    "scan_pruned" -> ((s, d) =>
+      load(s, d, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .orderBy("l_orderkey", "l_quantity")),
+
+    // A3: selective predicate pushed into the parquet scan as a
+    // row-group min/max filter (l_shipdate domain ends 2001-11-04).
+    "scan_filtered" -> ((s, d) =>
+      load(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("2001-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // A4: the nanosecond-timestamp events table (SURVEY §7.4.1 trap).
+    "scan_events_ns" -> ((s, d) =>
+      load(s, d, "events")
+        .select("event_id", "ts", "user_id", "event_type")
+        .orderBy("event_id")),
+
+    // A5: CSV sink + source round-trip with an explicit schema (CSV has
+    // no embedded types, so the read schema is the contract).
+    "scan_csv_roundtrip" -> ((s, d) => {
+      val df = load(s, d, "lineitem")
+        .filter(col("l_orderkey") % 100 === 0)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate")
+      val dir = tmpDir("graft_csv")
+      df.write.mode("overwrite").option("header", "true").csv(dir)
+      s.read.schema(df.schema).option("header", "true").csv(dir)
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // A6: JSON-lines sink + source round-trip (schema inferred on read,
+    // then columns re-selected to pin order).
+    "scan_json_roundtrip" -> ((s, d) => {
+      val df = load(s, d, "orders")
+        .filter(col("o_orderkey") % 100 === 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val dir = tmpDir("graft_json")
+      df.write.mode("overwrite").json(dir)
+      s.read.json(dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // A7: deterministic single-file parquet sink (the Verify path
+    // itself): sorted coalesce(1) write preserves global order because
+    // coalesce merges range partitions in partition-index order.
+    "sink_parquet" -> ((s, d) => {
+      val dir = tmpDir("graft_sink")
+      load(s, d, "orders").orderBy("o_orderkey")
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      s.read.parquet(dir).orderBy("o_orderkey")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "scan_parquet" -> "SELECT count(*) AS n_rows FROM lineitem",
+    "scan_pruned" ->
+      "SELECT l_orderkey, l_quantity FROM lineitem ORDER BY l_orderkey, l_quantity",
+    "scan_filtered" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate, l_returnflag FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '2001-01-01 00:00:00'
+        | ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "scan_events_ns" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+        | FROM events ORDER BY event_id""".stripMargin,
+    // A5/A6/A7 are sinks — non-SQL-expressible per the SparkEntry
+    // contract; covered by the round-trip equality tests instead.
+  )
+}

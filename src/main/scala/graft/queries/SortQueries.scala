@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.load
+
+/** Family F — sort / limit / top-k / sampling (SURVEY.md §2.F).
+  *
+  * Scale notes: a global orderBy is a range-partitioned SortExec
+  * (sampled boundaries, no single-node sort); orderBy+limit collapses
+  * to TakeOrderedAndProjectExec, which keeps only k rows per partition
+  * before the final merge — the only top-k formulation that survives
+  * 100 TB. Top-k *per group* (F3) uses a rank window + filter, which
+  * shuffles once on the group key.
+  */
+object SortQueries {
+
+  val queries: Map[String, Q] = Map(
+    // F1: multi-key global sort, mixed directions, explicit null order.
+    "sort_multi" -> ((s, d) =>
+      load(s, d, "orders")
+        .select(
+          col("o_orderkey"),
+          expr("nullif(o_orderstatus, 'P')").as("st"),
+          col("o_totalprice"))
+        .orderBy(col("st").desc_nulls_last, col("o_totalprice").asc, col("o_orderkey").asc)),
+
+    // F2: ORDER BY + LIMIT k → TakeOrderedAndProjectExec.
+    "topk_limit" -> ((s, d) =>
+      load(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)),
+
+    // F3: top-3 per customer via row_number window (rank cast to
+    // bigint: DuckDB's row_number() is BIGINT).
+    "topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      load(s, d, "orders")
+        .withColumn("rn", row_number().over(w).cast("bigint"))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // F4: seeded Bernoulli sample — deterministic within Spark, but the
+    // RNG is engine-specific ⇒ no oracle (SURVEY §2.F4); the unit test
+    // pins the exact row set across runs instead.
+    "sample_seeded" -> ((s, d) =>
+      load(s, d, "lineitem")
+        .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "sort_multi" ->
+      """SELECT o_orderkey, nullif(o_orderstatus, 'P') AS st, o_totalprice
+        | FROM orders
+        | ORDER BY st DESC NULLS LAST, o_totalprice ASC, o_orderkey ASC""".stripMargin,
+    "topk_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        | ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |   SELECT o_custkey, o_orderkey, o_totalprice,
+        |     row_number() OVER (PARTITION BY o_custkey
+        |       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |   FROM orders) t
+        | WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+  )
+}
