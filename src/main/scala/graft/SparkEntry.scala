@@ -26,7 +26,11 @@ object SparkEntry {
       WindowQueries.queries ++
       SortQueries.queries ++
       SetQueries.queries ++
-      ScalarFnQueries.queries
+      ScalarFnQueries.queries ++
+      UdfQueries.queries ++
+      LlmQueries.queries ++
+      TextQueries.queries ++
+      graft.streaming.StreamQueries.queries
 
   def oracleSql: Map[String, String] =
     ScanQueries.oracle ++
@@ -36,5 +40,8 @@ object SparkEntry {
       WindowQueries.oracle ++
       SortQueries.oracle ++
       SetQueries.oracle ++
-      ScalarFnQueries.oracle
+      ScalarFnQueries.oracle ++
+      UdfQueries.oracle ++
+      LlmQueries.oracle ++
+      TextQueries.oracle
 }

@@ -1,0 +1,219 @@
+package graft.queries
+
+import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, HashingTF, MinHashLSH}
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables.load
+
+/** Family K — LLM-data-pipeline operators (SURVEY.md §2.K).
+  *
+  * Scale design notes (the 100 TB story, BASELINE.json north star):
+  *  - K1 exact dedup is a single hash-partition groupBy on the
+  *    normalized text — embarrassingly parallel.
+  *  - K2 near-dedup is MinHash-LSH over 3-word shingles: candidate
+  *    generation via banded hash buckets (shuffle on bucket id), exact
+  *    Jaccard only on candidates — replaces the O(n²) all-pairs join.
+  *    Shingles (not word sets) because unigram Jaccard saturates on
+  *    small vocabularies (background p95 ≈ 0.9 on this corpus vs
+  *    ≤ 0.03 for 3-gram shingles).
+  *  - K3 brute-force cosine is deliberately bounded by a 10-probe set;
+  *    K4 is the scale path (LSH buckets, no cartesian).
+  *  - Cosines are computed in double and rounded to 6 dp on BOTH
+  *    engines, and ranked on the rounded value with an id tie-break —
+  *    float-vs-double library differences can't flip the ranking.
+  */
+object LlmQueries {
+
+  private val cosineSim =
+    "aggregate(zip_with(q, c, (x, y) -> double(x) * double(y)), 0D, (acc, v) -> acc + v)" +
+      " / (sqrt(aggregate(q, 0D, (acc, x) -> acc + double(x) * double(x)))" +
+      "  * sqrt(aggregate(c, 0D, (acc, x) -> acc + double(x) * double(x))))"
+
+  val queries: Map[String, Q] = Map(
+    // K1: exact dedup on normalized text; deterministic winner = min id.
+    "dedup_exact" -> ((s, d) =>
+      load(s, d, "documents")
+        .groupBy(lower(trim(col("text"))).as("norm_text"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
+        .select("doc_id", "n_dups")
+        .orderBy("doc_id")),
+
+    // K2: near-dup candidate pairs via MinHash-LSH over 3-word
+    // shingles (seeded ⇒ deterministic). No DuckDB twin (LSH is not
+    // SQL-expressible); the unit test asserts recall of the planted
+    // shared-prefix groups instead.
+    "dedup_near" -> ((s, d) => {
+      val docs = load(s, d, "documents")
+        .withColumn("words", split(col("text"), " "))
+        .withColumn("shingles", expr(
+          "transform(sequence(0, greatest(size(words) - 3, 0)), i -> concat_ws(' ', slice(words, i + 1, 3)))"))
+      val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
+        .setNumFeatures(1 << 18).setBinary(true)
+      val feat = tf.transform(docs).select("doc_id", "features")
+      val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+        .setNumHashTables(5).setSeed(42L)
+      val model = lsh.fit(feat)
+      model.approxSimilarityJoin(feat, feat, 0.5, "jaccard_dist")
+        .filter(col("datasetA.doc_id") < col("datasetB.doc_id"))
+        .select(col("datasetA.doc_id").as("a_id"), col("datasetB.doc_id").as("b_id"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // K3: exact top-5 cosine neighbors for a 10-probe set.
+    "sim_topk" -> ((s, d) => {
+      val emb = load(s, d, "embeddings")
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q"))
+      val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c"))
+      val sims = probes.crossJoin(corpus)
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("cos_sim", expr(cosineSim).cast(DecimalType(18, 6)))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("c_id").asc)
+      sims.withColumn("rn", row_number().over(w).cast("bigint"))
+        .filter(col("rn") <= 5)
+        .select("q_id", "c_id", "cos_sim", "rn")
+        .orderBy("q_id", "rn")
+    }),
+
+    // K4: approximate NN via random-projection LSH (euclidean) — the
+    // formulation that scales: bucket join on seeded hashes, exact
+    // distance only on candidates. No oracle (approx + not SQL).
+    "sim_ann" -> ((s, d) => {
+      val emb = load(s, d, "embeddings")
+        .withColumn("v", array_to_vector(col("embedding")))
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v"))
+      val corpus = emb.select(col("vec_id").as("c_id"), col("v"))
+      val lsh = new BucketedRandomProjectionLSH().setInputCol("v").setOutputCol("h")
+        .setBucketLength(2.0).setNumHashTables(3).setSeed(42L)
+      val model = lsh.fit(corpus)
+      model.approxSimilarityJoin(probes, corpus, 4.0, "dist")
+        .filter(col("datasetA.q_id") =!= col("datasetB.c_id"))
+        .select(col("datasetA.q_id").as("q_id"), col("datasetB.c_id").as("c_id"))
+        .orderBy("q_id", "c_id")
+    }),
+
+    // K5: per-language token statistics (stopword-filtered).
+    "text_stats" -> ((s, d) => {
+      val stop = Seq("the", "and", "of", "a", "in", "to", "table", "row")
+      load(s, d, "documents")
+        .select(col("lang"), col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0 && !col("w").isin(stop: _*))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          countDistinct(col("w")).as("n_distinct"),
+          (sum(length(col("w")).cast("long")).cast("double") / count(lit(1))).as("avg_len"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy("lang")
+    }),
+
+    // K6: TF-IDF top-5 terms per source, pure relational formulation
+    // (two group-bys + broadcast of the doc count — no MLlib state).
+    // Scores ranked on the 6-dp-rounded value for cross-engine parity.
+    "text_tfidf" -> ((s, d) => {
+      val words = load(s, d, "documents")
+        .select(col("source"), col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+      val tf = words.groupBy("source", "w").agg(count(lit(1)).as("tf"))
+      val dfreq = words.groupBy("w").agg(countDistinct(col("doc_id")).as("df"))
+      val n = load(s, d, "documents").agg(countDistinct(col("doc_id")).as("n_docs"))
+      val scored = tf.join(dfreq, "w").crossJoin(broadcast(n))
+        .withColumn("score",
+          (col("tf") * log(col("n_docs").cast("double") / col("df")))
+            .cast(DecimalType(18, 6)))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("score").desc, col("w").asc)
+      scored.withColumn("rn", row_number().over(w).cast("bigint"))
+        .filter(col("rn") <= 5)
+        .select(col("source"), col("w").as("term"), col("tf"), col("df"), col("score"), col("rn"))
+        .orderBy("source", "rn")
+    }),
+
+    // K7: multimodal row — text + vector + scalars + metadata flowing
+    // through join/filter/project unharmed.
+    "multimodal_cols" -> ((s, d) => {
+      val docs = load(s, d, "documents")
+      val emb = load(s, d, "embeddings")
+      docs.join(emb, docs("doc_id") === emb("vec_id"), "inner")
+        .filter(col("lang").isin("en", "de") && col("n_chars") > 200)
+        .select(
+          col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("label"), size(col("embedding")).cast("bigint").as("dim"))
+        .orderBy("doc_id")
+    }),
+
+    // K8: nearest-centroid assignment; centroids = per-label decimal
+    // means (deterministic — no iterative k-means seed sensitivity).
+    // Tested against the planted labels, no oracle (not SQL-shaped).
+    "cluster_assign" -> ((s, d) => {
+      val emb = load(s, d, "embeddings")
+      val cent = emb
+        .select(col("label").as("cl"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy("cl", "i")
+        .agg((sum(col("x").cast(DecimalType(28, 10))).cast("double") / count(lit(1))).as("cx"))
+        .groupBy("cl")
+        .agg(expr("transform(array_sort(collect_list(struct(i, cx))), s -> s.cx)").as("centroid"))
+      val dist2 =
+        "aggregate(zip_with(embedding, centroid, (x, y) -> (double(x) - y) * (double(x) - y)), 0D, (acc, v) -> acc + v)"
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cl").asc)
+      emb.crossJoin(broadcast(cent))
+        .withColumn("d2", expr(dist2))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("label"), col("cl").as("assigned"))
+        .orderBy("vec_id")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM documents
+        | GROUP BY lower(trim(text)) ORDER BY doc_id""".stripMargin,
+    "sim_topk" ->
+      """WITH probes AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q
+        |                FROM embeddings WHERE vec_id < 10),
+        |     corpus AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c
+        |                FROM embeddings),
+        |     sims AS (SELECT q_id, c_id,
+        |                CAST(list_cosine_similarity(q, c) AS DECIMAL(18,6)) AS cos_sim
+        |              FROM probes, corpus WHERE q_id <> c_id)
+        | SELECT q_id, c_id, cos_sim, rn FROM (
+        |   SELECT q_id, c_id, cos_sim,
+        |     row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id ASC) AS rn
+        |   FROM sims) t
+        | WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+    "text_stats" ->
+      """SELECT lang, count(*) AS n_tokens, count(DISTINCT w) AS n_distinct,
+        | CAST(sum(length(w)) AS DOUBLE) / count(*) AS avg_len,
+        | count(DISTINCT doc_id) AS n_docs
+        | FROM (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+        | WHERE length(w) > 0
+        |   AND w NOT IN ('the', 'and', 'of', 'a', 'in', 'to', 'table', 'row')
+        | GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_tfidf" ->
+      """WITH words AS (SELECT source, doc_id, unnest(string_split(text, ' ')) AS w
+        |               FROM documents),
+        |     filtered AS (SELECT * FROM words WHERE length(w) > 0),
+        |     tf AS (SELECT source, w, count(*) AS tf FROM filtered GROUP BY source, w),
+        |     dfreq AS (SELECT w, count(DISTINCT doc_id) AS df FROM filtered GROUP BY w),
+        |     n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |     scored AS (SELECT source, tf.w, tf, df,
+        |        CAST(tf * ln(CAST(n_docs AS DOUBLE) / df) AS DECIMAL(18,6)) AS score
+        |      FROM tf JOIN dfreq ON tf.w = dfreq.w CROSS JOIN n)
+        | SELECT source, w AS term, tf, df, score, rn FROM (
+        |   SELECT source, w, tf, df, score,
+        |     row_number() OVER (PARTITION BY source ORDER BY score DESC, w ASC) AS rn
+        |   FROM scored) t
+        | WHERE rn <= 5 ORDER BY source, rn""".stripMargin,
+    "multimodal_cols" ->
+      """SELECT doc_id, lang, source, n_chars, label,
+        | CAST(len(embedding) AS BIGINT) AS dim
+        | FROM documents JOIN embeddings ON doc_id = vec_id
+        | WHERE lang IN ('en', 'de') AND n_chars > 200
+        | ORDER BY doc_id""".stripMargin,
+  )
+}

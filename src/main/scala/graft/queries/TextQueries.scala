@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables.load
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (builder mandate alongside SURVEY.md §2.K): language-ID, quality
+  * scoring, token counting, document fingerprinting.
+  *
+  * All four are pure scalar pipelines — per-row expressions with no
+  * shuffle at all (the aggregations live in K5/K6). That is the shape
+  * that matters at 100 TB: a language-ID or quality-score pass is a
+  * map-only job that parallelizes to any number of executors.
+  */
+object TextQueries {
+
+  // Marker stopwords per language (public common-word lists).
+  private val markers = Map(
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "en" -> Seq("the", "and", "of", "is", "a"),
+    "es" -> Seq("el", "la", "de", "que", "es"),
+    "fr" -> Seq("le", "la", "et", "les", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "和"))
+
+  private def markerCount(lang: String): String = {
+    val list = markers(lang).map(w => s"'$w'").mkString(", ")
+    s"size(filter(split(text, ' '), w -> w IN ($list)))"
+  }
+
+  private def markerCountDuck(lang: String): String = {
+    val list = markers(lang).map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(string_split(text, ' '), w -> w IN ($list)))"
+  }
+
+  // Deterministic argmax chain: earlier (alphabetical) language wins ties.
+  private def predictedCase(score: String => String): String =
+    s"""CASE
+       | WHEN ${score("de")} >= ${score("en")} AND ${score("de")} >= ${score("es")}
+       |  AND ${score("de")} >= ${score("fr")} AND ${score("de")} >= ${score("zh")} THEN 'de'
+       | WHEN ${score("en")} >= ${score("es")} AND ${score("en")} >= ${score("fr")}
+       |  AND ${score("en")} >= ${score("zh")} THEN 'en'
+       | WHEN ${score("es")} >= ${score("fr")} AND ${score("es")} >= ${score("zh")} THEN 'es'
+       | WHEN ${score("fr")} >= ${score("zh")} THEN 'fr'
+       | ELSE 'zh' END""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // Language-ID: n-gram/marker-word heuristic, argmax over per-lang
+    // scores with a deterministic tie-break.
+    "text_langid" -> ((s, d) =>
+      load(s, d, "documents").selectExpr(
+        "doc_id",
+        "lang",
+        s"CAST(${markerCount("de")} AS BIGINT) AS score_de",
+        s"CAST(${markerCount("en")} AS BIGINT) AS score_en",
+        s"CAST(${markerCount("es")} AS BIGINT) AS score_es",
+        s"CAST(${markerCount("fr")} AS BIGINT) AS score_fr",
+        s"CAST(${markerCount("zh")} AS BIGINT) AS score_zh",
+        s"${predictedCase(markerCount)} AS predicted")
+        .withColumn("hit", (col("predicted") === col("lang")))
+        .orderBy("doc_id")),
+
+    // Quality scoring: length / word-shape / stopword-ratio features
+    // combined into a deterministic polynomial score.
+    "text_quality" -> ((s, d) =>
+      load(s, d, "documents").selectExpr(
+        "doc_id",
+        "CAST(length(text) AS BIGINT) AS n_chars_txt",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS n_words",
+        "CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_nonspace",
+        "CAST(length(replace(text, ' ', '')) AS DOUBLE) / size(split(text, ' ')) AS avg_wlen",
+        "CAST(size(filter(split(text, ' '), w -> w IN ('the', 'and', 'of', 'a', 'in', 'to'))) AS DOUBLE)" +
+          " / size(split(text, ' ')) AS stop_ratio")
+        .withColumn("quality",
+          (lit(0.5) * col("stop_ratio") + lit(0.1) * col("avg_wlen"))
+            .cast(DecimalType(18, 6)))
+        .orderBy("doc_id")),
+
+    // Token counting: whitespace tokens, regex (BPE-ish) tokens,
+    // distinct tokens, chars/4 budget estimate.
+    "text_tokens" -> ((s, d) =>
+      load(s, d, "documents").selectExpr(
+        "doc_id",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS ws_tokens",
+        "CAST(size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS BIGINT) AS re_tokens",
+        "CAST(size(array_distinct(split(text, ' '))) AS BIGINT) AS distinct_tokens",
+        "CAST(ceil(length(replace(text, ' ', '')) / 4.0) AS BIGINT) AS est_bpe")
+        .orderBy("doc_id")),
+
+    // Document fingerprinting: content hash + leading-shingle hash —
+    // the join keys an exact/near dedup pipeline runs on.
+    "text_fingerprint" -> ((s, d) =>
+      load(s, d, "documents").selectExpr(
+        "doc_id",
+        "md5(lower(trim(text))) AS fp",
+        "md5(concat_ws(' ', slice(split(text, ' '), 1, 5))) AS prefix_fp",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS n_words")
+        .orderBy("doc_id")),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "text_langid" ->
+      s"""SELECT doc_id, lang,
+         | CAST(${markerCountDuck("de")} AS BIGINT) AS score_de,
+         | CAST(${markerCountDuck("en")} AS BIGINT) AS score_en,
+         | CAST(${markerCountDuck("es")} AS BIGINT) AS score_es,
+         | CAST(${markerCountDuck("fr")} AS BIGINT) AS score_fr,
+         | CAST(${markerCountDuck("zh")} AS BIGINT) AS score_zh,
+         | ${predictedCase(markerCountDuck)} AS predicted,
+         | ${predictedCase(markerCountDuck)} = lang AS hit
+         | FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        | CAST(length(text) AS BIGINT) AS n_chars_txt,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        | CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_nonspace,
+        | CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_wlen,
+        | CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'and', 'of', 'a', 'in', 'to'))) AS DOUBLE)
+        |   / len(string_split(text, ' ')) AS stop_ratio,
+        | CAST(0.5 * (CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'and', 'of', 'a', 'in', 'to'))) AS DOUBLE)
+        |   / len(string_split(text, ' ')))
+        |  + 0.1 * (CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' '))) AS DECIMAL(18,6)) AS quality
+        | FROM documents ORDER BY doc_id""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens,
+        | CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS distinct_tokens,
+        | CAST(ceil(length(replace(text, ' ', '')) / 4.0) AS BIGINT) AS est_bpe
+        | FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        | md5(lower(trim(text))) AS fp,
+        | md5(array_to_string((string_split(text, ' '))[1:5], ' ')) AS prefix_fp,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+        | FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

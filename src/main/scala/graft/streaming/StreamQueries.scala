@@ -1,0 +1,193 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.{DecimalType, StructType}
+import graft.Tables.{dec, load}
+
+/** Family I — Structured Streaming over the events table
+  * (SURVEY.md §2.I). All oracle-exempt (not SQL-expressible).
+  *
+  * Harness: the batch events table is materialized to a temp dir and
+  * replayed through a parquet file source; each query runs to
+  * completion with Trigger.AvailableNow into a memory sink and returns
+  * the final table sorted — deterministic, so Verify/Bench can treat
+  * these like any batch entry (SURVEY §3.3).
+  *
+  * Event time is cast to LTZ (session is pinned UTC) for
+  * watermark/window arithmetic and back to NTZ on output so dumps
+  * match the engine-wide naive-timestamp convention.
+  *
+  * Scale notes: state is keyed by (window|user) — partitions by key,
+  * no global state; watermarks bound state size; AvailableNow is the
+  * batch-backfill trigger a 100 TB replay would use.
+  */
+object StreamQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val sinkId = new AtomicInteger(0)
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Materialize events (batch, ns-fix applied) and open it as a
+    * file-source stream. Returns (streamDF, sourceDir, schema).
+    */
+  private def eventStream(s: SparkSession, d: String): (DataFrame, String, StructType) = {
+    val ev = load(s, d, "events")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val dir = tmp("graft_stream")
+    ev.coalesce(1).write.mode("overwrite").parquet(dir)
+    (s.readStream.schema(ev.schema).parquet(dir), dir, ev.schema)
+  }
+
+  /** Drain a streaming DF into a memory sink (AvailableNow) and return
+    * the final table.
+    */
+  private def runToMemory(s: SparkSession, sdf: DataFrame, mode: String): DataFrame = {
+    val name = s"graft_sink_${sinkId.incrementAndGet()}"
+    val q = sdf.writeStream.outputMode(mode).format("memory").queryName(name)
+      .option("checkpointLocation", tmp("graft_ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // I1: event-time tumbling window counts per type.
+    "stream_tumbling" -> ((s, d) => {
+      val (sdf, _, _) = eventStream(s, d)
+      val agg = sdf.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast(DecimalType(38, 2)).as("total"))
+      runToMemory(s, agg, "complete")
+        .select(col("window.start").cast("timestamp_ntz").as("w_start"),
+          col("event_type"), col("n"), col("total"))
+        .orderBy("w_start", "event_type")
+    }),
+
+    // I2: 1-hour window sliding every 15 minutes.
+    "stream_sliding" -> ((s, d) => {
+      val (sdf, _, _) = eventStream(s, d)
+      val agg = sdf.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      runToMemory(s, agg, "complete")
+        .select(col("window.start").cast("timestamp_ntz").as("w_start"),
+          col("event_type"), col("n"))
+        .orderBy("w_start", "event_type")
+    }),
+
+    // I3: session windows per user, 30-minute gap.
+    "stream_session" -> ((s, d) => {
+      val (sdf, _, _) = eventStream(s, d)
+      val agg = sdf.withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      runToMemory(s, agg, "complete")
+        .select(col("session_window.start").cast("timestamp_ntz").as("s_start"),
+          col("user_id"), col("n"))
+        .orderBy("s_start", "user_id")
+    }),
+
+    // I4: watermark semantics — a second batch replays day-1/2 rows
+    // after the watermark has advanced past them; append-mode output
+    // proves they were dropped (window counts not double-counted).
+    "stream_late_drop" -> ((s, d) => {
+      val ev = load(s, d, "events")
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+      val dir = tmp("graft_late")
+      ev.coalesce(1).write.mode("overwrite").parquet(s"$dir/in")
+      val sdf = s.readStream.schema(ev.schema).parquet(s"$dir/in")
+      val agg = sdf.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(count(lit(1)).as("n"))
+      val name = s"graft_sink_${sinkId.incrementAndGet()}"
+      val q = agg.writeStream.outputMode("append").format("memory").queryName(name)
+        .option("checkpointLocation", tmp("graft_ckpt"))
+        .start()
+      q.processAllAvailable() // batch 1 + no-data batch: watermark = max ts - 1h
+      // Late replay: first-two-days rows again. Their windows are
+      // closed and already emitted — the rows must be dropped.
+      val cutoff = ev.agg(min(col("ts"))).head().getTimestamp(0).toInstant
+        .plusSeconds(2 * 86400)
+      ev.filter(col("ts") < lit(java.sql.Timestamp.from(cutoff)))
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      q.stop()
+      s.table(name)
+        .select(col("window.start").cast("timestamp_ntz").as("w_start"), col("n"))
+        .orderBy("w_start")
+    }),
+
+    // I5: streaming dedup on event_id within the watermark — input is
+    // the events table unioned with itself; output is each event once.
+    "stream_dedup" -> ((s, d) => {
+      val ev = load(s, d, "events")
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"), col("event_type"))
+      val dir = tmp("graft_dedup")
+      ev.union(ev).coalesce(1).write.mode("overwrite").parquet(dir)
+      val sdf = s.readStream.schema(ev.schema).parquet(dir)
+      val deduped = sdf.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+      runToMemory(s, deduped, "append")
+        .select(col("event_id"), col("event_type"))
+        .orderBy("event_id")
+    }),
+
+    // I6: custom keyed state — per-user counters incl. purchases since
+    // the last error. Events are sorted inside each group by
+    // (ts, event_id) before folding; at 100 TB this becomes
+    // transformWithState with a range-sorted initial shuffle.
+    "stream_stateful" -> ((s, d) => {
+      val (sdf, _, _) = eventStream(s, d)
+      import s.implicits._
+      implicit val tsOrd: Ordering[java.sql.Timestamp] = Ordering.by(_.getTime)
+      val ds: Dataset[StreamEv] = sdf.as[StreamEv]
+      val out = ds.groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (uid: Long, it: Iterator[StreamEv], state: GroupState[UserAgg]) =>
+            var st = state.getOption.getOrElse(UserAgg(uid, 0L, 0L, 0L, 0L))
+            it.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+              st = e.event_type match {
+                case "purchase" => st.copy(n_events = st.n_events + 1,
+                  n_purchases = st.n_purchases + 1,
+                  purchases_since_error = st.purchases_since_error + 1)
+                case "error" => st.copy(n_events = st.n_events + 1,
+                  n_errors = st.n_errors + 1, purchases_since_error = 0L)
+                case _ => st.copy(n_events = st.n_events + 1)
+              }
+            }
+            state.update(st)
+            Iterator.single(st)
+        }
+      runToMemory(s, out.toDF(), "append").orderBy("user_id")
+    }),
+
+    // I7: stream-static join — events stream enriched with the
+    // customer dimension (no watermark needed on the static side).
+    "stream_join" -> ((s, d) => {
+      val (sdf, _, _) = eventStream(s, d)
+      val cust = load(s, d, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      val agg = sdf.join(cust, sdf("user_id") === cust("c_custkey"), "inner")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"))
+      runToMemory(s, agg, "complete").orderBy("c_mktsegment")
+    }),
+  )
+}
+
+/** Typed event row for the stateful query (I6). */
+case class StreamEv(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Keyed running state for I6. */
+case class UserAgg(user_id: Long, n_events: Long, n_purchases: Long,
+    n_errors: Long, purchases_since_error: Long)
