@@ -1,0 +1,32 @@
+package graft
+
+/** Determinism harness (SURVEY §5): representative queries must produce
+  * identical ordered output under different shuffle-partition counts —
+  * the in-suite guard for the §7.4.2 class of bugs. (The dev loop runs
+  * the full 76-query version of this via dev/run.sh + dev/check.py.)
+  */
+class DeterminismSpec extends GraftSpec {
+
+  private val sample = Seq(
+    "agg_groupby",      // decimal sums
+    "join_asof",        // window last_value ordering
+    "win_rank",         // rank ties
+    "sim_topk",         // rounded-cosine ranking
+    "dedup_near",       // LSH buckets
+    "text_tfidf")       // log scores + top-k
+
+  sample.foreach { name =>
+    test(s"$name is partition-count invariant") {
+      val conf = "spark.sql.shuffle.partitions"
+      val orig = spark.conf.get(conf)
+      try {
+        spark.conf.set(conf, "2")
+        val a = SparkEntry.queries(name)(spark, sf).collect().toSeq
+        spark.conf.set(conf, "7")
+        val b = SparkEntry.queries(name)(spark, sf).collect().toSeq
+        assert(a === b, s"$name output depends on partitioning")
+        assert(a.nonEmpty)
+      } finally spark.conf.set(conf, orig)
+    }
+  }
+}

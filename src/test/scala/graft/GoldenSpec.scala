@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** Golden-value checks at sf0.001 (literals computed once with
+  * DuckDB 1.0.0 — the same engine the driver's t2 gate uses).
+  */
+class GoldenSpec extends GraftSpec {
+
+  test("agg_groupby (Q1) matches DuckDB goldens") {
+    val rows = q("agg_groupby")
+      .selectExpr("l_returnflag", "l_linestatus", "CAST(sum_qty AS STRING)", "count_order")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val expected = Seq(
+      ("A", "F", "13096.00", 510L), ("A", "O", "13173.00", 534L),
+      ("N", "F", "15619.00", 594L), ("N", "O", "13130.00", 528L),
+      ("R", "F", "13038.00", 531L), ("R", "O", "13188.00", 528L))
+    assert(rows.toSeq === expected)
+  }
+
+  test("agg_distinct matches exact distinct-part counts") {
+    val rows = q("agg_distinct").select("l_returnflag", "n_parts")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq === Seq(("A", 200L), ("N", 200L), ("R", 200L)))
+  }
+
+  test("agg_approx_distinct is within 10% of exact") {
+    val approx = q("agg_approx_distinct").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    approx.foreach { case (flag, est) =>
+      assert(math.abs(est - 200L) <= 20, s"$flag: HLL estimate $est vs exact 200")
+    }
+  }
+
+  test("scan_events_ns reads all 1000 ns-timestamp rows with 30 distinct days") {
+    val df = q("scan_events_ns")
+    assert(df.count() === 1000L)
+    assert(df.selectExpr("count(distinct date_trunc('day', ts))").head().getLong(0) === 30L)
+  }
+
+  test("null_safe_div: zero divisor yields NULL, not Inf") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT null_safe_div(10.0, 0.0) AS z, null_safe_div(10.0, 4.0) AS v, null_safe_div(CAST(NULL AS DOUBLE), 2.0) AS n")
+      .head()
+    assert(r.isNullAt(0) && r.getDouble(1) === 2.5 && r.isNullAt(2))
+  }
+
+  test("typed aggregators agree with SQL formulations") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.load(spark, sf, "lineitem")
+    val wavg = udaf(functions.Aggregators.WeightedAvg)
+    val got = li.agg(wavg(col("l_extendedprice"), col("l_quantity"))).head().getDouble(0)
+    val exp = li.selectExpr(
+      "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)" +
+        " / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").head().getDouble(0)
+    assert(got === exp)
+  }
+
+  test("sample_seeded is reproducible") {
+    val a = q("sample_seeded").collect().toSeq
+    val b = q("sample_seeded").collect().toSeq
+    assert(a === b && a.nonEmpty)
+  }
+}

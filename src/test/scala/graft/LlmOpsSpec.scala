@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Planted-truth tests for the non-oracle LLM operators (SURVEY §5):
+  * the testdata carries ground truth — 21 shared-prefix near-dup
+  * groups in documents and 10 cluster labels in embeddings.
+  */
+class LlmOpsSpec extends GraftSpec {
+
+  private lazy val plantedPairs: Set[(Long, Long)] = {
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 50).as("p"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    docs.groupBy(_._2).values.filter(_.length > 1).flatMap { g =>
+      val ids = g.map(_._1).sorted.toSeq
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }.toSet
+  }
+
+  test("testdata still carries 21 planted near-dup groups") {
+    val nGroups = Tables.load(spark, sf, "documents")
+      .groupBy(substring(col("text"), 1, 50)).count()
+      .filter(col("count") > 1).count()
+    assert(nGroups === 21L)
+  }
+
+  test("dedup_near recovers every planted pair with no false positives") {
+    val found = q("dedup_near").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plantedPairs.nonEmpty)
+    assert((plantedPairs -- found).isEmpty,
+      s"missed pairs: ${(plantedPairs -- found).take(5)}")
+    assert((found -- plantedPairs).isEmpty,
+      s"false positives: ${(found -- plantedPairs).take(5)}")
+  }
+
+  test("dedup_exact is idempotent (f(f(x)) = f(x)) and keys unique") {
+    val once = q("dedup_exact")
+    assert(once.select("doc_id").distinct().count() === once.count())
+  }
+
+  test("sim_topk matches a driver-side brute-force recomputation") {
+    // (The testdata's labels are NOT neighborhood-correlated — cosine
+    // top-1 label agreement ≈ 0.07 ≈ random — so correctness is
+    // asserted against an independent exact computation instead.)
+    val all = Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): java.math.BigDecimal = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      java.math.BigDecimal.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+    }
+    val expected = (0L until 10L).flatMap { qid =>
+      all.keys.filter(_ != qid).toSeq
+        .map(c => (c, cos(all(qid), all(c))))
+        .sortBy { case (c, s) => (s.negate, c) }
+        .take(5).zipWithIndex
+        .map { case ((c, s), i) => (qid, c, s, i + 1L) }
+    }.toSet
+    val got = q("sim_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).stripTrailingZeros,
+        r.getLong(3))).toSet
+    val expNorm = expected.map { case (a, b, s, r) => (a, b, s.stripTrailingZeros, r) }
+    assert(got === expNorm,
+      s"diff: ${(got -- expNorm).take(3)} vs ${(expNorm -- got).take(3)}")
+  }
+
+  test("cluster_assign beats random assignment by >3x") {
+    val df = q("cluster_assign")
+    val agree = df.filter(col("label") === col("assigned")).count().toDouble / df.count()
+    assert(agree > 0.3, s"nearest-centroid label agreement: $agree (random = 0.1)")
+  }
+
+  test("text_fingerprint: planted near-dups share the prefix fingerprint") {
+    val fp = q("text_fingerprint").select("doc_id", "prefix_fp")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sharing = plantedPairs.count { case (a, b) => fp(a) == fp(b) }
+    assert(sharing.toDouble / plantedPairs.size > 0.8,
+      s"only $sharing/${plantedPairs.size} planted pairs share prefix_fp")
+  }
+}

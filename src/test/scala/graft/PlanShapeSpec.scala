@@ -1,0 +1,65 @@
+package graft
+
+/** Plan-shape assertions (SURVEY §5): the scale-critical optimizations
+  * must be visible in the physical plan, so a regression in hints,
+  * pushdown, or pruning fails loudly rather than silently costing a
+  * full-table scan at 100 TB.
+  */
+class PlanShapeSpec extends GraftSpec {
+
+  private def planOf(name: String): String =
+    q(name).queryExecution.executedPlan.toString
+
+  test("scan_filtered pushes the shipdate predicate into the parquet scan") {
+    val plan = planOf("scan_filtered")
+    assert(plan.contains("PushedFilters: ["), plan.take(2000))
+    assert(plan.contains("l_shipdate"), "pushed filter must mention l_shipdate")
+  }
+
+  test("scan_pruned reads only the 2 projected columns") {
+    val plan = planOf("scan_pruned")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_extendedprice"),
+      s"column pruning regressed: $readSchema")
+  }
+
+  test("join_broadcast compiles to a BroadcastHashJoin") {
+    assert(planOf("join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("join_sort_merge compiles to a SortMergeJoin") {
+    assert(planOf("join_sort_merge").contains("SortMergeJoin"))
+  }
+
+  test("join_inner_hash compiles to a ShuffledHashJoin") {
+    assert(planOf("join_inner_hash").contains("ShuffledHashJoin"))
+  }
+
+  test("join_left_semi/anti stay semi/anti (no materialized join)") {
+    assert(planOf("join_left_semi").contains("LeftSemi"))
+    assert(planOf("join_left_anti").contains("LeftAnti"))
+  }
+
+  test("topk_limit collapses to TakeOrderedAndProject (per-partition top-k)") {
+    assert(planOf("topk_limit").contains("TakeOrderedAndProject"))
+  }
+
+  test("expr_custom participates in whole-stage codegen") {
+    // AQE prints placeholders until the plan is finalized — execute
+    // first, then read the final plan (codegen stages marked "*(n)").
+    val df = q("expr_custom")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("null_safe_div"), plan.take(1500))
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("),
+      s"custom expression fell out of codegen:\n${plan.take(1500)}")
+  }
+
+  test("agg queries use hash aggregation with partial (map-side) phase") {
+    val plan = planOf("agg_groupby")
+    assert(plan.contains("HashAggregate"))
+    // partial + final pair = map-side combine before the exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 2)
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Streaming semantics tests (SURVEY §5): watermark late-drop, dedup,
+  * stateful fold — asserted against batch ground truth.
+  */
+class StreamingSpec extends GraftSpec {
+
+  private lazy val events = Tables.load(spark, sf, "events")
+
+  test("stream_tumbling matches the batch hourly rollup") {
+    val streamed = q("stream_tumbling")
+      .select(col("w_start"), col("event_type"), col("n"))
+    val batch = events
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("w_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(streamed.exceptAll(batch).count() === 0L)
+    assert(batch.exceptAll(streamed).count() === 0L)
+  }
+
+  test("stream_late_drop: replayed late rows are dropped, not double-counted") {
+    val out = q("stream_late_drop").collect().map(r => r.getLong(1))
+    val batchPerDay = events.groupBy(date_trunc("day", col("ts")))
+      .count().orderBy(col("count")).collect().map(_.getLong(1))
+    // 30 days of data, watermark keeps the last day open → 29 emitted
+    assert(out.length === batchPerDay.length - 1)
+    // every emitted window count equals the single-copy batch count
+    val batchMap = events.groupBy(date_trunc("day", col("ts")).cast("timestamp_ntz").as("d"))
+      .count().collect().map(r => r.get(0) -> r.getLong(1)).toMap
+    val emitted = q("stream_late_drop").collect()
+      .map(r => r.get(0) -> r.getLong(1))
+    emitted.foreach { case (d, n) =>
+      assert(batchMap(d) === n, s"window $d double-counted late rows")
+    }
+  }
+
+  test("stream_dedup removes the duplicated replay exactly") {
+    assert(q("stream_dedup").count() === events.count())
+  }
+
+  test("stream_stateful conserves event counts across user states") {
+    val df = q("stream_stateful")
+    assert(df.agg(sum(col("n_events"))).head().getLong(0) === events.count())
+    val purchases = events.filter(col("event_type") === "purchase").count()
+    assert(df.agg(sum(col("n_purchases"))).head().getLong(0) === purchases)
+  }
+
+  test("stream_join agrees with the batch stream-static join") {
+    val cust = Tables.load(spark, sf, "customer")
+    val batch = events.join(cust, events("user_id") === cust("c_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+    val streamed = q("stream_join")
+    assert(streamed.exceptAll(batch).count() === 0L)
+    assert(batch.exceptAll(streamed).count() === 0L)
+  }
+}
