@@ -30,6 +30,7 @@ object SparkEntry {
       UdfQueries.queries ++
       LlmQueries.queries ++
       TextQueries.queries ++
+      MultimodalQueries.queries ++
       graft.streaming.StreamQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -43,5 +44,6 @@ object SparkEntry {
       ScalarFnQueries.oracle ++
       UdfQueries.oracle ++
       LlmQueries.oracle ++
-      TextQueries.oracle
+      TextQueries.oracle ++
+      MultimodalQueries.oracle
 }

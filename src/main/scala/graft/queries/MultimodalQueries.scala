@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables.load
+
+/** Multimodal binary-column operators (builder mandate alongside
+  * SURVEY.md §2.K): media payloads as opaque `binary` columns with
+  * typed metadata, decode / feature-extract / frame-sample stages.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked DETERMINISTIC STUB (arithmetic over the payload
+  * bytes). Everything around it — the binary column, the metadata
+  * struct, the mapPartitions batch shape, the map-only no-shuffle
+  * plan — is the real plumbing a 100 TB media pipeline runs on: a
+  * decode pass must stay embarrassingly parallel (no shuffle, no
+  * driver collect), which these plans are.
+  */
+object MultimodalQueries {
+
+  /** Synthetic media table: document text bytes as payload, modality
+    * assigned round-robin, metadata as a typed struct.
+    */
+  private def media(s: org.apache.spark.sql.SparkSession, d: String) =
+    load(s, d, "documents").select(
+      col("doc_id").as("media_id"),
+      element_at(
+        array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        col("source").as("origin"),
+        col("lang").as("locale"),
+        col("n_chars").as("declared_size")).as("meta"))
+
+  val queries: Map[String, Q] = Map(
+    // Binary + struct columns flowing through project/filter — the
+    // schema-level half of the multimodal story (SQL-expressible).
+    "multimodal_binary" -> ((s, d) =>
+      media(s, d)
+        .filter(col("meta.declared_size") > 100)
+        .select(
+          col("media_id"), col("kind"),
+          length(col("payload")).cast("bigint").as("payload_len"),
+          md5(col("payload")).as("payload_md5"),
+          col("meta.origin").as("origin"))
+        .orderBy("media_id")),
+
+    // Decode stub via mapPartitions: iterator-in/iterator-out batch
+    // shape (the Scala-side analogue of an Arrow-batched decode UDF).
+    // STUB: "decoding" derives fake dimensions + mean byte value from
+    // the payload — replace decodeStub with a real codec off-cluster.
+    "multimodal_decode" -> ((s, d) => {
+      import s.implicits._
+      media(s, d)
+        .select(col("media_id"), col("kind"), col("payload"))
+        .as[(Long, String, Array[Byte])]
+        .mapPartitions(_.map { case (id, kind, bytes) => decodeStub(id, kind, bytes) })
+        .toDF()
+        .orderBy("media_id")
+    }),
+
+    // Frame sampling: every 4th 16-byte "frame" of each video payload,
+    // fingerprinted. Pure expressions (sequence + posexplode +
+    // substring on binary) — no UDF, stays in codegen.
+    "multimodal_frames" -> ((s, d) =>
+      media(s, d)
+        .filter(col("kind") === "video" && length(col("payload")) >= 16)
+        .select(col("media_id"), col("payload"),
+          posexplode(expr("sequence(1, length(payload) - 15, 64)")).as(Seq("frame_no", "pos")))
+        .select(
+          col("media_id"),
+          col("frame_no").cast("bigint").as("frame_no"),
+          col("pos").cast("bigint").as("pos"),
+          md5(expr("substring(payload, pos, 16)")).as("frame_md5"))
+        .orderBy("media_id", "frame_no")),
+  )
+
+  /** DETERMINISTIC DECODE STUB — not a real codec. Dimensions and the
+    * mean byte value are derived from the payload so tests can verify
+    * the distributed plumbing end-to-end.
+    */
+  private[graft] def decodeStub(id: Long, kind: String, bytes: Array[Byte]): MediaFeatures = {
+    val w = 1 + (bytes.headOption.getOrElse(0: Byte) & 0x07)
+    val h = 1 + (bytes.lift(1).getOrElse(0: Byte) & 0x07)
+    var sum = 0L
+    var i = 0
+    while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
+    val mean = if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length
+    MediaFeatures(id, kind, w, h, bytes.length.toLong, mean)
+  }
+
+  val oracle: Map[String, String] = Map(
+    "multimodal_binary" ->
+      """SELECT doc_id AS media_id,
+        | CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        | CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS payload_len,
+        | md5(text) AS payload_md5,
+        | source AS origin
+        | FROM documents WHERE n_chars > 100 ORDER BY media_id""".stripMargin,
+    // text is pure ASCII, so string substring == byte slicing: the
+    // frame fingerprints are SQL-expressible after all.
+    "multimodal_frames" ->
+      """SELECT doc_id AS media_id,
+        | unnest(generate_series(0, (length(text) - 16) // 64)) AS frame_no,
+        | unnest(generate_series(1, length(text) - 15, 64)) AS pos,
+        | md5(unnest(list_transform(generate_series(1, length(text) - 15, 64),
+        |     p -> substring(text, p, 16)))) AS frame_md5
+        | FROM documents
+        | WHERE doc_id % 3 = 2 AND length(text) >= 16
+        | ORDER BY media_id, frame_no""".stripMargin,
+  )
+}
+
+/** Output row of the decode stub (schema contract of the decode stage). */
+case class MediaFeatures(media_id: Long, kind: String, width: Int, height: Int,
+    n_bytes: Long, mean_byte: Double)

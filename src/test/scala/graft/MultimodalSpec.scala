@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.MultimodalQueries
+
+/** Multimodal plumbing tests: the decode stub must round-trip through
+  * the distributed mapPartitions path exactly as it computes on the
+  * driver, and the plan must stay map-only (no shuffle before decode).
+  */
+class MultimodalSpec extends GraftSpec {
+
+  test("multimodal_decode matches driver-side stub recomputation") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = q("multimodal_decode").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.length === docs.size)
+    got.foreach { case (id, kind, w, h, n, mean) =>
+      val exp = MultimodalQueries.decodeStub(id, kind,
+        docs(id).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      assert((id, kind, w, h, n, mean) ===
+        (exp.media_id, exp.kind, exp.width, exp.height, exp.n_bytes, exp.mean_byte))
+    }
+  }
+
+  test("decode stage is map-only — no exchange before mapPartitions") {
+    val df = q("multimodal_decode")
+    val plan = df.queryExecution.executedPlan.toString
+    val beforeSort = plan.split("Sort ").last // everything below the final output sort
+    assert(!beforeSort.contains("Exchange hashpartitioning"),
+      s"decode pipeline shuffles:\n${plan.take(1500)}")
+  }
+
+  test("multimodal_frames fingerprints agree with direct byte slicing") {
+    val sample = q("multimodal_frames").filter(col("media_id") === 2L).collect()
+    val text = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") === 2L).select("text").head().getString(0)
+    assert(sample.nonEmpty)
+    sample.foreach { r =>
+      val pos = r.getLong(2).toInt
+      val frame = text.substring(pos - 1, pos - 1 + 16)
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(frame.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(r.getString(3) === md)
+    }
+  }
+}
