@@ -31,6 +31,7 @@ object SparkEntry {
       LlmQueries.queries ++
       TextQueries.queries ++
       MultimodalQueries.queries ++
+      ScaleQueries.queries ++
       graft.streaming.StreamQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -45,5 +46,6 @@ object SparkEntry {
       UdfQueries.oracle ++
       LlmQueries.oracle ++
       TextQueries.oracle ++
-      MultimodalQueries.oracle
+      MultimodalQueries.oracle ++
+      ScaleQueries.oracle
 }

@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables.{dec, load}
+
+/** Scale-pattern operators: the two shuffle-elimination techniques a
+  * 100 TB deployment leans on, expressed as first-class queries so
+  * their plans are pinned by tests.
+  *
+  *  - `join_bucketed`: both sides written bucketed on the join key
+  *    with the same bucket count → the join AND the downstream
+  *    aggregation on that key run with ZERO exchanges. This is the
+  *    co-located-join strategy for repeated fact-fact joins: pay the
+  *    partitioned write once, join shuffle-free forever after.
+  *  - `agg_salted`: two-phase aggregation over a deterministic salt.
+  *    A single hot group key at 100 TB turns one reducer into a
+  *    straggler; salting fans the partial aggregation over N
+  *    sub-keys, then the final (tiny) aggregation merges them. The
+  *    exact-decimal partials make the two-phase result bit-identical
+  *    to the direct group-by (asserted by the oracle).
+  */
+object ScaleQueries {
+
+  val queries: Map[String, Q] = Map(
+    "join_bucketed" -> ((s, d) => {
+      // A fresh session's in-memory catalog doesn't know tables a
+      // previous run left in the warehouse — drop name AND location.
+      dropBucketTable(s, "graft_li_bucketed")
+      dropBucketTable(s, "graft_o_bucketed")
+      val li = load(s, d, "lineitem").select("l_orderkey", "l_quantity")
+      val o = load(s, d, "orders").select("o_orderkey", "o_totalprice")
+      li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey").saveAsTable("graft_li_bucketed")
+      o.write.mode("overwrite").bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").saveAsTable("graft_o_bucketed")
+      val bl = s.table("graft_li_bucketed")
+      val bo = s.table("graft_o_bucketed")
+      bl.join(bo, bl("l_orderkey") === bo("o_orderkey"), "inner")
+        .groupBy("l_orderkey")
+        .agg(
+          sum(dec(col("l_quantity"))).cast(DecimalType(38, 2)).as("qty"),
+          max(col("o_totalprice")).as("price"))
+        .orderBy("l_orderkey")
+    }),
+
+    "agg_salted" -> ((s, d) => {
+      val salts = 8
+      load(s, d, "lineitem")
+        .withColumn("salt", (col("l_orderkey") % salts).cast("int"))
+        .groupBy("l_returnflag", "salt")
+        .agg(
+          sum(dec(col("l_quantity"))).as("partial_qty"),
+          count(lit(1)).as("partial_n"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(col("partial_qty")).cast(DecimalType(38, 2)).as("sum_qty"),
+          sum(col("partial_n")).as("n"))
+        .orderBy("l_returnflag")
+    }),
+  )
+
+  private def dropBucketTable(s: org.apache.spark.sql.SparkSession, name: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
+    val path = new org.apache.hadoop.fs.Path(wh.getPath, name)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(path, true)
+  }
+
+  val oracle: Map[String, String] = Map(
+    "join_bucketed" ->
+      """SELECT l_orderkey,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty,
+        | max(o_totalprice) AS price
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "agg_salted" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        | count(*) AS n
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+  )
+}
