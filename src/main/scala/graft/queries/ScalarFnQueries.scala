@@ -162,8 +162,8 @@ object ScalarFnQueries {
         | pow(p_size, 2) AS size_sq,
         | sqrt(CAST(p_size AS DOUBLE)) AS size_sqrt,
         | CAST(ln(p_retailprice) AS DECIMAL(18,6)) AS log_price,
-        | greatest(p_size, 25) AS size_hi,
-        | least(p_size, 25) AS size_lo
+        | CAST(greatest(p_size, 25) AS INTEGER) AS size_hi,
+        | CAST(least(p_size, 25) AS INTEGER) AS size_lo
         | FROM part ORDER BY p_partkey""".stripMargin,
     "fn_array" ->
       """SELECT doc_id,
