@@ -32,6 +32,7 @@ object SparkEntry {
       TextQueries.queries ++
       MultimodalQueries.queries ++
       ScaleQueries.queries ++
+      SubqueryQueries.queries ++
       graft.streaming.StreamQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -47,5 +48,6 @@ object SparkEntry {
       LlmQueries.oracle ++
       TextQueries.oracle ++
       MultimodalQueries.oracle ++
-      ScaleQueries.oracle
+      ScaleQueries.oracle ++
+      SubqueryQueries.oracle
 }

@@ -50,7 +50,9 @@ object LlmQueries {
           "transform(sequence(0, greatest(size(words) - 3, 0)), i -> concat_ws(' ', slice(words, i + 1, 3)))"))
       val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
         .setNumFeatures(1 << 18).setBinary(true)
-      val feat = tf.transform(docs).select("doc_id", "features")
+      // cached: the self-similarity-join evaluates both sides from this
+      // frame — without the cache the shingle+hash pass runs twice
+      val feat = tf.transform(docs).select("doc_id", "features").cache()
       val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
         .setNumHashTables(5).setSeed(42L)
       val model = lsh.fit(feat)

@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables.{dec, load}
+
+/** Pivot/unpivot reshaping and subquery operators.
+  *
+  * The subquery family exercises Catalyst's decorrelation rules
+  * (RewriteCorrelatedScalarSubquery / RewritePredicateSubquery, SURVEY
+  * §4): the SQL texts are shared-dialect — the identical string is the
+  * DuckDB oracle — while the physical plans rewrite to broadcast /
+  * semi-join shapes with no per-row subquery execution, which is what
+  * makes them viable at 100 TB.
+  *
+  * The scalar-subquery threshold is computed with the exact-decimal
+  * average recipe (SURVEY §7.4.2) so the predicate boundary is
+  * bit-identical across engines.
+  */
+object SubqueryQueries {
+
+  private val pivotSql =
+    """SELECT l_returnflag,
+      | CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS F,
+      | CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS O
+      | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  private val unpivotSql =
+    """SELECT o_orderkey, metric, val FROM (
+      |  SELECT o_orderkey, 'custkey' AS metric, CAST(o_custkey AS DOUBLE) AS val FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS val FROM orders
+      | ) t ORDER BY o_orderkey, metric""".stripMargin
+
+  private val subqScalarSql =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      | WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) FROM orders)
+      | ORDER BY o_orderkey""".stripMargin
+
+  private val subqInSql =
+    """SELECT o_orderkey, o_custkey FROM orders
+      | WHERE o_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 250000.0)
+      | ORDER BY o_orderkey""".stripMargin
+
+  private val subqCorrSql =
+    """SELECT o_orderkey, o_orderstatus FROM orders o
+      | WHERE EXISTS (SELECT 1 FROM lineitem l
+      |   WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49.0)
+      | ORDER BY o_orderkey""".stripMargin
+
+  private def viaSql(sql: String, tables: String*): Q = (s, d) => {
+    tables.foreach(n => load(s, d, n).createOrReplaceTempView(n))
+    s.sql(sql)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Pivot via the DataFrame relational-groupBy API with pinned pivot
+    // values (no extra distinct-values job — important at scale).
+    "agg_pivot" -> ((s, d) =>
+      load(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(dec(col("l_quantity"))).cast(DecimalType(38, 2)))
+        .orderBy("l_returnflag")),
+
+    // Unpivot via the Dataset melt API (long-form for ML pipelines).
+    "set_unpivot" -> ((s, d) =>
+      load(s, d, "orders")
+        .select(col("o_orderkey"),
+          col("o_custkey").cast("double").as("custkey"),
+          col("o_totalprice").as("totalprice"))
+        .unpivot(Array(col("o_orderkey")), Array(col("custkey"), col("totalprice")),
+          "metric", "val")
+        .orderBy("o_orderkey", "metric")),
+
+    // Subqueries: shared-dialect SQL via the spark.sql entry (§3.2).
+    "subq_scalar" -> viaSql(subqScalarSql, "orders"),
+    "subq_in" -> viaSql(subqInSql, "orders"),
+    "subq_correlated" -> viaSql(subqCorrSql, "orders", "lineitem"),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "agg_pivot" -> pivotSql,
+    "set_unpivot" -> unpivotSql,
+    "subq_scalar" -> subqScalarSql,
+    "subq_in" -> subqInSql,
+    "subq_correlated" -> subqCorrSql,
+  )
+}

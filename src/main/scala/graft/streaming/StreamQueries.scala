@@ -34,16 +34,25 @@ object StreamQueries {
   private def tmp(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
+  // The replay source is immutable per sf-dir — materialize it once
+  // per JVM and share across the streaming queries (Bench runs all
+  // seven; one write instead of seven).
+  private val sourceCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, StructType)]()
+
   /** Materialize events (batch, ns-fix applied) and open it as a
     * file-source stream. Returns (streamDF, sourceDir, schema).
     */
   private def eventStream(s: SparkSession, d: String): (DataFrame, String, StructType) = {
-    val ev = load(s, d, "events")
-      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
-        col("user_id"), col("event_type"), col("value"))
-    val dir = tmp("graft_stream")
-    ev.coalesce(1).write.mode("overwrite").parquet(dir)
-    (s.readStream.schema(ev.schema).parquet(dir), dir, ev.schema)
+    val (dir, schema) = sourceCache.computeIfAbsent(d, _ => {
+      val ev = load(s, d, "events")
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+      val out = tmp("graft_stream")
+      ev.coalesce(1).write.mode("overwrite").parquet(out)
+      (out, ev.schema)
+    })
+    (s.readStream.schema(schema).parquet(dir), dir, schema)
   }
 
   /** Drain a streaming DF into a memory sink (AvailableNow) and return
