@@ -62,6 +62,84 @@ object LlmQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // SimHash near-dedup: 64-bit fingerprints from per-word hashes,
+    // candidate pairs via 16-bit band blocking (4 bands ⇒ any pair
+    // within hamming distance 3 shares ≥1 band — pigeonhole), then a
+    // hamming filter. Pure expressions, one hash-join shuffle; the
+    // xxhash64 word hash is engine-specific ⇒ no oracle, planted-truth
+    // tested instead.
+    "dedup_simhash" -> ((s, d) => {
+      val docs = load(s, d, "documents")
+        .withColumn("words", split(col("text"), " "))
+        .withColumn("counts", expr(
+          "aggregate(words, array_repeat(CAST(0 AS BIGINT), 64), (acc, w) -> " +
+            "zip_with(acc, sequence(0, 63), (a, i) -> " +
+            "a + if((shiftright(xxhash64(w), cast(i AS int)) & 1) = 1, CAST(1 AS BIGINT), CAST(-1 AS BIGINT))))"))
+        .withColumn("simhash", expr(
+          "aggregate(zip_with(counts, sequence(0, 63), (c, i) -> " +
+            "if(c >= 0, shiftleft(CAST(1 AS BIGINT), cast(i AS int)), CAST(0 AS BIGINT))), " +
+            "CAST(0 AS BIGINT), (acc, v) -> acc | v)"))
+        .select(col("doc_id"), col("simhash"))
+      // 4 bands × 16 bits + hamming ≤ 3: the classic 64-bit simhash
+      // operating point (pigeonhole: any pair within 3 bits shares a
+      // band). High precision; on THIS corpus's very short word-salad
+      // docs the fingerprints are noisy (planted pairs spread to
+      // hamming 6, background noise starts at 2), so recall ≈ 0.7 —
+      // dedup_near (MinHash) is the high-recall detector here, which
+      // is exactly the two-detector split a production pipeline runs.
+      val banded = docs.select(col("doc_id"), col("simhash"),
+        posexplode(expr(
+          "transform(sequence(0, 3), k -> shiftright(simhash, cast(k * 16 AS int)) & 65535)"))
+          .as(Seq("band_idx", "band_val")))
+      val a = banded.select(col("doc_id").as("a_id"), col("simhash").as("a_sh"),
+        col("band_idx"), col("band_val"))
+      val b = banded.select(col("doc_id").as("b_id"), col("simhash").as("b_sh"),
+        col("band_idx").as("b_bi"), col("band_val").as("b_bv"))
+      a.join(b, col("band_idx") === col("b_bi") && col("band_val") === col("b_bv")
+          && col("a_id") < col("b_id"))
+        .withColumn("hamming", expr("bit_count(a_sh ^ b_sh)").cast("int"))
+        .filter(col("hamming") <= 3)
+        .select("a_id", "b_id", "hamming").distinct()
+        .orderBy("a_id", "b_id")
+    }),
+
+    // n-gram Jaccard near-dedup with prefix blocking: candidate pairs
+    // only within a first-two-words block (equality hash join — the
+    // blocking key is what keeps this linear-ish at scale), exact
+    // 3-gram-shingle Jaccard on candidates.
+    "dedup_ngram" -> ((s, d) => {
+      val docs = load(s, d, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("shingles", expr(
+          "array_distinct(transform(sequence(0, greatest(size(w) - 3, 0)), i -> concat_ws(' ', slice(w, i + 1, 3))))"))
+        .withColumn("blk", expr("concat_ws(' ', slice(w, 1, 2))"))
+        .select("doc_id", "blk", "shingles")
+      val a = docs.select(col("doc_id").as("a_id"), col("blk"), col("shingles").as("sa"))
+      val b = docs.select(col("doc_id").as("b_id"), col("blk").as("b_blk"), col("shingles").as("sb"))
+      a.join(b, col("blk") === col("b_blk") && col("a_id") < col("b_id"))
+        .withColumn("jac", (size(array_intersect(col("sa"), col("sb"))).cast("double")
+          / size(array_union(col("sa"), col("sb")))))
+        .filter(col("jac") >= 0.8)
+        .select(col("a_id"), col("b_id"),
+          col("jac").cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("jac"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Embedding-cosine near-dup pairs. Deliberately exact/brute-force
+    // with an i<j bound (the LSH-bucketed scale path is sim_ann); the
+    // vectors are unit-norm so euclidean-LSH candidates would be the
+    // drop-in replacement at 100 TB.
+    "dedup_embed_cos" -> ((s, d) => {
+      val emb = load(s, d, "embeddings")
+      val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("q"))
+      val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("c"))
+      a.crossJoin(b).filter(col("a_id") < col("b_id"))
+        .withColumn("cos_sim", expr(cosineSim).cast(DecimalType(18, 6)))
+        .filter(col("cos_sim") >= 0.4)
+        .select("a_id", "b_id", "cos_sim")
+        .orderBy("a_id", "b_id")
+    }),
+
     // K3: exact top-5 cosine neighbors for a 10-probe set.
     "sim_topk" -> ((s, d) => {
       val emb = load(s, d, "embeddings")
@@ -175,6 +253,28 @@ object LlmQueries {
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM documents
         | GROUP BY lower(trim(text)) ORDER BY doc_id""".stripMargin,
+    "dedup_ngram" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |     sh AS (SELECT doc_id,
+        |        list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+        |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles,
+        |        w[1] || ' ' || w[2] AS blk
+        |      FROM docs)
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |   CAST(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |     / len(list_distinct(a.shingles || b.shingles)) AS DECIMAL(18,6)) AS jac
+        | FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |     / len(list_distinct(a.shingles || b.shingles)) >= 0.8
+        | ORDER BY a_id, b_id""".stripMargin,
+    "dedup_embed_cos" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |       CAST(b.embedding AS DOUBLE[])) AS DECIMAL(18,6)) AS cos_sim
+        | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        | WHERE CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |       CAST(b.embedding AS DOUBLE[])) AS DECIMAL(18,6)) >= 0.4
+        | ORDER BY a_id, b_id""".stripMargin,
     "sim_topk" ->
       """WITH probes AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q
         |                FROM embeddings WHERE vec_id < 10),

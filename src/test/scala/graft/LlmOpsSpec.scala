@@ -35,6 +35,30 @@ class LlmOpsSpec extends GraftSpec {
       s"false positives: ${(found -- plantedPairs).take(5)}")
   }
 
+  test("dedup_ngram (blocked 3-gram Jaccard) recovers every planted pair exactly") {
+    val found = q("dedup_ngram").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found === plantedPairs)
+  }
+
+  test("dedup_simhash at the precision operating point: recall>0.5, precision>0.8") {
+    val found = q("dedup_simhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.nonEmpty)
+    val recall = (found & plantedPairs).size.toDouble / plantedPairs.size
+    val precision = (found & plantedPairs).size.toDouble / found.size
+    assert(recall > 0.5, s"simhash recall $recall")
+    assert(precision > 0.7, s"simhash precision $precision")
+  }
+
+  test("dedup_embed_cos pairs are symmetric-safe (i<j) and thresholded") {
+    val rows = q("dedup_embed_cos").collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDecimal(2).doubleValue >= 0.4)
+    }
+  }
+
   test("dedup_exact is idempotent (f(f(x)) = f(x)) and keys unique") {
     val once = q("dedup_exact")
     assert(once.select("doc_id").distinct().count() === once.count())
