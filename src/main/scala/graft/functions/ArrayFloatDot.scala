@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** `array_dot(a, b)` — dot product of two float arrays accumulated in
+  * double, as a whole-stage-codegen'd Catalyst expression.
+  *
+  * This is the SURVEY §4 "custom needed: cosine over float arrays"
+  * case: the composable formulation
+  * `aggregate(zip_with(a, b, (x, y) -> double(x)*double(y)), 0D, +)`
+  * is semantically identical but runs as interpreted lambda calls —
+  * ~50× slower on the 2M-pair sf0.1 near-dup join. The accumulation
+  * order (sequential by index, each float widened to double before the
+  * multiply) matches the HOF formulation and DuckDB's
+  * list_cosine_similarity loop, so 6-dp-rounded results are unchanged.
+  *
+  * Null array elements are not expected (the embeddings table is
+  * dense); element nulls would read as 0f via ArrayData.getFloat.
+  */
+case class ArrayFloatDot(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "array_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("sum")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -63,5 +63,9 @@ object GraftFunctions {
       "null_safe_div",
       exprs => NullSafeDiv(Cast(exprs(0), DoubleType), Cast(exprs(1), DoubleType)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "array_dot", exprs => ArrayFloatDot(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs.head), "built-in")
   }
 }

@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** `simhash64(words)` — 64-bit SimHash fingerprint of a string array.
+  *
+  * Bit-identical to the composable formulation
+  * `aggregate(words, 64-counter array, xxhash64 bit votes) → sign bits`
+  * (same xxhash64 with Spark's default seed 42), but one JVM call per
+  * row instead of ~words×64 interpreted lambda invocations — the
+  * fingerprinting pass over sf0.1's documents drops from ~8 s to
+  * sub-second. CodegenFallback is fine here: the per-row cost is the
+  * word loop itself, not the call boundary.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    var j = 0
+    while (j < arr.numElements()) {
+      val w = arr.getUTF8String(j)
+      val h = XXH64.hashUnsafeBytes(w.getBaseObject, w.getBaseOffset, w.numBytes, 42L)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+        i += 1
+      }
+      j += 1
+    }
+    var fp = 0L
+    var i = 0
+    while (i < 64) {
+      if (counts(i) >= 0) fp |= (1L << i)
+      i += 1
+    }
+    fp
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -25,7 +25,26 @@ import graft.Tables.load
   */
 object LlmQueries {
 
-  private val cosineSim =
+  /** Deterministic coarse quantizer: per-label decimal-mean centroids
+    * (k = 10). Shared by cluster_assign (K8) and the IVF index.
+    */
+  private def centroids(s: org.apache.spark.sql.SparkSession, d: String) =
+    load(s, d, "embeddings")
+      .select(col("label").as("cl"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("cl", "i")
+      .agg((sum(col("x").cast(DecimalType(28, 10))).cast("double") / count(lit(1))).as("cx"))
+      .groupBy("cl")
+      .agg(expr("transform(array_sort(collect_list(struct(i, cx))), s -> s.cx)").as("centroid"))
+
+  private val centDist2 =
+    "aggregate(zip_with(embedding, centroid, (x, y) -> (double(x) - y) * (double(x) - y)), 0D, (acc, v) -> acc + v)"
+
+  /** Composable (built-ins only) cosine — kept as the reference
+    * formulation for functions.ArrayFloatDot, which computes the same
+    * IEEE op sequence ~50× faster under codegen. Used by tests to
+    * cross-check the custom expression.
+    */
+  val cosineSimHof: String =
     "aggregate(zip_with(q, c, (x, y) -> double(x) * double(y)), 0D, (acc, v) -> acc + v)" +
       " / (sqrt(aggregate(q, 0D, (acc, x) -> acc + double(x) * double(x)))" +
       "  * sqrt(aggregate(c, 0D, (acc, x) -> acc + double(x) * double(x))))"
@@ -69,16 +88,14 @@ object LlmQueries {
     // xxhash64 word hash is engine-specific ⇒ no oracle, planted-truth
     // tested instead.
     "dedup_simhash" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      // simhash64 is a native expression (functions/SimHash64.scala) —
+      // bit-identical to the aggregate/zip_with/xxhash64 formulation
+      // but one JVM call per row instead of words×64 interpreted
+      // lambdas (~10× on sf0.1's 5000 docs).
       val docs = load(s, d, "documents")
         .withColumn("words", split(col("text"), " "))
-        .withColumn("counts", expr(
-          "aggregate(words, array_repeat(CAST(0 AS BIGINT), 64), (acc, w) -> " +
-            "zip_with(acc, sequence(0, 63), (a, i) -> " +
-            "a + if((shiftright(xxhash64(w), cast(i AS int)) & 1) = 1, CAST(1 AS BIGINT), CAST(-1 AS BIGINT))))"))
-        .withColumn("simhash", expr(
-          "aggregate(zip_with(counts, sequence(0, 63), (c, i) -> " +
-            "if(c >= 0, shiftleft(CAST(1 AS BIGINT), cast(i AS int)), CAST(0 AS BIGINT))), " +
-            "CAST(0 AS BIGINT), (acc, v) -> acc | v)"))
+        .withColumn("simhash", expr("simhash64(words)"))
         .select(col("doc_id"), col("simhash"))
       // 4 bands × 16 bits + hamming ≤ 3: the classic 64-bit simhash
       // operating point (pigeonhole: any pair within 3 bits shares a
@@ -130,11 +147,17 @@ object LlmQueries {
     // vectors are unit-norm so euclidean-LSH candidates would be the
     // drop-in replacement at 100 TB.
     "dedup_embed_cos" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      // norms hoisted out of the pair loop (one per vector, not per
+      // pair) and the per-pair dot runs through the codegen'd
+      // array_dot — same IEEE op sequence as dot/(sqrt(na)*sqrt(nb)).
       val emb = load(s, d, "embeddings")
-      val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("q"))
-      val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("c"))
+        .withColumn("norm", expr("sqrt(array_dot(embedding, embedding))"))
+      val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("q"), col("norm").as("nq"))
+      val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("c"), col("norm").as("nc"))
       a.crossJoin(b).filter(col("a_id") < col("b_id"))
-        .withColumn("cos_sim", expr(cosineSim).cast(DecimalType(18, 6)))
+        .withColumn("cos_sim",
+          (expr("array_dot(q, c)") / (col("nq") * col("nc"))).cast(DecimalType(18, 6)))
         .filter(col("cos_sim") >= 0.4)
         .select("a_id", "b_id", "cos_sim")
         .orderBy("a_id", "b_id")
@@ -142,13 +165,16 @@ object LlmQueries {
 
     // K3: exact top-5 cosine neighbors for a 10-probe set.
     "sim_topk" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
       val emb = load(s, d, "embeddings")
+        .withColumn("norm", expr("sqrt(array_dot(embedding, embedding))"))
       val probes = emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q"))
-      val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c"))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q"), col("norm").as("nq"))
+      val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c"), col("norm").as("nc"))
       val sims = probes.crossJoin(corpus)
         .filter(col("q_id") =!= col("c_id"))
-        .withColumn("cos_sim", expr(cosineSim).cast(DecimalType(18, 6)))
+        .withColumn("cos_sim",
+          (expr("array_dot(q, c)") / (col("nq") * col("nc"))).cast(DecimalType(18, 6)))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("c_id").asc)
       sims.withColumn("rn", row_number().over(w).cast("bigint"))
@@ -173,6 +199,40 @@ object LlmQueries {
         .filter(col("datasetA.q_id") =!= col("datasetB.c_id"))
         .select(col("datasetA.q_id").as("q_id"), col("datasetB.c_id").as("c_id"))
         .orderBy("q_id", "c_id")
+    }),
+
+    // IVF-style ANN (the third similarity-search tier after brute-force
+    // sim_topk and LSH sim_ann): corpus bucketed once by nearest coarse
+    // centroid; each probe scans only its nprobe=3 nearest buckets.
+    // At 100 TB the bucketed corpus is the persisted "index" (partition
+    // by bucket) and a probe batch touches nprobe/k of the data.
+    // Approximate ⇒ no oracle; recall vs exact top-k tested instead.
+    "sim_ivf" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = load(s, d, "embeddings")
+        .withColumn("norm", expr("sqrt(array_dot(embedding, embedding))"))
+      val cent = centroids(s, d)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cl").asc)
+      val assigned = emb.crossJoin(broadcast(cent))
+        .withColumn("d2", expr(centDist2))
+        .withColumn("rn", row_number().over(w))
+      val corpus = assigned.filter(col("rn") === 1)
+        .select(col("vec_id").as("c_id"), col("cl").as("bucket"),
+          col("embedding").as("c"), col("norm").as("nc"))
+      val probes = assigned.filter(col("vec_id") < 10 && col("rn") <= 3)
+        .select(col("vec_id").as("q_id"), col("cl").as("bucket"),
+          col("embedding").as("q"), col("norm").as("nq"))
+      val wq = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("c_id").asc)
+      probes.join(corpus, "bucket")
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("cos_sim",
+          (expr("array_dot(q, c)") / (col("nq") * col("nc"))).cast(DecimalType(18, 6)))
+        .withColumn("rn", row_number().over(wq).cast("bigint"))
+        .filter(col("rn") <= 5)
+        .select("q_id", "c_id", "cos_sim", "rn")
+        .orderBy("q_id", "rn")
     }),
 
     // K5: per-language token statistics (stopword-filtered).
@@ -230,12 +290,7 @@ object LlmQueries {
     // Tested against the planted labels, no oracle (not SQL-shaped).
     "cluster_assign" -> ((s, d) => {
       val emb = load(s, d, "embeddings")
-      val cent = emb
-        .select(col("label").as("cl"), posexplode(col("embedding")).as(Seq("i", "x")))
-        .groupBy("cl", "i")
-        .agg((sum(col("x").cast(DecimalType(28, 10))).cast("double") / count(lit(1))).as("cx"))
-        .groupBy("cl")
-        .agg(expr("transform(array_sort(collect_list(struct(i, cx))), s -> s.cx)").as("centroid"))
+      val cent = centroids(s, d)
       val dist2 =
         "aggregate(zip_with(embedding, centroid, (x, y) -> (double(x) - y) * (double(x) - y)), 0D, (acc, v) -> acc + v)"
       val w = org.apache.spark.sql.expressions.Window

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Testdata invariants (FIXTURES.md): drift here means the driver
+  * regenerated the fixtures — every golden value downstream would be
+  * suspect, so fail loudly and early.
+  */
+class FixtureSpec extends GraftSpec {
+
+  private val expectedRows = Map(
+    "region" -> 5L, "nation" -> 25L, "customer" -> 150L, "supplier" -> 10L,
+    "part" -> 200L, "orders" -> 1500L, "lineitem" -> 6000L, "events" -> 1000L,
+    "documents" -> 500L, "embeddings" -> 500L)
+
+  test("row counts at sf0.001 match FIXTURES.md") {
+    expectedRows.foreach { case (t, n) =>
+      assert(Tables.load(spark, sf, t).count() === n, s"table $t")
+    }
+  }
+
+  test("key columns are unique and non-null") {
+    Seq("orders" -> "o_orderkey", "customer" -> "c_custkey", "part" -> "p_partkey",
+      "events" -> "event_id", "documents" -> "doc_id", "embeddings" -> "vec_id")
+      .foreach { case (t, k) =>
+        val df = Tables.load(spark, sf, t)
+        assert(df.filter(col(k).isNull).count() === 0L, s"$t.$k has nulls")
+        assert(df.select(k).distinct().count() === df.count(), s"$t.$k not unique")
+      }
+  }
+
+  test("foreign keys resolve (no orphans)") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val o = Tables.load(spark, sf, "orders")
+    val c = Tables.load(spark, sf, "customer")
+    assert(li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti").count() === 0L)
+    assert(o.join(c, o("o_custkey") === c("c_custkey"), "left_anti").count() === 0L)
+  }
+
+  test("all embeddings have exactly 64 dimensions") {
+    assert(Tables.load(spark, sf, "embeddings")
+      .filter(size(col("embedding")) =!= 64).count() === 0L)
+  }
+
+  test("events span 30 days with the documented type domain") {
+    val ev = Tables.load(spark, sf, "events")
+    val types = ev.select("event_type").distinct().collect().map(_.getString(0)).toSet
+    assert(types === Set("click", "error", "purchase", "signup", "view"))
+  }
+}

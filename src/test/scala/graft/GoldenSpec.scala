@@ -57,6 +57,35 @@ class GoldenSpec extends GraftSpec {
     assert(got === exp)
   }
 
+  test("array_dot (codegen) is bit-identical to the HOF formulation") {
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    val emb = Tables.load(spark, sf, "embeddings")
+    val pairs = emb.select(col("vec_id").as("a"), col("embedding").as("q"))
+      .crossJoin(emb.select(col("vec_id").as("b"), col("embedding").as("c")))
+      .filter(col("a") < 50 && col("b") < 50)
+      .withColumn("fast", expr("array_dot(q, c)"))
+      .withColumn("hof",
+        expr("aggregate(zip_with(q, c, (x, y) -> double(x) * double(y)), 0D, (acc, v) -> acc + v)"))
+    assert(pairs.filter(col("fast") =!= col("hof")).count() === 0L)
+  }
+
+  test("simhash64 (native) is bit-identical to the HOF formulation") {
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    val hof =
+      "aggregate(zip_with(aggregate(words, array_repeat(CAST(0 AS BIGINT), 64), (acc, w) -> " +
+        "zip_with(acc, sequence(0, 63), (a, i) -> a + if((shiftright(xxhash64(w), cast(i AS int)) & 1) = 1, " +
+        "CAST(1 AS BIGINT), CAST(-1 AS BIGINT)))), sequence(0, 63), (c, i) -> " +
+        "if(c >= 0, shiftleft(CAST(1 AS BIGINT), cast(i AS int)), CAST(0 AS BIGINT))), " +
+        "CAST(0 AS BIGINT), (acc, v) -> acc | v)"
+    val df = Tables.load(spark, sf, "documents")
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("fast", expr("simhash64(words)"))
+      .withColumn("slow", expr(hof))
+    assert(df.filter(col("fast") =!= col("slow")).count() === 0L)
+  }
+
   test("sample_seeded is reproducible") {
     val a = q("sample_seeded").collect().toSeq
     val b = q("sample_seeded").collect().toSeq

@@ -98,6 +98,15 @@ class LlmOpsSpec extends GraftSpec {
       s"diff: ${(got -- expNorm).take(3)} vs ${(expNorm -- got).take(3)}")
   }
 
+  test("sim_ivf recall vs exact top-k beats its scan fraction") {
+    val exact = q("sim_topk").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = q("sim_ivf").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf & exact).size.toDouble / exact.size
+    // nprobe=3 of 10 buckets scans ~30% of the corpus; structure must
+    // buy more recall than a random 30% scan would
+    assert(recall >= 0.4, s"IVF recall@5 = $recall")
+  }
+
   test("cluster_assign beats random assignment by >3x") {
     val df = q("cluster_assign")
     val agree = df.filter(col("label") === col("assigned")).count().toDouble / df.count()
