@@ -1,0 +1,182 @@
+package graft.api
+
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Public, parameterized operator library — the surface an application
+  * builds pipelines on. `SparkEntry.queries` entries are thin bindings
+  * of these operators to the test tables; applications call them on
+  * their own DataFrames / column names.
+  *
+  * Design rules (SURVEY §4/§7.4): declarative plans only, shuffles
+  * keyed and minimal (banding/blocking instead of n² similarity),
+  * deterministic outputs (seeded hashing, rounded-decimal ranking,
+  * id tie-breaks).
+  */
+object GraftOps {
+
+  /** Exact dedup on a normalization of `textCol`: one surviving row id
+    * (the minimum) + duplicate count per distinct normalized text.
+    * Single hash-partition shuffle; at any scale.
+    */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(lower(trim(col(textCol))).as("norm_text"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
+      .select(idCol, "n_dups")
+
+  /** Word n-gram shingles of `textCol` as a deduplicated string array
+    * column named `outCol`.
+    */
+  def shingles(df: DataFrame, textCol: String, n: Int, outCol: String): DataFrame =
+    df.withColumn("__w", split(col(textCol), " "))
+      .withColumn(outCol, expr(
+        s"array_distinct(transform(sequence(0, greatest(size(__w) - $n, 0)), " +
+          s"i -> concat_ws(' ', slice(__w, i + 1, $n))))"))
+      .drop("__w")
+
+  /** Near-duplicate candidate pairs via MinHash-LSH over n-gram
+    * shingles. Returns (a_id, b_id) with a_id < b_id for every pair
+    * whose shingle-set Jaccard distance is ≤ `maxJaccardDist` among
+    * LSH bucket collisions. Candidate generation is a bucket-key
+    * equi-join — work scales with collisions, never n².
+    */
+  def minHashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      maxJaccardDist: Double = 0.5, shingleSize: Int = 3,
+      numHashTables: Int = 5, seed: Long = 42L): DataFrame = {
+    val sh = shingles(df, textCol, shingleSize, "__shingles")
+    val tf = new HashingTF().setInputCol("__shingles").setOutputCol("__features")
+      .setNumFeatures(1 << 18).setBinary(true)
+    val feat = tf.transform(sh).select(col(idCol), col("__features")).cache()
+    val lsh = new MinHashLSH().setInputCol("__features").setOutputCol("__hashes")
+      .setNumHashTables(numHashTables).setSeed(seed)
+    lsh.fit(feat).approxSimilarityJoin(feat, feat, maxJaccardDist, "jaccard_dist")
+      .filter(col(s"datasetA.$idCol") < col(s"datasetB.$idCol"))
+      .select(col(s"datasetA.$idCol").as("a_id"), col(s"datasetB.$idCol").as("b_id"))
+  }
+
+  /** 64-bit SimHash fingerprint pairs within `maxHamming`, candidates
+    * via 4×16-bit band blocking (pigeonhole-complete for hamming ≤ 3).
+    * Requires [[graft.functions.GraftFunctions.register]].
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val fp = df
+      .withColumn("__simhash", expr(s"simhash64(split($textCol, ' '))"))
+      .select(col(idCol), col("__simhash"))
+    val banded = fp.select(col(idCol), col("__simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), k -> shiftright(__simhash, cast(k * 16 AS int)) & 65535)"))
+        .as(Seq("band_idx", "band_val")))
+    val a = banded.select(col(idCol).as("a_id"), col("__simhash").as("a_sh"),
+      col("band_idx"), col("band_val"))
+    val b = banded.select(col(idCol).as("b_id"), col("__simhash").as("b_sh"),
+      col("band_idx").as("b_bi"), col("band_val").as("b_bv"))
+    a.join(b, col("band_idx") === col("b_bi") && col("band_val") === col("b_bv")
+        && col("a_id") < col("b_id"))
+      .withColumn("hamming", expr("bit_count(a_sh ^ b_sh)").cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming").distinct()
+  }
+
+  /** Blocked n-gram Jaccard pairs: candidates share the first
+    * `blockWords` words (equality hash join), exact shingle-set
+    * Jaccard ≥ `minJaccard` on candidates only.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double = 0.8, shingleSize: Int = 3, blockWords: Int = 2): DataFrame = {
+    val sh = shingles(df, textCol, shingleSize, "__shingles")
+      .withColumn("__blk", expr(s"concat_ws(' ', slice(split($textCol, ' '), 1, $blockWords))"))
+      .select(col(idCol), col("__blk"), col("__shingles"))
+    val a = sh.select(col(idCol).as("a_id"), col("__blk"), col("__shingles").as("sa"))
+    val b = sh.select(col(idCol).as("b_id"), col("__blk").as("b_blk"), col("__shingles").as("sb"))
+    a.join(b, col("__blk") === col("b_blk") && col("a_id") < col("b_id"))
+      .withColumn("jac", size(array_intersect(col("sa"), col("sb"))).cast("double")
+        / size(array_union(col("sa"), col("sb"))))
+      .filter(col("jac") >= minJaccard)
+      .select(col("a_id"), col("b_id"), col("jac").cast(DecimalType(18, 6)).as("jac"))
+  }
+
+  /** Attach `__norm` = L2 norm of `vecCol` (via the codegen'd
+    * array_dot). Requires GraftFunctions.register.
+    */
+  private def withNorm(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("__norm", expr(s"sqrt(array_dot($vecCol, $vecCol))"))
+
+  /** Exact cosine top-k neighbors of each probe row against the
+    * corpus. Deliberately brute-force — bound the probe side; the
+    * LSH/IVF variants are the full-corpus-scale paths. Rankings use
+    * the 6-dp-rounded similarity with an id tie-break (deterministic
+    * across engines and partitionings).
+    */
+  def cosineTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      probePredicate: Column, k: Int): DataFrame = {
+    val normed = withNorm(corpus, vecCol)
+    val probes = normed.filter(probePredicate)
+      .select(col(idCol).as("q_id"), col(vecCol).as("q"), col("__norm").as("nq"))
+    val cand = normed.select(col(idCol).as("c_id"), col(vecCol).as("c"), col("__norm").as("nc"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("c_id").asc)
+    probes.crossJoin(cand).filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos_sim", (expr("array_dot(q, c)") / (col("nq") * col("nc")))
+        .cast(DecimalType(18, 6)))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= k)
+      .select("q_id", "c_id", "cos_sim", "rn")
+  }
+
+  /** Per-group decimal-mean centroids of `vecCol` keyed by `byCol` —
+    * the deterministic coarse quantizer for IVF / nearest-centroid
+    * assignment (exact decimal partials ⇒ partition-order invariant).
+    */
+  def centroids(df: DataFrame, byCol: String, vecCol: String): DataFrame =
+    df.select(col(byCol).as("cl"), posexplode(col(vecCol)).as(Seq("i", "x")))
+      .groupBy("cl", "i")
+      .agg((sum(col("x").cast(DecimalType(28, 10))).cast("double") / count(lit(1))).as("cx"))
+      .groupBy("cl")
+      .agg(expr("transform(array_sort(collect_list(struct(i, cx))), s -> s.cx)").as("centroid"))
+
+  private val centDist2 =
+    "aggregate(zip_with(%s, centroid, (x, y) -> (double(x) - y) * (double(x) - y)), 0D, (acc, v) -> acc + v)"
+
+  /** IVF-style approximate top-k: corpus bucketed once by nearest
+    * centroid; probes scan their `nprobe` nearest buckets only.
+    */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String, cent: DataFrame,
+      probePredicate: Column, k: Int, nprobe: Int): DataFrame = {
+    val normed = withNorm(corpus, vecCol)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__d2").asc, col("cl").asc)
+    val assigned = normed.crossJoin(broadcast(cent))
+      .withColumn("__d2", expr(centDist2.format(vecCol)))
+      .withColumn("__rn", row_number().over(w))
+    val bucketed = assigned.filter(col("__rn") === 1)
+      .select(col(idCol).as("c_id"), col("cl").as("bucket"),
+        col(vecCol).as("c"), col("__norm").as("nc"))
+    val probes = assigned.filter(probePredicate && col("__rn") <= nprobe)
+      .select(col(idCol).as("q_id"), col("cl").as("bucket"),
+        col(vecCol).as("q"), col("__norm").as("nq"))
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("c_id").asc)
+    probes.join(bucketed, "bucket")
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos_sim", (expr("array_dot(q, c)") / (col("nq") * col("nc")))
+        .cast(DecimalType(18, 6)))
+      .withColumn("rn", row_number().over(wq).cast("bigint"))
+      .filter(col("rn") <= k)
+      .select("q_id", "c_id", "cos_sim", "rn")
+  }
+
+  /** As-of enrichment: for every row, the id of the latest row in the
+    * same `partitionCol` whose marker predicate held, at-or-before its
+    * (`tsCol`, `idCol`) position. One shuffle, no self-join.
+    */
+  def asofLastMatch(df: DataFrame, partitionCol: String, tsCol: String,
+      idCol: String, marker: Column, outCol: String): DataFrame = {
+    val w = Window.partitionBy(col(partitionCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__marker", when(marker, col(idCol)))
+      .withColumn(outCol, last(col("__marker"), ignoreNulls = true).over(w))
+      .drop("__marker")
+  }
+}

@@ -122,17 +122,12 @@ object JoinQueries {
     // C10: as-of join — for every event, the latest purchase of the
     // same user at-or-before it. Running last_value(ignoreNulls) over
     // a (ts, event_id) ordering: no self-join, single shuffle.
-    "join_asof" -> ((s, d) => {
-      val ev = load(s, d, "events")
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").asc, col("event_id").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      ev.withColumn("p_marker",
-          when(col("event_type") === "purchase", col("event_id")))
-        .withColumn("last_purchase_id", last(col("p_marker"), ignoreNulls = true).over(w))
+    "join_asof" -> ((s, d) =>
+      graft.api.GraftOps.asofLastMatch(load(s, d, "events"),
+        partitionCol = "user_id", tsCol = "ts", idCol = "event_id",
+        marker = col("event_type") === "purchase", outCol = "last_purchase_id")
         .select("event_id", "user_id", "last_purchase_id")
-        .orderBy("event_id")
-    }),
+        .orderBy("event_id")),
   )
 
   val oracle: Map[String, String] = Map(

@@ -1,10 +1,11 @@
 package graft.queries
 
-import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, HashingTF, MinHashLSH}
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables.load
+import graft.api.GraftOps
 
 /** Family K — LLM-data-pipeline operators (SURVEY.md §2.K).
   *
@@ -25,17 +26,6 @@ import graft.Tables.load
   */
 object LlmQueries {
 
-  /** Deterministic coarse quantizer: per-label decimal-mean centroids
-    * (k = 10). Shared by cluster_assign (K8) and the IVF index.
-    */
-  private def centroids(s: org.apache.spark.sql.SparkSession, d: String) =
-    load(s, d, "embeddings")
-      .select(col("label").as("cl"), posexplode(col("embedding")).as(Seq("i", "x")))
-      .groupBy("cl", "i")
-      .agg((sum(col("x").cast(DecimalType(28, 10))).cast("double") / count(lit(1))).as("cx"))
-      .groupBy("cl")
-      .agg(expr("transform(array_sort(collect_list(struct(i, cx))), s -> s.cx)").as("centroid"))
-
   private val centDist2 =
     "aggregate(zip_with(embedding, centroid, (x, y) -> (double(x) - y) * (double(x) - y)), 0D, (acc, v) -> acc + v)"
 
@@ -52,34 +42,17 @@ object LlmQueries {
   val queries: Map[String, Q] = Map(
     // K1: exact dedup on normalized text; deterministic winner = min id.
     "dedup_exact" -> ((s, d) =>
-      load(s, d, "documents")
-        .groupBy(lower(trim(col("text"))).as("norm_text"))
-        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
-        .select("doc_id", "n_dups")
+      GraftOps.exactDedup(load(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
     // K2: near-dup candidate pairs via MinHash-LSH over 3-word
     // shingles (seeded ⇒ deterministic). No DuckDB twin (LSH is not
     // SQL-expressible); the unit test asserts recall of the planted
     // shared-prefix groups instead.
-    "dedup_near" -> ((s, d) => {
-      val docs = load(s, d, "documents")
-        .withColumn("words", split(col("text"), " "))
-        .withColumn("shingles", expr(
-          "transform(sequence(0, greatest(size(words) - 3, 0)), i -> concat_ws(' ', slice(words, i + 1, 3)))"))
-      val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
-        .setNumFeatures(1 << 18).setBinary(true)
-      // cached: the self-similarity-join evaluates both sides from this
-      // frame — without the cache the shingle+hash pass runs twice
-      val feat = tf.transform(docs).select("doc_id", "features").cache()
-      val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-        .setNumHashTables(5).setSeed(42L)
-      val model = lsh.fit(feat)
-      model.approxSimilarityJoin(feat, feat, 0.5, "jaccard_dist")
-        .filter(col("datasetA.doc_id") < col("datasetB.doc_id"))
-        .select(col("datasetA.doc_id").as("a_id"), col("datasetB.doc_id").as("b_id"))
-        .orderBy("a_id", "b_id")
-    }),
+    "dedup_near" -> ((s, d) =>
+      GraftOps.minHashNearDupPairs(load(s, d, "documents"), "doc_id", "text",
+        maxJaccardDist = 0.5)
+        .orderBy("a_id", "b_id")),
 
     // SimHash near-dedup: 64-bit fingerprints from per-word hashes,
     // candidate pairs via 16-bit band blocking (4 bands ⇒ any pair
@@ -87,36 +60,15 @@ object LlmQueries {
     // hamming filter. Pure expressions, one hash-join shuffle; the
     // xxhash64 word hash is engine-specific ⇒ no oracle, planted-truth
     // tested instead.
+    // hamming ≤ 3 is the classic high-precision 64-bit operating
+    // point. On THIS corpus's very short word-salad docs fingerprints
+    // are noisy (planted pairs spread to hamming 6, background noise
+    // starts at 2), so recall ≈ 0.7 — dedup_near (MinHash) is the
+    // high-recall detector, the two-detector split a production
+    // pipeline runs.
     "dedup_simhash" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
-      // simhash64 is a native expression (functions/SimHash64.scala) —
-      // bit-identical to the aggregate/zip_with/xxhash64 formulation
-      // but one JVM call per row instead of words×64 interpreted
-      // lambdas (~10× on sf0.1's 5000 docs).
-      val docs = load(s, d, "documents")
-        .withColumn("words", split(col("text"), " "))
-        .withColumn("simhash", expr("simhash64(words)"))
-        .select(col("doc_id"), col("simhash"))
-      // 4 bands × 16 bits + hamming ≤ 3: the classic 64-bit simhash
-      // operating point (pigeonhole: any pair within 3 bits shares a
-      // band). High precision; on THIS corpus's very short word-salad
-      // docs the fingerprints are noisy (planted pairs spread to
-      // hamming 6, background noise starts at 2), so recall ≈ 0.7 —
-      // dedup_near (MinHash) is the high-recall detector here, which
-      // is exactly the two-detector split a production pipeline runs.
-      val banded = docs.select(col("doc_id"), col("simhash"),
-        posexplode(expr(
-          "transform(sequence(0, 3), k -> shiftright(simhash, cast(k * 16 AS int)) & 65535)"))
-          .as(Seq("band_idx", "band_val")))
-      val a = banded.select(col("doc_id").as("a_id"), col("simhash").as("a_sh"),
-        col("band_idx"), col("band_val"))
-      val b = banded.select(col("doc_id").as("b_id"), col("simhash").as("b_sh"),
-        col("band_idx").as("b_bi"), col("band_val").as("b_bv"))
-      a.join(b, col("band_idx") === col("b_bi") && col("band_val") === col("b_bv")
-          && col("a_id") < col("b_id"))
-        .withColumn("hamming", expr("bit_count(a_sh ^ b_sh)").cast("int"))
-        .filter(col("hamming") <= 3)
-        .select("a_id", "b_id", "hamming").distinct()
+      GraftOps.simhashPairs(load(s, d, "documents"), "doc_id", "text", maxHamming = 3)
         .orderBy("a_id", "b_id")
     }),
 
@@ -124,23 +76,10 @@ object LlmQueries {
     // only within a first-two-words block (equality hash join — the
     // blocking key is what keeps this linear-ish at scale), exact
     // 3-gram-shingle Jaccard on candidates.
-    "dedup_ngram" -> ((s, d) => {
-      val docs = load(s, d, "documents")
-        .withColumn("w", split(col("text"), " "))
-        .withColumn("shingles", expr(
-          "array_distinct(transform(sequence(0, greatest(size(w) - 3, 0)), i -> concat_ws(' ', slice(w, i + 1, 3))))"))
-        .withColumn("blk", expr("concat_ws(' ', slice(w, 1, 2))"))
-        .select("doc_id", "blk", "shingles")
-      val a = docs.select(col("doc_id").as("a_id"), col("blk"), col("shingles").as("sa"))
-      val b = docs.select(col("doc_id").as("b_id"), col("blk").as("b_blk"), col("shingles").as("sb"))
-      a.join(b, col("blk") === col("b_blk") && col("a_id") < col("b_id"))
-        .withColumn("jac", (size(array_intersect(col("sa"), col("sb"))).cast("double")
-          / size(array_union(col("sa"), col("sb")))))
-        .filter(col("jac") >= 0.8)
-        .select(col("a_id"), col("b_id"),
-          col("jac").cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("jac"))
-        .orderBy("a_id", "b_id")
-    }),
+    "dedup_ngram" -> ((s, d) =>
+      GraftOps.ngramJaccardPairs(load(s, d, "documents"), "doc_id", "text",
+        minJaccard = 0.8)
+        .orderBy("a_id", "b_id")),
 
     // Embedding-cosine near-dup pairs. Deliberately exact/brute-force
     // with an i<j bound (the LSH-bucketed scale path is sim_ann); the
@@ -166,20 +105,8 @@ object LlmQueries {
     // K3: exact top-5 cosine neighbors for a 10-probe set.
     "sim_topk" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
-      val emb = load(s, d, "embeddings")
-        .withColumn("norm", expr("sqrt(array_dot(embedding, embedding))"))
-      val probes = emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q"), col("norm").as("nq"))
-      val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c"), col("norm").as("nc"))
-      val sims = probes.crossJoin(corpus)
-        .filter(col("q_id") =!= col("c_id"))
-        .withColumn("cos_sim",
-          (expr("array_dot(q, c)") / (col("nq") * col("nc"))).cast(DecimalType(18, 6)))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("c_id").asc)
-      sims.withColumn("rn", row_number().over(w).cast("bigint"))
-        .filter(col("rn") <= 5)
-        .select("q_id", "c_id", "cos_sim", "rn")
+      GraftOps.cosineTopK(load(s, d, "embeddings"), "vec_id", "embedding",
+        probePredicate = col("vec_id") < 10, k = 5)
         .orderBy("q_id", "rn")
     }),
 
@@ -210,28 +137,9 @@ object LlmQueries {
     "sim_ivf" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       val emb = load(s, d, "embeddings")
-        .withColumn("norm", expr("sqrt(array_dot(embedding, embedding))"))
-      val cent = centroids(s, d)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cl").asc)
-      val assigned = emb.crossJoin(broadcast(cent))
-        .withColumn("d2", expr(centDist2))
-        .withColumn("rn", row_number().over(w))
-      val corpus = assigned.filter(col("rn") === 1)
-        .select(col("vec_id").as("c_id"), col("cl").as("bucket"),
-          col("embedding").as("c"), col("norm").as("nc"))
-      val probes = assigned.filter(col("vec_id") < 10 && col("rn") <= 3)
-        .select(col("vec_id").as("q_id"), col("cl").as("bucket"),
-          col("embedding").as("q"), col("norm").as("nq"))
-      val wq = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("c_id").asc)
-      probes.join(corpus, "bucket")
-        .filter(col("q_id") =!= col("c_id"))
-        .withColumn("cos_sim",
-          (expr("array_dot(q, c)") / (col("nq") * col("nc"))).cast(DecimalType(18, 6)))
-        .withColumn("rn", row_number().over(wq).cast("bigint"))
-        .filter(col("rn") <= 5)
-        .select("q_id", "c_id", "cos_sim", "rn")
+      GraftOps.ivfTopK(emb, "vec_id", "embedding",
+        cent = GraftOps.centroids(emb, "label", "embedding"),
+        probePredicate = col("vec_id") < 10, k = 5, nprobe = 3)
         .orderBy("q_id", "rn")
     }),
 
@@ -290,7 +198,7 @@ object LlmQueries {
     // Tested against the planted labels, no oracle (not SQL-shaped).
     "cluster_assign" -> ((s, d) => {
       val emb = load(s, d, "embeddings")
-      val cent = centroids(s, d)
+      val cent = GraftOps.centroids(emb, "label", "embedding")
       val dist2 =
         "aggregate(zip_with(embedding, centroid, (x, y) -> (double(x) - y) * (double(x) - y)), 0D, (acc, v) -> acc + v)"
       val w = org.apache.spark.sql.expressions.Window
