@@ -4,7 +4,7 @@ import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 import org.apache.spark.sql.types.{DecimalType, StructType}
 import graft.Tables.{dec, load}
 
@@ -180,6 +180,30 @@ object StreamQueries {
       runToMemory(s, out.toDF(), "append").orderBy("user_id")
     }),
 
+    // I6b: the same per-user fold through Spark 4's transformWithState
+    // (typed ValueState on the RocksDB state store) — the API that
+    // replaces flatMapGroupsWithState for new pipelines: TTL-capable
+    // state, timers, and composable state variables.
+    "stream_stateful_tws" -> ((s, d) => {
+      val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val (sdf, _, _) = eventStream(s, d)
+        import s.implicits._
+        val out = sdf.as[StreamEv]
+          .groupByKey(_.user_id)
+          .transformWithState(new PurchaseStateProcessor(),
+            TimeMode.None(), OutputMode.Append())
+        runToMemory(s, out.toDF(), "append").orderBy("user_id")
+      } finally {
+        prevProvider match {
+          case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+    }),
+
     // I7: stream-static join — events stream enriched with the
     // customer dimension (no watermark needed on the static side).
     "stream_join" -> ((s, d) => {
@@ -191,6 +215,35 @@ object StreamQueries {
       runToMemory(s, agg, "complete").orderBy("c_mktsegment")
     }),
   )
+}
+
+/** transformWithState processor for I6b: same fold as the
+  * flatMapGroupsWithState variant, state held in a typed ValueState.
+  */
+class PurchaseStateProcessor extends StatefulProcessor[Long, StreamEv, UserAgg] {
+  @transient private var state: ValueState[UserAgg] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[UserAgg]("agg",
+      org.apache.spark.sql.Encoders.product[UserAgg], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[StreamEv],
+      timerValues: TimerValues): Iterator[UserAgg] = {
+    var st = if (state.exists()) state.get() else UserAgg(key, 0L, 0L, 0L, 0L)
+    implicit val tsOrd: Ordering[java.sql.Timestamp] = Ordering.by(_.getTime)
+    rows.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+      st = e.event_type match {
+        case "purchase" => st.copy(n_events = st.n_events + 1,
+          n_purchases = st.n_purchases + 1,
+          purchases_since_error = st.purchases_since_error + 1)
+        case "error" => st.copy(n_events = st.n_events + 1,
+          n_errors = st.n_errors + 1, purchases_since_error = 0L)
+        case _ => st.copy(n_events = st.n_events + 1)
+      }
+    }
+    state.update(st)
+    Iterator.single(st)
+  }
 }
 
 /** Typed event row for the stateful query (I6). */

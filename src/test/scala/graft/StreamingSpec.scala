@@ -46,6 +46,12 @@ class StreamingSpec extends GraftSpec {
     assert(df.agg(sum(col("n_purchases"))).head().getLong(0) === purchases)
   }
 
+  test("transformWithState variant matches flatMapGroupsWithState exactly") {
+    val a = q("stream_stateful").collect().toSeq
+    val b = q("stream_stateful_tws").collect().toSeq
+    assert(a === b)
+  }
+
   test("stream_join agrees with the batch stream-static join") {
     val cust = Tables.load(spark, sf, "customer")
     val batch = events.join(cust, events("user_id") === cust("c_custkey"))
