@@ -111,6 +111,19 @@ object AggQueries {
           count(lit(1)).as("n"))
         .orderBy("l_orderkey")),
 
+    // Exact interpolated percentiles (both engines define p-quantile as
+    // linear interpolation at p·(n−1); 6-dp decimal cast absorbs any
+    // last-ulp interpolation difference).
+    "agg_percentile" -> ((s, d) =>
+      load(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("CAST(percentile(l_quantity, 0.25) AS DECIMAL(18,6))").as("p25"),
+          expr("CAST(percentile(l_quantity, 0.5) AS DECIMAL(18,6))").as("p50"),
+          expr("CAST(percentile(l_quantity, 0.95) AS DECIMAL(18,6))").as("p95"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
     // D9: collect_list/collect_set, sorted for determinism.
     "agg_collect" -> ((s, d) =>
       load(s, d, "orders")
@@ -180,6 +193,13 @@ object AggQueries {
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty,
         | count(*) AS n
         | FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "agg_percentile" ->
+      """SELECT l_returnflag,
+        | CAST(quantile_cont(l_quantity, 0.25) AS DECIMAL(18,6)) AS p25,
+        | CAST(quantile_cont(l_quantity, 0.5) AS DECIMAL(18,6)) AS p50,
+        | CAST(quantile_cont(l_quantity, 0.95) AS DECIMAL(18,6)) AS p95,
+        | count(*) AS n
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_collect" ->
       """SELECT o_custkey,
         | list(o_orderstatus ORDER BY o_orderstatus) AS statuses,

@@ -110,6 +110,30 @@ object ScalarFnQueries {
         json_tuple(col("props"), "k").as("k2"))
         .orderBy("event_id")),
 
+    // Hash family: content digests (the cross-engine-stable subset —
+    // md5/sha256; xxhash64/murmur are engine-specific and live in the
+    // fingerprinting/simhash paths instead).
+    "fn_hash" -> ((s, d) =>
+      load(s, d, "customer").selectExpr(
+        "c_custkey",
+        "md5(c_name) AS h_md5",
+        "sha2(c_name, 256) AS h_sha256",
+        "md5(concat(c_name, '|', c_mktsegment)) AS h_combined",
+        "substring(md5(c_name), 1, 8) AS h_short")
+        .orderBy("c_custkey")),
+
+    // Bitwise family over integral keys.
+    "fn_bitwise" -> ((s, d) =>
+      load(s, d, "orders").selectExpr(
+        "o_orderkey",
+        "o_orderkey & 255 AS k_and",
+        "o_orderkey | 7 AS k_or",
+        "o_orderkey ^ 42 AS k_xor",
+        "shiftleft(o_orderkey & 15, 2) AS k_shl",
+        "shiftright(o_orderkey, 3) AS k_shr",
+        "CAST(bit_count(o_orderkey) AS INT) AS k_bits")
+        .orderBy("o_orderkey")),
+
     // H8: null-handling conditionals over orders.
     "fn_conditional" -> ((s, d) => {
       val st = expr("nullif(o_orderstatus, 'P')")
@@ -180,6 +204,22 @@ object ScalarFnQueries {
         | CAST(to_json(struct_pack(e := event_id)) AS VARCHAR) AS j,
         | json_extract_string(props, '$.k') AS k2
         | FROM events ORDER BY event_id""".stripMargin,
+    "fn_hash" ->
+      """SELECT c_custkey,
+        | md5(c_name) AS h_md5,
+        | sha256(c_name) AS h_sha256,
+        | md5(c_name || '|' || c_mktsegment) AS h_combined,
+        | substring(md5(c_name), 1, 8) AS h_short
+        | FROM customer ORDER BY c_custkey""".stripMargin,
+    "fn_bitwise" ->
+      """SELECT o_orderkey,
+        | o_orderkey & 255 AS k_and,
+        | o_orderkey | 7 AS k_or,
+        | xor(o_orderkey, 42) AS k_xor,
+        | (o_orderkey & 15) << 2 AS k_shl,
+        | o_orderkey >> 3 AS k_shr,
+        | CAST(bit_count(o_orderkey) AS INTEGER) AS k_bits
+        | FROM orders ORDER BY o_orderkey""".stripMargin,
     "fn_conditional" ->
       """SELECT o_orderkey,
         | nullif(o_orderstatus, 'P') AS st,
