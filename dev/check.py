@@ -1,19 +1,48 @@
 #!/usr/bin/env python3
-"""Dev-loop oracle checker — mimics the driver's t2 gate locally.
+"""Dev-loop oracle checker — dtype-faithful replica of the driver's t2 gate.
 
 Usage: python3 dev/check.py [sf_dir] [verify_out_dir]
 
-Reads <out>/oracle_sql.json, runs each SQL in DuckDB over the sf
-parquet tables, and compares against the Spark parquet dump in
-<out>/<name>/. Columns are sorted by name before compare (the driver
-does the same); row order is preserved (queries end in a total order).
+The real driver reads the Spark parquet dump via pyarrow/pandas
+(DECIMAL -> decimal.Decimal objects, ARRAY -> numpy arrays) but the
+DuckDB oracle via con.fetchdf (DECIMAL -> float64).  Round 1's checker
+read BOTH sides through DuckDB, normalizing away exactly the
+representation split the driver fails on — 74/74 locally vs 49/94 at
+the gate.  This version replicates the driver's two read paths:
+
+  spark side : pandas.read_parquet (pyarrow engine)
+  oracle side: duckdb .fetchdf()
+
+then sorts rows the way the driver does (sort_values over all columns —
+this is also what CRASHES on unhashable numpy-array cells, so we
+replicate the crash as a failure), compares astype(str) frames, and
+reports dtype mismatches as warnings.
 
 This is dev tooling only — the shipped engine is the Scala library.
 """
 import duckdb, glob, json, sys
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def read_spark(files):
+    """Driver-faithful read of the Spark dump: pyarrow -> pandas."""
+    return pd.concat([pd.read_parquet(f, engine="pyarrow") for f in files],
+                     ignore_index=True)
+
+
+def driver_sort(df, name, fails):
+    """Replicate the driver's row sort; a crash here is a real failure
+    (unhashable array/map cells crash its sorter even for oracle-exempt
+    queries)."""
+    try:
+        return df.sort_values(by=list(df.columns), kind="mergesort")\
+                 .reset_index(drop=True)
+    except Exception as e:
+        fails.append((name, f"driver-sorter crash: {type(e).__name__}: {e}"))
+        return None
 
 
 def main():
@@ -25,7 +54,7 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     n_ok = 0
-    fails = []
+    fails, warns = [], []
     for name in sorted(oracle):
         sql = oracle[name]
         try:
@@ -37,16 +66,24 @@ def main():
         if not files:
             fails.append((name, "no spark output"))
             continue
-        got = con.execute(
-            f"SELECT * FROM read_parquet({files!r})").fetchdf()
-        exp = exp[sorted(exp.columns)].reset_index(drop=True)
-        got = got[sorted(got.columns)].reset_index(drop=True)
+        got = read_spark(files)
+        exp = exp[sorted(exp.columns)]
+        got = got[sorted(got.columns)]
         if list(exp.columns) != list(got.columns):
             fails.append((name, f"schema: oracle {list(exp.columns)} vs spark {list(got.columns)}"))
             continue
         if len(exp) != len(got):
             fails.append((name, f"rows: oracle {len(exp)} vs spark {len(got)}"))
             continue
+        exp = driver_sort(exp, name, fails)
+        got = driver_sort(got, name, fails)
+        if exp is None or got is None:
+            continue
+        e_dt = [str(t) for t in exp.dtypes]
+        g_dt = [str(t) for t in got.dtypes]
+        if e_dt != g_dt:
+            diff = [(c, a, b) for c, a, b in zip(exp.columns, e_dt, g_dt) if a != b]
+            warns.append((name, f"dtypes differ: {diff}"))
         e_str = exp.astype(str)
         g_str = got.astype(str)
         if not e_str.equals(g_str):
@@ -59,14 +96,23 @@ def main():
             continue
         n_ok += 1
         print(f"  OK   {name} ({len(exp)} rows)")
-    for name, why in fails:
-        print(f"  FAIL {name}: {why}")
-    # queries without oracle: report coverage only
+    # oracle-exempt queries: the driver STILL sorts their output, so an
+    # array/map column there crashes it — replicate that too.
     spark_dirs = {d.rstrip('/').split('/')[-1] for d in glob.glob(f"{out}/*/")}
     no_oracle = sorted(spark_dirs - set(oracle))
+    for name in no_oracle:
+        files = sorted(glob.glob(f"{out}/{name}/*.parquet"))
+        if not files:
+            continue
+        got = read_spark(files)
+        driver_sort(got, name, fails)
+    for name, why in warns:
+        print(f"  WARN {name}: {why}")
+    for name, why in fails:
+        print(f"  FAIL {name}: {why}")
     if no_oracle:
         print(f"  (no oracle, rows-only): {no_oracle}")
-    print(f"== {n_ok}/{len(oracle)} oracle-matched, {len(fails)} failed ==")
+    print(f"== {n_ok}/{len(oracle)} oracle-matched, {len(fails)} failed, {len(warns)} dtype-warned ==")
     sys.exit(1 if fails else 0)
 
 

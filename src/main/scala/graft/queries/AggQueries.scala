@@ -200,11 +200,14 @@ object AggQueries {
         | CAST(quantile_cont(l_quantity, 0.95) AS DECIMAL(18,6)) AS p95,
         | count(*) AS n
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // Collection outputs travel as compact JSON text (Canon dumps the
+    // Spark side through to_json; DuckDB's to_json is byte-identical
+    // for string/bigint lists).
     "agg_collect" ->
       """SELECT o_custkey,
-        | list(o_orderstatus ORDER BY o_orderstatus) AS statuses,
-        | list(DISTINCT o_orderstatus ORDER BY o_orderstatus) AS status_set,
-        | list(o_orderkey ORDER BY o_orderkey) AS okeys
+        | CAST(to_json(list(o_orderstatus ORDER BY o_orderstatus)) AS VARCHAR) AS statuses,
+        | CAST(to_json(list(DISTINCT o_orderstatus ORDER BY o_orderstatus)) AS VARCHAR) AS status_set,
+        | CAST(to_json(list(o_orderkey ORDER BY o_orderkey)) AS VARCHAR) AS okeys
         | FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
   )
 }

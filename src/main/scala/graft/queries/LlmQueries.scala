@@ -220,8 +220,8 @@ object LlmQueries {
       """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |     sh AS (SELECT doc_id,
         |        list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
-        |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles,
-        |        w[1] || ' ' || w[2] AS blk
+        |          i -> array_to_string(w[i:i+2], ' '))) AS shingles,
+        |        array_to_string(w[1:2], ' ') AS blk
         |      FROM docs)
         | SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |   CAST(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)

@@ -189,12 +189,13 @@ object ScalarFnQueries {
         | CAST(greatest(p_size, 25) AS INTEGER) AS size_hi,
         | CAST(least(p_size, 25) AS INTEGER) AS size_lo
         | FROM part ORDER BY p_partkey""".stripMargin,
+    // vocab/first5 travel as compact JSON text (Canon's to_json dump).
     "fn_array" ->
       """SELECT doc_id,
         | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
         | list_contains(string_split(text, ' '), 'select') AS has_select,
-        | list_sort(list_distinct(string_split(text, ' '))) AS vocab,
-        | (string_split(text, ' '))[1:5] AS first5,
+        | CAST(to_json(list_sort(list_distinct(string_split(text, ' ')))) AS VARCHAR) AS vocab,
+        | CAST(to_json((string_split(text, ' '))[1:5]) AS VARCHAR) AS first5,
         | (string_split(text, ' '))[1] AS w1
         | FROM documents ORDER BY doc_id""".stripMargin,
     "fn_json" ->
