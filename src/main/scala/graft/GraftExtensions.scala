@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.DoubleType
-import graft.functions.NullSafeDiv
+import graft.functions.{ArrayFloatDot, NullSafeDiv, SimHash64}
 
 /** Cluster-deployment entry point: register graft's custom functions
   * at session build time via
@@ -24,5 +24,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NullSafeDiv].getCanonicalName, "null_safe_div"),
       (exprs: Seq[Expression]) =>
         NullSafeDiv(Cast(exprs.head, DoubleType), Cast(exprs(1), DoubleType))))
+    // Mirror GraftFunctions.register: the similarity/dedup operators
+    // (GraftOps.simhashPairs, cosineTopK, ivfTopK) resolve these by
+    // name, so extension-configured sessions need them too.
+    e.injectFunction((
+      FunctionIdentifier("array_dot"),
+      new ExpressionInfo(classOf[ArrayFloatDot].getCanonicalName, "array_dot"),
+      (exprs: Seq[Expression]) => ArrayFloatDot(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getCanonicalName, "simhash64"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
   }
 }

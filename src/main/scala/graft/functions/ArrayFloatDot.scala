@@ -1,9 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** `array_dot(a, b)` — dot product of two float arrays accumulated in
   * double, as a whole-stage-codegen'd Catalyst expression.
@@ -24,6 +25,20 @@ case class ArrayFloatDot(left: Expression, right: Expression) extends BinaryExpr
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "array_dot"
+
+  // Strict element-type contract: ArrayData.getFloat reads with a
+  // 4-byte stride, so an array<double> input would silently produce
+  // garbage instead of failing — reject it at analysis time.
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<float>, array<float>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

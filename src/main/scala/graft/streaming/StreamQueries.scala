@@ -31,8 +31,17 @@ object StreamQueries {
 
   private val sinkId = new AtomicInteger(0)
 
+  // Checkpoint/replay scratch on tmpfs when available: streaming bench
+  // time is dominated by checkpoint fsync I/O, which /dev/shm makes
+  // free. Production deployments pass a durable checkpointLocation.
+  private val tmpRoot: java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) shm
+    else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+  }
+
   private def tmp(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+    java.nio.file.Files.createTempDirectory(tmpRoot, prefix).toString
 
   // The replay source is immutable per sf-dir — materialize it once
   // per JVM and share across the streaming queries (Bench runs all
