@@ -105,6 +105,65 @@ object GraftOps {
   private def withNorm(df: DataFrame, vecCol: String): DataFrame =
     df.withColumn("__norm", expr(s"sqrt(array_dot($vecCol, $vecCol))"))
 
+  /** ALL pairs with cosine ≥ `minCos` — exact, via a deterministic,
+    * provably-complete grid-blocked candidate join (never a cartesian
+    * product).
+    *
+    * Completeness: on L2-normalized vectors, cos(u,w) ≥ t ⟺
+    * ‖û−ŵ‖ ≤ r = √(2−2t). Any 1-Lipschitz projection p (here the
+    * normalized first coordinate) then satisfies |p(u)−p(w)| ≤ r, so
+    * with grid cells of width r a qualifying pair is at most one cell
+    * apart — a 3-neighbor-cell equi-join is exhaustive. Unlike
+    * random-projection LSH (whose bucket misses are only
+    * probabilistically rare — unacceptable for an exact operator), this
+    * blocking can only over-generate candidates; the exact cosine
+    * filter keeps the output identical to the all-pairs formulation.
+    *
+    * Scale: work is Σ_cell n_cell², i.e. adaptive — tight thresholds /
+    * clustered corpora spread across many cells and prune hard; a
+    * threshold comparable to the data diameter degenerates toward n²,
+    * which is inherent to the OPERATOR (its output is then itself ~n²),
+    * not to this plan. The join is a keyed shuffle: at 100 TB it
+    * partitions by cell instead of melting a single cartesian task.
+    * Requires GraftFunctions.register.
+    */
+  def cosinePairsBlocked(df: DataFrame, idCol: String, vecCol: String,
+      minCos: Double, numSalts: Int = 16): DataFrame = {
+    // 1e-7 relative slack: projections run float→double, cell width
+    // must stay ≥ the true distance bound after rounding.
+    val cellW = math.sqrt(2.0 - 2.0 * minCos) * (1.0 + 1e-7)
+    val emb = withNorm(df, vecCol)
+      .withColumn("__cell",
+        floor(element_at(col(vecCol), 1).cast("double") / col("__norm") / lit(cellW))
+          .cast("long"))
+    // Salted join keys: a dense cell would otherwise put its whole n²
+    // in ONE task. The a-side picks a deterministic salt shard, the
+    // b-side replicates across all shards — same pairs, ×numSalts
+    // parallelism inside each cell.
+    // repartition by (cell, salt): when the small side broadcasts, the
+    // probe side's partitioning IS the parallelism — without this the
+    // whole corpus-file's single input split would probe serially.
+    val a = emb.select(col(idCol).as("a_id"), col(vecCol).as("q"),
+      col("__norm").as("nq"), col("__cell"),
+      pmod(col(idCol).cast("long"), lit(numSalts)).as("__salt"))
+      .repartition(col("__cell"), col("__salt"))
+    val b = emb.select(col(idCol).as("b_id"), col(vecCol).as("c"),
+      col("__norm").as("nc"), col("__cell"))
+      .withColumn("__bcell",
+        explode(array(col("__cell") - 1, col("__cell"), col("__cell") + 1)))
+      .withColumn("__salt", explode_outer(expr(s"sequence(0, ${numSalts - 1})")))
+    a.join(b, a("__cell") === b("__bcell") && a("__salt") === b("__salt")
+        && col("a_id") < col("b_id"))
+      .withColumn("__cos_d", expr("array_dot(q, c)") / (col("nq") * col("nc")))
+      // cheap double pre-filter kills ~all candidates before the
+      // decimal conversion; the 1e-6 slack keeps every value that the
+      // 6-dp half-up rounding could still lift to the threshold.
+      .filter(col("__cos_d") >= minCos - 5e-7)
+      .withColumn("cos_sim", col("__cos_d").cast(DecimalType(18, 6)))
+      .filter(col("cos_sim") >= minCos)
+      .select("a_id", "b_id", "cos_sim")
+  }
+
   /** Exact cosine top-k neighbors of each probe row against the
     * corpus. Deliberately brute-force — bound the probe side; the
     * LSH/IVF variants are the full-corpus-scale paths. Rankings use

@@ -15,6 +15,16 @@ class ScaleSpec extends GraftSpec {
       s"bucketing failed to co-locate:\n${plan.take(2000)}")
   }
 
+  test("dedup_embed_cos: candidate generation is bucketed, never corpus × corpus") {
+    val df = q("dedup_embed_cos")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"all-pairs scan in the plan:\n${plan.take(2000)}")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs scan in the plan:\n${plan.take(2000)}")
+  }
+
   test("agg_salted equals the direct group-by bit-for-bit") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.DecimalType
