@@ -199,22 +199,67 @@ object GraftOps {
   private val centDist2 =
     "aggregate(zip_with(%s, centroid, (x, y) -> (double(x) - y) * (double(x) - y)), 0D, (acc, v) -> acc + v)"
 
+  /** Rank every row of `df` against the (broadcast) centroids: adds
+    * `__norm`, `cl`, `__d2`, `__rn` (1 = nearest centroid).
+    */
+  private def centroidRanked(df: DataFrame, idCol: String, vecCol: String,
+      cent: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__d2").asc, col("cl").asc)
+    withNorm(df, vecCol).crossJoin(broadcast(cent))
+      .withColumn("__d2", expr(centDist2.format(vecCol)))
+      .withColumn("__rn", row_number().over(w))
+  }
+
   /** IVF-style approximate top-k: corpus bucketed once by nearest
     * centroid; probes scan their `nprobe` nearest buckets only.
     */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String, cent: DataFrame,
       probePredicate: Column, k: Int, nprobe: Int): DataFrame = {
-    val normed = withNorm(corpus, vecCol)
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__d2").asc, col("cl").asc)
-    val assigned = normed.crossJoin(broadcast(cent))
-      .withColumn("__d2", expr(centDist2.format(vecCol)))
-      .withColumn("__rn", row_number().over(w))
+    val assigned = centroidRanked(corpus, idCol, vecCol, cent)
     val bucketed = assigned.filter(col("__rn") === 1)
       .select(col(idCol).as("c_id"), col("cl").as("bucket"),
         col(vecCol).as("c"), col("__norm").as("nc"))
     val probes = assigned.filter(probePredicate && col("__rn") <= nprobe)
       .select(col(idCol).as("q_id"), col("cl").as("bucket"),
         col(vecCol).as("q"), col("__norm").as("nq"))
+    ivfJoin(probes, bucketed, k)
+  }
+
+  /** Persist the IVF "index": the corpus with nearest-centroid bucket
+    * assignment, written as parquet PARTITIONED BY bucket. At scale the
+    * directory layout is the inverted file — a probe batch then reads
+    * only its nprobe buckets (partition pruning), nprobe/k of the data.
+    */
+  def ivfIndexBuild(corpus: DataFrame, idCol: String, vecCol: String,
+      cent: DataFrame, path: String): Unit =
+    centroidRanked(corpus, idCol, vecCol, cent)
+      .filter(col("__rn") === 1)
+      .select(col(idCol).as("c_id"), col(vecCol).as("c"),
+        col("__norm").as("nc"), col("cl").as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Approximate top-k against a persisted IVF index (ivfIndexBuild).
+    * Probe bucket ids are collected (tiny: ≤ probes × nprobe values)
+    * into an IN filter so the scan PRUNES index partitions instead of
+    * reading the whole corpus.
+    */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      probesDf: DataFrame, idCol: String, vecCol: String, cent: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    val probes = centroidRanked(probesDf, idCol, vecCol, cent)
+      .filter(col("__rn") <= nprobe)
+      .select(col(idCol).as("q_id"), col("cl").as("bucket"),
+        col(vecCol).as("q"), col("__norm").as("nq"))
+    val wanted = probes.select("bucket").distinct().collect().map(_.get(0)).toSeq
+    val bucketed = spark.read.parquet(indexPath)
+      .filter(col("bucket").isin(wanted: _*))
+    ivfJoin(probes, bucketed, k)
+  }
+
+  /** Shared probe×bucket join + per-probe top-k (6-dp decimal rank,
+    * id tie-break).
+    */
+  private def ivfJoin(probes: DataFrame, bucketed: DataFrame, k: Int): DataFrame = {
     val wq = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("c_id").asc)
     probes.join(bucketed, "bucket")
       .filter(col("q_id") =!= col("c_id"))

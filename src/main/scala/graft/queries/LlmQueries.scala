@@ -26,6 +26,23 @@ import graft.api.GraftOps
   */
 object LlmQueries {
 
+  // One persisted IVF index per sf-dir per JVM: first use builds the
+  // bucket-partitioned parquet, every later use (and every later
+  // session pointing at the same tmp) reuses the files.
+  private val ivfIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ivfIndexFor(s: org.apache.spark.sql.SparkSession, sfDir: String,
+      emb: org.apache.spark.sql.DataFrame,
+      cent: org.apache.spark.sql.DataFrame): String =
+    ivfIndexCache.computeIfAbsent(sfDir, _ => {
+      val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_ivf_${Integer.toHexString(sfDir.hashCode)}").toString
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")))
+        GraftOps.ivfIndexBuild(emb, "vec_id", "embedding", cent, path)
+      path
+    })
+
   private val centDist2 =
     "aggregate(zip_with(embedding, centroid, (x, y) -> (double(x) - y) * (double(x) - y)), 0D, (acc, v) -> acc + v)"
 
@@ -124,17 +141,21 @@ object LlmQueries {
     }),
 
     // IVF-style ANN (the third similarity-search tier after brute-force
-    // sim_topk and LSH sim_ann): corpus bucketed once by nearest coarse
-    // centroid; each probe scans only its nprobe=3 nearest buckets.
-    // At 100 TB the bucketed corpus is the persisted "index" (partition
-    // by bucket) and a probe batch touches nprobe/k of the data.
-    // Approximate ⇒ no oracle; recall vs exact top-k tested instead.
+    // sim_topk and LSH sim_ann): corpus bucketed ONCE by nearest coarse
+    // centroid and PERSISTED as bucket-partitioned parquet — the
+    // on-disk inverted file. Each probe batch collects its nprobe=3
+    // nearest bucket ids and the index scan partition-prunes to just
+    // those directories: at 100 TB a query touches nprobe/k of the
+    // corpus bytes, and the build cost amortizes across every later
+    // probe batch. Approximate ⇒ no oracle; recall vs exact top-k
+    // tested instead.
     "sim_ivf" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       val emb = load(s, d, "embeddings")
-      GraftOps.ivfTopK(emb, "vec_id", "embedding",
-        cent = GraftOps.centroids(emb, "label", "embedding"),
-        probePredicate = col("vec_id") < 10, k = 5, nprobe = 3)
+      val cent = GraftOps.centroids(emb, "label", "embedding")
+      val idx = ivfIndexFor(s, d, emb, cent)
+      GraftOps.ivfTopKFromIndex(s, idx, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", cent, k = 5, nprobe = 3)
         .orderBy("q_id", "rn")
     }),
 

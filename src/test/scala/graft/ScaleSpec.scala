@@ -25,6 +25,24 @@ class ScaleSpec extends GraftSpec {
       s"all-pairs scan in the plan:\n${plan.take(2000)}")
   }
 
+  test("sim_ivf reads the persisted index with partition pruning and matches direct ivfTopK") {
+    import org.apache.spark.sql.functions._
+    val df = q("sim_ivf")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+    // the corpus side must come from the bucket-partitioned index
+    // files with a pruning filter, not a full re-bucketing job
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket#"),
+      s"index scan not partition-pruned:\n${plan.take(2000)}")
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.load(spark, sf, "embeddings")
+    val cent = graft.api.GraftOps.centroids(emb, "label", "embedding")
+    val direct = graft.api.GraftOps.ivfTopK(emb, "vec_id", "embedding", cent,
+      col("vec_id") < 10, k = 5, nprobe = 3).orderBy("q_id", "rn")
+    assert(rows.toSeq === direct.collect().toSeq)
+  }
+
   test("agg_salted equals the direct group-by bit-for-bit") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.DecimalType
