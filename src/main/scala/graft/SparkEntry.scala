@@ -33,6 +33,7 @@ object SparkEntry {
       MultimodalQueries.queries ++
       ScaleQueries.queries ++
       SubqueryQueries.queries ++
+      PipelineQueries.queries ++
       graft.streaming.StreamQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -49,5 +50,6 @@ object SparkEntry {
       TextQueries.oracle ++
       MultimodalQueries.oracle ++
       ScaleQueries.oracle ++
-      SubqueryQueries.oracle
+      SubqueryQueries.oracle ++
+      PipelineQueries.oracle
 }

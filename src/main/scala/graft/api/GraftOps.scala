@@ -270,6 +270,78 @@ object GraftOps {
       .select("q_id", "c_id", "cos_sim", "rn")
   }
 
+  /** Gap-based sessionization: assigns each row a per-key session
+    * index (1-based, in (`tsMicrosCol`, `idCol`) order) that increments
+    * whenever the gap to the previous row exceeds `gapMicros`. One
+    * shuffle on `keyCol`; two window passes over the same partitioning
+    * (Catalyst reuses the exchange). The classic events→sessions
+    * operator of a behavioral / training-data pipeline.
+    */
+  def sessionize(df: DataFrame, keyCol: String, tsMicrosCol: String,
+      idCol: String, gapMicros: Long): DataFrame = {
+    val ord = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsMicrosCol).asc, col(idCol).asc)
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__prev", lag(col(tsMicrosCol), 1).over(ord))
+      .withColumn("__new_sess",
+        when(col("__prev").isNull || col(tsMicrosCol) - col("__prev") > gapMicros, 1)
+          .otherwise(0))
+      .withColumn("sess", sum(col("__new_sess")).over(run).cast("bigint"))
+      .drop("__prev", "__new_sess")
+  }
+
+  /** Deterministic stratified sample: exactly min(n, group size) rows
+    * per `stratumCol` value, chosen by md5 of the id — a stable,
+    * engine-portable pseudo-random order (unlike xxhash64/rand, md5 is
+    * identical everywhere). One shuffle on the stratum key; the window
+    * top-n is WindowGroupLimit-optimized (no full sort of each group).
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+      n: Int): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    df.withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= n)
+  }
+
+  /** Connected components by iterative min-label propagation — the
+    * dedup-CLUSTER step that turns near-dup pairs into groups (pick
+    * one survivor per component). Labels start as each vertex id;
+    * every round each vertex takes the min of its own and its
+    * neighbors' labels, until a fixpoint (≤ component diameter
+    * rounds, bounded by `maxIter`).
+    *
+    * Scale: each round is one keyed join + keyed agg (shuffle on
+    * vertex id); the per-round driver `count()` is the convergence
+    * check every Pregel-style loop needs, not a data collect. Dup
+    * clusters have tiny diameters in practice; for adversarial graph
+    * shapes swap in the large-star/small-star variant — the API
+    * contract (id → min-id-of-component) stays the same.
+    */
+  def connectedComponents(vertices: DataFrame, idCol: String,
+      edges: DataFrame, aCol: String, bCol: String, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col(aCol).as("__src"), col(bCol).as("__dst"))
+      .union(edges.select(col(bCol).as("__src"), col(aCol).as("__dst")))
+      .persist()
+    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("cluster"))
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = sym.join(labels, col("__dst") === col("id"))
+        .groupBy("__src").agg(min(col("cluster")).as("__nlbl"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("__src"), "left")
+        .select(labels("id"),
+          least(col("cluster"), coalesce(col("__nlbl"), col("cluster"))).as("cluster"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("cluster", "__old"), "id")
+        .filter(col("cluster") =!= col("__old")).count()
+      labels = next
+      i += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
   /** As-of enrichment: for every row, the id of the latest row in the
     * same `partitionCol` whose marker predicate held, at-or-before its
     * (`tsCol`, `idCol`) position. One shuffle, no self-join.

@@ -1,0 +1,257 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables.{dec, load}
+import graft.api.GraftOps
+
+/** Family L — pipeline operators beyond the §2 contract: the
+  * sessionization / resampling / sampling / stats / clustering pieces a
+  * large-scale training-data pipeline runs between the §2 relational
+  * core and the §2.K dedup/similarity family.
+  *
+  * Cross-engine determinism notes:
+  *  - all event-time arithmetic runs on epoch MICROSECONDS as bigint
+  *    (`unix_micros` / `epoch_us`) — second-floor epochs would reorder
+  *    ties differently than the sub-second timestamps;
+  *  - the stratified sample orders by md5 of the id — a stable,
+  *    engine-portable pseudo-random permutation (rand()/xxhash64 are
+  *    engine-specific);
+  *  - agg_stats derives variance/correlation from exact decimal power
+  *    sums with an IDENTICAL double expression tree on both engines, so
+  *    the 6-dp-rounded outputs match bit-for-bit.
+  */
+object PipelineQueries {
+
+  val queries: Map[String, Q] = Map(
+    // L1: gap-based sessionization (30-min gap) — one shuffle on
+    // user_id, two window passes sharing the exchange, then the
+    // session rollup.
+    "sessionize_batch" -> ((s, d) => {
+      val ev = load(s, d, "events")
+        .withColumn("ep_us", expr("unix_micros(cast(ts as timestamp))"))
+      GraftOps.sessionize(ev, "user_id", "ep_us", "event_id",
+        gapMicros = 1800L * 1000000L)
+        .groupBy("user_id", "sess")
+        .agg(count(lit(1)).as("n"),
+          min(col("ep_us")).as("s_start_us"),
+          max(col("ep_us")).as("s_end_us"),
+          (max(col("ep_us")) - min(col("ep_us"))).as("dur_us"))
+        .orderBy("user_id", "sess")
+    }),
+
+    // L2: per-user hourly resample with zero-filled gaps — the
+    // time-grid join pattern (sequence + left join), shuffles only on
+    // user_id.
+    "timeseries_gapfill" -> ((s, d) => {
+      val ev = load(s, d, "events")
+        .withColumn("hr",
+          floor(expr("unix_micros(cast(ts as timestamp))") / 3600000000L).cast("bigint"))
+      val counts = ev.groupBy("user_id", "hr").agg(count(lit(1)).as("n"))
+      val grid = ev.groupBy("user_id")
+        .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+        .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hr"))
+      grid.join(counts, Seq("user_id", "hr"), "left")
+        .select(col("user_id"), col("hr"), coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("user_id", "hr")
+    }),
+
+    // L3: deterministic stratified sample — exactly 100 orders per
+    // status, chosen by the md5 permutation of the key.
+    "sample_stratified" -> ((s, d) =>
+      GraftOps.stratifiedSample(
+        load(s, d, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        stratumCol = "o_orderstatus", idCol = "o_orderkey", n = 100)
+        .select("o_orderstatus", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_orderstatus", "rn")),
+
+    // L4: moment statistics (mean/variance/stddev/correlation) from
+    // exact decimal power sums — shuffle-order-independent, unlike
+    // naive float `stddev`/`corr` accumulation. One map-side-partial
+    // group-by carrying six sums.
+    "agg_stats" -> ((s, d) => {
+      val x = dec(col("l_quantity"))
+      val y = dec(col("l_extendedprice"))
+      val n = col("n").cast("double")
+      load(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(x * x).as("sxx"),
+          sum(y).as("sy"), sum(y * y).as("syy"),
+          sum(x * y).as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          (col("sx").cast("double") / n).cast(DecimalType(18, 6)).as("mean_qty"),
+          ((col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double") / n)
+            / (n - 1)).cast(DecimalType(18, 6)).as("var_qty"),
+          sqrt((col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double") / n)
+            / (n - 1)).cast(DecimalType(18, 6)).as("std_qty"),
+          ((n * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double"))
+            / (sqrt(n * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double"))
+              * sqrt(n * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double"))))
+            .cast(DecimalType(18, 6)).as("corr_qp"))
+        .orderBy("l_returnflag")
+    }),
+
+    // L5: value-picking window family — nth_value, lag with default,
+    // running max; one shuffle, both frames share the partitioning.
+    "win_value" -> ((s, d) => {
+      val ord = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          nth_value(col("o_orderkey"), 2).over(full).as("second_id"),
+          lag(col("o_totalprice"), 1, -1.0).over(ord).as("prev_price"),
+          max(col("o_totalprice")).over(run).as("run_max"))
+        .orderBy("o_orderkey")
+    }),
+
+    // L6: text normalization — lowercase, strip non-alphanumerics,
+    // collapse whitespace. Map-only, shuffle-free (codegen'd regex).
+    "text_normalize" -> ((s, d) => {
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+      load(s, d, "documents")
+        .select(col("doc_id"), norm.as("norm_text"),
+          length(norm).cast("bigint").as("n_chars_norm"))
+        .orderBy("doc_id")
+    }),
+
+    // L7: heuristic quality scoring + keep/drop decision — the filter
+    // stage of a pretraining corpus pipeline. Map-only; ratios via
+    // identical double expression trees on both engines.
+    "quality_filter" -> ((s, d) => {
+      val words = split(col("text"), " ")
+      val nWords = size(words).cast("bigint")
+      val nShort = expr("size(filter(split(text, ' '), w -> length(w) <= 2))").cast("bigint")
+      val alpha = length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double")
+      val shortR = (nShort.cast("double") / nWords.cast("double")).cast(DecimalType(18, 6))
+      val alphaR = (alpha / length(col("text")).cast("double")).cast(DecimalType(18, 6))
+      val avgW = ((length(col("text")).cast("double")
+        - (nWords.cast("double") - 1)) / nWords.cast("double")).cast(DecimalType(18, 6))
+      load(s, d, "documents")
+        .select(col("doc_id"), nWords.as("n_words"),
+          shortR.as("short_ratio"), alphaR.as("alpha_ratio"), avgW.as("avg_wlen"),
+          (nWords >= 5 && alphaR.cast("double") >= 0.5 && shortR.cast("double") <= 0.5)
+            .as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // L8: near-dup CLUSTERS — connected components (min-label
+    // propagation) over the blocked n-gram-Jaccard pair graph; the
+    // step that turns pairwise candidates into dedup groups with one
+    // survivor each.
+    "dedup_cluster" -> ((s, d) => {
+      val docs = load(s, d, "documents")
+      val pairs = GraftOps.ngramJaccardPairs(docs, "doc_id", "text", minJaccard = 0.8)
+      GraftOps.connectedComponents(docs, "doc_id", pairs, "a_id", "b_id")
+        .select(col("id").as("doc_id"), col("cluster"))
+        .orderBy("doc_id")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "sessionize_batch" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ep_us
+        |           FROM events),
+        |     f AS (SELECT *, CASE WHEN lag(ep_us) OVER w IS NULL
+        |                OR ep_us - lag(ep_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ep_us, event_id)),
+        |     g AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ep_us, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess
+        |           FROM f)
+        | SELECT user_id, sess, count(*) AS n, min(ep_us) AS s_start_us,
+        |        max(ep_us) AS s_end_us, max(ep_us) - min(ep_us) AS dur_us
+        | FROM g GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin,
+    "timeseries_gapfill" ->
+      """WITH e AS (SELECT user_id,
+        |             CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000) AS BIGINT) AS hr
+        |           FROM events),
+        |     c AS (SELECT user_id, hr, count(*) AS n FROM e GROUP BY user_id, hr),
+        |     r AS (SELECT user_id, min(hr) AS h0, max(hr) AS h1 FROM e GROUP BY user_id),
+        |     g AS (SELECT user_id, unnest(generate_series(h0, h1)) AS hr FROM r)
+        | SELECT g.user_id, g.hr, coalesce(c.n, 0) AS n
+        | FROM g LEFT JOIN c ON g.user_id = c.user_id AND g.hr = c.hr
+        | ORDER BY g.user_id, g.hr""".stripMargin,
+    "sample_stratified" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rn
+        |  FROM orders) t
+        | WHERE rn <= 100 ORDER BY o_orderstatus, rn""".stripMargin,
+    "agg_stats" ->
+      """WITH sums AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        | SELECT l_returnflag, n,
+        |  CAST(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS DECIMAL(18,6)) AS mean_qty,
+        |  CAST((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) - 1) AS DECIMAL(18,6)) AS var_qty,
+        |  CAST(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) - 1)) AS DECIMAL(18,6)) AS std_qty,
+        |  CAST((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    AS DECIMAL(18,6)) AS corr_qp
+        | FROM sums ORDER BY l_returnflag""".stripMargin,
+    "win_value" ->
+      """SELECT o_orderkey, o_custkey,
+        |  nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_id,
+        |  lag(o_totalprice, 1, -1.0) OVER w AS prev_price,
+        |  max(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_max
+        | FROM orders
+        | WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+        | ORDER BY o_orderkey""".stripMargin,
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |       ' +', ' ', 'g')) AS norm_text,
+        |  CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |       ' +', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+        | FROM documents ORDER BY doc_id""".stripMargin,
+    "quality_filter" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> length(w) <= 2)) AS BIGINT) AS n_short,
+        |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS n_alpha,
+        |    CAST(length(text) AS DOUBLE) AS n_chars
+        |  FROM documents)
+        | SELECT doc_id, n_words,
+        |  CAST(CAST(n_short AS DOUBLE) / CAST(n_words AS DOUBLE) AS DECIMAL(18,6)) AS short_ratio,
+        |  CAST(n_alpha / n_chars AS DECIMAL(18,6)) AS alpha_ratio,
+        |  CAST((n_chars - (CAST(n_words AS DOUBLE) - 1)) / CAST(n_words AS DOUBLE) AS DECIMAL(18,6)) AS avg_wlen,
+        |  (n_words >= 5 AND CAST(CAST(n_alpha / n_chars AS DECIMAL(18,6)) AS DOUBLE) >= 0.5
+        |   AND CAST(CAST(CAST(n_short AS DOUBLE) / CAST(n_words AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) <= 0.5) AS keep
+        | FROM q ORDER BY doc_id""".stripMargin,
+    "dedup_cluster" ->
+      """WITH RECURSIVE
+        | docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        | sh AS (SELECT doc_id,
+        |     list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+        |       i -> array_to_string(w[i:i+2], ' '))) AS shingles,
+        |     array_to_string(w[1:2], ' ') AS blk
+        |   FROM docs),
+        | pairs AS (
+        |   SELECT a.doc_id AS a, b.doc_id AS b
+        |   FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |   WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |       / len(list_distinct(a.shingles || b.shingles)) >= 0.8),
+        | sym AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+        | reach(s, t) AS (SELECT doc_id, doc_id FROM documents
+        |   UNION SELECT r.s, sym.b FROM reach r JOIN sym ON r.t = sym.a)
+        | SELECT s AS doc_id, min(t) AS cluster FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -68,6 +68,19 @@ object ScanQueries {
         .orderBy("o_orderkey")
     }),
 
+    // ORC sink + source round-trip — the second columnar format a
+    // lakehouse deployment meets (schema + types survive natively, no
+    // explicit read schema needed). Exempt (DuckDB reads no ORC);
+    // round-trip equality asserted in FixtureSpec.
+    "scan_orc_roundtrip" -> ((s, d) => {
+      val df = load(s, d, "part")
+        .filter(col("p_partkey") % 10 === 0)
+        .select("p_partkey", "p_name", "p_brand", "p_size", "p_retailprice")
+      val dir = tmpDir("graft_orc")
+      df.write.mode("overwrite").orc(dir)
+      s.read.orc(dir).orderBy("p_partkey")
+    }),
+
     // A7: deterministic single-file parquet sink (the Verify path
     // itself): sorted coalesce(1) write preserves global order because
     // coalesce merges range partitions in partition-index order.

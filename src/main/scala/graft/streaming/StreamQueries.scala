@@ -213,6 +213,31 @@ object StreamQueries {
       }
     }),
 
+    // Stream-STREAM inner join: each purchase joined to same-user
+    // errors in the preceding 30 minutes. Both sides carry watermarks
+    // and the join condition carries the event-time range, so state on
+    // each side is bounded — the only formulation that survives an
+    // unbounded 100 TB replay. Deterministic output set (AvailableNow
+    // drains both sides fully).
+    "stream_stream_join" -> ((s, d) => {
+      val (sdf, _, _) = eventStream(s, d)
+      val purchases = sdf.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("p_id"))
+        .withWatermark("p_ts", "1 hour")
+      val errors = sdf.filter(col("event_type") === "error")
+        .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+          col("event_id").as("e_id"))
+        .withWatermark("e_ts", "1 hour")
+      val joined = purchases.join(errors,
+        col("p_user") === col("e_user")
+          && col("e_ts") <= col("p_ts")
+          && col("e_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
+      runToMemory(s, joined, "append")
+        .select(col("p_user").as("user_id"), col("p_id"), col("e_id"))
+        .orderBy("user_id", "p_id", "e_id")
+    }),
+
     // I7: stream-static join — events stream enriched with the
     // customer dimension (no watermark needed on the static side).
     "stream_join" -> ((s, d) => {
