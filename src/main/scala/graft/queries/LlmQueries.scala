@@ -36,8 +36,13 @@ object LlmQueries {
       emb: org.apache.spark.sql.DataFrame,
       cent: org.apache.spark.sql.DataFrame): String =
     ivfIndexCache.computeIfAbsent(sfDir, _ => {
+      // fingerprint the source file (size + mtime) into the path so a
+      // regenerated corpus can never silently serve a stale index
+      val src = java.nio.file.Paths.get(sfDir, "embeddings.parquet")
+      val fp = s"${java.nio.file.Files.size(src)}_" +
+        s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
       val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-        s"graft_ivf_${Integer.toHexString(sfDir.hashCode)}").toString
+        s"graft_ivf_${Integer.toHexString((sfDir + fp).hashCode)}").toString
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")))
         GraftOps.ivfIndexBuild(emb, "vec_id", "embedding", cent, path)
       path
