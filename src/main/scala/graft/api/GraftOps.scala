@@ -270,6 +270,27 @@ object GraftOps {
       .select("q_id", "c_id", "cos_sim", "rn")
   }
 
+  /** Skew-resistant equi-join: the fact side is salted into `numSalts`
+    * deterministic shards (hash of the whole row — splits a hot KEY's
+    * rows even though the key itself is constant), the dim side is
+    * replicated once per shard, and the join runs on (key, salt). A
+    * single hot key's rows land in `numSalts` parallel tasks instead of
+    * one straggler. Result set is identical to the plain equi-join
+    * (each fact row meets each matching dim row exactly once — at its
+    * own salt). Use when the dim side is too big to broadcast and the
+    * fact key is skewed; AQE's skew-join split is the automatic cousin,
+    * this is the explicit, partitioning-stable form.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, numSalts: Int = 16): DataFrame = {
+    val sf = fact.withColumn("__salt",
+      pmod(hash(fact.columns.map(col).toIndexedSeq: _*), lit(numSalts)))
+    val sd = dim.withColumn("__salt",
+      explode(expr(s"sequence(0, ${numSalts - 1})")))
+    sf.join(sd, sf(factKey) === sd(dimKey) && sf("__salt") === sd("__salt"))
+      .drop("__salt")
+  }
+
   /** Gap-based sessionization: assigns each row a per-key session
     * index (1-based, in (`tsMicrosCol`, `idCol`) order) that increments
     * whenever the gap to the previous row exceeds `gapMicros`. One

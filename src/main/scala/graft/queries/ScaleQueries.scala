@@ -44,6 +44,41 @@ object ScaleQueries {
         .orderBy("l_orderkey")
     }),
 
+    // Skew-salted shuffle join: lineitem's hot order keys are split
+    // across 8 salt shards, orders replicated per shard (broadcast
+    // disabled via hint so the SALTED SHUFFLE path is what's
+    // exercised). Oracle = the plain join — salting must be invisible
+    // in the result.
+    "join_salted" -> ((s, d) => {
+      val li = load(s, d, "lineitem").select("l_orderkey", "l_quantity")
+      val o = load(s, d, "orders").select("o_orderkey", "o_totalprice")
+        .hint("shuffle_hash")
+      graft.api.GraftOps.saltedJoin(li, o, "l_orderkey", "o_orderkey", numSalts = 8)
+        .groupBy("l_orderkey")
+        .agg(sum(dec(col("l_quantity"))).cast(DecimalType(38, 2)).as("qty"),
+          max(col("o_totalprice")).as("price"))
+        .orderBy("l_orderkey")
+    }),
+
+    // Hive-style partitioned parquet sink + pruned read-back: the
+    // standard lake layout (partition column becomes the directory
+    // key); the read applies a partition filter so only one
+    // directory's files are touched. Exempt (sink); PlanShapeSpec
+    // asserts the PartitionFilters pruning.
+    "sink_partitioned" -> ((s, d) => {
+      val dir = sinkPartDir.computeIfAbsent(d, _ => {
+        val out = java.nio.file.Files.createTempDirectory("graft_part_sink").toString
+        load(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+          .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+        out
+      })
+      s.read.parquet(dir)
+        .filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .orderBy("o_orderkey")
+    }),
+
     "agg_salted" -> ((s, d) => {
       val salts = 8
       load(s, d, "lineitem")
@@ -60,6 +95,9 @@ object ScaleQueries {
     }),
   )
 
+  private val sinkPartDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def dropBucketTable(s: org.apache.spark.sql.SparkSession, name: String): Unit = {
     s.sql(s"DROP TABLE IF EXISTS $name")
     val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
@@ -75,6 +113,16 @@ object ScaleQueries {
         | max(o_totalprice) AS price
         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         | GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "join_salted" ->
+      """SELECT l_orderkey,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty,
+        | max(o_totalprice) AS price
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "sink_partitioned" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        | FROM orders WHERE o_orderstatus = 'F'
+        | ORDER BY o_orderkey""".stripMargin,
     "agg_salted" ->
       """SELECT l_returnflag,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,

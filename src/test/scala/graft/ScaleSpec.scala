@@ -43,6 +43,23 @@ class ScaleSpec extends GraftSpec {
     assert(rows.toSeq === direct.collect().toSeq)
   }
 
+  test("join_salted runs as a salted shuffle join, not broadcast") {
+    val df = q("join_salted")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      s"expected a shuffle join:\n${plan.take(2000)}")
+    assert(plan.contains("__salt"), "join keys do not include the salt shard")
+  }
+
+  test("sink_partitioned read-back prunes to the filtered partition") {
+    val df = q("sink_partitioned")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("o_orderstatus"),
+      s"partition pruning missing:\n${plan.take(2000)}")
+  }
+
   test("agg_salted equals the direct group-by bit-for-bit") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.DecimalType
