@@ -124,6 +124,22 @@ object AggQueries {
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
 
+    // Mergeable HLL sketches (Apache DataSketches): per-month partial
+    // sketches unioned into a per-flag estimate — THE 100 TB distinct-
+    // count pattern (store tiny sketches per partition/day, merge at
+    // query time; never re-scan raw data). Approx ⇒ no oracle;
+    // bound-tested against the exact distinct count.
+    "agg_sketch" -> ((s, d) =>
+      load(s, d, "lineitem")
+        .withColumn("mo", date_trunc("month", col("l_shipdate")).cast("date"))
+        .groupBy("l_returnflag", "mo")
+        .agg(expr("hll_sketch_agg(l_partkey, 12)").as("sk"))
+        .groupBy("l_returnflag")
+        .agg(
+          expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("approx_parts"),
+          count(lit(1)).as("n_sketches"))
+        .orderBy("l_returnflag")),
+
     // D9: collect_list/collect_set, sorted for determinism.
     "agg_collect" -> ((s, d) =>
       load(s, d, "orders")

@@ -134,6 +134,21 @@ object ScalarFnQueries {
         "CAST(bit_count(o_orderkey) AS INT) AS k_bits")
         .orderBy("o_orderkey")),
 
+    // Binary/encoding family: base64 round-trip, hex, ascii codes,
+    // reverse/repeat/position (both engines emit uppercase hex and
+    // identical base64 of the UTF-8 bytes).
+    "fn_binary" -> ((s, d) =>
+      load(s, d, "customer").select(
+        col("c_custkey"),
+        base64(col("c_name").cast("binary")).as("b64"),
+        expr("decode(unbase64(base64(cast(c_name as binary))), 'UTF-8')").as("rt"),
+        hex(col("c_name").cast("binary")).as("hx"),
+        ascii(substring(col("c_name"), 1, 1)).cast("int").as("first_code"),
+        reverse(col("c_mktsegment")).as("rev_seg"),
+        expr("repeat(c_mktsegment, 2)").as("rep_seg"),
+        instr(col("c_name"), "er").cast("bigint").as("pos_er"))
+        .orderBy("c_custkey")),
+
     // H8: null-handling conditionals over orders.
     "fn_conditional" -> ((s, d) => {
       val st = expr("nullif(o_orderstatus, 'P')")
@@ -221,6 +236,16 @@ object ScalarFnQueries {
         | o_orderkey >> 3 AS k_shr,
         | CAST(bit_count(o_orderkey) AS INTEGER) AS k_bits
         | FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_binary" ->
+      """SELECT c_custkey,
+        | base64(encode(c_name)) AS b64,
+        | decode(from_base64(base64(encode(c_name)))) AS rt,
+        | hex(c_name) AS hx,
+        | CAST(ascii(substring(c_name, 1, 1)) AS INTEGER) AS first_code,
+        | reverse(c_mktsegment) AS rev_seg,
+        | repeat(c_mktsegment, 2) AS rep_seg,
+        | CAST(strpos(c_name, 'er') AS BIGINT) AS pos_er
+        | FROM customer ORDER BY c_custkey""".stripMargin,
     "fn_conditional" ->
       """SELECT o_orderkey,
         | nullif(o_orderstatus, 'P') AS st,

@@ -238,6 +238,26 @@ object StreamQueries {
         .orderBy("user_id", "p_id", "e_id")
     }),
 
+    // foreachBatch sink — the production pattern for sinks Structured
+    // Streaming has no native writer for (upserts, JDBC, multi-table):
+    // each micro-batch lands as an idempotent-by-batch-id parquet
+    // append. Batch BOUNDARIES vary with scheduling but the final row
+    // SET is deterministic; output sorted for the dump.
+    "stream_foreachbatch" -> ((s, d) => {
+      val (sdf, _, _) = eventStream(s, d)
+      val outDir = tmp("graft_feb")
+      val q = sdf.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "value")
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", tmp("graft_ckpt"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(outDir).orderBy("event_id")
+    }),
+
     // I7: stream-static join — events stream enriched with the
     // customer dimension (no watermark needed on the static side).
     "stream_join" -> ((s, d) => {

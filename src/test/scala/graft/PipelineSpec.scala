@@ -64,6 +64,27 @@ class PipelineSpec extends GraftSpec {
     assert(perGroup.forall(_ <= 100))
   }
 
+  test("agg_sketch estimates land within 15% of the exact distinct count") {
+    val approx = q("agg_sketch").collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val exact = Tables.load(spark, sf, "lineitem")
+      .groupBy("l_returnflag").agg(countDistinct(col("l_partkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (flag, n) =>
+      val est = approx(flag)
+      assert(math.abs(est - n) / n <= 0.15, s"$flag: est $est vs exact $n")
+    }
+  }
+
+  test("stream_foreachbatch sink holds exactly the batch-filtered rows") {
+    val streamed = q("stream_foreachbatch")
+      .select("event_id", "user_id", "value").orderBy("event_id")
+    val batch = Tables.load(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "value").orderBy("event_id")
+    assert(streamed.collect().toSeq === batch.collect().toSeq)
+  }
+
   test("quality_filter ratios are bounded and keep is consistent") {
     val rows = q("quality_filter").collect()
     rows.foreach { r =>
