@@ -35,5 +35,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getCanonicalName, "simhash64"),
       (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    // The HOF dot-product spelling fuses into the codegen'd expression
+    // for every session on the cluster — see plans.DotProductFusion.
+    e.injectOptimizerRule(_ => graft.plans.DotProductFusion)
   }
 }

@@ -18,8 +18,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * multiply) matches the HOF formulation and DuckDB's
   * list_cosine_similarity loop, so 6-dp-rounded results are unchanged.
   *
-  * Null array elements are not expected (the embeddings table is
-  * dense); element nulls would read as 0f via ArrayData.getFloat.
+  * Null semantics mirror the HOF formulation EXACTLY (so
+  * [[graft.plans.DotProductFusion]] is a pure optimization): length
+  * mismatch → zip_with pads with null → sum is null; any null element
+  * → null. Dense same-length arrays (the embeddings case) never hit
+  * either branch.
   */
 case class ArrayFloatDot(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -40,13 +43,17 @@ case class ArrayFloatDot(left: Expression, right: Expression) extends BinaryExpr
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -59,12 +66,17 @@ case class ArrayFloatDot(left: Expression, right: Expression) extends BinaryExpr
       val n = ctx.freshName("n")
       val s = ctx.freshName("sum")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

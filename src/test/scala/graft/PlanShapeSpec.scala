@@ -62,4 +62,37 @@ class PlanShapeSpec extends GraftSpec {
     // partial + final pair = map-side combine before the exchange
     assert("HashAggregate".r.findAllIn(plan).size >= 2)
   }
+
+  test("DotProductFusion fuses the HOF dot product into array_dot") {
+    import org.apache.spark.sql.functions._
+    spark.experimental.extraOptimizations = Seq(graft.plans.DotProductFusion)
+    try {
+      val hof = Tables.load(spark, sf, "embeddings")
+        .select(col("vec_id"), col("embedding").as("q"), col("embedding").as("c"))
+        .selectExpr("vec_id",
+          "aggregate(zip_with(q, c, (x, y) -> double(x) * double(y)), 0D, (acc, v) -> acc + v) AS dot")
+        .orderBy("vec_id")
+      assert(hof.queryExecution.optimizedPlan.toString.contains("array_dot"),
+        s"HOF not fused:\n${hof.queryExecution.optimizedPlan.toString.take(1500)}")
+      graft.functions.GraftFunctions.register(spark)
+      val direct = Tables.load(spark, sf, "embeddings")
+        .selectExpr("vec_id", "array_dot(embedding, embedding) AS dot")
+        .orderBy("vec_id")
+      assert(hof.collect().toSeq === direct.collect().toSeq)
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+
+  test("array_dot null semantics mirror the HOF (length mismatch / null element)") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        | array_dot(array(cast(1 as float), cast(2 as float)), array(cast(3 as float))) AS mismatch,
+        | array_dot(array(cast(1 as float), cast(null as float)), array(cast(3 as float), cast(4 as float))) AS withnull,
+        | array_dot(array(cast(2 as float)), array(cast(3 as float))) AS ok
+        |""".stripMargin).head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    assert(r.getDouble(2) === 6.0)
+  }
 }
