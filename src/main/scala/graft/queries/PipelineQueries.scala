@@ -139,6 +139,50 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // L11: funnel analysis — earliest view→click→purchase chain per
+    // user, rolled into step conversion counts. Three Window passes
+    // over ONE user_id shuffle (each step's cutoff references the
+    // previous step's window result), then a global conditional
+    // count-distinct. Order-free aggregation ⇒ deterministic.
+    "funnel_steps" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+      load(s, d, "events")
+        .withColumn("ep", expr("unix_micros(cast(ts as timestamp))"))
+        .withColumn("t_view",
+          min(when(col("event_type") === "view", col("ep"))).over(w))
+        .withColumn("t_click",
+          min(when(col("event_type") === "click" && col("ep") > col("t_view"),
+            col("ep"))).over(w))
+        .withColumn("t_buy",
+          min(when(col("event_type") === "purchase" && col("ep") > col("t_click"),
+            col("ep"))).over(w))
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          countDistinct(when(col("t_view").isNotNull, col("user_id"))).as("n_view"),
+          countDistinct(when(col("t_click").isNotNull, col("user_id"))).as("n_click"),
+          countDistinct(when(col("t_buy").isNotNull, col("user_id"))).as("n_buy"))
+    }),
+
+    // L12: cohort retention — users bucketed by epoch-week of their
+    // first signup; distinct active users per (cohort week, weeks
+    // since). Two keyed aggregations + one join on user_id.
+    "cohort_retention" -> ((s, d) => {
+      val wkUs = 604800000000L
+      val ev = load(s, d, "events")
+        .withColumn("ep", expr("unix_micros(cast(ts as timestamp))"))
+      val cohort = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ep")).as("signup_ep"))
+        .withColumn("cohort_wk", floor(col("signup_ep") / wkUs).cast("bigint"))
+        .select("user_id", "cohort_wk")
+      ev.join(cohort, "user_id")
+        .withColumn("wk_since",
+          (floor(col("ep") / wkUs).cast("bigint") - col("cohort_wk")).cast("bigint"))
+        .filter(col("wk_since") >= 0)
+        .groupBy("cohort_wk", "wk_since")
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy("cohort_wk", "wk_since")
+    }),
+
     // L8: near-dup CLUSTERS — connected components (min-label
     // propagation) over the blocked n-gram-Jaccard pair graph; the
     // step that turns pairwise candidates into dedup groups with one
@@ -236,6 +280,32 @@ object PipelineQueries {
         |  (n_words >= 5 AND CAST(CAST(n_alpha / n_chars AS DECIMAL(18,6)) AS DOUBLE) >= 0.5
         |   AND CAST(CAST(CAST(n_short AS DOUBLE) / CAST(n_words AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) <= 0.5) AS keep
         | FROM q ORDER BY doc_id""".stripMargin,
+    "funnel_steps" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ep
+        |           FROM events),
+        |     s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ep END)
+        |              OVER (PARTITION BY user_id) AS t_view FROM e),
+        |     s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ep > t_view THEN ep END)
+        |              OVER (PARTITION BY user_id) AS t_click FROM s1),
+        |     s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ep > t_click THEN ep END)
+        |              OVER (PARTITION BY user_id) AS t_buy FROM s2)
+        | SELECT count(DISTINCT user_id) AS n_users,
+        |   count(DISTINCT CASE WHEN t_view IS NOT NULL THEN user_id END) AS n_view,
+        |   count(DISTINCT CASE WHEN t_click IS NOT NULL THEN user_id END) AS n_click,
+        |   count(DISTINCT CASE WHEN t_buy IS NOT NULL THEN user_id END) AS n_buy
+        | FROM s3""".stripMargin,
+    "cohort_retention" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ep
+        |           FROM events),
+        |     cohort AS (SELECT user_id,
+        |         CAST(floor(min(ep) / 604800000000) AS BIGINT) AS cohort_wk
+        |       FROM e WHERE event_type = 'signup' GROUP BY user_id)
+        | SELECT cohort_wk,
+        |   CAST(CAST(floor(ep / 604800000000) AS BIGINT) - cohort_wk AS BIGINT) AS wk_since,
+        |   count(DISTINCT e.user_id) AS n_active
+        | FROM e JOIN cohort ON e.user_id = cohort.user_id
+        | WHERE CAST(floor(ep / 604800000000) AS BIGINT) - cohort_wk >= 0
+        | GROUP BY cohort_wk, wk_since ORDER BY cohort_wk, wk_since""".stripMargin,
     "dedup_cluster" ->
       """WITH RECURSIVE
         | docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
