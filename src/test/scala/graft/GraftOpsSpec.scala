@@ -38,6 +38,58 @@ class GraftOpsSpec extends GraftSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+
+  test("sessionize on custom column names splits at the gap") {
+    val log = Seq(
+      (1L, 100L, 1L), (1L, 200L, 2L), (1L, 2000L, 3L),
+      (2L, 50L, 4L)
+    ).toDF("who", "at_us", "rid")
+    val out = GraftOps.sessionize(log, "who", "at_us", "rid", gapMicros = 1000L)
+      .orderBy("who", "at_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(out.toSeq === Seq((1L, 100L, 1L), (1L, 200L, 1L), (1L, 2000L, 2L), (2L, 50L, 1L)))
+  }
+
+  test("stratifiedSample on custom column names caps each stratum") {
+    val df = (1L to 100L).map(i => (i, if (i % 2 == 0) "even" else "odd"))
+      .toDF("key", "grp")
+    val out = GraftOps.stratifiedSample(df, "grp", "key", n = 7).collect()
+    val byGrp = out.groupBy(_.getString(1)).map { case (g, rs) => g -> rs.length }
+    assert(byGrp === Map("even" -> 7, "odd" -> 7))
+    // deterministic across invocations
+    val again = GraftOps.stratifiedSample(df, "grp", "key", n = 7).collect()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
+  test("connectedComponents labels chains and singletons correctly") {
+    val vs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("node")
+    val es = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("u", "v")
+    val out = GraftOps.connectedComponents(vs, "node", es, "u", "v")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L), (6L, 5L)))
+  }
+
+  test("saltedJoin equals the plain join on custom column names") {
+    val fact = Seq((1L, 10.0), (1L, 20.0), (2L, 30.0)).toDF("fk", "x")
+    val dim = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("dk", "name")
+    val salted = GraftOps.saltedJoin(fact, dim, "fk", "dk", numSalts = 4)
+      .select("fk", "x", "name").orderBy("fk", "x").collect()
+    val plain = fact.join(dim, col("fk") === col("dk"))
+      .select("fk", "x", "name").orderBy("fk", "x").collect()
+    assert(salted.map(_.toSeq).toSeq === plain.map(_.toSeq).toSeq)
+  }
+
+  test("cosinePairsBlocked on custom column names matches brute force") {
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(-1.0f, 0.0f))
+    ).toDF("vid", "v")
+    val out = GraftOps.cosinePairsBlocked(vecs, "vid", "v", minCos = 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((1L, 2L)))
+  }
+
   test("asofLastMatch on custom column names") {
     val log = Seq(
       (10L, 1L, 1L, "view"), (11L, 1L, 2L, "buy"),
