@@ -62,4 +62,53 @@ class PropertySpec extends GraftSpec {
     val once = q("dedup_exact")
     assert(once.distinct().count() === once.count())
   }
+
+  test("cosinePairsBlocked is complete: equals brute force on random unit vectors") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    // 3 random corpora, including low dims where cells actually spread
+    Seq(2, 4, 8).foreach { dim =>
+      val vecs = (1L to 60L).map { id =>
+        val raw = Array.fill(dim)(rnd.nextGaussian().toFloat)
+        val n = math.sqrt(raw.map(x => x.toDouble * x).sum)
+        (id, raw.map(x => (x / n).toFloat))
+      }
+      val df = vecs.toDF("vid", "v")
+      val blocked = graft.api.GraftOps.cosinePairsBlocked(df, "vid", "v", minCos = 0.6)
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // brute force in Scala with the same double accumulation + 6dp rounding
+      val brute = (for {
+        (a, va) <- vecs; (b, vb) <- vecs if a < b
+        dot = va.zip(vb).map { case (x, y) => x.toDouble * y.toDouble }.sum
+        na = math.sqrt(va.map(x => x.toDouble * x).sum)
+        nb = math.sqrt(vb.map(x => x.toDouble * x).sum)
+        cos = BigDecimal(dot / (na * nb)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        if cos >= BigDecimal("0.6")
+      } yield (a, b)).toSet
+      assert(blocked === brute, s"dim=$dim: missing ${brute -- blocked}, extra ${blocked -- brute}")
+    }
+  }
+
+  test("sessionize session ids are dense, 1-based, monotone per key") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    (0 until 5).foreach { trial =>
+      val rows = (1L to 50L).map(i => (rnd.nextInt(3).toLong, rnd.nextInt(1000).toLong * 10L, i))
+      val out = graft.api.GraftOps.sessionize(rows.toDF("k", "t", "rid"), "k", "t", "rid", gapMicros = 500L)
+        .orderBy("k", "t", "rid").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      out.groupBy(_._1).foreach { case (_, grp) =>
+        val sess = grp.map(_._3)
+        assert(sess.head === 1L)
+        // dense + monotone: each id equals previous or previous+1
+        sess.sliding(2).foreach { case Array(a, b) => assert(b === a || b === a + 1); case _ => }
+        // gap rule: session increments exactly when gap > 500
+        grp.sliding(2).foreach {
+          case Array((_, t1, s1), (_, t2, s2)) =>
+            if (t2 - t1 > 500L) assert(s2 === s1 + 1) else assert(s2 === s1)
+          case _ =>
+        }
+      }
+    }
+  }
 }
