@@ -21,6 +21,7 @@ import graft.Tables.{dec, load}
 object JoinQueries {
 
   val queries: Map[String, Q] = Map(
+    "tpch_q3" -> q3,
     // C1: equi inner join, shuffle-hash pinned via hint on the build side.
     "join_inner_hash" -> ((s, d) => {
       val li = load(s, d, "lineitem")
@@ -130,7 +131,39 @@ object JoinQueries {
         .orderBy("event_id")),
   )
 
+  /** TPC-H Q3 shape (BASELINE.md's 3-way-join headline): selective dim
+    * filter → two hash joins → group-by → top-10. Catalyst broadcasts
+    * the filtered customer side; the revenue aggregate runs decimal-
+    * exact; the final top-10 is TakeOrderedAndProject (O(k) per task).
+    */
+  private def q3: Q = (s, d) => {
+    val c = load(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = load(s, d, "orders")
+      .filter(col("o_orderdate") < lit("1998-07-01").cast("timestamp"))
+    val l = load(s, d, "lineitem")
+      .filter(col("l_shipdate") > lit("1998-07-01").cast("timestamp"))
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(l("l_orderkey"), o("o_orderdate"), o("o_orderpriority"))
+      .agg(sum(dec(col("l_extendedprice"))
+          * (lit(1) - dec(col("l_discount"))).cast(DecimalType(4, 2)))
+        .cast(DecimalType(38, 4)).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate").asc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
   val oracle: Map[String, String] = Map(
+    "tpch_q3" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * CAST(1 - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(4,2))) AS DECIMAL(38,4)) AS revenue
+        | FROM customer, orders, lineitem
+        | WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |   AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+        |   AND l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
+        | GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        | ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+        | LIMIT 10""".stripMargin,
     "join_inner_hash" ->
       """SELECT l_orderkey, l_linenumber, o_custkey, o_orderstatus
         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
