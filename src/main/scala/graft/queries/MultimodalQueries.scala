@@ -59,6 +59,36 @@ object MultimodalQueries {
         .orderBy("media_id")
     }),
 
+    // Resize stage: stride-2 downsample of the payload through the
+    // same iterator-batch mapPartitions shape as decode — STUB for a
+    // real resampler; the fingerprint proves byte-exact plumbing.
+    "multimodal_resize" -> ((s, d) => {
+      import s.implicits._
+      media(s, d).select(col("media_id"), col("kind"), col("payload"))
+        .as[(Long, String, Array[Byte])]
+        .mapPartitions(_.map { case (id, kind, bytes) =>
+          (id, kind, resizeStub(bytes, 2))
+        }).toDF("media_id", "kind", "resized")
+        .select(col("media_id"), col("kind"),
+          length(col("resized")).cast("bigint").as("out_len"),
+          md5(col("resized")).as("out_md5"))
+        .orderBy("media_id")
+    }),
+
+    // Feature-extraction stage: fixed-width per-media feature vector
+    // (normalized nibble histogram — a DETERMINISTIC STUB standing in
+    // for a model embedding) ready to feed the §2.K similarity
+    // operators. Map-only, no shuffle, array<float> output.
+    "multimodal_features" -> ((s, d) => {
+      import s.implicits._
+      media(s, d).select(col("media_id"), col("kind"), col("payload"))
+        .as[(Long, String, Array[Byte])]
+        .mapPartitions(_.map { case (id, kind, bytes) =>
+          (id, kind, featureStub(bytes))
+        }).toDF("media_id", "kind", "feat")
+        .orderBy("media_id")
+    }),
+
     // Frame sampling: every 4th 16-byte "frame" of each video payload,
     // fingerprinted. Pure expressions (sequence + posexplode +
     // substring on binary) — no UDF, stays in codegen.
@@ -89,7 +119,35 @@ object MultimodalQueries {
     MediaFeatures(id, kind, w, h, bytes.length.toLong, mean)
   }
 
+  /** DETERMINISTIC RESIZE STUB — every `stride`-th byte. */
+  private[graft] def resizeStub(bytes: Array[Byte], stride: Int): Array[Byte] = {
+    val out = new Array[Byte]((bytes.length + stride - 1) / stride)
+    var i = 0
+    while (i < out.length) { out(i) = bytes(i * stride); i += 1 }
+    out
+  }
+
+  /** DETERMINISTIC FEATURE STUB — normalized 16-bin nibble histogram
+    * (stands in for a model embedding; same shape contract).
+    */
+  private[graft] def featureStub(bytes: Array[Byte]): Array[Float] = {
+    val h = new Array[Float](16)
+    bytes.foreach(b => h(b & 0x0f) += 1f)
+    val n = math.max(bytes.length, 1).toFloat
+    h.map(_ / n)
+  }
+
   val oracle: Map[String, String] = Map(
+    // ASCII payloads: byte stride-2 == char stride-2, so the resize
+    // fingerprint is SQL-expressible.
+    "multimodal_resize" ->
+      """SELECT doc_id AS media_id,
+        | CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        | CAST(length(array_to_string(list_transform(generate_series(1, length(text), 2),
+        |     i -> substring(text, i, 1)), '')) AS BIGINT) AS out_len,
+        | md5(array_to_string(list_transform(generate_series(1, length(text), 2),
+        |     i -> substring(text, i, 1)), '')) AS out_md5
+        | FROM documents ORDER BY media_id""".stripMargin,
     "multimodal_binary" ->
       """SELECT doc_id AS media_id,
         | CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

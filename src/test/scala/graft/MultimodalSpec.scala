@@ -46,4 +46,38 @@ class MultimodalSpec extends GraftSpec {
       assert(r.getString(3) === md)
     }
   }
+
+  test("multimodal_resize stride-2 fingerprint matches an independent recomputation") {
+    val byId = q("multimodal_resize").collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    val docs = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") <= 5L).select("doc_id", "text").collect()
+    docs.foreach { r =>
+      val bytes = r.getString(1).getBytes("UTF-8")
+      val resized = bytes.indices.collect { case i if i % 2 == 0 => bytes(i) }.toArray
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(resized).map("%02x".format(_)).mkString
+      val (len, got) = byId(r.getLong(0))
+      assert(len === resized.length.toLong)
+      assert(got === md)
+    }
+  }
+
+  test("multimodal_features is a normalized 16-bin nibble histogram") {
+    val rows = q("multimodal_features").filter(col("media_id") <= 5L).collect()
+    val docs = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") <= 5L).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val feat = r.getSeq[Float](2)
+      assert(feat.length === 16)
+      assert(math.abs(feat.sum - 1.0f) < 1e-4)
+      val bytes = docs(r.getLong(0)).getBytes("UTF-8")
+      val h = new Array[Float](16)
+      bytes.foreach(b => h(b & 0x0f) += 1f)
+      val expected = h.map(_ / bytes.length)
+      assert(feat.zip(expected).forall { case (a, b) => math.abs(a - b) < 1e-6 })
+    }
+  }
 }
