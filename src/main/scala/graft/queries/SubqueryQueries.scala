@@ -48,6 +48,12 @@ object SubqueryQueries {
       |   WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49.0)
       | ORDER BY o_orderkey""".stripMargin
 
+  private val subqNotExistsSql =
+    """SELECT c_custkey, c_name FROM customer c
+      | WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+      | ORDER BY c_custkey""".stripMargin
+
   private def viaSql(sql: String, tables: String*): Q = (s, d) => {
     tables.foreach(n => load(s, d, n).createOrReplaceTempView(n))
     s.sql(sql)
@@ -77,6 +83,9 @@ object SubqueryQueries {
     "subq_scalar" -> viaSql(subqScalarSql, "orders"),
     "subq_in" -> viaSql(subqInSql, "orders"),
     "subq_correlated" -> viaSql(subqCorrSql, "orders", "lineitem"),
+    // NOT EXISTS with a correlated residual predicate — Catalyst
+    // rewrites to a left-anti join with the condition pushed in.
+    "subq_not_exists" -> viaSql(subqNotExistsSql, "customer", "orders"),
   )
 
   val oracle: Map[String, String] = Map(
@@ -85,5 +94,6 @@ object SubqueryQueries {
     "subq_scalar" -> subqScalarSql,
     "subq_in" -> subqInSql,
     "subq_correlated" -> subqCorrSql,
+    "subq_not_exists" -> subqNotExistsSql,
   )
 }

@@ -95,4 +95,12 @@ class PlanShapeSpec extends GraftSpec {
     assert(r.isNullAt(0) && r.isNullAt(1))
     assert(r.getDouble(2) === 6.0)
   }
+
+  test("tpch_q3 broadcasts the filtered dims and top-10 is TakeOrderedAndProject") {
+    val df = q("tpch_q3")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+  }
 }
