@@ -270,6 +270,16 @@ object GraftOps {
       .select("q_id", "c_id", "cos_sim", "rn")
   }
 
+  /** MERGE/upsert semantics over immutable columnar storage (the
+    * copy-on-write lake pattern, pre-table-format): rows from `updates`
+    * win on key collision, unmatched `base` rows survive, new keys
+    * insert. One anti-join (the updates key set broadcasts when small)
+    * + a union — the rewrite batch a parquet lake runs per merge.
+    */
+  def upsert(base: DataFrame, updates: DataFrame, keyCol: String): DataFrame =
+    updates.unionByName(
+      base.join(updates.select(keyCol), Seq(keyCol), "left_anti"))
+
   /** Skew-resistant equi-join: the fact side is salted into `numSalts`
     * deterministic shards (hash of the whole row — splits a hot KEY's
     * rows even though the key itself is constant), the dim side is

@@ -183,6 +183,38 @@ object PipelineQueries {
         .orderBy("cohort_wk", "wk_since")
     }),
 
+    // L22: MERGE/upsert — simulated update batch (10% price bump on
+    // every 100th order) + inserts (re-keyed copies) merged into the
+    // base with updates-win semantics via GraftOps.upsert.
+    "dml_upsert" -> ((s, d) => {
+      val base = load(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      val updates = base.filter(col("o_orderkey") % 100 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+      val inserts = base.filter(col("o_orderkey") % 100 === 50)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      GraftOps.upsert(base, updates.unionByName(inserts), "o_orderkey")
+        .orderBy("o_orderkey")
+    }),
+
+    // L23: data-quality gate — violation counts (nulls, domain, FK
+    // orphans, duplicate keys) as one row; the assertion stage every
+    // ingestion pipeline runs before publishing a partition.
+    "dq_checks" -> ((s, d) => {
+      val li = load(s, d, "lineitem")
+      val o = load(s, d, "orders")
+      val basic = li.agg(
+        sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).cast("bigint").as("n_null_qty"),
+        sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L).otherwise(0L))
+          .cast("bigint").as("n_bad_domain"))
+      val orphans = li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      val dups = li.groupBy("l_orderkey", "l_linenumber").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .agg(coalesce(sum(col("n") - 1), lit(0L)).cast("bigint").as("n_dup_rows"))
+      basic.crossJoin(orphans).crossJoin(dups)
+    }),
+
     // L8: near-dup CLUSTERS — connected components (min-label
     // propagation) over the blocked n-gram-Jaccard pair graph; the
     // step that turns pairwise candidates into dedup groups with one
@@ -306,6 +338,26 @@ object PipelineQueries {
         | FROM e JOIN cohort ON e.user_id = cohort.user_id
         | WHERE CAST(floor(ep / 604800000000) AS BIGINT) - cohort_wk >= 0
         | GROUP BY cohort_wk, wk_since ORDER BY cohort_wk, wk_since""".stripMargin,
+    "dml_upsert" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders),
+        |     upd AS (SELECT o_orderkey, o_custkey, o_totalprice * 1.1 AS o_totalprice, o_orderstatus
+        |             FROM base WHERE o_orderkey % 100 = 0),
+        |     ins AS (SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |             FROM base WHERE o_orderkey % 100 = 50),
+        |     delta AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+        | SELECT * FROM delta
+        | UNION ALL
+        | SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
+        | ORDER BY o_orderkey""".stripMargin,
+    "dq_checks" ->
+      """SELECT
+        | (SELECT CAST(count(*) AS BIGINT) FROM lineitem WHERE l_quantity IS NULL) AS n_null_qty,
+        | (SELECT CAST(count(*) AS BIGINT) FROM lineitem WHERE l_returnflag NOT IN ('A','N','R')) AS n_bad_domain,
+        | (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        |    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans,
+        | (SELECT CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+        |    FROM (SELECT count(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber) t
+        |    WHERE n > 1) AS n_dup_rows""".stripMargin,
     "dedup_cluster" ->
       """WITH RECURSIVE
         | docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
