@@ -149,6 +149,19 @@ object ScalarFnQueries {
         instr(col("c_name"), "er").cast("bigint").as("pos_er"))
         .orderBy("c_custkey")),
 
+    // ANSI-safe error handling: try_divide / try_cast return null
+    // instead of failing the job — the semantics batch pipelines want
+    // for dirty data (DuckDB twin: /0 → NULL, TRY_CAST). Plus
+    // levenshtein edit distance (identical in both engines).
+    "fn_try" -> ((s, d) =>
+      load(s, d, "orders").select(
+        col("o_orderkey"),
+        expr("try_divide(o_totalprice, o_orderkey % 3)").as("div3"),
+        expr("try_cast(o_orderpriority AS INT)").as("pri_int"),
+        expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("pri_num"),
+        levenshtein(col("o_orderstatus"), lit("O")).cast("bigint").as("lev"))
+        .orderBy("o_orderkey")),
+
     // H8: null-handling conditionals over orders.
     "fn_conditional" -> ((s, d) => {
       val st = expr("nullif(o_orderstatus, 'P')")
@@ -246,6 +259,13 @@ object ScalarFnQueries {
         | repeat(c_mktsegment, 2) AS rep_seg,
         | CAST(strpos(c_name, 'er') AS BIGINT) AS pos_er
         | FROM customer ORDER BY c_custkey""".stripMargin,
+    "fn_try" ->
+      """SELECT o_orderkey,
+        | o_totalprice / (o_orderkey % 3) AS div3,
+        | TRY_CAST(o_orderpriority AS INTEGER) AS pri_int,
+        | TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS pri_num,
+        | CAST(levenshtein(o_orderstatus, 'O') AS BIGINT) AS lev
+        | FROM orders ORDER BY o_orderkey""".stripMargin,
     "fn_conditional" ->
       """SELECT o_orderkey,
         | nullif(o_orderstatus, 'P') AS st,

@@ -90,6 +90,14 @@ class GraftOpsSpec extends GraftSpec {
     assert(out === Set((1L, 2L)))
   }
 
+  test("upsert: updates win, survivors kept, inserts added") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val delta = Seq((2L, "B"), (9L, "Z")).toDF("k", "v")
+    val out = GraftOps.upsert(base, delta, "k").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq === Seq((1L, "a"), (2L, "B"), (3L, "c"), (9L, "Z")))
+  }
+
   test("asofLastMatch on custom column names") {
     val log = Seq(
       (10L, 1L, 1L, "view"), (11L, 1L, 2L, "buy"),
