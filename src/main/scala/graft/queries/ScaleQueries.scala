@@ -79,6 +79,25 @@ object ScaleQueries {
         .orderBy("o_orderkey")
     }),
 
+    // Small-file compaction: a deliberately over-partitioned write (64
+    // files for 15k rows — the classic streaming-ingest pathology) is
+    // compacted by a repartition rewrite to 4 right-sized files. At
+    // 100 TB this is the nightly maintenance job that keeps scan task
+    // counts sane; the test asserts the file counts, the oracle checks
+    // the data survived byte-exact.
+    "sink_compacted" -> ((s, d) => {
+      val dir = compactDir.computeIfAbsent(d, _ => {
+        val root = java.nio.file.Files.createTempDirectory("graft_compact").toString
+        val o = load(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        o.repartition(64).write.mode("overwrite").parquet(s"$root/small")
+        s.read.parquet(s"$root/small").repartition(4)
+          .write.mode("overwrite").parquet(s"$root/compact")
+        root
+      })
+      s.read.parquet(s"$dir/compact").orderBy("o_orderkey")
+    }),
+
     "agg_salted" -> ((s, d) => {
       val salts = 8
       load(s, d, "lineitem")
@@ -96,6 +115,9 @@ object ScaleQueries {
   )
 
   private val sinkPartDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] val compactDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def dropBucketTable(s: org.apache.spark.sql.SparkSession, name: String): Unit = {
@@ -123,6 +145,9 @@ object ScaleQueries {
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
         | FROM orders WHERE o_orderstatus = 'F'
         | ORDER BY o_orderkey""".stripMargin,
+    "sink_compacted" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        | FROM orders ORDER BY o_orderkey""".stripMargin,
     "agg_salted" ->
       """SELECT l_returnflag,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,

@@ -60,6 +60,15 @@ class ScaleSpec extends GraftSpec {
       s"partition pruning missing:\n${plan.take(2000)}")
   }
 
+  test("sink_compacted rewrites 64 small files into 4") {
+    q("sink_compacted").collect()
+    val root = graft.queries.ScaleQueries.compactDir.get(sf)
+    def parquets(p: String) =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquets(s"$root/small") === 64)
+    assert(parquets(s"$root/compact") === 4)
+  }
+
   test("agg_salted equals the direct group-by bit-for-bit") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.DecimalType
