@@ -54,6 +54,13 @@ object SubqueryQueries {
       |   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
       | ORDER BY c_custkey""".stripMargin
 
+  private val subqLateralSql =
+    """SELECT c_custkey, o_orderkey, o_totalprice
+      | FROM customer c, LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey
+      |   ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+      | ORDER BY c_custkey""".stripMargin
+
   private def viaSql(sql: String, tables: String*): Q = (s, d) => {
     tables.foreach(n => load(s, d, n).createOrReplaceTempView(n))
     s.sql(sql)
@@ -86,6 +93,10 @@ object SubqueryQueries {
     // NOT EXISTS with a correlated residual predicate — Catalyst
     // rewrites to a left-anti join with the condition pushed in.
     "subq_not_exists" -> viaSql(subqNotExistsSql, "customer", "orders"),
+    // LATERAL correlated derived table (top-1-per-row): Catalyst
+    // decorrelates the limit into a window/DomainJoin shape — no
+    // per-row subquery execution.
+    "subq_lateral" -> viaSql(subqLateralSql, "customer", "orders"),
   )
 
   val oracle: Map[String, String] = Map(
@@ -95,5 +106,6 @@ object SubqueryQueries {
     "subq_in" -> subqInSql,
     "subq_correlated" -> subqCorrSql,
     "subq_not_exists" -> subqNotExistsSql,
+    "subq_lateral" -> subqLateralSql,
   )
 }
