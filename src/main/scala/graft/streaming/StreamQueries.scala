@@ -66,13 +66,23 @@ object StreamQueries {
 
   /** Drain a streaming DF into a memory sink (AvailableNow) and return
     * the final table.
+    *
+    * Stateful-operator cost at this scale is dominated by per-partition
+    * state-store open/commit (one store per shuffle partition per
+    * stateful op), so the drain runs with a reduced shuffle-partition
+    * count — outputs are partition-count-invariant (pinned by the
+    * determinism probe); a real deployment sizes this to state volume.
     */
   private def runToMemory(s: SparkSession, sdf: DataFrame, mode: String): DataFrame = {
     val name = s"graft_sink_${sinkId.incrementAndGet()}"
-    val q = sdf.writeStream.outputMode(mode).format("memory").queryName(name)
-      .option("checkpointLocation", tmp("graft_ckpt"))
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = sdf.writeStream.outputMode(mode).format("memory").queryName(name)
+        .option("checkpointLocation", tmp("graft_ckpt"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
 
@@ -128,6 +138,8 @@ object StreamQueries {
         .groupBy(window(col("ts"), "1 day"))
         .agg(count(lit(1)).as("n"))
       val name = s"graft_sink_${sinkId.incrementAndGet()}"
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       val q = agg.writeStream.outputMode("append").format("memory").queryName(name)
         .option("checkpointLocation", tmp("graft_ckpt"))
         .start()
@@ -140,6 +152,7 @@ object StreamQueries {
         .coalesce(1).write.mode("append").parquet(s"$dir/in")
       q.processAllAvailable()
       q.stop()
+      s.conf.set("spark.sql.shuffle.partitions", prev)
       s.table(name)
         .select(col("window.start").cast("timestamp_ntz").as("w_start"), col("n"))
         .orderBy("w_start")
