@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.GraftOps
+
+/** Degenerate-input behavior of the public operators: empty frames,
+  * edgeless graphs, over-sized sample requests — the cases a library
+  * consumer hits first in production and a fixture-driven suite never
+  * exercises.
+  */
+class EdgeCaseSpec extends GraftSpec {
+
+  import spark.implicits._
+
+  private lazy val emptyDocs =
+    Seq.empty[(Long, String)].toDF("rid", "body")
+
+  test("exactDedup / ngramJaccardPairs / sessionize on empty input return empty") {
+    assert(GraftOps.exactDedup(emptyDocs, "rid", "body").count() === 0L)
+    assert(GraftOps.ngramJaccardPairs(emptyDocs, "rid", "body").count() === 0L)
+    val emptyEv = Seq.empty[(Long, Long, Long)].toDF("k", "t", "rid")
+    assert(GraftOps.sessionize(emptyEv, "k", "t", "rid", 100L).count() === 0L)
+  }
+
+  test("connectedComponents with no edges labels every vertex a singleton") {
+    val vs = Seq(3L, 7L, 9L).toDF("node")
+    val es = Seq.empty[(Long, Long)].toDF("u", "v")
+    val out = GraftOps.connectedComponents(vs, "node", es, "u", "v")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((3L, 3L), (7L, 7L), (9L, 9L)))
+  }
+
+  test("stratifiedSample with n larger than any stratum returns whole groups") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("key", "grp")
+    val out = GraftOps.stratifiedSample(df, "grp", "key", n = 100)
+    assert(out.count() === 3L)
+  }
+
+  test("cosinePairsBlocked on empty / single-row input returns no pairs") {
+    graft.functions.GraftFunctions.register(spark)
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vid", "v")
+    assert(GraftOps.cosinePairsBlocked(empty, "vid", "v", 0.5).count() === 0L)
+    val one = Seq((1L, Array(1.0f, 0.0f))).toDF("vid", "v")
+    assert(GraftOps.cosinePairsBlocked(one, "vid", "v", 0.5).count() === 0L)
+  }
+
+  test("upsert with an empty delta is identity; with an empty base is the delta") {
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val none = Seq.empty[(Long, String)].toDF("k", "v")
+    assert(GraftOps.upsert(base, none, "k").orderBy("k").collect().map(_.toSeq).toSeq
+      === base.orderBy("k").collect().map(_.toSeq).toSeq)
+    assert(GraftOps.upsert(none, base, "k").orderBy("k").collect().map(_.toSeq).toSeq
+      === base.orderBy("k").collect().map(_.toSeq).toSeq)
+  }
+
+  test("saltedJoin with no matching keys returns empty, not an error") {
+    val fact = Seq((1L, 10.0)).toDF("fk", "x")
+    val dim = Seq((9L, "z")).toDF("dk", "name")
+    assert(GraftOps.saltedJoin(fact, dim, "fk", "dk", 4).count() === 0L)
+  }
+
+  test("asofLastMatch with a never-true marker yields all nulls") {
+    val log = Seq((1L, 1L, 1L)).toDF("row_id", "who", "seq")
+    val out = GraftOps.asofLastMatch(log, "who", "seq", "row_id", lit(false), "m")
+    assert(out.filter(col("m").isNotNull).count() === 0L)
+  }
+}
