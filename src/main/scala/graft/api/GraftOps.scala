@@ -355,6 +355,7 @@ object GraftOps {
       .union(edges.select(col(bCol).as("__src"), col(aCol).as("__dst")))
       .persist()
     var labels = vertices.select(col(idCol).as("id"), col(idCol).as("cluster"))
+    var persisted: Option[DataFrame] = None
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -366,6 +367,10 @@ object GraftOps {
         .persist()
       changed = next.join(labels.withColumnRenamed("cluster", "__old"), "id")
         .filter(col("cluster") =!= col("__old")).count()
+      // the count above consumed the previous round's labels — release
+      // its cache now, or a deep graph leaks one cached frame per round
+      persisted.foreach(_.unpersist())
+      persisted = Some(next)
       labels = next
       i += 1
     }
