@@ -162,6 +162,28 @@ object ScalarFnQueries {
         levenshtein(col("o_orderstatus"), lit("O")).cast("bigint").as("lev"))
         .orderBy("o_orderkey")),
 
+    // Spark 4 VARIANT: semi-structured values parsed once, fields
+    // extracted with variant_get — the open-schema ingestion type
+    // (oracle twin reads the same fields through DuckDB's JSON).
+    "fn_variant" -> ((s, d) =>
+      load(s, d, "events").selectExpr(
+        "event_id",
+        "variant_get(parse_json(props), '$.k', 'int') AS k_int",
+        "variant_get(parse_json(props), '$.k', 'string') AS k_str",
+        "schema_of_variant(parse_json(props)) AS v_schema")
+        .orderBy("event_id")),
+
+    // Spark 4 collation support: case-insensitive comparison via
+    // COLLATE UTF8_LCASE (oracle twin lowers both sides — identical
+    // semantics for ASCII).
+    "fn_collate" -> ((s, d) =>
+      load(s, d, "customer").selectExpr(
+        "c_custkey",
+        "concat(upper(substring(c_mktsegment, 1, 1)), lower(substring(c_mktsegment, 2))) AS ic",
+        "(concat(upper(substring(c_mktsegment, 1, 1)), lower(substring(c_mktsegment, 2))) COLLATE UTF8_LCASE) = (c_mktsegment COLLATE UTF8_LCASE) AS eq_ci",
+        "c_mktsegment = concat(upper(substring(c_mktsegment, 1, 1)), lower(substring(c_mktsegment, 2))) AS eq_bin")
+        .orderBy("c_custkey")),
+
     // H8: null-handling conditionals over orders.
     "fn_conditional" -> ((s, d) => {
       val st = expr("nullif(o_orderstatus, 'P')")
@@ -258,6 +280,18 @@ object ScalarFnQueries {
         | reverse(c_mktsegment) AS rev_seg,
         | repeat(c_mktsegment, 2) AS rep_seg,
         | CAST(strpos(c_name, 'er') AS BIGINT) AS pos_er
+        | FROM customer ORDER BY c_custkey""".stripMargin,
+    "fn_variant" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+        | json_extract_string(props, '$.k') AS k_str,
+        | 'OBJECT<k: BIGINT>' AS v_schema
+        | FROM events ORDER BY event_id""".stripMargin,
+    "fn_collate" ->
+      """SELECT c_custkey,
+        | upper(substring(c_mktsegment, 1, 1)) || lower(substring(c_mktsegment, 2)) AS ic,
+        | lower(upper(substring(c_mktsegment, 1, 1)) || lower(substring(c_mktsegment, 2))) = lower(c_mktsegment) AS eq_ci,
+        | c_mktsegment = upper(substring(c_mktsegment, 1, 1)) || lower(substring(c_mktsegment, 2)) AS eq_bin
         | FROM customer ORDER BY c_custkey""".stripMargin,
     "fn_try" ->
       """SELECT o_orderkey,

@@ -61,6 +61,22 @@ object SubqueryQueries {
       |   ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
       | ORDER BY c_custkey""".stripMargin
 
+  // Recursive CTE (Spark 4's UnionLoop): a monthly date spine from the
+  // anchor to the domain end, left-joined to per-month order counts —
+  // the gap-free calendar every reporting pipeline needs. The spark
+  // text differs from the oracle only in the final NTZ cast (date
+  // literals are LTZ in Spark, naive in DuckDB).
+  private def recursiveBody(ntzCast: String): String =
+    s"""WITH RECURSIVE months(m) AS (
+       |  SELECT TIMESTAMP '1995-01-01 00:00:00'
+       |  UNION ALL SELECT m + INTERVAL 1 MONTH FROM months
+       |  WHERE m < TIMESTAMP '2001-08-01 00:00:00')
+       | SELECT $ntzCast AS m, CAST(coalesce(n, 0) AS BIGINT) AS n FROM months
+       | LEFT JOIN (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mo,
+       |              count(*) AS n FROM orders GROUP BY mo) c
+       |   ON months.m = c.mo
+       | ORDER BY m""".stripMargin
+
   private def viaSql(sql: String, tables: String*): Q = (s, d) => {
     tables.foreach(n => load(s, d, n).createOrReplaceTempView(n))
     s.sql(sql)
@@ -97,6 +113,7 @@ object SubqueryQueries {
     // decorrelates the limit into a window/DomainJoin shape — no
     // per-row subquery execution.
     "subq_lateral" -> viaSql(subqLateralSql, "customer", "orders"),
+    "subq_recursive" -> viaSql(recursiveBody("CAST(m AS TIMESTAMP_NTZ)"), "orders"),
   )
 
   val oracle: Map[String, String] = Map(
@@ -107,5 +124,6 @@ object SubqueryQueries {
     "subq_correlated" -> subqCorrSql,
     "subq_not_exists" -> subqNotExistsSql,
     "subq_lateral" -> subqLateralSql,
+    "subq_recursive" -> recursiveBody("m"),
   )
 }
