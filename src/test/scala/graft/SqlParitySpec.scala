@@ -17,7 +17,11 @@ class SqlParitySpec extends GraftSpec {
     // scan_events_ns's CAST(ts AS TIMESTAMP) exists to force DuckDB's
     // ns→µs truncation; on the Spark view ts is already µs NTZ and the
     // same cast shifts it to LTZ — deliberately dialect-specific.
-    val dialectSpecific = Set("scan_events_ns")
+    // subq_recursive differs the same way in reverse: the Spark text
+    // ends in CAST(m AS TIMESTAMP_NTZ) (a type DuckDB doesn't name),
+    // its oracle twin leaves m naive — running the oracle through
+    // spark.sql yields LTZ timestamps by design.
+    val dialectSpecific = Set("scan_events_ns", "subq_recursive")
     SparkEntry.oracleSql.toSeq.sortBy(_._1)
       .filterNot(kv => dialectSpecific(kv._1)).foreach { case (name, sql) =>
       val viaSql =
