@@ -140,6 +140,18 @@ object AggQueries {
           count(lit(1)).as("n_sketches"))
         .orderBy("l_returnflag")),
 
+    // Ordered string aggregation (Spark 4 listagg WITHIN GROUP ≡
+    // DuckDB string_agg ORDER BY): the reporting-layer concat with a
+    // deterministic element order.
+    "agg_listagg" -> ((s, d) => {
+      load(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT o_orderstatus,
+          | listagg(DISTINCT o_orderpriority, '|') WITHIN GROUP (ORDER BY o_orderpriority) AS prios,
+          | count(*) AS n
+          | FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
+
     // D9: collect_list/collect_set, sorted for determinism.
     "agg_collect" -> ((s, d) =>
       load(s, d, "orders")
@@ -216,6 +228,11 @@ object AggQueries {
         | CAST(quantile_cont(l_quantity, 0.95) AS DECIMAL(18,6)) AS p95,
         | count(*) AS n
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_listagg" ->
+      """SELECT o_orderstatus,
+        | string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority) AS prios,
+        | count(*) AS n
+        | FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // Collection outputs travel as compact JSON text (Canon dumps the
     // Spark side through to_json; DuckDB's to_json is byte-identical
     // for string/bigint lists).
