@@ -24,7 +24,7 @@ import org.apache.spark.sql.types._
 object Canon {
 
   private def needsCanon(dt: DataType): Boolean = dt match {
-    case _: DecimalType | _: ArrayType | _: MapType => true
+    case _: DecimalType | _: ArrayType | _: MapType | _: StructType => true
     case _ => false
   }
 
@@ -33,7 +33,12 @@ object Canon {
     else df.select(df.schema.fields.toIndexedSeq.map { f =>
       f.dataType match {
         case _: DecimalType => col(f.name).cast("double").as(f.name)
-        case _: ArrayType | _: MapType => to_json(col(f.name)).as(f.name)
+        // StructType joins ARRAY/MAP here: pyarrow reads a struct column
+        // as dicts the driver's row sorter can't order, exactly the way
+        // arrays crashed it in round 1. DuckDB twin where an oracle
+        // exists: to_json(struct_pack(...)) / CAST(... AS VARCHAR).
+        case _: ArrayType | _: MapType | _: StructType =>
+          to_json(col(f.name)).as(f.name)
         case _ => col(f.name)
       }
     }: _*)

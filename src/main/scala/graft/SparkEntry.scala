@@ -51,5 +51,6 @@ object SparkEntry {
       MultimodalQueries.oracle ++
       ScaleQueries.oracle ++
       SubqueryQueries.oracle ++
-      PipelineQueries.oracle
+      PipelineQueries.oracle ++
+      graft.streaming.StreamQueries.oracle
 }

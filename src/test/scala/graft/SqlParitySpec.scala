@@ -21,7 +21,13 @@ class SqlParitySpec extends GraftSpec {
     // ends in CAST(m AS TIMESTAMP_NTZ) (a type DuckDB doesn't name),
     // its oracle twin leaves m naive — running the oracle through
     // spark.sql yields LTZ timestamps by design.
-    val dialectSpecific = Set("scan_events_ns", "subq_recursive")
+    // The streaming twins below emit event-time columns: on the Spark
+    // views `ts` is already µs NTZ, so the twin's CAST(ts AS TIMESTAMP)
+    // (DuckDB's ns→µs truncation) shifts them to LTZ — same split as
+    // scan_events_ns. The id/count-only streaming twins stay in the
+    // shared dialect and ARE parity-checked.
+    val dialectSpecific = Set("scan_events_ns", "subq_recursive",
+      "stream_tumbling", "stream_sliding", "stream_session", "stream_late_drop")
     SparkEntry.oracleSql.toSeq.sortBy(_._1)
       .filterNot(kv => dialectSpecific(kv._1)).foreach { case (name, sql) =>
       val viaSql =
