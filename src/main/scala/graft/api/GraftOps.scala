@@ -351,30 +351,43 @@ object GraftOps {
     */
   def connectedComponents(vertices: DataFrame, idCol: String,
       edges: DataFrame, aCol: String, bCol: String, maxIter: Int = 20): DataFrame = {
+    // localCheckpoint (eager) rather than persist: the loop below
+    // re-embeds this frame's LOGICAL PLAN into every round's join, so
+    // a deep upstream lineage (e.g. edges fresh out of a blocked
+    // similarity join) grows the per-action plan string exponentially
+    // and can OOM the DRIVER building listener explain strings long
+    // before any executor struggles. Checkpointing truncates the plan
+    // to a scan of the materialized blocks; rounds stay O(1)-sized no
+    // matter what produced the edges. (Tradeoff vs persist: blocks
+    // are not recomputable on executor loss — the standard iterative-
+    // graph practice; use a reliable checkpoint dir for long jobs.)
     val sym = edges.select(col(aCol).as("__src"), col(bCol).as("__dst"))
       .union(edges.select(col(bCol).as("__src"), col(aCol).as("__dst")))
-      .persist()
+      .localCheckpoint(true)
     var labels = vertices.select(col(idCol).as("id"), col(idCol).as("cluster"))
-    var persisted: Option[DataFrame] = None
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
       val nbrMin = sym.join(labels, col("__dst") === col("id"))
         .groupBy("__src").agg(min(col("cluster")).as("__nlbl"))
+      // Per-round localCheckpoint, NOT persist: a persisted chain keeps
+      // the whole round-recursive plan alive, and InMemoryRelation
+      // rendering re-expands every previous round inside each action's
+      // listener explain string — ~round 15 of a long-diameter graph
+      // that string passes 2 GB and OOMs the driver. Checkpointing
+      // resets each round to a block scan: O(1) plan, any diameter.
       val next = labels.join(nbrMin, labels("id") === nbrMin("__src"), "left")
         .select(labels("id"),
           least(col("cluster"), coalesce(col("__nlbl"), col("cluster"))).as("cluster"))
-        .persist()
+        .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("cluster", "__old"), "id")
         .filter(col("cluster") =!= col("__old")).count()
-      // the count above consumed the previous round's labels — release
-      // its cache now, or a deep graph leaks one cached frame per round
-      persisted.foreach(_.unpersist())
-      persisted = Some(next)
       labels = next
       i += 1
     }
-    sym.unpersist()
+    // Checkpoint blocks (sym + superseded rounds) are label-frame-sized
+    // and freed by the ContextCleaner as references drop; explicit
+    // unpersist() is a CacheManager no-op for checkpointed data.
     labels
   }
 

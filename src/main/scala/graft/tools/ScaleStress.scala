@@ -17,10 +17,14 @@ import graft.api.GraftOps
   *  - connectedComponents: node-id offset per copy → N disjoint
   *    isomorphic graphs, same propagation-round count, N× rows/round.
   *  - cosinePairsBlocked: element ROTATION per copy — preserves norms
-  *    and within-copy pair structure, decorrelates cross-copy cosines
-  *    so the true pair set grows ~N×, not N²; grid-cell density still
-  *    grows N×, so candidate pairs per cell grow — the measured ratio
-  *    is the honest cost of a denser corpus at fixed cell width.
+  *    and within-copy pair structure while cross-copy cosines fall
+  *    back to the corpus's background similarity distribution. NOTE
+  *    (measured, sf0.1): this corpus has a CONSTANT background rate of
+  *    cos≥0.4 pairs (~0.05% of all pairs), so the TRUE OUTPUT grows
+  *    ~N² with corpus size — that is a property of the problem at a
+  *    loose threshold, not of the algorithm. The honest pass criterion
+  *    for this row is therefore runtime growth ≤ output growth
+  *    (time/output-pair flat or falling), not runtime ≈ N.
   *
   * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
   *          dev/run.sh graft.tools.ScaleStress [mult]
@@ -51,10 +55,34 @@ object ScaleStress {
   def run(spark: SparkSession, sfDir: String, mult: Int): Seq[(String, Long, Double, Long, Double)] = {
     val off = 100000000L // id offset stride between synthetic copies
 
-    def timeCount(df: DataFrame): (Long, Double) = {
+    // Times CONSTRUCTION + count: an eager operator (the
+    // connectedComponents loop checkpoints per round) does its work
+    // while the DataFrame is being built, so timing only a pre-built
+    // frame's count() would measure a cached scan. The 1x case is run
+    // once untimed first (JIT/codegen warmup) — without it the 1x
+    // timing absorbs first-touch compilation and the reported ratio
+    // flatters the Nx run.
+    def timeCount(build: () => DataFrame): (Long, Double) = {
+      build().count() // warm: JIT + codegen + shuffle-service touch
       val t0 = System.nanoTime()
-      val n = df.count()
+      val n = build().count()
       (n, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // Materialize each synthetic input to parquet and read it back
+    // before timing. Two reasons: (a) the timed run then measures the
+    // OPERATOR on on-disk input, exactly like every other bench entry,
+    // not the copy-generation arithmetic; (b) an iterative operator
+    // (connectedComponents) re-embeds its input's logical plan into
+    // every round — feeding it a 10-way union of blocked-join trees
+    // grows the plan string past 2 GB and OOMs the driver building the
+    // SQL-listener explain string. A scan plan keeps rounds O(1)-sized,
+    // which is also how a production pipeline would run it.
+    val scratch = java.nio.file.Files.createTempDirectory("graft_stress").toString
+    def materialize(df: DataFrame, name: String): DataFrame = {
+      val p = s"$scratch/$name"
+      df.write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
     }
 
     // --- sessionize over N× disjoint users -------------------------
@@ -69,30 +97,29 @@ object ScaleStress {
     def sess(df: DataFrame): DataFrame =
       GraftOps.sessionize(df, "user_id", "ep_us", "event_id", 1800L * 1000000L)
         .groupBy("user_id", "sess").agg(count(lit(1)).as("n"))
-    val (sr1, st1) = timeCount(sess(evCopies(1)))
-    val (srn, stn) = timeCount(sess(evCopies(mult)))
+    val ev1 = materialize(evCopies(1), "ev1")
+    val evN = materialize(evCopies(mult), "evN")
+    val (sr1, st1) = timeCount(() => sess(ev1))
+    val (srn, stn) = timeCount(() => sess(evN))
 
     // --- connected components over N disjoint copies of the
     //     embeddings similarity graph ------------------------------
     val emb = load(spark, sfDir, "embeddings")
-    val baseEdges = GraftOps.cosinePairsBlocked(emb, "vec_id", "embedding", minCos = 0.4)
-      .select(col("a_id"), col("b_id")).persist()
-    baseEdges.count() // materialize: edge DISCOVERY is the cosine row below
-    def ccCopies(n: Int): (DataFrame, DataFrame) = {
-      val vs = (0 until n).map(k =>
-        emb.select((col("vec_id") + lit(k * off)).as("id"))).reduce(_ union _)
-      val es = (0 until n).map(k => baseEdges.select(
+    val baseEdges = materialize(
+      GraftOps.cosinePairsBlocked(emb, "vec_id", "embedding", minCos = 0.4)
+        .select(col("a_id"), col("b_id")), "edges") // discovery timed in the cosine row below
+    def ccInputs(n: Int): (DataFrame, DataFrame) = (
+      materialize((0 until n).map(k =>
+        emb.select((col("vec_id") + lit(k * off)).as("id"))).reduce(_ union _), s"vs$n"),
+      materialize((0 until n).map(k => baseEdges.select(
         (col("a_id") + lit(k * off)).as("a_id"),
-        (col("b_id") + lit(k * off)).as("b_id"))).reduce(_ union _)
-      (vs, es)
-    }
-    def cc(n: Int): DataFrame = {
-      val (vs, es) = ccCopies(n)
-      GraftOps.connectedComponents(vs, "id", es, "a_id", "b_id")
-    }
-    val (cr1, ct1) = timeCount(cc(1))
-    val (crn, ctn) = timeCount(cc(mult))
-    baseEdges.unpersist()
+        (col("b_id") + lit(k * off)).as("b_id"))).reduce(_ union _), s"es$n"))
+    val (vs1, es1) = ccInputs(1)
+    val (vsN, esN) = ccInputs(mult)
+    val (cr1, ct1) = timeCount(() =>
+      GraftOps.connectedComponents(vs1, "id", es1, "a_id", "b_id"))
+    val (crn, ctn) = timeCount(() =>
+      GraftOps.connectedComponents(vsN, "id", esN, "a_id", "b_id"))
 
     // --- exact cosine pairs over an N×-denser corpus ----------------
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
@@ -105,8 +132,10 @@ object ScaleStress {
       }.reduce(_ union _)
     def cos(df: DataFrame): DataFrame =
       GraftOps.cosinePairsBlocked(df, "vec_id", "embedding", minCos = 0.4)
-    val (pr1, pt1) = timeCount(cos(rotCopies(1)))
-    val (prn, ptn) = timeCount(cos(rotCopies(mult)))
+    val rot1 = materialize(rotCopies(1), "rot1")
+    val rotN = materialize(rotCopies(mult), "rotN")
+    val (pr1, pt1) = timeCount(() => cos(rot1))
+    val (prn, ptn) = timeCount(() => cos(rotN))
 
     Seq(
       ("sessionize_batch", sr1, st1, srn, stn),

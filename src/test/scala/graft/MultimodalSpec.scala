@@ -70,14 +70,16 @@ class MultimodalSpec extends GraftSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val feat = r.getSeq[Float](2)
+      // the dump projection widens the float histogram to double
+      // (exact) for the oracle's JSON rendering — values unchanged
+      val feat = r.getSeq[Double](2)
       assert(feat.length === 16)
-      assert(math.abs(feat.sum - 1.0f) < 1e-4)
+      assert(math.abs(feat.sum - 1.0) < 1e-4)
       val bytes = docs(r.getLong(0)).getBytes("UTF-8")
       val h = new Array[Float](16)
       bytes.foreach(b => h(b & 0x0f) += 1f)
       val expected = h.map(_ / bytes.length)
-      assert(feat.zip(expected).forall { case (a, b) => math.abs(a - b) < 1e-6 })
+      assert(feat.zip(expected).forall { case (a, b) => math.abs(a - b.toDouble) < 1e-6 })
     }
   }
 }

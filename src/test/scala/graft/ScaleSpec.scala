@@ -80,6 +80,49 @@ class ScaleSpec extends GraftSpec {
     assert(q("agg_salted").collect().toSeq === direct.collect().toSeq)
   }
 
+  test("6x synthetic input grows runtimes near-linearly, never quadratically") {
+    // ScaleStress builds disjoint copies so the WORKLOAD is linear by
+    // construction (see its scaladoc); a quadratic operator regression
+    // (all-pairs join, per-round state pile-up) would show a ~36x time
+    // ratio at 6x input. The bound is generous (18x) because shared
+    // fixed overheads and JIT warmth bias the ratio DOWN — a pass means
+    // "not quadratic", the sf0.1 measurements in SCALE.md pin the
+    // actual growth factors.
+    val rs = graft.tools.ScaleStress.run(spark, "/root/testdata/sf0.01", mult = 6)
+    rs.foreach { case (op, r1, t1, rn, tn) =>
+      assert(rn >= 6 * r1,
+        s"$op: copies are not disjoint (rows $r1 -> $rn at 6x)")
+      val timeRatio = tn / math.max(t1, 0.2) // floor: sub-200ms base is all overhead
+      // cosinePairsBlocked's TRUE output grows ~quadratically on this
+      // corpus (constant background pair density — see ScaleStress
+      // scaladoc), so its bound is output-relative; for the others
+      // output grows exactly 6x and the bounds coincide.
+      val outRatio = rn.toDouble / math.max(r1, 1L)
+      assert(timeRatio < math.max(18.0, 2.0 * outRatio),
+        f"$op: runtime grew ${timeRatio}%.1fx at 6x input (output grew ${outRatio}%.1fx) — super-linear beyond output growth")
+    }
+  }
+
+  test("no unbounded driver-side collect anywhere in operator code") {
+    // The one allowed .collect() is ivfTopKFromIndex's probe-bucket-id
+    // pruning (metadata-sized: <= distinct probe buckets, same pattern
+    // as dynamic partition pruning). Anything else is a scale bug: a
+    // driver-side loop over data-sized results.
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    val hits = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .flatMap { p =>
+        // explicit UTF-8: the sbt test JVM may default to ASCII, and
+        // source comments contain non-ASCII glyphs
+        scala.io.Source.fromFile(p.toFile, "UTF-8").getLines().zipWithIndex.collect {
+          case (l, i) if l.contains(".collect()") => s"$p:${i + 1}: ${l.trim}"
+        }
+      }.toList
+    assert(hits.size <= 1 && hits.forall(_.contains("GraftOps.scala")),
+      s"unexpected driver-side collect in operator code:\n${hits.mkString("\n")}")
+  }
+
   test("GraftExtensions registers null_safe_div via the injection API") {
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(e)
