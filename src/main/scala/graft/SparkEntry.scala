@@ -30,6 +30,7 @@ object SparkEntry {
       UdfQueries.queries ++
       LlmQueries.queries ++
       TextQueries.queries ++
+      CurationQueries.queries ++
       MultimodalQueries.queries ++
       ScaleQueries.queries ++
       SubqueryQueries.queries ++
@@ -48,6 +49,7 @@ object SparkEntry {
       UdfQueries.oracle ++
       LlmQueries.oracle ++
       TextQueries.oracle ++
+      CurationQueries.oracle ++
       MultimodalQueries.oracle ++
       ScaleQueries.oracle ++
       SubqueryQueries.oracle ++

@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.load
+import graft.api.GraftOps
+
+/** Family M — training-data curation operators (round-3 additions to
+  * the §2.K/L pipeline families): PII redaction, benchmark
+  * decontamination, repetition-quality signals, and temperature-based
+  * language resampling. These are the four classic curation stages a
+  * production LLM data pipeline runs between raw crawl and tokenizer
+  * that the surface did not yet cover.
+  *
+  * Scale shapes (the 100 TB contract):
+  *  - M1/M3 are map-only expression pipelines — no shuffle at all.
+  *  - M2 is a shingle equi-join whose build side (the benchmark/eval
+  *    set) is tiny by definition → broadcast, no fact shuffle.
+  *  - M4 is a two-level aggregation plus a broadcast of 5 per-language
+  *    targets — the fact table shuffles once on the window key.
+  */
+object CurationQueries {
+
+  // RE2-compatible patterns (no lookaround) so the Java-regex Spark
+  // side and the RE2-based DuckDB oracle match byte-for-byte.
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+  private val cardRe = "[0-9]{13,16}"
+
+  val queries: Map[String, Q] = Map(
+    // M1: PII redaction. The corpus is synthetic word-salad with no
+    // real PII, so the query plants one deterministic email/phone/card
+    // per document and then redacts — exercising the operator's regex
+    // chain end-to-end with non-trivial counts. Replacement order
+    // (email → phone → card) matters and is part of the contract: the
+    // phone pass must run before the bare-digit-run card pass.
+    "text_redact_pii" -> ((s, d) => {
+      val synth = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com or +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" card 4111111111111111"))
+      load(s, d, "documents").withColumn("t", synth).select(
+        col("doc_id"),
+        regexp_replace(regexp_replace(regexp_replace(col("t"),
+          emailRe, "<EMAIL>"), phoneRe, "<PHONE>"), cardRe, "<CARD>")
+          .as("redacted"),
+        size(regexp_extract_all(col("t"), lit(emailRe), lit(0)))
+          .cast("bigint").as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(phoneRe), lit(0)))
+          .cast("bigint").as("n_phones"),
+        size(regexp_extract_all(col("t"), lit(cardRe), lit(0)))
+          .cast("bigint").as("n_cards"))
+        .orderBy("doc_id")
+    }),
+
+    // M2: benchmark decontamination — flag training documents sharing
+    // any distinct 5-gram shingle with the (deterministic pseudo-)
+    // eval set. At 100 TB the eval set stays KBs–MBs → broadcast join
+    // against the exploded training shingles; the training side never
+    // shuffles for the probe.
+    "text_decontaminate" -> ((s, d) => {
+      val sh = GraftOps.shingles(
+        load(s, d, "documents").select("doc_id", "text"), "text", 5, "sh")
+      val ev = sh.filter(col("doc_id") % 29 === 0)
+        .select(explode(col("sh")).as("s")).distinct()
+      val tr = sh.filter(col("doc_id") % 29 =!= 0)
+      val hits = tr.select(col("doc_id"), explode(col("sh")).as("s"))
+        .join(broadcast(ev), "s")
+        .groupBy("doc_id").agg(countDistinct(col("s")).as("n_shared"))
+      tr.select("doc_id").join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+        .orderBy("doc_id")
+    }),
+
+    // M3: Gopher-style repetition signals, map-only: duplicate-word
+    // fraction, duplicate-3-gram fraction, and top-word frequency
+    // ratio, each from array HOFs (O(distinct×n) per row — bounded by
+    // document length, no shuffle).
+    "text_repetition" -> ((s, d) =>
+      load(s, d, "documents")
+        .selectExpr("doc_id", "split(text, ' ') AS w")
+        .selectExpr(
+          "doc_id",
+          "CAST(size(w) AS BIGINT) AS n_words",
+          "CAST(1.0 - CAST(size(array_distinct(w)) AS DOUBLE) / size(w) AS DECIMAL(18,6)) AS dup_word_frac",
+          "CAST(1.0 - CAST(size(array_distinct(transform(sequence(0, greatest(size(w) - 3, 0))," +
+            " i -> concat_ws(' ', slice(w, i + 1, 3))))) AS DOUBLE)" +
+            " / (greatest(size(w) - 3, 0) + 1) AS DECIMAL(18,6)) AS dup_3gram_frac",
+          "CAST(CAST(array_max(transform(array_distinct(w), x -> size(filter(w, y -> y = x)))) AS DOUBLE)" +
+            " / size(w) AS DECIMAL(18,6)) AS top_word_ratio")
+        .orderBy("doc_id")),
+
+    // M4: temperature-based language resampling (multilingual mix
+    // rebalancing, alpha = 0.5): per-language targets ∝ sqrt(share),
+    // deterministic md5-permutation pick within each language. The
+    // targets frame is 5 rows → broadcast; no driver-side collect.
+    "sample_weighted" -> ((s, d) => {
+      val docs = load(s, d, "documents")
+      val t = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+        .withColumn("wn", sqrt(col("n").cast("double")))
+        .withColumn("wtot", sum(col("wn")).over(Window.partitionBy()))
+      val tgt = t.select(col("lang"),
+        greatest(lit(1L), floor(lit(200) * col("wn") / col("wtot")).cast("bigint"))
+          .as("target_n"))
+      docs.select(col("doc_id"), col("lang"))
+        .withColumn("rn", row_number().over(Window.partitionBy("lang")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
+          .cast("bigint")) // DuckDB rank fns are BIGINT (SURVEY §7.4 delta)
+        .join(broadcast(tgt), "lang")
+        .filter(col("rn") <= col("target_n"))
+        .select(col("doc_id"), col("lang"), col("rn"), col("target_n"))
+        .orderBy("lang", "rn")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "text_redact_pii" ->
+      """WITH synth AS (SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com or +1-555-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      || ' card 4111111111111111' AS t
+        |  FROM documents)
+        | SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |    '[0-9]{13,16}', '<CARD>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(t, '[0-9]{13,16}')) AS BIGINT) AS n_cards
+        | FROM synth ORDER BY doc_id""".stripMargin,
+    "text_decontaminate" ->
+      """WITH sh AS (SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 4, 1)),
+        |      i -> array_to_string((string_split(text, ' '))[i:i+4], ' '))) AS shingles
+        |  FROM documents),
+        | ev AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 29 = 0),
+        | tr AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id % 29 <> 0),
+        | hits AS (SELECT tr.doc_id, count(DISTINCT tr.s) AS n_shared
+        |          FROM tr JOIN ev ON tr.s = ev.s GROUP BY tr.doc_id)
+        | SELECT d.doc_id, coalesce(n_shared, 0) AS n_shared,
+        |   coalesce(n_shared, 0) > 0 AS contaminated
+        | FROM (SELECT doc_id FROM documents WHERE doc_id % 29 <> 0) d
+        | LEFT JOIN hits ON d.doc_id = hits.doc_id
+        | ORDER BY d.doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        | sh AS (SELECT doc_id, w,
+        |    list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+        |      i -> array_to_string(w[i:i+2], ' ')) AS g3 FROM w)
+        | SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS n_words,
+        |  CAST(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS DECIMAL(18,6)) AS dup_word_frac,
+        |  CAST(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) AS DECIMAL(18,6)) AS dup_3gram_frac,
+        |  CAST(CAST(list_max(list_transform(list_distinct(w), x -> len(list_filter(w, y -> y = x)))) AS DOUBLE)
+        |    / len(w) AS DECIMAL(18,6)) AS top_word_ratio
+        | FROM sh ORDER BY doc_id""".stripMargin,
+    "sample_weighted" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        | t AS (SELECT lang, n, sqrt(CAST(n AS DOUBLE)) AS wn,
+        |         sum(sqrt(CAST(n AS DOUBLE))) OVER () AS wtot FROM c),
+        | tgt AS (SELECT lang, CAST(greatest(1, floor(200 * wn / wtot)) AS BIGINT) AS target_n FROM t),
+        | r AS (SELECT doc_id, d.lang AS lang,
+        |         row_number() OVER (PARTITION BY d.lang
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |       FROM documents d)
+        | SELECT r.doc_id, r.lang, r.rn, tgt.target_n
+        | FROM r JOIN tgt ON r.lang = tgt.lang
+        | WHERE rn <= target_n ORDER BY r.lang, r.rn""".stripMargin,
+  )
+}

@@ -1,0 +1,68 @@
+package graft
+
+/** Family M (curation operators): planted-truth checks the DuckDB
+  * oracles can't express — the redaction patterns really are gone,
+  * the contamination flag is consistent with the share counts, the
+  * repetition ratios are well-formed, and the resampling respects its
+  * own targets.
+  */
+class CurationSpec extends GraftSpec {
+
+  test("text_redact_pii scrubs every planted email/phone/card") {
+    val rows = q("text_redact_pii").collect()
+    assert(rows.nonEmpty)
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}".r
+    val digits13 = "[0-9]{13,16}".r
+    rows.foreach { r =>
+      val red = r.getString(1)
+      assert(email.findFirstIn(red).isEmpty, s"email survived redaction: $red")
+      assert(digits13.findFirstIn(red).isEmpty, s"digit run survived: $red")
+      // exactly the planted PII is found (word-salad has no emails/cards
+      // of its own; digit runs could only come from the payload)
+      assert(r.getLong(2) >= 1L && r.getLong(3) >= 1L && r.getLong(4) >= 1L)
+      assert(red.contains("<EMAIL>") && red.contains("<PHONE>") && red.contains("<CARD>"))
+    }
+  }
+
+  test("text_decontaminate: flag == (n_shared > 0) and the corpus has real hits") {
+    val out = q("text_decontaminate").collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => (r.getLong(1) > 0L) == r.getBoolean(2)))
+    // the 21 shared-prefix near-dup groups guarantee eval/train overlap
+    assert(out.exists(_.getBoolean(2)), "no contamination found — eval split or shingles broken")
+  }
+
+  test("text_repetition ratios are well-formed") {
+    val out = q("text_repetition").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r.getLong(1)
+      val dupW = r.getDecimal(2).doubleValue()
+      val dupG = r.getDecimal(3).doubleValue()
+      val top = r.getDecimal(4).doubleValue()
+      assert(n >= 1L)
+      assert(dupW >= 0.0 && dupW < 1.0)
+      assert(dupG >= 0.0 && dupG < 1.0)
+      // top word occurs at least once and at most n times (5e-7 slack:
+      // the ratio is rounded to 6 dp and can dip just below 1/n)
+      assert(top >= 1.0 / n - 5e-7 && top <= 1.0 + 5e-7)
+      // a doc with duplicate words has a top word appearing >= 2 times
+      if (dupW > 0.0) assert(top >= 2.0 / n - 5e-7)
+    }
+  }
+
+  test("sample_weighted fills every language to its sqrt-share target") {
+    val out = q("sample_weighted").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    val perLang = out.groupBy(_._1)
+    assert(perLang.nonEmpty)
+    perLang.foreach { case (lang, rows) =>
+      val target = rows.head._3
+      assert(rows.length.toLong === target, s"$lang: ${rows.length} sampled vs target $target")
+      assert(rows.map(_._2).sorted.toSeq === (1L to target), s"$lang: rn not dense")
+    }
+    // floor() drift: total within [budget - n_langs, budget]
+    val total = perLang.values.map(_.head._3).sum
+    assert(total >= 200L - perLang.size && total <= 200L, s"targets sum to $total")
+  }
+}

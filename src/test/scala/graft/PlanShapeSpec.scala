@@ -103,4 +103,31 @@ class PlanShapeSpec extends GraftSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
     assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
   }
+
+  test("text_redact_pii and text_repetition are shuffle-free map plans") {
+    // Family M's per-document stages must stay map-only: the single
+    // allowed exchange is the final ORDER BY range partitioning.
+    Seq("text_redact_pii", "text_repetition").foreach { name =>
+      val df = q(name)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"$name gained a shuffle:\n${plan.take(1500)}")
+    }
+  }
+
+  test("text_decontaminate probes the eval shingle set via broadcast join") {
+    val df = q("text_decontaminate")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval-set probe must broadcast, not shuffle the corpus:\n${plan.take(1500)}")
+  }
+
+  test("sample_weighted broadcasts the per-language targets") {
+    val df = q("sample_weighted")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+  }
 }
