@@ -101,6 +101,21 @@ object ScalarFnQueries {
         .orderBy("doc_id")
     }),
 
+    // Struct family: build, nest, and field-extract named structs.
+    // The struct columns travel through Canon's to_json dump (round-3
+    // StructType support) and compare against DuckDB struct_pack —
+    // field order is declaration order in both engines.
+    "fn_struct" -> ((s, d) => {
+      val meta = struct(col("lang"), col("source"), col("n_chars"))
+      load(s, d, "documents").select(
+        col("doc_id"),
+        meta.as("meta"),
+        struct(col("doc_id").as("id"),
+          array(col("lang"), col("source")).as("tags")).as("nested"),
+        meta.getField("source").as("meta_source"))
+        .orderBy("doc_id")
+    }),
+
     // H7: JSON family over events.props.
     "fn_json" -> ((s, d) =>
       load(s, d, "events").select(
@@ -259,6 +274,12 @@ object ScalarFnQueries {
         | CAST(to_json(['lang', 'source']) AS VARCHAR) AS meta_keys,
         | CAST(to_json([lang, source]) AS VARCHAR) AS meta_vals,
         | lang AS doc_lang
+        | FROM documents ORDER BY doc_id""".stripMargin,
+    "fn_struct" ->
+      """SELECT doc_id,
+        | CAST(to_json(struct_pack(lang := lang, source := source, n_chars := n_chars)) AS VARCHAR) AS meta,
+        | CAST(to_json(struct_pack(id := doc_id, tags := [lang, source])) AS VARCHAR) AS nested,
+        | source AS meta_source
         | FROM documents ORDER BY doc_id""".stripMargin,
     "fn_json" ->
       """SELECT event_id,

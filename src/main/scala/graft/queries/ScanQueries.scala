@@ -81,6 +81,17 @@ object ScanQueries {
       s.read.orc(dir).orderBy("p_partkey")
     }),
 
+    // Text source round-trip: the line-oriented `text` format (one
+    // string column `value`) — the raw-crawl shape a training pipeline
+    // ingests before any schema exists.
+    "scan_text_roundtrip" -> ((s, d) => {
+      val df = load(s, d, "documents")
+        .select(concat_ws("|", col("doc_id").cast("string"), col("lang")).as("value"))
+      val dir = tmpDir("graft_text")
+      df.write.mode("overwrite").text(dir)
+      s.read.text(dir).orderBy("value")
+    }),
+
     // A7: deterministic single-file parquet sink (the Verify path
     // itself): sorted coalesce(1) write preserves global order because
     // coalesce merges range partitions in partition-index order.
@@ -120,5 +131,8 @@ object ScanQueries {
         | WHERE p_partkey % 10 = 0 ORDER BY p_partkey""".stripMargin,
     "sink_parquet" ->
       "SELECT * FROM orders ORDER BY o_orderkey",
+    "scan_text_roundtrip" ->
+      """SELECT CAST(doc_id AS VARCHAR) || '|' || lang AS value
+        | FROM documents ORDER BY value""".stripMargin,
   )
 }
