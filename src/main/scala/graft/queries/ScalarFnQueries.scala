@@ -101,6 +101,22 @@ object ScalarFnQueries {
         .orderBy("doc_id")
     }),
 
+    // URL family: parse_url over deterministic synthesized URLs (the
+    // log/crawl-pipeline staple). DuckDB has no parse_url — the twin
+    // extracts the same components with anchored regexes.
+    "fn_url" -> ((s, d) => {
+      val url = concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+        col("doc_id").cast("string"), lit("?lang="), col("lang"),
+        lit("&n="), col("n_chars").cast("string"))
+      load(s, d, "documents").withColumn("url", url).selectExpr(
+        "doc_id", "url",
+        "parse_url(url, 'HOST') AS host",
+        "parse_url(url, 'PATH') AS path",
+        "parse_url(url, 'QUERY') AS query",
+        "parse_url(url, 'QUERY', 'lang') AS q_lang")
+        .orderBy("doc_id")
+    }),
+
     // Struct family: build, nest, and field-extract named structs.
     // The struct columns travel through Canon's to_json dump (round-3
     // StructType support) and compare against DuckDB struct_pack —
@@ -275,6 +291,17 @@ object ScalarFnQueries {
         | CAST(to_json([lang, source]) AS VARCHAR) AS meta_vals,
         | lang AS doc_lang
         | FROM documents ORDER BY doc_id""".stripMargin,
+    "fn_url" ->
+      """WITH u AS (SELECT doc_id,
+        |    'https://' || source || '.example.com/docs/' || doc_id
+        |      || '?lang=' || lang || '&n=' || n_chars AS url
+        |  FROM documents)
+        | SELECT doc_id, url,
+        |  regexp_extract(url, 'https?://([^/:]+)', 1) AS host,
+        |  regexp_extract(url, 'https?://[^/]+(/[^?#]*)', 1) AS path,
+        |  regexp_extract(url, '\?([^#]*)', 1) AS query,
+        |  regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS q_lang
+        | FROM u ORDER BY doc_id""".stripMargin,
     "fn_struct" ->
       """SELECT doc_id,
         | CAST(to_json(struct_pack(lang := lang, source := source, n_chars := n_chars)) AS VARCHAR) AS meta,

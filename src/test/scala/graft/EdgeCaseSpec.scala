@@ -65,6 +65,26 @@ class EdgeCaseSpec extends GraftSpec {
     assert(out.filter(col("m").isNotNull).count() === 0L)
   }
 
+  test("null text flows through dedup/shingle/quality operators without error") {
+    // A 100 TB crawl always contains null/empty documents; the text
+    // operators must degrade to null/empty results, never throw.
+    val docs = Seq((1L, "alpha beta gamma"), (2L, null), (3L, ""))
+      .toDF("rid", "body")
+    assert(GraftOps.exactDedup(docs, "rid", "body").count() === 3L) // null+""+text are 3 keys
+    val sh = GraftOps.shingles(docs, "body", 3, "sh").collect()
+      .map(r => r.getLong(0) -> Option(r.getSeq[String](r.fieldIndex("sh")))).toMap
+    assert(sh(1L).get.nonEmpty)
+    // null and empty text both normalize to a single empty shingle —
+    // harmless join keys that only ever match other degenerate docs
+    assert(sh(2L).get === Seq(""))
+    assert(sh(3L).get === Seq(""))
+    // ...so the null and empty docs dedup AGAINST EACH OTHER (identical
+    // degenerate shingle sets), and against nothing real
+    val pairs = GraftOps.ngramJaccardPairs(docs, "rid", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((2L, 3L)))
+  }
+
   test("Canon flattens struct (and nested) columns to sortable JSON text") {
     // The driver's row sorter can't order pyarrow dict values — a
     // StructType column would crash it exactly the way arrays did in
