@@ -376,13 +376,18 @@ object GraftOps {
       // listener explain string — ~round 15 of a long-diameter graph
       // that string passes 2 GB and OOMs the driver. Checkpointing
       // resets each round to a block scan: O(1) plan, any diameter.
+      // The convergence flag rides along in the same projection (the
+      // join already sees old and new labels), so the check is a
+      // filter-count over the checkpointed blocks, not a second join.
+      // lazy checkpoint: the convergence count below is the action
+      // that materializes the blocks — one job per round, not two
+      val newLbl = least(col("cluster"), coalesce(col("__nlbl"), col("cluster")))
       val next = labels.join(nbrMin, labels("id") === nbrMin("__src"), "left")
-        .select(labels("id"),
-          least(col("cluster"), coalesce(col("__nlbl"), col("cluster"))).as("cluster"))
-        .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("cluster", "__old"), "id")
-        .filter(col("cluster") =!= col("__old")).count()
-      labels = next
+        .select(labels("id"), newLbl.as("cluster"),
+          (newLbl =!= col("cluster")).as("__chg"))
+        .localCheckpoint(false)
+      changed = next.filter(col("__chg")).count()
+      labels = next.select("id", "cluster")
       i += 1
     }
     // Checkpoint blocks (sym + superseded rounds) are label-frame-sized
