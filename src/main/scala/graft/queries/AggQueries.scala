@@ -152,6 +152,21 @@ object AggQueries {
           | FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     }),
 
+    // Conditional-aggregate family: count_if / bool_and / bool_or /
+    // max_by / min_by (DuckDB: FILTER / bool_and / bool_or / arg_max /
+    // arg_min). The *_by selectors order on the UNIQUE o_orderkey so
+    // ties can't make the picked value engine-dependent.
+    "agg_conditional" -> ((s, d) =>
+      load(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          count_if(col("o_totalprice") > 200000).as("n_big"),
+          bool_and(col("o_totalprice") > 0).as("all_pos"),
+          bool_or(col("o_orderstatus") === "F").as("any_f"),
+          max_by(col("o_totalprice"), col("o_orderkey")).as("last_price"),
+          min_by(col("o_totalprice"), col("o_orderkey")).as("first_price"))
+        .orderBy("o_orderpriority")),
+
     // D9: collect_list/collect_set, sorted for determinism.
     "agg_collect" -> ((s, d) =>
       load(s, d, "orders")
@@ -171,6 +186,14 @@ object AggQueries {
       | ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "agg_conditional" ->
+      """SELECT o_orderpriority,
+        | CAST(count(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT) AS n_big,
+        | bool_and(o_totalprice > 0) AS all_pos,
+        | bool_or(o_orderstatus = 'F') AS any_f,
+        | arg_max(o_totalprice, o_orderkey) AS last_price,
+        | arg_min(o_totalprice, o_orderkey) AS first_price
+        | FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "agg_hash_global" ->
       """SELECT CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
         | min(l_extendedprice) AS min_price,
