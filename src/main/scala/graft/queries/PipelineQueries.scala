@@ -197,6 +197,19 @@ object PipelineQueries {
         .orderBy("o_orderkey")
     }),
 
+    // DELETE companion to L22: anti-join removal of a key batch — the
+    // copy-on-write delete a lake table runs for GDPR/retention
+    // (same plan shape as MERGE's not-matched branch: one hash
+    // anti-join on the key, broadcastable when the delete set is
+    // small).
+    "dml_delete" -> ((s, d) => {
+      val base = load(s, d, "orders")
+      val del = base.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey").as("k"))
+      base.join(del, base("o_orderkey") === col("k"), "left_anti")
+        .orderBy("o_orderkey")
+    }),
+
     // L23: data-quality gate — violation counts (nulls, domain, FK
     // orphans, duplicate keys) as one row; the assertion stage every
     // ingestion pipeline runs before publishing a partition.
@@ -349,6 +362,8 @@ object PipelineQueries {
         | UNION ALL
         | SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
         | ORDER BY o_orderkey""".stripMargin,
+    "dml_delete" ->
+      "SELECT * FROM orders WHERE o_orderkey % 10 <> 0 ORDER BY o_orderkey",
     "dq_checks" ->
       """SELECT
         | (SELECT CAST(count(*) AS BIGINT) FROM lineitem WHERE l_quantity IS NULL) AS n_null_qty,

@@ -92,6 +92,21 @@ object ScanQueries {
       s.read.text(dir).orderBy("value")
     }),
 
+    // Schema-evolution read: two parquet writes with different schemas
+    // (the second adds a column) merged into one frame with
+    // mergeSchema — missing columns null-fill. The lakehouse pattern
+    // for additive schema changes without a table rewrite.
+    "scan_merge_schema" -> ((s, d) => {
+      val dir = tmpDir("graft_evolve")
+      val v1 = load(s, d, "nation").select("n_nationkey", "n_name")
+      val v2 = load(s, d, "nation").select(
+        (col("n_nationkey") + 100).as("n_nationkey"),
+        col("n_name"), col("n_regionkey"))
+      v1.write.mode("overwrite").parquet(dir)
+      v2.write.mode("append").parquet(dir)
+      s.read.option("mergeSchema", "true").parquet(dir).orderBy("n_nationkey")
+    }),
+
     // A7: deterministic single-file parquet sink (the Verify path
     // itself): sorted coalesce(1) write preserves global order because
     // coalesce merges range partitions in partition-index order.
@@ -134,5 +149,10 @@ object ScanQueries {
     "scan_text_roundtrip" ->
       """SELECT CAST(doc_id AS VARCHAR) || '|' || lang AS value
         | FROM documents ORDER BY value""".stripMargin,
+    "scan_merge_schema" ->
+      """SELECT n_nationkey, n_name, CAST(NULL AS BIGINT) AS n_regionkey FROM nation
+        | UNION ALL
+        | SELECT n_nationkey + 100, n_name, n_regionkey FROM nation
+        | ORDER BY n_nationkey""".stripMargin,
   )
 }
