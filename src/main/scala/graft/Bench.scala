@@ -30,10 +30,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     warmSharedInfra(spark, sfDir)
+    val failed = scala.collection.mutable.ListBuffer[String]()
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        try { fn(spark, sfDir).count() }
+        catch { case _: Throwable => if (!failed.contains(name)) failed += name }
         (System.nanoTime() - t0) / 1e9
       }
       name -> math.min(once(), once())
@@ -41,12 +43,15 @@ object Bench {
     def qmap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
+    // a failed query times as near-zero — name it explicitly so a
+    // too-good total can never pass silently
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val slowest5 = results.sortBy(-_._2).take(5)
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(results)},"failed":$failedJson,"sf":"$sfDir"}"""
     val short =
-      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","queries":${qmap(slowest5)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","queries":${qmap(slowest5)},"failed":$failedJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("BENCH_LOCAL.json"), full + "\n")
     spark.stop()
     // after stop(): no executor log lines can land between this and exit
