@@ -137,9 +137,31 @@ object ScaleStress {
     val (pr1, pt1) = timeCount(() => cos(rot1))
     val (prn, ptn) = timeCount(() => cos(rotN))
 
+    // --- decontamination probe over an N× training corpus -----------
+    // The eval (broadcast) side stays FIXED — exactly the production
+    // shape: benchmarks don't grow with the crawl. Expect ~linear.
+    val docs = load(spark, sfDir, "documents").select("doc_id", "text")
+    def docCopies(n: Int): DataFrame =
+      (0 until n).map(k => docs.select(
+        (col("doc_id") + lit(k * off)).as("doc_id"), col("text")))
+        .reduce(_ union _)
+    def decontaminate(train: DataFrame): DataFrame = {
+      val sh = GraftOps.shingles(train, "text", 5, "sh")
+      val evSet = GraftOps.shingles(docs.filter(col("doc_id") % 29 === 0), "text", 5, "sh")
+        .select(explode(col("sh")).as("s")).distinct()
+      sh.select(col("doc_id"), explode(col("sh")).as("s"))
+        .join(broadcast(evSet), "s")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    }
+    val d1 = materialize(docCopies(1), "docs1")
+    val dN = materialize(docCopies(mult), "docsN")
+    val (dr1, dt1) = timeCount(() => decontaminate(d1))
+    val (drn, dtn) = timeCount(() => decontaminate(dN))
+
     Seq(
       ("sessionize_batch", sr1, st1, srn, stn),
       ("dedup_cluster (connectedComponents)", cr1, ct1, crn, ctn),
-      ("dedup_embed_cos (cosinePairsBlocked)", pr1, pt1, prn, ptn))
+      ("dedup_embed_cos (cosinePairsBlocked)", pr1, pt1, prn, ptn),
+      ("text_decontaminate (fixed eval set)", dr1, dt1, drn, dtn))
   }
 }
