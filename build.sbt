@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through RAW (no "[info] " logger prefix)
+// and drop the trailing "[success] Total time ..." line, so Bench's
+// final machine-readable JSON line reaches the driver's parser verbatim
+// as the LAST line of stdout (BENCH_r03 parsed:null root cause).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -40,18 +40,24 @@ object Bench {
       }
       name -> math.min(once(), once())
     }
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, which
+    // under e.g. de_DE prints comma decimals → invalid JSON (ADVICE r3).
+    def num(v: Double, places: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(v))
     def qmap(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      rs.map { case (k, v) => "\"" + k + "\":" + num(v, 3) }
         .mkString("{", ",", "}")
-    // a failed query times as near-zero — name it explicitly so a
-    // too-good total can never pass silently
+    // a failed query's time-to-failure is meaningless — name it in
+    // "failed" and exclude it from the total so the headline number
+    // aggregates only successful runs (ADVICE r3)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
-    val slowest5 = results.sortBy(-_._2).take(5)
+    val ok = results.filterNot { case (n, _) => failed.contains(n) }
+    val total = ok.map(_._2).sum
+    val slowest5 = ok.sortBy(-_._2).take(5)
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(results)},"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":${qmap(results)},"failed":$failedJson,"sf":"$sfDir"}"""
     val short =
-      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","queries":${qmap(slowest5)},"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":${qmap(slowest5)},"failed":$failedJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("BENCH_LOCAL.json"), full + "\n")
     spark.stop()
     // after stop(): no executor log lines can land between this and exit
