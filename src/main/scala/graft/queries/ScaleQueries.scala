@@ -117,29 +117,37 @@ object ScaleQueries {
   private[graft] val compactDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private val bucketSetup =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private val bucketSetupLock = new Object
 
-  /** Write the bucketed join tables once per JVM+sfDir; names carry an
-    * sfDir hash so different scale factors in one JVM never collide.
+  /** Write the bucketed join tables once per session+sfDir; names carry
+    * an sfDir hash so different scale factors in one JVM never collide.
+    * The "already built" check is the session catalog itself (not a
+    * JVM-wide name cache): a second SparkSession in the same JVM has a
+    * fresh in-memory catalog that doesn't know a previous session's
+    * tables, so it must rebuild them (ADVICE r3). A plain lock (not
+    * ConcurrentHashMap.computeIfAbsent) so the multi-second Spark
+    * writes never run while holding a CHM bin lock.
     */
   private def bucketedTables(s: org.apache.spark.sql.SparkSession,
-      d: String): (String, String) =
-    bucketSetup.computeIfAbsent(d, _ => {
-      val sfx = Integer.toHexString(d.hashCode)
-      val (ln, on) = (s"graft_li_bucketed_$sfx", s"graft_o_bucketed_$sfx")
-      // A fresh session's in-memory catalog doesn't know tables a
-      // previous run left in the warehouse — drop name AND location.
-      dropBucketTable(s, ln)
-      dropBucketTable(s, on)
-      load(s, d, "lineitem").select("l_orderkey", "l_quantity")
-        .write.mode("overwrite").bucketBy(8, "l_orderkey")
-        .sortBy("l_orderkey").saveAsTable(ln)
-      load(s, d, "orders").select("o_orderkey", "o_totalprice")
-        .write.mode("overwrite").bucketBy(8, "o_orderkey")
-        .sortBy("o_orderkey").saveAsTable(on)
-      (ln, on)
-    })
+      d: String): (String, String) = {
+    val sfx = Integer.toHexString(d.hashCode)
+    val (ln, on) = (s"graft_li_bucketed_$sfx", s"graft_o_bucketed_$sfx")
+    bucketSetupLock.synchronized {
+      if (!s.catalog.tableExists(ln) || !s.catalog.tableExists(on)) {
+        // Drop name AND location: the warehouse dir may hold files a
+        // previous JVM left behind under the same table name.
+        dropBucketTable(s, ln)
+        dropBucketTable(s, on)
+        load(s, d, "lineitem").select("l_orderkey", "l_quantity")
+          .write.mode("overwrite").bucketBy(8, "l_orderkey")
+          .sortBy("l_orderkey").saveAsTable(ln)
+        load(s, d, "orders").select("o_orderkey", "o_totalprice")
+          .write.mode("overwrite").bucketBy(8, "o_orderkey")
+          .sortBy("o_orderkey").saveAsTable(on)
+      }
+    }
+    (ln, on)
+  }
 
   private def dropBucketTable(s: org.apache.spark.sql.SparkSession, name: String): Unit = {
     s.sql(s"DROP TABLE IF EXISTS $name")

@@ -333,6 +333,11 @@ object StreamQueries {
         | FROM g GROUP BY user_id, grp ORDER BY s_start, user_id""".stripMargin,
     // I4: append-mode emits exactly the windows closed by the final
     // watermark (max ts - 1h); the late re-play must not inflate them.
+    // Boundary verified empirically on Spark 4.1.2 (round-4 probe): a
+    // window whose end EQUALS the watermark IS emitted (eviction
+    // predicate is end <= watermark), so `<=` below is exact — a
+    // strict `<` would drop one window whenever max(ts)-1h lands on a
+    // day boundary.
     "stream_late_drop" ->
       """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS w_start,
         |   count(*) AS n

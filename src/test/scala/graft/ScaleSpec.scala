@@ -88,19 +88,27 @@ class ScaleSpec extends GraftSpec {
     // fixed overheads and JIT warmth bias the ratio DOWN — a pass means
     // "not quadratic", the sf0.1 measurements in SCALE.md pin the
     // actual growth factors.
-    val rs = graft.tools.ScaleStress.run(spark, "/root/testdata/sf0.01", mult = 6)
-    rs.foreach { case (op, r1, t1, rn, tn) =>
-      assert(rn >= 6 * r1,
-        s"$op: copies are not disjoint (rows $r1 -> $rn at 6x)")
-      val timeRatio = tn / math.max(t1, 0.2) // floor: sub-200ms base is all overhead
-      // cosinePairsBlocked's TRUE output grows ~quadratically on this
-      // corpus (constant background pair density — see ScaleStress
-      // scaladoc), so its bound is output-relative; for the others
-      // output grows exactly 6x and the bounds coincide.
-      val outRatio = rn.toDouble / math.max(r1, 1L)
-      assert(timeRatio < math.max(18.0, 2.0 * outRatio),
-        f"$op: runtime grew ${timeRatio}%.1fx at 6x input (output grew ${outRatio}%.1fx) — super-linear beyond output growth")
+    // Wall-clock ratios can trip on a loaded host (GC/scheduling spike
+    // in the Nx run — ADVICE r3), so one retry of the whole
+    // measurement before declaring a regression; a genuinely quadratic
+    // operator fails both runs.
+    def measure(): Unit = {
+      val rs = graft.tools.ScaleStress.run(spark, "/root/testdata/sf0.01", mult = 6)
+      rs.foreach { case (op, r1, t1, rn, tn) =>
+        assert(rn >= 6 * r1,
+          s"$op: copies are not disjoint (rows $r1 -> $rn at 6x)")
+        val timeRatio = tn / math.max(t1, 0.2) // floor: sub-200ms base is all overhead
+        // cosinePairsBlocked's TRUE output grows ~quadratically on this
+        // corpus (constant background pair density — see ScaleStress
+        // scaladoc), so its bound is output-relative; for the others
+        // output grows exactly 6x and the bounds coincide.
+        val outRatio = rn.toDouble / math.max(r1, 1L)
+        assert(timeRatio < math.max(18.0, 2.0 * outRatio),
+          f"$op: runtime grew ${timeRatio}%.1fx at 6x input (output grew ${outRatio}%.1fx) — super-linear beyond output growth")
+      }
     }
+    try measure()
+    catch { case _: org.scalatest.exceptions.TestFailedException => measure() }
   }
 
   test("no unbounded driver-side collect anywhere in operator code") {
@@ -115,8 +123,10 @@ class ScaleSpec extends GraftSpec {
       .flatMap { p =>
         // explicit UTF-8: the sbt test JVM may default to ASCII, and
         // source comments contain non-ASCII glyphs
-        scala.io.Source.fromFile(p.toFile, "UTF-8").getLines().zipWithIndex.collect {
-          case (l, i) if l.contains(".collect()") => s"$p:${i + 1}: ${l.trim}"
+        scala.util.Using.resource(scala.io.Source.fromFile(p.toFile, "UTF-8")) { src =>
+          src.getLines().zipWithIndex.collect {
+            case (l, i) if l.contains(".collect()") => s"$p:${i + 1}: ${l.trim}"
+          }.toList
         }
       }.toList
     assert(hits.size <= 1 && hits.forall(_.contains("GraftOps.scala")),
