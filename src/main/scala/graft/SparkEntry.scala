@@ -31,6 +31,7 @@ object SparkEntry {
       LlmQueries.queries ++
       TextQueries.queries ++
       CurationQueries.queries ++
+      PrepQueries.queries ++
       MultimodalQueries.queries ++
       ScaleQueries.queries ++
       SubqueryQueries.queries ++
@@ -50,6 +51,7 @@ object SparkEntry {
       LlmQueries.oracle ++
       TextQueries.oracle ++
       CurationQueries.oracle ++
+      PrepQueries.oracle ++
       MultimodalQueries.oracle ++
       ScaleQueries.oracle ++
       SubqueryQueries.oracle ++

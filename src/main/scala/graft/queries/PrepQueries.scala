@@ -1,0 +1,369 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables.{dec, load}
+
+/** Family N — round-4 training-data prep + OLAP extensions (ref: n/a,
+  * SURVEY §0 — surface extrapolated from the §2 contract families):
+  * RAG chunking, token-budget sequence packing, URL canonical dedup,
+  * boilerplate-line removal, per-key EWMA smoothing, SCD2 dimension
+  * versioning, fixed-width histograms, deterministic mode, TPC-H Q5,
+  * and binary-payload dedup.
+  *
+  * Scale shapes (the 100 TB contract):
+  *  - N1 text_chunk / N3 dedup_url / N10 multimodal_dedup are map-only
+  *    or one-window-shuffle pipelines; no joins.
+  *  - N2 pack_sequences packs PER LANGUAGE partition — the global
+  *    concat order a single-sequence packer needs is the part that
+  *    cannot scale, so the operator contract is per-shard packing
+  *    (shard = lang here), one shuffle on the shard key.
+  *  - N4 text_boilerplate aggregates line document-frequencies per
+  *    source (one shuffle) and joins them back map-side broadcastable
+  *    at per-source cardinality.
+  *  - N5 ts_ewma is sequential per key by definition; one shuffle on
+  *    user_id, then a linear fold per key (bounded series — events per
+  *    user are session-scale; unbounded series would stream through
+  *    I6's stateful path instead).
+  *  - N6 dml_scd2 is two window passes sharing ONE o_custkey shuffle.
+  *  - N9 tpch_q5 broadcasts the filtered dim chain (region→nation→
+  *    supplier); the lineitem fact shuffles once for the orders join.
+  */
+object PrepQueries {
+
+  val queries: Map[String, Q] = Map(
+    // N1: RAG chunking — overlapping token windows (size 32, stride
+    // 24). Chunk starts walk the token array at stride offsets; slice
+    // clamps the final window. Map-only (sequence/transform/slice stay
+    // in codegen); the explode multiplies rows ~2-4x, never data-size².
+    "text_chunk" -> ((s, d) =>
+      load(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, CAST((size(w)-1) DIV 24 AS INT)), i -> slice(w, i*24+1, 32))")))
+        .select(col("doc_id"), col("pos").cast("bigint").as("chunk_id"),
+          size(col("col")).cast("bigint").as("n_tok"),
+          array_join(col("col"), " ").as("chunk"))
+        .orderBy("doc_id", "chunk_id")),
+
+    // N2: token-budget sequence packing (budget 256). Documents are
+    // deterministically shuffled (md5 permutation) within each lang
+    // shard, then assigned the bin their START offset falls in —
+    // start-offset binning is the prefix-sum-expressible relaxation of
+    // greedy first-fit (a bin may overflow by at most one document's
+    // tail), the standard distributed packing compromise.
+    "pack_sequences" -> ((s, d) => {
+      val w = Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      load(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("bigint").as("n_tok"))
+        .withColumn("offset", sum(col("n_tok")).over(w) - col("n_tok"))
+        .withColumn("bin_id", expr("offset DIV 256"))
+        .orderBy("doc_id")
+    }),
+
+    // N3: URL canonicalization + dedup. The corpus has no url column,
+    // so the query plants one deterministic URL per document (scheme
+    // case, www, and utm tracking params vary by doc_id) and the
+    // operator canonicalizes — lowercase, scheme/www stripped,
+    // tracking params dropped — then marks each canonical group's
+    // minimum doc_id as the kept representative. One window shuffle on
+    // the canonical key; no join.
+    "dedup_url" -> ((s, d) => {
+      val url = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTPS://www.")).otherwise(lit("http://")),
+        col("source"), lit(".example.com/p/"), (col("doc_id") % 10).cast("string"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("?utm_source=feed&utm_id="), col("doc_id").cast("string")))
+          .otherwise(lit("")))
+      val canon = regexp_replace(
+        regexp_replace(lower(url), "^https?://(www\\.)?", ""),
+        "[?&](utm_[a-z_]+|fbclid|gclid)=[^&]*", "")
+      val g = Window.partitionBy("canon_url")
+      load(s, d, "documents").withColumn("canon_url", canon)
+        .select(col("doc_id"), col("canon_url"),
+          count(lit(1)).over(g).as("dup_count"),
+          (col("doc_id") === min(col("doc_id")).over(g)).as("is_canonical"))
+        .orderBy("doc_id")
+    }),
+
+    // N4: boilerplate-line removal (C4-style). Plants a per-source
+    // copyright footer on every doc and a "subscribe" line on every
+    // third, splits to lines, computes each line's document frequency
+    // WITHIN its source, drops lines appearing in >= 5 docs of the
+    // source, and reassembles the survivors in original line order.
+    // The df table is per-source line counts (tiny — one row per
+    // distinct line) joined back to the exploded lines.
+    "text_boilerplate" -> ((s, d) => {
+      val t = concat(col("text"),
+        lit("\ncopyright (c) "), col("source"), lit(" media"),
+        when(col("doc_id") % 3 === 0, lit("\nsubscribe to our newsletter"))
+          .otherwise(concat(lit("\nfooter id "), col("doc_id").cast("string"))))
+      val lines = load(s, d, "documents").withColumn("t", t)
+        .select(col("doc_id"), col("source"), posexplode(split(col("t"), "\n")))
+        .withColumnRenamed("col", "line")
+      val df = lines.groupBy("source", "line")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      lines.join(df, Seq("source", "line"))
+        .filter(col("df") < 5)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(expr("transform(array_sort(collect_list(struct(pos, line))), x -> x.line)"),
+            "\n").as("clean_text"))
+        .orderBy("doc_id")
+    }),
+
+    // N5: exponentially weighted moving average per user (alpha=0.3,
+    // s_1 = x_1), the classic time-series smoother. Sequential per key
+    // by definition: one shuffle groups each user's (bounded,
+    // session-scale) series, a linear fold computes every prefix's
+    // EWMA, zip_with + posexplode restores one row per event. The fold
+    // order is (ts, event_id) — bit-identical to the oracle's
+    // recursive-CTE fold.
+    "ts_ewma" -> ((s, d) =>
+      load(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .groupBy("user_id")
+        .agg(expr("array_sort(collect_list(struct(ts, event_id, value)))").as("sorted"))
+        .withColumn("ewmas", expr(
+          """aggregate(sorted,
+            |  named_struct('prev', CAST(NULL AS DOUBLE), 'out', CAST(array() AS ARRAY<DOUBLE>)),
+            |  (a, x) -> named_struct(
+            |    'prev', CASE WHEN a.prev IS NULL THEN x.value
+            |                 ELSE 0.3D * x.value + 0.7D * a.prev END,
+            |    'out', array_append(a.out,
+            |      CASE WHEN a.prev IS NULL THEN x.value
+            |           ELSE 0.3D * x.value + 0.7D * a.prev END)),
+            |  a -> a.out)""".stripMargin))
+        .select(col("user_id"), posexplode(expr(
+          "zip_with(sorted, ewmas, (s, e) -> named_struct('event_id', s.event_id, 'ewma', e))")))
+        .select(col("user_id"), col("col.event_id").as("event_id"),
+          (col("pos") + 1).cast("bigint").as("rn"), col("col.ewma").as("ewma"))
+        .orderBy("user_id", "rn")),
+
+    // N6: SCD2 dimension versioning — collapse each customer's order
+    // status history into versioned validity ranges (valid_from /
+    // valid_to / is_current). Gaps-and-islands (lag + running sum)
+    // then one lead for the range end; both window passes and the
+    // group-by share ONE o_custkey shuffle.
+    "dml_scd2" -> ((s, d) => {
+      val wo = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val runs = load(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderstatus"), col("o_orderkey"))
+        .withColumn("brk",
+          when(lag(col("o_orderstatus"), 1).over(wo).isNull
+            || col("o_orderstatus") =!= lag(col("o_orderstatus"), 1).over(wo), 1)
+            .otherwise(0))
+        .withColumn("ver", sum(col("brk"))
+          .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("o_custkey"), col("ver"), col("o_orderstatus").as("status"))
+        .agg(min(col("o_orderdate")).as("valid_from"))
+      runs
+        .withColumn("valid_to", lead(col("valid_from"), 1)
+          .over(Window.partitionBy("o_custkey").orderBy("ver")))
+        .select(col("o_custkey"), col("status"), col("ver").cast("bigint").as("version"),
+          col("valid_from"), col("valid_to"), col("valid_to").isNull.as("is_current"))
+        .orderBy("o_custkey", "version")
+    }),
+
+    // N7: fixed-width histogram (22 buckets of 5000 over
+    // l_extendedprice, clamped) — the profiling primitive. Bucket
+    // assignment is pure arithmetic (codegen, map-side combine); the
+    // count per bucket shuffles 22 rows.
+    "agg_histogram" -> ((s, d) =>
+      load(s, d, "lineitem")
+        .withColumn("bucket_id",
+          least(lit(21L), greatest(lit(0L),
+            floor(col("l_extendedprice") / 5000.0).cast("long"))))
+        .groupBy("bucket_id")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_extendedprice"))).cast(DecimalType(38, 2)).as("tot"),
+          min(col("l_extendedprice")).as("lo_val"),
+          max(col("l_extendedprice")).as("hi_val"))
+        .withColumn("lo_edge", col("bucket_id") * 5000.0)
+        .select("bucket_id", "lo_edge", "n", "tot", "lo_val", "hi_val")
+        .orderBy("bucket_id")),
+
+    // N8: deterministic mode per group — most frequent l_quantity per
+    // return flag, ties broken toward the smaller value (Spark's own
+    // mode() leaves ties unspecified, so the operator pins them):
+    // count per (group, value), then rank by (count desc, value asc).
+    "agg_mode" -> ((s, d) => {
+      val cnt = load(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(count(lit(1)).as("n"))
+      cnt.withColumn("rk", row_number().over(
+          Window.partitionBy("l_returnflag")
+            .orderBy(col("n").desc, col("l_quantity").asc)))
+        .filter(col("rk") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    // N9: TPC-H Q5 shape (local-supplier volume): region filter walks
+    // the dim chain region→nation→supplier, all broadcast; customer ⋈
+    // orders ⋈ lineitem carries the c_nationkey = s_nationkey
+    // same-nation constraint into the final broadcast join; revenue is
+    // decimal-exact. The fact table shuffles once (orders join); no
+    // dim ever shuffles it again.
+    "tpch_q5" -> ((s, d) => {
+      val r = load(s, d, "region").filter(col("r_name") === "ASIA")
+      val n = load(s, d, "nation")
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      val sup = load(s, d, "supplier")
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+      val o = load(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val c = load(s, d, "customer")
+      val l = load(s, d, "lineitem")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .join(broadcast(sup),
+          l("l_suppkey") === sup("s_suppkey") && c("c_nationkey") === sup("s_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(dec(col("l_extendedprice"))
+            * (lit(1) - dec(col("l_discount"))).cast(DecimalType(4, 2)))
+          .cast(DecimalType(38, 4)).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    }),
+
+    // N10: binary-payload exact dedup — the image-corpus dedup stage:
+    // hash the payload bytes (md5 — content fingerprint, not
+    // security), group on the digest, keep the minimum doc_id. The
+    // payload is the doc's 40-byte text prefix cast to binary (the
+    // corpus's planted near-dup groups share prefixes, so real
+    // collisions exist). One window shuffle on the digest.
+    "multimodal_dedup" -> ((s, d) => {
+      val g = Window.partitionBy("payload_md5")
+      load(s, d, "documents")
+        .select(col("doc_id"),
+          md5(substring(col("text"), 1, 40).cast("binary")).as("payload_md5"))
+        .select(col("doc_id"), col("payload_md5"),
+          count(lit(1)).over(g).as("dup_count"),
+          (col("doc_id") === min(col("doc_id")).over(g)).as("is_canonical"))
+        .orderBy("doc_id")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "text_chunk" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        | c AS (SELECT doc_id,
+        |    unnest(generate_series(0, (len(w)-1)//24)) AS chunk_id,
+        |    unnest(list_transform(generate_series(0, (len(w)-1)//24),
+        |      i -> w[i*24+1 : i*24+32])) AS ch
+        |  FROM w)
+        | SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(len(ch) AS BIGINT) AS n_tok, array_to_string(ch, ' ') AS chunk
+        | FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "pack_sequences" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+        | c AS (SELECT doc_id, lang, n_tok,
+        |    CAST(sum(n_tok) OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - n_tok AS "offset" FROM t)
+        | SELECT doc_id, lang, n_tok, "offset", "offset" // 256 AS bin_id
+        | FROM c ORDER BY doc_id""".stripMargin,
+    "dedup_url" ->
+      """WITH u AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://www.' ELSE 'http://' END
+        |      || source || '.example.com/p/' || CAST(doc_id % 10 AS VARCHAR)
+        |      || CASE WHEN doc_id % 3 = 0
+        |           THEN '?utm_source=feed&utm_id=' || CAST(doc_id AS VARCHAR)
+        |           ELSE '' END AS url
+        |  FROM documents),
+        | c AS (SELECT doc_id,
+        |    regexp_replace(
+        |      regexp_replace(lower(url), '^https?://(www\.)?', ''),
+        |      '[?&](utm_[a-z_]+|fbclid|gclid)=[^&]*', '', 'g') AS canon_url
+        |  FROM u)
+        | SELECT doc_id, canon_url,
+        |  CAST(count(*) OVER (PARTITION BY canon_url) AS BIGINT) AS dup_count,
+        |  doc_id = min(doc_id) OVER (PARTITION BY canon_url) AS is_canonical
+        | FROM c ORDER BY doc_id""".stripMargin,
+    "text_boilerplate" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    text || chr(10) || 'copyright (c) ' || source || ' media' || chr(10)
+        |      || CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter'
+        |              ELSE 'footer id ' || CAST(doc_id AS VARCHAR) END AS t
+        |  FROM documents),
+        | l AS (SELECT doc_id, source,
+        |    unnest(generate_series(0, len(string_split(t, chr(10)))-1)) AS pos,
+        |    unnest(string_split(t, chr(10))) AS line FROM t),
+        | df AS (SELECT source, line, count(DISTINCT doc_id) AS df
+        |        FROM l GROUP BY source, line)
+        | SELECT l.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |  string_agg(l.line, chr(10) ORDER BY l.pos) AS clean_text
+        | FROM l JOIN df ON l.source = df.source AND l.line = df.line
+        | WHERE df.df < 5
+        | GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin,
+    "ts_ewma" ->
+      """WITH RECURSIVE e AS (SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        |  FROM events),
+        | s AS (SELECT user_id, event_id, rn, value AS ewma FROM e WHERE rn = 1
+        |   UNION ALL
+        |   SELECT e.user_id, e.event_id, e.rn,
+        |     CAST(0.3 AS DOUBLE) * e.value + CAST(0.7 AS DOUBLE) * s.ewma
+        |   FROM s JOIN e ON e.user_id = s.user_id AND e.rn = s.rn + 1)
+        | SELECT user_id, event_id, CAST(rn AS BIGINT) AS rn, ewma
+        | FROM s ORDER BY user_id, rn""".stripMargin,
+    "dml_scd2" ->
+      """WITH b AS (SELECT o_custkey, o_orderdate, o_orderstatus, o_orderkey,
+        |    CASE WHEN lag(o_orderstatus) OVER w IS NULL
+        |           OR o_orderstatus <> lag(o_orderstatus) OVER w THEN 1 ELSE 0 END AS brk
+        |  FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        | v AS (SELECT o_custkey, o_orderdate, o_orderstatus,
+        |    CAST(sum(brk) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ver
+        |  FROM b),
+        | g AS (SELECT o_custkey, o_orderstatus AS status, ver,
+        |    min(o_orderdate) AS valid_from FROM v GROUP BY 1, 2, 3)
+        | SELECT o_custkey, status, ver AS version, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY ver) AS valid_to,
+        |  lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY ver) IS NULL AS is_current
+        | FROM g ORDER BY o_custkey, version""".stripMargin,
+    "agg_histogram" ->
+      """SELECT CAST(least(21, greatest(0, floor(l_extendedprice / 5000.0))) AS BIGINT) AS bucket_id,
+        |  CAST(least(21, greatest(0, floor(l_extendedprice / 5000.0))) AS BIGINT) * 5000.0 AS lo_edge,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS tot,
+        |  min(l_extendedprice) AS lo_val, max(l_extendedprice) AS hi_val
+        | FROM lineitem GROUP BY 1, 2 ORDER BY bucket_id""".stripMargin,
+    "agg_mode" ->
+      """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS n
+        |  FROM lineitem GROUP BY 1, 2),
+        | r AS (SELECT l_returnflag, l_quantity, n,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY n DESC, l_quantity ASC) AS rk FROM c)
+        | SELECT l_returnflag, l_quantity AS mode_qty, n
+        | FROM r WHERE rk = 1 ORDER BY l_returnflag""".stripMargin,
+    "tpch_q5" ->
+      """SELECT n_name,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * CAST(1 - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(4,2))) AS DECIMAL(38,4)) AS revenue
+        | FROM customer, orders, lineitem, supplier, nation, region
+        | WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |   AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |   AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |   AND r_name = 'ASIA'
+        |   AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |   AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        | GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    "multimodal_dedup" ->
+      """WITH h AS (SELECT doc_id, md5(substring(text, 1, 40)) AS payload_md5
+        |  FROM documents)
+        | SELECT doc_id, payload_md5,
+        |  CAST(count(*) OVER (PARTITION BY payload_md5) AS BIGINT) AS dup_count,
+        |  doc_id = min(doc_id) OVER (PARTITION BY payload_md5) AS is_canonical
+        | FROM h ORDER BY doc_id""".stripMargin,
+  )
+}
