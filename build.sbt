@@ -17,6 +17,9 @@ run / fork := true
 // as the LAST line of stdout (BENCH_r03 parsed:null root cause).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 showSuccess := false
+// showSuccess is consumed by sbt's command layer, not a task — exclude
+// it from the unused-key lint so batch output stays warning-free.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
