@@ -99,6 +99,29 @@ object GraftOps {
       .select(col("a_id"), col("b_id"), col("jac").cast(DecimalType(18, 6)).as("jac"))
   }
 
+  /** Cross-corpus blocked n-gram Jaccard pairs (a × b, not self):
+    * the train-vs-heldout / shard-vs-shard near-dup shape. Same
+    * first-`blockWords` equality blocking as [[ngramJaccardPairs]],
+    * but candidates span the two inputs and every (a,b) ordering is a
+    * distinct pair (no `a_id < b_id` dedup — ids may overlap or come
+    * from different id spaces). Scale: one hash-partitioned equi-join
+    * on the block key; neither corpus is ever crossed with itself.
+    */
+  def ngramJaccardCrossPairs(a: DataFrame, b: DataFrame, idCol: String,
+      textCol: String, minJaccard: Double = 0.8, shingleSize: Int = 3,
+      blockWords: Int = 2): DataFrame = {
+    def prep(df: DataFrame, side: String) =
+      shingles(df, textCol, shingleSize, "__shingles")
+        .withColumn("__blk", expr(s"concat_ws(' ', slice(split($textCol, ' '), 1, $blockWords))"))
+        .select(col(idCol).as(s"${side}_id"), col("__blk").as(s"${side}_blk"),
+          col("__shingles").as(s"s$side"))
+    prep(a, "a").join(prep(b, "b"), col("a_blk") === col("b_blk"))
+      .withColumn("jac", size(array_intersect(col("sa"), col("sb"))).cast("double")
+        / size(array_union(col("sa"), col("sb"))))
+      .filter(col("jac") >= minJaccard)
+      .select(col("a_id"), col("b_id"), col("jac").cast(DecimalType(18, 6)).as("jac"))
+  }
+
   /** Attach `__norm` = L2 norm of `vecCol` (via the codegen'd
     * array_dot). Requires GraftFunctions.register.
     */

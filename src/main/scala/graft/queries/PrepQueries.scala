@@ -232,6 +232,67 @@ object PrepQueries {
         .orderBy(col("revenue").desc, col("n_name").asc)
     }),
 
+    // N11: bucketed interval join — the IP-range/window-lookup shape
+    // where NO equi-key exists (pure containment v ∈ [lo, hi)).
+    // Bucketing CREATES the equi-key: intervals are exploded into the
+    // fixed-width buckets they overlap (width >= max interval length
+    // ⇒ <= 2 buckets each), probes compute their bucket arithmetically,
+    // and the containment filter runs on equi-join candidates only —
+    // one keyed shuffle instead of the O(probes × intervals)
+    // BroadcastNestedLoop a raw theta join degenerates to.
+    "join_range_bucketed" -> ((s, d) => {
+      val iv = s.range(0, 210).toDF("iv_id")
+        .withColumn("lo", col("iv_id") * 500.0)
+        .withColumn("hi", col("iv_id") * 500.0 + 350.0)
+      val ivb = iv.withColumn("bucket", explode(expr(
+        "sequence(CAST(floor(lo/500.0) AS BIGINT), CAST(floor(hi/500.0) AS BIGINT))")))
+      load(s, d, "lineitem").select(col("l_extendedprice").as("v"))
+        .withColumn("bucket", floor(col("v") / 500.0).cast("long"))
+        .join(ivb, Seq("bucket"))
+        .filter(col("v") >= col("lo") && col("v") < col("hi"))
+        .groupBy("iv_id")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("v"))).cast(DecimalType(38, 2)).as("tot"))
+        .orderBy("iv_id")
+    }),
+
+    // N12: cross-corpus near-dedup — flag heldout documents (doc_id %
+    // 29 == 0, the decontaminate split) whose 3-gram shingle Jaccard
+    // vs any training document reaches 0.8. Unlike dedup_ngram's
+    // self-join this crosses two corpora; GraftOps blocks on the
+    // 2-word prefix so neither side is ever crossed with itself.
+    "dedup_cross" -> ((s, d) => {
+      val docs = load(s, d, "documents")
+      graft.api.GraftOps.ngramJaccardCrossPairs(
+        docs.filter(col("doc_id") % 29 =!= 0),
+        docs.filter(col("doc_id") % 29 === 0),
+        "doc_id", "text", minJaccard = 0.8)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // N13: incremental aggregate maintenance — the materialized-view
+    // refresh shape: a base aggregate (orders before 2000) is combined
+    // with the delta's PARTIAL aggregate by merging states (sum of
+    // counts, sum of decimal sums), never touching base fact rows
+    // again. Correct because count/sum are commutative monoids; the
+    // oracle is the full recompute and must match exactly. At 100 TB
+    // this is the difference between re-scanning the lake and scanning
+    // one day's partition.
+    "dml_incremental" -> ((s, d) => {
+      val o = load(s, d, "orders")
+      val cut = lit("2000-01-01").cast("timestamp")
+      def partial(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("o_custkey").agg(
+          count(lit(1)).as("n"),
+          sum(dec(col("o_totalprice"))).cast(DecimalType(38, 2)).as("tot"))
+      partial(o.filter(col("o_orderdate") < cut))
+        .unionByName(partial(o.filter(col("o_orderdate") >= cut)))
+        .groupBy("o_custkey")
+        .agg(sum(col("n")).as("n"),
+          sum(col("tot")).cast(DecimalType(38, 2)).as("tot"))
+        .orderBy("o_custkey")
+    }),
+
     // N10: binary-payload exact dedup — the image-corpus dedup stage:
     // hash the payload bytes (md5 — content fingerprint, not
     // security), group on the digest, keep the minimum doc_id. The
@@ -358,6 +419,33 @@ object PrepQueries {
         |   AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |   AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         | GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    "join_range_bucketed" ->
+      """WITH iv AS (SELECT i AS iv_id, i*500.0 AS lo, i*500.0 + 350.0 AS hi
+        |  FROM generate_series(0, 209) t(i))
+        | SELECT iv_id, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS tot
+        | FROM iv JOIN lineitem
+        |   ON l_extendedprice >= lo AND l_extendedprice < hi
+        | GROUP BY iv_id ORDER BY iv_id""".stripMargin,
+    "dedup_cross" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |     sh AS (SELECT doc_id,
+        |        list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+        |          i -> array_to_string(w[i:i+2], ' '))) AS shingles,
+        |        array_to_string(w[1:2], ' ') AS blk
+        |      FROM docs)
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |   CAST(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |     / len(list_distinct(a.shingles || b.shingles)) AS DECIMAL(18,6)) AS jac
+        | FROM sh a JOIN sh b ON a.blk = b.blk
+        |   AND a.doc_id % 29 <> 0 AND b.doc_id % 29 = 0
+        | WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |     / len(list_distinct(a.shingles || b.shingles)) >= 0.8
+        | ORDER BY a_id, b_id""".stripMargin,
+    "dml_incremental" ->
+      """SELECT o_custkey, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS tot
+        | FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "multimodal_dedup" ->
       """WITH h AS (SELECT doc_id, md5(substring(text, 1, 40)) AS payload_md5
         |  FROM documents)

@@ -154,6 +154,47 @@ class PrepSpec extends GraftSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("join_range_bucketed equals the raw theta join and never goes nested-loop") {
+    import org.apache.spark.sql.types.DecimalType
+    val df = q("join_range_bucketed")
+    val rows = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"bucketing failed to create an equi-join:\n${plan.take(1500)}")
+    // the bucket trick must be invisible in the result: compare against
+    // the direct containment formulation
+    val iv = spark.range(0, 210).toDF("iv_id")
+      .withColumn("lo", col("iv_id") * 500.0)
+      .withColumn("hi", col("iv_id") * 500.0 + 350.0)
+    val direct = Tables.load(spark, sf, "lineitem").select(col("l_extendedprice").as("v"))
+      .join(iv, col("v") >= col("lo") && col("v") < col("hi"))
+      .groupBy("iv_id")
+      .agg(count(lit(1)).as("n"),
+        sum(Tables.dec(col("v"))).cast(DecimalType(38, 2)).as("tot"))
+      .orderBy("iv_id")
+    assert(rows.toSeq == direct.collect().toSeq)
+  }
+
+  test("dedup_cross: pairs always span the two corpora with jaccard in [0.8, 1]") {
+    val rows = q("dedup_cross").collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) % 29 != 0, s"a_id ${r.getLong(0)} not from the train split")
+      assert(r.getLong(1) % 29 == 0, s"b_id ${r.getLong(1)} not from the heldout split")
+      val j = r.getDecimal(2).doubleValue()
+      assert(j >= 0.8 && j <= 1.0)
+    }
+  }
+
+  test("dml_incremental: merged partials equal the full recompute bit-for-bit") {
+    import org.apache.spark.sql.types.DecimalType
+    val direct = Tables.load(spark, sf, "orders")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"),
+        sum(Tables.dec(col("o_totalprice"))).cast(DecimalType(38, 2)).as("tot"))
+      .orderBy("o_custkey")
+    assert(q("dml_incremental").collect().toSeq == direct.collect().toSeq)
+  }
+
   test("multimodal_dedup: groups cover the corpus and planted prefix dups collide") {
     val rows = q("multimodal_dedup").collect()
     val groups = rows.groupBy(_.getString(1))
