@@ -158,10 +158,65 @@ object ScaleStress {
     val (dr1, dt1) = timeCount(() => decontaminate(d1))
     val (drn, dtn) = timeCount(() => decontaminate(dN))
 
+    // --- boilerplate removal over N× disjoint sources ---------------
+    // Sources get a per-copy suffix: the line-df dictionary grows in
+    // GROUP COUNT (linear), never in per-group size — the same reason
+    // a 100 TB crawl partitions df computation by domain.
+    val docsS = load(spark, sfDir, "documents").select("doc_id", "text", "source")
+    def bpCopies(n: Int): DataFrame =
+      (0 until n).map(k => docsS.select(
+        (col("doc_id") + lit(k * off)).as("doc_id"), col("text"),
+        concat(col("source"), lit(s"_$k")).as("source")))
+        .reduce(_ union _)
+    def boiler(df: DataFrame): DataFrame = {
+      val t = concat(col("text"),
+        lit("\ncopyright (c) "), col("source"), lit(" media"),
+        when(col("doc_id") % 3 === 0, lit("\nsubscribe to our newsletter"))
+          .otherwise(concat(lit("\nfooter id "), col("doc_id").cast("string"))))
+      val lines = df.withColumn("t", t)
+        .select(col("doc_id"), col("source"), posexplode(split(col("t"), "\n")))
+        .withColumnRenamed("col", "line")
+      val dfreq = lines.groupBy("source", "line")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      lines.join(dfreq, Seq("source", "line")).filter(col("df") < 5)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_kept"))
+    }
+    val b1 = materialize(bpCopies(1), "bp1")
+    val bN = materialize(bpCopies(mult), "bpN")
+    val (br1, bt1) = timeCount(() => boiler(b1))
+    val (brn, btn) = timeCount(() => boiler(bN))
+
+    // --- sequence packing with FIXED shards (langs) ------------------
+    // Deliberately the harsher variant: the 5 lang partitions each grow
+    // N× (window sort is n log n per shard). Output rows = packed bins,
+    // ~tokens/256, linear in input.
+    def pack(df: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      df.select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("bigint").as("n_tok"))
+        .withColumn("offset", sum(col("n_tok")).over(w) - col("n_tok"))
+        .withColumn("bin_id", expr("offset DIV 256"))
+        .groupBy("lang", "bin_id").agg(count(lit(1)).as("n_docs"))
+    }
+    val docsL = load(spark, sfDir, "documents").select("doc_id", "text", "lang")
+    def langCopies(n: Int): DataFrame =
+      (0 until n).map(k => docsL.select(
+        (col("doc_id") + lit(k * off)).as("doc_id"), col("text"), col("lang")))
+        .reduce(_ union _)
+    val p1 = materialize(langCopies(1), "pk1")
+    val pN = materialize(langCopies(mult), "pkN")
+    val (kr1, kt1) = timeCount(() => pack(p1))
+    val (krn, ktn) = timeCount(() => pack(pN))
+
     Seq(
       ("sessionize_batch", sr1, st1, srn, stn),
       ("dedup_cluster (connectedComponents)", cr1, ct1, crn, ctn),
       ("dedup_embed_cos (cosinePairsBlocked)", pr1, pt1, prn, ptn),
-      ("text_decontaminate (fixed eval set)", dr1, dt1, drn, dtn))
+      ("text_decontaminate (fixed eval set)", dr1, dt1, drn, dtn),
+      ("text_boilerplate (disjoint sources)", br1, bt1, brn, btn),
+      ("pack_sequences (fixed lang shards)", kr1, kt1, krn, ktn))
   }
 }
