@@ -95,7 +95,12 @@ class ScaleSpec extends GraftSpec {
     def measure(): Unit = {
       val rs = graft.tools.ScaleStress.run(spark, "/root/testdata/sf0.01", mult = 6)
       rs.foreach { case (op, r1, t1, rn, tn) =>
-        assert(rn >= 6 * r1,
+        // pack_sequences outputs BINS (≈ tokens/256): concatenating 6×
+        // the tokens yields marginally FEWER than 6× the bins (each
+        // copy's partial tail bin merges into the stream), so its
+        // disjointness bound is one bin per lang shard looser.
+        val minRows = if (op.startsWith("pack_sequences")) 6 * r1 - 6 * 5 else 6 * r1
+        assert(rn >= minRows,
           s"$op: copies are not disjoint (rows $r1 -> $rn at 6x)")
         val timeRatio = tn / math.max(t1, 0.2) // floor: sub-200ms base is all overhead
         // cosinePairsBlocked's TRUE output grows ~quadratically on this
