@@ -432,4 +432,21 @@ object GraftOps {
       .withColumn(outCol, last(col("__marker"), ignoreNulls = true).over(w))
       .drop("__marker")
   }
+
+  /** FORWARD as-of: `outCol` = id of the nearest row AT OR AFTER each
+    * row (in `(tsCol, idCol)` order, same partition) satisfying
+    * `marker` — the mirror of [[asofLastMatch]] (e.g. "next error
+    * after this purchase"). Same single-shuffle window formulation,
+    * descending order: "last marker seen so far" walking backwards IS
+    * the next marker forwards.
+    */
+  def asofNextMatch(df: DataFrame, partitionCol: String, tsCol: String,
+      idCol: String, marker: Column, outCol: String): DataFrame = {
+    val w = Window.partitionBy(col(partitionCol))
+      .orderBy(col(tsCol).desc, col(idCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__marker", when(marker, col(idCol)))
+      .withColumn(outCol, last(col("__marker"), ignoreNulls = true).over(w))
+      .drop("__marker")
+  }
 }

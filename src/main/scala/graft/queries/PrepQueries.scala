@@ -293,6 +293,47 @@ object PrepQueries {
         .orderBy("o_custkey")
     }),
 
+    // N14: forward as-of — nearest error event at-or-after each event,
+    // per user: the mirror of C10's backward as-of, same one-shuffle
+    // window formulation in descending time order.
+    "join_asof_fwd" -> ((s, d) =>
+      graft.api.GraftOps.asofNextMatch(load(s, d, "events"),
+        partitionCol = "user_id", tsCol = "ts", idCol = "event_id",
+        marker = col("event_type") === "error", outCol = "next_error_id")
+        .select("event_id", "user_id", "next_error_id")
+        .orderBy("event_id")),
+
+    // N15: edit-distance fuzzy dedup — near-identical 60-char prefixes
+    // (levenshtein <= 5) among documents sharing the 2-word block
+    // prefix. The block equi-join bounds candidates exactly like
+    // dedup_ngram; levenshtein runs on candidates only, never n².
+    "dedup_fuzzy" -> ((s, d) => {
+      val docs = load(s, d, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 60).as("p"),
+          expr("concat_ws(' ', slice(split(text, ' '), 1, 2))").as("blk"))
+      val a = docs.select(col("doc_id").as("a_id"), col("p").as("pa"), col("blk"))
+      val b = docs.select(col("doc_id").as("b_id"), col("p").as("pb"), col("blk").as("b_blk"))
+      a.join(b, col("blk") === col("b_blk") && col("a_id") < col("b_id"))
+        .withColumn("dist", levenshtein(col("pa"), col("pb")).cast("bigint"))
+        .filter(col("dist") <= 5)
+        .select("a_id", "b_id", "dist")
+        .orderBy("a_id", "b_id")
+    }),
+
+    // N16: sliding-window distinct — unique users per 2-hour window
+    // sliding by 1 hour, the standard telemetry cardinality shape.
+    // Spark's window() explodes each row into its two covering
+    // windows; the distinct agg shuffles on (window, user) — the same
+    // two-level plan a 100 TB rollup uses.
+    "agg_window_distinct" -> ((s, d) =>
+      load(s, d, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour"))
+        .agg(countDistinct(col("user_id")).as("u"),
+          count(lit(1)).as("n"))
+        .select(col("window.start").cast("timestamp_ntz").as("w_start"),
+          col("u"), col("n"))
+        .orderBy("w_start")),
+
     // N10: binary-payload exact dedup — the image-corpus dedup stage:
     // hash the payload bytes (md5 — content fingerprint, not
     // security), group on the digest, keep the minimum doc_id. The
@@ -446,6 +487,30 @@ object PrepQueries {
       """SELECT o_custkey, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS tot
         | FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "join_asof_fwd" ->
+      """SELECT event_id, user_id,
+        |  last_value(CASE WHEN event_type = 'error' THEN event_id END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id
+        |          ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS next_error_id
+        | FROM events ORDER BY event_id""".stripMargin,
+    "dedup_fuzzy" ->
+      """WITH d AS (SELECT doc_id, substring(text, 1, 60) AS p,
+        |    array_to_string((string_split(text, ' '))[1:2], ' ') AS blk
+        |  FROM documents)
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |   CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
+        | FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        | WHERE levenshtein(a.p, b.p) <= 5
+        | ORDER BY a_id, b_id""".stripMargin,
+    "agg_window_distinct" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        | w AS (SELECT user_id,
+        |    unnest([time_bucket(INTERVAL '1 hour', ts),
+        |            time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour']) AS w_start
+        |  FROM e)
+        | SELECT w_start, count(DISTINCT user_id) AS u, count(*) AS n
+        | FROM w GROUP BY w_start ORDER BY w_start""".stripMargin,
     "multimodal_dedup" ->
       """WITH h AS (SELECT doc_id, md5(substring(text, 1, 40)) AS payload_md5
         |  FROM documents)

@@ -195,6 +195,56 @@ class PrepSpec extends GraftSpec {
     assert(q("dml_incremental").collect().toSeq == direct.collect().toSeq)
   }
 
+  test("join_asof_fwd mirrors a brute-force next-marker scan") {
+    val evs = Tables.load(spark, sf, "events")
+      .select("user_id", "event_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.time.LocalDateTime](2), r.getString(3)))
+    val expect = evs.groupBy(_._1).toSeq.flatMap { case (_, us) =>
+      val sorted = us.sortBy(e =>
+        (e._3.toEpochSecond(java.time.ZoneOffset.UTC), e._3.getNano, e._2))
+      sorted.indices.map { i =>
+        val next = sorted.drop(i).find(_._4 == "error").map(_._2)
+        sorted(i)._2 -> next
+      }
+    }.toMap
+    q("join_asof_fwd").collect().foreach { r =>
+      val got = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      assert(got == expect(r.getLong(0)), s"event ${r.getLong(0)}")
+    }
+  }
+
+  test("dedup_fuzzy: pairs share the block prefix and the distance bound holds") {
+    val prefix = Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id", "substring(text, 1, 60) AS p").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rows = q("dedup_fuzzy").collect()
+    rows.foreach { r =>
+      val (aId, bId, dist) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(aId < bId)
+      assert(dist <= 5)
+      assert(lev(prefix(aId), prefix(bId)) == dist, s"pair ($aId,$bId) distance")
+    }
+  }
+
+  test("agg_window_distinct: every window's distinct count is bounded by its row count") {
+    val rows = q("agg_window_distinct").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) <= r.getLong(2)))
+    // sliding windows double-count rows: total n across windows = 2x events
+    val total = Tables.load(spark, sf, "events").count()
+    assert(rows.map(_.getLong(2)).sum == 2 * total)
+  }
+
   test("multimodal_dedup: groups cover the corpus and planted prefix dups collide") {
     val rows = q("multimodal_dedup").collect()
     val groups = rows.groupBy(_.getString(1))
