@@ -334,6 +334,32 @@ object PrepQueries {
           col("u"), col("n"))
         .orderBy("w_start")),
 
+    // N17: TPC-H Q18 shape (large-volume customers) — the
+    // aggregate-derived semi-join pattern: the qualifying-order set is
+    // itself a fact aggregation (partial agg before its shuffle, a few
+    // thousand keys out of millions), then a LEFT SEMI join prunes
+    // orders before the final 3-way join+agg+top-20
+    // (TakeOrderedAndProject). At 100 TB the semi-join side stays
+    // small enough to broadcast — the fact is filtered, never
+    // re-shuffled for qualification.
+    "tpch_q18" -> ((s, d) => {
+      val l = load(s, d, "lineitem")
+      val big = l.groupBy("l_orderkey")
+        .agg(sum(dec(col("l_quantity"))).as("q"))
+        .filter(col("q") > 150)
+        .select(col("l_orderkey").as("big_okey"))
+      val o = load(s, d, "orders")
+      val c = load(s, d, "customer")
+      o.join(big, o("o_orderkey") === big("big_okey"), "left_semi")
+        .join(c, col("o_custkey") === c("c_custkey"))
+        .join(l, col("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("c_name"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"))
+        .agg(sum(dec(col("l_quantity"))).cast(DecimalType(38, 2)).as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)
+    }),
+
     // N10: binary-payload exact dedup — the image-corpus dedup stage:
     // hash the payload bytes (md5 — content fingerprint, not
     // security), group on the digest, keep the minimum doc_id. The
@@ -511,6 +537,16 @@ object PrepQueries {
         |  FROM e)
         | SELECT w_start, count(DISTINCT user_id) AS u, count(*) AS n
         | FROM w GROUP BY w_start ORDER BY w_start""".stripMargin,
+    "tpch_q18" ->
+      """SELECT c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty
+        | FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        | WHERE o.o_orderkey IN (
+        |   SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |   HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+        | GROUP BY c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        | ORDER BY o.o_totalprice DESC, o.o_orderkey ASC LIMIT 20""".stripMargin,
     "multimodal_dedup" ->
       """WITH h AS (SELECT doc_id, md5(substring(text, 1, 40)) AS payload_md5
         |  FROM documents)

@@ -245,6 +245,15 @@ class PrepSpec extends GraftSpec {
     assert(rows.map(_.getLong(2)).sum == 2 * total)
   }
 
+  test("tpch_q18 runs the qualification as a semi-join and the top-20 as TakeOrdered") {
+    val df = q("tpch_q18")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"qualification not a semi-join:\n${plan.take(1500)}")
+    assert(plan.contains("TakeOrderedAndProject"), "top-20 must not globally sort")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("multimodal_dedup: groups cover the corpus and planted prefix dups collide") {
     val rows = q("multimodal_dedup").collect()
     val groups = rows.groupBy(_.getString(1))
