@@ -360,6 +360,21 @@ object PrepQueries {
         .limit(20)
     }),
 
+    // N18: deterministic train/val/test split — assignment by the
+    // first md5 hex digit of the id (12/2/2 of 16 → 75% / 12.5% /
+    // 12.5%), the reproducible-split contract every training pipeline
+    // needs: stable under re-runs, shard order, and corpus growth
+    // (adding documents never moves an existing one). Map-only.
+    "sample_split" -> ((s, d) => {
+      val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+      load(s, d, "documents").select(
+        col("doc_id"), col("lang"), h.as("bucket"),
+        when(h <= "9" || h === "a" || h === "b", "train")
+          .when(h === "c" || h === "d", "val")
+          .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    }),
+
     // N10: binary-payload exact dedup — the image-corpus dedup stage:
     // hash the payload bytes (md5 — content fingerprint, not
     // security), group on the digest, keep the minimum doc_id. The
@@ -547,6 +562,15 @@ object PrepQueries {
         |   HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150)
         | GROUP BY c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
         | ORDER BY o.o_totalprice DESC, o.o_orderkey ASC LIMIT 20""".stripMargin,
+    "sample_split" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket
+        |  FROM documents)
+        | SELECT doc_id, lang, bucket,
+        |  CASE WHEN bucket <= '9' OR bucket = 'a' OR bucket = 'b' THEN 'train'
+        |       WHEN bucket IN ('c', 'd') THEN 'val'
+        |       ELSE 'test' END AS split
+        | FROM h ORDER BY doc_id""".stripMargin,
     "multimodal_dedup" ->
       """WITH h AS (SELECT doc_id, md5(substring(text, 1, 40)) AS payload_md5
         |  FROM documents)

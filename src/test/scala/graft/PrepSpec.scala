@@ -254,6 +254,18 @@ class PrepSpec extends GraftSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("sample_split: total partition, stable assignment, plausible proportions") {
+    val rows = q("sample_split").collect()
+    val total = Tables.load(spark, sf, "documents").count()
+    assert(rows.length == total)
+    val bySplit = rows.groupBy(_.getString(3)).view.mapValues(_.length).toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    // expectation 75% / 12.5% / 12.5%; allow wide slack at small sf
+    assert(bySplit("train").toDouble / total > 0.55)
+    // deterministic: a second evaluation assigns identically
+    assert(q("sample_split").collect().toSeq == rows.toSeq)
+  }
+
   test("multimodal_dedup: groups cover the corpus and planted prefix dups collide") {
     val rows = q("multimodal_dedup").collect()
     val groups = rows.groupBy(_.getString(1))
