@@ -66,6 +66,17 @@ object JoinQueries {
         .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
     }),
 
+    // C4b (round 4): right outer — the filtered order side right-joined
+    // to customer, so customers without qualifying orders surface with
+    // NULL order columns (the mirror of C4).
+    "join_right_outer" -> ((s, d) => {
+      val o = load(s, d, "orders").filter(col("o_totalprice") > 150000.0)
+      val c = load(s, d, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"), "right")
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+        .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
+    }),
+
     // C5: full outer over two partially overlapping key subsets.
     "join_full_outer" -> ((s, d) => {
       val o = load(s, d, "orders")
@@ -153,6 +164,11 @@ object JoinQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "join_right_outer" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        | FROM (SELECT * FROM orders WHERE o_totalprice > 150000.0) o
+        | RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+        | ORDER BY c_custkey ASC, o_orderkey ASC NULLS FIRST""".stripMargin,
     "tpch_q3" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))

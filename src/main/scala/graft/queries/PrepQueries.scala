@@ -375,6 +375,24 @@ object PrepQueries {
         .orderBy("doc_id")
     }),
 
+    // N19: time-range window frame — trailing-1-hour count and sum per
+    // user (RANGE frame over event-time seconds, not ROWS): the
+    // telemetry moving-aggregate shape. One shuffle on user_id; the
+    // frame walks each partition's sort once. Both engines order by
+    // floored epoch seconds so sub-second timestamps can't split the
+    // frame boundary differently.
+    "win_time_range" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(expr("unix_seconds(CAST(ts AS TIMESTAMP))"))
+        .rangeBetween(-3600, 0)
+      load(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h", sum(dec(col("value"))).over(w).cast(DecimalType(38, 2)))
+        .select("event_id", "user_id", "n_1h", "sum_1h")
+        .orderBy("event_id")
+    }),
+
     // N10: binary-payload exact dedup — the image-corpus dedup stage:
     // hash the payload bytes (md5 — content fingerprint, not
     // security), group on the digest, keep the minimum doc_id. The
@@ -571,6 +589,15 @@ object PrepQueries {
         |       WHEN bucket IN ('c', 'd') THEN 'val'
         |       ELSE 'test' END AS split
         | FROM h ORDER BY doc_id""".stripMargin,
+    "win_time_range" ->
+      """SELECT event_id, user_id,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2)) AS sum_1h
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id
+        |   ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+        |   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        | ORDER BY event_id""".stripMargin,
     "multimodal_dedup" ->
       """WITH h AS (SELECT doc_id, md5(substring(text, 1, 40)) AS payload_md5
         |  FROM documents)

@@ -50,6 +50,10 @@ object SetQueries {
     // G5: INTERSECT ALL (bag semantics — min multiplicity).
     "set_intersect_all" -> ((s, d) =>
       custA(s, d).intersectAll(custB(s, d)).orderBy("o_custkey")),
+    // G6 (round 4): bag difference — the multiplicity-preserving dual
+    // of G4's EXCEPT DISTINCT.
+    "set_except_all" -> ((s, d) =>
+      custA(s, d).exceptAll(custB(s, d)).orderBy("o_custkey")),
   )
 
   private val hiSql = "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_totalprice > 150000.0"
@@ -70,5 +74,7 @@ object SetQueries {
       s"SELECT * FROM ($custASql EXCEPT $custBSql) t ORDER BY o_custkey",
     "set_intersect_all" ->
       s"SELECT * FROM ($custASql INTERSECT ALL $custBSql) t ORDER BY o_custkey",
+    "set_except_all" ->
+      s"SELECT * FROM ($custASql EXCEPT ALL $custBSql) t ORDER BY o_custkey",
   )
 }

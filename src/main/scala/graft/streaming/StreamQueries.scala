@@ -135,6 +135,41 @@ object StreamQueries {
         .orderBy("s_start", "user_id")
     }),
 
+    // I1b (round 4): UPDATE output mode — emits every key changed in
+    // the batch regardless of watermark (vs append's closed-windows-
+    // only). One AvailableNow batch updates every key exactly once, so
+    // the sink equals the batch group-by.
+    "stream_update" -> ((s, d) => {
+      val (sdf, _, _) = eventStream(s, d)
+      val agg = sdf.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      runToMemory(s, agg, "update")
+        .select(col("window.start").cast("timestamp_ntz").as("w_start"),
+          col("event_type"), col("n"))
+        .orderBy("w_start", "event_type")
+    }),
+
+    // I1c (round 4): CHAINED stateful aggregations (Spark 3.4+ multi-
+    // stateful-operator support): 5-minute counts re-windowed into
+    // hourly peaks, both event-time aggs in ONE streaming query with
+    // propagated watermarks. Append emits hourly windows closed by the
+    // final watermark (end <= max ts - 1h; boundary probed in I4's
+    // comment), each computed over all of its 5-minute children.
+    "stream_chained_agg" -> ((s, d) => {
+      val (sdf, _, _) = eventStream(s, d)
+      val m5 = sdf.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "5 minutes"))
+        .agg(count(lit(1)).as("n"))
+      val hourly = m5
+        .groupBy(window(col("window"), "1 hour"))
+        .agg(max(col("n")).as("peak_5min"), count(lit(1)).as("n_buckets"))
+      runToMemory(s, hourly, "append")
+        .select(col("window.start").cast("timestamp_ntz").as("w_start"),
+          col("peak_5min"), col("n_buckets"))
+        .orderBy("w_start")
+    }),
+
     // I4: watermark semantics — a second batch replays day-1/2 rows
     // after the watermark has advanced past them; append-mode output
     // proves they were dropped (window counts not double-counted).
@@ -331,6 +366,24 @@ object StreamQueries {
         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM f)
         | SELECT min(ts) AS s_start, user_id, count(*) AS n
         | FROM g GROUP BY user_id, grp ORDER BY s_start, user_id""".stripMargin,
+    // I1b: update mode over one batch = the plain group-by (6 h
+    // tumbling; time_bucket is epoch-aligned for divisors of a day,
+    // matching Spark's window()).
+    "stream_update" ->
+      """SELECT CAST(time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS w_start,
+        |   event_type, count(*) AS n
+        | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // I1c: chained aggs — hourly rollup of 5-min counts, emitted for
+    // hours closed by the final watermark (end <= max ts - 1h).
+    "stream_chained_agg" ->
+      """WITH wm AS (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL '1 hour' AS wm FROM events),
+        | m AS (SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS w5,
+        |          count(*) AS n FROM events GROUP BY 1),
+        | h AS (SELECT time_bucket(INTERVAL '1 hour', w5) AS w_start,
+        |          max(n) AS peak_5min, count(*) AS n_buckets FROM m GROUP BY 1)
+        | SELECT CAST(w_start AS TIMESTAMP) AS w_start, peak_5min, n_buckets
+        | FROM h, wm WHERE w_start + INTERVAL '1 hour' <= wm
+        | ORDER BY w_start""".stripMargin,
     // I4: append-mode emits exactly the windows closed by the final
     // watermark (max ts - 1h); the late re-play must not inflate them.
     // Boundary verified empirically on Spark 4.1.2 (round-4 probe): a

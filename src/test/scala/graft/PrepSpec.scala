@@ -266,6 +266,45 @@ class PrepSpec extends GraftSpec {
     assert(q("sample_split").collect().toSeq == rows.toSeq)
   }
 
+  test("win_time_range matches a brute-force trailing-hour scan") {
+    val evs = Tables.load(spark, sf, "events")
+      .select("user_id", "event_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.time.LocalDateTime](2).toEpochSecond(java.time.ZoneOffset.UTC)))
+    val expect = evs.groupBy(_._1).toSeq.flatMap { case (_, us) =>
+      us.map { case (_, eid, sec) =>
+        eid -> us.count(o => o._3 >= sec - 3600 && o._3 <= sec).toLong
+      }
+    }.toMap
+    q("win_time_range").collect().foreach { r =>
+      assert(r.getLong(2) == expect(r.getLong(0)),
+        s"event ${r.getLong(0)} trailing-hour count")
+    }
+  }
+
+  test("stream_chained_agg: hourly rollups hold at most 12 five-minute buckets") {
+    val rows = q("stream_chained_agg").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= 12)
+      assert(r.getLong(1) >= 1)
+    }
+  }
+
+  test("join_right_outer preserves every customer; set_except_all sizes add up") {
+    val customers = Tables.load(spark, sf, "customer").count()
+    val qualifying = Tables.load(spark, sf, "orders")
+      .filter(col("o_totalprice") > 150000.0).select("o_custkey").distinct().count()
+    val ro = q("join_right_outer").collect()
+    assert(ro.map(_.getLong(0)).distinct.length == customers)
+    // one NULL row per customer without a qualifying order (possibly 0
+    // at tiny scale factors where every customer has one)
+    assert(ro.count(_.isNullAt(1)) == customers - qualifying)
+    val a = Tables.load(spark, sf, "orders")
+      .filter(col("o_orderstatus") === "F").count()
+    assert(q("set_except_all").count() + q("set_intersect_all").count() == a)
+  }
+
   test("multimodal_dedup: groups cover the corpus and planted prefix dups collide") {
     val rows = q("multimodal_dedup").collect()
     val groups = rows.groupBy(_.getString(1))
