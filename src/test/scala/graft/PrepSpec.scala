@@ -152,6 +152,23 @@ class PrepSpec extends GraftSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast in:\n${plan.take(1500)}")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    // the date filter must reach the orders parquet scan
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate") || plan.contains("o_orderdate),1996"),
+      s"orders date filter not pushed to scan:\n${plan.take(2500)}")
+  }
+
+  test("single-shuffle guarantees: ewma, scd2, and per-shard packing") {
+    // each claims ONE data shuffle (its key) + the output ORDER BY's
+    // range exchange — a second hash exchange means the plan regressed
+    for (name <- Seq("ts_ewma", "dml_scd2", "pack_sequences")) {
+      val df = q(name)
+      df.collect()
+      // AdaptiveSparkPlan.toString prints Final AND Initial plans —
+      // count exchanges only in the final one
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(hashExchanges <= 1, s"$name: $hashExchanges hash exchanges\n${plan.take(2000)}")
+    }
   }
 
   test("join_range_bucketed equals the raw theta join and never goes nested-loop") {
