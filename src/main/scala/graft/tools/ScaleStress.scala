@@ -211,12 +211,25 @@ object ScaleStress {
     val (kr1, kt1) = timeCount(() => pack(p1))
     val (krn, ktn) = timeCount(() => pack(pN))
 
+    // --- EWMA fold over N× disjoint users ----------------------------
+    // The sequential-per-key shape: user count scales, per-key series
+    // length stays fixed, so the linear fold rides the same stages.
+    def ewma(df: DataFrame): DataFrame =
+      df.groupBy("user_id")
+        .agg(expr("array_sort(collect_list(struct(ep_us, event_id, ep_us AS value)))").as("s"))
+        .selectExpr("user_id", """
+          aggregate(s, CAST(0.0 AS DOUBLE),
+            (acc, x) -> 0.3D * x.value + 0.7D * acc) AS final_ewma""")
+    val (wr1, wt1) = timeCount(() => ewma(ev1))
+    val (wrn, wtn) = timeCount(() => ewma(evN))
+
     Seq(
       ("sessionize_batch", sr1, st1, srn, stn),
       ("dedup_cluster (connectedComponents)", cr1, ct1, crn, ctn),
       ("dedup_embed_cos (cosinePairsBlocked)", pr1, pt1, prn, ptn),
       ("text_decontaminate (fixed eval set)", dr1, dt1, drn, dtn),
       ("text_boilerplate (disjoint sources)", br1, bt1, brn, btn),
-      ("pack_sequences (fixed lang shards)", kr1, kt1, krn, ktn))
+      ("pack_sequences (fixed lang shards)", kr1, kt1, krn, ktn),
+      ("ts_ewma (disjoint users, fixed series)", wr1, wt1, wrn, wtn))
   }
 }
