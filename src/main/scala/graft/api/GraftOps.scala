@@ -99,6 +99,22 @@ object GraftOps {
       .select(col("a_id"), col("b_id"), col("jac").cast(DecimalType(18, 6)).as("jac"))
   }
 
+  /** Canonicalize a URL column for dedup: lowercase, strip the scheme
+    * and a leading `www.`, drop tracking parameters (utm_*, fbclid,
+    * gclid), then repair the query-string punctuation the removal can
+    * leave behind — a surviving real parameter that FOLLOWED a removed
+    * tracking one would otherwise keep its `&` where the `?` belongs
+    * (`a?utm_x=1&id=3` → `a&id=3` → repaired to `a?id=3`), and a
+    * fully-stripped query leaves a trailing `?`. Pure codegen
+    * expression chain, no UDF.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noScheme = regexp_replace(lower(url), "^https?://(www\\.)?", "")
+    val noTracking = regexp_replace(noScheme, "[?&](utm_[a-z_]+|fbclid|gclid)=[^&]*", "")
+    // first '&' with no '?' before it becomes '?'; then drop a bare trailing '?'
+    regexp_replace(regexp_replace(noTracking, "^([^?]*)&", "$1?"), "\\?$", "")
+  }
+
   /** Cross-corpus blocked n-gram Jaccard pairs (a × b, not self):
     * the train-vs-heldout / shard-vs-shard near-dup shape. Same
     * first-`blockWords` equality blocking as [[ngramJaccardPairs]],

@@ -67,9 +67,10 @@ object PrepQueries {
 
     // N3: URL canonicalization + dedup. The corpus has no url column,
     // so the query plants one deterministic URL per document (scheme
-    // case, www, and utm tracking params vary by doc_id) and the
-    // operator canonicalizes — lowercase, scheme/www stripped,
-    // tracking params dropped — then marks each canonical group's
+    // case, www, utm tracking params, and — every 5th doc — a REAL
+    // query param after a tracking one, exercising the punctuation
+    // repair) and the operator canonicalizes via
+    // GraftOps.canonicalizeUrl, then marks each canonical group's
     // minimum doc_id as the kept representative. One window shuffle on
     // the canonical key; no join.
     "dedup_url" -> ((s, d) => {
@@ -77,11 +78,10 @@ object PrepQueries {
         when(col("doc_id") % 2 === 0, lit("HTTPS://www.")).otherwise(lit("http://")),
         col("source"), lit(".example.com/p/"), (col("doc_id") % 10).cast("string"),
         when(col("doc_id") % 3 === 0,
-          concat(lit("?utm_source=feed&utm_id="), col("doc_id").cast("string")))
+          concat(lit("?utm_source=feed&utm_id="), col("doc_id").cast("string"),
+            when(col("doc_id") % 5 === 0, lit("&page=2")).otherwise(lit(""))))
           .otherwise(lit("")))
-      val canon = regexp_replace(
-        regexp_replace(lower(url), "^https?://(www\\.)?", ""),
-        "[?&](utm_[a-z_]+|fbclid|gclid)=[^&]*", "")
+      val canon = graft.api.GraftOps.canonicalizeUrl(url)
       val g = Window.partitionBy("canon_url")
       load(s, d, "documents").withColumn("canon_url", canon)
         .select(col("doc_id"), col("canon_url"),
@@ -438,12 +438,15 @@ object PrepQueries {
         |      || source || '.example.com/p/' || CAST(doc_id % 10 AS VARCHAR)
         |      || CASE WHEN doc_id % 3 = 0
         |           THEN '?utm_source=feed&utm_id=' || CAST(doc_id AS VARCHAR)
+        |             || CASE WHEN doc_id % 5 = 0 THEN '&page=2' ELSE '' END
         |           ELSE '' END AS url
         |  FROM documents),
         | c AS (SELECT doc_id,
-        |    regexp_replace(
-        |      regexp_replace(lower(url), '^https?://(www\.)?', ''),
-        |      '[?&](utm_[a-z_]+|fbclid|gclid)=[^&]*', '', 'g') AS canon_url
+        |    regexp_replace(regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(lower(url), '^https?://(www\.)?', ''),
+        |        '[?&](utm_[a-z_]+|fbclid|gclid)=[^&]*', '', 'g'),
+        |      '^([^?]*)&', '\1?'), '\?$', '') AS canon_url
         |  FROM u)
         | SELECT doc_id, canon_url,
         |  CAST(count(*) OVER (PARTITION BY canon_url) AS BIGINT) AS dup_count,

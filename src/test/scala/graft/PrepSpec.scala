@@ -45,11 +45,27 @@ class PrepSpec extends GraftSpec {
     }
   }
 
+  test("canonicalizeUrl repairs query punctuation around removed tracking params") {
+    import spark.implicits._
+    val cases = Seq(
+      "HTTPS://www.Ex.com/a?utm_source=x&id=3" -> "ex.com/a?id=3", // repair & -> ?
+      "http://ex.com/a?id=3&utm_source=x" -> "ex.com/a?id=3",
+      "http://ex.com/a?utm_source=x&utm_id=2" -> "ex.com/a", // all-tracking: no dangling ?
+      "http://ex.com/a?id=3&fbclid=zz&page=2" -> "ex.com/a?id=3&page=2",
+      "http://ex.com/a" -> "ex.com/a")
+    val got = cases.map(_._1).toDF("u")
+      .select(graft.api.GraftOps.canonicalizeUrl(col("u"))).as[String].collect()
+    got.zip(cases.map(_._2)).foreach { case (g, e) => assert(g == e, s"got $g want $e") }
+  }
+
   test("dedup_url: canonical form has no scheme/www/tracking and one representative per group") {
     val rows = q("dedup_url").collect()
     rows.foreach { r =>
       val u = r.getString(1)
       assert(!u.contains("http") && !u.startsWith("www.") && !u.contains("utm_"), u)
+      // surviving query strings stay well-formed: a '?' precedes any '&'
+      assert(!u.contains("&") || u.indexOf('?') >= 0 && u.indexOf('?') < u.indexOf('&'), u)
+      assert(!u.endsWith("?"), u)
     }
     val groups = rows.groupBy(_.getString(1))
     groups.foreach { case (u, g) =>
