@@ -101,6 +101,20 @@ object AggQueries {
       s.sql(groupingSetsSql)
     }),
 
+    // D7b (round 4): grouping_id()/grouping() metadata — the bitmask
+    // that lets a consumer of a rollup cube tell a real NULL group key
+    // from a rolled-up one (both engines use the same per-column bit
+    // encoding, verified: 0 detail, 1 linestatus rolled, 3 grand total).
+    "agg_grouping_id" -> ((s, d) =>
+      load(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          grouping_id().cast("bigint").as("gid"),
+          grouping(col("l_returnflag")).cast("bigint").as("g_flag"))
+        .select("l_returnflag", "l_linestatus", "n", "gid", "g_flag")
+        .orderBy(col("gid").asc, col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
     // D8: high-cardinality group key — forces the hash-agg fallback /
     // spill path a petabyte-scale job lives in.
     "agg_sort_fallback" -> ((s, d) =>
@@ -239,6 +253,12 @@ object AggQueries {
         | GROUP BY CUBE(l_returnflag, l_linestatus)
         | ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "agg_grouping_sets" -> groupingSetsSql,
+    "agg_grouping_id" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        | CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag
+        | FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        | ORDER BY gid ASC, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "agg_sort_fallback" ->
       """SELECT l_orderkey,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty,

@@ -77,6 +77,21 @@ object JoinQueries {
         .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
     }),
 
+    // C4c (round 4): null-safe equi-join (<=> / IS NOT DISTINCT FROM):
+    // per-priority counts joined back to the distinct priority set with
+    // one priority NULLed out on both sides — a plain equi-join drops
+    // the NULL group, the null-safe join keeps it (the row that proves
+    // the semantics).
+    "join_null_safe" -> ((s, d) => {
+      val o = load(s, d, "orders")
+        .withColumn("p", nullif(col("o_orderpriority"), lit("3-MEDIUM")))
+      val counts = o.groupBy("p").agg(count(lit(1)).as("n"))
+      val keys = o.select(col("p").as("pk")).distinct()
+      counts.join(keys, col("p") <=> col("pk"))
+        .select(col("pk").as("priority"), col("n"))
+        .orderBy(col("priority").asc_nulls_first)
+    }),
+
     // C5: full outer over two partially overlapping key subsets.
     "join_full_outer" -> ((s, d) => {
       val o = load(s, d, "orders")
@@ -164,6 +179,13 @@ object JoinQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "join_null_safe" ->
+      """WITH o AS (SELECT nullif(o_orderpriority, '3-MEDIUM') AS p FROM orders),
+        | counts AS (SELECT p, count(*) AS n FROM o GROUP BY p),
+        | keys AS (SELECT DISTINCT p AS pk FROM o)
+        | SELECT pk AS priority, n
+        | FROM counts JOIN keys ON counts.p IS NOT DISTINCT FROM keys.pk
+        | ORDER BY priority ASC NULLS FIRST""".stripMargin,
     "join_right_outer" ->
       """SELECT c_custkey, o_orderkey, o_totalprice
         | FROM (SELECT * FROM orders WHERE o_totalprice > 150000.0) o

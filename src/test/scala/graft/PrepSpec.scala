@@ -338,6 +338,19 @@ class PrepSpec extends GraftSpec {
     assert(q("set_except_all").count() + q("set_intersect_all").count() == a)
   }
 
+  test("join_null_safe keeps the NULL group; grouping_id flags the rollup rows") {
+    val ns = q("join_null_safe").collect()
+    assert(ns.exists(_.isNullAt(0)), "null-safe join must retain the NULL key match")
+    val total = Tables.load(spark, sf, "lineitem").count()
+    val gid = q("agg_grouping_id").collect()
+    val grand = gid.filter(_.getLong(3) == 3L)
+    assert(grand.length == 1 && grand.head.getLong(2) == total)
+    // detail rows: no bits set, keys non-null
+    gid.filter(_.getLong(3) == 0L).foreach { r =>
+      assert(!r.isNullAt(0) && !r.isNullAt(1) && r.getLong(4) == 0L)
+    }
+  }
+
   test("multimodal_dedup: groups cover the corpus and planted prefix dups collide") {
     val rows = q("multimodal_dedup").collect()
     val groups = rows.groupBy(_.getString(1))
