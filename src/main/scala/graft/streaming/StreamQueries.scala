@@ -302,6 +302,27 @@ object StreamQueries {
     // each micro-batch lands as an idempotent-by-batch-id parquet
     // append. Batch BOUNDARIES vary with scheduling but the final row
     // SET is deterministic; output sorted for the dump.
+    // I8b (round 4): the NATIVE exactly-once file sink (parquet +
+    // _spark_metadata transaction log) — the production lake-landing
+    // path, distinct from foreachBatch's manual writes. AvailableNow
+    // drains the filtered stream into the sink; the query result is
+    // the transactional read-back.
+    "stream_sink_files" -> ((s, d) => {
+      val (sdf, _, _) = eventStream(s, d)
+      val outDir = tmp("graft_fsink")
+      val q = sdf.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts", "value")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", tmp("graft_ckpt"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp_ntz").as("ts"), col("value"))
+        .orderBy("event_id")
+    }),
+
     "stream_foreachbatch" -> ((s, d) => {
       val (sdf, _, _) = eventStream(s, d)
       val outDir = tmp("graft_feb")
@@ -419,6 +440,9 @@ object StreamQueries {
     "stream_foreachbatch" ->
       """SELECT event_id, user_id, value FROM events
         | WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "stream_sink_files" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        | FROM events WHERE event_type = 'error' ORDER BY event_id""".stripMargin,
     // I7: stream-static enrichment join + global agg.
     "stream_join" ->
       """SELECT c_mktsegment, count(*) AS n
