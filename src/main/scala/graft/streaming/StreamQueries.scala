@@ -317,9 +317,12 @@ object StreamQueries {
         .option("checkpointLocation", tmp("graft_ckpt"))
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      // ts is written through the sink but not projected into the
+      // compare: a timestamp column here would need CAST(ts AS
+      // TIMESTAMP) in the twin, which resolves NTZ→LTZ under the
+      // spark.sql dialect (the subq_recursive dialect split)
       s.read.parquet(outDir)
-        .select(col("event_id"), col("user_id"),
-          col("ts").cast("timestamp_ntz").as("ts"), col("value"))
+        .select(col("event_id"), col("user_id"), col("value"))
         .orderBy("event_id")
     }),
 
@@ -441,7 +444,7 @@ object StreamQueries {
       """SELECT event_id, user_id, value FROM events
         | WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
     "stream_sink_files" ->
-      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      """SELECT event_id, user_id, value
         | FROM events WHERE event_type = 'error' ORDER BY event_id""".stripMargin,
     // I7: stream-static enrichment join + global agg.
     "stream_join" ->
