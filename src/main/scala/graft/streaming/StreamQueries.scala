@@ -137,8 +137,11 @@ object StreamQueries {
 
     // I1b (round 4): UPDATE output mode — emits every key changed in
     // the batch regardless of watermark (vs append's closed-windows-
-    // only). One AvailableNow batch updates every key exactly once, so
-    // the sink equals the batch group-by.
+    // only). The memory sink appends each batch's changed keys, so a
+    // key touched in k batches appears k times with monotonically
+    // increasing counts; max(n) per key is therefore the final value
+    // whatever the batch count (ADVICE r4: don't rely on the
+    // single-file source coalescing the drain to one micro-batch).
     "stream_update" -> ((s, d) => {
       val (sdf, _, _) = eventStream(s, d)
       val agg = sdf.withWatermark("ts", "1 hour")
@@ -147,6 +150,7 @@ object StreamQueries {
       runToMemory(s, agg, "update")
         .select(col("window.start").cast("timestamp_ntz").as("w_start"),
           col("event_type"), col("n"))
+        .groupBy("w_start", "event_type").agg(max(col("n")).as("n"))
         .orderBy("w_start", "event_type")
     }),
 

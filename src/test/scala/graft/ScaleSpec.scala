@@ -152,6 +152,7 @@ class ScaleSpec extends GraftSpec {
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin",
       "spark.sql.autoBroadcastJoinThreshold").map(k => k -> s.conf.getOption(k))
     try {
       s.conf.set("spark.sql.adaptive.enabled", "true")
