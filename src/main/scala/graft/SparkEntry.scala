@@ -36,6 +36,7 @@ object SparkEntry {
       ScaleQueries.queries ++
       SubqueryQueries.queries ++
       PipelineQueries.queries ++
+      OlapQueries.queries ++
       graft.streaming.StreamQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -56,5 +57,6 @@ object SparkEntry {
       ScaleQueries.oracle ++
       SubqueryQueries.oracle ++
       PipelineQueries.oracle ++
+      OlapQueries.oracle ++
       graft.streaming.StreamQueries.oracle
 }

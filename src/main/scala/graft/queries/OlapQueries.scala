@@ -1,0 +1,460 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables.{dec, load}
+
+/** Family O — round-5 OLAP + corpus completeness extensions (ref: n/a,
+  * SURVEY §0 — surface extrapolated from the §2 contract families):
+  * TPC-H Q7/Q10, corpus rollup stats, global paragraph-level exact
+  * dedup, deterministic domain-mix sampling, trailing-window anomaly
+  * scoring, linear gap interpolation, bitmap-index distinct counting,
+  * date/interval arithmetic, interval-overlap join, int8 embedding
+  * quantization, and C-style string formatting.
+  *
+  * Scale shapes (the 100 TB contract):
+  *  - O1 tpch_q7 / O2 tpch_q10 shuffle the lineitem fact ONCE (orders
+  *    join); every dimension (nation-filtered supplier/customer sides)
+  *    is broadcast. Q10's top-20 runs as TakeOrderedAndProject — no
+  *    global sort materialization.
+  *  - O3 corpus_stats is a single partial-aggregated shuffle on
+  *    (source, lang) — thousands of groups regardless of corpus size.
+  *  - O4 text_paragraph_dedup shuffles once on the chunk hash (the
+  *    window partition key); state per key is the occurrence list of
+  *    one chunk — bounded by duplication factor, not corpus size.
+  *  - O5 sample_domain_mix is map-only (hash + threshold per row);
+  *    sampling 100 TB costs one scan, no shuffle.
+  *  - O6 ts_anomaly / O7 ts_interpolate shuffle once on their key
+  *    (event_type / user_id) and walk each partition's sort once;
+  *    per-key series are session-scale (unbounded series belong to
+  *    the streaming family's stateful path).
+  *  - O8 agg_bitmap is the two-level bitmap pattern: per-bucket
+  *    fixed-size bitmaps (map-side combinable binary OR) then a
+  *    per-group sum — exact distinct counts without a count(distinct)
+  *    re-shuffle of raw keys.
+  *  - O10 join_interval_overlap equi-joins on the day bucket and
+  *    broadcasts the tiny window dimension — never a nested-loop
+  *    range join.
+  *  - O11 embed_quantize is map-only; int8 vectors cut ANN memory 4x
+  *    (the 100 TB reason to quantize at all).
+  */
+object OlapQueries {
+
+  /** Shared Q7 "volume" measure: exact decimal revenue contribution. */
+  private def volume = (dec(col("l_extendedprice"))
+    * (lit(1) - dec(col("l_discount"))).cast(DecimalType(4, 2)))
+
+  val queries: Map[String, Q] = Map(
+    // O1: TPC-H Q7 (volume shipping) — revenue flowing from supplier
+    // nations of region 0 to customer nations of region 1, by year.
+    // The fact shuffles once for the orders join; nation-tagged
+    // supplier/customer dims broadcast.
+    "tpch_q7" -> ((s, d) => {
+      val n1 = load(s, d, "nation").filter(col("n_regionkey") === 0)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = load(s, d, "nation").filter(col("n_regionkey") === 1)
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      val sup = load(s, d, "supplier")
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .select("s_suppkey", "supp_nation")
+      val cust = load(s, d, "customer")
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .select("c_custkey", "cust_nation")
+      val li = load(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      li.join(load(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .withColumn("yr", year(col("l_shipdate")).cast("bigint"))
+        .groupBy("supp_nation", "cust_nation", "yr")
+        .agg(sum(volume).cast(DecimalType(38, 4)).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("supp_nation", "cust_nation", "yr")
+    }),
+
+    // O2: TPC-H Q10 (returned-item revenue) — top-20 customers by
+    // revenue lost to returns in 1996Q1. TakeOrderedAndProject keeps
+    // the limit on the map side.
+    "tpch_q10" -> ((s, d) => {
+      val nat = load(s, d, "nation")
+        .select(col("n_nationkey").as("nk"), col("n_name"))
+      val cust = load(s, d, "customer")
+        .join(broadcast(nat), col("c_nationkey") === col("nk"))
+        .select("c_custkey", "c_name", "n_name")
+      val o = load(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      load(s, d, "lineitem").filter(col("l_returnflag") === "R")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(sum(volume).cast(DecimalType(38, 4)).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // O3: corpus rollup — per (source, lang) document/token/char
+    // totals; the dataset-card numbers every corpus release ships.
+    "corpus_stats" -> ((s, d) =>
+      load(s, d, "documents")
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).cast("bigint").as("n_tokens"),
+          sum(col("n_chars")).cast("bigint").as("total_chars"),
+          max(col("n_chars")).cast("bigint").as("max_chars"))
+        .orderBy("source", "lang")),
+
+    // O4: global exact paragraph dedup (first-occurrence-wins): docs
+    // are chunked into 10-word spans; a span seen earlier in the
+    // corpus (by doc_id, pos order) is dropped, and the survivors are
+    // reassembled in document order. One shuffle on the span value.
+    "text_paragraph_dedup" -> ((s, d) => {
+      val ch = load(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, CAST((size(w)-1) DIV 10 AS INT)), i -> array_join(slice(w, i*10+1, 10), ' '))")))
+        .withColumnRenamed("col", "chunk")
+      val rk = ch.withColumn("rn", row_number().over(
+        Window.partitionBy("chunk").orderBy("doc_id", "pos")))
+      rk.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          count(when(col("rn") === 1, 1)).as("n_kept"),
+          // nullif: a doc whose every span duplicates an earlier doc
+          // keeps nothing — DuckDB's string_agg yields NULL there,
+          // Spark's array_join would yield '' — normalize to NULL.
+          nullif(array_join(expr(
+            "transform(array_sort(collect_list(CASE WHEN rn = 1 THEN struct(pos, chunk) END)), x -> x.chunk)"),
+            " "), lit("")).as("clean_text"))
+        .orderBy("doc_id")
+    }),
+
+    // O5: deterministic domain-mix sampling — per-language keep rates
+    // (en 100%, fr/de 50%, es 25%, zh ~10%) applied via the first two
+    // md5 hex digits of the key: reproducible on any cluster layout,
+    // map-only, and re-runnable incrementally (same rows always kept).
+    "sample_domain_mix" -> ((s, d) => {
+      val b = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("bigint")
+      val rate = when(col("lang") === "en", 256L)
+        .when(col("lang") === "fr", 128L).when(col("lang") === "de", 128L)
+        .when(col("lang") === "es", 64L).otherwise(26L)
+      load(s, d, "documents")
+        .withColumn("b", b).filter(col("b") < rate)
+        .select("doc_id", "lang", "b")
+        .orderBy("doc_id")
+    }),
+
+    // O6: trailing-window anomaly scores — z of each value against
+    // the 20 preceding observations of its event_type (frame excludes
+    // the current row). Variance comes from exact decimal power sums;
+    // the z expression tree is double-identical on both engines.
+    "ts_anomaly" -> ((s, d) => {
+      val win = Window.partitionBy("event_type")
+        .orderBy(col("t"), col("event_id")).rowsBetween(-20, -1)
+      val nD = col("n").cast("double")
+      val sxD = col("sx").cast("double")
+      val sxxD = col("sxx").cast("double")
+      val varE = (sxxD - sxD * sxD / nD) / (nD - 1)
+      val z = (col("x").cast("double") - sxD / nD) / sqrt(varE)
+      val ok = col("n") >= 10 && varE > 0
+      load(s, d, "events")
+        .select(col("event_id"), col("event_type"),
+          dec(col("value")).as("x"), col("ts").cast("timestamp").as("t"))
+        .withColumn("n", count(lit(1)).over(win))
+        .withColumn("sx", sum(col("x")).over(win))
+        .withColumn("sxx", sum(col("x") * col("x")).over(win))
+        .select(col("event_id"), col("event_type"), col("n"),
+          when(ok, z.cast(DecimalType(18, 6))).as("z"),
+          // non-null boolean: the driver's two read paths disagree on
+          // NULL-boolean repr (pyarrow None vs fetchdf NaN)
+          when(ok, abs(z) > 3.0).otherwise(lit(false)).as("is_anomaly"))
+        .orderBy("event_id")
+    }),
+
+    // O7: linear interpolation of missing hourly means per user —
+    // gapfill's zero-fill sibling for continuous measures. The
+    // prev/next anchor scan is two window passes sharing one user_id
+    // shuffle; endpoints extend flat.
+    "ts_interpolate" -> ((s, d) => {
+      val ev = load(s, d, "events")
+        .withColumn("hr",
+          floor(expr("unix_micros(cast(ts as timestamp))") / 3600000000L).cast("bigint"))
+      val hv = ev.groupBy("user_id", "hr")
+        .agg(sum(dec(col("value"))).as("sxd"), count(lit(1)).as("cnt"))
+        .select(col("user_id"), col("hr"),
+          (col("sxd").cast("double") / col("cnt").cast("double")).as("v"))
+      val grid = ev.groupBy("user_id")
+        .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+        .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hr"))
+      val wPrev = Window.partitionBy("user_id").orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wNext = Window.partitionBy("user_id").orderBy("hr")
+        .rowsBetween(0, Window.unboundedFollowing)
+      val g = grid.join(hv, Seq("user_id", "hr"), "left")
+        .withColumn("ph", last(when(col("v").isNotNull, col("hr")), ignoreNulls = true).over(wPrev))
+        .withColumn("pv", last(when(col("v").isNotNull, col("v")), ignoreNulls = true).over(wPrev))
+        .withColumn("nh", first(when(col("v").isNotNull, col("hr")), ignoreNulls = true).over(wNext))
+        .withColumn("nv", first(when(col("v").isNotNull, col("v")), ignoreNulls = true).over(wNext))
+      // left-associated like the twin's `(nv-pv) * CAST(..)/CAST(..)`:
+      // ((nv-pv) * Δ) / span — a*(Δ/span) differs by 1 ulp
+      val interp = col("pv") + (col("nv") - col("pv")) *
+        (col("hr") - col("ph")).cast("double") / (col("nh") - col("ph")).cast("double")
+      // v_interp stays DOUBLE: interpolation midpoints land on exactly
+      // representable .xxx5 values (power-of-2 gap widths), where a
+      // decimal cast round ties half-even in DuckDB vs half-up in
+      // Spark. The raw doubles are IEEE-identical on both engines.
+      g.select(col("user_id"), col("hr"), col("v").isNotNull.as("observed"),
+        when(col("v").isNotNull, col("v"))
+          .when(col("ph").isNull, col("nv"))
+          .when(col("nh").isNull, col("pv"))
+          .otherwise(interp).as("v_interp"))
+        .orderBy("user_id", "hr")
+    }),
+
+    // O8: exact distinct via bitmap index — per (group, bucket) the
+    // keys OR into a fixed-size bitmap (map-side combinable), then
+    // bit counts sum per group. The scale path for exact distinct:
+    // no re-shuffle of raw keys, state is bitmap bytes not key sets.
+    "agg_bitmap" -> ((s, d) =>
+      load(s, d, "events")
+        .groupBy(col("event_type"), expr("bitmap_bucket_number(user_id)").as("bkt"))
+        .agg(expr("bitmap_count(bitmap_construct_agg(bitmap_bit_position(user_id)))").as("c"))
+        .groupBy("event_type")
+        .agg(sum(col("c")).cast("bigint").as("n_users"))
+        .orderBy("event_type")),
+
+    // O9: date/interval arithmetic — month-clamped add_months, day
+    // offsets, month-end, quarter/ISO-week truncation, day diffs.
+    "fn_interval" -> ((s, d) => {
+      val dt = col("o_orderdate").cast("date")
+      load(s, d, "orders").filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), dt.as("d"),
+          add_months(dt, 3).as("plus_3m"),
+          date_add(dt, 45).as("plus_45d"),
+          last_day(dt).as("month_end"),
+          date_trunc("quarter", col("o_orderdate")).cast("date").as("q_start"),
+          date_trunc("week", col("o_orderdate")).cast("date").as("wk_start"),
+          datediff(lit("2000-01-01").cast("date"), dt).cast("bigint").as("days_to_y2k"))
+        .orderBy("o_orderkey")
+    }),
+
+    // O10: interval-overlap join — per-user daily activity spans vs
+    // two planted 6-hour maintenance windows per day. Equi-join on
+    // the day bucket (broadcast dimension) + overlap predicate; the
+    // scalable reformulation of a range join.
+    "join_interval_overlap" -> ((s, d) => {
+      val us = expr("unix_micros(cast(ts as timestamp))")
+      val act = load(s, d, "events")
+        .select(col("user_id"), col("ts").cast("date").as("day"), us.as("us"))
+        .groupBy("user_id", "day")
+        .agg(min(col("us")).as("a_start"), max(col("us")).as("a_end"))
+      val mw = act.select("day").distinct()
+        .crossJoin(s.range(0, 2).select(col("id").as("m_id")))
+        .select(col("day"), col("m_id"),
+          (expr("unix_micros(cast(day as timestamp))") + col("m_id") * 43200000000L
+            + 7200000000L).as("m_start"),
+          (expr("unix_micros(cast(day as timestamp))") + col("m_id") * 43200000000L
+            + 28800000000L).as("m_end"))
+      act.join(broadcast(mw), Seq("day"))
+        .filter(col("a_start") < col("m_end") && col("m_start") < col("a_end"))
+        .select(col("user_id"), col("day"), col("m_id"),
+          (least(col("a_end"), col("m_end"))
+            - greatest(col("a_start"), col("m_start"))).cast("bigint").as("overlap_us"))
+        .orderBy("user_id", "day", "m_id")
+    }),
+
+    // O11: int8 embedding quantization (symmetric, per-vector scale
+    // 127/max|x|) — 4x memory cut for ANN serving. Map-only; the
+    // round-half-up grid (floor(x*s + 0.5)) is IEEE-identical on both
+    // engines. Vectors leave as an md5 of the int list (the driver's
+    // comparator rejects raw array cells).
+    "embed_quantize" -> ((s, d) =>
+      load(s, d, "embeddings")
+        .withColumn("amax", expr(
+          "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"))
+        .withColumn("scale", expr("CASE WHEN amax > 0 THEN 127.0/amax ELSE 1.0 END"))
+        .withColumn("qv", expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT))"))
+        .select(col("vec_id"), size(col("qv")).cast("bigint").as("n_dim"),
+          expr("aggregate(qv, 0L, (a, x) -> a + x)").as("q_sum"),
+          array_min(col("qv")).cast("bigint").as("q_min"),
+          array_max(col("qv")).cast("bigint").as("q_max"),
+          md5(array_join(expr("transform(qv, x -> CAST(x AS STRING))"), ",")).as("q_hash"))
+        .orderBy("vec_id")),
+
+    // O13: C-style formatting — zero-padded ids, composite report
+    // lines. Formats stay at/above the stored 2-dp precision so Java
+    // (half-up) and C (half-even) tie-rounding can never diverge.
+    "fn_format" -> ((s, d) =>
+      load(s, d, "orders").filter(col("o_orderkey") % 11 === 0)
+        .select(col("o_orderkey"),
+          format_string("%08d", col("o_orderkey")).as("key_pad"),
+          format_string("%s/%05d/%.2f", col("o_orderstatus"), col("o_custkey"),
+            col("o_totalprice")).as("line"),
+          format_string("%.3f", col("o_totalprice")).as("amt"))
+        .orderBy("o_orderkey"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "tpch_q7" ->
+      """SELECT supp_nation, cust_nation, yr,
+        |  CAST(sum(volume) AS DECIMAL(38,4)) AS revenue, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |        CAST(year(l_shipdate) AS BIGINT) AS yr,
+        |        CAST(l_extendedprice AS DECIMAL(18,2))
+        |          * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
+        |      FROM supplier
+        |      JOIN lineitem ON s_suppkey = l_suppkey
+        |      JOIN orders ON o_orderkey = l_orderkey
+        |      JOIN customer ON c_custkey = o_custkey
+        |      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |      WHERE n1.n_regionkey = 0 AND n2.n_regionkey = 1
+        |        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |        AND l_shipdate < TIMESTAMP '1998-01-01')
+        |GROUP BY supp_nation, cust_nation, yr
+        |ORDER BY supp_nation, cust_nation, yr""".stripMargin,
+    "tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    "corpus_stats" ->
+      """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin,
+    "text_paragraph_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        | ch AS (SELECT doc_id,
+        |    unnest(generate_series(0, (len(w)-1)//10)) AS pos,
+        |    unnest(list_transform(generate_series(0, (len(w)-1)//10),
+        |      i -> array_to_string(w[i*10+1 : i*10+10], ' '))) AS chunk
+        |  FROM w),
+        | rk AS (SELECT doc_id, pos, chunk,
+        |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+        |  FROM ch)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(count(*) FILTER (rn = 1) AS BIGINT) AS n_kept,
+        |  string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY pos) AS clean_text
+        |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "sample_domain_mix" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT AS BIGINT) AS b
+        |  FROM documents)
+        |SELECT doc_id, lang, b FROM h
+        |WHERE b < CASE lang WHEN 'en' THEN 256 WHEN 'fr' THEN 128
+        |  WHEN 'de' THEN 128 WHEN 'es' THEN 64 ELSE 26 END
+        |ORDER BY doc_id""".stripMargin,
+    "ts_anomaly" ->
+      """WITH s AS (SELECT event_id, event_type, CAST(value AS DECIMAL(18,2)) AS x,
+        |    CAST(ts AS TIMESTAMP) AS t FROM events),
+        | w AS (SELECT event_id, event_type, x,
+        |    CAST(count(*) OVER win AS BIGINT) AS n,
+        |    sum(x) OVER win AS sx, sum(x*x) OVER win AS sxx
+        |  FROM s WINDOW win AS (PARTITION BY event_type ORDER BY t, event_id
+        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, event_type, n,
+        |  CASE WHEN n >= 10 AND (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) > 0
+        |    THEN CAST((CAST(x AS DOUBLE) - CAST(sx AS DOUBLE)/CAST(n AS DOUBLE)) /
+        |      sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) AS DECIMAL(18,6))
+        |    END AS z,
+        |  CASE WHEN n >= 10 AND (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) > 0
+        |    THEN abs((CAST(x AS DOUBLE) - CAST(sx AS DOUBLE)/CAST(n AS DOUBLE)) /
+        |      sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))) > 3.0
+        |    ELSE FALSE END AS is_anomaly
+        |FROM w ORDER BY event_id""".stripMargin,
+    "ts_interpolate" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(floor(epoch_us(CAST(ts AS TIMESTAMP))/3600000000) AS BIGINT) AS hr,
+        |    CAST(value AS DECIMAL(18,2)) AS x FROM events),
+        | hv AS (SELECT user_id, hr,
+        |    CAST(sum(x) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS v
+        |  FROM e GROUP BY user_id, hr),
+        | grid AS (SELECT user_id, unnest(generate_series(min(hr), max(hr))) AS hr
+        |  FROM e GROUP BY user_id),
+        | g AS (SELECT grid.user_id, grid.hr, hv.v
+        |  FROM grid LEFT JOIN hv ON grid.user_id = hv.user_id AND grid.hr = hv.hr),
+        | nb AS (SELECT user_id, hr, v,
+        |    last_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY hr
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+        |    last_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY hr
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY hr
+        |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh,
+        |    first_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY hr
+        |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+        |  FROM g)
+        |SELECT user_id, hr, (v IS NOT NULL) AS observed,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       WHEN ph IS NULL THEN nv WHEN nh IS NULL THEN pv
+        |       ELSE pv + (nv - pv) * CAST(hr - ph AS DOUBLE)/CAST(nh - ph AS DOUBLE)
+        |       END AS v_interp
+        |FROM nb ORDER BY user_id, hr""".stripMargin,
+    "agg_bitmap" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "fn_interval" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS d,
+        |  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+        |  CAST(o_orderdate + INTERVAL 45 DAY AS DATE) AS plus_45d,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(date_trunc('quarter', o_orderdate) AS DATE) AS q_start,
+        |  CAST(date_trunc('week', o_orderdate) AS DATE) AS wk_start,
+        |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS BIGINT) AS days_to_y2k
+        |FROM orders WHERE o_orderkey % 7 = 0 ORDER BY o_orderkey""".stripMargin,
+    "join_interval_overlap" ->
+      """WITH act AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS a_start,
+        |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS a_end
+        |  FROM events GROUP BY 1, 2),
+        | days AS (SELECT DISTINCT day FROM act),
+        | mw AS (SELECT day, m_id,
+        |    epoch_us(CAST(day AS TIMESTAMP)) + m_id*43200000000 + 7200000000 AS m_start,
+        |    epoch_us(CAST(day AS TIMESTAMP)) + m_id*43200000000 + 28800000000 AS m_end
+        |  FROM days, (SELECT unnest([0, 1]) AS m_id))
+        |SELECT a.user_id, a.day, a.m_id, a.overlap_us FROM (
+        |  SELECT act.user_id, act.day, CAST(m.m_id AS BIGINT) AS m_id,
+        |    CAST(least(act.a_end, m.m_end) - greatest(act.a_start, m.m_start) AS BIGINT) AS overlap_us
+        |  FROM act JOIN mw m ON act.day = m.day
+        |  WHERE act.a_start < m.m_end AND m.m_start < act.a_end) a
+        |ORDER BY a.user_id, a.day, a.m_id""".stripMargin,
+    "embed_quantize" ->
+      """WITH s AS (SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+        |  FROM embeddings),
+        | q AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)
+        |      * (CASE WHEN amax > 0 THEN 127.0/amax ELSE 1.0 END) + 0.5) AS BIGINT)) AS qv
+        |  FROM s)
+        |SELECT vec_id, CAST(len(qv) AS BIGINT) AS n_dim,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(list_min(qv) AS BIGINT) AS q_min,
+        |  CAST(list_max(qv) AS BIGINT) AS q_max,
+        |  md5(array_to_string(qv, ',')) AS q_hash
+        |FROM q ORDER BY vec_id""".stripMargin,
+    "fn_format" ->
+      """SELECT o_orderkey,
+        |  printf('%08d', o_orderkey) AS key_pad,
+        |  printf('%s/%05d/%.2f', o_orderstatus, o_custkey, o_totalprice) AS line,
+        |  printf('%.3f', o_totalprice) AS amt
+        |FROM orders WHERE o_orderkey % 11 = 0 ORDER BY o_orderkey""".stripMargin
+  )
+}

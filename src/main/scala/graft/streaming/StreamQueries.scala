@@ -345,6 +345,45 @@ object StreamQueries {
       s.read.parquet(outDir).orderBy("event_id")
     }),
 
+    // I8 (round 5): checkpoint resume — the exactly-once story across
+    // process restarts. The source dir starts with half the events;
+    // one AvailableNow drain runs, MORE files land, and a second drain
+    // restarts from the SAME checkpoint. The file-source log marks
+    // batch-1's files processed, so the restart reads only the new
+    // arrivals, while the persisted agg state carries the old counts
+    // forward — the final table must equal one batch group-by over
+    // everything. (A 100 TB backfill is exactly this loop: repeated
+    // AvailableNow drains of a growing directory, one checkpoint.)
+    "stream_resume" -> ((s, d) => {
+      val ev = load(s, d, "events")
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+      val srcDir = tmp("graft_resume_src")
+      val ckpt = tmp("graft_resume_ckpt")
+      def drain(): DataFrame = {
+        val sdf = s.readStream.schema(ev.schema).parquet(srcDir)
+        val agg = sdf.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(dec(col("value"))).cast(DecimalType(38, 2)).as("total"))
+        val name = s"graft_sink_${sinkId.incrementAndGet()}"
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val q = agg.writeStream.outputMode("complete").format("memory")
+            .queryName(name).option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+        s.table(name)
+      }
+      ev.filter(col("event_id") % 2 === 0).coalesce(1)
+        .write.mode("append").parquet(srcDir)
+      drain()
+      ev.filter(col("event_id") % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(srcDir)
+      drain().orderBy("event_type")
+    }),
+
     // I7: stream-static join — events stream enriched with the
     // customer dimension (no watermark needed on the static side).
     "stream_join" -> ((s, d) => {
@@ -450,6 +489,11 @@ object StreamQueries {
     "stream_sink_files" ->
       """SELECT event_id, user_id, value
         | FROM events WHERE event_type = 'error' ORDER BY event_id""".stripMargin,
+    // I8: two checkpointed drains over a growing dir == one batch agg.
+    "stream_resume" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // I7: stream-static enrichment join + global agg.
     "stream_join" ->
       """SELECT c_mktsegment, count(*) AS n
