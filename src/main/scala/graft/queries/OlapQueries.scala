@@ -251,7 +251,7 @@ object OlapQueries {
         .groupBy("user_id", "day")
         .agg(min(col("us")).as("a_start"), max(col("us")).as("a_end"))
       val mw = act.select("day").distinct()
-        .crossJoin(s.range(0, 2).select(col("id").as("m_id")))
+        .select(col("day"), explode(array(lit(0L), lit(1L))).as("m_id"))
         .select(col("day"), col("m_id"),
           (expr("unix_micros(cast(day as timestamp))") + col("m_id") * 43200000000L
             + 7200000000L).as("m_start"),

@@ -1,0 +1,191 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Planted-truth and invariant tests for Family O (OlapQueries) —
+  * properties the DuckDB twin can't state directly (plan shapes,
+  * reconstruction bounds, independent Scala recomputes) plus the
+  * checkpoint-resume streaming proof.
+  */
+class OlapSpec extends GraftSpec {
+
+  test("tpch_q7/q10 plans broadcast every dimension; the fact shuffles once") {
+    for (name <- Seq("tpch_q7", "tpch_q10")) {
+      val df = q(name)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(plan.contains("BroadcastHashJoin"), s"$name: no broadcast\n${plan.take(1500)}")
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+      // date filters must reach the parquet scans, not sit above joins
+      assert(plan.contains("PushedFilters: [IsNotNull"), s"$name: nothing pushed\n${plan.take(2000)}")
+    }
+    // Q10's top-20 must run as TakeOrdered, not a global sort
+    val q10 = q("tpch_q10")
+    q10.collect()
+    assert(q10.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "q10 limit did not plan as TakeOrderedAndProject")
+  }
+
+  test("corpus_stats totals partition the corpus exactly") {
+    val rows = q("corpus_stats").collect()
+    val total = Tables.load(spark, sf, "documents").count()
+    assert(rows.map(_.getLong(2)).sum == total, "n_docs does not sum to corpus size")
+    rows.foreach { r =>
+      assert(r.getLong(3) > 0 && r.getLong(4) > 0 && r.getLong(5) <= r.getLong(4))
+    }
+  }
+
+  test("text_paragraph_dedup: kept spans = distinct spans; first occurrence wins") {
+    val rows = q("text_paragraph_dedup").collect()
+    val kept = rows.map(_.getLong(2)).sum
+    val chunks = rows.map(_.getLong(1)).sum
+    // every distinct 10-word span survives exactly once corpus-wide
+    val distinctSpans = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(explode(expr(
+        "transform(sequence(0, CAST((size(w)-1) DIV 10 AS INT)), i -> array_join(slice(w, i*10+1, 10), ' '))")).as("c"))
+      .select(countDistinct(col("c"))).collect()(0).getLong(0)
+    assert(kept == distinctSpans, s"kept $kept != distinct spans $distinctSpans")
+    assert(kept <= chunks)
+    // doc 0 is the corpus's first document: nothing can precede it
+    val d0 = rows.find(_.getLong(0) == 0L).get
+    assert(d0.getLong(1) == d0.getLong(2), "doc 0 lost a span to an earlier doc")
+  }
+
+  test("sample_domain_mix: rates honored, en never dropped, assignment stable") {
+    val rows = q("sample_domain_mix").collect()
+    val rates = Map("en" -> 256L, "fr" -> 128L, "de" -> 128L, "es" -> 64L)
+    rows.foreach { r =>
+      assert(r.getLong(2) < rates.getOrElse(r.getString(1), 26L),
+        s"doc ${r.getLong(0)} kept with bucket ${r.getLong(2)} over its rate")
+    }
+    val enTotal = Tables.load(spark, sf, "documents")
+      .filter(col("lang") === "en").count()
+    assert(rows.count(_.getString(1) == "en").toLong == enTotal, "en rate is 100%")
+    // determinism: the same rows are kept on a second run
+    assert(q("sample_domain_mix").collect().toSeq == rows.toSeq)
+  }
+
+  test("ts_anomaly matches an independent Scala fold for one event_type") {
+    val got = q("ts_anomaly").collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), Option(r.getDecimal(3)), r.getBoolean(4))).toMap
+    val series = Tables.load(spark, sf, "events")
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("ts").cast("timestamp"), col("value"))
+      .orderBy(col("ts"), col("event_id"))
+      .collect().map(r => r.getLong(0) -> BigDecimal(r.getDouble(2)).setScale(2))
+    series.zipWithIndex.foreach { case ((id, x), i) =>
+      val w = series.slice(math.max(0, i - 20), i).map(_._2)
+      val (n, zOpt, flag) = got(id)
+      assert(n == w.length.toLong, s"event $id window size")
+      if (w.length >= 10) {
+        val nn = w.length.toDouble
+        val sx = w.sum.toDouble; val sxx = w.map(v => v * v).sum.toDouble
+        val varE = (sxx - sx * sx / nn) / (nn - 1)
+        if (varE > 0) {
+          val z = (x.toDouble - sx / nn) / math.sqrt(varE)
+          assert(math.abs(zOpt.get.doubleValue() - z) < 1e-4, s"event $id z")
+          assert(flag == math.abs(z) > 3.0, s"event $id flag")
+        }
+      } else assert(zOpt.isEmpty && !flag, s"event $id must be unscored")
+    }
+  }
+
+  test("ts_interpolate: observed rows keep their mean; gaps stay within anchor bounds") {
+    val rows = q("ts_interpolate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (_, series) =>
+      val s = series.sortBy(_._2)
+      // full hourly grid, no holes
+      assert(s.last._2 - s.head._2 + 1 == s.length, "grid has holes")
+      // interpolated values lie within [min, max] of the two anchors
+      val obs = s.filter(_._3)
+      assert(obs.nonEmpty)
+      s.filterNot(_._3).foreach { case (_, hr, _, v) =>
+        val prev = obs.filter(_._2 < hr).lastOption.map(_._4)
+        val next = obs.find(_._2 > hr).map(_._4)
+        (prev, next) match {
+          case (Some(p), Some(n)) =>
+            assert(v >= math.min(p, n) - 1e-9 && v <= math.max(p, n) + 1e-9,
+              s"hr $hr interp $v outside [$p, $n]")
+          case (None, Some(n)) => assert(v == n, "left endpoint must extend flat")
+          case (Some(p), None) => assert(v == p, "right endpoint must extend flat")
+          case _ => fail("gap with no anchors")
+        }
+      }
+    }
+  }
+
+  test("agg_bitmap equals countDistinct bit-for-bit") {
+    val direct = Tables.load(spark, sf, "events")
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+    assert(q("agg_bitmap").collect().toSeq == direct.collect().toSeq)
+  }
+
+  test("fn_interval: add_months clamps to month end, week starts Monday") {
+    q("fn_interval").collect().foreach { r =>
+      val d = r.getDate(1).toLocalDate
+      assert(r.getDate(2).toLocalDate == d.plusMonths(3), s"$d plus_3m")
+      assert(r.getDate(3).toLocalDate == d.plusDays(45), s"$d plus_45d")
+      assert(r.getDate(4).toLocalDate == d.withDayOfMonth(d.lengthOfMonth), s"$d month_end")
+      assert(r.getDate(6).toLocalDate.getDayOfWeek == java.time.DayOfWeek.MONDAY)
+      assert(r.getLong(7) == java.time.temporal.ChronoUnit.DAYS.between(
+        d, java.time.LocalDate.of(2000, 1, 1)))
+    }
+  }
+
+  test("join_interval_overlap: joins on the day bucket, overlaps bounded by 6h") {
+    val df = q("join_interval_overlap")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ov = r.getLong(3)
+      // 0 is legal: a single-event day is a point interval inside the window
+      assert(ov >= 0 && ov <= 6L * 3600 * 1000000, s"overlap $ov out of [0, 6h]")
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "overlap join degenerated to a nested loop")
+  }
+
+  test("embed_quantize: int8 bounds hold and reconstruction error <= half a step") {
+    import spark.implicits._
+    val got = q("embed_quantize").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
+    vecs.foreach { case (id, v) =>
+      val (nDim, qSum, qMin, qMax) = got(id)
+      assert(nDim == v.length.toLong)
+      assert(qMin >= -127L && qMax <= 127L, s"vec $id out of int8 range")
+      val amax = v.map(x => math.abs(x.toDouble)).foldLeft(0.0)(math.max)
+      val scale = if (amax > 0) 127.0 / amax else 1.0
+      val qs = v.map(x => math.floor(x.toDouble * scale + 0.5).toLong)
+      assert(qs.sum == qSum, s"vec $id q_sum")
+      // dequantized error bound: half a quantization step per element
+      qs.zip(v).foreach { case (qv, x) =>
+        assert(math.abs(qv / scale - x.toDouble) <= 0.5 / scale + 1e-12)
+      }
+    }
+  }
+
+  test("fn_format pads and formats like java.lang.String.format") {
+    q("fn_format").collect().foreach { r =>
+      assert(r.getString(1) == f"${r.getLong(0)}%08d")
+      assert(r.getString(2).matches("[A-Z]/\\d{5,}/-?\\d+\\.\\d{2}"))
+      assert(r.getString(3).endsWith("0") || r.getString(3).matches(".*\\.\\d{3}"))
+    }
+  }
+
+  test("stream_resume: two checkpointed drains equal one batch aggregate") {
+    val direct = Tables.load(spark, sf, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(Tables.dec(col("value"))).cast(DecimalType(38, 2)).as("total"))
+      .orderBy("event_type")
+    assert(q("stream_resume").collect().toSeq == direct.collect().toSeq)
+  }
+}
