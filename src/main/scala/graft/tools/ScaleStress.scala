@@ -53,6 +53,8 @@ object ScaleStress {
 
   /** One (name, rows1x, sec1x, rowsNx, secNx) tuple per operator. */
   def run(spark: SparkSession, sfDir: String, mult: Int): Seq[(String, Long, Double, Long, Double)] = {
+    // idempotent: cosinePairsBlocked needs array_dot whoever calls us
+    graft.functions.GraftFunctions.register(spark)
     val off = 100000000L // id offset stride between synthetic copies
 
     // Times CONSTRUCTION + count: an eager operator (the
@@ -223,6 +225,52 @@ object ScaleStress {
     val (wr1, wt1) = timeCount(() => ewma(ev1))
     val (wrn, wtn) = timeCount(() => ewma(evN))
 
+    // --- global paragraph dedup over N× docs with SHARED text --------
+    // Deliberately the harsher variant: copies keep the same text, so
+    // every chunk's occurrence list (the window partition) grows N×
+    // while group count stays fixed — total window work is N log N,
+    // not N². Output stays one row per doc (exactly N×).
+    def paraDedup(df: DataFrame): DataFrame = {
+      val ch = df
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, CAST((size(w)-1) DIV 10 AS INT)), i -> array_join(slice(w, i*10+1, 10), ' '))")))
+        .withColumnRenamed("col", "chunk")
+      val rk = ch.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("chunk")
+          .orderBy("doc_id", "pos")))
+      rk.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          count(when(col("rn") === 1, 1)).as("n_kept"))
+    }
+    val (gr1, gt1) = timeCount(() => paraDedup(d1))
+    val (grn, gtn) = timeCount(() => paraDedup(dN))
+
+    // --- trailing-window anomaly over N× disjoint event_type shards --
+    // Group count scales, per-shard series length fixed: the moving
+    // power sums ride one shuffle and a per-shard linear walk.
+    val evA = load(spark, sfDir, "events")
+      .select(col("event_id"), col("event_type"),
+        expr("CAST(value AS DECIMAL(18,2))").as("x"),
+        col("ts").cast("timestamp").as("t"))
+    def anomCopies(n: Int): DataFrame =
+      (0 until n).map(k => evA.select(
+        (col("event_id") + lit(k * off)).as("event_id"),
+        concat(col("event_type"), lit(s"_$k")).as("event_type"),
+        col("x"), col("t")))
+        .reduce(_ union _)
+    def anomaly(df: DataFrame): DataFrame = {
+      val win = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+        .orderBy(col("t"), col("event_id")).rowsBetween(-20, -1)
+      df.withColumn("n", count(lit(1)).over(win))
+        .withColumn("sx", sum(col("x")).over(win))
+        .filter(col("n") >= 10)
+    }
+    val a1 = materialize(anomCopies(1), "an1")
+    val aN = materialize(anomCopies(mult), "anN")
+    val (ar1, at1) = timeCount(() => anomaly(a1))
+    val (arn, atn) = timeCount(() => anomaly(aN))
+
     Seq(
       ("sessionize_batch", sr1, st1, srn, stn),
       ("dedup_cluster (connectedComponents)", cr1, ct1, crn, ctn),
@@ -230,6 +278,8 @@ object ScaleStress {
       ("text_decontaminate (fixed eval set)", dr1, dt1, drn, dtn),
       ("text_boilerplate (disjoint sources)", br1, bt1, brn, btn),
       ("pack_sequences (fixed lang shards)", kr1, kt1, krn, ktn),
-      ("ts_ewma (disjoint users, fixed series)", wr1, wt1, wrn, wtn))
+      ("ts_ewma (disjoint users, fixed series)", wr1, wt1, wrn, wtn),
+      ("text_paragraph_dedup (shared text, growing groups)", gr1, gt1, grn, gtn),
+      ("ts_anomaly (disjoint type shards)", ar1, at1, arn, atn))
   }
 }
