@@ -449,6 +449,30 @@ object GraftOps {
       .drop("__marker")
   }
 
+  /** As-of enrichment with a staleness bound: like [[asofLastMatch]],
+    * but a marker older than `toleranceMicros` (in `(tsCol)` event
+    * time) is treated as no match — pandas' `merge_asof(tolerance=)`
+    * semantics. `gapCol` carries the age of the match in microseconds
+    * (NULL when unmatched). Same single shuffle, no self-join.
+    */
+  def asofLastMatchWithin(df: DataFrame, partitionCol: String, tsCol: String,
+      idCol: String, marker: Column, outCol: String, gapCol: String,
+      toleranceMicros: Long): DataFrame = {
+    val w = Window.partitionBy(col(partitionCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tu = expr(s"unix_micros(cast($tsCol as timestamp))")
+    val fresh = col("__tu") - col("__mts") <= toleranceMicros
+    df.withColumn("__tu", tu)
+      .withColumn("__marker", when(marker, col(idCol)))
+      .withColumn("__mt", when(marker, tu))
+      .withColumn("__mid", last(col("__marker"), ignoreNulls = true).over(w))
+      .withColumn("__mts", last(col("__mt"), ignoreNulls = true).over(w))
+      .withColumn(outCol, when(fresh, col("__mid")))
+      .withColumn(gapCol, when(fresh, col("__tu") - col("__mts")))
+      .drop("__tu", "__marker", "__mt", "__mid", "__mts")
+  }
+
   /** FORWARD as-of: `outCol` = id of the nearest row AT OR AFTER each
     * row (in `(tsCol, idCol)` order, same partition) satisfying
     * `marker` — the mirror of [[asofLastMatch]] (e.g. "next error

@@ -284,6 +284,69 @@ object OlapQueries {
           md5(array_join(expr("transform(qv, x -> CAST(x AS STRING))"), ",")).as("q_hash"))
         .orderBy("vec_id")),
 
+    // O14: TPC-H Q14 (promo revenue share) by ship month of 1996 —
+    // the two decimal sums stay exact; the fact joins the broadcast
+    // part dim and shuffles only for the 12-group month agg.
+    "tpch_q14" -> ((s, d) => {
+      val p = load(s, d, "part")
+        .select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo"))
+      load(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .withColumn("vol", volume)
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("mon"))
+        .agg(sum(when(col("is_promo"), col("vol"))).cast(DecimalType(38, 4)).as("promo_rev"),
+          sum(col("vol")).cast(DecimalType(38, 4)).as("total_rev"))
+        .orderBy("mon")
+    }),
+
+    // O15: as-of join with a staleness tolerance (pandas merge_asof
+    // tolerance semantics): each event sees its user's most recent
+    // purchase only if it happened within the last 2 hours. One
+    // shuffle, no self-join.
+    "join_asof_tolerance" -> ((s, d) =>
+      graft.api.GraftOps.asofLastMatchWithin(load(s, d, "events"),
+        partitionCol = "user_id", tsCol = "ts", idCol = "event_id",
+        marker = col("event_type") === "purchase",
+        outCol = "last_purchase_id", gapCol = "gap_us",
+        toleranceMicros = 2L * 3600 * 1000000)
+        .select("event_id", "user_id", "last_purchase_id", "gap_us")
+        .orderBy("event_id")),
+
+    // O16: sequential pattern detection (MATCH_RECOGNIZE-lite): each
+    // user's event-initial string is scanned for view→clicks→purchase
+    // funnels (`vc*p`, non-overlapping). One shuffle on user_id; the
+    // per-user sequence is session-scale.
+    "win_pattern" -> ((s, d) =>
+      load(s, d, "events")
+        .groupBy("user_id")
+        .agg(array_join(expr(
+          "transform(array_sort(collect_list(struct(ts, event_id, substring(event_type, 1, 1) AS i))), x -> x.i)"),
+          "").as("seq"))
+        .select(col("user_id"), length(col("seq")).cast("bigint").as("n_events"),
+          expr("regexp_count(seq, 'vc*p')").cast("bigint").as("n_funnels"),
+          col("seq").rlike("vc*p").as("converted"))
+        .orderBy("user_id")),
+
+    // O17: token-rarity quality stats per doc against the corpus
+    // unigram table — the exact-integer core of unigram LM scoring.
+    // (Deliberately no ln(): libm and JVM Math.log can disagree by
+    // 1 ulp, and every integer here is order-independent and exact.)
+    "text_rarity" -> ((s, d) => {
+      val tok = load(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val uni = tok.groupBy("w").agg(count(lit(1)).as("c"))
+      tok.join(uni, Seq("w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum(col("c")).cast("bigint").as("sum_c"),
+          min(col("c")).as("min_c"),
+          count(when(col("c") === 1, 1)).as("n_hapax"))
+        .select(col("doc_id"), col("n_tok"), col("sum_c"), col("min_c"), col("n_hapax"),
+          (col("sum_c").cast("double") / col("n_tok").cast("double")).as("avg_c"))
+        .orderBy("doc_id")
+    }),
+
     // O13: C-style formatting — zero-padded ids, composite report
     // lines. Formats stay at/above the stored 2-dp precision so Java
     // (half-up) and C (half-even) tie-rounding can never diverge.
@@ -450,6 +513,50 @@ object OlapQueries {
         |  CAST(list_max(qv) AS BIGINT) AS q_max,
         |  md5(array_to_string(qv, ',')) AS q_hash
         |FROM q ORDER BY vec_id""".stripMargin,
+    "tpch_q14" ->
+      """SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS mon,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,2))) END) AS DECIMAL(38,4)) AS promo_rev,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS total_rev
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY mon ORDER BY mon""".stripMargin,
+    "join_asof_tolerance" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t,
+        |    event_type FROM events),
+        | w AS (SELECT event_id, user_id, epoch_us(t) AS tu,
+        |    last_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+        |      OVER win AS lp,
+        |    last_value(CASE WHEN event_type = 'purchase' THEN epoch_us(t) END IGNORE NULLS)
+        |      OVER win AS lpt
+        |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY t, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id,
+        |  CASE WHEN tu - lpt <= 7200000000 THEN lp END AS last_purchase_id,
+        |  CASE WHEN tu - lpt <= 7200000000 THEN tu - lpt END AS gap_us
+        |FROM w ORDER BY event_id""".stripMargin,
+    "win_pattern" ->
+      """WITH s AS (SELECT user_id,
+        |    string_agg(substring(event_type, 1, 1), ''
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS seq
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, CAST(length(seq) AS BIGINT) AS n_events,
+        |  CAST(len(regexp_extract_all(seq, 'vc*p')) AS BIGINT) AS n_funnels,
+        |  CASE WHEN regexp_matches(seq, 'vc*p') THEN true ELSE false END AS converted
+        |FROM s ORDER BY user_id""".stripMargin,
+    "text_rarity" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |    FROM documents),
+        | uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |  CAST(sum(c) AS BIGINT) AS sum_c, CAST(min(c) AS BIGINT) AS min_c,
+        |  CAST(count(*) FILTER (c = 1) AS BIGINT) AS n_hapax,
+        |  CAST(sum(c) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS avg_c
+        |FROM tok JOIN uni USING (w)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "fn_format" ->
       """SELECT o_orderkey,
         |  printf('%08d', o_orderkey) AS key_pad,

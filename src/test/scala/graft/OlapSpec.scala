@@ -180,6 +180,63 @@ class OlapSpec extends GraftSpec {
     }
   }
 
+  test("tpch_q14: promo share bounded and the part dim broadcasts") {
+    val df = q("tpch_q14")
+    val rows = df.collect()
+    assert(rows.length == 12, "one row per 1996 month")
+    rows.foreach { r =>
+      assert(r.getDecimal(1).compareTo(r.getDecimal(2)) <= 0,
+        s"month ${r.getString(0)}: promo_rev exceeds total_rev")
+    }
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
+  test("join_asof_tolerance: matches within 2h, unmatched when stale, ids are purchases") {
+    val purchases = Tables.load(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val withGap = q("join_asof_tolerance").collect()
+    var matched = 0
+    withGap.foreach { r =>
+      if (!r.isNullAt(2)) {
+        matched += 1
+        assert(purchases.contains(r.getLong(2)), s"event ${r.getLong(0)}: match not a purchase")
+        assert(!r.isNullAt(3) && r.getLong(3) >= 0 && r.getLong(3) <= 2L * 3600 * 1000000,
+          s"event ${r.getLong(0)}: gap out of tolerance")
+      } else assert(r.isNullAt(3), "gap must be NULL when unmatched")
+    }
+    assert(matched > 0 && matched < withGap.length,
+      "tolerance must both match and reject at this data scale")
+  }
+
+  test("win_pattern agrees with a Scala regex over independently rebuilt sequences") {
+    val got = q("win_pattern").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    val seqs = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("ts").cast("timestamp").as("t"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("i"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (u, rs) =>
+        u -> rs.sortBy(r => (r.getTimestamp(1).getTime, r.getLong(2))).map(_.getString(3)).mkString
+      }
+    assert(got.keySet == seqs.keySet)
+    seqs.foreach { case (u, seq) =>
+      val (n, funnels, conv) = got(u)
+      assert(n == seq.length.toLong, s"user $u length")
+      assert(funnels == "vc*p".r.findAllIn(seq).length.toLong, s"user $u funnel count")
+      assert(conv == "vc*p".r.findFirstIn(seq).isDefined, s"user $u flag")
+    }
+  }
+
+  test("text_rarity: hapax bounds, exact sums, and avg consistency") {
+    q("text_rarity").collect().foreach { r =>
+      val (n, sumC, minC, hapax) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(minC >= 1 && hapax <= n && sumC >= n, s"doc ${r.getLong(0)} bounds")
+      assert(math.abs(r.getDouble(5) - sumC.toDouble / n.toDouble) == 0.0)
+    }
+  }
+
   test("stream_resume: two checkpointed drains equal one batch aggregate") {
     val direct = Tables.load(spark, sf, "events")
       .groupBy("event_type")
