@@ -435,6 +435,46 @@ object GraftOps {
     labels
   }
 
+  /** Fixed-iteration PageRank over an undirected edge list. All
+    * arithmetic is DECIMAL: exact sums make every iteration's result
+    * independent of shuffle order and partition count (double
+    * contributions would drift by summation order at cluster scale and
+    * break the engine's determinism gate). Damping 0.85, rank seeded
+    * at 1; isolated vertices hold rank 0.15 (no dangling
+    * redistribution — edges here are symmetric, so every connected
+    * vertex has out-degree ≥ 1).
+    */
+  def pageRank(vertices: DataFrame, idCol: String, edges: DataFrame,
+      aCol: String, bCol: String, iters: Int = 5): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val rankT = DecimalType(28, 10)
+    val d = lit(BigDecimal("0.85")).cast(DecimalType(3, 2))
+    val base = lit(BigDecimal("0.15")).cast(rankT)
+    val sym = edges.select(col(aCol).as("__src"), col(bCol).as("__dst"))
+      .union(edges.select(col(bCol).as("__src"), col(aCol).as("__dst")))
+      .localCheckpoint(true)
+    val deg = sym.groupBy("__src").agg(count(lit(1)).as("__deg"))
+      .localCheckpoint(true)
+    var ranks = vertices.select(col(idCol).as("id"),
+      lit(BigDecimal(1)).cast(rankT).as("rank"))
+    for (_ <- 0 until iters) {
+      val contrib = sym.join(ranks, col("__src") === col("id"))
+        .join(deg, Seq("__src"))
+        .select(col("__dst"),
+          (col("rank") / col("__deg").cast(DecimalType(10, 0))).cast(rankT).as("__c"))
+        .groupBy("__dst").agg(sum(col("__c")).as("__in"))
+      // per-iteration eager localCheckpoint: same driver-plan-growth
+      // story as connectedComponents above
+      ranks = ranks.select("id")
+        .join(contrib, col("id") === col("__dst"), "left")
+        .select(col("id"),
+          (base + (d * coalesce(col("__in"), lit(0)).cast(rankT)).cast(rankT))
+            .cast(rankT).as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+
   /** As-of enrichment: for every row, the id of the latest row in the
     * same `partitionCol` whose marker predicate held, at-or-before its
     * (`tsCol`, `idCol`) position. One shuffle, no self-join.

@@ -347,6 +347,77 @@ object OlapQueries {
         .orderBy("doc_id")
     }),
 
+    // O18: distribution-drift monitor — per event_type, the L1
+    // distance between the value histograms (20 bins of width 20) of
+    // the first and second half of its timeline, cross-multiplied to
+    // stay in exact integers: l1_cross = Σ|c1·t2 − c2·t1| (divide by
+    // t1·t2 for the usual [0,2] L1). Two keyed shuffles, group count
+    // = |event_type| regardless of data size.
+    "dq_drift" -> ((s, d) => {
+      val e = load(s, d, "events")
+        .select(col("event_type"),
+          expr("unix_micros(cast(ts as timestamp))").as("tu"),
+          least(floor(col("value") / 20).cast("bigint"), lit(19L)).as("bin"))
+      val mid = e.groupBy("event_type")
+        .agg((min(col("tu")) + expr("(max(tu) - min(tu)) DIV 2")).as("m"))
+      val cnt = e.join(mid, Seq("event_type"))
+        .withColumn("half", when(col("tu") < col("m"), 0).otherwise(1))
+        .groupBy("event_type", "bin")
+        .agg(count(when(col("half") === 0, 1)).as("c1"),
+          count(when(col("half") === 1, 1)).as("c2"))
+      val tot = cnt.groupBy("event_type")
+        .agg(sum(col("c1")).cast("bigint").as("t1"),
+          sum(col("c2")).cast("bigint").as("t2"))
+      cnt.join(tot, Seq("event_type"))
+        .groupBy(col("event_type"), col("t1").as("n_first"), col("t2").as("n_second"))
+        .agg(sum(abs(col("c1") * col("t2") - col("c2") * col("t1"))).cast("bigint").as("l1_cross"))
+        .orderBy("event_type")
+    }),
+
+    // O19: time-hierarchy rollup — year/quarter/month subtotal
+    // lattice with the grouping_id bitmask, the OLAP report shape.
+    "agg_time_rollup" -> ((s, d) =>
+      load(s, d, "orders")
+        .select(year(col("o_orderdate")).cast("bigint").as("yr"),
+          quarter(col("o_orderdate")).cast("bigint").as("qtr"),
+          month(col("o_orderdate")).cast("bigint").as("mth"),
+          col("o_totalprice"))
+        .rollup("yr", "qtr", "mth")
+        .agg(grouping_id().cast("bigint").as("gid"),
+          count(lit(1)).as("n"),
+          sum(dec(col("o_totalprice"))).cast(DecimalType(38, 2)).as("total"))
+        .select("yr", "qtr", "mth", "gid", "n", "total")
+        .orderBy(col("gid"), col("yr").asc_nulls_first,
+          col("qtr").asc_nulls_first, col("mth").asc_nulls_first)),
+
+    // O20: top-k with ties (RANK, not row_number): every order tying
+    // a top-3 price per status survives — DENSE set semantics a
+    // LIMIT-based top-k cannot express.
+    "topk_with_ties" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").desc)
+      load(s, d, "orders")
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rk", rank().over(w).cast("bigint"))
+        .filter(col("rk") <= 3)
+        .select("o_orderstatus", "rk", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderstatus", "rk", "o_orderkey")
+    }),
+
+    // O21: PageRank over the embedding similarity graph (cos ≥ 0.4
+    // blocked pair join → symmetric edges; 5 power iterations in
+    // exact decimal arithmetic — partition-count-invariant). Oracle-
+    // exempt: iterative; pinned by OlapSpec invariants instead.
+    "graph_pagerank" -> ((s, d) => {
+      val emb = load(s, d, "embeddings")
+      val edges = graft.api.GraftOps.cosinePairsBlocked(
+        emb, "vec_id", "embedding", minCos = 0.4)
+        .select(col("a_id"), col("b_id"))
+      graft.api.GraftOps.pageRank(
+        emb.select("vec_id"), "vec_id", edges, "a_id", "b_id", iters = 5)
+        .orderBy("id")
+    }),
+
     // O13: C-style formatting — zero-padded ids, composite report
     // lines. Formats stay at/above the stored 2-dp precision so Java
     // (half-up) and C (half-even) tie-rounding can never diverge.
@@ -557,6 +628,44 @@ object OlapQueries {
         |  CAST(sum(c) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS avg_c
         |FROM tok JOIN uni USING (w)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dq_drift" ->
+      """WITH e AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS tu,
+        |    least(CAST(floor(value/20) AS BIGINT), 19) AS bin FROM events),
+        | mid AS (SELECT event_type, min(tu) + (max(tu) - min(tu))//2 AS m
+        |   FROM e GROUP BY event_type),
+        | lab AS (SELECT e.event_type, e.bin,
+        |    CASE WHEN e.tu < mid.m THEN 0 ELSE 1 END AS half
+        |   FROM e JOIN mid USING (event_type)),
+        | cnt AS (SELECT event_type, bin,
+        |    CAST(count(*) FILTER (half = 0) AS BIGINT) AS c1,
+        |    CAST(count(*) FILTER (half = 1) AS BIGINT) AS c2
+        |   FROM lab GROUP BY event_type, bin),
+        | tot AS (SELECT event_type, CAST(sum(c1) AS BIGINT) AS t1,
+        |    CAST(sum(c2) AS BIGINT) AS t2 FROM cnt GROUP BY event_type)
+        |SELECT cnt.event_type, tot.t1 AS n_first, tot.t2 AS n_second,
+        |  CAST(sum(abs(c1*tot.t2 - c2*tot.t1)) AS BIGINT) AS l1_cross
+        |FROM cnt JOIN tot USING (event_type)
+        |GROUP BY cnt.event_type, tot.t1, tot.t2
+        |ORDER BY cnt.event_type""".stripMargin,
+    "agg_time_rollup" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        |  CAST(month(o_orderdate) AS BIGINT) AS mth,
+        |  CAST(grouping(year(o_orderdate)) * 4 + grouping(quarter(o_orderdate)) * 2
+        |    + grouping(month(o_orderdate)) AS BIGINT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |FROM orders
+        |GROUP BY ROLLUP (year(o_orderdate), quarter(o_orderdate), month(o_orderdate))
+        |ORDER BY gid, yr NULLS FIRST, qtr NULLS FIRST, mth NULLS FIRST""".stripMargin,
+    "topk_with_ties" ->
+      """WITH r AS (SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |    rank() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice DESC) AS rk
+        |  FROM orders)
+        |SELECT o_orderstatus, CAST(rk AS BIGINT) AS rk, o_orderkey, o_totalprice
+        |FROM r WHERE rk <= 3
+        |ORDER BY o_orderstatus, rk, o_orderkey""".stripMargin,
     "fn_format" ->
       """SELECT o_orderkey,
         |  printf('%08d', o_orderkey) AS key_pad,

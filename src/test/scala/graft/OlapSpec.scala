@@ -237,6 +237,84 @@ class OlapSpec extends GraftSpec {
     }
   }
 
+  test("dq_drift matches a brute-force recompute and stays within the L1 bound") {
+    val got = q("dq_drift").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("event_type"), expr("unix_micros(cast(ts as timestamp))"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    ev.groupBy(_._1).foreach { case (t, rows) =>
+      val (lo, hi) = (rows.map(_._2).min, rows.map(_._2).max)
+      val m = lo + (hi - lo) / 2
+      def hist(rs: Seq[(String, Long, Double)]) =
+        rs.groupBy(r => math.min(math.floor(r._3 / 20).toLong, 19L)).view.mapValues(_.size.toLong).toMap
+      val (h1, h2) = (hist(rows.filter(_._2 < m).toSeq), hist(rows.filter(_._2 >= m).toSeq))
+      val (t1, t2) = (h1.values.sum, h2.values.sum)
+      val l1 = (h1.keySet ++ h2.keySet).toSeq
+        .map(b => math.abs(h1.getOrElse(b, 0L) * t2 - h2.getOrElse(b, 0L) * t1)).sum
+      val (gn1, gn2, gl1) = got(t)
+      assert((gn1, gn2, gl1) == (t1, t2, l1), s"type $t: got ${got(t)} want ($t1,$t2,$l1)")
+      assert(gl1 <= 2 * t1 * t2, s"type $t exceeds the L1 bound")
+    }
+  }
+
+  test("agg_time_rollup: every lattice level re-aggregates to the grand total") {
+    val rows = q("agg_time_rollup").collect()
+    val total = Tables.load(spark, sf, "orders").count()
+    // gid 0 = leaves, 1 = per (yr,qtr), 3 = per yr, 7 = grand total
+    for (g <- Seq(0L, 1L, 3L)) {
+      assert(rows.filter(_.getLong(3) == g).map(_.getLong(4)).sum == total, s"gid $g")
+    }
+    val grand = rows.filter(_.getLong(3) == 7L)
+    assert(grand.length == 1 && grand(0).getLong(4) == total)
+    val leafSum = rows.filter(_.getLong(3) == 0L).map(r => BigDecimal(r.getDecimal(5))).sum
+    assert(BigDecimal(grand(0).getDecimal(5)) == leafSum, "decimal totals must chain exactly")
+  }
+
+  test("topk_with_ties: ranks in 1..3, non-increasing, and tie-complete") {
+    val byStatus = q("topk_with_ties").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    val all = Tables.load(spark, sf, "orders")
+      .select("o_orderstatus", "o_totalprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+    byStatus.foreach { case (st, rs) =>
+      assert(rs.forall(r => r._2 >= 1 && r._2 <= 3))
+      val sorted = rs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 >= b._4, s"$st: price rose with rank")
+        case _ =>
+      }
+      // tie-completeness: every order matching a kept price is kept
+      val keptPrices = rs.map(_._4).toSet
+      val expect = all(st).count(o => keptPrices.contains(o._2))
+      assert(rs.length == expect, s"$st: ties dropped (${rs.length} vs $expect)")
+    }
+  }
+
+  test("graph_pagerank: isolated vertices hold 0.15, mass is bounded, rerun identical") {
+    graft.functions.GraftFunctions.register(spark) // array_dot for the direct pair call
+    val ranks = q("graph_pagerank").collect()
+      .map(r => r.getLong(0) -> BigDecimal(r.getDecimal(1))).toMap
+    val emb = Tables.load(spark, sf, "embeddings")
+    val connected = graft.api.GraftOps.cosinePairsBlocked(
+      emb, "vec_id", "embedding", minCos = 0.4)
+      .select(explode(array(col("a_id"), col("b_id"))).as("id"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val n = ranks.size
+    assert(n == emb.count())
+    ranks.foreach { case (id, r) =>
+      if (connected.contains(id)) assert(r > BigDecimal("0.15"), s"vec $id rank $r")
+      else assert(r == BigDecimal("0.1500000000"), s"isolated vec $id rank $r")
+    }
+    assert(connected.nonEmpty, "similarity graph must be non-trivial at this sf")
+    val mass = ranks.values.sum
+    assert(mass > BigDecimal("0.15") * n && mass <= BigDecimal(n) + BigDecimal("0.0001"),
+      s"total mass $mass out of bounds for $n vertices")
+    assert(q("graph_pagerank").collect().map(r =>
+      r.getLong(0) -> BigDecimal(r.getDecimal(1))).toMap == ranks, "rerun differs")
+  }
+
   test("stream_resume: two checkpointed drains equal one batch aggregate") {
     val direct = Tables.load(spark, sf, "events")
       .groupBy("event_type")
