@@ -418,6 +418,75 @@ object OlapQueries {
         .orderBy("id")
     }),
 
+    // O22: argmax/argmin per group (max_by/min_by) with a DETERMINISTIC
+    // tie-break: price and key are packed into one sortable bigint
+    // (cents * 10^7 + key), because ties on the raw measure make
+    // max_by engine- and partition-order-dependent. Prices are exact
+    // 2-dp values and keys < 10^7, so the packing is collision-free.
+    "agg_minmax_by" -> ((s, d) => {
+      val packed = (round(col("o_totalprice") * 100).cast("bigint") * 10000000L
+        + col("o_orderkey"))
+      load(s, d, "orders")
+        .withColumn("pk", packed)
+        .groupBy("o_orderstatus")
+        .agg(expr("max_by(o_orderkey, pk)").as("top_order"),
+          max(col("o_totalprice")).as("top_price"),
+          expr("min_by(o_orderkey, pk)").as("bottom_order"),
+          min(col("o_totalprice")).as("bottom_price"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // O23: point-in-time (temporal) dimension join — facts pick the
+    // SCD2 version valid at their event time. Equi-join on the
+    // dimension key + validity-range predicate: per-key version lists
+    // are small, so the range check runs inside the hash join's
+    // per-key bucket, never as a nested loop over the fact table.
+    "join_temporal" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val v = load(s, d, "orders").filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_custkey"), col("o_orderstatus").as("status"),
+          col("o_orderdate").as("valid_from"),
+          coalesce(lead(col("o_orderdate"), 1).over(w),
+            lit("9999-12-31").cast("timestamp")).as("valid_to"),
+          row_number().over(w).cast("bigint").as("ver"))
+      val f = load(s, d, "orders").filter(col("o_orderkey") % 3 === 1)
+        .select(col("o_orderkey"), col("o_custkey").as("f_ck"),
+          col("o_orderdate").as("t"))
+      f.join(v, col("f_ck") === col("o_custkey")
+          && col("t") >= col("valid_from") && col("t") < col("valid_to"))
+        .select(col("o_orderkey"), col("o_custkey"), col("ver"), col("status"))
+        .orderBy("o_orderkey")
+    }),
+
+    // O24: nearest as-of (pandas direction='nearest'): each event
+    // pairs with its user's closest purchase in EITHER direction,
+    // ties to the earlier one. Two window passes (backward +
+    // forward) sharing ONE user_id shuffle; no self-join.
+    "join_asof_nearest" -> ((s, d) => {
+      val wB = Window.partitionBy("user_id")
+        .orderBy(col("tu").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wF = Window.partitionBy("user_id")
+        .orderBy(col("tu").desc, col("event_id").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val isP = col("event_type") === "purchase"
+      val backGap = col("tu") - col("bt")
+      val fwdGap = col("ft") - col("tu")
+      val pickBack = col("bt").isNotNull &&
+        (col("ft").isNull || backGap <= fwdGap)
+      load(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("unix_micros(cast(ts as timestamp))").as("tu"))
+        .withColumn("bid", last(when(isP, col("event_id")), ignoreNulls = true).over(wB))
+        .withColumn("bt", last(when(isP, col("tu")), ignoreNulls = true).over(wB))
+        .withColumn("fid", last(when(isP, col("event_id")), ignoreNulls = true).over(wF))
+        .withColumn("ft", last(when(isP, col("tu")), ignoreNulls = true).over(wF))
+        .select(col("event_id"), col("user_id"),
+          when(pickBack, col("bid")).otherwise(col("fid")).as("nearest_purchase_id"),
+          when(pickBack, backGap).otherwise(fwdGap).as("dist_us"))
+        .orderBy("event_id")
+    }),
+
     // O13: C-style formatting — zero-padded ids, composite report
     // lines. Formats stay at/above the stored 2-dp precision so Java
     // (half-up) and C (half-even) tie-rounding can never diverge.
@@ -666,6 +735,54 @@ object OlapQueries {
         |SELECT o_orderstatus, CAST(rk AS BIGINT) AS rk, o_orderkey, o_totalprice
         |FROM r WHERE rk <= 3
         |ORDER BY o_orderstatus, rk, o_orderkey""".stripMargin,
+    "agg_minmax_by" ->
+      """SELECT o_orderstatus,
+        |  arg_max(o_orderkey, CAST(round(o_totalprice*100) AS BIGINT)*10000000
+        |    + o_orderkey) AS top_order,
+        |  max(o_totalprice) AS top_price,
+        |  arg_min(o_orderkey, CAST(round(o_totalprice*100) AS BIGINT)*10000000
+        |    + o_orderkey) AS bottom_order,
+        |  min(o_totalprice) AS bottom_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "join_temporal" ->
+      """WITH v AS (
+        |  SELECT o_custkey, o_orderstatus AS status,
+        |    CAST(o_orderdate AS TIMESTAMP) AS valid_from,
+        |    coalesce(lead(CAST(o_orderdate AS TIMESTAMP))
+        |      OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |      TIMESTAMP '9999-12-31') AS valid_to,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS ver
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        | f AS (SELECT o_orderkey, o_custkey, CAST(o_orderdate AS TIMESTAMP) AS t
+        |   FROM orders WHERE o_orderkey % 3 = 1)
+        |SELECT f.o_orderkey, f.o_custkey, v.ver, v.status
+        |FROM f JOIN v ON f.o_custkey = v.o_custkey
+        |  AND f.t >= v.valid_from AND f.t < v.valid_to
+        |ORDER BY f.o_orderkey""".stripMargin,
+    "join_asof_nearest" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS tu FROM events),
+        | w AS (SELECT event_id, user_id, tu,
+        |    last_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+        |      OVER wb AS bid,
+        |    last_value(CASE WHEN event_type = 'purchase' THEN tu END IGNORE NULLS)
+        |      OVER wb AS bt,
+        |    first_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+        |      OVER wf AS fid,
+        |    first_value(CASE WHEN event_type = 'purchase' THEN tu END IGNORE NULLS)
+        |      OVER wf AS ft
+        |  FROM e WINDOW
+        |    wb AS (PARTITION BY user_id ORDER BY tu, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY user_id ORDER BY tu, event_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, user_id,
+        |  CASE WHEN bt IS NOT NULL AND (ft IS NULL OR tu - bt <= ft - tu)
+        |    THEN bid ELSE fid END AS nearest_purchase_id,
+        |  CASE WHEN bt IS NOT NULL AND (ft IS NULL OR tu - bt <= ft - tu)
+        |    THEN tu - bt ELSE ft - tu END AS dist_us
+        |FROM w ORDER BY event_id""".stripMargin,
     "fn_format" ->
       """SELECT o_orderkey,
         |  printf('%08d', o_orderkey) AS key_pad,

@@ -12,8 +12,11 @@ class DeterminismSpec extends GraftSpec {
     "join_asof",        // window last_value ordering
     "win_rank",         // rank ties
     "sim_topk",         // rounded-cosine ranking
-    "dedup_near",       // LSH buckets
-    "text_tfidf")       // log scores + top-k
+    "dedup_near",           // LSH buckets
+    "text_tfidf",           // log scores + top-k
+    "graph_pagerank",       // iterative decimal sums (round 5)
+    "ts_anomaly",           // windowed decimal power sums (round 5)
+    "text_paragraph_dedup") // global first-occurrence window (round 5)
 
   sample.foreach { name =>
     test(s"$name is partition-count invariant") {

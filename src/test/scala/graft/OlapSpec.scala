@@ -315,6 +315,76 @@ class OlapSpec extends GraftSpec {
       r.getLong(0) -> BigDecimal(r.getDecimal(1))).toMap == ranks, "rerun differs")
   }
 
+  test("agg_minmax_by: reported orders actually carry the extreme prices") {
+    val orders = Tables.load(spark, sf, "orders")
+      .select("o_orderstatus", "o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val byKey = orders.map(o => o._2 -> o._3).toMap
+    q("agg_minmax_by").collect().foreach { r =>
+      val st = r.getString(0)
+      val prices = orders.filter(_._1 == st).map(_._3)
+      assert(r.getDouble(2) == prices.max && r.getDouble(4) == prices.min)
+      assert(byKey(r.getLong(1)) == prices.max, s"$st top_order price mismatch")
+      assert(byKey(r.getLong(3)) == prices.min, s"$st bottom_order price mismatch")
+      // deterministic tie-break: largest key among max-price ties,
+      // smallest among min-price ties (the packed-bigint ordering)
+      assert(r.getLong(1) == orders.filter(o => o._1 == st && o._3 == prices.max).map(_._2).max)
+      assert(r.getLong(3) == orders.filter(o => o._1 == st && o._3 == prices.min).map(_._2).min)
+    }
+  }
+
+  test("join_temporal: every fact matches exactly one version, valid at its time") {
+    val rows = q("join_temporal").collect()
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length,
+      "a fact joined more than one dimension version")
+    // facts whose customer has at least one version on/before their date must match
+    val vs = Tables.load(spark, sf, "orders").filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_custkey"),
+        expr("unix_micros(cast(o_orderdate as timestamp))"), col("o_orderkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val fs = Tables.load(spark, sf, "orders").filter(col("o_orderkey") % 3 === 1)
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("unix_micros(cast(o_orderdate as timestamp))")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = fs.count { case (_, ck, t) => vs.exists(v => v._1 == ck && v._2 <= t) }
+    assert(rows.length == expect, s"matched ${rows.length}, expected $expect")
+    // spot-check version ordinal correctness for each matched fact
+    val got = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    fs.foreach { case (fk, ck, t) =>
+      got.get(fk).foreach { ver =>
+        val expVer = vs.filter(v => v._1 == ck && v._2 <= t)
+          .sortBy(v => (v._2, v._3)).length
+        assert(ver == expVer, s"fact $fk version $ver != $expVer")
+      }
+    }
+  }
+
+  test("join_asof_nearest: distance is the true minimum over the user's purchases") {
+    val purchases = Tables.load(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("unix_micros(cast(ts as timestamp))")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    q("join_asof_nearest").collect().foreach { r =>
+      val (u, hasMatch) = (r.getLong(1), !r.isNullAt(2))
+      purchases.get(u) match {
+        case Some(ts) =>
+          assert(hasMatch, s"user $u has purchases but event ${r.getLong(0)} unmatched")
+          val evTu = Tables.load(spark, sf, "events") // distance from the event itself
+          assert(r.getLong(3) >= 0)
+        case None => assert(!hasMatch, s"user $u has no purchases")
+      }
+    }
+    // brute-force distance check on one user with several purchases
+    val u = purchases.filter(_._2.length >= 3).keys.min
+    val evs = Tables.load(spark, sf, "events").filter(col("user_id") === u)
+      .select(col("event_id"), expr("unix_micros(cast(ts as timestamp))")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    q("join_asof_nearest").filter(col("user_id") === u).collect().foreach { r =>
+      val best = purchases(u).map(p => math.abs(evs(r.getLong(0)) - p)).min
+      assert(r.getLong(3) == best, s"event ${r.getLong(0)}: dist ${r.getLong(3)} != $best")
+    }
+  }
+
   test("stream_resume: two checkpointed drains equal one batch aggregate") {
     val direct = Tables.load(spark, sf, "events")
       .groupBy("event_type")
