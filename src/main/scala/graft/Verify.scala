@@ -14,6 +14,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // registration up front: otherwise a query using array_dot/simhash64
+    // via expr() only succeeds if a self-registering query happened to
+    // run before it in map order (bit us in round 5: graph_pagerank)
+    graft.functions.GraftFunctions.register(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try Canon.canon(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")

@@ -409,6 +409,7 @@ object OlapQueries {
     // exact decimal arithmetic — partition-count-invariant). Oracle-
     // exempt: iterative; pinned by OlapSpec invariants instead.
     "graph_pagerank" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s) // array_dot for the pair join
       val emb = load(s, d, "embeddings")
       val edges = graft.api.GraftOps.cosinePairsBlocked(
         emb, "vec_id", "embedding", minCos = 0.4)
