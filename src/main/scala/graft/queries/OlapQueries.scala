@@ -488,6 +488,42 @@ object OlapQueries {
         .orderBy("event_id")
     }),
 
+    // O25: boolean/conditional aggregates — count_if + bool_and/bool_or
+    // (map-side-combinable, one shuffle).
+    "agg_bool" -> ((s, d) =>
+      load(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(count(when(col("o_totalprice") > 300000, 1)).as("n_big"),
+          expr("bool_and(o_totalprice > 1000)").as("all_over_1k"),
+          expr("bool_or(o_totalprice > 490000)").as("any_huge"),
+          count(when(col("o_orderpriority") === "1-URGENT", 1)).as("n_urgent"))
+        .orderBy("o_orderstatus")),
+
+    // O26: data masking (SQL mask()): full class masking and
+    // digits-only redaction — map-only, the column-level PII shape
+    // (text_redact_pii handles free text).
+    "fn_mask" -> ((s, d) =>
+      load(s, d, "customer").filter(col("c_custkey") % 13 === 0)
+        .select(col("c_custkey"),
+          expr("mask(c_name)").as("masked"),
+          expr("mask(c_name, NULL, NULL, '*', NULL)").as("digits_starred"))
+        .orderBy("c_custkey")),
+
+    // O27: sessionization via the BUILT-IN session_window (the batch
+    // form of streaming family I3) — merge while gap < 30 min, new
+    // session at gap >= 30 min (strict boundary; the twin encodes the
+    // same `>=` break). Window bounds: [first event, last event + gap).
+    "sessionize_native" -> ((s, d) =>
+      load(s, d, "events")
+        .groupBy(session_window(col("ts").cast("timestamp"), "30 minutes"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+          expr("unix_micros(session_window.start)").as("s_start_us"),
+          expr("unix_micros(session_window.end)").as("s_end_us"),
+          col("n"))
+        .orderBy("user_id", "s_start_us")),
+
     // O13: C-style formatting — zero-padded ids, composite report
     // lines. Formats stay at/above the stored 2-dp precision so Java
     // (half-up) and C (half-even) tie-rounding can never diverge.
@@ -784,6 +820,31 @@ object OlapQueries {
         |  CASE WHEN bt IS NOT NULL AND (ft IS NULL OR tu - bt <= ft - tu)
         |    THEN tu - bt ELSE ft - tu END AS dist_us
         |FROM w ORDER BY event_id""".stripMargin,
+    "agg_bool" ->
+      """SELECT o_orderstatus,
+        |  CAST(count(*) FILTER (o_totalprice > 300000) AS BIGINT) AS n_big,
+        |  bool_and(o_totalprice > 1000) AS all_over_1k,
+        |  bool_or(o_totalprice > 490000) AS any_huge,
+        |  CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "fn_mask" ->
+      """SELECT c_custkey,
+        |  regexp_replace(regexp_replace(regexp_replace(c_name,
+        |    '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') AS masked,
+        |  regexp_replace(c_name, '[0-9]', '*', 'g') AS digits_starred
+        |FROM customer WHERE c_custkey % 13 = 0 ORDER BY c_custkey""".stripMargin,
+    "sessionize_native" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tu
+        |    FROM events),
+        | g AS (SELECT user_id, tu,
+        |    CASE WHEN lag(tu) OVER w IS NULL
+        |         OR tu - lag(tu) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu)),
+        | s AS (SELECT user_id, tu, sum(brk) OVER (PARTITION BY user_id ORDER BY tu
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM g)
+        |SELECT user_id, min(tu) AS s_start_us,
+        |  max(tu) + 1800000000 AS s_end_us, CAST(count(*) AS BIGINT) AS n
+        |FROM s GROUP BY user_id, sess ORDER BY user_id, s_start_us""".stripMargin,
     "fn_format" ->
       """SELECT o_orderkey,
         |  printf('%08d', o_orderkey) AS key_pad,

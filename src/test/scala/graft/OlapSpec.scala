@@ -385,6 +385,56 @@ class OlapSpec extends GraftSpec {
     }
   }
 
+  test("agg_bool flags agree with direct per-group scans") {
+    val orders = Tables.load(spark, sf, "orders")
+      .select("o_orderstatus", "o_totalprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+    q("agg_bool").collect().foreach { r =>
+      val ps = orders(r.getString(0)).map(_._2)
+      assert(r.getLong(1) == ps.count(_ > 300000))
+      assert(r.getBoolean(2) == ps.forall(_ > 1000))
+      assert(r.getBoolean(3) == ps.exists(_ > 490000))
+    }
+  }
+
+  test("fn_mask preserves structure while hiding content") {
+    q("fn_mask").collect().foreach { r =>
+      val (m, ds) = (r.getString(1), r.getString(2))
+      assert(m.matches("[Xxn#_ .\\-]*") && !m.exists(_.isDigit), s"mask leaked: $m")
+      assert(ds.startsWith("Customer#") && ds.drop(9).forall(_ == '*'), s"star mask: $ds")
+      assert(m.length == ds.length, "masking must preserve length")
+    }
+  }
+
+  test("sessionize_native agrees with the custom sessionizer's groups") {
+    // same gap, two implementations: built-in session_window vs the
+    // GraftOps gaps-and-islands operator behind sessionize_batch
+    val native = q("sessionize_native").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val ev = Tables.load(spark, sf, "events")
+      .withColumn("ep_us", expr("unix_micros(cast(ts as timestamp))"))
+    val custom = graft.api.GraftOps.sessionize(ev, "user_id", "ep_us", "event_id",
+        gapMicros = 1800L * 1000000L)
+      .groupBy("user_id", "sess")
+      .agg(min(col("ep_us")).as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sortBy(x => (x._1, x._2))
+    assert(native.sortBy(x => (x._1, x._2)).toSeq == custom.toSeq,
+      "built-in session_window and the custom sessionizer disagree")
+  }
+
+  test("single-shuffle guarantees for the round-5 window/sequence ops") {
+    // one hash exchange (the key) + the output ORDER BY's range
+    // exchange; a second hash exchange means the plan regressed
+    for (name <- Seq("ts_anomaly", "win_pattern", "join_asof_nearest",
+        "join_asof_tolerance", "topk_with_ties", "sessionize_native")) {
+      val df = q(name)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(hashExchanges <= 1, s"$name: $hashExchanges hash exchanges\n${plan.take(2000)}")
+    }
+  }
+
   test("stream_resume: two checkpointed drains equal one batch aggregate") {
     val direct = Tables.load(spark, sf, "events")
       .groupBy("event_type")
