@@ -37,6 +37,7 @@ object SparkEntry {
       SubqueryQueries.queries ++
       PipelineQueries.queries ++
       OlapQueries.queries ++
+      TpchQueries.queries ++
       graft.streaming.StreamQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -58,5 +59,6 @@ object SparkEntry {
       SubqueryQueries.oracle ++
       PipelineQueries.oracle ++
       OlapQueries.oracle ++
+      TpchQueries.oracle ++
       graft.streaming.StreamQueries.oracle
 }
