@@ -38,6 +38,7 @@ object SparkEntry {
       PipelineQueries.queries ++
       OlapQueries.queries ++
       TpchQueries.queries ++
+      StatsQueries.queries ++
       graft.streaming.StreamQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -60,5 +61,6 @@ object SparkEntry {
       PipelineQueries.oracle ++
       OlapQueries.oracle ++
       TpchQueries.oracle ++
+      StatsQueries.oracle ++
       graft.streaming.StreamQueries.oracle
 }

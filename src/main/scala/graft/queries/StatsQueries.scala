@@ -1,0 +1,207 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables.{dec, load}
+
+/** Family Q — statistical / time-series / LM-corpus extensions
+  * (ref: n/a, SURVEY §0 — the reference repo is empty):
+  * OLS trend fitting, OHLC resampling, bigram language-model
+  * estimation, and triangle counting on the similarity graph.
+  *
+  * Scale shapes (the 100 TB contract):
+  *  - Q1 agg_regression is one partial-aggregated shuffle carrying six
+  *    exact power sums per group; the OLS algebra runs on the handful
+  *    of group rows afterwards. Same monoid trick as agg_stats (L4):
+  *    decimal sums commute, so the result is shuffle-order-free.
+  *  - Q2 ts_ohlc shuffles once on (event_type, hour); the two
+  *    row_number passes and the final group-by all ride that one
+  *    exchange (window partition == group-by key).
+  *  - Q3 text_bigram_lm is explode → one (w1,w2) count shuffle; the
+  *    predecessor totals come from a window SUM over w1 on the
+  *    already-aggregated (small) bigram table, not a second corpus
+  *    scan. Output is capped per context by the rank filter, so
+  *    result size scales with vocabulary, never corpus size.
+  *  - Q4 graph_triangles builds the cos≥0.3 edge set with the
+  *    grid-blocked candidate join (never all-pairs), then counts
+  *    triangles with two hash equi-joins on vertex ids — the
+  *    node-iterator algorithm; every join key is an int id.
+  */
+object StatsQueries {
+
+  /** Hours since 2024-01-01 00:00 UTC (events all live in Jan 2024) —
+    * centering x keeps the OLS normal equations far from double
+    * cancellation; the same constant is subtracted in the oracle.
+    */
+  private val hourX = "CAST(floor(unix_micros(cast(ts as timestamp)) / 3600000000) - 473352 AS BIGINT)"
+
+  val queries: Map[String, Q] = Map(
+    // Q1: per-type OLS trend of value over time — slope/intercept/R²
+    // from exact decimal power sums (never float accumulation), the
+    // same dual-engine double tree as agg_stats.
+    "agg_regression" -> ((s, d) => {
+      val x = dec(expr(hourX))
+      val y = dec(col("value"))
+      val n = col("n").cast("double")
+      def D(c: String) = col(c).cast("double")
+      val varX = n * D("sxx") - D("sx") * D("sx")
+      val covXY = n * D("sxy") - D("sx") * D("sy")
+      val varY = n * D("syy") - D("sy") * D("sy")
+      load(s, d, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(x * x).as("sxx"),
+          sum(y).as("sy"), sum(y * y).as("syy"),
+          sum(x * y).as("sxy"))
+        .select(col("event_type"), col("n"),
+          (covXY / varX).cast(DecimalType(18, 6)).as("slope"),
+          ((D("sy") - (covXY / varX) * D("sx")) / n)
+            .cast(DecimalType(18, 6)).as("intercept"),
+          (covXY * covXY / (varX * varY))
+            .cast(DecimalType(18, 6)).as("r2"))
+        .orderBy("event_type")
+    }),
+
+    // Q2: hourly OHLC candles per event_type — open/close picked by
+    // deterministic (ts, event_id) row_number passes instead of a
+    // packed-bigint argmin, so no overflow anywhere; both window
+    // passes and the final agg share one (type, hour) exchange.
+    "ts_ohlc" -> ((s, d) => {
+      val tu = expr("unix_micros(cast(ts as timestamp))")
+      val base = load(s, d, "events")
+        .select(col("event_type"), col("event_id"), col("value"),
+          tu.as("tu"), floor(tu / 3600000000L).cast("bigint").as("hr"))
+      val part = Window.partitionBy("event_type", "hr")
+      val asc = part.orderBy(col("tu").asc, col("event_id").asc)
+      val desc = part.orderBy(col("tu").desc, col("event_id").desc)
+      base
+        .withColumn("rn_o", row_number().over(asc))
+        .withColumn("rn_c", row_number().over(desc))
+        .groupBy("event_type", "hr")
+        .agg(max(when(col("rn_o") === 1, col("value"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max(when(col("rn_c") === 1, col("value"))).as("close"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type", "hr")
+    }),
+
+    // Q3: bigram language model over the corpus — conditional
+    // next-word probabilities p(w2|w1) = c(w1,w2)/c(w1·), top-3
+    // continuations per context with ≥20 observations. The
+    // probability is ONE exact-integer division emitted as a double
+    // (no ln(): libm-vs-JVM 1-ulp trap, SURVEY §7.4).
+    "text_bigram_lm" -> ((s, d) => {
+      val bg = load(s, d, "documents")
+        .select(split(col("text"), " ").as("w"))
+        .select(explode(expr(
+          "transform(sequence(2, size(w)), i -> struct(w[i-2] AS w1, w[i-1] AS w2))")).as("b"))
+        .select(col("b.w1"), col("b.w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val ctx = Window.partitionBy("w1")
+      val rank = Window.partitionBy("w1").orderBy(col("c2").desc, col("w2").asc)
+      bg.withColumn("c1", sum(col("c2")).over(ctx))
+        .withColumn("rn", row_number().over(rank).cast("bigint"))
+        .filter(col("c1") >= 20 && col("rn") <= 3)
+        .select(col("w1"), col("w2"), col("c2"), col("c1"),
+          (col("c2").cast("double") / col("c1").cast("double")).as("p"),
+          col("rn"))
+        .orderBy("w1", "rn")
+    }),
+
+    // Q4: triangle count per vertex on the cos≥0.3 similarity graph —
+    // node-iterator: ordered edges (a<b) joined twice on int ids;
+    // the edge set itself comes from the grid-blocked candidate join
+    // (GraftOps.cosinePairsBlocked), never an all-pairs cross.
+    "graph_triangles" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = graft.api.GraftOps.cosinePairsBlocked(
+        load(s, d, "embeddings"), "vec_id", "embedding", minCos = 0.3)
+        .select(col("a_id"), col("b_id"))
+      val e1 = e.select(col("a_id").as("a"), col("b_id").as("b"))
+      val e2 = e.select(col("a_id").as("b2"), col("b_id").as("c"))
+      val e3 = e.select(col("a_id").as("a3"), col("b_id").as("c3"))
+      val tri = e1.join(e2, col("b") === col("b2"))
+        .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+        .select("a", "b", "c")
+      tri.select(col("a").as("vec_id"))
+        .unionAll(tri.select(col("b").as("vec_id")))
+        .unionAll(tri.select(col("c").as("vec_id")))
+        .groupBy("vec_id")
+        .agg(count(lit(1)).as("n_tri"))
+        .orderBy("vec_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "agg_regression" ->
+      """WITH sums AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(x) AS sx, sum(x*x) AS sxx,
+        |    sum(y) AS sy, sum(y*y) AS syy, sum(x*y) AS sxy
+        |  FROM (SELECT event_type,
+        |      CAST(CAST(floor(epoch_us(CAST(ts AS TIMESTAMP))/3600000000) - 473352 AS BIGINT) AS DECIMAL(18,2)) AS x,
+        |      CAST(value AS DECIMAL(18,2)) AS y
+        |    FROM events)
+        |  GROUP BY event_type)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CAST((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+        |    AS DECIMAL(18,6)) AS slope,
+        |  CAST((CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE) AS DECIMAL(18,6)) AS intercept,
+        |  CAST((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+        |    * (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+        |    / ((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+        |     * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
+        |    AS DECIMAL(18,6)) AS r2
+        |FROM sums ORDER BY event_type""".stripMargin,
+    "ts_ohlc" ->
+      """WITH base AS (SELECT event_type, event_id, value,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS tu,
+        |    CAST(floor(epoch_us(CAST(ts AS TIMESTAMP))/3600000000) AS BIGINT) AS hr
+        |  FROM events),
+        | rk AS (SELECT event_type, hr, value,
+        |    row_number() OVER (PARTITION BY event_type, hr
+        |      ORDER BY tu ASC, event_id ASC) AS rn_o,
+        |    row_number() OVER (PARTITION BY event_type, hr
+        |      ORDER BY tu DESC, event_id DESC) AS rn_c
+        |  FROM base)
+        |SELECT event_type, hr,
+        |  max(CASE WHEN rn_o = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rn_c = 1 THEN value END) AS close,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM rk GROUP BY event_type, hr
+        |ORDER BY event_type, hr""".stripMargin,
+    "text_bigram_lm" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+        | bg AS (SELECT b[1] AS w1, b[2] AS w2, CAST(count(*) AS BIGINT) AS c2
+        |  FROM (SELECT unnest(list_transform(generate_series(2, len(w)),
+        |      i -> [w[i-1], w[i]])) AS b FROM w)
+        |  GROUP BY 1, 2),
+        | wd AS (SELECT w1, w2, c2,
+        |    CAST(sum(c2) OVER (PARTITION BY w1) AS BIGINT) AS c1,
+        |    CAST(row_number() OVER (PARTITION BY w1
+        |      ORDER BY c2 DESC, w2 ASC) AS BIGINT) AS rn
+        |  FROM bg)
+        |SELECT w1, w2, c2, c1,
+        |  CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE) AS p, rn
+        |FROM wd WHERE c1 >= 20 AND rn <= 3
+        |ORDER BY w1, rn""".stripMargin,
+    "graph_triangles" ->
+      """WITH e AS (SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])) AS DECIMAL(18,6)) >= 0.3),
+        | tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        | v AS (SELECT a AS vec_id FROM tri
+        |  UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+        |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_tri
+        |FROM v GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  )
+}
