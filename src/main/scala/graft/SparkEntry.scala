@@ -39,6 +39,7 @@ object SparkEntry {
       OlapQueries.queries ++
       TpchQueries.queries ++
       StatsQueries.queries ++
+      ProfileQueries.queries ++
       graft.streaming.StreamQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -62,5 +63,6 @@ object SparkEntry {
       OlapQueries.oracle ++
       TpchQueries.oracle ++
       StatsQueries.oracle ++
+      ProfileQueries.oracle ++
       graft.streaming.StreamQueries.oracle
 }
