@@ -271,6 +271,63 @@ object ScaleStress {
     val (ar1, at1) = timeCount(() => anomaly(a1))
     val (arn, atn) = timeCount(() => anomaly(aN))
 
+    // --- q21-shape sole-late-supplier profile over N× disjoint orders
+    // Both facts join once on orderkey; the per-order profile and the
+    // join-back ride the same partitioning. Supplier ids are offset per
+    // copy so the output (per-supplier counts) scales with the input.
+    val loJ = load(spark, sfDir, "lineitem")
+      .join(load(spark, sfDir, "orders").filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY")).as("late"))
+    def q21Copies(n: Int): DataFrame =
+      (0 until n).map(k => loJ.select(
+        (col("l_orderkey") + lit(k * off)).as("l_orderkey"),
+        (col("l_suppkey") + lit(k * off)).as("l_suppkey"),
+        col("late"))).reduce(_ union _)
+    def soleLate(df: DataFrame): DataFrame = {
+      val po = df.groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .agg(max(col("late")).as("sl"))
+        .groupBy("ok")
+        .agg(count(lit(1)).as("n_supp"),
+          sum(when(col("sl"), 1L).otherwise(0L)).as("n_late"))
+      df.filter(col("late"))
+        .join(po, col("l_orderkey") === col("ok"))
+        .filter(col("n_supp") >= 2 && col("n_late") === 1)
+        .groupBy("l_suppkey").agg(count(lit(1)).as("numwait"))
+    }
+    val q1df = materialize(q21Copies(1), "q21_1")
+    val qNdf = materialize(q21Copies(mult), "q21_N")
+    val (qr1, qt1) = timeCount(() => soleLate(q1df))
+    val (qrn, qtn) = timeCount(() => soleLate(qNdf))
+
+    // --- triangle counting over N disjoint similarity graphs ---------
+    // Node-id offsets keep the copies isomorphic and disconnected:
+    // triangle count and per-vertex output scale exactly N×, and the
+    // node-iterator equi-joins see N× rows per stage.
+    val triEdges = materialize(
+      GraftOps.cosinePairsBlocked(emb, "vec_id", "embedding", minCos = 0.3)
+        .select(col("a_id"), col("b_id")), "tri_edges")
+    def triCopies(n: Int): DataFrame =
+      (0 until n).map(k => triEdges.select(
+        (col("a_id") + lit(k * off)).as("a_id"),
+        (col("b_id") + lit(k * off)).as("b_id"))).reduce(_ union _)
+    def triangles(e: DataFrame): DataFrame = {
+      val e1 = e.select(col("a_id").as("a"), col("b_id").as("b"))
+      val e2 = e.select(col("a_id").as("b2"), col("b_id").as("c"))
+      val e3 = e.select(col("a_id").as("a3"), col("b_id").as("c3"))
+      val tri = e1.join(e2, col("b") === col("b2"))
+        .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+        .select("a", "b", "c")
+      tri.select(col("a").as("v")).unionAll(tri.select(col("b").as("v")))
+        .unionAll(tri.select(col("c").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("n_tri"))
+    }
+    val tr1df = materialize(triCopies(1), "tri1")
+    val trNdf = materialize(triCopies(mult), "triN")
+    val (tr1, tt1) = timeCount(() => triangles(tr1df))
+    val (trn, ttn) = timeCount(() => triangles(trNdf))
+
     Seq(
       ("sessionize_batch", sr1, st1, srn, stn),
       ("dedup_cluster (connectedComponents)", cr1, ct1, crn, ctn),
@@ -280,6 +337,8 @@ object ScaleStress {
       ("pack_sequences (fixed lang shards)", kr1, kt1, krn, ktn),
       ("ts_ewma (disjoint users, fixed series)", wr1, wt1, wrn, wtn),
       ("text_paragraph_dedup (shared text, growing groups)", gr1, gt1, grn, gtn),
-      ("ts_anomaly (disjoint type shards)", ar1, at1, arn, atn))
+      ("ts_anomaly (disjoint type shards)", ar1, at1, arn, atn),
+      ("tpch_q21 (sole-late profile, disjoint orders)", qr1, qt1, qrn, qtn),
+      ("graph_triangles (disjoint graphs)", tr1, tt1, trn, ttn))
   }
 }
