@@ -40,6 +40,7 @@ object SparkEntry {
       TpchQueries.queries ++
       StatsQueries.queries ++
       ProfileQueries.queries ++
+      LakehouseQueries.queries ++
       graft.streaming.StreamQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -64,5 +65,6 @@ object SparkEntry {
       TpchQueries.oracle ++
       StatsQueries.oracle ++
       ProfileQueries.oracle ++
+      LakehouseQueries.oracle ++
       graft.streaming.StreamQueries.oracle
 }

@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables.{dec, load}
+
+/** Family S — lakehouse / warehouse-maintenance extensions (ref: n/a,
+  * SURVEY §0 — the reference repo is empty): calendar-dimension
+  * generation, rolling trend estimation, CDC changelog application,
+  * and Z-order clustering.
+  *
+  * Scale shapes (the 100 TB contract):
+  *  - S1 ts_calendar explodes a date spine from a 1-row min/max
+  *    aggregate — spine size is calendar days, independent of fact
+  *    size; the per-day order counts ride one date-keyed shuffle.
+  *  - S2 ts_trend computes rolling OLS power sums over a ROWS frame —
+  *    one event_type shuffle, linear walk per shard, exact decimal
+  *    sums (the ts_anomaly contract, with x = the row index so the
+  *    frame sums stay closed-form).
+  *  - S3 dml_cdc_apply resolves a changelog with one window pass on
+  *    (key ORDER BY seq DESC) — the per-key state is the newest
+  *    change, never the full history; identical shape at any log
+  *    length.
+  *  - S4 sort_zorder computes the interleaved z-value with a HOF bit
+  *    fold (map-only, stays in codegen — no row explosion) and
+  *    reports per-bucket min/max spans of BOTH dims — the
+  *    data-skipping quality a lakehouse OPTIMIZE ZORDER run is judged
+  *    by. One bucket-count-sized agg after the map.
+  */
+object LakehouseQueries {
+
+  val queries: Map[String, Q] = Map(
+    // S1: calendar dimension — full date spine between the fact's min
+    // and max order date with ISO weekday, month/quarter anchors, and
+    // per-day order counts (zero-filled on empty days).
+    "ts_calendar" -> ((s, d) => {
+      val spine = load(s, d, "orders")
+        .agg(min(col("o_orderdate").cast("date")).as("d0"),
+          max(col("o_orderdate").cast("date")).as("d1"))
+        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val perDay = load(s, d, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("od"))
+        .agg(count(lit(1)).as("c"))
+      spine.join(perDay, col("day") === col("od"), "left")
+        .select(col("day"),
+          expr("extract(dayofweek_iso FROM day)").cast("bigint").as("isodow"),
+          month(col("day")).cast("bigint").as("mon"),
+          quarter(col("day")).cast("bigint").as("qtr"),
+          year(col("day")).cast("bigint").as("yr"),
+          (col("day") === last_day(col("day"))).as("is_month_end"),
+          date_trunc("week", col("day")).cast("date").as("wk_start"),
+          coalesce(col("c"), lit(0L)).as("n_orders"))
+        .orderBy("day")
+    }),
+
+    // S2: rolling 20-event OLS trend per event_type — slope of value
+    // against the row index over a trailing ROWS frame; power sums
+    // are exact decimals (x = rn is a bigint), the slope one double
+    // division — the ts_anomaly determinism contract.
+    "ts_trend" -> ((s, d) => {
+      val ord = Window.partitionBy("event_type")
+        .orderBy(col("t").asc, col("event_id").asc)
+      val frame = ord.rowsBetween(-20, 0)
+      def D(c: org.apache.spark.sql.Column) = c.cast("double")
+      val base = load(s, d, "events")
+        .select(col("event_id"), col("event_type"),
+          dec(col("value")).as("y"), col("ts").cast("timestamp").as("t"))
+        .withColumn("x", row_number().over(ord).cast("bigint"))
+      val w = base
+        .withColumn("n", count(lit(1)).over(frame))
+        .withColumn("sx", sum(dec(col("x"))).over(frame))
+        .withColumn("sxx", sum(dec(col("x")) * dec(col("x"))).over(frame))
+        .withColumn("sy", sum(col("y")).over(frame))
+        .withColumn("sxy", sum(dec(col("x")) * col("y")).over(frame))
+      w.select(col("event_id"), col("event_type"), col("n"),
+          when(col("n") >= 10,
+            ((D(col("n")) * D(col("sxy")) - D(col("sx")) * D(col("sy")))
+              / (D(col("n")) * D(col("sxx")) - D(col("sx")) * D(col("sx"))))
+              .cast(DecimalType(18, 6))).as("slope"))
+        .orderBy("event_id")
+    }),
+
+    // S3: CDC changelog apply — a synthetic ordered changelog (seq 1
+    // inserts everything; seq 2 deletes key%4==0 and re-prices
+    // key%4==1) resolved to final state: newest change per key wins,
+    // tombstones drop out. ONE window pass on (key, seq DESC).
+    "dml_cdc_apply" -> ((s, d) => {
+      val base = load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), dec(col("o_totalprice")).as("price"))
+      val log = base.select(col("o_orderkey"), lit("I").as("op"), lit(1L).as("seq"),
+          col("o_orderstatus"), col("price"))
+        .unionAll(base.filter(col("o_orderkey") % 4 === 0)
+          .select(col("o_orderkey"), lit("D").as("op"), lit(2L).as("seq"),
+            col("o_orderstatus"), col("price")))
+        .unionAll(base.filter(col("o_orderkey") % 4 === 1)
+          .select(col("o_orderkey"), lit("U").as("op"), lit(2L).as("seq"),
+            col("o_orderstatus"), (col("price") * lit(2)).cast(DecimalType(18, 2)).as("price")))
+      val w = Window.partitionBy("o_orderkey").orderBy(col("seq").desc)
+      log.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("op") =!= "D")
+        .select(col("o_orderkey"), col("op").as("last_op"),
+          col("o_orderstatus"), col("price"))
+        .orderBy("o_orderkey")
+    }),
+
+    // S4: Z-order clustering quality — interleave the 16-bit customer
+    // and day-of-1996 coordinates into a z-value (HOF fold: map-only,
+    // no row explosion, stays in codegen), bucket by the top bits,
+    // and report each bucket's span of BOTH dims: tight spans ==
+    // effective min/max data skipping on either predicate column.
+    "sort_zorder" -> ((s, d) =>
+      load(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey"),
+          col("o_custkey").cast("bigint").as("xc"),
+          datediff(col("o_orderdate").cast("date"), lit("1996-01-01").cast("date"))
+            .cast("bigint").as("yd"))
+        .withColumn("zval", expr(
+          """aggregate(sequence(0, 15), 0L, (acc, i) ->
+            |  acc + shiftleft(shiftright(xc, CAST(i AS INT)) % 2, CAST(2*i AS INT))
+            |      + shiftleft(shiftright(yd, CAST(i AS INT)) % 2, CAST(2*i+1 AS INT)))""".stripMargin))
+        .groupBy(expr("zval DIV 16384").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("xc")).as("cust_min"), max(col("xc")).as("cust_max"),
+          min(col("yd")).as("day_min"), max(col("yd")).as("day_max"))
+        .orderBy("bucket"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "ts_calendar" ->
+      """WITH span AS (SELECT min(CAST(o_orderdate AS DATE)) AS d0,
+        |    max(CAST(o_orderdate AS DATE)) AS d1 FROM orders),
+        | spine AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM span),
+        | pd AS (SELECT CAST(o_orderdate AS DATE) AS od,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1)
+        |SELECT day, CAST(isodow(day) AS BIGINT) AS isodow,
+        |  CAST(month(day) AS BIGINT) AS mon,
+        |  CAST(quarter(day) AS BIGINT) AS qtr,
+        |  CAST(year(day) AS BIGINT) AS yr,
+        |  (day = last_day(day)) AS is_month_end,
+        |  CAST(date_trunc('week', day) AS DATE) AS wk_start,
+        |  coalesce(c, 0) AS n_orders
+        |FROM spine LEFT JOIN pd ON day = od
+        |ORDER BY day""".stripMargin,
+    "ts_trend" ->
+      """WITH base AS (SELECT event_id, event_type,
+        |    CAST(value AS DECIMAL(18,2)) AS y, CAST(ts AS TIMESTAMP) AS t
+        |  FROM events),
+        | xs AS (SELECT event_id, event_type, y,
+        |    CAST(row_number() OVER win AS BIGINT) AS x
+        |  FROM base WINDOW win AS (PARTITION BY event_type ORDER BY t, event_id)),
+        | w AS (SELECT event_id, event_type,
+        |    CAST(count(*) OVER fr AS BIGINT) AS n,
+        |    sum(CAST(x AS DECIMAL(18,2))) OVER fr AS sx,
+        |    sum(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2))) OVER fr AS sxx,
+        |    sum(y) OVER fr AS sy,
+        |    sum(CAST(x AS DECIMAL(18,2)) * y) OVER fr AS sxy
+        |  FROM xs WINDOW fr AS (PARTITION BY event_type ORDER BY x
+        |    ROWS BETWEEN 20 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, event_type, n,
+        |  CASE WHEN n >= 10 THEN
+        |    CAST((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+        |      AS DECIMAL(18,6)) END AS slope
+        |FROM w ORDER BY event_id""".stripMargin,
+    "dml_cdc_apply" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
+        | log AS (
+        |  SELECT o_orderkey, 'I' AS op, 1 AS seq, o_orderstatus, price FROM base
+        |  UNION ALL
+        |  SELECT o_orderkey, 'D', 2, o_orderstatus, price FROM base
+        |    WHERE o_orderkey % 4 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U', 2, o_orderstatus,
+        |      CAST(price * 2 AS DECIMAL(18,2)) FROM base
+        |    WHERE o_orderkey % 4 = 1),
+        | rk AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |    ORDER BY seq DESC) AS rn FROM log)
+        |SELECT o_orderkey, op AS last_op, o_orderstatus, price
+        |FROM rk WHERE rn = 1 AND op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin,
+    "sort_zorder" ->
+      """WITH o AS (SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS xc,
+        |    CAST(datediff('day', DATE '1996-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS yd
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01'),
+        | bits AS (SELECT unnest(generate_series(0, 15)) AS i),
+        | z AS (SELECT o_orderkey, xc, yd,
+        |    sum((((xc >> i) % 2) << (i*2)) + (((yd >> i) % 2) << (i*2+1))) AS zval
+        |  FROM o, bits GROUP BY o_orderkey, xc, yd)
+        |SELECT CAST(zval // 16384 AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  min(xc) AS cust_min, max(xc) AS cust_max,
+        |  min(yd) AS day_min, max(yd) AS day_max
+        |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
+  )
+}
