@@ -41,6 +41,7 @@ object SparkEntry {
       StatsQueries.queries ++
       ProfileQueries.queries ++
       LakehouseQueries.queries ++
+      FeatureQueries.queries ++
       graft.streaming.StreamQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -66,5 +67,6 @@ object SparkEntry {
       StatsQueries.oracle ++
       ProfileQueries.oracle ++
       LakehouseQueries.oracle ++
+      FeatureQueries.oracle ++
       graft.streaming.StreamQueries.oracle
 }
