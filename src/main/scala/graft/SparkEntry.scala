@@ -42,6 +42,7 @@ object SparkEntry {
       ProfileQueries.queries ++
       LakehouseQueries.queries ++
       FeatureQueries.queries ++
+      AnalyticsQueries.queries ++
       graft.streaming.StreamQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -68,5 +69,6 @@ object SparkEntry {
       ProfileQueries.oracle ++
       LakehouseQueries.oracle ++
       FeatureQueries.oracle ++
+      AnalyticsQueries.oracle ++
       graft.streaming.StreamQueries.oracle
 }

@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables.{dec, load}
+
+/** Family U — OLAP ratio analytics / cross-series statistics / text
+  * readability (ref: n/a, SURVEY §0 — the reference repo is empty).
+  *
+  * Scale shapes (the 100 TB contract):
+  *  - U1 win_ratio_to_report deliberately does NOT use a window: a
+  *    ratio-to-report over a LOW-cardinality group as a window
+  *    partition would funnel the whole fact table through ≤K window
+  *    partitions (one task each). The scale-correct formulation is
+  *    groupBy totals + broadcast join back — the fact side never
+  *    shuffles. (The DuckDB oracle uses the window spelling; values
+  *    are identical because the totals are exact decimals.)
+  *  - U2 olap_ratio_to_parent aggregates the corpus ONCE to month
+  *    grain (36 groups), then both parent-share windows run on the
+  *    month-sized table — window input is lattice-sized, never
+  *    fact-sized.
+  *  - U3 agg_corr_pairs reduces the corpus to (type, hour) sums on
+  *    the exact q-grid first; the pair join and the correlation agg
+  *    run on the hour-grain table (|types| ≤ 5 rows per hour key, so
+  *    the self-join fans out ≤ C(5,2) pairs per hour).
+  *  - U4 ts_weekday_profile is one partial-agg shuffle to 5×7 groups;
+  *    the per-type totals come from a window over the 35-row table.
+  *  - U5 text_readability is map-only (regexp counts + one double
+  *    formula) — embarrassingly parallel at any scale.
+  */
+object AnalyticsQueries {
+
+  val queries: Map[String, Q] = Map(
+    // U1: ratio-to-report — each order's share of its priority class's
+    // total revenue. Totals are exact decimal sums, broadcast back;
+    // the share is one double division per row.
+    "win_ratio_to_report" -> ((s, d) => {
+      val o = load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), dec(col("o_totalprice")).as("price"))
+      val tot = o.groupBy("o_orderpriority").agg(sum(col("price")).as("tot"))
+      o.join(broadcast(tot), Seq("o_orderpriority"))
+        .select(col("o_orderkey"), col("o_orderpriority"), col("price"),
+          expr("CAST(CAST(price AS DOUBLE) / CAST(tot AS DOUBLE) AS DECIMAL(18,9))").as("share"))
+        .orderBy("o_orderkey")
+    }),
+
+    // U2: ratio-to-parent over the time hierarchy — monthly revenue as
+    // a share of its quarter and its year. One corpus-grain shuffle to
+    // 36 month groups; the parent windows run on the month table.
+    "olap_ratio_to_parent" -> ((s, d) => {
+      val m = load(s, d, "orders")
+        .select(year(col("o_orderdate")).cast("bigint").as("yr"),
+          quarter(col("o_orderdate")).cast("bigint").as("qtr"),
+          month(col("o_orderdate")).cast("bigint").as("mon"),
+          dec(col("o_totalprice")).as("price"))
+        .groupBy("yr", "qtr", "mon").agg(sum(col("price")).as("rev"))
+      val wq = Window.partitionBy("yr", "qtr")
+      val wy = Window.partitionBy("yr")
+      m.withColumn("q_tot", sum(col("rev")).over(wq))
+        .withColumn("y_tot", sum(col("rev")).over(wy))
+        .select(col("yr"), col("qtr"), col("mon"), col("rev"),
+          expr("CAST(CAST(rev AS DOUBLE) / CAST(q_tot AS DOUBLE) AS DECIMAL(18,9))").as("share_of_qtr"),
+          expr("CAST(CAST(rev AS DOUBLE) / CAST(y_tot AS DOUBLE) AS DECIMAL(18,9))").as("share_of_yr"))
+        .orderBy("yr", "qtr", "mon")
+    }),
+
+    // U3: pairwise Pearson correlation between event types over their
+    // hourly total-value series (pairwise-complete hours). The corpus
+    // collapses to (type, hour) EXACT integer sums first; the pair
+    // join and the six-power-sum aggregation run at hour grain.
+    "agg_corr_pairs" -> ((s, d) => {
+      val h = load(s, d, "events")
+        .select(col("event_type"),
+          expr("date_trunc('hour', ts)").cast("timestamp_ntz").as("hr"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("q"))
+        .groupBy("event_type", "hr").agg(sum(col("q")).as("sq"))
+      val a = h.select(col("event_type").as("t1"), col("hr"), col("sq").as("x"))
+      val b = h.select(col("event_type").as("t2"), col("hr"), col("sq").as("y"))
+      a.join(b, Seq("hr")).filter(col("t1") < col("t2"))
+        .groupBy("t1", "t2")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(DecimalType(38, 0))).as("sx"),
+          sum(col("y").cast(DecimalType(38, 0))).as("sy"),
+          sum((col("x") * col("x")).cast(DecimalType(38, 0))).as("sxx"),
+          sum((col("y") * col("y")).cast(DecimalType(38, 0))).as("syy"),
+          sum((col("x") * col("y")).cast(DecimalType(38, 0))).as("sxy"))
+        .select(col("t1"), col("t2"), col("n"),
+          expr("""CAST((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 | / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 |    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 | AS DECIMAL(18,6))""".stripMargin).as("r"))
+        .orderBy("t1", "t2")
+    }),
+
+    // U4: weekday seasonality index — mean value on ISO weekday w
+    // relative to the type's overall mean, cross-multiplied so the
+    // ratio is computed from four exact integers.
+    "ts_weekday_profile" -> ((s, d) =>
+      load(s, d, "events")
+        .select(col("event_type"),
+          expr("extract(dayofweek_iso FROM ts)").cast("bigint").as("isodow"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("q"))
+        .groupBy("event_type", "isodow")
+        .agg(count(lit(1)).as("n_dw"),
+          sum(col("q").cast(DecimalType(38, 0))).as("s_dw"))
+        .withColumn("n_t", sum(col("n_dw")).over(Window.partitionBy("event_type")))
+        .withColumn("s_t", sum(col("s_dw")).over(Window.partitionBy("event_type")))
+        .select(col("event_type"), col("isodow"), col("n_dw"),
+          expr("""CAST((CAST(s_dw AS DOUBLE) * CAST(n_t AS DOUBLE))
+                 | / (CAST(n_dw AS DOUBLE) * CAST(s_t AS DOUBLE)) AS DECIMAL(18,6))""".stripMargin)
+            .as("idx"))
+        .orderBy("event_type", "isodow")),
+
+    // U5: Flesch-shape readability score — words/sentence and
+    // vowel-group/word densities through the classic linear formula,
+    // cross-multiplied to ONE exact integer numerator/denominator pair
+    // (the small-rational inputs make genuine decimal ties reachable —
+    // doc 274 lands on exactly -9.57375 — so a multi-op double tree
+    // is 1-ulp engine-dependent at the DECIMAL(18,4) boundary; a
+    // single correctly-rounded division is not). Map-only.
+    "text_readability" -> ((s, d) =>
+      load(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_words"),
+          expr("CAST(greatest(1, regexp_count(text, '[.!?]+')) AS BIGINT)").as("n_sent"),
+          expr("CAST(regexp_count(lower(text), '[aeiou]+') AS BIGINT)").as("n_vg"))
+        .withColumn("flesch",
+          expr("""CAST(CAST(206835 * n_sent * n_words - 1015 * n_words * n_words
+                 |        - 84600 * n_vg * n_sent AS DOUBLE)
+                 | / CAST(1000 * n_sent * n_words AS DOUBLE) AS DECIMAL(18,4))""".stripMargin))
+        .orderBy("doc_id"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "win_ratio_to_report" ->
+      """WITH o AS (SELECT o_orderkey, o_orderpriority,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
+        | w AS (SELECT *, sum(price) OVER (PARTITION BY o_orderpriority) AS tot FROM o)
+        |SELECT o_orderkey, o_orderpriority, price,
+        |  CAST(CAST(price AS DOUBLE) / CAST(tot AS DOUBLE) AS DECIMAL(18,9)) AS share
+        |FROM w ORDER BY o_orderkey""".stripMargin,
+    "olap_ratio_to_parent" ->
+      """WITH m AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |    CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        |    CAST(month(o_orderdate) AS BIGINT) AS mon,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1, 2, 3),
+        | w AS (SELECT *, sum(rev) OVER (PARTITION BY yr, qtr) AS q_tot,
+        |    sum(rev) OVER (PARTITION BY yr) AS y_tot FROM m)
+        |SELECT yr, qtr, mon, rev,
+        |  CAST(CAST(rev AS DOUBLE) / CAST(q_tot AS DOUBLE) AS DECIMAL(18,9)) AS share_of_qtr,
+        |  CAST(CAST(rev AS DOUBLE) / CAST(y_tot AS DOUBLE) AS DECIMAL(18,9)) AS share_of_yr
+        |FROM w ORDER BY yr, qtr, mon""".stripMargin,
+    "agg_corr_pairs" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS sq
+        |  FROM events GROUP BY 1, 2),
+        | p AS (SELECT a.event_type AS t1, b.event_type AS t2, a.sq AS x, b.sq AS y
+        |  FROM h a JOIN h b ON a.hr = b.hr AND a.event_type < b.event_type),
+        | g AS (SELECT t1, t2, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x AS DECIMAL(38,0))) AS sx,
+        |    sum(CAST(y AS DECIMAL(38,0))) AS sy,
+        |    sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+        |    sum(CAST(y * y AS DECIMAL(38,0))) AS syy,
+        |    sum(CAST(x * y AS DECIMAL(38,0))) AS sxy
+        |  FROM p GROUP BY 1, 2)
+        |SELECT t1, t2, n,
+        |  CAST((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |       * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    AS DECIMAL(18,6)) AS r
+        |FROM g ORDER BY t1, t2""".stripMargin,
+    "ts_weekday_profile" ->
+      """WITH a AS (SELECT event_type, CAST(isodow(ts) AS BIGINT) AS isodow,
+        |    CAST(count(*) AS BIGINT) AS n_dw,
+        |    sum(CAST(CAST(round(value * 100) AS BIGINT) AS DECIMAL(38,0))) AS s_dw
+        |  FROM events GROUP BY 1, 2),
+        | w AS (SELECT *, sum(n_dw) OVER (PARTITION BY event_type) AS n_t,
+        |    sum(s_dw) OVER (PARTITION BY event_type) AS s_t FROM a)
+        |SELECT event_type, isodow, n_dw,
+        |  CAST((CAST(s_dw AS DOUBLE) * CAST(n_t AS DOUBLE))
+        |    / (CAST(n_dw AS DOUBLE) * CAST(s_t AS DOUBLE)) AS DECIMAL(18,6)) AS idx
+        |FROM w ORDER BY event_type, isodow""".stripMargin,
+    "text_readability" ->
+      """WITH c AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS n_sent,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS BIGINT) AS n_vg
+        |  FROM documents)
+        |SELECT doc_id, lang, n_words, n_sent, n_vg,
+        |  CAST(CAST(206835 * n_sent * n_words - 1015 * n_words * n_words
+        |         - 84600 * n_vg * n_sent AS DOUBLE)
+        |    / CAST(1000 * n_sent * n_words AS DOUBLE) AS DECIMAL(18,4)) AS flesch
+        |FROM c ORDER BY doc_id""".stripMargin
+  )
+}

@@ -328,6 +328,47 @@ object ScaleStress {
     val (tr1, tt1) = timeCount(() => triangles(tr1df))
     val (trn, ttn) = timeCount(() => triangles(trNdf))
 
+    // --- char-trigram profile over N× docs with SHARED langs ---------
+    // Deliberately the harsher variant: language count stays fixed (5)
+    // while the corpus grows N× — the partial agg must collapse the
+    // (lang, trigram) histogram map-side or the shuffle grows with the
+    // corpus. Output stays top-10 × 5 langs at any N.
+    def ngramProfile(df: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+        .orderBy(col("c").desc, col("tg").asc)
+      df.filter(length(col("text")) >= 3)
+        .select(col("lang"), lower(col("text")).as("tx"))
+        .select(col("lang"), explode(expr("sequence(1, length(tx) - 2)")).as("i"), col("tx"))
+        .select(col("lang"), expr("substring(tx, i, 3)").as("tg"))
+        .groupBy("lang", "tg").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+    }
+    val ng1 = materialize(langCopies(1), "ng1")
+    val ngN = materialize(langCopies(mult), "ngN")
+    val (nr1, nt1) = timeCount(() => ngramProfile(ng1))
+    val (nrn, ntn) = timeCount(() => ngramProfile(ngN))
+
+    // --- embedding centroids over an N× corpus with SHARED labels ----
+    // Group count stays labels × dims at any N; the posexplode is
+    // map-side and the partial agg ships exact integer sums, so the
+    // shuffle payload is constant while the scan grows N×.
+    def embCopies(n: Int): DataFrame =
+      (0 until n).map(k => emb.select(
+        (col("vec_id") + lit(k * off)).as("vec_id"),
+        col("embedding"), col("label"))).reduce(_ union _)
+    def centroids(df: DataFrame): DataFrame =
+      df.select(col("label"), posexplode(col("embedding")).as(Seq("p", "comp")))
+        .select(col("label"), (col("p") + 1).cast("bigint").as("dim"),
+          expr("CAST(round(CAST(comp AS DOUBLE) * 1000000.0D) AS BIGINT)").as("qq"))
+        .groupBy("label", "dim")
+        .agg(count(lit(1)).as("n"),
+          sum(col("qq").cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s1"))
+    val ce1 = materialize(embCopies(1), "ce1")
+    val ceN = materialize(embCopies(mult), "ceN")
+    val (er1, et1) = timeCount(() => centroids(ce1))
+    val (ern, etn) = timeCount(() => centroids(ceN))
+
     Seq(
       ("sessionize_batch", sr1, st1, srn, stn),
       ("dedup_cluster (connectedComponents)", cr1, ct1, crn, ctn),
@@ -339,6 +380,8 @@ object ScaleStress {
       ("text_paragraph_dedup (shared text, growing groups)", gr1, gt1, grn, gtn),
       ("ts_anomaly (disjoint type shards)", ar1, at1, arn, atn),
       ("tpch_q21 (sole-late profile, disjoint orders)", qr1, qt1, qrn, qtn),
-      ("graph_triangles (disjoint graphs)", tr1, tt1, trn, ttn))
+      ("graph_triangles (disjoint graphs)", tr1, tt1, trn, ttn),
+      ("text_ngram_profile (shared langs, growing corpus)", nr1, nt1, nrn, ntn),
+      ("embed_centroids (shared labels, growing corpus)", er1, et1, ern, etn))
   }
 }

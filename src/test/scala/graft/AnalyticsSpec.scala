@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** Family U invariants (ratio analytics / cross-series correlation /
+  * readability). Value equality is the driver's DuckDB gate; these
+  * pin the math and the plan shapes the 100 TB design depends on.
+  */
+class AnalyticsSpec extends GraftSpec {
+
+  private def plan(name: String): String =
+    q(name).queryExecution.executedPlan.toString
+
+  private def bd(r: Row, c: String): Double =
+    r.getAs[java.math.BigDecimal](c).doubleValue()
+
+  test("win_ratio_to_report shares sum to 1 per group and avoid the window funnel") {
+    val rows = q("win_ratio_to_report").collect()
+    rows.groupBy(_.getAs[String]("o_orderpriority")).foreach { case (p, g) =>
+      val mass = g.map(bd(_, "share")).sum
+      assert(math.abs(mass - 1.0) < 1e-6, s"priority $p shares sum to $mass")
+    }
+    // the scale-correct formulation: totals broadcast back, no window
+    // partition over the low-cardinality group on the fact table
+    val p = plan("win_ratio_to_report")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("Window"), "ratio-to-report must not window-partition the fact table")
+  }
+
+  test("olap_ratio_to_parent: month shares sum to 1 within quarter and year") {
+    val rows = q("olap_ratio_to_parent").collect()
+    rows.groupBy(r => (r.getAs[Long]("yr"), r.getAs[Long]("qtr"))).foreach { case (k, g) =>
+      val mass = g.map(bd(_, "share_of_qtr")).sum
+      assert(math.abs(mass - 1.0) < 1e-6, s"quarter $k shares sum to $mass")
+    }
+    rows.groupBy(_.getAs[Long]("yr")).foreach { case (y, g) =>
+      val mass = g.map(bd(_, "share_of_yr")).sum
+      assert(math.abs(mass - 1.0) < 1e-6, s"year $y shares sum to $mass")
+    }
+  }
+
+  test("agg_corr_pairs: valid correlations over all unordered type pairs") {
+    val rows = q("agg_corr_pairs").collect()
+    val types = Tables.load(spark, sf, "events")
+      .select("event_type").distinct().count().toInt
+    assert(rows.length == types * (types - 1) / 2, "one row per unordered pair")
+    rows.foreach { r =>
+      assert(r.getAs[String]("t1") < r.getAs[String]("t2"))
+      assert(math.abs(bd(r, "r")) <= 1.0 + 1e-9)
+      assert(r.getAs[Long]("n") > 0)
+    }
+  }
+
+  test("ts_weekday_profile indices average to 1 under the n-weighted mean") {
+    val rows = q("ts_weekday_profile").collect()
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (t, g) =>
+      assert(g.length <= 7)
+      // sum(n_dw * idx) == n_t  <=>  weighted mean of the index is 1
+      val nTot = g.map(_.getAs[Long]("n_dw")).sum.toDouble
+      val wsum = g.map(r => r.getAs[Long]("n_dw") * bd(r, "idx")).sum
+      assert(math.abs(wsum / nTot - 1.0) < 1e-4, s"$t weighted idx mean ${wsum / nTot}")
+    }
+  }
+
+  test("text_readability equals the exact cross-multiplied formula") {
+    val rows = q("text_readability").collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val (w, s2, v) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_sent"), r.getAs[Long]("n_vg"))
+      assert(w > 0 && s2 >= 1)
+      val expected = (206835.0 * s2 * w - 1015.0 * w * w - 84600.0 * v * s2) / (1000.0 * s2 * w)
+      assert(math.abs(bd(r, "flesch") - expected) < 1e-3)
+    }
+  }
+
+  test("text_readability is map-only (no exchange except the output sort)") {
+    val p = plan("text_readability")
+    assert(p.split("Exchange hashpartitioning").length - 1 == 0,
+      "readability scoring must not shuffle")
+  }
+}
