@@ -43,6 +43,8 @@ object SparkEntry {
       LakehouseQueries.queries ++
       FeatureQueries.queries ++
       AnalyticsQueries.queries ++
+      RuntimeQueries.queries ++
+      SequenceQueries.queries ++
       graft.streaming.StreamQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -70,5 +72,7 @@ object SparkEntry {
       LakehouseQueries.oracle ++
       FeatureQueries.oracle ++
       AnalyticsQueries.oracle ++
+      RuntimeQueries.oracle ++
+      SequenceQueries.oracle ++
       graft.streaming.StreamQueries.oracle
 }
