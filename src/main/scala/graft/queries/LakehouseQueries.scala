@@ -104,6 +104,31 @@ object LakehouseQueries {
         .orderBy("o_orderkey")
     }),
 
+    // S5: snapshot diff — compare two table versions (v2 deletes
+    // key%7==0, re-prices key%5==0, inserts a shifted copy of
+    // key%11==0) and emit added/removed/changed rows only. ONE
+    // orderkey-keyed full outer join; output is diff-sized, never
+    // table-sized.
+    "dml_snapshot_diff" -> ((s, d) => {
+      val v1 = load(s, d, "orders")
+        .select(col("o_orderkey").as("k"), dec(col("o_totalprice")).as("p1"))
+      val base = load(s, d, "orders")
+        .select(col("o_orderkey").as("k"), dec(col("o_totalprice")).as("p2"))
+      val v2 = base.filter(col("k") % 7 =!= 0)
+        .withColumn("p2", when(col("k") % 5 === 0,
+          (col("p2") * 2).cast(DecimalType(18, 2))).otherwise(col("p2")))
+        .unionAll(base.filter(col("k") % 11 === 0)
+          .select((col("k") + 1000000000L).as("k"), col("p2")))
+      v1.join(v2, Seq("k"), "full_outer")
+        .withColumn("change",
+          when(col("p1").isNull, "A")
+            .when(col("p2").isNull, "R")
+            .when(col("p1") =!= col("p2"), "C"))
+        .filter(col("change").isNotNull)
+        .select(col("k"), col("change"), col("p1").as("old_price"), col("p2").as("new_price"))
+        .orderBy("k")
+    }),
+
     // S4: Z-order clustering quality — interleave the 16-bit customer
     // and day-of-1996 coordinates into a z-value (HOF fold: map-only,
     // no row explosion, stays in codegen), bucket by the top bits,
@@ -129,6 +154,22 @@ object LakehouseQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "dml_snapshot_diff" ->
+      """WITH v1 AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p1 FROM orders),
+        | b AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p2 FROM orders),
+        | v2 AS (
+        |  SELECT k, CASE WHEN k % 5 = 0 THEN CAST(p2 * 2 AS DECIMAL(18,2))
+        |    ELSE p2 END AS p2 FROM b WHERE k % 7 <> 0
+        |  UNION ALL
+        |  SELECT k + 1000000000, p2 FROM b WHERE k % 11 = 0),
+        | j AS (SELECT coalesce(v1.k, v2.k) AS k, p1, p2,
+        |    CASE WHEN p1 IS NULL THEN 'A' WHEN p2 IS NULL THEN 'R'
+        |      WHEN p1 <> p2 THEN 'C' END AS change
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k)
+        |SELECT k, change, p1 AS old_price, p2 AS new_price
+        |FROM j WHERE change IS NOT NULL ORDER BY k""".stripMargin,
     "ts_calendar" ->
       """WITH span AS (SELECT min(CAST(o_orderdate AS DATE)) AS d0,
         |    max(CAST(o_orderdate AS DATE)) AS d1 FROM orders),

@@ -69,4 +69,28 @@ class LakehouseSpec extends GraftSpec {
     assert(meanSpan < globalSpan / 2.0,
       s"z-order shows no customer locality: mean span $meanSpan vs global $globalSpan")
   }
+
+  test("dml_snapshot_diff classifies adds/removes/changes against the synthetic edit") {
+    val rows = q("dml_snapshot_diff").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val k = r.getAs[Long]("k")
+      r.getAs[String]("change") match {
+        case "A" =>
+          assert(k >= 1000000000L && (k - 1000000000L) % 11 == 0, s"unexpected add $k")
+          assert(r.getAs[java.math.BigDecimal]("old_price") == null)
+        case "R" =>
+          assert(k % 7 == 0, s"unexpected remove $k")
+          assert(r.getAs[java.math.BigDecimal]("new_price") == null)
+        case "C" =>
+          assert(k % 5 == 0 && k % 7 != 0, s"unexpected change $k")
+          assert(r.getAs[java.math.BigDecimal]("new_price")
+            .compareTo(r.getAs[java.math.BigDecimal]("old_price")) > 0)
+        case other => fail(s"unknown change class $other")
+      }
+    }
+    // one key-keyed join, no other exchange keys
+    val p = q("dml_snapshot_diff").queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"))
+  }
 }
