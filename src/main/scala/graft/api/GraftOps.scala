@@ -529,4 +529,76 @@ object GraftOps {
       .withColumn(outCol, last(col("__marker"), ignoreNulls = true).over(w))
       .drop("__marker")
   }
+
+  /** Time-bounded N-step funnel (ClickHouse windowFunnel shape): for
+    * every key that produced `steps.head`, the first-completion time
+    * of each step, where step i+1 must occur strictly after step i's
+    * first completion and within `windowMicros` of it. Returns one
+    * row per key reaching step 1, with columns `t1..tN` (NULL once
+    * the funnel breaks) and `depth` = steps reached.
+    *
+    * Scale shape: each step is a filter → per-key min aggregation
+    * chained by key equi-joins — every stage rides the key
+    * partitioning; no per-key event arrays are ever materialized.
+    */
+  def windowFunnel(events: DataFrame, keyCol: String, typeCol: String,
+      tsMicrosCol: String, steps: Seq[String], windowMicros: Long): DataFrame = {
+    require(steps.nonEmpty, "windowFunnel needs at least one step")
+    val ev = events.select(col(keyCol), col(typeCol), col(tsMicrosCol))
+    val first = ev.filter(col(typeCol) === steps.head)
+      .groupBy(keyCol).agg(min(col(tsMicrosCol)).as("t1"))
+    val reached = steps.drop(1).zipWithIndex.scanLeft(first) {
+      case (prev, (st, i)) =>
+        val pcol = s"t${i + 1}"
+        ev.filter(col(typeCol) === st)
+          .join(prev.select(col(keyCol), col(pcol)), keyCol)
+          .filter(col(tsMicrosCol) > col(pcol) &&
+            col(tsMicrosCol) <= col(pcol) + windowMicros)
+          .groupBy(keyCol).agg(min(col(tsMicrosCol)).as(s"t${i + 2}"))
+    }
+    val all = reached.tail.foldLeft(reached.head) {
+      (acc, step) => acc.join(step, Seq(keyCol), "left")
+    }
+    val depth = (2 to steps.length).foldLeft(lit(1L)) { (acc, i) =>
+      acc + when(col(s"t$i").isNotNull, 1L).otherwise(0L)
+    }
+    all.withColumn("depth", depth)
+  }
+
+  /** Exact rolling median over a BOUNDED trailing row frame —
+    * discrete lower-middle semantics (element (n+1) DIV 2 of the
+    * sorted frame; no interpolation arithmetic to drift). Adds
+    * `nOut` (frame size) and `medOut`. Per-row state is O(frame),
+    * never O(partition).
+    */
+  def rollingMedian(df: DataFrame, partCol: String, orderCols: Seq[Column],
+      valCol: String, precedingRows: Int, nOut: String, medOut: String): DataFrame = {
+    val w = Window.partitionBy(col(partCol)).orderBy(orderCols: _*)
+      .rowsBetween(-precedingRows.toLong, 0)
+    df.withColumn("__arr", collect_list(col(valCol)).over(w))
+      .withColumn(nOut, size(col("__arr")).cast("bigint"))
+      .withColumn(medOut,
+        expr("element_at(array_sort(__arr), CAST((size(__arr) + 1) DIV 2 AS INT))"))
+      .drop("__arr")
+  }
+
+  /** Longest run of strictly increasing `valCol` per key, plus streak
+    * count and total up-step count. Condition islands: lag + running
+    * break-count share one key exchange; islands collapse via partial
+    * aggregation before the island-count-sized shuffle.
+    */
+  def increasingStreaks(df: DataFrame, keyCol: String,
+      orderCols: Seq[Column], valCol: String): DataFrame = {
+    val ord = Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__up", col(valCol) > lag(col(valCol), 1).over(ord))
+      .withColumn("__brk", when(coalesce(col("__up"), lit(false)), 0L).otherwise(1L))
+      .withColumn("__grp", sum(col("__brk")).over(run))
+      .groupBy(col(keyCol), col("__grp"))
+      .agg(sum(when(col("__up"), 1L).otherwise(0L)).as("__len"))
+      .groupBy(keyCol)
+      .agg(max(col("__len")).as("max_streak"),
+        sum(when(col("__len") > 0, 1L).otherwise(0L)).as("n_streaks"),
+        sum(col("__len")).as("n_up"))
+  }
 }

@@ -31,14 +31,12 @@ object SequenceQueries {
     // discrete (lower-middle) median: element (n+1) DIV 2 of the
     // sorted frame, matching DuckDB's quantile_disc(0.5).
     "win_median_frame" -> ((s, d) => {
-      val w = Window.partitionBy("event_type")
-        .orderBy(col("ts").asc, col("event_id").asc).rowsBetween(-20, 0)
-      load(s, d, "events")
+      val base = load(s, d, "events")
         .select(col("event_type"), col("ts"), col("event_id"), dec(col("value")).as("x"))
-        .withColumn("arr", collect_list(col("x")).over(w))
-        .select(col("event_id"), col("event_type"),
-          size(col("arr")).cast("bigint").as("n"),
-          expr("element_at(array_sort(arr), CAST((size(arr) + 1) DIV 2 AS INT))").as("med"))
+      graft.api.GraftOps.rollingMedian(base, "event_type",
+        Seq(col("ts").asc, col("event_id").asc), "x",
+        precedingRows = 20, nOut = "n", medOut = "med")
+        .select("event_id", "event_type", "n", "med")
         .orderBy("event_id")
     }),
 
@@ -46,22 +44,13 @@ object SequenceQueries {
     // it, first purchase within 1 h of that; depth = steps reached.
     // Three user-keyed aggregations chained by equi-joins.
     "funnel_window" -> ((s, d) => {
-      val hour = 3600000000L // µs
       val ev = load(s, d, "events")
         .withColumn("ep", expr("unix_micros(cast(ts as timestamp))"))
         .select("user_id", "event_type", "ep")
-      val v = ev.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min(col("ep")).as("tv"))
-      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
-        .filter(col("ep") > col("tv") && col("ep") <= col("tv") + hour)
-        .groupBy("user_id").agg(min(col("ep")).as("tc"))
-      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
-        .filter(col("ep") > col("tc") && col("ep") <= col("tc") + hour)
-        .groupBy("user_id").agg(min(col("ep")).as("tp"))
-      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
-        .select(col("user_id"), col("tv"), col("tc"), col("tp"),
-          (lit(1L) + when(col("tc").isNotNull, 1L).otherwise(0L)
-            + when(col("tp").isNotNull, 1L).otherwise(0L)).as("depth"))
+      graft.api.GraftOps.windowFunnel(ev, "user_id", "event_type", "ep",
+        steps = Seq("view", "click", "purchase"), windowMicros = 3600000000L)
+        .select(col("user_id"), col("t1").as("tv"), col("t2").as("tc"),
+          col("t3").as("tp"), col("depth"))
         .orderBy("user_id")
     }),
 
@@ -69,20 +58,10 @@ object SequenceQueries {
     // condition-based islands: a break (value <= previous, or the
     // first row) opens a new island; islands collapse map-side.
     "win_streak" -> ((s, d) => {
-      val ord = Window.partitionBy("event_type")
-        .orderBy(col("ts").asc, col("event_id").asc)
-      val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      load(s, d, "events")
+      val base = load(s, d, "events")
         .select(col("event_type"), col("ts"), col("event_id"), dec(col("value")).as("x"))
-        .withColumn("up", col("x") > lag(col("x"), 1).over(ord))
-        .withColumn("brk", when(coalesce(col("up"), lit(false)), 0L).otherwise(1L))
-        .withColumn("grp", sum(col("brk")).over(run))
-        .groupBy("event_type", "grp")
-        .agg(sum(when(col("up"), 1L).otherwise(0L)).as("streak_len"))
-        .groupBy("event_type")
-        .agg(max(col("streak_len")).as("max_streak"),
-          sum(when(col("streak_len") > 0, 1L).otherwise(0L)).as("n_streaks"),
-          sum(col("streak_len")).as("n_up"))
+      graft.api.GraftOps.increasingStreaks(base, "event_type",
+        Seq(col("ts").asc, col("event_id").asc), "x")
         .orderBy("event_type")
     })
   )

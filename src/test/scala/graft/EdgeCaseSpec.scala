@@ -85,6 +85,36 @@ class EdgeCaseSpec extends GraftSpec {
     assert(pairs.toSeq === Seq((2L, 3L)))
   }
 
+  test("windowFunnel: empty input, single step, and zero window behave sanely") {
+    val empty = Seq.empty[(Long, String, Long)].toDF("k", "ty", "ep")
+    assert(GraftOps.windowFunnel(empty, "k", "ty", "ep", Seq("a", "b"), 100L).count() === 0L)
+    // single step: depth 1 for every key with that event
+    val ev = Seq((1L, "a", 10L), (1L, "b", 20L), (2L, "b", 5L)).toDF("k", "ty", "ep")
+    val one = GraftOps.windowFunnel(ev, "k", "ty", "ep", Seq("a"), 100L)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("depth")))
+    assert(one.toSeq === Seq((1L, 1L)))
+    // zero window: step 2 can never land within (t1, t1+0]
+    val zero = GraftOps.windowFunnel(ev, "k", "ty", "ep", Seq("a", "b"), 0L).head()
+    assert(zero.getAs[Long]("depth") === 1L && zero.isNullAt(zero.fieldIndex("t2")))
+  }
+
+  test("rollingMedian: single-row frames return the value itself") {
+    val df = Seq((1L, 1L, BigDecimal("5.00")), (1L, 2L, BigDecimal("1.00")))
+      .toDF("k", "o", "x")
+    val out = GraftOps.rollingMedian(df, "k", Seq(col("o").asc), "x",
+      precedingRows = 0, nOut = "n", medOut = "med")
+      .orderBy("o").collect()
+    assert(out.forall(_.getAs[Long]("n") == 1L))
+    assert(out.map(_.getAs[java.math.BigDecimal]("med").doubleValue()).toSeq === Seq(5.0, 1.0))
+  }
+
+  test("increasingStreaks: constant and strictly-decreasing series have zero streaks") {
+    val flat = Seq((1L, 1L, 2L), (1L, 2L, 2L), (1L, 3L, 1L)).toDF("k", "o", "x")
+    val r = GraftOps.increasingStreaks(flat, "k", Seq(col("o").asc), "x").head()
+    assert(r.getAs[Long]("max_streak") === 0L)
+    assert(r.getAs[Long]("n_up") === 0L)
+  }
+
   test("Canon flattens struct (and nested) columns to sortable JSON text") {
     // The driver's row sorter can't order pyarrow dict values — a
     // StructType column would crash it exactly the way arrays did in
