@@ -111,4 +111,59 @@ class PropertySpec extends GraftSpec {
       }
     }
   }
+
+  test("windowFunnel depth is monotone in the window size and bounded by steps") {
+    import spark.implicits._
+    import graft.api.GraftOps
+    val gen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(0, 2), Gen.oneOf("a", "b", "c"), Gen.choose(0L, 1000L)))
+    samples(gen, 15).foreach { rows =>
+      val df = rows.map { case (k, ty, ep) => (k.toLong, ty, ep) }.toDF("k", "ty", "ep")
+      val steps = Seq("a", "b", "c")
+      def depths(win: Long): Map[Long, Long] =
+        GraftOps.windowFunnel(df, "k", "ty", "ep", steps, win)
+          .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("depth")).toMap
+      val small = depths(10L)
+      val large = depths(2000L)
+      assert(small.keySet == large.keySet, "step-1 population must not depend on the window")
+      small.foreach { case (k, d) =>
+        assert(d <= large(k), s"depth must be monotone in window size (key $k)")
+        assert(d >= 1 && large(k) <= steps.length)
+      }
+    }
+  }
+
+  test("rollingMedian stays within the running min/max of its frame") {
+    import spark.implicits._
+    import graft.api.GraftOps
+    val gen = Gen.nonEmptyListOf(Gen.choose(-100, 100))
+    samples(gen, 15).foreach { xs =>
+      val df = xs.zipWithIndex
+        .map { case (v, i) => (1L, i.toLong, BigDecimal(v)) }.toDF("k", "o", "x")
+      val out = GraftOps.rollingMedian(df, "k", Seq(col("o").asc), "x",
+        precedingRows = 3, nOut = "n", medOut = "med")
+        .orderBy("o").collect()
+      val vals = xs.map(BigDecimal(_))
+      out.zipWithIndex.foreach { case (r, i) =>
+        val frame = vals.slice(math.max(0, i - 3), i + 1)
+        val med = BigDecimal(r.getAs[java.math.BigDecimal]("med"))
+        assert(med >= frame.min && med <= frame.max)
+        assert(frame.contains(med), "discrete median must be an actual frame value")
+      }
+    }
+  }
+
+  test("increasingStreaks: n_up equals the pairwise up-step count, max <= n_up") {
+    import spark.implicits._
+    import graft.api.GraftOps
+    val gen = Gen.nonEmptyListOf(Gen.choose(0, 20))
+    samples(gen, 15).foreach { xs =>
+      val df = xs.zipWithIndex
+        .map { case (v, i) => (1L, i.toLong, BigDecimal(v)) }.toDF("k", "o", "x")
+      val r = GraftOps.increasingStreaks(df, "k", Seq(col("o").asc), "x").head()
+      val ups = xs.sliding(2).count { case Seq(a, b) => b > a; case _ => false }
+      assert(r.getAs[Long]("n_up") === ups.toLong)
+      assert(r.getAs[Long]("max_streak") <= r.getAs[Long]("n_up"))
+    }
+  }
 }
