@@ -63,9 +63,56 @@ object UdfQueries {
           "null_safe_div(l_extendedprice, l_discount) AS price_per_disc")
         .orderBy("l_orderkey", "l_linenumber")
     }),
+
+    // J6: typed Dataset API — case-class Encoder + groupByKey +
+    // mapGroups, the tier for GENUINE per-group imperative logic
+    // (design preference (d): reach it deliberately, not by default).
+    // Per-group state is one user's bounded history; the aggregates
+    // here are chosen to be order-insensitive so the result is
+    // partition-count independent. The DuckDB oracle is declarative
+    // SQL over the same semantics.
+    "typed_mapgroups" -> ((s, d) => {
+      import s.implicits._
+      val ds = load(s, d, "events")
+        .selectExpr("event_id", "user_id", "event_type",
+          "unix_micros(cast(ts as timestamp)) AS ep_us")
+        .as[UdfQueries.Ev]
+      ds.groupByKey(_.user_id)
+        .mapGroups { (uid, it) =>
+          val evs = it.toArray
+          val types = evs.groupBy(_.event_type).view.mapValues(_.length)
+          // deterministic top type: max count, then lexicographic
+          val top = types.toSeq.maxBy { case (t, c) => (c, t) }
+          UdfQueries.UserStats(uid, evs.length.toLong,
+            evs.map(_.ep_us).max - evs.map(_.ep_us).min,
+            types.size.toLong, top._1, top._2.toLong)
+        }
+        .toDF()
+        .orderBy("user_id")
+    }),
   )
 
+  /** Typed-API row shapes for J6 (top level so Encoders derive cleanly). */
+  case class Ev(event_id: Long, user_id: Long, event_type: String, ep_us: Long)
+  case class UserStats(user_id: Long, n: Long, span_us: Long,
+      n_types: Long, top_type: String, top_n: Long)
+
   val oracle: Map[String, String] = Map(
+    "typed_mapgroups" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ep_us FROM events),
+        | s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    max(ep_us) - min(ep_us) AS span_us,
+        |    CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+        |  FROM e GROUP BY 1),
+        | t AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+        |  FROM e GROUP BY 1, 2),
+        | r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY c DESC, event_type DESC) AS rn FROM t)
+        |SELECT s.user_id, n, span_us, n_types,
+        |  r.event_type AS top_type, c AS top_n
+        |FROM s JOIN r USING (user_id) WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
     "udf_scalar" ->
       """SELECT CASE WHEN l_discount < 0.03 THEN 'low'
         |   WHEN l_discount < 0.07 THEN 'mid' ELSE 'high' END AS band,

@@ -97,4 +97,23 @@ class GoldenSpec extends GraftSpec {
     val b = q("sample_seeded").collect().toSeq
     assert(a === b && a.nonEmpty)
   }
+
+  test("typed_mapgroups matches the declarative formulation row-for-row") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "event_type", "unix_micros(cast(ts as timestamp)) AS ep")
+    val stats = e.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), (max(col("ep")) - min(col("ep"))).as("span_us"),
+        countDistinct(col("event_type")).as("n_types"))
+    val top = e.groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("c").desc, col("event_type").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("top_type"), col("c").as("top_n"))
+    val expected = stats.join(top, "user_id")
+      .select("user_id", "n", "span_us", "n_types", "top_type", "top_n")
+      .orderBy("user_id").collect().toSeq
+    assert(q("typed_mapgroups").collect().toSeq === expected)
+  }
 }
