@@ -45,6 +45,7 @@ object SparkEntry {
       AnalyticsQueries.queries ++
       RuntimeQueries.queries ++
       SequenceQueries.queries ++
+      RobustQueries.queries ++
       graft.streaming.StreamQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -74,5 +75,6 @@ object SparkEntry {
       AnalyticsQueries.oracle ++
       RuntimeQueries.oracle ++
       SequenceQueries.oracle ++
+      RobustQueries.oracle ++
       graft.streaming.StreamQueries.oracle
 }
