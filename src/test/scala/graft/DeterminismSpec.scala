@@ -16,7 +16,10 @@ class DeterminismSpec extends GraftSpec {
     "text_tfidf",           // log scores + top-k
     "graph_pagerank",       // iterative decimal sums (round 5)
     "ts_anomaly",           // windowed decimal power sums (round 5)
-    "text_paragraph_dedup") // global first-occurrence window (round 5)
+    "text_paragraph_dedup", // global first-occurrence window (round 5)
+    "agg_skew_kurt",        // q-grid power sums + double algebra (round 5)
+    "win_iqr_outliers",     // discrete quantile selection + integer fences (round 5)
+    "typed_mapgroups")      // mapGroups with order-insensitive aggregates (round 5)
 
   sample.foreach { name =>
     test(s"$name is partition-count invariant") {
