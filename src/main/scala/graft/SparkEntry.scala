@@ -46,6 +46,7 @@ object SparkEntry {
       RuntimeQueries.queries ++
       SequenceQueries.queries ++
       RobustQueries.queries ++
+      IntervalQueries.queries ++
       graft.streaming.StreamQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -76,5 +77,6 @@ object SparkEntry {
       RuntimeQueries.oracle ++
       SequenceQueries.oracle ++
       RobustQueries.oracle ++
+      IntervalQueries.oracle ++
       graft.streaming.StreamQueries.oracle
 }
