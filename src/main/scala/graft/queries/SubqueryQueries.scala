@@ -114,6 +114,19 @@ object SubqueryQueries {
     // per-row subquery execution.
     "subq_lateral" -> viaSql(subqLateralSql, "customer", "orders"),
     "subq_recursive" -> viaSql(recursiveBody("CAST(m AS TIMESTAMP_NTZ)"), "orders"),
+
+    // Parameterized SQL (Spark 4 named-parameter API): the injection-
+    // safe entry path an application embeds — parameters bind as
+    // literals in the plan, so pushdown/pruning see constants.
+    "sql_parameterized" -> ((s, d) => {
+      load(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS rev
+          |FROM orders WHERE o_totalprice > :minPrice AND o_orderpriority = :prio
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+        Map("minPrice" -> 50000, "prio" -> "1-URGENT"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -125,5 +138,10 @@ object SubqueryQueries {
     "subq_not_exists" -> subqNotExistsSql,
     "subq_lateral" -> subqLateralSql,
     "subq_recursive" -> recursiveBody("m"),
+    "sql_parameterized" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS rev
+        |FROM orders WHERE o_totalprice > 50000 AND o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
   )
 }
