@@ -38,5 +38,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // The HOF dot-product spelling fuses into the codegen'd expression
     // for every session on the cluster — see plans.DotProductFusion.
     e.injectOptimizerRule(_ => graft.plans.DotProductFusion)
+    // Magnitude predicates (abs(x) <= k) become pushable range
+    // predicates — see plans.AbsRangePushdown.
+    e.injectOptimizerRule(_ => graft.plans.AbsRangePushdown)
   }
 }

@@ -84,6 +84,35 @@ class PlanShapeSpec extends GraftSpec {
     }
   }
 
+  test("AbsRangePushdown turns abs(x) <= k into pushed range filters") {
+    import org.apache.spark.sql.functions._
+    spark.experimental.extraOptimizations = Seq(graft.plans.AbsRangePushdown)
+    try {
+      val banded = Tables.load(spark, sf, "supplier")
+        .filter("abs(s_acctbal) <= 500.0")
+        .select("s_suppkey", "s_acctbal").orderBy("s_suppkey")
+      val physical = banded.queryExecution.executedPlan.toString
+      assert(physical.contains("GreaterThanOrEqual(s_acctbal,-500.0)")
+        && physical.contains("LessThanOrEqual(s_acctbal,500.0)"),
+        s"range not pushed to the scan:\n${physical.take(1200)}")
+      // value equality with the un-rewritten form
+      spark.experimental.extraOptimizations = Nil
+      val direct = Tables.load(spark, sf, "supplier")
+        .filter("abs(s_acctbal) <= 500.0")
+        .select("s_suppkey", "s_acctbal").orderBy("s_suppkey")
+      assert(banded.collect().toSeq === direct.collect().toSeq)
+      // and NULL/NaN parity on a crafted frame
+      spark.experimental.extraOptimizations = Seq(graft.plans.AbsRangePushdown)
+      import spark.implicits._
+      val df = Seq(Some(1.0), Some(-501.0), None, Some(Double.NaN), Some(-0.0))
+        .toDF("x")
+      val got = df.filter("abs(x) < 2.0").collect().map(_.getDouble(0)).sorted
+      assert(got.toSeq == Seq(-0.0, 1.0))
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+
   test("array_dot null semantics mirror the HOF (length mismatch / null element)") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(
