@@ -47,6 +47,7 @@ object SparkEntry {
       SequenceQueries.queries ++
       RobustQueries.queries ++
       IntervalQueries.queries ++
+      ReportQueries.queries ++
       graft.streaming.StreamQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -78,5 +79,6 @@ object SparkEntry {
       SequenceQueries.oracle ++
       RobustQueries.oracle ++
       IntervalQueries.oracle ++
+      ReportQueries.oracle ++
       graft.streaming.StreamQueries.oracle
 }
