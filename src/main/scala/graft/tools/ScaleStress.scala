@@ -369,6 +369,33 @@ object ScaleStress {
     val (er1, et1) = timeCount(() => centroids(ce1))
     val (ern, etn) = timeCount(() => centroids(ceN))
 
+    // --- sweep-line concurrency over N× disjoint event types --------
+    // Group count scales; the boundary unpivot doubles rows map-side
+    // and the running ±1 sum rides one exchange — output is one row
+    // per type, so rows scale exactly N× while per-shard work is a
+    // linear walk.
+    def sweepCopies(n: Int): DataFrame =
+      (0 until n).map(k => load(spark, sfDir, "events")
+        .select(concat(col("event_type"), lit(s"_$k")).as("event_type"),
+          (col("event_id") + lit(k * off)).as("event_id"),
+          expr("unix_micros(cast(ts as timestamp))").as("t0"),
+          expr("unix_micros(cast(ts as timestamp)) + CAST(round(value * 100) AS BIGINT) * 10000").as("t1")))
+        .reduce(_ union _)
+    def sweep(df: DataFrame): DataFrame = {
+      val bounds = df.select(col("event_type"), col("event_id"), col("t0").as("t"), lit(1L).as("delta"))
+        .unionAll(df.select(col("event_type"), col("event_id"), col("t1").as("t"), lit(-1L).as("delta")))
+      val ord = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+        .orderBy(col("t").asc, col("delta").asc, col("event_id").asc)
+      val run = ord.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+      bounds.withColumn("conc", sum(col("delta")).over(run))
+        .groupBy("event_type").agg(max(col("conc")).as("max_conc"))
+    }
+    val sw1 = materialize(sweepCopies(1), "sw1")
+    val swN = materialize(sweepCopies(mult), "swN")
+    val (xr1, xt1) = timeCount(() => sweep(sw1))
+    val (xrn, xtn) = timeCount(() => sweep(swN))
+
     Seq(
       ("sessionize_batch", sr1, st1, srn, stn),
       ("dedup_cluster (connectedComponents)", cr1, ct1, crn, ctn),
@@ -382,6 +409,7 @@ object ScaleStress {
       ("tpch_q21 (sole-late profile, disjoint orders)", qr1, qt1, qrn, qtn),
       ("graph_triangles (disjoint graphs)", tr1, tt1, trn, ttn),
       ("text_ngram_profile (shared langs, growing corpus)", nr1, nt1, nrn, ntn),
-      ("embed_centroids (shared labels, growing corpus)", er1, et1, ern, etn))
+      ("embed_centroids (shared labels, growing corpus)", er1, et1, ern, etn),
+      ("ts_concurrency (disjoint type shards)", xr1, xt1, xrn, xtn))
   }
 }
