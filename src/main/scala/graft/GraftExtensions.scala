@@ -41,5 +41,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Magnitude predicates (abs(x) <= k) become pushable range
     // predicates — see plans.AbsRangePushdown.
     e.injectOptimizerRule(_ => graft.plans.AbsRangePushdown)
+    // Whole-operator tier: plans the TopKPerGroup logical node as the
+    // heap-based partial+final physical operator — see plans.TopKPerGroup.
+    e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }

@@ -601,4 +601,34 @@ object GraftOps {
         sum(when(col("__len") > 0, 1L).otherwise(0L)).as("n_streaks"),
         sum(col("__len")).as("n_up"))
   }
+
+  /** Top-k rows per group through the custom physical operator
+    * [[graft.plans.TopKPerGroupExec]] (SURVEY §4 tier (c)): bounded
+    * per-group heaps map-side AND reduce-side around ONE hash
+    * exchange — never a full window sort, shuffle payload ≤
+    * k × groups-per-partition rows. Schema is unchanged (no rank
+    * column). `orderSpec` is (column, descending?) pairs and should
+    * be total per group (add a unique tie-break column) for
+    * deterministic output, exactly as with `row_number`.
+    *
+    * Registers [[graft.plans.TopKPerGroupStrategy]] on the session on
+    * first use; cluster-wide registration goes through
+    * [[graft.GraftExtensions]].
+    */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String],
+      orderSpec: Seq[(String, Boolean)], k: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+    import org.apache.spark.sql.graft.GraftSqlInternals
+    val spark = df.sparkSession
+    GraftSqlInternals.addStrategy(spark, graft.plans.TopKPerGroupStrategy)
+    val lp = GraftSqlInternals.analyzed(df)
+    def attr(name: String) = lp.output.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"topKPerGroup: no column '$name' in ${lp.output.map(_.name).mkString(", ")}"))
+    val order = orderSpec.map { case (c, desc) =>
+      SortOrder(attr(c), if (desc) Descending else Ascending)
+    }
+    GraftSqlInternals.ofRows(spark,
+      graft.plans.TopKPerGroup(groupCols.map(attr), order, k, lp))
+  }
 }

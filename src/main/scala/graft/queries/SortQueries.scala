@@ -44,6 +44,21 @@ object SortQueries {
         .orderBy("o_custkey", "rn")
     }),
 
+    // F3b (round 5): the same top-3-per-customer answer through the
+    // custom TopKPerGroup physical operator (bounded per-group heaps,
+    // partial+final around one exchange — no window, no sort; see
+    // graft.plans.TopKPerGroup). Ordering is total per group
+    // (totalprice desc, orderkey asc), so output is deterministic and
+    // bit-equal to the row_number formulation — TopKSpec asserts both.
+    "topk_physical" -> ((s, d) => {
+      val orders = load(s, d, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+      graft.api.GraftOps.topKPerGroup(
+          orders, Seq("o_custkey"),
+          Seq(("o_totalprice", true), ("o_orderkey", false)), 3)
+        .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+    }),
+
     // F4: seeded Bernoulli sample — deterministic within Spark, but the
     // RNG is engine-specific ⇒ no oracle (SURVEY §2.F4); the unit test
     // pins the exact row set across runs instead.
@@ -69,5 +84,13 @@ object SortQueries {
         |       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |   FROM orders) t
         | WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "topk_physical" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |   SELECT o_custkey, o_orderkey, o_totalprice,
+        |     row_number() OVER (PARTITION BY o_custkey
+        |       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |   FROM orders) t
+        | WHERE rn <= 3
+        | ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
   )
 }

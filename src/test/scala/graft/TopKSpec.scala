@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.api.GraftOps
+
+/** The custom TopKPerGroup physical operator (plans/TopKPerGroup.scala):
+  * semantics pinned against the row_number window formulation, plan
+  * shape pinned to partial+final heaps around exactly one exchange,
+  * determinism pinned across input partitionings.
+  */
+class TopKSpec extends GraftSpec {
+
+  private def orders = Tables.load(spark, sf, "orders")
+    .select("o_custkey", "o_orderkey", "o_totalprice")
+
+  private def windowTop3 = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+  }
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[Row] =
+    df.orderBy("o_custkey", "o_orderkey").collect().toSeq
+
+  test("topKPerGroup equals the row_number window formulation bit-for-bit") {
+    val custom = GraftOps.topKPerGroup(orders, Seq("o_custkey"),
+      Seq(("o_totalprice", true), ("o_orderkey", false)), 3)
+    assert(sortedRows(custom) == sortedRows(windowTop3))
+  }
+
+  test("plan is partial+final heaps around ONE exchange — no Window, no Sort") {
+    val custom = GraftOps.topKPerGroup(orders, Seq("o_custkey"),
+      Seq(("o_totalprice", true), ("o_orderkey", false)), 3)
+    val plan = custom.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroupPartial"), plan)
+    assert(plan.contains("TopKPerGroupFinal"), plan)
+    assert(!plan.contains("Window"), s"window crept back in:\n$plan")
+    assert(!plan.contains("Sort"), s"full sort crept back in:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"expected exactly one exchange:\n$plan")
+  }
+
+  test("output is invariant to input partitioning (3 vs 11 partitions)") {
+    def run(parts: Int) = sortedRows(GraftOps.topKPerGroup(
+      orders.repartition(parts), Seq("o_custkey"),
+      Seq(("o_totalprice", true), ("o_orderkey", false)), 3))
+    assert(run(3) == run(11))
+  }
+
+  test("k >= group size returns every row of the group") {
+    val custom = GraftOps.topKPerGroup(orders, Seq("o_custkey"),
+      Seq(("o_totalprice", true), ("o_orderkey", false)), 1000000)
+    assert(custom.count() == orders.count())
+  }
+
+  test("k = 1 is argmax per group") {
+    val custom = GraftOps.topKPerGroup(orders, Seq("o_custkey"),
+      Seq(("o_totalprice", true), ("o_orderkey", false)), 1)
+    val direct = orders.groupBy("o_custkey")
+      .agg(max(struct(col("o_totalprice"), col("o_orderkey") * -1)).as("s"))
+    assert(custom.count() == direct.count())
+    val viaWindow = {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      orders.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    }
+    assert(sortedRows(custom) == sortedRows(viaWindow))
+  }
+
+  test("null order keys follow Spark SortOrder defaults (DESC -> nulls last)") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, Some(10.0)), ("a", 2L, None), ("a", 3L, Some(5.0)),
+      ("b", 4L, None), ("b", 5L, None)).toDF("g", "id", "v")
+    val custom = GraftOps.topKPerGroup(df, Seq("g"), Seq(("v", true), ("id", false)), 2)
+      .orderBy("g", "id").collect().toSeq
+    val w = Window.partitionBy(col("g")).orderBy(col("v").desc_nulls_last, col("id").asc)
+    val win = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .drop("rn").orderBy("g", "id").collect().toSeq
+    assert(custom == win)
+  }
+
+  test("empty input yields empty output") {
+    val empty = orders.filter(col("o_orderkey") < 0)
+    assert(GraftOps.topKPerGroup(empty, Seq("o_custkey"),
+      Seq(("o_totalprice", true)), 3).count() == 0)
+  }
+
+  test("composes downstream: join + aggregate over the operator's output") {
+    val customer = Tables.load(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    val top = GraftOps.topKPerGroup(orders, Seq("o_custkey"),
+      Seq(("o_totalprice", true), ("o_orderkey", false)), 3)
+    val agg = top.join(customer, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+    val viaWindow = windowTop3.join(customer, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+    assert(agg.orderBy("c_mktsegment").collect().toSeq ==
+      viaWindow.orderBy("c_mktsegment").collect().toSeq)
+  }
+}
