@@ -60,6 +60,54 @@ object TextQueries {
         .withColumn("hit", (col("predicted") === col("lang")))
         .orderBy("doc_id")),
 
+    // BPE-style vocabulary induction, step 1 (round 5): most frequent
+    // adjacent character pairs. The 100 TB trick is counting over the
+    // WORD-COUNT VOCABULARY, not the corpus: corpus → (word, count) is
+    // one heavily-combinable shuffle, then the pair explode runs over
+    // the vocabulary (≪ corpus) with counts as weights — exactly how
+    // production BPE trainers amortize merge rounds.
+    "vocab_bpe_pairs" -> ((s, d) => {
+      val words = load(s, d, "documents")
+        .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("wc"))
+      words
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"),
+          col("wc"))
+        .groupBy("pair").agg(sum(col("wc")).cast("bigint").as("n"))
+        .orderBy(desc("n"), col("pair")).limit(20)
+    }),
+
+    // Classifier evaluation (round 5): per-class precision/recall/F1 of
+    // the langid heuristic against the gold `lang` label. The corpus
+    // collapses to a ≤|classes|² confusion matrix in ONE combinable
+    // shuffle; the metric algebra runs on that tiny table (broadcast
+    // cross join with the class list). Ratios stay DOUBLE end-to-end —
+    // identical IEEE expression shape on both engines.
+    "eval_confusion" -> ((s, d) => {
+      import s.implicits._
+      val cm = load(s, d, "documents")
+        .selectExpr("lang", s"${predictedCase(markerCount)} AS predicted")
+        .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+      val cls = Seq("de", "en", "es", "fr", "zh").toDF("class")
+      cls.crossJoin(cm).groupBy("class").agg(
+          coalesce(sum(when(col("lang") === col("class") &&
+            col("predicted") === col("class"), col("n"))), lit(0L)).as("tp"),
+          coalesce(sum(when(col("predicted") === col("class") &&
+            col("lang") =!= col("class"), col("n"))), lit(0L)).as("fp"),
+          coalesce(sum(when(col("lang") === col("class") &&
+            col("predicted") =!= col("class"), col("n"))), lit(0L)).as("fn"),
+          coalesce(sum(when(col("lang") === col("class"), col("n"))), lit(0L)).as("support"))
+        .selectExpr("class", "tp", "fp", "fn", "support",
+          "CAST(tp AS DOUBLE) / nullif(tp + fp, 0) AS precision",
+          "CAST(tp AS DOUBLE) / nullif(tp + fn, 0) AS recall",
+          "2 * (CAST(tp AS DOUBLE) / nullif(tp + fp, 0)) * (CAST(tp AS DOUBLE) / nullif(tp + fn, 0))" +
+            " / nullif(CAST(tp AS DOUBLE) / nullif(tp + fp, 0)" +
+            " + CAST(tp AS DOUBLE) / nullif(tp + fn, 0), 0) AS f1")
+        .orderBy("class")
+    }),
+
     // Quality scoring: length / word-shape / stopword-ratio features
     // combined into a deterministic polynomial score.
     "text_quality" -> ((s, d) =>
@@ -109,6 +157,37 @@ object TextQueries {
          | ${predictedCase(markerCountDuck)} AS predicted,
          | ${predictedCase(markerCountDuck)} = lang AS hit
          | FROM documents ORDER BY doc_id""".stripMargin,
+    "vocab_bpe_pairs" ->
+      """WITH words AS (
+        |   SELECT w, count(*) AS wc FROM (
+        |     SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        |     FROM documents) t
+        |   WHERE length(w) >= 2 GROUP BY w
+        | ), pairs AS (
+        |   SELECT unnest(list_transform(range(1, length(w)),
+        |     i -> substr(w, CAST(i AS INT), 2))) AS pair, wc
+        |   FROM words)
+        | SELECT pair, CAST(sum(wc) AS BIGINT) AS n FROM pairs
+        | GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+    "eval_confusion" ->
+      s"""WITH cm AS (
+         |   SELECT lang, ${predictedCase(markerCountDuck)} AS predicted, count(*) AS n
+         |   FROM documents GROUP BY 1, 2),
+         | counts AS (
+         |   SELECT c.class,
+         |    CAST(coalesce(sum(CASE WHEN cm.lang = c.class AND cm.predicted = c.class THEN cm.n END), 0) AS BIGINT) AS tp,
+         |    CAST(coalesce(sum(CASE WHEN cm.predicted = c.class AND cm.lang <> c.class THEN cm.n END), 0) AS BIGINT) AS fp,
+         |    CAST(coalesce(sum(CASE WHEN cm.lang = c.class AND cm.predicted <> c.class THEN cm.n END), 0) AS BIGINT) AS fn,
+         |    CAST(coalesce(sum(CASE WHEN cm.lang = c.class THEN cm.n END), 0) AS BIGINT) AS support
+         |   FROM (SELECT unnest(['de','en','es','fr','zh']) AS class) c
+         |   CROSS JOIN cm GROUP BY c.class)
+         | SELECT class, tp, fp, fn, support,
+         |   CAST(tp AS DOUBLE) / nullif(tp + fp, 0) AS precision,
+         |   CAST(tp AS DOUBLE) / nullif(tp + fn, 0) AS recall,
+         |   2 * (CAST(tp AS DOUBLE) / nullif(tp + fp, 0)) * (CAST(tp AS DOUBLE) / nullif(tp + fn, 0))
+         |     / nullif(CAST(tp AS DOUBLE) / nullif(tp + fp, 0)
+         |     + CAST(tp AS DOUBLE) / nullif(tp + fn, 0), 0) AS f1
+         | FROM counts ORDER BY class""".stripMargin,
     "text_quality" ->
       """SELECT doc_id,
         | CAST(length(text) AS BIGINT) AS n_chars_txt,
