@@ -396,6 +396,26 @@ object ScaleStress {
     val (xr1, xt1) = timeCount(() => sweep(sw1))
     val (xrn, xtn) = timeCount(() => sweep(swN))
 
+    // --- custom TopKPerGroup operator over N× disjoint customers -----
+    // Group count scales, per-group size fixed: heap admission is O(1)
+    // per row, shuffle payload is ≤ k rows per group per map partition,
+    // so both phases scale with rows — the operator's 100 TB claim
+    // (no sort, bounded memory) measured rather than asserted.
+    val ordBase = load(spark, sfDir, "orders")
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    def ordCopies(n: Int): DataFrame =
+      (0 until n).map(k => ordBase.select(
+        (col("o_custkey") + lit(k * off)).as("o_custkey"),
+        (col("o_orderkey") + lit(k * off)).as("o_orderkey"),
+        col("o_totalprice"))).reduce(_ union _)
+    def topk(df: DataFrame): DataFrame =
+      GraftOps.topKPerGroup(df, Seq("o_custkey"),
+        Seq(("o_totalprice", true), ("o_orderkey", false)), 3)
+    val tk1 = materialize(ordCopies(1), "tk1")
+    val tkN = materialize(ordCopies(mult), "tkN")
+    val (yr1, yt1) = timeCount(() => topk(tk1))
+    val (yrn, ytn) = timeCount(() => topk(tkN))
+
     Seq(
       ("sessionize_batch", sr1, st1, srn, stn),
       ("dedup_cluster (connectedComponents)", cr1, ct1, crn, ctn),
@@ -410,6 +430,7 @@ object ScaleStress {
       ("graph_triangles (disjoint graphs)", tr1, tt1, trn, ttn),
       ("text_ngram_profile (shared langs, growing corpus)", nr1, nt1, nrn, ntn),
       ("embed_centroids (shared labels, growing corpus)", er1, et1, ern, etn),
-      ("ts_concurrency (disjoint type shards)", xr1, xt1, xrn, xtn))
+      ("ts_concurrency (disjoint type shards)", xr1, xt1, xrn, xtn),
+      ("topk_physical (heap operator, disjoint customers)", yr1, yt1, yrn, ytn))
   }
 }
