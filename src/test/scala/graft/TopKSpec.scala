@@ -89,6 +89,33 @@ class TopKSpec extends GraftSpec {
       Seq(("o_totalprice", true)), 3).count() == 0)
   }
 
+  test("partial phase bounds the shuffle payload when groups are few") {
+    // The operator's 100 TB claim, measured: 150k rows in 5 groups
+    // over 8 map partitions. The window formulation shuffles all 150k
+    // rows; the heap partial emits at most groups × k per partition
+    // (= 120 rows) into the exchange. AQE off for a stable two-node
+    // plan whose partial-side metric we can read directly.
+    val saved = spark.conf.getOption("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = spark.range(150000).select(
+        (org.apache.spark.sql.functions.col("id") % 5).as("g"),
+        org.apache.spark.sql.functions.col("id").as("v"))
+        .repartition(8)
+      val top = GraftOps.topKPerGroup(df, Seq("g"), Seq(("v", true)), 3)
+      assert(top.count() == 15)
+      val partial = top.queryExecution.executedPlan.collect {
+        case t: graft.plans.TopKPerGroupExec if t.partial => t
+      }.head
+      val emitted = partial.metrics("numOutputRows").value
+      assert(emitted <= 5L * 3 * 8,
+        s"partial emitted $emitted rows into the shuffle; expected <= 120 of 150000")
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("composes downstream: join + aggregate over the operator's output") {
     val customer = Tables.load(spark, sf, "customer").select("c_custkey", "c_mktsegment")
     val top = GraftOps.topKPerGroup(orders, Seq("o_custkey"),
