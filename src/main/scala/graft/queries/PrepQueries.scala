@@ -365,6 +365,21 @@ object PrepQueries {
     // 12.5%), the reproducible-split contract every training pipeline
     // needs: stable under re-runs, shard order, and corpus growth
     // (adding documents never moves an existing one). Map-only.
+    // N18b (round 5): deterministic per-group reservoir sample — k docs
+    // per language, selected by md5-hash order. Rides the custom
+    // TopKPerGroup heap operator, so the "reservoir" really is one:
+    // O(k) memory per group per partition, shuffle payload ≤ k ×
+    // groups per map partition, corpus never sorted. Same answer as
+    // the row_number formulation (the oracle) at any partitioning.
+    "sample_reservoir" -> ((s, d) => {
+      val df = load(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          md5(col("doc_id").cast("string")).as("h"))
+      graft.api.GraftOps.topKPerGroup(df, Seq("lang"),
+          Seq(("h", false), ("doc_id", false)), 20)
+        .orderBy("lang", "h", "doc_id")
+    }),
+
     "sample_split" -> ((s, d) => {
       val h = substring(md5(col("doc_id").cast("string")), 1, 1)
       load(s, d, "documents").select(
@@ -583,6 +598,13 @@ object PrepQueries {
         |   HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150)
         | GROUP BY c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
         | ORDER BY o.o_totalprice DESC, o.o_orderkey ASC LIMIT 20""".stripMargin,
+    "sample_reservoir" ->
+      """SELECT doc_id, lang, h FROM (
+        |  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) t
+        | WHERE rn <= 20 ORDER BY lang, h, doc_id""".stripMargin,
     "sample_split" ->
       """WITH h AS (SELECT doc_id, lang,
         |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket

@@ -127,6 +127,26 @@ object SubqueryQueries {
           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
         Map("minPrice" -> 50000, "prio" -> "1-URGENT"))
     }),
+
+    // SQL-defined scalar function (Spark 4 SQL UDF: CREATE FUNCTION
+    // ... RETURN <expr>): the declarative extension path for SQL-only
+    // users. The body inlines into the plan as an expression — full
+    // codegen, pushdown-transparent — unlike a JVM UDF black box. The
+    // oracle states the inlined expression directly, which is exactly
+    // what the optimizer sees.
+    "sql_udf" -> ((s, d) => {
+      load(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      // exact-decimal product at scale 4, never re-rounded to 2 (the
+      // HALF_UP vs half-even cross-engine trap, SURVEY §7.4.2)
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, dd DOUBLE)
+              |RETURNS DECIMAL(23,4)
+              |RETURN CAST(p AS DECIMAL(18,2))
+              |  * CAST(1 - CAST(dd AS DECIMAL(18,2)) AS DECIMAL(4,2))""".stripMargin)
+      s.sql(
+        """SELECT l_returnflag,
+          |  CAST(sum(disc_price(l_extendedprice, l_discount)) AS DECIMAL(38,4)) AS rev
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -143,5 +163,10 @@ object SubqueryQueries {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS rev
         |FROM orders WHERE o_totalprice > 50000 AND o_orderpriority = '1-URGENT'
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "sql_udf" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(1 - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(4,2))) AS DECIMAL(38,4)) AS rev
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }
