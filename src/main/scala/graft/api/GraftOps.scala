@@ -602,6 +602,38 @@ object GraftOps {
         sum(col("__len")).as("n_up"))
   }
 
+  /** Deterministic banded-MinHash near-duplicate CANDIDATE pairs:
+    * word-3-gram shingles → `bands × rowsPerBand` min-hashes (min of
+    * md5 over seed-prefixed shingles — lexicographic min of hex
+    * strings, engine-independent) → band signatures → equi-join on
+    * (band, signature), `a_id < b_id`, distinct.
+    *
+    * Unlike the ML MinHashLSH tier (dedup_near), every step is a
+    * deterministic SQL expression, so the full pipeline is
+    * DuckDB-oracle-checkable. Scale shape: one combinable shuffle to
+    * the per-doc signature row (min() collapses map-side), a map-side
+    * band fanout of |bands| rows per doc, and one hash join on the
+    * band signature — never an all-pairs comparison.
+    */
+  def minhashBandPairs(df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val nh = bands * rowsPerBand
+    val sh = df.select(col(idCol), explode(expr(
+      s"array_distinct(transform(sequence(1, greatest(size(split($textCol, ' ')) - 2, 1)), " +
+        s"i -> concat_ws(' ', slice(split($textCol, ' '), i, 3))))")).as("__s"))
+    val aggs = (0 until nh).map(k => min(md5(concat(lit(s"$k:"), col("__s")))).as(s"__h$k"))
+    val mh = sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val bandRows = (0 until bands).map { b =>
+      val sig = concat((0 until rowsPerBand).map(r => col(s"__h${b * rowsPerBand + r}")): _*)
+      mh.select(col(idCol), lit(b).as("__band"), sig.as("__sig"))
+    }.reduce(_ unionAll _)
+    bandRows.select(col(idCol).as("a_id"), col("__band"), col("__sig"))
+      .join(bandRows.select(col(idCol).as("b_id"), col("__band"), col("__sig")),
+        Seq("__band", "__sig"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+  }
+
   /** Top-k rows per group through the custom physical operator
     * [[graft.plans.TopKPerGroupExec]] (SURVEY §4 tier (c)): bounded
     * per-group heaps map-side AND reduce-side around ONE hash

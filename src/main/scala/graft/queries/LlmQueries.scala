@@ -115,6 +115,15 @@ object LlmQueries {
         minJaccard = 0.8)
         .orderBy("a_id", "b_id")),
 
+    // Deterministic banded MinHash (round 5): same LSH banding idea as
+    // dedup_near, but every step is a pure SQL expression (min-md5
+    // signatures), so this near-dup tier is driver-ORACLED, not
+    // exempt — the cross-engine check covers shingling, signature and
+    // banding byte-for-byte.
+    "dedup_minhash" -> ((s, d) =>
+      GraftOps.minhashBandPairs(load(s, d, "documents"), "doc_id", "text")
+        .orderBy("a_id", "b_id")),
+
     // Embedding-cosine near-dup pairs — exact, via GraftOps'
     // deterministic grid-blocked candidate join (3-neighbor-cell
     // equi-join, provably complete for cos ≥ 0.4 on normalized
@@ -265,6 +274,28 @@ object LlmQueries {
         | FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
         | WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
         |     / len(list_distinct(a.shingles || b.shingles)) >= 0.8
+        | ORDER BY a_id, b_id""".stripMargin,
+    "dedup_minhash" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |      generate_series(1, greatest(len(w) - 2, 1)),
+        |      i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t),
+        | mh AS (
+        |  SELECT doc_id,
+        |    min(md5('0:' || s)) AS h0, min(md5('1:' || s)) AS h1,
+        |    min(md5('2:' || s)) AS h2, min(md5('3:' || s)) AS h3,
+        |    min(md5('4:' || s)) AS h4, min(md5('5:' || s)) AS h5,
+        |    min(md5('6:' || s)) AS h6, min(md5('7:' || s)) AS h7
+        |  FROM sh GROUP BY doc_id),
+        | bands AS (
+        |  SELECT doc_id, 0 AS band, h0 || h1 AS sig FROM mh
+        |  UNION ALL SELECT doc_id, 1, h2 || h3 FROM mh
+        |  UNION ALL SELECT doc_id, 2, h4 || h5 FROM mh
+        |  UNION ALL SELECT doc_id, 3, h6 || h7 FROM mh)
+        | SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        | FROM bands a JOIN bands b
+        |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
         | ORDER BY a_id, b_id""".stripMargin,
     "dedup_embed_cos" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
