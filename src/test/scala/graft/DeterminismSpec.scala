@@ -19,7 +19,11 @@ class DeterminismSpec extends GraftSpec {
     "text_paragraph_dedup", // global first-occurrence window (round 5)
     "agg_skew_kurt",        // q-grid power sums + double algebra (round 5)
     "win_iqr_outliers",     // discrete quantile selection + integer fences (round 5)
-    "typed_mapgroups")      // mapGroups with order-insensitive aggregates (round 5)
+    "typed_mapgroups",      // mapGroups with order-insensitive aggregates (round 5)
+    "topk_physical",        // custom heap operator, total per-group order (round 5)
+    "dedup_minhash",        // banded min-md5 signatures (round 5)
+    "sample_reservoir",     // hash-order reservoir via the heap operator (round 5)
+    "vocab_bpe_pairs")      // weighted pair counts + top-20 tie-break (round 5)
 
   sample.foreach { name =>
     test(s"$name is partition-count invariant") {
