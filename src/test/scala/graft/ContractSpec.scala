@@ -14,6 +14,52 @@ class ContractSpec extends GraftSpec {
     assert(orphans.isEmpty, s"oracle entries without a query: $orphans")
   }
 
+  test("no query name is defined by two modules (silent map override)") {
+    // SparkEntry merges ~30 module maps with ++, where a later module
+    // SILENTLY wins a name clash — a new query can shadow (or be
+    // shadowed by) an old one and every per-query check still passes,
+    // just against the wrong implementation. Caught live in round 5:
+    // a second ts_interpolate. Assert clash-freedom structurally.
+    val modules: Seq[(String, Map[String, queries.Q])] = Seq(
+      "Scan" -> queries.ScanQueries.queries,
+      "Filter" -> queries.FilterQueries.queries,
+      "Join" -> queries.JoinQueries.queries,
+      "Agg" -> queries.AggQueries.queries,
+      "Window" -> queries.WindowQueries.queries,
+      "Sort" -> queries.SortQueries.queries,
+      "Set" -> queries.SetQueries.queries,
+      "ScalarFn" -> queries.ScalarFnQueries.queries,
+      "Udf" -> queries.UdfQueries.queries,
+      "Llm" -> queries.LlmQueries.queries,
+      "Text" -> queries.TextQueries.queries,
+      "Curation" -> queries.CurationQueries.queries,
+      "Prep" -> queries.PrepQueries.queries,
+      "Multimodal" -> queries.MultimodalQueries.queries,
+      "Scale" -> queries.ScaleQueries.queries,
+      "Subquery" -> queries.SubqueryQueries.queries,
+      "Pipeline" -> queries.PipelineQueries.queries,
+      "Olap" -> queries.OlapQueries.queries,
+      "Tpch" -> queries.TpchQueries.queries,
+      "Stats" -> queries.StatsQueries.queries,
+      "Profile" -> queries.ProfileQueries.queries,
+      "Lakehouse" -> queries.LakehouseQueries.queries,
+      "Feature" -> queries.FeatureQueries.queries,
+      "Analytics" -> queries.AnalyticsQueries.queries,
+      "Runtime" -> queries.RuntimeQueries.queries,
+      "Sequence" -> queries.SequenceQueries.queries,
+      "Robust" -> queries.RobustQueries.queries,
+      "Interval" -> queries.IntervalQueries.queries,
+      "Report" -> queries.ReportQueries.queries,
+      "Stream" -> streaming.StreamQueries.queries)
+    val clashes = modules.flatMap { case (m, qs) => qs.keys.map(_ -> m) }
+      .groupBy(_._1).filter(_._2.size > 1)
+      .map { case (n, ms) => s"$n in ${ms.map(_._2).mkString("+")}" }
+    assert(clashes.isEmpty, s"duplicate query names: ${clashes.mkString(", ")}")
+    val total = modules.map(_._2.size).sum
+    assert(total == SparkEntry.queries.size,
+      s"merged surface ${SparkEntry.queries.size} != module sum $total")
+  }
+
   test("inventory covers every SURVEY §2 family") {
     val names = SparkEntry.queries.keySet
     val expectPrefixes = Seq("scan_", "filter_", "join_", "agg_", "win_",
