@@ -648,7 +648,8 @@ object GraftOps {
     * [[graft.GraftExtensions]].
     */
   def topKPerGroup(df: DataFrame, groupCols: Seq[String],
-      orderSpec: Seq[(String, Boolean)], k: Int): DataFrame = {
+      orderSpec: Seq[(String, Boolean)], k: Int,
+      maxPartialGroups: Int = graft.plans.TopKPerGroup.DefaultMaxPartialGroups): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
     import org.apache.spark.sql.graft.GraftSqlInternals
     val spark = df.sparkSession
@@ -661,6 +662,6 @@ object GraftOps {
       SortOrder(attr(c), if (desc) Descending else Ascending)
     }
     GraftSqlInternals.ofRows(spark,
-      graft.plans.TopKPerGroup(groupCols.map(attr), order, k, lp))
+      graft.plans.TopKPerGroup(groupCols.map(attr), order, k, lp, maxPartialGroups))
   }
 }

@@ -38,12 +38,22 @@ case class TopKPerGroup(
     groupExprs: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    maxPartialGroups: Int = TopKPerGroup.DefaultMaxPartialGroups) extends UnaryNode {
   require(k > 0, s"topKPerGroup needs k > 0, got $k")
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
     copy(child = newChild)
+}
+
+object TopKPerGroup {
+  /** Partial-phase group-cap default: ~128k groups × k rows bounds the
+    * map-side heap table to executor-memory scale whatever the data's
+    * group cardinality; groups past the cap stream through unpruned
+    * (correct by the partial/final algebra, just unoptimized).
+    */
+  val DefaultMaxPartialGroups: Int = 1 << 17
 }
 
 /** Plans [[TopKPerGroup]] as partial + final [[TopKPerGroupExec]].
@@ -53,9 +63,9 @@ case class TopKPerGroup(
   */
 object TopKPerGroupStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerGroup(g, o, k, child) =>
-      TopKPerGroupExec(g, o, k, partial = false,
-        TopKPerGroupExec(g, o, k, partial = true, planLater(child))) :: Nil
+    case TopKPerGroup(g, o, k, child, cap) =>
+      TopKPerGroupExec(g, o, k, partial = false, cap,
+        TopKPerGroupExec(g, o, k, partial = true, cap, planLater(child))) :: Nil
     case _ => Nil
   }
 }
@@ -65,15 +75,23 @@ object TopKPerGroupStrategy extends SparkStrategy {
   * declares ClusteredDistribution on the group keys so EnsureRequirements
   * inserts the single hash exchange between the two phases.
   *
-  * Memory: one k-row heap per distinct group key per partition —
-  * heap rows and map keys are copied out of the scan's reused row
-  * buffers, everything else streams.
+  * Memory: one k-row heap per distinct group key per partition. The
+  * PARTIAL phase is hard-capped at `maxPartialGroups` heaps — rows of
+  * groups beyond the cap stream through unpruned (correct: the final
+  * phase recomputes exact top-k; only the shuffle-payload optimization
+  * degrades), so map-side memory is bounded whatever the data looks
+  * like. The FINAL phase must hold every group of its reduce
+  * partition (groups / shuffle-partitions × k rows) — the same
+  * distributed-memory model as hash aggregation; size
+  * `spark.sql.shuffle.partitions` to the group count as you would for
+  * a group-by.
   */
 case class TopKPerGroupExec(
     groupExprs: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
     partial: Boolean,
+    maxPartialGroups: Int,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
@@ -94,6 +112,8 @@ case class TopKPerGroupExec(
     val kLocal = k
     val groupE = groupExprs
     val orderE = order
+    val isPartial = partial
+    val groupCap = maxPartialGroups
     child.execute().mapPartitions({ iter =>
       val groupProj = UnsafeProjection.create(groupE, childOutput)
       val ord: Ordering[InternalRow] =
@@ -101,21 +121,40 @@ case class TopKPerGroupExec(
       // java PriorityQueue as a max-heap on the sort order: head is the
       // WORST row currently kept, so admission is one compare.
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = groupProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](kLocal + 1, ord.reverse)
-          heaps.put(key.copy(), heap)
-        }
+      import scala.jdk.CollectionConverters._
+      def admit(heap: java.util.PriorityQueue[InternalRow], row: InternalRow): Unit =
         if (heap.size < kLocal) heap.add(row.copy())
         else if (ord.compare(row, heap.peek()) < 0) {
           heap.poll(); heap.add(row.copy())
         }
+      // Hot path: allocation-free while loop until the partial-phase
+      // group cap is hit (never, for the final phase and for sane group
+      // cardinalities). Past the cap, rows of UNSEEN groups stream out
+      // unpruned (O(1) memory) while rows of capped groups keep
+      // pruning; heap contents follow once the input is exhausted
+      // (`++` rhs is by-name, so `heaps` is fully built by then).
+      var overflow: InternalRow = null
+      while (iter.hasNext && overflow == null) {
+        val row = iter.next()
+        val key = groupProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          if (isPartial && heaps.size >= groupCap) overflow = row
+          else {
+            heap = new java.util.PriorityQueue[InternalRow](kLocal + 1, ord.reverse)
+            heaps.put(key.copy(), heap)
+            admit(heap, row)
+          }
+        } else admit(heap, row)
       }
-      import scala.jdk.CollectionConverters._
-      heaps.values.asScala.iterator.flatMap { h =>
+      val streamed: Iterator[InternalRow] =
+        if (overflow == null) Iterator.empty
+        else (Iterator.single(overflow) ++ iter).flatMap { row =>
+          val heap = heaps.get(groupProj(row))
+          if (heap == null) { numOutputRows.add(1L); Iterator.single(row) }
+          else { admit(heap, row); Iterator.empty }
+        }
+      streamed ++ heaps.values.asScala.iterator.flatMap { h =>
         numOutputRows.add(h.size.toLong)
         h.iterator().asScala
       }

@@ -116,6 +116,16 @@ class TopKSpec extends GraftSpec {
     }
   }
 
+  test("partial-phase group cap: pass-through past the cap stays exact") {
+    // 10k customers against a cap of 7 partial heaps per partition:
+    // nearly every row streams through unpruned, and the final phase
+    // must still produce the exact answer — the memory-safety valve
+    // costs optimization, never correctness.
+    val capped = GraftOps.topKPerGroup(orders, Seq("o_custkey"),
+      Seq(("o_totalprice", true), ("o_orderkey", false)), 3, maxPartialGroups = 7)
+    assert(sortedRows(capped) == sortedRows(windowTop3))
+  }
+
   test("composes downstream: join + aggregate over the operator's output") {
     val customer = Tables.load(spark, sf, "customer").select("c_custkey", "c_mktsegment")
     val top = GraftOps.topKPerGroup(orders, Seq("o_custkey"),
