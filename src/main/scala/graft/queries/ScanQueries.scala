@@ -81,6 +81,19 @@ object ScanQueries {
       s.read.orc(dir).orderBy("p_partkey")
     }),
 
+    // XML sink + source round-trip (round 5) — Spark 4 ships the XML
+    // data source in core (the spark-xml donation). Explicit read
+    // schema: XML infers numerics loosely, and the driver compare is
+    // schema-exact.
+    "scan_xml_roundtrip" -> ((s, d) => {
+      val df = load(s, d, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      val dir = tmpDir("graft_xml")
+      df.write.mode("overwrite").option("rowTag", "nation").xml(dir)
+      s.read.schema(df.schema).option("rowTag", "nation").xml(dir)
+        .orderBy("n_nationkey")
+    }),
+
     // Text source round-trip: the line-oriented `text` format (one
     // string column `value`) — the raw-crawl shape a training pipeline
     // ingests before any schema exists.
@@ -146,6 +159,9 @@ object ScanQueries {
         | WHERE p_partkey % 10 = 0 ORDER BY p_partkey""".stripMargin,
     "sink_parquet" ->
       "SELECT * FROM orders ORDER BY o_orderkey",
+    "scan_xml_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        | ORDER BY n_nationkey""".stripMargin,
     "scan_text_roundtrip" ->
       """SELECT CAST(doc_id AS VARCHAR) || '|' || lang AS value
         | FROM documents ORDER BY value""".stripMargin,

@@ -195,6 +195,39 @@ class ScaleSpec extends GraftSpec {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // The engine-level semi-join reduction that matters at 100 TB:
+    // when a dimension is filtered hard but too big to broadcast,
+    // Spark injects a bloom filter built from the dim keys into the
+    // fact scan (row-level runtime filtering). Thresholds are sized
+    // for clusters, so lower them to demonstrate the mechanism on
+    // sf0.001 — the assertion is that the rewrite ENGAGES, plan-level.
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> s.conf.getOption(k))
+    try {
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val fact = Tables.load(s, sf, "lineitem")
+      val dim = Tables.load(s, sf, "orders").filter(col("o_totalprice") > 90000)
+      val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString.toLowerCase
+      assert(plan.contains("bloom"),
+        s"runtime bloom filter did not engage:\n${plan.take(3000)}")
+      assert(joined.count() > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   test("GraftExtensions registers null_safe_div via the injection API") {
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(e)
