@@ -69,8 +69,55 @@ object RuntimeQueries {
         .select(col("lang"), col("c"), col("n_tot"),
           expr("CAST(CAST(c AS DOUBLE) / CAST(n_tot AS DOUBLE) AS DECIMAL(18,6))").as("share"))
         .orderBy("lang")
+    }),
+
+    // V3 (round 5): Count-Min sketch — agg_heavy_hitters' approximate,
+    // MERGEABLE sibling, built from deterministic md5 hashes so the
+    // whole sketch (unlike engine HLL/datasketch registers) is
+    // cross-engine-checkable. Build: each key row contributes d=4
+    // (row, col) cells; the 4×64-cell table collapses in one
+    // combinable shuffle regardless of corpus size, and sketches from
+    // different shards/days MERGE by cell-wise addition — the property
+    // that makes CM the streaming heavy-hitter structure. Probe:
+    // est(k) = min over rows of cell(r, hash_r(k)), with the one-sided
+    // guarantee est >= true asserted per probe.
+    "agg_count_min" -> ((s, d) => {
+      val keyed = load(s, d, "events")
+        .select(col("user_id").cast("string").as("k"))
+      keyed.createOrReplaceTempView("cm_keyed")
+      s.sql(cmSql("cm_keyed"))
     })
   )
+
+  /** Count-Min pipeline over a one-column view `k` — identical text on
+    * both engines (instr/substr/md5/% are portable), which IS the
+    * determinism argument.
+    */
+  private def cmHash(i: Int): String = {
+    val m = s"md5('$i:' || k)"
+    s"((instr('0123456789abcdef', substr($m, 1, 1)) - 1) * 16" +
+      s" + (instr('0123456789abcdef', substr($m, 2, 1)) - 1)) % 64"
+  }
+
+  private def cmSql(table: String): String =
+    s"""WITH cells AS (
+       |  SELECT r, c, CAST(count(*) AS BIGINT) AS n FROM (
+       |    SELECT 0 AS r, ${cmHash(0)} AS c FROM $table
+       |    UNION ALL SELECT 1, ${cmHash(1)} FROM $table
+       |    UNION ALL SELECT 2, ${cmHash(2)} FROM $table
+       |    UNION ALL SELECT 3, ${cmHash(3)} FROM $table) t GROUP BY r, c),
+       | probes AS (
+       |  SELECT k, CAST(count(*) AS BIGINT) AS true_n FROM $table
+       |  WHERE k IN ('3', '7', '11', '13', '14') GROUP BY k),
+       | lookups AS (
+       |  SELECT k, true_n, 0 AS r, ${cmHash(0)} AS c FROM probes
+       |  UNION ALL SELECT k, true_n, 1, ${cmHash(1)} FROM probes
+       |  UNION ALL SELECT k, true_n, 2, ${cmHash(2)} FROM probes
+       |  UNION ALL SELECT k, true_n, 3, ${cmHash(3)} FROM probes)
+       | SELECT l.k, min(l.true_n) AS true_n, min(cells.n) AS est_n,
+       |   min(cells.n) >= min(l.true_n) AS ge_ok
+       | FROM lookups l JOIN cells ON l.r = cells.r AND l.c = cells.c
+       | GROUP BY l.k ORDER BY l.k""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "join_dpp" ->
@@ -84,6 +131,9 @@ object RuntimeQueries {
         | h AS (SELECT lang, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1)
         |SELECT lang, c, n_tot,
         |  CAST(CAST(c AS DOUBLE) / CAST(n_tot AS DOUBLE) AS DECIMAL(18,6)) AS share
-        |FROM h, t WHERE c * 5 > n_tot ORDER BY lang""".stripMargin
+        |FROM h, t WHERE c * 5 > n_tot ORDER BY lang""".stripMargin,
+    "agg_count_min" ->
+      ("WITH cm_keyed AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),\n " +
+        cmSql("cm_keyed").stripPrefix("WITH "))
   )
 }
