@@ -283,10 +283,10 @@ object LlmQueries {
         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t),
         | mh AS (
         |  SELECT doc_id,
-        |    min(md5('0:' || s)) AS h0, min(md5('1:' || s)) AS h1,
-        |    min(md5('2:' || s)) AS h2, min(md5('3:' || s)) AS h3,
-        |    min(md5('4:' || s)) AS h4, min(md5('5:' || s)) AS h5,
-        |    min(md5('6:' || s)) AS h6, min(md5('7:' || s)) AS h7
+        |    min(substr(md5('0:' || s), 1, 8))  AS h0, min(substr(md5('0:' || s), 9, 8))  AS h1,
+        |    min(substr(md5('0:' || s), 17, 8)) AS h2, min(substr(md5('0:' || s), 25, 8)) AS h3,
+        |    min(substr(md5('1:' || s), 1, 8))  AS h4, min(substr(md5('1:' || s), 9, 8))  AS h5,
+        |    min(substr(md5('1:' || s), 17, 8)) AS h6, min(substr(md5('1:' || s), 25, 8)) AS h7
         |  FROM sh GROUP BY doc_id),
         | bands AS (
         |  SELECT doc_id, 0 AS band, h0 || h1 AS sig FROM mh
