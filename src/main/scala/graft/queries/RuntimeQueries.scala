@@ -91,7 +91,9 @@ object RuntimeQueries {
 
   /** Count-Min pipeline over a one-column view `k` — identical text on
     * both engines (instr/substr/md5/% are portable), which IS the
-    * determinism argument.
+    * determinism argument. Split into cells/probe parts so the
+    * streaming variant (stream_count_min) can build per-batch partial
+    * sketches and merge them cell-wise.
     */
   private def cmHash(i: Int): String = {
     val m = s"md5('$i:' || k)"
@@ -99,25 +101,35 @@ object RuntimeQueries {
       s" + (instr('0123456789abcdef', substr($m, 2, 1)) - 1)) % 64"
   }
 
-  private def cmSql(table: String): String =
-    s"""WITH cells AS (
-       |  SELECT r, c, CAST(count(*) AS BIGINT) AS n FROM (
+  /** The d×w cell table of a Count-Min sketch over `table`(k). */
+  private[graft] def cmCellsSql(table: String): String =
+    s"""SELECT r, c, CAST(count(*) AS BIGINT) AS n FROM (
        |    SELECT 0 AS r, ${cmHash(0)} AS c FROM $table
        |    UNION ALL SELECT 1, ${cmHash(1)} FROM $table
        |    UNION ALL SELECT 2, ${cmHash(2)} FROM $table
-       |    UNION ALL SELECT 3, ${cmHash(3)} FROM $table) t GROUP BY r, c),
-       | probes AS (
-       |  SELECT k, CAST(count(*) AS BIGINT) AS true_n FROM $table
+       |    UNION ALL SELECT 3, ${cmHash(3)} FROM $table) t GROUP BY r, c""".stripMargin
+
+  /** Probe lookups of five known keys against a cell table. */
+  private[graft] def cmProbeSql(cellsRef: String, keyedTable: String): String =
+    s"""WITH probes AS (
+       |  SELECT k, CAST(count(*) AS BIGINT) AS true_n FROM $keyedTable
        |  WHERE k IN ('3', '7', '11', '13', '14') GROUP BY k),
        | lookups AS (
        |  SELECT k, true_n, 0 AS r, ${cmHash(0)} AS c FROM probes
        |  UNION ALL SELECT k, true_n, 1, ${cmHash(1)} FROM probes
        |  UNION ALL SELECT k, true_n, 2, ${cmHash(2)} FROM probes
        |  UNION ALL SELECT k, true_n, 3, ${cmHash(3)} FROM probes)
-       | SELECT l.k, min(l.true_n) AS true_n, min(cells.n) AS est_n,
-       |   min(cells.n) >= min(l.true_n) AS ge_ok
-       | FROM lookups l JOIN cells ON l.r = cells.r AND l.c = cells.c
+       | SELECT l.k, min(l.true_n) AS true_n, min($cellsRef.n) AS est_n,
+       |   min($cellsRef.n) >= min(l.true_n) AS ge_ok
+       | FROM lookups l JOIN $cellsRef ON l.r = $cellsRef.r AND l.c = $cellsRef.c
        | GROUP BY l.k ORDER BY l.k""".stripMargin
+
+  private[graft] def cmSql(table: String): String = {
+    val probe = cmProbeSql("cells", table)
+    s"""WITH cells AS (
+       |  ${cmCellsSql(table)}),
+       | ${probe.stripPrefix("WITH ")}""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "join_dpp" ->

@@ -330,6 +330,35 @@ object StreamQueries {
         .orderBy("event_id")
     }),
 
+    // I9b (round 5): streaming Count-Min — each micro-batch builds a
+    // PARTIAL d×w sketch (foreachBatch), partials append as rows, and
+    // the final sketch is their cell-wise SUM: the mergeability that
+    // makes CM the streaming heavy-hitter structure, exercised through
+    // the real streaming machinery. The probe result is byte-equal to
+    // the batch-built sketch (agg_count_min's oracle over full events)
+    // because cell-wise addition commutes with batching.
+    "stream_count_min" -> ((s, d) => {
+      val (sdf, _, _) = eventStream(s, d)
+      val outDir = tmp("graft_cms")
+      val q = sdf.select(col("user_id").cast("string").as("k"))
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val v = s"cms_batch_$batchId"
+          batch.createOrReplaceTempView(v)
+          batch.sparkSession.sql(graft.queries.RuntimeQueries.cmCellsSql(v))
+            .write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", tmp("graft_cms_ckpt"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(outDir).groupBy("r", "c")
+        .agg(sum(col("n")).cast("bigint").as("n"))
+        .createOrReplaceTempView("cms_cells")
+      load(s, d, "events").select(col("user_id").cast("string").as("k"))
+        .createOrReplaceTempView("cms_keyed")
+      s.sql(graft.queries.RuntimeQueries.cmProbeSql("cms_cells", "cms_keyed"))
+    }),
+
     "stream_foreachbatch" -> ((s, d) => {
       val (sdf, _, _) = eventStream(s, d)
       val outDir = tmp("graft_feb")
@@ -486,6 +515,11 @@ object StreamQueries {
     "stream_foreachbatch" ->
       """SELECT event_id, user_id, value FROM events
         | WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    // identical to agg_count_min's twin: merged streaming partials ==
+    // the one-shot batch sketch.
+    "stream_count_min" ->
+      ("WITH cm_keyed AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),\n " +
+        graft.queries.RuntimeQueries.cmSql("cm_keyed").stripPrefix("WITH ")),
     "stream_sink_files" ->
       """SELECT event_id, user_id, value
         | FROM events WHERE event_type = 'error' ORDER BY event_id""".stripMargin,
