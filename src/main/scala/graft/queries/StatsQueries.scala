@@ -131,6 +131,35 @@ object StatsQueries {
         .groupBy("vec_id")
         .agg(count(lit(1)).as("n_tri"))
         .orderBy("vec_id")
+    }),
+
+    // Q5 (round 5): bounded BFS — 3-hop reachability distances from a
+    // deterministic seed set over the similarity graph. Each hop is
+    // one keyed equi-join frontier×edges + distinct (frontier-sized,
+    // never vertex², the Pregel expansion written relationally); a
+    // fixed hop bound keeps the plan static — the unbounded variant is
+    // connectedComponents' iterative loop (dedup_cluster).
+    "graph_bfs" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val p = graft.api.GraftOps.cosinePairsBlocked(
+        load(s, d, "embeddings"), "vec_id", "embedding", minCos = 0.3)
+        .select(col("a_id"), col("b_id"))
+      val edges = p.unionAll(
+        p.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      val seeds = p.select(col("a_id").as("v")).distinct()
+        .orderBy("v").limit(3)
+      def hop(frontier: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        frontier.join(edges, frontier("v") === edges("a_id"))
+          .select(col("b_id").as("v")).distinct()
+      val f1 = hop(seeds)
+      val f2 = hop(f1)
+      val f3 = hop(f2)
+      seeds.withColumn("dist", lit(0L))
+        .unionAll(f1.withColumn("dist", lit(1L)))
+        .unionAll(f2.withColumn("dist", lit(2L)))
+        .unionAll(f3.withColumn("dist", lit(3L)))
+        .groupBy("v").agg(min(col("dist")).as("dist"))
+        .orderBy("v")
     })
   )
 
@@ -202,6 +231,23 @@ object StatsQueries {
         | v AS (SELECT a AS vec_id FROM tri
         |  UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
         |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_tri
-        |FROM v GROUP BY vec_id ORDER BY vec_id""".stripMargin
+        |FROM v GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "graph_bfs" ->
+      """WITH p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])) AS DECIMAL(18,6)) >= 0.3),
+        | edges AS (SELECT a_id, b_id FROM p
+        |  UNION ALL SELECT b_id, a_id FROM p),
+        | seeds AS (SELECT DISTINCT a_id AS v FROM p ORDER BY a_id LIMIT 3),
+        | f1 AS (SELECT DISTINCT b_id AS v FROM edges JOIN seeds ON edges.a_id = seeds.v),
+        | f2 AS (SELECT DISTINCT b_id AS v FROM edges JOIN f1 ON edges.a_id = f1.v),
+        | f3 AS (SELECT DISTINCT b_id AS v FROM edges JOIN f2 ON edges.a_id = f2.v),
+        | all_d AS (SELECT v, 0 AS dist FROM seeds
+        |  UNION ALL SELECT v, 1 FROM f1
+        |  UNION ALL SELECT v, 2 FROM f2
+        |  UNION ALL SELECT v, 3 FROM f3)
+        |SELECT v, CAST(min(dist) AS BIGINT) AS dist
+        |FROM all_d GROUP BY v ORDER BY v""".stripMargin
   )
 }
