@@ -444,32 +444,41 @@ object GraftOps {
     * redistribution — edges here are symmetric, so every connected
     * vertex has out-degree ≥ 1).
     */
+  /** Power-iteration PageRank in INTEGER fixed point: ranks live in
+    * units of 1e-10 as longs, contributions are floor divisions
+    * (`DIV`), and the damping step is `(85 × in) DIV 100` — every
+    * operation is exact integer arithmetic that any engine reproduces
+    * bit-for-bit (DuckDB: `//` on BIGINT), which is what lets the
+    * iterative operator carry a full cross-engine oracle (unrolled
+    * CTEs) instead of an exempt self-test. Round-5 change from the
+    * earlier DECIMAL(28,10) formulation, whose per-iteration HALF_UP
+    * casts no other engine replicates.
+    *
+    * Long range bounds the graph at ~10^8 vertices (total mass
+    * n × 1e10 must stay under 2^63); beyond that, scale the unit
+    * down — the algebra is unchanged.
+    */
   def pageRank(vertices: DataFrame, idCol: String, edges: DataFrame,
       aCol: String, bCol: String, iters: Int = 5): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val rankT = DecimalType(28, 10)
-    val d = lit(BigDecimal("0.85")).cast(DecimalType(3, 2))
-    val base = lit(BigDecimal("0.15")).cast(rankT)
     val sym = edges.select(col(aCol).as("__src"), col(bCol).as("__dst"))
       .union(edges.select(col(bCol).as("__src"), col(aCol).as("__dst")))
       .localCheckpoint(true)
     val deg = sym.groupBy("__src").agg(count(lit(1)).as("__deg"))
       .localCheckpoint(true)
     var ranks = vertices.select(col(idCol).as("id"),
-      lit(BigDecimal(1)).cast(rankT).as("rank"))
+      lit(10000000000L).as("rank"))
     for (_ <- 0 until iters) {
       val contrib = sym.join(ranks, col("__src") === col("id"))
         .join(deg, Seq("__src"))
-        .select(col("__dst"),
-          (col("rank") / col("__deg").cast(DecimalType(10, 0))).cast(rankT).as("__c"))
+        .select(col("__dst"), expr("rank DIV __deg").as("__c"))
         .groupBy("__dst").agg(sum(col("__c")).as("__in"))
       // per-iteration eager localCheckpoint: same driver-plan-growth
       // story as connectedComponents above
       ranks = ranks.select("id")
         .join(contrib, col("id") === col("__dst"), "left")
         .select(col("id"),
-          (base + (d * coalesce(col("__in"), lit(0)).cast(rankT)).cast(rankT))
-            .cast(rankT).as("rank"))
+          (lit(1500000000L)
+            + expr("(85 * coalesce(__in, 0L)) DIV 100")).as("rank"))
         .localCheckpoint(true)
     }
     ranks

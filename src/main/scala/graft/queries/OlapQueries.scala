@@ -414,8 +414,13 @@ object OlapQueries {
       val edges = graft.api.GraftOps.cosinePairsBlocked(
         emb, "vec_id", "embedding", minCos = 0.4)
         .select(col("a_id"), col("b_id"))
+      // integer fixed-point units → one exact double scaling at the
+      // end (rank units < 2^53, so the cast and division are the same
+      // IEEE ops on both engines); oracled via 5 unrolled CTEs.
       graft.api.GraftOps.pageRank(
         emb.select("vec_id"), "vec_id", edges, "a_id", "b_id", iters = 5)
+        .select(col("id"),
+          (col("rank").cast("double") / lit(10000000000.0)).as("rank"))
         .orderBy("id")
     }),
 
@@ -537,7 +542,35 @@ object OlapQueries {
         .orderBy("o_orderkey"))
   )
 
+  /** graph_pagerank twin: the 5 power iterations UNROLLED as chained
+    * CTEs — possible (and exact) only because pageRank runs in integer
+    * fixed point, where Spark's `DIV` and DuckDB's BIGINT `//` are the
+    * same floor division. This moves the one iterative graph operator
+    * from the exempt tier to the driver-oracled tier.
+    */
+  private lazy val pagerankSql: String = {
+    val base = """p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      |    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |    WHERE CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |      CAST(b.embedding AS DOUBLE[])) AS DECIMAL(18,6)) >= 0.4),
+      | sym AS (SELECT a_id AS src, b_id AS dst FROM p
+      |   UNION ALL SELECT b_id AS src, a_id AS dst FROM p),
+      | deg AS (SELECT src, CAST(count(*) AS BIGINT) AS dg FROM sym GROUP BY src),
+      | v AS (SELECT vec_id AS id FROM embeddings),
+      | r0 AS (SELECT id, CAST(10000000000 AS BIGINT) AS rank FROM v)""".stripMargin
+    val iters = (1 to 5).map { k =>
+      s""",
+         | i$k AS (SELECT sym.dst AS id, sum(r${k - 1}.rank // deg.dg) AS inr
+         |   FROM sym JOIN r${k - 1} ON sym.src = r${k - 1}.id
+         |   JOIN deg ON deg.src = sym.src GROUP BY sym.dst),
+         | r$k AS (SELECT v.id, 1500000000 + COALESCE((85 * i$k.inr) // 100, 0) AS rank
+         |   FROM v LEFT JOIN i$k ON v.id = i$k.id)""".stripMargin
+    }.mkString
+    s"WITH $base$iters\n SELECT id, CAST(rank AS DOUBLE) / 10000000000.0 AS rank FROM r5 ORDER BY id"
+  }
+
   val oracle: Map[String, String] = Map(
+    "graph_pagerank" -> pagerankSql,
     "tpch_q7" ->
       """SELECT supp_nation, cust_nation, yr,
         |  CAST(sum(volume) AS DECIMAL(38,4)) AS revenue, CAST(count(*) AS BIGINT) AS n

@@ -14,7 +14,7 @@ class DeterminismSpec extends GraftSpec {
     "sim_topk",         // rounded-cosine ranking
     "dedup_near",           // LSH buckets
     "text_tfidf",           // log scores + top-k
-    "graph_pagerank",       // iterative decimal sums (round 5)
+    "graph_pagerank",       // iterative integer fixed-point ranks (round 5)
     "ts_anomaly",           // windowed decimal power sums (round 5)
     "text_paragraph_dedup", // global first-occurrence window (round 5)
     "agg_skew_kurt",        // q-grid power sums + double algebra (round 5)

@@ -295,7 +295,7 @@ class OlapSpec extends GraftSpec {
   test("graph_pagerank: isolated vertices hold 0.15, mass is bounded, rerun identical") {
     graft.functions.GraftFunctions.register(spark) // array_dot for the direct pair call
     val ranks = q("graph_pagerank").collect()
-      .map(r => r.getLong(0) -> BigDecimal(r.getDecimal(1))).toMap
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val emb = Tables.load(spark, sf, "embeddings")
     val connected = graft.api.GraftOps.cosinePairsBlocked(
       emb, "vec_id", "embedding", minCos = 0.4)
@@ -304,15 +304,18 @@ class OlapSpec extends GraftSpec {
     val n = ranks.size
     assert(n == emb.count())
     ranks.foreach { case (id, r) =>
-      if (connected.contains(id)) assert(r > BigDecimal("0.15"), s"vec $id rank $r")
-      else assert(r == BigDecimal("0.1500000000"), s"isolated vec $id rank $r")
+      if (connected.contains(id)) assert(r > 0.15, s"vec $id rank $r")
+      // integer fixed point: isolated = 1_500_000_000 units / 1e10 exactly
+      else assert(r == 0.15, s"isolated vec $id rank $r")
     }
     assert(connected.nonEmpty, "similarity graph must be non-trivial at this sf")
     val mass = ranks.values.sum
-    assert(mass > BigDecimal("0.15") * n && mass <= BigDecimal(n) + BigDecimal("0.0001"),
+    // floor divisions LEAK mass (each DIV rounds down), so the bound is
+    // one-sided: above the all-isolated floor, at most the exact total.
+    assert(mass > 0.15 * n && mass <= n + 1e-4,
       s"total mass $mass out of bounds for $n vertices")
     assert(q("graph_pagerank").collect().map(r =>
-      r.getLong(0) -> BigDecimal(r.getDecimal(1))).toMap == ranks, "rerun differs")
+      r.getLong(0) -> r.getDouble(1)).toMap == ranks, "rerun differs")
   }
 
   test("agg_minmax_by: reported orders actually carry the extreme prices") {
