@@ -61,12 +61,17 @@ object FeatureQueries {
     "agg_skew_kurt" -> ((s, d) =>
       load(s, d, "events")
         .select(col("event_type"), grid("value", "100").as("q"))
+        // q^4 exceeds INT64 once |value| > ~550 (q = 56021 at sf0.1's
+        // max → q⁴ ≈ 9.8e18 > 2^63): multiply in DECIMAL(38,0), never
+        // in long, or the power sums wrap silently. Mirrored HUGEINT
+        // arithmetic in the oracle. Caught by the sf0.1 gate, round 5.
+        .withColumn("qd", col("q").cast(d38))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
-          sum(col("q").cast(d38)).as("s1"),
-          sum((col("q") * col("q")).cast(d38)).as("s2"),
-          sum((col("q") * col("q") * col("q")).cast(d38)).as("s3"),
-          sum(((col("q") * col("q")) * (col("q") * col("q"))).cast(d38)).as("s4"))
+          sum(col("qd")).as("s1"),
+          sum(col("qd") * col("qd")).as("s2"),
+          sum(col("qd") * col("qd") * col("qd")).as("s3"),
+          sum((col("qd") * col("qd")) * (col("qd") * col("qd"))).as("s4"))
         .withColumn("mq", expr("CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)"))
         .withColumn("e2", expr("CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)"))
         .withColumn("e3", expr("CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)"))
@@ -254,12 +259,13 @@ object FeatureQueries {
 
   val oracle: Map[String, String] = Map(
     "agg_skew_kurt" ->
-      """WITH q AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS q FROM events),
+      """WITH q AS (SELECT event_type,
+        |     CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT) AS q FROM events),
         | a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-        |    sum(CAST(q AS DECIMAL(38,0))) AS s1,
-        |    sum(CAST(q * q AS DECIMAL(38,0))) AS s2,
-        |    sum(CAST(q * q * q AS DECIMAL(38,0))) AS s3,
-        |    sum(CAST((q * q) * (q * q) AS DECIMAL(38,0))) AS s4
+        |    CAST(sum(q) AS DECIMAL(38,0)) AS s1,
+        |    CAST(sum(q * q) AS DECIMAL(38,0)) AS s2,
+        |    CAST(sum(q * q * q) AS DECIMAL(38,0)) AS s3,
+        |    CAST(sum((q * q) * (q * q)) AS DECIMAL(38,0)) AS s4
         |  FROM q GROUP BY 1),
         | m AS (SELECT event_type, n,
         |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mq,
