@@ -98,7 +98,10 @@ object FeatureQueries {
         .groupBy("col_name")
         .agg(sum(col("c")).cast("long").as("n"),
           count(lit(1)).as("n_distinct"),
-          sum((col("c") * col("c")).cast(d38)).as("sc2"))
+          // cast BEFORE multiplying: a hot value's count squares past
+          // 2^63 long before the tested SFs hint at it (same wrap class
+          // as the agg_skew_kurt sf0.1 catch)
+          sum(col("c").cast(d38) * col("c").cast(d38)).as("sc2"))
         .select(col("col_name"), col("n"), col("n_distinct"),
           expr("CAST(1.0D - CAST(sc2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS DECIMAL(18,6))").as("gini"))
         .orderBy("col_name")),
@@ -116,9 +119,9 @@ object FeatureQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("x").cast(d38)).as("sx"),
           sum(col("y").cast(d38)).as("sy"),
-          sum((col("x") * col("x")).cast(d38)).as("sxx"),
-          sum((col("y") * col("y")).cast(d38)).as("syy"),
-          sum((col("x") * col("y")).cast(d38)).as("sxy"))
+          sum(col("x").cast(d38) * col("x").cast(d38)).as("sxx"),
+          sum(col("y").cast(d38) * col("y").cast(d38)).as("syy"),
+          sum(col("x").cast(d38) * col("y").cast(d38)).as("sxy"))
         .select(col("event_type"), col("n"),
           expr("""CAST((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                  | / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
