@@ -416,6 +416,27 @@ object ScaleStress {
     val (yr1, yt1) = timeCount(() => topk(tk1))
     val (yrn, ytn) = timeCount(() => topk(tkN))
 
+    // --- banded MinHash over N× alphabet-rotated copies -------------
+    // Rotation is a bijection on shingle space: each copy keeps the
+    // 1× corpus's collision structure internally while its md5
+    // signatures are disjoint from every other copy's, so candidate
+    // pairs grow exactly N× (a shared-text copy construction would
+    // square them). Signature agg, band fanout and the (band, sig)
+    // join all scale with rows.
+    val abc = "abcdefghijklmnopqrstuvwxyz"
+    def mmCopies(n: Int): DataFrame =
+      (0 until n).map { k =>
+        val rot = abc.drop(k % 26) + abc.take(k % 26)
+        docs.select((col("doc_id") + lit(k * off)).as("doc_id"),
+          translate(col("text"), abc, rot).as("text"))
+      }.reduce(_ union _)
+    val mm1 = materialize(mmCopies(1), "mm1")
+    val mmN = materialize(mmCopies(mult), "mmN")
+    def mmPairs(df: DataFrame): DataFrame =
+      GraftOps.minhashBandPairs(df, "doc_id", "text")
+    val (mr1, mt1) = timeCount(() => mmPairs(mm1))
+    val (mrn, mtn) = timeCount(() => mmPairs(mmN))
+
     Seq(
       ("sessionize_batch", sr1, st1, srn, stn),
       ("dedup_cluster (connectedComponents)", cr1, ct1, crn, ctn),
@@ -431,6 +452,7 @@ object ScaleStress {
       ("text_ngram_profile (shared langs, growing corpus)", nr1, nt1, nrn, ntn),
       ("embed_centroids (shared labels, growing corpus)", er1, et1, ern, etn),
       ("ts_concurrency (disjoint type shards)", xr1, xt1, xrn, xtn),
-      ("topk_physical (heap operator, disjoint customers)", yr1, yt1, yrn, ytn))
+      ("topk_physical (heap operator, disjoint customers)", yr1, yt1, yrn, ytn),
+      ("dedup_minhash (rotated copies, disjoint signatures)", mr1, mt1, mrn, mtn))
   }
 }
