@@ -84,15 +84,62 @@ object GraftOps {
   /** Blocked n-gram Jaccard pairs: candidates share the first
     * `blockWords` words (equality hash join), exact shingle-set
     * Jaccard ≥ `minJaccard` on candidates only.
+    *
+    * Skew guard (round 6): a natural-language prefix key is Zipfian —
+    * "of the"/"in the" blocks can hold a large fraction of a web
+    * corpus, and pair generation WITHIN a block is quadratic, which
+    * AQE cannot split (it rebalances a key's rows, not a key's n²
+    * pair output). So blocks are counted first, and any block holding
+    * more than `maxBlock` docs routes its docs through the
+    * deterministic banded-MinHash candidate tier (same min-md5
+    * signature algebra as [[minhashBandPairs]], band-joined WITHIN the
+    * block), capping candidate growth at signature-collision volume
+    * instead of n². Both routes end in the same exact shingle-Jaccard
+    * verify, and every step stays a deterministic SQL expression, so
+    * the full routed pipeline remains DuckDB-oracle-checkable.
+    * Semantics: identical to the unrouted operator for every block
+    * ≤ `maxBlock`; for hot blocks the banding is a (measured ≥ 0.98
+    * at j = 0.8) recall filter on candidates — the standard
+    * LSH-above-a-cap contract for near-dup at scale.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      minJaccard: Double = 0.8, shingleSize: Int = 3, blockWords: Int = 2): DataFrame = {
+      minJaccard: Double = 0.8, shingleSize: Int = 3, blockWords: Int = 2,
+      maxBlock: Int = 1024): DataFrame = {
     val sh = shingles(df, textCol, shingleSize, "__shingles")
       .withColumn("__blk", expr(s"concat_ws(' ', slice(split($textCol, ' '), 1, $blockWords))"))
       .select(col(idCol), col("__blk"), col("__shingles"))
-    val a = sh.select(col(idCol).as("a_id"), col("__blk"), col("__shingles").as("sa"))
-    val b = sh.select(col(idCol).as("b_id"), col("__blk").as("b_blk"), col("__shingles").as("sb"))
-    a.join(b, col("__blk") === col("b_blk") && col("a_id") < col("b_id"))
+    // Per-block doc counts: groupBy (map-side combinable, skew-safe)
+    // then a keyed join back; the probe side's hot key is a plain
+    // equi-join AQE can split, unlike the pair-generating self-join.
+    val cnt = sh.groupBy("__blk").agg(count(lit(1)).as("__bn"))
+    val tagged = sh.join(cnt, "__blk")
+    val small = tagged.filter(col("__bn") <= maxBlock).drop("__bn")
+    val hot = tagged.filter(col("__bn") > maxBlock).drop("__bn")
+    val smallPairs = small.select(col(idCol).as("a_id"), col("__blk"), col("__shingles").as("sa"))
+      .join(small.select(col(idCol).as("b_id"), col("__blk").as("b_blk"), col("__shingles").as("sb")),
+        col("__blk") === col("b_blk") && col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "sa", "sb")
+    // Hot route: 8 deterministic min-md5 sub-hashes over the SAME
+    // shingle set, 4 bands × 2 rows, equi-join on (block, band, sig).
+    val hx = hot.select(col(idCol), col("__blk"), explode(col("__shingles")).as("__s"))
+    val aggs = (0 until 8).map { k =>
+      min(substring(md5(concat(lit(s"${k / 4}:"), col("__s"))), (k % 4) * 8 + 1, 8)).as(s"__h$k")
+    }
+    val mh = hx.groupBy(col(idCol), col("__blk")).agg(aggs.head, aggs.tail: _*)
+    val bandRows = (0 until 4).map { b =>
+      mh.select(col(idCol), col("__blk"), lit(b).as("__band"),
+        concat(col(s"__h${2 * b}"), col(s"__h${2 * b + 1}")).as("__sig"))
+    }.reduce(_ unionAll _)
+    val cand = bandRows.select(col(idCol).as("a_id"), col("__blk"), col("__band"), col("__sig"))
+      .join(bandRows.select(col(idCol).as("b_id"), col("__blk"), col("__band"), col("__sig")),
+        Seq("__blk", "__band", "__sig"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val hotPairs = cand
+      .join(hot.select(col(idCol).as("a_id"), col("__shingles").as("sa")), "a_id")
+      .join(hot.select(col(idCol).as("b_id"), col("__shingles").as("sb")), "b_id")
+      .select("a_id", "b_id", "sa", "sb")
+    smallPairs.unionAll(hotPairs)
       .withColumn("jac", size(array_intersect(col("sa"), col("sb"))).cast("double")
         / size(array_union(col("sa"), col("sb"))))
       .filter(col("jac") >= minJaccard)
@@ -400,8 +447,17 @@ object GraftOps {
     // matter what produced the edges. (Tradeoff vs persist: blocks
     // are not recomputable on executor loss — the standard iterative-
     // graph practice; use a reliable checkpoint dir for long jobs.)
-    val sym = edges.select(col(aCol).as("__src"), col(bCol).as("__dst"))
-      .union(edges.select(col(bCol).as("__src"), col(aCol).as("__dst")))
+    // Symmetrize in ONE pass over the edge pipeline (explode of the
+    // two orientations), not a self-union: a union re-embeds the edge
+    // plan twice, and when the edges arrive straight out of an
+    // expensive build (the blocked-Jaccard join here) the
+    // materializing checkpoint would EXECUTE that build twice unless
+    // AQE's exchange reuse happens to dedupe it — measured round 6 as
+    // the bulk of dedup_cluster's r5 bench regression.
+    val sym = edges.select(explode(array(
+        struct(col(aCol).as("__src"), col(bCol).as("__dst")),
+        struct(col(bCol).as("__src"), col(aCol).as("__dst")))).as("__e"))
+      .select(col("__e.__src").as("__src"), col("__e.__dst").as("__dst"))
       .localCheckpoint(true)
     var labels = vertices.select(col(idCol).as("id"), col(idCol).as("cluster"))
     var changed = 1L
@@ -460,8 +516,12 @@ object GraftOps {
     */
   def pageRank(vertices: DataFrame, idCol: String, edges: DataFrame,
       aCol: String, bCol: String, iters: Int = 5): DataFrame = {
-    val sym = edges.select(col(aCol).as("__src"), col(bCol).as("__dst"))
-      .union(edges.select(col(bCol).as("__src"), col(aCol).as("__dst")))
+    // Single-pass symmetrization (see connectedComponents): one
+    // execution of the upstream edge build, whatever produced it.
+    val sym = edges.select(explode(array(
+        struct(col(aCol).as("__src"), col(bCol).as("__dst")),
+        struct(col(bCol).as("__src"), col(aCol).as("__dst")))).as("__e"))
+      .select(col("__e.__src").as("__src"), col("__e.__dst").as("__dst"))
       .localCheckpoint(true)
     val deg = sym.groupBy("__src").agg(count(lit(1)).as("__deg"))
       .localCheckpoint(true)
@@ -623,9 +683,21 @@ object GraftOps {
     * the per-doc signature row (min() collapses map-side), a map-side
     * band fanout of |bands| rows per doc, and one hash join on the
     * band signature — never an all-pairs comparison.
+    *
+    * Bucket-width guard (round 6): a band bucket holding B docs emits
+    * B²/2 candidate pairs, and an exact-duplicate FLOOD (the classic
+    * crawl pathology — one boilerplate page mirrored millions of
+    * times) puts all its docs in the same bucket in EVERY band, a
+    * within-key quadratic no AQE split can fix. Buckets wider than
+    * `maxBucket` docs are therefore dropped whole — the standard
+    * production-LSH cap. Contract: a bucket that wide is an
+    * exact-dup flood (or hash-degenerate junk) and belongs to the
+    * [[exactDedup]] tier, which handles it in one combinable
+    * group-by; genuine NEAR-dup buckets stay far below the cap. The
+    * guard is one combinable count + equi-join, oracle-expressible.
     */
   def minhashBandPairs(df: DataFrame, idCol: String, textCol: String,
-      bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+      bands: Int = 4, rowsPerBand: Int = 2, maxBucket: Int = 4096): DataFrame = {
     val nh = bands * rowsPerBand
     val sh = df.select(col(idCol), explode(expr(
       s"array_distinct(transform(sequence(1, greatest(size(split($textCol, ' ')) - 2, 1)), " +
@@ -644,8 +716,12 @@ object GraftOps {
       val sig = concat((0 until rowsPerBand).map(r => col(s"__h${b * rowsPerBand + r}")): _*)
       mh.select(col(idCol), lit(b).as("__band"), sig.as("__sig"))
     }.reduce(_ unionAll _)
-    bandRows.select(col(idCol).as("a_id"), col("__band"), col("__sig"))
-      .join(bandRows.select(col(idCol).as("b_id"), col("__band"), col("__sig")),
+    val kept = bandRows.join(
+      bandRows.groupBy("__band", "__sig").agg(count(lit(1)).as("__bn"))
+        .filter(col("__bn") <= maxBucket).drop("__bn"),
+      Seq("__band", "__sig"))
+    kept.select(col(idCol).as("a_id"), col("__band"), col("__sig"))
+      .join(kept.select(col(idCol).as("b_id"), col("__band"), col("__sig")),
         Seq("__band", "__sig"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
@@ -672,9 +748,16 @@ object GraftOps {
     val spark = df.sparkSession
     GraftSqlInternals.addStrategy(spark, graft.plans.TopKPerGroupStrategy)
     val lp = GraftSqlInternals.analyzed(df)
-    def attr(name: String) = lp.output.find(_.name == name).getOrElse(
-      throw new IllegalArgumentException(
-        s"topKPerGroup: no column '$name' in ${lp.output.map(_.name).mkString(", ")}"))
+    // Resolve with the session's resolver so spark.sql.caseSensitive
+    // semantics match every other column reference in the API.
+    val resolve = GraftSqlInternals.resolver(spark)
+    def attr(name: String) = lp.output.filter(a => resolve(a.name, name)) match {
+      case Seq(one) => one
+      case Seq() => throw new IllegalArgumentException(
+        s"topKPerGroup: no column '$name' in ${lp.output.map(_.name).mkString(", ")}")
+      case many => throw new IllegalArgumentException(
+        s"topKPerGroup: ambiguous column '$name' matches ${many.map(_.name).mkString(", ")}")
+    }
     val order = orderSpec.map { case (c, desc) =>
       SortOrder(attr(c), if (desc) Descending else Ascending)
     }

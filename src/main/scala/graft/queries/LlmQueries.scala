@@ -109,10 +109,16 @@ object LlmQueries {
     // n-gram Jaccard near-dedup with prefix blocking: candidate pairs
     // only within a first-two-words block (equality hash join — the
     // blocking key is what keeps this linear-ish at scale), exact
-    // 3-gram-shingle Jaccard on candidates.
+    // 3-gram-shingle Jaccard on candidates. Blocks holding more than
+    // `maxBlock` docs route through the deterministic banded-MinHash
+    // candidate tier instead of the quadratic within-block self-join
+    // (the round-6 Zipf-prefix skew guard). maxBlock = 3 here is
+    // deliberately tiny so BOTH routes run and are oracle-checked at
+    // the sf0.01 gate (largest natural block there is 4 docs); the
+    // production default is 1024.
     "dedup_ngram" -> ((s, d) =>
       GraftOps.ngramJaccardPairs(load(s, d, "documents"), "doc_id", "text",
-        minJaccard = 0.8)
+        minJaccard = 0.8, maxBlock = 3)
         .orderBy("a_id", "b_id")),
 
     // Deterministic banded MinHash (round 5): same LSH banding idea as
@@ -267,13 +273,42 @@ object LlmQueries {
         |        list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
         |          i -> array_to_string(w[i:i+2], ' '))) AS shingles,
         |        array_to_string(w[1:2], ' ') AS blk
-        |      FROM docs)
-        | SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |   CAST(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-        |     / len(list_distinct(a.shingles || b.shingles)) AS DECIMAL(18,6)) AS jac
-        | FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
-        | WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-        |     / len(list_distinct(a.shingles || b.shingles)) >= 0.8
+        |      FROM docs),
+        |     cnt AS (SELECT blk, count(*) AS bn FROM sh GROUP BY blk),
+        |     small AS (SELECT sh.* FROM sh JOIN cnt USING (blk) WHERE bn <= 3),
+        |     hot AS (SELECT sh.* FROM sh JOIN cnt USING (blk) WHERE bn > 3),
+        |     small_pairs AS (
+        |       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |              a.shingles AS sa, b.shingles AS sb
+        |       FROM small a JOIN small b ON a.blk = b.blk AND a.doc_id < b.doc_id),
+        |     hsh AS (SELECT doc_id, blk, unnest(shingles) AS s FROM hot),
+        |     mh AS (SELECT doc_id, blk,
+        |        min(substr(md5('0:' || s), 1, 8))  AS h0, min(substr(md5('0:' || s), 9, 8))  AS h1,
+        |        min(substr(md5('0:' || s), 17, 8)) AS h2, min(substr(md5('0:' || s), 25, 8)) AS h3,
+        |        min(substr(md5('1:' || s), 1, 8))  AS h4, min(substr(md5('1:' || s), 9, 8))  AS h5,
+        |        min(substr(md5('1:' || s), 17, 8)) AS h6, min(substr(md5('1:' || s), 25, 8)) AS h7
+        |      FROM hsh GROUP BY doc_id, blk),
+        |     bands AS (
+        |       SELECT doc_id, blk, 0 AS band, h0 || h1 AS sig FROM mh
+        |       UNION ALL SELECT doc_id, blk, 1, h2 || h3 FROM mh
+        |       UNION ALL SELECT doc_id, blk, 2, h4 || h5 FROM mh
+        |       UNION ALL SELECT doc_id, blk, 3, h6 || h7 FROM mh),
+        |     hot_cand AS (
+        |       SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |       FROM bands a JOIN bands b
+        |         ON a.blk = b.blk AND a.band = b.band AND a.sig = b.sig
+        |        AND a.doc_id < b.doc_id),
+        |     hot_pairs AS (
+        |       SELECT c.a_id, c.b_id, x.shingles AS sa, y.shingles AS sb
+        |       FROM hot_cand c JOIN hot x ON c.a_id = x.doc_id
+        |                       JOIN hot y ON c.b_id = y.doc_id),
+        |     allp AS (SELECT * FROM small_pairs UNION ALL SELECT * FROM hot_pairs)
+        | SELECT a_id, b_id,
+        |   CAST(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+        |     / len(list_distinct(sa || sb)) AS DECIMAL(18,6)) AS jac
+        | FROM allp
+        | WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+        |     / len(list_distinct(sa || sb)) >= 0.8
         | ORDER BY a_id, b_id""".stripMargin,
     "dedup_minhash" ->
       """WITH sh AS (
@@ -292,9 +327,12 @@ object LlmQueries {
         |  SELECT doc_id, 0 AS band, h0 || h1 AS sig FROM mh
         |  UNION ALL SELECT doc_id, 1, h2 || h3 FROM mh
         |  UNION ALL SELECT doc_id, 2, h4 || h5 FROM mh
-        |  UNION ALL SELECT doc_id, 3, h6 || h7 FROM mh)
+        |  UNION ALL SELECT doc_id, 3, h6 || h7 FROM mh),
+        | bcnt AS (SELECT band, sig, count(*) AS bn FROM bands GROUP BY band, sig),
+        | kept AS (SELECT bands.* FROM bands JOIN bcnt USING (band, sig)
+        |          WHERE bn <= 4096)
         | SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-        | FROM bands a JOIN bands b
+        | FROM kept a JOIN kept b
         |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
         | ORDER BY a_id, b_id""".stripMargin,
     "dedup_embed_cos" ->

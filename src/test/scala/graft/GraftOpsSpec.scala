@@ -31,6 +31,48 @@ class GraftOpsSpec extends GraftSpec {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("ngramJaccardPairs: hot-block MinHash routing returns the same pairs") {
+    // Round-6 skew guard: a block over maxBlock docs routes through
+    // banded-MinHash candidates instead of the quadratic self-join.
+    // On a planted hot block the routed result must still contain
+    // every high-Jaccard pair (deterministic md5 banding; at
+    // jac ≥ 0.9 a band collision is near-certain and fixed).
+    val hot = (0 until 12).map { i =>
+      (100L + i, s"of the quick brown fox jumps over lazy dog number$i end")
+    } ++ Seq(
+      (200L, "of the quick brown fox jumps over lazy dog number0 end"), // near/exact dup of 100
+      (300L, "totally different first words here with unique content entirely"))
+    val df = hot.toDF("rid", "body")
+    val routed = GraftOps.ngramJaccardPairs(df, "rid", "body",
+        minJaccard = 0.8, maxBlock = 8)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unrouted = GraftOps.ngramJaccardPairs(df, "rid", "body",
+        minJaccard = 0.8, maxBlock = Int.MaxValue)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(routed.contains((100L, 200L)))
+    assert(routed === unrouted)
+  }
+
+  test("minhashBandPairs: bucket guard drops the exact-dup flood, keeps the tail pair") {
+    // An exact-duplicate flood shares every band signature; buckets
+    // wider than maxBucket are dropped whole (the flood belongs to
+    // exactDedup), while genuine near-dup pairs outside stay found.
+    val flood = (0 until 20).map(i =>
+      (i.toLong, "subscribe to our newsletter for exclusive offers today friends"))
+    val tail = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (101L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"))
+    val df = (flood ++ tail).toDF("rid", "body")
+    val guarded = GraftOps.minhashBandPairs(df, "rid", "body", maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded.contains((100L, 101L)))
+    assert(!guarded.exists { case (a, b) => a < 100L || b < 100L },
+      s"flood pairs leaked through the bucket guard: $guarded")
+    val unguarded = GraftOps.minhashBandPairs(df, "rid", "body")
+      .filter(col("a_id") < 100L).count()
+    assert(unguarded == 20L * 19 / 2) // what the guard prevented
+  }
+
   test("simhashPairs on custom column names pairs the exact dup") {
     graft.functions.GraftFunctions.register(spark)
     val pairs = GraftOps.simhashPairs(tiny, "rid", "body", maxHamming = 3)
