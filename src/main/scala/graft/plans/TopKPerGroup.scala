@@ -41,6 +41,9 @@ case class TopKPerGroup(
     child: LogicalPlan,
     maxPartialGroups: Int = TopKPerGroup.DefaultMaxPartialGroups) extends UnaryNode {
   require(k > 0, s"topKPerGroup needs k > 0, got $k")
+  require(groupExprs.nonEmpty,
+    "topKPerGroup needs at least one group column; for a global top-k " +
+      "use df.orderBy(...).limit(k), which Spark already plans as TakeOrderedAndProject")
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
@@ -64,8 +67,14 @@ object TopKPerGroup {
 object TopKPerGroupStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroup(g, o, k, child, cap) =>
-      TopKPerGroupExec(g, o, k, partial = false, cap,
-        TopKPerGroupExec(g, o, k, partial = true, cap, planLater(child))) :: Nil
+      // Float/double group keys get -0.0/NaN bit patterns canonicalized
+      // here: Spark's NormalizeFloatingNumbers rule covers its own
+      // Aggregate/Window/Join keys but never visits this custom node,
+      // and both the exchange hash and the exec's UnsafeRow group map
+      // compare keys bytewise.
+      val ng = g.map(org.apache.spark.sql.graft.GraftSqlInternals.normalizeFloatingNumbers)
+      TopKPerGroupExec(ng, o, k, partial = false, cap,
+        TopKPerGroupExec(ng, o, k, partial = true, cap, planLater(child))) :: Nil
     case _ => Nil
   }
 }

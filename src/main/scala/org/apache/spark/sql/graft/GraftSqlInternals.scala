@@ -31,4 +31,20 @@ object GraftSqlInternals {
     if (!cs.experimental.extraStrategies.contains(s))
       cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ s
   }
+
+  /** Canonicalize -0.0/NaN bit patterns in an expression (no-op on
+    * non-floating types). Spark's NormalizeFloatingNumbers rule does
+    * this for Aggregate/Window/Join keys but never sees custom nodes,
+    * so graft's TopKPerGroup applies it to its own group keys — under
+    * bytewise UnsafeRow grouping, un-normalized -0.0 vs 0.0 would
+    * form distinct groups and even hash to different partitions.
+    */
+  def normalizeFloatingNumbers(
+      e: org.apache.spark.sql.catalyst.expressions.Expression):
+      org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
+
+  /** The session's name-equality rule (honors spark.sql.caseSensitive). */
+  def resolver(spark: SparkSession): org.apache.spark.sql.catalyst.analysis.Resolver =
+    spark.asInstanceOf[classic.SparkSession].sessionState.analyzer.resolver
 }

@@ -126,6 +126,41 @@ class TopKSpec extends GraftSpec {
     assert(sortedRows(capped) == sortedRows(windowTop3))
   }
 
+  test("float group keys: -0.0 and 0.0 (and NaN bit patterns) are one group") {
+    // ADVICE r5 (medium): Spark's NormalizeFloatingNumbers rule never
+    // visits the custom node, so the strategy normalizes group keys
+    // itself — under bytewise UnsafeRow grouping, -0.0 vs 0.0 would
+    // otherwise form two groups and even hash to different partitions.
+    import spark.implicits._
+    val df = Seq((0.0, 1L), (-0.0, 2L), (0.0, 3L), (Double.NaN, 4L),
+      (0.0 / 0.0, 5L), (1.5, 6L))
+      .toDF("g", "id").repartition(7)
+    val top = GraftOps.topKPerGroup(df, Seq("g"), Seq(("id", false)), 2)
+    // one group for ±0.0 (keeps ids 1,2), one for NaN (4,5), one for 1.5 (6)
+    assert(top.count() == 5)
+    val w = Window.partitionBy(col("g")).orderBy(col("id").asc)
+    val win = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2).drop("rn")
+    assert(top.select(sum("id")).head().getLong(0) ==
+      win.select(sum("id")).head().getLong(0))
+  }
+
+  test("empty group list is rejected with a clear message") {
+    // ADVICE r5 (low): ClusteredDistribution(Nil) would otherwise fail
+    // deep inside planning with an unhelpful internal require.
+    val e = intercept[IllegalArgumentException] {
+      GraftOps.topKPerGroup(orders, Seq.empty,
+        Seq(("o_totalprice", true)), 3).collect()
+    }
+    assert(e.getMessage.contains("at least one group column"), e.getMessage)
+  }
+
+  test("column resolution honors spark.sql.caseSensitive=false") {
+    // ADVICE r5 (low): 'O_CUSTKEY' resolves everywhere else in the API.
+    val custom = GraftOps.topKPerGroup(orders, Seq("O_CUSTKEY"),
+      Seq(("O_TOTALPRICE", true), ("o_orderkey", false)), 3)
+    assert(sortedRows(custom) == sortedRows(windowTop3))
+  }
+
   test("composes downstream: join + aggregate over the operator's output") {
     val customer = Tables.load(spark, sf, "customer").select("c_custkey", "c_mktsegment")
     val top = GraftOps.topKPerGroup(orders, Seq("o_custkey"),
