@@ -421,6 +421,22 @@ object GraftOps {
       .filter(col("rn") <= n)
   }
 
+  /** Lineage-truncation strategy for the iterative graph loops:
+    * executor-local blocks (`localCheckpoint`) by default — fast, but
+    * lost with an executor — or the reliable checkpoint path when a
+    * durable `dir` (HDFS/object store on a real cluster) is supplied.
+    * Setting the SparkContext checkpoint dir is idempotent per value.
+    */
+  private def checkpointer(df: DataFrame, dir: Option[String]): (DataFrame, Boolean) => DataFrame =
+    dir match {
+      case Some(d) =>
+        val sc = df.sparkSession.sparkContext
+        if (!sc.getCheckpointDir.contains(d)) sc.setCheckpointDir(d)
+        (f, eager) => f.checkpoint(eager)
+      case None =>
+        (f, eager) => f.localCheckpoint(eager)
+    }
+
   /** Connected components by iterative min-label propagation — the
     * dedup-CLUSTER step that turns near-dup pairs into groups (pick
     * one survivor per component). Labels start as each vertex id;
@@ -434,9 +450,18 @@ object GraftOps {
     * clusters have tiny diameters in practice; for adversarial graph
     * shapes swap in the large-star/small-star variant — the API
     * contract (id → min-id-of-component) stays the same.
+    *
+    * Fault tolerance: by default rounds truncate lineage with
+    * `localCheckpoint` (executor-local blocks — fast, but an executor
+    * loss mid-job kills the computation). Pass `checkpointDir` (HDFS/
+    * object-store path on a real cluster) to write round snapshots
+    * through the reliable checkpoint path instead, the standard
+    * long-iterative-job practice.
     */
   def connectedComponents(vertices: DataFrame, idCol: String,
-      edges: DataFrame, aCol: String, bCol: String, maxIter: Int = 20): DataFrame = {
+      edges: DataFrame, aCol: String, bCol: String, maxIter: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val ckpt = checkpointer(vertices, checkpointDir)
     // localCheckpoint (eager) rather than persist: the loop below
     // re-embeds this frame's LOGICAL PLAN into every round's join, so
     // a deep upstream lineage (e.g. edges fresh out of a blocked
@@ -454,11 +479,11 @@ object GraftOps {
     // materializing checkpoint would EXECUTE that build twice unless
     // AQE's exchange reuse happens to dedupe it — measured round 6 as
     // the bulk of dedup_cluster's r5 bench regression.
-    val sym = edges.select(explode(array(
+    val sym = ckpt(edges.select(explode(array(
         struct(col(aCol).as("__src"), col(bCol).as("__dst")),
         struct(col(bCol).as("__src"), col(aCol).as("__dst")))).as("__e"))
-      .select(col("__e.__src").as("__src"), col("__e.__dst").as("__dst"))
-      .localCheckpoint(true)
+      .select(col("__e.__src").as("__src"), col("__e.__dst").as("__dst")),
+      true)
     var labels = vertices.select(col(idCol).as("id"), col(idCol).as("cluster"))
     var changed = 1L
     var i = 0
@@ -477,10 +502,10 @@ object GraftOps {
       // lazy checkpoint: the convergence count below is the action
       // that materializes the blocks — one job per round, not two
       val newLbl = least(col("cluster"), coalesce(col("__nlbl"), col("cluster")))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("__src"), "left")
+      val next = ckpt(labels.join(nbrMin, labels("id") === nbrMin("__src"), "left")
         .select(labels("id"), newLbl.as("cluster"),
-          (newLbl =!= col("cluster")).as("__chg"))
-        .localCheckpoint(false)
+          (newLbl =!= col("cluster")).as("__chg")),
+        false)
       changed = next.filter(col("__chg")).count()
       labels = next.select("id", "cluster")
       i += 1
@@ -510,21 +535,31 @@ object GraftOps {
     * earlier DECIMAL(28,10) formulation, whose per-iteration HALF_UP
     * casts no other engine replicates.
     *
-    * Long range bounds the graph at ~10^8 vertices (total mass
-    * n × 1e10 must stay under 2^63); beyond that, scale the unit
-    * down — the algebra is unchanged.
+    * Long range: the damping step multiplies 85 × __in in non-ANSI
+    * long arithmetic, which WRAPS SILENTLY past 2^63 — so the binding
+    * constraint is any vertex's incoming mass staying under
+    * 2^63 / 85 ≈ 1.1e17 units. Uniform graphs (in-mass ≈ 1e10/vertex)
+    * are safe to ~10^7 vertices even if a hub drew every vertex's
+    * full rank; real hub concentration determines the true bound.
+    * Beyond that, scale the rank unit down (the algebra is
+    * unchanged) — e.g. units of 1e-6 buy four orders of magnitude.
+    *
+    * Fault tolerance: same `checkpointDir` contract as
+    * [[connectedComponents]] — executor-local blocks by default,
+    * reliable round snapshots when a dir is given.
     */
   def pageRank(vertices: DataFrame, idCol: String, edges: DataFrame,
-      aCol: String, bCol: String, iters: Int = 5): DataFrame = {
+      aCol: String, bCol: String, iters: Int = 5,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val ckpt = checkpointer(vertices, checkpointDir)
     // Single-pass symmetrization (see connectedComponents): one
     // execution of the upstream edge build, whatever produced it.
-    val sym = edges.select(explode(array(
+    val sym = ckpt(edges.select(explode(array(
         struct(col(aCol).as("__src"), col(bCol).as("__dst")),
         struct(col(bCol).as("__src"), col(aCol).as("__dst")))).as("__e"))
-      .select(col("__e.__src").as("__src"), col("__e.__dst").as("__dst"))
-      .localCheckpoint(true)
-    val deg = sym.groupBy("__src").agg(count(lit(1)).as("__deg"))
-      .localCheckpoint(true)
+      .select(col("__e.__src").as("__src"), col("__e.__dst").as("__dst")),
+      true)
+    val deg = ckpt(sym.groupBy("__src").agg(count(lit(1)).as("__deg")), true)
     var ranks = vertices.select(col(idCol).as("id"),
       lit(10000000000L).as("rank"))
     for (_ <- 0 until iters) {
@@ -534,12 +569,12 @@ object GraftOps {
         .groupBy("__dst").agg(sum(col("__c")).as("__in"))
       // per-iteration eager localCheckpoint: same driver-plan-growth
       // story as connectedComponents above
-      ranks = ranks.select("id")
+      ranks = ckpt(ranks.select("id")
         .join(contrib, col("id") === col("__dst"), "left")
         .select(col("id"),
           (lit(1500000000L)
-            + expr("(85 * coalesce(__in, 0L)) DIV 100")).as("rank"))
-        .localCheckpoint(true)
+            + expr("(85 * coalesce(__in, 0L)) DIV 100")).as("rank")),
+        true)
     }
     ranks
   }

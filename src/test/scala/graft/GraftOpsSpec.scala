@@ -111,6 +111,29 @@ class GraftOpsSpec extends GraftSpec {
     assert(out.toSeq === Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L), (6L, 5L)))
   }
 
+  test("iterative ops: reliable checkpointDir path matches localCheckpoint and writes files") {
+    // Round-6 cluster fault-tolerance story: with a durable dir the
+    // loops snapshot rounds through the reliable checkpoint path
+    // (recoverable after executor loss) instead of executor-local
+    // blocks. Results must be identical either way.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val vs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("node")
+    val es = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("u", "v")
+    val reliable = GraftOps.connectedComponents(vs, "node", es, "u", "v",
+        checkpointDir = Some(dir))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(reliable.toSeq === Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L), (6L, 5L)))
+    val prLocal = GraftOps.pageRank(vs, "node", es, "u", "v", iters = 3)
+      .orderBy("id").collect().map(_.toSeq)
+    val prReliable = GraftOps.pageRank(vs, "node", es, "u", "v", iters = 3,
+        checkpointDir = Some(dir))
+      .orderBy("id").collect().map(_.toSeq)
+    assert(prLocal.toSeq === prReliable.toSeq)
+    val written = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+    assert(written > 0, s"no reliable checkpoint files under $dir")
+  }
+
   test("saltedJoin equals the plain join on custom column names") {
     val fact = Seq((1L, 10.0), (1L, 20.0), (2L, 30.0)).toDF("fk", "x")
     val dim = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("dk", "name")
