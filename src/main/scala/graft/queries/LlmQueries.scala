@@ -89,20 +89,16 @@ object LlmQueries {
         .orderBy("a_id", "b_id")),
 
     // SimHash near-dedup: 64-bit fingerprints from per-word hashes,
-    // candidate pairs via 16-bit band blocking (4 bands ⇒ any pair
-    // within hamming distance 3 shares ≥1 band — pigeonhole), then a
-    // hamming filter. Pure expressions, one hash-join shuffle; the
-    // xxhash64 word hash is engine-specific ⇒ no oracle, planted-truth
-    // tested instead.
-    // hamming ≤ 3 is the classic high-precision 64-bit operating
-    // point. On THIS corpus's very short word-salad docs fingerprints
-    // are noisy (planted pairs spread to hamming 6, background noise
-    // starts at 2), so recall ≈ 0.7 — dedup_near (MinHash) is the
-    // high-recall detector, the two-detector split a production
-    // pipeline runs.
+    // candidates via C(8,2)=28 block-pair tables (16-bit keys —
+    // pigeonhole-complete to hamming ≤ 6), hamming filter, then an
+    // exact token-Jaccard verify on candidates. The round-6 redesign
+    // (Manku-style tables + verify) lifts planted-pair recall from
+    // ~0.7 to ≥0.9 on this short-doc corpus while the verify holds
+    // precision; the xxhash64 word hash is engine-specific ⇒ no
+    // oracle, planted-truth tested instead.
     "dedup_simhash" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
-      GraftOps.simhashPairs(load(s, d, "documents"), "doc_id", "text", maxHamming = 3)
+      GraftOps.simhashPairs(load(s, d, "documents"), "doc_id", "text")
         .orderBy("a_id", "b_id")
     }),
 

@@ -41,14 +41,18 @@ class LlmOpsSpec extends GraftSpec {
     assert(found === plantedPairs)
   }
 
-  test("dedup_simhash at the precision operating point: recall>0.5, precision>0.8") {
+  test("dedup_simhash block-pair tables + verify: recall>=0.9, precision>=0.9") {
+    // Round-6 operating point (VERDICT r5 item 6): candidates from
+    // C(8,2) block-pair tables (complete to hamming <= 6), exact
+    // shingle-Jaccard verify holds precision. Measured 1.0/1.0 at
+    // sf0.01 and 0.96/0.996 at sf0.1.
     val found = q("dedup_simhash").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(found.nonEmpty)
     val recall = (found & plantedPairs).size.toDouble / plantedPairs.size
     val precision = (found & plantedPairs).size.toDouble / found.size
-    assert(recall > 0.5, s"simhash recall $recall")
-    assert(precision > 0.7, s"simhash precision $precision")
+    assert(recall >= 0.9, s"simhash recall $recall")
+    assert(precision >= 0.9, s"simhash precision $precision")
   }
 
   test("dedup_embed_cos pairs are symmetric-safe (i<j) and thresholded") {
