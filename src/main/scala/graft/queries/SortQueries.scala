@@ -59,17 +59,29 @@ object SortQueries {
         .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
     }),
 
-    // F4: seeded Bernoulli sample — deterministic within Spark, but the
-    // RNG is engine-specific ⇒ no oracle (SURVEY §2.F4); the unit test
-    // pins the exact row set across runs instead.
+    // F4 (round 6): seeded Bernoulli sample via PORTABLE md5 bucketing
+    // — keep a row iff the first 8 hex chars of md5('42:'||key) sort
+    // below 0x1999999A (0.1 of the 32-bit space; lexicographic
+    // comparison of equal-length lowercase hex IS numeric comparison).
+    // Engine-independent, so this entry is now driver-ORACLED where
+    // the df.sample formulation's engine-specific RNG couldn't be;
+    // df.sample itself stays the exercised primitive in GoldenSpec.
+    // Same scale shape either way: a map-only filter on the scan.
     "sample_seeded" -> ((s, d) =>
       load(s, d, "lineitem")
-        .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+        .filter(substring(md5(concat(lit("42:"),
+          col("l_orderkey").cast("string"), lit(":"),
+          col("l_linenumber").cast("string"))), 1, 8) < "1999999a")
         .select("l_orderkey", "l_linenumber", "l_quantity")
         .orderBy("l_orderkey", "l_linenumber")),
   )
 
   val oracle: Map[String, String] = Map(
+    "sample_seeded" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        | WHERE substr(md5('42:' || CAST(l_orderkey AS VARCHAR) || ':'
+        |     || CAST(l_linenumber AS VARCHAR)), 1, 8) < '1999999a'
+        | ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "sort_multi" ->
       """SELECT o_orderkey, nullif(o_orderstatus, 'P') AS st, o_totalprice
         | FROM orders

@@ -96,6 +96,20 @@ class GoldenSpec extends GraftSpec {
     val a = q("sample_seeded").collect().toSeq
     val b = q("sample_seeded").collect().toSeq
     assert(a === b && a.nonEmpty)
+    // the md5-bucket rate should sit near the nominal 10%
+    val total = Tables.load(spark, sf, "lineitem").count()
+    assert(math.abs(a.size.toDouble / total - 0.1) < 0.02,
+      s"sample rate ${a.size.toDouble / total} far from 0.1")
+  }
+
+  test("df.sample primitive: seeded row set is stable across runs") {
+    // The engine RNG sample stays exercised (round 6 moved the
+    // ORACLED sample_seeded entry to the portable md5 bucketing).
+    val li = Tables.load(spark, sf, "lineitem")
+    def draw() = li.sample(withReplacement = false, fraction = 0.1, seed = 42L)
+      .select("l_orderkey", "l_linenumber").collect().map(_.toSeq).toSet
+    val a = draw()
+    assert(a === draw() && a.nonEmpty)
   }
 
   test("typed_mapgroups matches the declarative formulation row-for-row") {
