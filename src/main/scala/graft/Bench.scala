@@ -31,7 +31,15 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     warmSharedInfra(spark, sfDir)
     val failed = scala.collection.mutable.ListBuffer[String]()
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // Dev loop: SPARK_GRAFT_ONLY=q1,q2 times just those queries (the
+    // driver never sets it, so driver runs always time the full map).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.map { case (name, fn) =>
       // per-run success tracking (ADVICE r4): a query that flakes on
       // one of its two runs is timed from its successful run only and
       // NOT marked failed; "failed" means both runs threw, and its

@@ -83,6 +83,11 @@ object GraftOps {
     // purpose: distinct-token sets cannot separate near-identical
     // docs from same-vocabulary permutations (measured max token-set
     // Jaccard 1.0 between unrelated docs on this corpus).
+    // (id, simhash, shingles) appears in the banding and both verify
+    // joins; measured (round 6) that materializing it costs MORE than
+    // recomputation here — the shingle arrays are wide and the
+    // per-row expressions cheap — so unlike minhashBandPairs /
+    // ngramJaccardPairs this op keeps the recompute.
     val words = df.select(col(idCol), split(col(textCol), " ").as("__wall"))
       .withColumn("__simhash", expr("simhash64(__wall)"))
       .withColumn("__w", expr(
@@ -146,7 +151,13 @@ object GraftOps {
     // then a keyed join back; the probe side's hot key is a plain
     // equi-join AQE can split, unlike the pair-generating self-join.
     val cnt = sh.groupBy("__blk").agg(count(lit(1)).as("__bn"))
-    val tagged = sh.join(cnt, "__blk")
+    // (id, blk, shingles, block-count) feeds both routes' candidate
+    // generation AND both verify joins — up to 6 plan occurrences of
+    // the shingle build with no canonical-exchange reuse between
+    // them. Materialize it once (eager localCheckpoint): the shingle
+    // arrays are the verify input either way, and every downstream
+    // branch re-reads blocks instead of re-splitting text.
+    val tagged = sh.join(cnt, "__blk").localCheckpoint()
     val small = tagged.filter(col("__bn") <= maxBlock).drop("__bn")
     val hot = tagged.filter(col("__bn") > maxBlock).drop("__bn")
     val smallPairs = small.select(col(idCol).as("a_id"), col("__blk"), col("__shingles").as("sa"))
@@ -163,7 +174,7 @@ object GraftOps {
     val bandRows = (0 until 4).map { b =>
       mh.select(col(idCol), col("__blk"), lit(b).as("__band"),
         concat(col(s"__h${2 * b}"), col(s"__h${2 * b + 1}")).as("__sig"))
-    }.reduce(_ unionAll _)
+    }.reduce(_ unionAll _).localCheckpoint() // both self-join sides; runs the min-md5 agg once
     val cand = bandRows.select(col(idCol).as("a_id"), col("__blk"), col("__band"), col("__sig"))
       .join(bandRows.select(col(idCol).as("b_id"), col("__blk"), col("__band"), col("__sig")),
         Seq("__blk", "__band", "__sig"))
@@ -781,10 +792,19 @@ object GraftOps {
       min(substring(m, (k % 4) * 8 + 1, 8)).as(s"__h$k")
     }
     val mh = sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    // The signature table feeds the bucket-count guard AND both sides
+    // of the candidate self-join — four plan occurrences whose
+    // exchanges are not canonically equal (different aliasing), so
+    // nothing short of materialization dedupes them: without it the
+    // md5 signature aggregation (the dominant cost) executes 4×.
+    // Eager localCheckpoint runs it ONCE into docs × bands short rows
+    // — the "materialize the signature table" step every production
+    // LSH pipeline has. (Same multi-occurrence trap as the r6
+    // connectedComponents edge-build fix.)
     val bandRows = (0 until bands).map { b =>
       val sig = concat((0 until rowsPerBand).map(r => col(s"__h${b * rowsPerBand + r}")): _*)
       mh.select(col(idCol), lit(b).as("__band"), sig.as("__sig"))
-    }.reduce(_ unionAll _)
+    }.reduce(_ unionAll _).localCheckpoint()
     val kept = bandRows.join(
       bandRows.groupBy("__band", "__sig").agg(count(lit(1)).as("__bn"))
         .filter(col("__bn") <= maxBucket).drop("__bn"),

@@ -116,9 +116,14 @@ object StatsQueries {
     // (GraftOps.cosinePairsBlocked), never an all-pairs cross.
     "graph_triangles" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
+      // The edge set feeds all three legs of the triangle join —
+      // materialize the blocked-cosine build ONCE (eager
+      // localCheckpoint); without it each leg re-executes the grid
+      // join (same multi-occurrence trap as the LSH tiers, PLANS.md
+      // round-6 audit).
       val e = graft.api.GraftOps.cosinePairsBlocked(
         load(s, d, "embeddings"), "vec_id", "embedding", minCos = 0.3)
-        .select(col("a_id"), col("b_id"))
+        .select(col("a_id"), col("b_id")).localCheckpoint()
       val e1 = e.select(col("a_id").as("a"), col("b_id").as("b"))
       val e2 = e.select(col("a_id").as("b2"), col("b_id").as("c"))
       val e3 = e.select(col("a_id").as("a3"), col("b_id").as("c3"))
