@@ -140,10 +140,16 @@ object GraftOps {
     * ≤ `maxBlock`; for hot blocks the banding is a (measured ≥ 0.98
     * at j = 0.8) recall filter on candidates — the standard
     * LSH-above-a-cap contract for near-dup at scale.
+    *
+    * Fault tolerance: the materialized shingle table uses
+    * executor-local blocks by default; pass `checkpointDir` (HDFS/
+    * object store) for the reliable checkpoint path on long cluster
+    * jobs — same contract as [[connectedComponents]].
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       minJaccard: Double = 0.8, shingleSize: Int = 3, blockWords: Int = 2,
-      maxBlock: Int = 1024): DataFrame = {
+      maxBlock: Int = 1024, checkpointDir: Option[String] = None): DataFrame = {
+    val ckpt = checkpointer(df, checkpointDir)
     val sh = shingles(df, textCol, shingleSize, "__shingles")
       .withColumn("__blk", expr(s"concat_ws(' ', slice(split($textCol, ' '), 1, $blockWords))"))
       .select(col(idCol), col("__blk"), col("__shingles"))
@@ -154,10 +160,12 @@ object GraftOps {
     // (id, blk, shingles, block-count) feeds both routes' candidate
     // generation AND both verify joins — up to 6 plan occurrences of
     // the shingle build with no canonical-exchange reuse between
-    // them. Materialize it once (eager localCheckpoint): the shingle
-    // arrays are the verify input either way, and every downstream
-    // branch re-reads blocks instead of re-splitting text.
-    val tagged = sh.join(cnt, "__blk").localCheckpoint()
+    // them. Materialize it once (eager checkpoint; executor-local by
+    // default, reliable under `checkpointDir` — same fault-tolerance
+    // contract as connectedComponents): the shingle arrays are the
+    // verify input either way, and every downstream branch re-reads
+    // blocks instead of re-splitting text.
+    val tagged = ckpt(sh.join(cnt, "__blk"), true)
     val small = tagged.filter(col("__bn") <= maxBlock).drop("__bn")
     val hot = tagged.filter(col("__bn") > maxBlock).drop("__bn")
     val smallPairs = small.select(col(idCol).as("a_id"), col("__blk"), col("__shingles").as("sa"))
@@ -171,10 +179,10 @@ object GraftOps {
       min(substring(md5(concat(lit(s"${k / 4}:"), col("__s"))), (k % 4) * 8 + 1, 8)).as(s"__h$k")
     }
     val mh = hx.groupBy(col(idCol), col("__blk")).agg(aggs.head, aggs.tail: _*)
-    val bandRows = (0 until 4).map { b =>
+    val bandRows = ckpt((0 until 4).map { b =>
       mh.select(col(idCol), col("__blk"), lit(b).as("__band"),
         concat(col(s"__h${2 * b}"), col(s"__h${2 * b + 1}")).as("__sig"))
-    }.reduce(_ unionAll _).localCheckpoint() // both self-join sides; runs the min-md5 agg once
+    }.reduce(_ unionAll _), true) // both self-join sides; runs the min-md5 agg once
     val cand = bandRows.select(col(idCol).as("a_id"), col("__blk"), col("__band"), col("__sig"))
       .join(bandRows.select(col(idCol).as("b_id"), col("__blk"), col("__band"), col("__sig")),
         Seq("__blk", "__band", "__sig"))
@@ -777,7 +785,9 @@ object GraftOps {
     * guard is one combinable count + equi-join, oracle-expressible.
     */
   def minhashBandPairs(df: DataFrame, idCol: String, textCol: String,
-      bands: Int = 4, rowsPerBand: Int = 2, maxBucket: Int = 4096): DataFrame = {
+      bands: Int = 4, rowsPerBand: Int = 2, maxBucket: Int = 4096,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val ckpt = checkpointer(df, checkpointDir)
     val nh = bands * rowsPerBand
     val sh = df.select(col(idCol), explode(expr(
       s"array_distinct(transform(sequence(1, greatest(size(split($textCol, ' ')) - 2, 1)), " +
@@ -797,14 +807,16 @@ object GraftOps {
     // exchanges are not canonically equal (different aliasing), so
     // nothing short of materialization dedupes them: without it the
     // md5 signature aggregation (the dominant cost) executes 4×.
-    // Eager localCheckpoint runs it ONCE into docs × bands short rows
+    // An eager checkpoint runs it ONCE into docs × bands short rows
     // — the "materialize the signature table" step every production
-    // LSH pipeline has. (Same multi-occurrence trap as the r6
+    // LSH pipeline has (executor-local blocks by default; reliable
+    // files under `checkpointDir`, same fault-tolerance contract as
+    // connectedComponents). (Same multi-occurrence trap as the r6
     // connectedComponents edge-build fix.)
-    val bandRows = (0 until bands).map { b =>
+    val bandRows = ckpt((0 until bands).map { b =>
       val sig = concat((0 until rowsPerBand).map(r => col(s"__h${b * rowsPerBand + r}")): _*)
       mh.select(col(idCol), lit(b).as("__band"), sig.as("__sig"))
-    }.reduce(_ unionAll _).localCheckpoint()
+    }.reduce(_ unionAll _), true)
     val kept = bandRows.join(
       bandRows.groupBy("__band", "__sig").agg(count(lit(1)).as("__bn"))
         .filter(col("__bn") <= maxBucket).drop("__bn"),

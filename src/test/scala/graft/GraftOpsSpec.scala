@@ -134,6 +134,34 @@ class GraftOpsSpec extends GraftSpec {
     assert(written > 0, s"no reliable checkpoint files under $dir")
   }
 
+  test("LSH tiers: reliable checkpointDir path matches the local default") {
+    // The signature/shingle materialization (round-6 materialize-once
+    // fix) honors the same durable-checkpoint contract as the
+    // iterative graph ops.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_lsh").toString
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely different words appear in this one document"),
+      (4L, "the quick brown fox jumps over the lazy dog today")
+    ).toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val mhLocal = pairs(GraftOps.minhashBandPairs(docs, "doc_id", "text"))
+    val mhReliable = pairs(GraftOps.minhashBandPairs(docs, "doc_id", "text",
+      checkpointDir = Some(dir)))
+    assert(mhLocal === mhReliable && mhLocal.nonEmpty)
+    val ngLocal = pairs(GraftOps.ngramJaccardPairs(docs, "doc_id", "text",
+      minJaccard = 0.5, maxBlock = 2).select("a_id", "b_id"))
+    val ngReliable = pairs(GraftOps.ngramJaccardPairs(docs, "doc_id", "text",
+      minJaccard = 0.5, maxBlock = 2, checkpointDir = Some(dir))
+      .select("a_id", "b_id"))
+    assert(ngLocal === ngReliable && ngLocal.nonEmpty)
+    val written = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+    assert(written > 0, s"no reliable checkpoint files under $dir")
+  }
+
   test("saltedJoin equals the plain join on custom column names") {
     val fact = Seq((1L, 10.0), (1L, 20.0), (2L, 30.0)).toDF("fk", "x")
     val dim = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("dk", "name")
