@@ -199,6 +199,54 @@ object GraftOps {
       .select(col("a_id"), col("b_id"), col("jac").cast(DecimalType(18, 6)).as("jac"))
   }
 
+  /** Temperature-scaled domain resampling (the LLM data-mix α-power
+    * rebalance): keep each row of domain d with probability
+    * r_d = min(1, targetFrac · N · n_d^α / (Σ_d′ n_d′^α · n_d)),
+    * decided by a deterministic md5 bucket of the row id — so the
+    * sampled mix's expected shares are ∝ n_d^α (α = 1 keeps the
+    * natural mix, α → 0 flattens toward uniform) and the expected
+    * kept fraction is `targetFrac`.
+    *
+    * This is the rate-based twin of the fixed-count variant (M4
+    * `sample_weighted`'s per-domain md5-permutation row_number): no
+    * per-domain sort anywhere — one map-side-combinable domain count,
+    * a broadcast of |domains| thresholds, and a map-only filter. At
+    * 100 TB that is one scan; the row_number variant's global
+    * per-domain window sort is the part that doesn't scale.
+    *
+    * Cross-engine determinism (the oracle recipe): the per-domain
+    * weight n^α is rounded to DECIMAL(18,6) BEFORE the cross-domain
+    * normalizer is summed — decimal sums are exact and order-free,
+    * where a double Σ would depend on aggregation order — and the
+    * final rate/threshold is one scalar double expression, the same
+    * IEEE tree on both engines. α = 0.5 evaluates via sqrt
+    * (correctly rounded per IEEE-754; general pow is not) — prefer
+    * it for oracled pipelines.
+    */
+  def sampleTemperature(df: DataFrame, idCol: String, domainCol: String,
+      alpha: Double = 0.5, targetFrac: Double = 0.5, seed: String = "7"): DataFrame = {
+    require(alpha > 0 && targetFrac > 0 && targetFrac <= 1,
+      s"sampleTemperature: need alpha > 0 and 0 < targetFrac <= 1, got alpha=$alpha targetFrac=$targetFrac")
+    val w = if (alpha == 0.5) sqrt(col("__n").cast("double"))
+            else pow(col("__n").cast("double"), lit(alpha))
+    val cnt = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__wn", w.cast(DecimalType(18, 6)))
+    val tot = cnt.agg(sum(col("__n")).as("__nn"), sum(col("__wn")).as("__den"))
+    // threshold on the first 8 md5 hex chars read as a 32-bit bucket:
+    // floor(2^32 · r_d), capped at 2^32 (= keep all) by least(1.0,·)
+    val thr = cnt.crossJoin(broadcast(tot))
+      .select(col(domainCol), floor(lit(4294967296.0) *
+          least(lit(1.0), lit(targetFrac) * col("__nn").cast("double") * col("__wn").cast("double")
+            / (col("__den").cast("double") * col("__n").cast("double"))))
+        .cast("bigint").as("__thr"))
+    val bucket = conv(substring(md5(concat(lit(s"$seed:"), col(idCol).cast("string"))), 1, 8), 16, 10)
+      .cast("bigint")
+    df.join(broadcast(thr), Seq(domainCol))
+      .filter(bucket < col("__thr"))
+      .drop("__thr")
+  }
+
   /** Canonicalize a URL column for dedup: lowercase, strip the scheme
     * and a leading `www.`, drop tracking parameters (utm_*, fbclid,
     * gclid), then repair the query-string punctuation the removal can

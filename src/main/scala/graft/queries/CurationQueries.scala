@@ -113,9 +113,35 @@ object CurationQueries {
         .select(col("doc_id"), col("lang"), col("rn"), col("target_n"))
         .orderBy("lang", "rn")
     }),
+
+    // M4b (round 6): RATE-based temperature resampling — the scale
+    // twin of M4. Same α = 0.5 mix target, but acceptance is a
+    // deterministic md5-bucket Bernoulli at per-language rates
+    // r_d ∝ n_d^(α-1), so the plan is one combinable count + a
+    // broadcast of 5 thresholds + a map-only filter: NO per-language
+    // window sort (M4's row_number is a global per-domain sort — the
+    // part that doesn't survive 100 TB). Expected kept fraction 0.5;
+    // counts are exact-deterministic given the md5 permutation.
+    "sample_temperature" -> ((s, d) =>
+      GraftOps.sampleTemperature(load(s, d, "documents"), "doc_id", "lang",
+        alpha = 0.5, targetFrac = 0.5)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
   )
 
   val oracle: Map[String, String] = Map(
+    "sample_temperature" ->
+      """WITH cnt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+        |             FROM documents GROUP BY lang),
+        | w AS (SELECT lang, n, CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(18,6)) AS wn FROM cnt),
+        | tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, SUM(wn) AS den FROM w),
+        | r AS (SELECT lang, CAST(floor(4294967296.0 * least(1.0,
+        |         0.5 * CAST(nn AS DOUBLE) * CAST(wn AS DOUBLE)
+        |           / (CAST(den AS DOUBLE) * CAST(n AS DOUBLE)))) AS BIGINT) AS thr
+        |       FROM w, tot)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+        |WHERE CAST(('0x' || substring(md5('7:' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) < r.thr
+        |ORDER BY d.doc_id""".stripMargin,
     "text_redact_pii" ->
       """WITH synth AS (SELECT doc_id,
         |    text || ' contact user' || doc_id || '@example.com or +1-555-'

@@ -65,4 +65,31 @@ class CurationSpec extends GraftSpec {
     val total = perLang.values.map(_.head._3).sum
     assert(total >= 200L - perLang.size && total <= 200L, s"targets sum to $total")
   }
+
+  test("sample_temperature flattens the mix toward sqrt-shares at rate targetFrac") {
+    import spark.implicits._
+    // Planted two-domain corpus: 400 'big' + 100 'small' docs.
+    // alpha = 0.5 -> weights 20 : 10; targetFrac = 0.6 -> budget 300;
+    // targets big = 200 (rate 0.5), small = 100 (rate 1.0 -> keep ALL).
+    val docs = ((1L to 400L).map(i => (i, "big")) ++ (401L to 500L).map(i => (i, "small")))
+      .toDF("id", "dom")
+    val kept = graft.api.GraftOps.sampleTemperature(docs, "id", "dom",
+      alpha = 0.5, targetFrac = 0.6).select("id", "dom")
+    val byDom = kept.collect().map(r => (r.getLong(0), r.getString(1))).groupBy(_._2)
+    // capped domain is kept verbatim
+    assert(byDom("small").length === 100, s"small kept ${byDom("small").length}, want all 100")
+    // Bernoulli domain lands near its 200-doc expectation (md5 buckets
+    // are uniform; 4 sigma ~ 40 at n=400, p=0.5)
+    val big = byDom("big").length
+    assert(big > 160 && big < 240, s"big kept $big, expected ~200")
+    // deterministic: same rows whatever the partitioning
+    val again = graft.api.GraftOps.sampleTemperature(docs.repartition(7), "id", "dom",
+      alpha = 0.5, targetFrac = 0.6).select("id", "dom")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(again === kept.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+    // invalid params fail fast
+    intercept[IllegalArgumentException] {
+      graft.api.GraftOps.sampleTemperature(docs, "id", "dom", targetFrac = 0.0)
+    }
+  }
 }
