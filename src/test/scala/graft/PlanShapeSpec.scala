@@ -159,4 +159,17 @@ class PlanShapeSpec extends GraftSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
   }
+
+  test("sample_temperature is window-free: broadcast thresholds + map-only filter") {
+    // The point of the rate-based variant (vs sample_weighted's
+    // row_number) is that NO per-domain sort exists anywhere in the
+    // plan — the only sort allowed is the final presentation orderBy.
+    val df = q("sample_temperature")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("Window"), s"unexpected window sort:\n${plan.take(1500)}")
+    val sorts = plan.linesIterator.count(_.trim.startsWith("+- Sort"))
+    assert(sorts <= 1, s"expected at most the presentation sort, found $sorts")
+  }
 }
