@@ -23,7 +23,8 @@ class DeterminismSpec extends GraftSpec {
     "topk_physical",        // custom heap operator, total per-group order (round 5)
     "dedup_minhash",        // banded min-md5 signatures (round 5)
     "sample_reservoir",     // hash-order reservoir via the heap operator (round 5)
-    "vocab_bpe_pairs")      // weighted pair counts + top-20 tie-break (round 5)
+    "vocab_bpe_pairs",      // weighted pair counts + top-20 tie-break (round 5)
+    "sample_temperature")   // decimal-normalized rates + md5 buckets (round 6)
 
   sample.foreach { name =>
     test(s"$name is partition-count invariant") {
