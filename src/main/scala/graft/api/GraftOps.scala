@@ -199,6 +199,48 @@ object GraftOps {
       .select(col("a_id"), col("b_id"), col("jac").cast(DecimalType(18, 6)).as("jac"))
   }
 
+  /** Deterministic ±1 random projection (Johnson–Lindenstrauss) of a
+    * float-vector column to `outDims` dimensions: out_k = (1/√m is
+    * left to the caller) Σ_j s(k,j)·v_j with signs s(k,j) ∈ {±1}
+    * derived from the parity of the first md5 hex digit of "k:j" —
+    * a seedless, engine-reproducible sign matrix. Used to shrink
+    * embeddings before ANN / near-dup tiers: 64→8 is an 8× cut in
+    * shuffle bytes and index memory while JL preserves pairwise
+    * distances in expectation (E‖proj‖² = outDims·‖v‖²).
+    *
+    * Exactness: each component v_j is scaled by 2^`fixedPointBits`
+    * and floored to a BIGINT before accumulation — float→double and
+    * the power-of-two multiply are both IEEE-exact, floor is exact,
+    * and integer sums are associative — so the result is
+    * bit-identical on any engine and any partitioning (no
+    * floating-point summation order anywhere). The sign matrix is a
+    * 2D literal, so the whole projection is one codegen'd map-only
+    * expression: no shuffle, no UDF, no per-row hashing.
+    *
+    * Output: input columns plus `outCol` = array<double> of length
+    * `outDims` (fixed-point result scaled back; division by 2^bits is
+    * exact).
+    */
+  def randomProjection(df: DataFrame, vecCol: String, inDims: Int,
+      outDims: Int, outCol: String = "proj", fixedPointBits: Int = 20): DataFrame = {
+    require(inDims > 0 && outDims > 0, "randomProjection: dims must be positive")
+    def sign(k: Int, j: Int): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$k:$j".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xf) % 2 == 0) 1L else -1L
+    }
+    val scale = math.pow(2.0, fixedPointBits)
+    val signs = array((1 to outDims).map(k =>
+      array((1 to inDims).map(j => lit(sign(k, j))): _*)): _*)
+    df.withColumn(outCol,
+      transform(sequence(lit(1), lit(outDims)), k =>
+        (aggregate(sequence(lit(1), lit(inDims)), lit(0L), (acc, j) =>
+          acc + element_at(element_at(signs, k.cast("int")), j.cast("int")) *
+            floor(element_at(col(vecCol), j.cast("int")).cast("double") * lit(scale))
+              .cast("long"))
+          .cast("double") / lit(scale))))
+  }
+
   /** Temperature-scaled domain resampling (the LLM data-mix α-power
     * rebalance): keep each row of domain d with probability
     * r_d = min(1, targetFrac · N · n_d^α / (Σ_d′ n_d′^α · n_d)),

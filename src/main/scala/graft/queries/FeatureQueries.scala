@@ -261,10 +261,34 @@ object FeatureQueries {
         .select(col("event_type"), col("rn").as("cp_rn"), col("ts").as("cp_ts"),
           expr("CAST(CAST(cusum AS DOUBLE) / (CAST(ntot AS DOUBLE) * 100.0D) AS DECIMAL(18,4))").as("cusum_mean"))
         .orderBy("event_type")
-    })
+    }),
+
+    // T11 (round 6): deterministic ±1 random projection 64 → 8 (JL):
+    // the ANN-memory/shuffle-bytes compression step. Map-only codegen
+    // expression over a literal sign matrix; integer fixed-point
+    // accumulation makes every value bit-identical across engines and
+    // partitionings. Long format (vec_id, k, v) for the compare —
+    // array cells crash the gate's sort.
+    "embed_project" -> ((s, d) =>
+      graft.api.GraftOps.randomProjection(
+          load(s, d, "embeddings"), "embedding", inDims = 64, outDims = 8)
+        .select(col("vec_id"), posexplode(col("proj")))
+        .select(col("vec_id"), (col("pos") + 1).cast("bigint").as("k"),
+          col("col").as("v"))
+        .orderBy("vec_id", "k")),
   )
 
   val oracle: Map[String, String] = Map(
+    "embed_project" ->
+      """WITH signs AS (
+        |  SELECT k, j, CASE WHEN CAST(('0x' || substring(md5(k || ':' || j), 1, 1)) AS INT) % 2 = 0
+        |               THEN 1 ELSE -1 END AS s
+        |  FROM generate_series(1,8) t1(k), generate_series(1,64) t2(j)),
+        | q AS (SELECT vec_id, j, CAST(floor(CAST(embedding[j] AS DOUBLE) * 1048576.0) AS BIGINT) AS qj
+        |       FROM embeddings, generate_series(1,64) t(j)),
+        | o AS (SELECT vec_id, k, SUM(s * qj) AS fx FROM q JOIN signs USING (j) GROUP BY 1, 2)
+        |SELECT vec_id, CAST(k AS BIGINT) AS k, CAST(fx AS DOUBLE)/1048576.0 AS v
+        |FROM o ORDER BY vec_id, k""".stripMargin,
     "agg_skew_kurt" ->
       """WITH q AS (SELECT event_type,
         |     CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT) AS q FROM events),

@@ -162,6 +162,38 @@ class GraftOpsSpec extends GraftSpec {
     assert(written > 0, s"no reliable checkpoint files under $dir")
   }
 
+  test("randomProjection: exact on one-hot vectors, JL norm bound on random ones") {
+    // one-hot e_j: proj_k must be EXACTLY s(k,j)·(floor(2^20)/2^20) = ±1.0
+    def sign(k: Int, j: Int): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$k:$j".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xf) % 2 == 0) 1.0 else -1.0
+    }
+    val dim = 16
+    val oneHots = (1 to dim).map(j =>
+      (j.toLong, Array.tabulate(dim)(i => if (i == j - 1) 1.0f else 0.0f)))
+      .toDF("id", "v")
+    val proj = GraftOps.randomProjection(oneHots, "v", inDims = dim, outDims = 4)
+      .select("id", "proj").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    for (j <- 1 to dim; k <- 1 to 4)
+      assert(proj(j.toLong)(k - 1) === sign(k, j),
+        s"one-hot e_$j component $k: got ${proj(j.toLong)(k - 1)}, want ${sign(k, j)}")
+    // JL: E‖proj‖² = outDims·‖v‖²; on deterministic pseudo-random unit
+    // vectors the AVERAGE over 64 vectors concentrates near 4.0
+    val rnd = new scala.util.Random(7)
+    val unit = (1 to 64).map { i =>
+      val raw = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(raw.map(x => x.toDouble * x).sum).toFloat
+      (i.toLong, raw.map(_ / n))
+    }.toDF("id", "v")
+    val norms = GraftOps.randomProjection(unit, "v", inDims = dim, outDims = 4)
+      .select("proj").collect()
+      .map(_.getSeq[Double](0)).map(p => p.map(x => x * x).sum)
+    val mean = norms.sum / norms.length
+    assert(mean > 2.0 && mean < 6.0, s"mean ‖proj‖² = $mean, expected ≈ 4")
+  }
+
   test("saltedJoin equals the plain join on custom column names") {
     val fact = Seq((1L, 10.0), (1L, 20.0), (2L, 30.0)).toDF("fk", "x")
     val dim = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("dk", "name")
