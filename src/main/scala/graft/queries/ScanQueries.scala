@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType, StringType, StructField, StructType}
 import graft.Tables.load
 
 /** Family A — scans, sources, sinks (SURVEY.md §2.A).
@@ -53,6 +54,40 @@ object ScanQueries {
       df.write.mode("overwrite").option("header", "true").csv(dir)
       s.read.schema(df.schema).option("header", "true").csv(dir)
         .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // A5b (round 6): malformed-row CSV ingestion — the PERMISSIVE +
+    // columnNameOfCorruptRecord contract a 100 TB crawl ingest relies
+    // on (never fail the job; quarantine bad lines for a dead-letter
+    // sink). Corruption is planted deterministically (every orderkey
+    // % 500 == 0 line carries a non-numeric price), so the oracle
+    // reconstructs the expected classification straight from the
+    // orders table without reading the CSV. PERMISSIVE semantics
+    // under test: parseable leading fields are KEPT, the unparseable
+    // field nulls out, and the raw line lands in the corrupt column.
+    "scan_csv_malformed" -> ((s, d) => {
+      val src = load(s, d, "orders")
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("o_totalprice"))
+      val lines = src.select(concat(
+        col("o_orderkey").cast("string"), lit(","), col("o_orderstatus"), lit(","),
+        when(col("o_orderkey") % 500 === 0, lit("oops"))
+          .otherwise(col("o_totalprice").cast("string"))).as("value"))
+      val dir = tmpDir("graft_csv_bad")
+      lines.write.mode("overwrite").text(dir)
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DecimalType(18, 2)),
+        StructField("_bad", StringType)))
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("_bad").isNotNull.as("is_bad"))
+        .orderBy("o_orderkey")
     }),
 
     // A6: JSON-lines sink + source round-trip (schema inferred on read,
@@ -151,6 +186,16 @@ object ScanQueries {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_shipdate
         | FROM lineitem WHERE l_orderkey % 100 = 0
         | ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // A5b: corruption is a pure function of o_orderkey, so the
+    // expected PERMISSIVE output (parsed fields kept, bad price
+    // nulled, row flagged) reconstructs from the base table.
+    "scan_csv_malformed" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 500 = 0 THEN NULL
+        |       ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS o_totalprice,
+        |  (o_orderkey % 500 = 0) AS is_bad
+        | FROM orders WHERE o_orderkey % 100 = 0
+        | ORDER BY o_orderkey""".stripMargin,
     "scan_json_roundtrip" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         | WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey""".stripMargin,
