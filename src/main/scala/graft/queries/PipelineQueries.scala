@@ -239,9 +239,92 @@ object PipelineQueries {
         .select(col("id").as("doc_id"), col("cluster"))
         .orderBy("doc_id")
     }),
+
+    // L14 (round 6): the FLAGSHIP curation pipeline as one DAG —
+    // quality gate → exact dedup → benchmark decontamination →
+    // temperature resampling, i.e. the raw-crawl-to-training-mix path
+    // every stage above exists for, composed end-to-end and oracled
+    // end-to-end. Stage predicates replicate quality_filter /
+    // dedup_exact / text_decontaminate / sample_temperature exactly
+    // (same decimal-rounded ratios, same eval split, same md5
+    // buckets). Plan shape: the quality gate is map-only; dedup is
+    // one norm-text window min; decontamination explodes ONLY the
+    // deduped survivors against a broadcast eval-shingle set; the
+    // sampler adds a combinable count + broadcast thresholds. One
+    // corpus scan feeds it all — at 100 TB the stages pipeline
+    // without materializing intermediates.
+    "pipeline_end2end" -> ((s, d) => {
+      val docs = load(s, d, "documents")
+      // stage 1: quality gate on the train split (eval = doc_id % 29 == 0)
+      val nWords = size(split(col("text"), " ")).cast("bigint")
+      val nShort = expr("size(filter(split(text, ' '), w -> length(w) <= 2))").cast("bigint")
+      val alphaR = (length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double")
+        / length(col("text")).cast("double")).cast(DecimalType(18, 6))
+      val shortR = (nShort.cast("double") / nWords.cast("double")).cast(DecimalType(18, 6))
+      val q = docs.filter(col("doc_id") % 29 =!= 0)
+        .withColumn("n_words", nWords)
+        .filter(col("n_words") >= 5 && alphaR.cast("double") >= 0.5
+          && shortR.cast("double") <= 0.5)
+        .select("doc_id", "lang", "text", "n_words")
+      // stage 2: exact dedup — min doc_id per normalized text
+      val ded = q.withColumn("__min_id",
+          min(col("doc_id")).over(Window.partitionBy(lower(trim(col("text"))))))
+        .filter(col("doc_id") === col("__min_id")).drop("__min_id")
+      // stage 3: decontamination — drop survivors sharing a 5-gram
+      // shingle with the eval split (broadcast eval set, semi-join)
+      val ev = GraftOps.shingles(
+          docs.filter(col("doc_id") % 29 === 0).select("doc_id", "text"),
+          "text", 5, "sh")
+        .select(explode(col("sh")).as("s")).distinct()
+      val contaminated = GraftOps.shingles(ded, "text", 5, "sh")
+        .select(col("doc_id"), explode(col("sh")).as("s"))
+        .join(broadcast(ev), "s")
+        .select("doc_id").distinct()
+      val clean = ded.join(contaminated, Seq("doc_id"), "left_anti")
+      // stage 4: temperature resampling of the survivor mix
+      GraftOps.sampleTemperature(clean, "doc_id", "lang",
+          alpha = 0.5, targetFrac = 0.5)
+        .select("doc_id", "lang", "n_words")
+        .orderBy("doc_id")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
+    "pipeline_end2end" ->
+      """WITH q AS (
+        |  SELECT doc_id, lang, text,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+        |  FROM documents
+        |  WHERE doc_id % 29 <> 0
+        |    AND len(string_split(text, ' ')) >= 5
+        |    AND CAST(CAST(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |          / CAST(length(text) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) >= 0.5
+        |    AND CAST(CAST(CAST(len(list_filter(string_split(text, ' '), w -> length(w) <= 2)) AS DOUBLE)
+        |          / CAST(len(string_split(text, ' ')) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) <= 0.5),
+        | ded AS (SELECT doc_id, lang, text, n_words FROM (
+        |    SELECT q.*, min(doc_id) OVER (PARTITION BY lower(trim(text))) AS min_id FROM q) t
+        |   WHERE doc_id = min_id),
+        | ev AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+        |      generate_series(1, greatest(len(string_split(text, ' ')) - 4, 1)),
+        |      i -> array_to_string((string_split(text, ' '))[i:i+4], ' ')))) AS s
+        |   FROM documents WHERE doc_id % 29 = 0),
+        | tr AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |      generate_series(1, greatest(len(string_split(text, ' ')) - 4, 1)),
+        |      i -> array_to_string((string_split(text, ' '))[i:i+4], ' ')))) AS s
+        |   FROM ded),
+        | bad AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev ON tr.s = ev.s),
+        | clean AS (SELECT doc_id, lang, n_words FROM ded
+        |   WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+        | cnt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM clean GROUP BY lang),
+        | wts AS (SELECT lang, n, CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(18,6)) AS wn FROM cnt),
+        | tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, SUM(wn) AS den FROM wts),
+        | r AS (SELECT lang, CAST(floor(4294967296.0 * least(1.0,
+        |         0.5 * CAST(nn AS DOUBLE) * CAST(wn AS DOUBLE)
+        |           / (CAST(den AS DOUBLE) * CAST(n AS DOUBLE)))) AS BIGINT) AS thr
+        |       FROM wts, tot)
+        |SELECT c.doc_id, c.lang, c.n_words FROM clean c JOIN r USING (lang)
+        |WHERE CAST(('0x' || substring(md5('7:' || CAST(c.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) < r.thr
+        |ORDER BY c.doc_id""".stripMargin,
     "sessionize_batch" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ep_us
         |           FROM events),
