@@ -241,6 +241,108 @@ object GraftOps {
           .cast("double") / lit(scale))))
   }
 
+  /** Per-document duplicated-span coverage via exact shingle matching
+    * — the "exact substring dedup" signal of Lee et al. 2022
+    * (Deduplicating Training Data Makes Language Models Better),
+    * re-expressed at k-word-shingle grain instead of suffix arrays: a
+    * k-word shingle occurring in more than one DISTINCT document is a
+    * duplicated span, and each document reports how many of its
+    * shingle positions fall inside one (`dup_shingles`, `dup_frac`).
+    *
+    * Scale shape (100 TB): two shingle-grain shuffles (global
+    * distinct-doc count, then a left-semi probe of occurrences against
+    * the duplicated-shingle table) plus one doc-grain aggregate — the
+    * vocabulary map-reduce shape. Never all-pairs; the
+    * duplicated-shingle table is bounded by corpus redundancy, not
+    * corpus size, and a hot boilerplate shingle costs one counter + a
+    * semi-join key, never a quadratic block. Shingle positions are NOT
+    * deduplicated within a document, so coverage counts every repeated
+    * position; "duplicated" means cross-document (within-doc repeats
+    * of a globally unique shingle don't count — self-repetition is
+    * `text_repetition`'s signal).
+    *
+    * Only documents with ≥ k words appear in the output (shorter ones
+    * have no k-shingle). Every step is a deterministic SQL expression
+    * → full DuckDB oracle.
+    */
+  def substringDupStats(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame = {
+    require(k >= 2, s"substringDupStats: k must be >= 2, got $k")
+    val w = df.select(col(idCol), split(col(textCol), " ").as("__w"))
+      .filter(size(col("__w")) >= k)
+    // positions kept (no array_distinct): coverage is per-position
+    val sh = w.select(col(idCol), explode(expr(
+      s"transform(sequence(0, size(__w) - $k), " +
+        s"i -> concat_ws(' ', slice(__w, i + 1, $k)))")).as("__sh"))
+    val dup = sh.groupBy("__sh")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") > 1)
+      .select("__sh")
+    val per = sh.join(dup, Seq("__sh"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("dup_shingles"))
+    w.select(col(idCol), (size(col("__w")) - (k - 1)).cast("long").as("n_shingles"))
+      .join(per, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("dup_shingles"), lit(0L)).as("dup_shingles"))
+      .withColumn("dup_frac",
+        (col("dup_shingles").cast("double") / col("n_shingles"))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+  }
+
+  /** Asymmetric containment near-dup pairs: documents that INCLUDE
+    * another document's text (quotations, article supersets, crawl
+    * page+boilerplate wrappers). Jaccard-based tiers miss these BY
+    * DESIGN — a 30-word doc quoted verbatim inside a 300-word doc has
+    * Jaccard ≈ 0.1 (never passes a 0.8 gate) but containment 1.0; a
+    * dedup pipeline that only gates on Jaccard keeps the training set
+    * memorizing the quoted text twice.
+    *
+    * Candidates come from RARE shingles only: a shingle shared by
+    * 2..`maxDf` distinct docs pairs them up, bounding per-shingle
+    * fan-out at C(maxDf, 2) ≈ 45 pairs — a hot boilerplate shingle
+    * ("click here to subscribe") generates NO candidates instead of a
+    * quadratic block, which is also correct, because ubiquity carries
+    * no containment signal. Recall contract: a pair is found iff it
+    * shares ≥ 1 rare shingle — for real contained text (≥ shingleSize
+    * consecutive original words) some shingle of the contained doc is
+    * near-always rare; a doc composed ENTIRELY of ubiquitous shingles
+    * is invisible here and is exactly what `exactDedup` /
+    * boilerplate-stripping already handles.
+    *
+    * Exact verify on candidates only: containment =
+    * |A∩B| / min(|A|, |B|) over distinct-shingle sets ≥
+    * `minContainment`. Every step is a deterministic SQL expression →
+    * full DuckDB oracle.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      minContainment: Double = 0.8, shingleSize: Int = 3,
+      maxDf: Int = 10): DataFrame = {
+    require(maxDf >= 2, s"containmentPairs: maxDf must be >= 2, got $maxDf")
+    val sh = shingles(df, textCol, shingleSize, "__sh")
+      .select(col(idCol), col("__sh"))
+    val ex = sh.select(col(idCol), explode(col("__sh")).as("__s"))
+    val rare = ex.groupBy("__s")
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") > 1 && col("__df") <= maxDf)
+      .select("__s")
+    val rex = ex.join(rare, "__s")
+    val cand = rex.select(col("__s"), col(idCol).as("a_id"))
+      .join(rex.select(col("__s"), col(idCol).as("b_id")), "__s")
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    cand
+      .join(sh.select(col(idCol).as("a_id"), col("__sh").as("__sa")), "a_id")
+      .join(sh.select(col(idCol).as("b_id"), col("__sh").as("__sb")), "b_id")
+      .withColumn("containment",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
+          least(size(col("__sa")), size(col("__sb"))).cast("double"))
+      .filter(col("containment") >= minContainment)
+      .select(col("a_id"), col("b_id"),
+        col("containment")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6))
+          .as("containment"))
+  }
+
   /** Temperature-scaled domain resampling (the LLM data-mix α-power
     * rebalance): keep each row of domain d with probability
     * r_d = min(1, targetFrac · N · n_d^α / (Σ_d′ n_d′^α · n_d)),

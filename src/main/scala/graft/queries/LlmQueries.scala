@@ -126,6 +126,25 @@ object LlmQueries {
       GraftOps.minhashBandPairs(load(s, d, "documents"), "doc_id", "text")
         .orderBy("a_id", "b_id")),
 
+    // K9 (round 6): exact duplicated-span coverage — the Lee et al.
+    // 2022 "exact substring dedup" signal at 5-word-shingle grain.
+    // Shingle-grain shuffles only (count + semi-join); never
+    // all-pairs. Fully oracled.
+    "dedup_substring" -> ((s, d) =>
+      GraftOps.substringDupStats(load(s, d, "documents"), "doc_id", "text",
+        k = 5)
+        .orderBy("doc_id")),
+
+    // K10 (round 6): asymmetric containment pairs — the quote /
+    // superset inclusions every Jaccard tier misses by design.
+    // Rare-shingle blocking (df ≤ maxDf) bounds per-shingle fan-out
+    // at C(maxDf,2); exact |A∩B|/min(|A|,|B|) verify on candidates.
+    // Fully oracled.
+    "dedup_containment" -> ((s, d) =>
+      GraftOps.containmentPairs(load(s, d, "documents"), "doc_id", "text",
+        minContainment = 0.8)
+        .orderBy("a_id", "b_id")),
+
     // Embedding-cosine near-dup pairs — exact, via GraftOps'
     // deterministic grid-blocked candidate join (3-neighbor-cell
     // equi-join, provably complete for cos ≥ 0.4 on normalized
