@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 /** Central table loader for the graft engine.
   *
@@ -40,7 +40,8 @@ object Tables {
   }
 
   /** Load one of the ten driver tables. `events` gets its `ts` column
-    * rebuilt as a proper microsecond TimestampType (see class doc).
+    * normalized to microsecond TIMESTAMP_NTZ regardless of how the
+    * driver generated it (see class doc).
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     tune(spark)
@@ -49,9 +50,19 @@ object Tables {
     // isAdjustedToUTC=false, read by Spark 4 as TIMESTAMP_NTZ), so the
     // rebuilt ts must be NTZ too or Verify's parquet dump would come out
     // tz-aware and mismatch the DuckDB oracle's naive timestamps.
-    if (name == "events")
-      df.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
-    else df
+    //
+    // The driver has shipped events.ts as BOTH timestamp[ns] (read as
+    // BIGINT via nanosAsLong) and timestamp[us] (read as TIMESTAMP_NTZ)
+    // across regens, so branch on the physical type rather than assuming
+    // either generation. FixtureSpec pins both paths.
+    if (name == "events") {
+      df.schema("ts").dataType match {
+        case LongType => // legacy nanos-era data: truncate ns → µs exactly
+          df.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+        case _ => // µs-era data: already (or castable to) naive timestamp
+          df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+      }
+    } else df
   }
 
   /** Exact-arithmetic cast for money/quantity doubles (SURVEY §7.4.2):

