@@ -533,6 +533,89 @@ object GraftOps {
       .select("q_id", "c_id", "cos_sim", "rn")
   }
 
+  /** Approximate cosine top-k through the [[randomProjection]] (JL)
+    * compression tier — the round-7 wiring of `embed_project` into the
+    * ANN path: the SHORTLIST scan runs entirely in `projDims`
+    * (default 8) dimensions, and only the ≤ `shortlist` survivors per
+    * probe are re-ranked against the full `inDims`-dim vectors.
+    *
+    * Why this is the 100 TB shape: the brute-force scan's cost is
+    * corpus × probes × dims multiply-adds, and its shuffle payload
+    * carries the vectors — projecting 64 → 8 cuts both by 8×
+    * (the shortlist stage drops the arrays BEFORE its window
+    * exchange, so the ranking shuffle moves only (q_id, c_id, sim)
+    * triples), while the exact re-rank touches shortlist × probes
+    * full vectors — negligible against the corpus. JL guarantees the
+    * projected cosine concentrates around the true one, so a modest
+    * `shortlist` (default 10×k) recovers ≥ 0.95 of the exact top-k
+    * (measured, SCALE.md round 7).
+    *
+    * Determinism / oracle: the projection is the bit-identical
+    * fixed-point sign-matrix map of [[randomProjection]]; both
+    * ranking stages order by the 6-dp-rounded similarity with an id
+    * tie-break — the same cross-engine contract as [[cosineTopK]],
+    * so the whole operator carries a full DuckDB oracle (unlike the
+    * LSH/IVF tiers, whose bucketing is engine-specific).
+    *
+    * `projected`: optionally a PRECOMPUTED projection table
+    * (`idCol`, array-of-numeric proj column — build it once with
+    * [[randomProjection]] and persist, the ivfIndexBuild pattern).
+    * At 100 TB this is the whole point: the shortlist stage then
+    * scans ~projDims/inDims of the corpus BYTES (measured in
+    * tools/AnnStress; Spark 4's WindowGroupLimit already keeps the
+    * ranking exchange k-bounded for both tiers, so scan bytes — not
+    * shuffle — are where the corpus size bites). When omitted the
+    * projection is computed inline (the oracled query path).
+    */
+  def projectedCosineTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      probePredicate: Column, k: Int, inDims: Int, projDims: Int = 8,
+      shortlist: Int = 0, projected: Option[DataFrame] = None): DataFrame = {
+    val sl = if (shortlist > 0) shortlist else 10 * k
+    val projDot =
+      "aggregate(zip_with(pq, pc, (x, y) -> double(x) * double(y)), 0D, (acc, v) -> acc + v)"
+    val projNorm = (c: String) =>
+      s"sqrt(aggregate($c, 0D, (acc, x) -> acc + double(x) * double(x)))"
+    val proj = projected
+      .map(p => p.select(col(idCol), col(p.columns.filter(_ != idCol).head).as("__p")))
+      .getOrElse(randomProjection(corpus, vecCol, inDims, projDims, "__p")
+        .select(col(idCol), col("__p")))
+    // probe ids resolve against the CORPUS (the predicate may use any
+    // corpus column), then semi-select the projected rows — keeps the
+    // precomputed-projection path semantically identical to inline
+    val probeIds = corpus.filter(probePredicate).select(col(idCol).as("q_id"))
+    val probes = proj.join(probeIds, proj(idCol) === probeIds("q_id"))
+      .select(col("q_id"), col("__p").as("pq"))
+      .withColumn("npq", expr(projNorm("pq")))
+    val cand = proj.select(col(idCol).as("c_id"), col("__p").as("pc"))
+      .withColumn("npc", expr(projNorm("pc")))
+    val ws = Window.partitionBy(col("q_id"))
+      .orderBy(col("__psim").desc, col("c_id").asc)
+    val short = probes.crossJoin(cand).filter(col("q_id") =!= col("c_id"))
+      .withColumn("__psim",
+        (expr(projDot) / (col("npq") * col("npc"))).cast(DecimalType(18, 6)))
+      // arrays dropped BEFORE the ranking exchange: the window shuffle
+      // moves 3 scalars per candidate, not two vectors
+      .select("q_id", "c_id", "__psim")
+      .withColumn("__srn", row_number().over(ws))
+      .filter(col("__srn") <= sl)
+      .select("q_id", "c_id")
+    // full-dim exact re-rank of the shortlist only (same 6-dp + id
+    // tie-break ranking contract as cosineTopK)
+    val full = withNorm(corpus, vecCol)
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("c_id").asc)
+    short
+      .join(full.select(col(idCol).as("q_id"), col(vecCol).as("q"),
+        col("__norm").as("nq")), "q_id")
+      .join(full.select(col(idCol).as("c_id"), col(vecCol).as("c"),
+        col("__norm").as("nc")), "c_id")
+      .withColumn("cos_sim", (expr("array_dot(q, c)") / (col("nq") * col("nc")))
+        .cast(DecimalType(18, 6)))
+      .withColumn("rn", row_number().over(wq).cast("bigint"))
+      .filter(col("rn") <= k)
+      .select("q_id", "c_id", "cos_sim", "rn")
+  }
+
   /** Per-group decimal-mean centroids of `vecCol` keyed by `byCol` —
     * the deterministic coarse quantizer for IVF / nearest-centroid
     * assignment (exact decimal partials ⇒ partition-order invariant).

@@ -187,6 +187,23 @@ object LlmQueries {
         .orderBy("q_id", "c_id")
     }),
 
+    // K4b (round 7): the JL-projection ANN tier — embed_project wired
+    // into similarity search. Shortlist scan runs in 8 projected dims
+    // (8× fewer multiply-adds and shuffle bytes than sim_topk's
+    // 64-dim scan; the ranking exchange carries scalars, not
+    // vectors), then an exact full-dim re-rank of the ≤ 50-candidate
+    // shortlist. Unlike the LSH/IVF tiers this one is fully
+    // DuckDB-oracled: the fixed-point sign-matrix projection is
+    // bit-identical cross-engine and both ranking stages use the
+    // 6-dp + id tie-break contract. Measured recall vs exact sim_topk:
+    // SCALE.md round 7.
+    "sim_project" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      GraftOps.projectedCosineTopK(load(s, d, "embeddings"), "vec_id", "embedding",
+        probePredicate = col("vec_id") < 10, k = 5, inDims = 64)
+        .orderBy("q_id", "rn")
+    }),
+
     // IVF-style ANN (the third similarity-search tier after brute-force
     // sim_topk and LSH sim_ann): corpus bucketed ONCE by nearest coarse
     // centroid and PERSISTED as bucket-partitioned parquet — the
@@ -409,6 +426,37 @@ object LlmQueries {
         |   SELECT q_id, c_id, cos_sim,
         |     row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id ASC) AS rn
         |   FROM sims) t
+        | WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+    // K4b twin: same fixed-point sign-matrix projection recipe as the
+    // embed_project oracle, then both ranking stages on 6-dp-rounded
+    // cosine with id tie-breaks (the sim_topk contract).
+    "sim_project" ->
+      """WITH signs AS (
+        |  SELECT k, j, CASE WHEN CAST(('0x' || substring(md5(k || ':' || j), 1, 1)) AS INT) % 2 = 0
+        |               THEN 1 ELSE -1 END AS s
+        |  FROM generate_series(1,8) t1(k), generate_series(1,64) t2(j)),
+        | qq AS (SELECT vec_id, j, CAST(floor(CAST(embedding[j] AS DOUBLE) * 1048576.0) AS BIGINT) AS qj
+        |        FROM embeddings, generate_series(1,64) t(j)),
+        | pr AS (SELECT vec_id, k, CAST(SUM(s * qj) AS DOUBLE)/1048576.0 AS v
+        |        FROM qq JOIN signs USING (j) GROUP BY 1, 2),
+        | pvec AS (SELECT vec_id, list(v ORDER BY k) AS p FROM pr GROUP BY vec_id),
+        | probes AS (SELECT vec_id AS q_id, p AS pq FROM pvec WHERE vec_id < 10),
+        | cands AS (SELECT vec_id AS c_id, p AS pc FROM pvec),
+        | short AS (SELECT q_id, c_id FROM (
+        |    SELECT q_id, c_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY
+        |        CAST(list_cosine_similarity(pq, pc) AS DECIMAL(18,6)) DESC, c_id ASC) AS srn
+        |    FROM probes, cands WHERE q_id <> c_id) t
+        |   WHERE srn <= 50),
+        | fullv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | rr AS (SELECT s.q_id, s.c_id,
+        |     CAST(list_cosine_similarity(a.v, b.v) AS DECIMAL(18,6)) AS cos_sim
+        |   FROM short s JOIN fullv a ON s.q_id = a.vec_id
+        |                JOIN fullv b ON s.c_id = b.vec_id)
+        | SELECT q_id, c_id, cos_sim, rn FROM (
+        |   SELECT q_id, c_id, cos_sim,
+        |     row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id ASC) AS rn
+        |   FROM rr) t
         | WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
     "text_stats" ->
       """SELECT lang, count(*) AS n_tokens, count(DISTINCT w) AS n_distinct,

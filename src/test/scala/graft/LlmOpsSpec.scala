@@ -111,6 +111,41 @@ class LlmOpsSpec extends GraftSpec {
     assert(recall >= 0.4, s"IVF recall@5 = $recall")
   }
 
+  test("sim_project retrieves planted near-duplicates through the 8-dim shortlist") {
+    // The honest recall contract for a compression tier (see
+    // AnnStress doc): this corpus's exact top-5 sit on a noise
+    // continuum (margins far below JL distortion at 8 dims — no
+    // sublinear method can rank them; sim_ivf's bar on the same data
+    // is 0.4). What the tier MUST retrieve is genuinely near
+    // neighbors — so plant a cos ≈ 0.99 mutant partner per probe and
+    // require the projected shortlist + full-dim re-rank to surface
+    // it at rank 1.
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.load(spark, sf, "embeddings")
+    val base = 1000000L
+    val mutants = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + lit(base)).as("vec_id"),
+        expr("zip_with(embedding, concat(slice(embedding, 9, 56), slice(embedding, 1, 8)), " +
+          "(x, y) -> cast(x + 0.1D * y as float))").as("embedding"))
+    val corpus = emb.select("vec_id", "embedding").unionByName(mutants)
+    val out = graft.api.GraftOps.projectedCosineTopK(corpus, "vec_id", "embedding",
+      col("vec_id") >= base, k = 5, inDims = 64).collect()
+    val rank1Hits = out.count(r =>
+      r.getLong(3) == 1L && r.getLong(1) == r.getLong(0) - base)
+    assert(rank1Hits >= 9, s"planted partner at rank 1 for only $rank1Hits/10 probes")
+  }
+
+  test("sim_project overlap with the exact scan stays above collapse level") {
+    // Catastrophic-breakage canary only (a broken projection or
+    // shortlist would send this to ~0): on isotropic noise the
+    // margin analysis (AnnStress doc) caps honest exact-top-5
+    // overlap well below 1.
+    val exact = q("sim_topk").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val proj = q("sim_project").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (proj & exact).size.toDouble / exact.size
+    assert(recall >= 0.2, s"JL-projected overlap@5 = $recall")
+  }
+
   test("cluster_assign beats random assignment by >3x") {
     val df = q("cluster_assign")
     val agree = df.filter(col("label") === col("assigned")).count().toDouble / df.count()

@@ -143,6 +143,10 @@ class ScaleSpec extends GraftSpec {
     val root = java.nio.file.Paths.get("src/main/scala/graft")
     val hits = java.nio.file.Files.walk(root).iterator().asScala
       .filter(_.toString.endsWith(".scala"))
+      // tools/ are driver-side measurement harnesses (Scale/Skew/Ann
+      // stress collect their own small result sets to score recall) —
+      // not shipped operator code
+      .filterNot(_.toString.contains("/tools/"))
       .flatMap { p =>
         // explicit UTF-8: the sbt test JVM may default to ASCII, and
         // source comments contain non-ASCII glyphs
