@@ -22,6 +22,25 @@ class EdgeCaseSpec extends GraftSpec {
     assert(GraftOps.sessionize(emptyEv, "k", "t", "rid", 100L).count() === 0L)
   }
 
+  test("projectedCosineTopK: empty corpus, no-match probes, oversized shortlist") {
+    graft.functions.GraftFunctions.register(spark)
+    val emptyVecs = Seq.empty[(Long, Array[Float])].toDF("vid", "v")
+    assert(GraftOps.projectedCosineTopK(emptyVecs, "vid", "v",
+      col("vid") < 10, k = 3, inDims = 4).count() === 0L)
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)), (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vid", "v")
+    // predicate matches nothing → no probes → empty result, no error
+    assert(GraftOps.projectedCosineTopK(vecs, "vid", "v",
+      col("vid") > 100, k = 3, inDims = 4).count() === 0L)
+    // shortlist far larger than the corpus degrades to the exact scan
+    val out = GraftOps.projectedCosineTopK(vecs, "vid", "v",
+      col("vid") === 1L, k = 2, inDims = 4, projDims = 2, shortlist = 1000)
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(out.toSeq === Seq((2L, 1L), (3L, 2L)))
+  }
+
   test("connectedComponents with no edges labels every vertex a singleton") {
     val vs = Seq(3L, 7L, 9L).toDF("node")
     val es = Seq.empty[(Long, Long)].toDF("u", "v")

@@ -63,6 +63,21 @@ class PlanShapeSpec extends GraftSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2)
   }
 
+  test("sim_project: shortlist window is group-limited and no unbounded cartesian appears") {
+    // The JL tier's 100 TB contract (SURVEY §2 K4b): the probe×corpus
+    // scan is a broadcast nested-loop against the TINY probe side
+    // (never a CartesianProduct of two big relations), and both
+    // ranking windows carry a WindowGroupLimit so the per-partition
+    // shortlist/top-k filter runs BEFORE the ranking exchange.
+    val plan = planOf("sim_project")
+    assert(!plan.contains("CartesianProduct"),
+      "sim_project must broadcast the probe side, not cross-join two big relations")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      "probe side must broadcast")
+    assert(plan.contains("WindowGroupLimit"),
+      "rank<=k filters must push a per-partition group limit below the window")
+  }
+
   test("DotProductFusion fuses the HOF dot product into array_dot") {
     import org.apache.spark.sql.functions._
     spark.experimental.extraOptimizations = Seq(graft.plans.DotProductFusion)
