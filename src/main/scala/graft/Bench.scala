@@ -112,5 +112,6 @@ object Bench {
       .setBucketLength(2.0).setNumHashTables(2).setSeed(42L).fit(vecs)
     brp.approxSimilarityJoin(vecs, vecs, 4.0, "d").count()
     graft.queries.LlmQueries.warmIvfIndex(spark, sfDir)
+    graft.queries.LlmQueries.warmMinhashIndex(spark, sfDir)
   }
 }

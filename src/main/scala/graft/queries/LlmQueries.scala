@@ -60,6 +60,35 @@ object LlmQueries {
     ivfIndexFor(s, d, emb, GraftOps.centroids(emb, "label", "embedding"))
   }
 
+  // One persisted MinHash signature index of the "existing corpus"
+  // (doc_id % 5 != 0) per sf-dir per JVM — same amortization contract
+  // as the IVF index: built once, every later probe (and bench run)
+  // times only the delta path.
+  private val mhIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def mhIndexFor(s: org.apache.spark.sql.SparkSession,
+      sfDir: String): String =
+    mhIndexCache.computeIfAbsent(sfDir, _ => {
+      val src = java.nio.file.Paths.get(sfDir, "documents.parquet")
+      val fp = s"${java.nio.file.Files.size(src)}_" +
+        s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
+      val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_mhidx_${Integer.toHexString((sfDir + fp).hashCode)}").toString
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")))
+        GraftOps.minhashIndexBuild(
+          load(s, sfDir, "documents").filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", path)
+      path
+    })
+
+  /** Pre-build (idempotently) the persisted MinHash index for `d` so
+    * later dedup_incremental calls time only the delta probe path.
+    * Called by Bench.warmSharedInfra.
+    */
+  def warmMinhashIndex(s: org.apache.spark.sql.SparkSession, d: String): Unit =
+    mhIndexFor(s, d)
+
   private val centDist2 =
     "aggregate(zip_with(embedding, centroid, (x, y) -> (double(x) - y) * (double(x) - y)), 0D, (acc, v) -> acc + v)"
 
@@ -185,6 +214,21 @@ object LlmQueries {
         .filter(col("datasetA.q_id") =!= col("datasetB.c_id"))
         .select(col("datasetA.q_id").as("q_id"), col("datasetB.c_id").as("c_id"))
         .orderBy("q_id", "c_id")
+    }),
+
+    // K2f (round 7): INCREMENTAL near-dup — the continuous-crawl
+    // shape. The "existing corpus" (doc_id % 5 != 0) is signed ONCE
+    // into a persisted band-partitioned signature index; the "new
+    // batch" (doc_id % 5 == 0) signs only itself and hash-joins the
+    // index — no corpus re-scan, ever. Output = exactly the pairs
+    // this batch introduces (delta×index all, delta×delta once).
+    // Same signature algebra as dedup_minhash ⇒ fully oracled.
+    "dedup_incremental" -> ((s, d) => {
+      val idx = mhIndexFor(s, d)
+      GraftOps.minhashIndexProbe(s, idx,
+        load(s, d, "documents").filter(col("doc_id") % 5 === 0),
+        "doc_id", "text")
+        .orderBy("a_id", "b_id")
     }),
 
     // K4b (round 7): the JL-projection ANN tier — embed_project wired
@@ -366,6 +410,36 @@ object LlmQueries {
         | SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
         | FROM kept a JOIN kept b
         |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        | ORDER BY a_id, b_id""".stripMargin,
+    // K2f twin: dedup_minhash's signature CTEs over ALL docs (index ∪
+    // delta sign identically), then the incremental orientation rule —
+    // delta probes report every indexed match and each delta-delta
+    // pair once (b < a).
+    "dedup_incremental" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |      generate_series(1, greatest(len(w) - 2, 1)),
+        |      i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t),
+        | mh AS (
+        |  SELECT doc_id,
+        |    min(substr(md5('0:' || s), 1, 8))  AS h0, min(substr(md5('0:' || s), 9, 8))  AS h1,
+        |    min(substr(md5('0:' || s), 17, 8)) AS h2, min(substr(md5('0:' || s), 25, 8)) AS h3,
+        |    min(substr(md5('1:' || s), 1, 8))  AS h4, min(substr(md5('1:' || s), 9, 8))  AS h5,
+        |    min(substr(md5('1:' || s), 17, 8)) AS h6, min(substr(md5('1:' || s), 25, 8)) AS h7
+        |  FROM sh GROUP BY doc_id),
+        | bands AS (
+        |  SELECT doc_id, 0 AS band, h0 || h1 AS sig FROM mh
+        |  UNION ALL SELECT doc_id, 1, h2 || h3 FROM mh
+        |  UNION ALL SELECT doc_id, 2, h4 || h5 FROM mh
+        |  UNION ALL SELECT doc_id, 3, h6 || h7 FROM mh),
+        | bcnt AS (SELECT band, sig, count(*) AS bn FROM bands GROUP BY band, sig),
+        | kept AS (SELECT bands.* FROM bands JOIN bcnt USING (band, sig)
+        |          WHERE bn <= 4096)
+        | SELECT DISTINCT d.doc_id AS a_id, o.doc_id AS b_id
+        | FROM kept d JOIN kept o ON d.band = o.band AND d.sig = o.sig
+        | WHERE d.doc_id % 5 = 0 AND d.doc_id <> o.doc_id
+        |   AND (o.doc_id % 5 <> 0 OR o.doc_id < d.doc_id)
         | ORDER BY a_id, b_id""".stripMargin,
     // K9 twin: same positional 5-gram shingles, dup = shared by >1
     // distinct doc, coverage counted per position (no distinct).

@@ -73,6 +73,41 @@ class GraftOpsSpec extends GraftSpec {
     assert(unguarded == 20L * 19 / 2) // what the guard prevented
   }
 
+  test("minhashIndexProbe reports exactly the batch's new pairs vs the one-shot operator") {
+    // Incremental contract: probing a delta against the corpus index
+    // must yield precisely the one-shot minhashBandPairs pairs that
+    // TOUCH the delta — delta×index in (delta, index) orientation,
+    // delta×delta once (b < a) — and none of the index×index pairs
+    // (those were reported when their own batches arrived).
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely different words appear in this one document"),
+      (4L, "the quick brown fox jumps over the lazy dog today"),
+      (5L, "the quick brown fox jumps over the lazy dog forever"),
+      (6L, "the quick brown fox jumps over the lazy dog forever")
+    ).toDF("doc_id", "text")
+    val isDelta = (id: Long) => id >= 5L
+    val corpus = docs.filter(!col("doc_id").geq(5L))
+    val delta = docs.filter(col("doc_id").geq(5L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhidx").toString + "/idx"
+    GraftOps.minhashIndexBuild(corpus, "doc_id", "text", dir)
+    val probed = GraftOps.minhashIndexProbe(spark, dir, delta, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = GraftOps.minhashBandPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.flatMap { case (x, y) => // x < y by operator contract
+      (isDelta(x), isDelta(y)) match {
+        case (true, true)   => Some((y, x)) // delta-delta once, b < a
+        case (true, false)  => Some((x, y)) // a must be the delta doc
+        case (false, true)  => Some((y, x))
+        case (false, false) => None         // index-index: prior batches
+      }
+    }
+    assert(probed === expected && probed.nonEmpty,
+      s"probed=$probed expected=$expected")
+  }
+
   test("simhashPairs on custom column names pairs the exact dup") {
     graft.functions.GraftFunctions.register(spark)
     val pairs = GraftOps.simhashPairs(tiny, "rid", "body", maxHamming = 3)
