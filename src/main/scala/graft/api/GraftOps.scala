@@ -294,6 +294,56 @@ object GraftOps {
           .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
   }
 
+  /** The REMOVAL half of exact-substring dedup (Lee et al. 2022),
+    * companion to [[substringDupStats]]: every word position covered
+    * by a cross-document-duplicated k-word shingle is dropped, and
+    * the remaining words are reassembled in order. Returns one row
+    * per input doc: (`idCol`, `clean_text`, `n_removed`) — docs with
+    * no duplicated span (or fewer than k words) pass through with
+    * `n_removed = 0`; a fully-duplicated doc comes back as the empty
+    * string (the downstream quality gate's job to drop).
+    *
+    * Scale shape: the same two shingle-grain shuffles as
+    * [[substringDupStats]] (global distinct-doc count + semi-join of
+    * start positions), one position-grain anti-join, and one
+    * doc-grain reassembly aggregate — work scales with corpus
+    * redundancy, never pairs. Every step is deterministic SQL
+    * (collect_list sorted by position before concat, so partition
+    * order cannot leak into the text) → full DuckDB oracle.
+    */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 2, s"removeDuplicatedSpans: k must be >= 2, got $k")
+    val mat = reuseMaterializer(df, checkpointDir)
+    val w = mat(df.select(col(idCol), split(col(textCol), " ").as("__w")))
+    // 0-based word positions
+    val words = w.select(col(idCol), posexplode(col("__w")).as(Seq("__p", "__word")))
+    // shingle start positions; guard: sequence(0, n-k) DESCENDS when
+    // n < k, so short docs must not generate starts at all
+    val st = mat(w.filter(size(col("__w")) >= k)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, size(__w) - $k), i -> struct(i as s, " +
+          s"concat_ws(' ', slice(__w, i + 1, $k)) as sh))")).as("__e"))
+      .select(col(idCol), col("__e.s").as("__s"), col("__e.sh").as("__sh")))
+    val dup = st.groupBy("__sh")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") > 1)
+      .select("__sh")
+    val covered = st.join(dup, Seq("__sh"), "left_semi")
+      .select(col(idCol), explode(expr(s"sequence(__s, __s + ${k - 1})")).as("__p"))
+      .distinct()
+    val kept = words.join(covered, Seq(idCol, "__p"), "left_anti")
+    val agg = kept.groupBy(idCol).agg(
+      count(lit(1)).as("__nk"),
+      expr("concat_ws(' ', transform(array_sort(collect_list(struct(__p, __word))), x -> x.__word))")
+        .as("__ct"))
+    w.select(col(idCol), size(col("__w")).cast("long").as("__nw"))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__ct"), lit("")).as("clean_text"),
+        (col("__nw") - coalesce(col("__nk"), lit(0L))).cast("long").as("n_removed"))
+  }
+
   /** Asymmetric containment near-dup pairs: documents that INCLUDE
     * another document's text (quotations, article supersets, crawl
     * page+boilerplate wrappers). Jaccard-based tiers miss these BY

@@ -127,9 +127,45 @@ object CurationQueries {
         alpha = 0.5, targetFrac = 0.5)
         .select("doc_id", "lang")
         .orderBy("doc_id")),
+
+    // M5 (round 7): exact-substring span REMOVAL — the Lee et al.
+    // 2022 dedup step itself, companion to dedup_substring's
+    // coverage stats: every word position inside a cross-document-
+    // duplicated 5-word shingle is dropped and the doc reassembled.
+    // Shingle-grain shuffles only (never pairs); position-sorted
+    // reassembly keeps the text deterministic under any partitioning.
+    "text_dedup_spans" -> ((s, d) =>
+      GraftOps.removeDuplicatedSpans(load(s, d, "documents"), "doc_id", "text",
+        k = 5)
+        .orderBy("doc_id")),
   )
 
   val oracle: Map[String, String] = Map(
+    // M5 twin: same positional 5-gram spans; unnest(list_transform)
+    // instead of lateral generate_series (DuckDB 1.0 rejects column
+    // args in the lateral form); string_agg ORDER BY p mirrors the
+    // Spark side's position-sorted reassembly.
+    "text_dedup_spans" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        | words AS (SELECT doc_id, e['p'] AS p, e['word'] AS word FROM (
+        |   SELECT doc_id, unnest(list_transform(generate_series(1, len(w)),
+        |     i -> {'p': i - 1, 'word': w[i]})) AS e FROM w)),
+        | st AS (SELECT doc_id, e['s'] AS s, e['sh'] AS sh FROM (
+        |   SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 4),
+        |     i -> {'s': i - 1, 'sh': array_to_string(w[i:i+4], ' ')})) AS e
+        |   FROM w WHERE len(w) >= 5)),
+        | dup AS (SELECT sh FROM st GROUP BY sh HAVING count(DISTINCT doc_id) > 1),
+        | ds AS (SELECT st.doc_id, st.s FROM st JOIN dup USING (sh)),
+        | cov AS (SELECT DISTINCT doc_id, s + x AS p FROM ds, generate_series(0, 4) t(x)),
+        | kept AS (SELECT words.doc_id, words.p, words.word
+        |          FROM words LEFT JOIN cov ON words.doc_id = cov.doc_id AND words.p = cov.p
+        |          WHERE cov.p IS NULL),
+        | agg AS (SELECT doc_id, count(*) AS nk,
+        |           string_agg(word, ' ' ORDER BY p) AS ct
+        |         FROM kept GROUP BY doc_id)
+        | SELECT w.doc_id, coalesce(agg.ct, '') AS clean_text,
+        |   CAST(len(w.w) - coalesce(agg.nk, 0) AS BIGINT) AS n_removed
+        | FROM w LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
     "sample_temperature" ->
       """WITH cnt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
         |             FROM documents GROUP BY lang),

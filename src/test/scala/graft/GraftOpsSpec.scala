@@ -134,6 +134,27 @@ class GraftOpsSpec extends GraftSpec {
     assert(out === Seq((1L, 6L, 1L), (2L, 6L, 1L), (3L, 6L, 0L), (5L, 6L, 0L)))
   }
 
+  test("removeDuplicatedSpans drops exactly the shared span, keeps the rest in order") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),  // shares "a b c d e" with doc 2
+      (2L, "a b c d e x y z w v"),
+      (3L, "k l m n o p q r s t"),  // unique → untouched
+      (4L, "one two three"),        // < 5 words → untouched
+      (5L, "p q r s t2"),           // exact dup pair → fully removed
+      (6L, "p q r s t2")
+    ).toDF("rid", "body")
+    val out = GraftOps.removeDuplicatedSpans(docs, "rid", "body", k = 5)
+      .orderBy("rid").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out === Seq(
+      (1L, "f g h i j", 5L),
+      (2L, "x y z w v", 5L),
+      (3L, "k l m n o p q r s t", 0L),
+      (4L, "one two three", 0L),
+      (5L, "", 5L),
+      (6L, "", 5L)))
+  }
+
   test("containmentPairs: verbatim quote scores 1.0 where Jaccard would miss it") {
     val docs = Seq(
       (10L, "alpha beta gamma delta"),
