@@ -388,8 +388,11 @@ object GraftOps {
     val sh = mat(shingles(df, textCol, shingleSize, "__sh")
       .select(col(idCol), col("__sh")))
     val ex = mat(sh.select(col(idCol), explode(col("__sh")).as("__s")))
+    // count(1), not countDistinct(id): shingles() array_distincts per
+    // doc, so ex rows are already unique (id, shingle) pairs — the
+    // plain count skips the distinct-expansion exchange
     val rare = ex.groupBy("__s")
-      .agg(countDistinct(col(idCol)).as("__df"))
+      .agg(count(lit(1)).as("__df"))
       .filter(col("__df") > 1 && col("__df") <= maxDf)
       .select("__s")
     val rex = ex.join(rare, "__s")

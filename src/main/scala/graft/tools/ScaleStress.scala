@@ -437,6 +437,33 @@ object ScaleStress {
     val (mr1, mt1) = timeCount(() => mmPairs(mm1))
     val (mrn, mtn) = timeCount(() => mmPairs(mmN))
 
+    // --- span removal over the same rotated copies ------------------
+    // Duplicated spans stay copy-local under rotation, so removal
+    // volume and output rows grow exactly N×; the shingle-grain
+    // count + semi-join + position anti-join all scale with rows.
+    def spans(df: DataFrame): DataFrame =
+      GraftOps.removeDuplicatedSpans(df, "doc_id", "text")
+    val (vr1, vt1) = timeCount(() => spans(mm1))
+    val (vrn, vtn) = timeCount(() => spans(mmN))
+
+    // --- incremental index probe over the same rotated copies -------
+    // 80% of each copy is the indexed corpus (built once, untimed —
+    // the amortized sidecar), 20% is the probed delta: the timed path
+    // signs only the delta and hash-joins the band-partitioned index,
+    // so runtime scales with DELTA size + collisions, not corpus.
+    def mhSplit(df: DataFrame, name: String): (String, DataFrame) = {
+      val idx = s"$scratch/mhidx_$name"
+      GraftOps.minhashIndexBuild(df.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", idx)
+      (idx, materialize(df.filter(col("doc_id") % 5 === 0), s"delta_$name"))
+    }
+    val (idx1, delta1) = mhSplit(mm1, "1")
+    val (idxN, deltaN) = mhSplit(mmN, "N")
+    val (ir1, it1) = timeCount(() =>
+      GraftOps.minhashIndexProbe(spark, idx1, delta1, "doc_id", "text"))
+    val (irn, itn) = timeCount(() =>
+      GraftOps.minhashIndexProbe(spark, idxN, deltaN, "doc_id", "text"))
+
     Seq(
       ("sessionize_batch", sr1, st1, srn, stn),
       ("dedup_cluster (connectedComponents)", cr1, ct1, crn, ctn),
@@ -453,6 +480,8 @@ object ScaleStress {
       ("embed_centroids (shared labels, growing corpus)", er1, et1, ern, etn),
       ("ts_concurrency (disjoint type shards)", xr1, xt1, xrn, xtn),
       ("topk_physical (heap operator, disjoint customers)", yr1, yt1, yrn, ytn),
-      ("dedup_minhash (rotated copies, disjoint signatures)", mr1, mt1, mrn, mtn))
+      ("dedup_minhash (rotated copies, disjoint signatures)", mr1, mt1, mrn, mtn),
+      ("text_dedup_spans (rotated copies, copy-local spans)", vr1, vt1, vrn, vtn),
+      ("dedup_incremental (indexed corpus, 20% delta probe)", ir1, it1, irn, itn))
   }
 }
