@@ -63,6 +63,27 @@ class FixtureSpec extends GraftSpec {
     assert(loaded.select(min("ts"), max("ts")).collect().head.get(0) != null)
   }
 
+  test("Tables.load legacy nanos-era events branch still truncates exactly") {
+    // The regenerated testdata is µs-era, so the LongType branch of
+    // Tables.load (ns-era parquet read as BIGINT under nanosAsLong)
+    // would otherwise go untested until a driver regen flips back.
+    // Synthesize an events.parquet whose ts is epoch-NANOS int64 and
+    // load it through the real path.
+    import spark.implicits._
+    import org.apache.spark.sql.types.TimestampNTZType
+    val dir = java.nio.file.Files.createTempDirectory("graft_nsera").toString
+    val ns = 1700000000L * 1000000000L + 123456789L // ...123456.789µs
+    Seq((1L, ns), (2L, ns + 210L)) // .789µs + 210ns = .999µs: SAME µs
+      .toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val loaded = Tables.load(spark, dir, "events")
+    assert(loaded.schema("ts").dataType == TimestampNTZType)
+    val micros = loaded.orderBy("event_id")
+      .select(expr("unix_micros(cast(ts as timestamp))")).collect().map(_.getLong(0))
+    assert(micros(0) === ns / 1000L, "ns must truncate (not round) to µs")
+    assert(micros(0) === micros(1), "sub-µs difference must truncate away")
+  }
+
   test("events span 30 days with the documented type domain") {
     val ev = Tables.load(spark, sf, "events")
     val types = ev.select("event_type").distinct().collect().map(_.getString(0)).toSet
