@@ -41,6 +41,20 @@ class EdgeCaseSpec extends GraftSpec {
     assert(out.toSeq === Seq((2L, 1L), (3L, 2L)))
   }
 
+  test("minhashIndexProbe: empty delta and collision-free delta return empty") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight")
+    ).toDF("rid", "body")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhidx_edge").toString + "/idx"
+    GraftOps.minhashIndexBuild(corpus, "rid", "body", dir)
+    assert(GraftOps.minhashIndexProbe(spark, dir,
+      Seq.empty[(Long, String)].toDF("rid", "body"), "rid", "body").count() === 0L)
+    assert(GraftOps.minhashIndexProbe(spark, dir,
+      Seq((9L, "entirely unrelated vocabulary with zero shared shingles here"))
+        .toDF("rid", "body"), "rid", "body").count() === 0L)
+  }
+
   test("connectedComponents with no edges labels every vertex a singleton") {
     val vs = Seq(3L, 7L, 9L).toDF("node")
     val es = Seq.empty[(Long, Long)].toDF("u", "v")

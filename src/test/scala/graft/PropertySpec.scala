@@ -153,6 +153,36 @@ class PropertySpec extends GraftSpec {
     }
   }
 
+  test("removeDuplicatedSpans: output words are an ordered subset, counts reconcile") {
+    import spark.implicits._
+    import graft.api.GraftOps
+    // random small docs over a 6-word vocabulary (heavy shingle
+    // collisions by construction) — for EVERY doc the cleaned text
+    // must be an ordered subsequence of the original and
+    // kept + removed must equal the original word count
+    val vocab = Vector("w0", "w1", "w2", "w3", "w4", "w5")
+    val docGen = Gen.listOfN(8, Gen.chooseNum(2, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" "))))
+    samples(docGen, 10).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("rid", "body")
+      val out = GraftOps.removeDuplicatedSpans(df, "rid", "body", k = 3)
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val orig = t.split(" ").toSeq
+        val (clean, removed) = out(i.toLong)
+        val cleanWords = if (clean.isEmpty) Seq.empty else clean.split(" ").toSeq
+        assert(cleanWords.size + removed === orig.size, s"doc $i count reconcile")
+        // ordered-subsequence check
+        var oi = 0
+        cleanWords.foreach { w =>
+          val at = orig.indexOf(w, oi)
+          assert(at >= 0, s"doc $i: '$w' out of order or absent")
+          oi = at + 1
+        }
+      }
+    }
+  }
+
   test("increasingStreaks: n_up equals the pairwise up-step count, max <= n_up") {
     import spark.implicits._
     import graft.api.GraftOps
