@@ -179,10 +179,15 @@ object GraftOps {
       min(substring(md5(concat(lit(s"${k / 4}:"), col("__s"))), (k % 4) * 8 + 1, 8)).as(s"__h$k")
     }
     val mh = hx.groupBy(col(idCol), col("__blk")).agg(aggs.head, aggs.tail: _*)
-    val bandRows = mat((0 until 4).map { b =>
-      mh.select(col(idCol), col("__blk"), lit(b).as("__band"),
+    // one agg + band-struct explode (not a unionAll of per-band
+    // selects — see bandSignatures: pruning would re-run the min-md5
+    // agg per band); cached for both self-join sides
+    val bandRows = mat(mh.select(col(idCol), col("__blk"), explode(array((0 until 4).map { b =>
+      struct(lit(b).as("__band"),
         concat(col(s"__h${2 * b}"), col(s"__h${2 * b + 1}")).as("__sig"))
-    }.reduce(_ unionAll _)) // both self-join sides; runs the min-md5 agg once
+    }: _*)).as("__e"))
+      .select(col(idCol), col("__blk"),
+        col("__e.__band").as("__band"), col("__e.__sig").as("__sig")))
     val cand = bandRows.select(col(idCol).as("a_id"), col("__blk"), col("__band"), col("__sig"))
       .join(bandRows.select(col(idCol).as("b_id"), col("__blk"), col("__band"), col("__sig")),
         Seq("__blk", "__band", "__sig"))
@@ -1191,10 +1196,18 @@ object GraftOps {
       min(substring(m, (k % 4) * 8 + 1, 8)).as(s"__h$k")
     }
     val mh = sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-    (0 until bands).map { b =>
+    // ONE aggregation + a band-struct explode, NOT a 4-way union of
+    // per-band selects: under a union, column pruning specializes
+    // each branch to its 2 sub-hashes and the signature aggregate
+    // (shingle explode + md5s — the dominant cost) re-executes per
+    // band (4 scans, seen in the round-7 PlanDump audit); the
+    // explode keeps it one scan, one aggregate, map-side fanout.
+    val bandStructs = array((0 until bands).map { b =>
       val sig = concat((0 until rowsPerBand).map(r => col(s"__h${b * rowsPerBand + r}")): _*)
-      mh.select(col(idCol), lit(b).as("__band"), sig.as("__sig"))
-    }.reduce(_ unionAll _)
+      struct(lit(b).as("__band"), sig.as("__sig"))
+    }: _*)
+    mh.select(col(idCol), explode(bandStructs).as("__e"))
+      .select(col(idCol), col("__e.__band").as("__band"), col("__e.__sig").as("__sig"))
   }
 
   def minhashBandPairs(df: DataFrame, idCol: String, textCol: String,
