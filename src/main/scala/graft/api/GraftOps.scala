@@ -418,6 +418,44 @@ object GraftOps {
           .as("containment"))
   }
 
+  /** Greedy application of an ordered char-pair BPE merge list to a
+    * word column — the APPLY half of the tokenizer pipeline whose
+    * LEARN half is `vocab_bpe_pairs` (single-round pair counting).
+    * Each merge `xy` (rank order) rewrites every adjacent standalone
+    * symbol pair (x, y) into the joined symbol, greedily left to
+    * right — the BPE tokenize step, at vocabulary grain.
+    *
+    * Mechanism: symbols ride in a DOUBLE-space-delimited string
+    * ("␣␣t␣␣h␣␣e␣␣"), and each merge is one `replace` of
+    * "␣x␣␣y␣" → "␣xy␣" — the pattern takes ONE space from each side,
+    * so adjacent repeats ("a b a b") merge on a single left-to-right
+    * scan exactly like the token-list algorithm, and a consumed
+    * symbol ("h" inside "th") can never false-match a later merge
+    * (no flanking spaces). The fold is an `aggregate` HOF over the
+    * collected merge array — fully codegen'd, no UDF, no driver
+    * collect (`collect_list` into ONE broadcast row).
+    *
+    * Scale: runs over the word VOCABULARY (weight column carries the
+    * corpus counts), so cost is |vocab| × |merges| string scans —
+    * the vocabulary map-reduce shape, independent of corpus size.
+    * Deterministic string algebra → full DuckDB oracle (recursive
+    * CTE over merge rank).
+    */
+  def bpeApply(words: DataFrame, wordCol: String, merges: DataFrame,
+      pairCol: String, rankCol: String, outCol: String = "toks"): DataFrame = {
+    val m1 = merges.agg(expr(
+      s"transform(array_sort(collect_list(struct($rankCol as r, $pairCol as p))), x -> x.p)")
+      .as("__ms"))
+    words.crossJoin(broadcast(m1))
+      .withColumn("__s", concat(lit("  "), regexp_replace(col(wordCol), "(.)", "$1  ")))
+      .withColumn("__s", expr(
+        "aggregate(__ms, __s, (acc, p) -> replace(acc, " +
+          "concat(' ', substring(p, 1, 1), '  ', substring(p, 2, 1), ' '), " +
+          "concat(' ', p, ' ')))"))
+      .withColumn(outCol, trim(regexp_replace(col("__s"), "  +", " ")))
+      .drop("__ms", "__s")
+  }
+
   /** Temperature-scaled domain resampling (the LLM data-mix α-power
     * rebalance): keep each row of domain d with probability
     * r_d = min(1, targetFrac · N · n_d^α / (Σ_d′ n_d′^α · n_d)),

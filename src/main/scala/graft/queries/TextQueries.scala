@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables.load
+import graft.api.GraftOps
 
 /** Text-analysis operators for large-scale training-data pipelines
   * (builder mandate alongside SURVEY.md §2.K): language-ID, quality
@@ -79,6 +80,33 @@ object TextQueries {
         .orderBy(desc("n"), col("pair")).limit(20)
     }),
 
+    // BPE APPLY (round 7) — the tokenize step whose merges the query
+    // above LEARNS: top-20 char-pair merges applied greedily in rank
+    // order to the top-200 vocabulary words (weights ride along, so
+    // corpus token counts are one multiply away). Vocabulary-grain:
+    // cost is |vocab| × |merges|, independent of corpus size. The
+    // double-space `replace` fold is deterministic string algebra →
+    // full recursive-CTE oracle.
+    "vocab_bpe_apply" -> ((s, d) => {
+      val words = load(s, d, "documents")
+        .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("wc"))
+      val top = words.orderBy(desc("wc"), col("w")).limit(200)
+      val merges = words
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"),
+          col("wc"))
+        .groupBy("pair").agg(sum(col("wc")).cast("bigint").as("n"))
+        .orderBy(desc("n"), col("pair")).limit(20)
+        .withColumn("r", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(desc("n"), col("pair"))))
+      GraftOps.bpeApply(top, "w", merges, "pair", "r")
+        .withColumn("n_sym", size(split(col("toks"), " ")).cast("bigint"))
+        .select("w", "wc", "toks", "n_sym")
+        .orderBy("w")
+    }),
+
     // Classifier evaluation (round 5): per-class precision/recall/F1 of
     // the langid heuristic against the gold `lang` label. The corpus
     // collapses to a ≤|classes|² confusion matrix in ONE combinable
@@ -147,6 +175,31 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // round-7 twin of vocab_bpe_apply: same learn (top-20 pairs) +
+    // greedy double-space replace fold, expressed as a recursive CTE
+    // over merge rank.
+    "vocab_bpe_apply" ->
+      """WITH RECURSIVE
+        | words AS (SELECT w, count(*) AS wc FROM (
+        |     SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w FROM documents) t
+        |   WHERE length(w) >= 2 GROUP BY w),
+        | topw AS (SELECT w, wc FROM words ORDER BY wc DESC, w LIMIT 200),
+        | pairs AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n FROM (
+        |     SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+        |       i -> substring(w, i, 2))) AS pair, wc FROM words) t
+        |   GROUP BY pair),
+        | merges AS (SELECT pair, row_number() OVER (ORDER BY n DESC, pair) AS r
+        |            FROM (SELECT * FROM pairs ORDER BY n DESC, pair LIMIT 20) t),
+        | appl AS (
+        |   SELECT w, wc, '  ' || regexp_replace(w, '(.)', '\1  ', 'g') AS s, 0 AS r FROM topw
+        |   UNION ALL
+        |   SELECT a.w, a.wc,
+        |     replace(a.s, ' ' || substring(m.pair, 1, 1) || '  ' || substring(m.pair, 2, 1) || ' ',
+        |       ' ' || m.pair || ' '), a.r + 1
+        |   FROM appl a JOIN merges m ON m.r = a.r + 1)
+        | SELECT w, wc, trim(regexp_replace(s, '  +', ' ', 'g')) AS toks,
+        |   CAST(len(string_split(trim(regexp_replace(s, '  +', ' ', 'g')), ' ')) AS BIGINT) AS n_sym
+        | FROM appl WHERE r = (SELECT max(r) FROM merges) ORDER BY w""".stripMargin,
     "text_langid" ->
       s"""SELECT doc_id, lang,
          | CAST(${markerCountDuck("de")} AS BIGINT) AS score_de,

@@ -134,6 +134,19 @@ class GraftOpsSpec extends GraftSpec {
     assert(out === Seq((1L, 6L, 1L), (2L, 6L, 1L), (3L, 6L, 0L), (5L, 6L, 0L)))
   }
 
+  test("bpeApply: greedy merges handle adjacent repeats and consumed symbols") {
+    val words = Seq((1L, "abab"), (2L, "aab"), (3L, "the"), (4L, "xy")).toDF("wid", "w")
+    val merges = Seq(("ab", 1), ("th", 2), ("he", 3)).toDF("pair", "r")
+    val out = GraftOps.bpeApply(words, "w", merges, "pair", "r")
+      .orderBy("wid").collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+    // "abab" → both pairs merge on one left-to-right scan;
+    // "aab" → only the second (a,b) is a pair;
+    // "the" → "th" consumes the h, so the later "he" merge must NOT
+    // fire (no standalone h remains);
+    // "xy" → no merge applies, symbols stay split.
+    assert(out === Seq((1L, "ab ab"), (2L, "a ab"), (3L, "th e"), (4L, "x y")))
+  }
+
   test("removeDuplicatedSpans drops exactly the shared span, keeps the rest in order") {
     val docs = Seq(
       (1L, "a b c d e f g h i j"),  // shares "a b c d e" with doc 2
