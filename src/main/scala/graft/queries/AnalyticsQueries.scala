@@ -112,6 +112,39 @@ object AnalyticsQueries {
             .as("idx"))
         .orderBy("event_type", "isodow")),
 
+    // U6 (round 7): classical trend/seasonal/residual decomposition
+    // of the per-type daily event series — trend = centered 7-day
+    // moving average (exact integer frame sum / frame count),
+    // seasonal = per-ISO-weekday mean of the detrended series (exact
+    // decimal sum / count), residual = remainder. Every mean is an
+    // exact-sum ÷ count double division and every intermediate rounds
+    // to DECIMAL(18,6) before reuse, so no summation order leaks into
+    // any engine's output. One corpus-grain shuffle to 150 day-groups;
+    // all decomposition math runs on that tiny table.
+    "ts_decompose" -> ((s, d) => {
+      val daily = load(s, d, "events")
+        .groupBy(col("event_type"),
+          expr("CAST(date_trunc('DAY', ts) AS DATE)").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+      val t = daily
+        .withColumn("tsum", sum(col("cnt")).over(w))
+        .withColumn("tn", count(lit(1)).over(w))
+        .withColumn("trend",
+          (col("tsum").cast("double") / col("tn")).cast(DecimalType(18, 6)))
+        .withColumn("detr",
+          (col("cnt").cast("double") - col("trend").cast("double")).cast(DecimalType(18, 6)))
+        .withColumn("isodow", expr("extract(dayofweek_iso FROM day)").cast("bigint"))
+      val seas = t.groupBy("event_type", "isodow")
+        .agg((sum(col("detr")).cast("double") / count(lit(1)))
+          .cast(DecimalType(18, 6)).as("seasonal"))
+      t.join(seas, Seq("event_type", "isodow"))
+        .select(col("event_type"), col("day"), col("cnt"), col("trend"), col("seasonal"),
+          (col("detr").cast("double") - col("seasonal").cast("double"))
+            .cast(DecimalType(18, 6)).as("resid"))
+        .orderBy("event_type", "day")
+    }),
+
     // U5: Flesch-shape readability score — words/sentence and
     // vowel-group/word densities through the classic linear formula,
     // cross-multiplied to ONE exact integer numerator/denominator pair
@@ -133,6 +166,24 @@ object AnalyticsQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // U6 twin: identical exact-sum/round-before-reuse discipline.
+    "ts_decompose" ->
+      """WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         count(*) AS cnt FROM events GROUP BY 1, 2),
+        | t AS (SELECT *, sum(cnt) OVER w AS tsum, count(*) OVER w AS tn FROM daily
+        |       WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        | t2 AS (SELECT event_type, day, cnt,
+        |        CAST(CAST(tsum AS DOUBLE) / tn AS DECIMAL(18,6)) AS trend FROM t),
+        | t3 AS (SELECT *, CAST(CAST(cnt AS DOUBLE) - CAST(trend AS DOUBLE) AS DECIMAL(18,6)) AS detr,
+        |        CAST(extract(isodow FROM day) AS BIGINT) AS isodow FROM t2),
+        | seas AS (SELECT event_type, isodow,
+        |        CAST(CAST(sum(detr) AS DOUBLE) / count(*) AS DECIMAL(18,6)) AS seasonal
+        |        FROM t3 GROUP BY 1, 2)
+        | SELECT t3.event_type, day, cnt, trend, seasonal,
+        |   CAST(CAST(detr AS DOUBLE) - CAST(seasonal AS DOUBLE) AS DECIMAL(18,6)) AS resid
+        | FROM t3 JOIN seas USING (event_type, isodow)
+        | ORDER BY event_type, day""".stripMargin,
     "win_ratio_to_report" ->
       """WITH o AS (SELECT o_orderkey, o_orderpriority,
         |    CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),

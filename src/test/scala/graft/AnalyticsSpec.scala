@@ -62,6 +62,24 @@ class AnalyticsSpec extends GraftSpec {
     }
   }
 
+  test("ts_decompose components reconstruct the series exactly (within rounding)") {
+    val rows = q("ts_decompose").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cnt = r.getAs[Long]("cnt").toDouble
+      val recon = bd(r, "trend") + bd(r, "seasonal") + bd(r, "resid")
+      // detr and resid each round to 1e-6 before reuse → ≤ 2e-6 drift
+      assert(math.abs(recon - cnt) <= 2e-6,
+        s"${r.getAs[String]("event_type")} ${r.getAs[java.sql.Date]("day")}: " +
+          s"trend+seasonal+resid = $recon vs cnt = $cnt")
+    }
+    // seasonal means of the detrended series must average ~0 per type
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (t, g) =>
+      val meanResid = g.map(r => bd(r, "resid")).sum / g.length
+      assert(math.abs(meanResid) < 1.0, s"$t mean residual $meanResid")
+    }
+  }
+
   test("text_readability equals the exact cross-multiplied formula") {
     val rows = q("text_readability").collect()
     assert(rows.length > 0)
