@@ -91,10 +91,43 @@ object RobustQueries {
           expr("CAST(med_q / 100.0D AS DECIMAL(18,2))").as("median_v"),
           expr("CAST(mad_q / 100.0D AS DECIMAL(18,2))").as("mad_v"))
         .orderBy("event_type")
+    }),
+
+    // X4 (round 7): quantity-weighted median price per return flag —
+    // the weighted-quantile selection a data-mix audit needs (each
+    // row counts `wt` times). Cumulative weights ride a RANGE frame,
+    // so tied values share one group-end cumulative and the selected
+    // value is tie-order independent; the threshold test is the
+    // exact integer comparison 2·cw ≥ tot (no float midpoint). One
+    // keyed window pass — the same shape as the X3 rank-select
+    // median, weights replacing row counts.
+    "agg_weighted_median" -> ((s, d) => {
+      val b = load(s, d, "lineitem").select(
+        col("l_returnflag").as("flag"),
+        graft.Tables.dec(col("l_extendedprice")).as("v"),
+        col("l_quantity").cast("bigint").as("wt"))
+      val cum = Window.partitionBy("flag").orderBy("v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      b.withColumn("cw", sum(col("wt")).over(cum))
+        .withColumn("tot", sum(col("wt")).over(Window.partitionBy("flag")))
+        .filter(lit(2) * col("cw") >= col("tot"))
+        .groupBy("flag")
+        .agg(min(col("v")).as("wmedian"), max(col("tot")).cast("bigint").as("wt_total"))
+        .orderBy("flag")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    // X4 twin: identical RANGE-frame cumulative + integer threshold.
+    "agg_weighted_median" ->
+      """WITH b AS (SELECT l_returnflag AS flag,
+        |         CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+        |         CAST(l_quantity AS BIGINT) AS wt FROM lineitem),
+        | c AS (SELECT *, sum(wt) OVER (PARTITION BY flag ORDER BY v
+        |         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |       sum(wt) OVER (PARTITION BY flag) AS tot FROM b)
+        | SELECT flag, min(v) AS wmedian, CAST(max(tot) AS BIGINT) AS wt_total
+        | FROM c WHERE 2 * cw >= tot GROUP BY flag ORDER BY flag""".stripMargin,
     "win_iqr_outliers" ->
       """WITH e AS (SELECT event_type, ts, event_id,
         |    CAST(round(value * 100) AS BIGINT) AS q FROM events),
