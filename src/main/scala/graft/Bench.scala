@@ -51,6 +51,10 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, ok)
       }
       val (t1, ok1) = once(); val (t2, ok2) = once()
+      // drop any frames the reuse materializer pinned during this
+      // query: keeps the 264-query loop's storage footprint flat and
+      // makes each timing self-contained (no cross-query cache hits)
+      graft.api.GraftOps.releaseMaterialized()
       val t = (ok1, ok2) match {
         case (true, true)   => math.min(t1, t2)
         case (true, false)  => t1

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, LongType}
+import org.apache.spark.sql.types.{DecimalType, LongType, TimestampNTZType}
 
 /** Central table loader for the graft engine.
   *
@@ -59,8 +59,18 @@ object Tables {
       df.schema("ts").dataType match {
         case LongType => // legacy nanos-era data: truncate ns → µs exactly
           df.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
-        case _ => // µs-era data: already (or castable to) naive timestamp
-          df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+        case TimestampNTZType => // µs-era naive data: already the target type
+          df
+        case other =>
+          // Fail LOUDLY on an unknown generation (e.g. tz-adjusted
+          // TIMESTAMP read as TimestampType): a silent cast here would
+          // be session-timezone-dependent and shift every value. The
+          // production load path enforces this, not just FixtureSpec.
+          throw new IllegalStateException(
+            s"events.ts has unexpected physical type $other (expected " +
+              "BIGINT nanos or TIMESTAMP_NTZ micros) — the driver " +
+              "regenerated testdata with a new generation; extend " +
+              "Tables.load with an explicit, tz-safe branch for it")
       }
     } else df
   }

@@ -18,14 +18,45 @@ import org.apache.spark.sql.types.DecimalType
   */
 object GraftOps {
 
+  /** 128-bit content digest of the normalized text — the dedup group
+    * key. Grouping on the digest instead of the text itself keeps the
+    * shuffle key at 32 bytes regardless of document size (a 100 KB
+    * document would otherwise ride the wire twice: once as key, once
+    * as payload). MD5 over 2^64 documents has collision probability
+    * < 2^-60 — far below the error rate of the storage layer — so the
+    * digest group IS the exact-text group at any realistic scale.
+    */
+  private def normDigest(textCol: String): Column =
+    md5(lower(trim(col(textCol))))
+
   /** Exact dedup on a normalization of `textCol`: one surviving row id
     * (the minimum) + duplicate count per distinct normalized text.
-    * Single hash-partition shuffle; at any scale.
+    * Single hash-partition shuffle keyed by the 16-byte [[normDigest]]
+    * (not the text), with map-side partial aggregation — an
+    * exact-duplicate flood collapses to one row per map partition
+    * before the exchange; at any scale.
     */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(lower(trim(col(textCol))).as("norm_text"))
+    df.groupBy(normDigest(textCol).as("__dk"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
       .select(idCol, "n_dups")
+
+  /** The rows of `df` that survive exact dedup on normalized
+    * `textCol` — the keep-side companion of [[exactDedup]], for
+    * pipelines that need the full surviving rows, not the summary.
+    *
+    * Shape: digest-keyed combinable `groupBy(min(id))` computes the
+    * keep-set, then a left-semi join on (digest, id) selects the
+    * surviving rows. Both exchanges carry narrow keys (16-byte digest
+    * + id); the window formulation this replaces had NO partial
+    * aggregation (a hot-document flood landed every copy in one
+    * window partition) and shuffled the entire text as the key.
+    */
+  def exactDedupRows(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keyed = df.withColumn("__dk", normDigest(textCol))
+    val keep = keyed.groupBy("__dk").agg(min(col(idCol)).as(idCol))
+    keyed.join(keep, Seq("__dk", idCol), "left_semi").drop("__dk")
+  }
 
   /** Word n-gram shingles of `textCol` as a deduplicated string array
     * column named `outCol`.
@@ -396,16 +427,42 @@ object GraftOps {
     // count(1), not countDistinct(id): shingles() array_distincts per
     // doc, so ex rows are already unique (id, shingle) pairs — the
     // plain count skips the distinct-expansion exchange
-    val rare = ex.groupBy("__s")
-      .agg(count(lit(1)).as("__df"))
-      .filter(col("__df") > 1 && col("__df") <= maxDf)
+    val dfs = mat(ex.groupBy("__s").agg(count(lit(1)).as("__df")))
+    val rare = dfs.filter(col("__df") > 1 && col("__df") <= maxDf)
       .select("__s")
     val rex = ex.join(rare, "__s")
+    // Candidate pairs WITH their exact shared-rare-shingle count (the
+    // groupBy subsumes the old distinct): every rare shingle of A∩B is
+    // by construction a rex match, so __shared_rare is EXACTLY
+    // |A∩B ∩ rare|, not a sample of it.
     val cand = rex.select(col("__s"), col(idCol).as("a_id"))
       .join(rex.select(col("__s"), col(idCol).as("b_id")), "__s")
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
-    cand
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("__shared_rare"))
+    // Cheap pre-filter before the array-carrying verify joins:
+    //   |A∩B| = |A∩B ∩ rare| + |A∩B ∩ common(df > maxDf)|
+    //         ≤ __shared_rare + least(__hc_a, __hc_b)
+    // (df=1 shingles can't intersect; unshared rare shingles can't
+    // either). A pair whose upper bound can't reach
+    // minContainment · min(|A|, |B|) provably fails verification, so
+    // pruning it cannot change the output — only counts (id, count)
+    // rows move here, never the shingle arrays.
+    val sizes = sh.select(col(idCol), size(col("__sh")).as("__sz"))
+    val hc = ex.join(dfs.filter(col("__df") > maxDf).select("__s"), "__s")
+      .groupBy(idCol).agg(count(lit(1)).as("__hc"))
+    val pre = cand
+      .join(sizes.select(col(idCol).as("a_id"), col("__sz").as("__sz_a")), "a_id")
+      .join(sizes.select(col(idCol).as("b_id"), col("__sz").as("__sz_b")), "b_id")
+      .join(hc.select(col(idCol).as("a_id"), col("__hc").as("__hc_a")), Seq("a_id"), "left")
+      .join(hc.select(col(idCol).as("b_id"), col("__hc").as("__hc_b")), Seq("b_id"), "left")
+      .filter((col("__shared_rare") +
+          least(coalesce(col("__hc_a"), lit(0L)), coalesce(col("__hc_b"), lit(0L))))
+            .cast("double") >=
+        (lit(minContainment) - lit(1e-9)) *
+          least(col("__sz_a"), col("__sz_b")).cast("double"))
+      .select("a_id", "b_id")
+    // exact verification of the surviving pairs only
+    pre
       .join(sh.select(col(idCol).as("a_id"), col("__sh").as("__sa")), "a_id")
       .join(sh.select(col(idCol).as("b_id"), col("__sh").as("__sb")), "b_id")
       .withColumn("containment",
@@ -418,12 +475,22 @@ object GraftOps {
           .as("containment"))
   }
 
-  /** Greedy application of an ordered char-pair BPE merge list to a
-    * word column — the APPLY half of the tokenizer pipeline whose
-    * LEARN half is `vocab_bpe_pairs` (single-round pair counting).
-    * Each merge `xy` (rank order) rewrites every adjacent standalone
-    * symbol pair (x, y) into the joined symbol, greedily left to
-    * right — the BPE tokenize step, at vocabulary grain.
+  /** Greedy application of an ordered BPE merge list to a word
+    * column — the APPLY half of the tokenizer pipeline whose LEARN
+    * half is `vocab_bpe_pairs` (single-round pair counting). Each
+    * merge (rank order) rewrites every adjacent standalone symbol
+    * pair into the joined symbol, greedily left to right — the BPE
+    * tokenize step, at vocabulary grain.
+    *
+    * Merge-pair encoding (`pairCol`): either a 2-character string
+    * `"xy"` (two single-char symbols — what round-1 learning emits)
+    * or an explicit space-separated `"left right"` pair for
+    * multi-symbol merges (any real merge list beyond round 1, e.g.
+    * `"th e"` = 'th'+'e'; symbols can never contain spaces, so the
+    * separator is unambiguous). Any other shape — e.g. a bare
+    * multi-char string like `"the"` with no separator — RAISES at
+    * execution rather than silently matching on its first two
+    * characters and corrupting the word.
     *
     * Mechanism: symbols ride in a DOUBLE-space-delimited string
     * ("␣␣t␣␣h␣␣e␣␣"), and each merge is one `replace` of
@@ -443,15 +510,33 @@ object GraftOps {
     */
   def bpeApply(words: DataFrame, wordCol: String, merges: DataFrame,
       pairCol: String, rankCol: String, outCol: String = "toks"): DataFrame = {
+    // Normalize every merge to canonical "left right" form, validating
+    // the encoding contract: space-separated two non-empty symbols, or
+    // exactly two characters. Anything else raise_errors — a silent
+    // first-two-chars guess would splice garbage into the word.
+    val normPair =
+      s"""CASE
+         |  WHEN x.p LIKE '% %' AND size(split(x.p, ' ')) = 2
+         |       AND length(element_at(split(x.p, ' '), 1)) > 0
+         |       AND length(element_at(split(x.p, ' '), 2)) > 0 THEN x.p
+         |  WHEN x.p NOT LIKE '% %' AND length(x.p) = 2
+         |    THEN concat(substring(x.p, 1, 1), ' ', substring(x.p, 2, 1))
+         |  ELSE raise_error(concat('bpeApply: merge pair must be two ',
+         |    'single chars ("xy") or space-separated symbols ',
+         |    '("left right"); got: "', x.p, '"'))
+         |END""".stripMargin
     val m1 = merges.agg(expr(
-      s"transform(array_sort(collect_list(struct($rankCol as r, $pairCol as p))), x -> x.p)")
+      s"transform(array_sort(collect_list(struct($rankCol as r, $pairCol as p))), " +
+        s"x -> $normPair)")
       .as("__ms"))
+    // p is "left right"; the double-space pattern takes one flanking
+    // space from each side: ' left  right ' → ' leftright '
     words.crossJoin(broadcast(m1))
       .withColumn("__s", concat(lit("  "), regexp_replace(col(wordCol), "(.)", "$1  ")))
       .withColumn("__s", expr(
         "aggregate(__ms, __s, (acc, p) -> replace(acc, " +
-          "concat(' ', substring(p, 1, 1), '  ', substring(p, 2, 1), ' '), " +
-          "concat(' ', p, ' ')))"))
+          "concat(' ', replace(p, ' ', '  '), ' '), " +
+          "concat(' ', replace(p, ' ', ''), ' ')))"))
       .withColumn(outCol, trim(regexp_replace(col("__s"), "  +", " ")))
       .drop("__ms", "__s")
   }
@@ -654,7 +739,8 @@ object GraftOps {
     * LSH/IVF tiers, whose bucketing is engine-specific).
     *
     * `projected`: optionally a PRECOMPUTED projection table
-    * (`idCol`, array-of-numeric proj column — build it once with
+    * (`idCol` + an array-of-numeric projection column named by
+    * `projCol`, default "proj" — build it once with
     * [[randomProjection]] and persist, the ivfIndexBuild pattern).
     * At 100 TB this is the whole point: the shortlist stage then
     * scans ~projDims/inDims of the corpus BYTES (measured in
@@ -665,14 +751,25 @@ object GraftOps {
     */
   def projectedCosineTopK(corpus: DataFrame, idCol: String, vecCol: String,
       probePredicate: Column, k: Int, inDims: Int, projDims: Int = 8,
-      shortlist: Int = 0, projected: Option[DataFrame] = None): DataFrame = {
+      shortlist: Int = 0, projected: Option[DataFrame] = None,
+      projCol: String = "proj"): DataFrame = {
     val sl = if (shortlist > 0) shortlist else 10 * k
     val projDot =
       "aggregate(zip_with(pq, pc, (x, y) -> double(x) * double(y)), 0D, (acc, v) -> acc + v)"
     val projNorm = (c: String) =>
       s"sqrt(aggregate($c, 0D, (acc, x) -> acc + double(x) * double(x)))"
+    // `projCol` names the projection column of a precomputed table
+    // EXPLICITLY — guessing "the first non-id column" would silently
+    // pick a partition/metadata column on a wider table and produce a
+    // garbage shortlist with no error.
     val proj = projected
-      .map(p => p.select(col(idCol), col(p.columns.filter(_ != idCol).head).as("__p")))
+      .map { p =>
+        require(p.columns.contains(projCol),
+          s"projectedCosineTopK: precomputed projection table has no " +
+            s"column '$projCol' (columns: ${p.columns.mkString(", ")}); " +
+            "pass projCol= to name the projection column")
+        p.select(col(idCol), col(projCol).as("__p"))
+      }
       .getOrElse(randomProjection(corpus, vecCol, inDims, projDims, "__p")
         .select(col(idCol), col("__p")))
     // probe ids resolve against the CORPUS (the predicate may use any
@@ -895,6 +992,15 @@ object GraftOps {
     * truncate lineage, so iterative loops whose plan GROWS per round
     * must keep checkpointing — this helper is only for bounded-depth
     * fan-out reuse.
+    *
+    * Cache lifetime: each lazy persist is recorded in a registry and
+    * pinned until [[releaseMaterialized]] runs — Spark's CacheManager
+    * would otherwise hold the blocks for the SparkSession's lifetime,
+    * accumulating memory/disk across calls AND letting a later query
+    * whose subtree canonically matches a cached plan silently read
+    * stale data if the underlying source file was rewritten. Callers
+    * that own the action (Bench, Verify, application drivers) call
+    * [[releaseMaterialized]] after each consuming action.
     */
   private def reuseMaterializer(df: DataFrame, dir: Option[String]): DataFrame => DataFrame =
     dir match {
@@ -903,8 +1009,39 @@ object GraftOps {
         if (!sc.getCheckpointDir.contains(d)) sc.setCheckpointDir(d)
         f => f.checkpoint(true)
       case None =>
-        f => f.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        f => {
+          val p = f.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          materialized.add(p)
+          p
+        }
     }
+
+  // Registry of frames pinned by [[reuseMaterializer]]'s lazy-cache
+  // path (identity set: the same frame registered twice unpersists
+  // once). ConcurrentHashMap-backed — operators can build plans from
+  // multiple threads.
+  private val materialized: java.util.Set[DataFrame] =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[DataFrame, java.lang.Boolean]())
+
+  /** Unpersist every DataFrame the reuse materializer has pinned since
+    * the last release, returning how many were dropped. Call after the
+    * action that consumed an operator's result (Bench calls it per
+    * query; Verify per dump) — the cached blocks only help WITHIN one
+    * action's plan, and leaving them pinned both leaks storage in a
+    * long-lived session and risks serving stale blocks after the
+    * underlying source is rewritten.
+    */
+  def releaseMaterialized(blocking: Boolean = false): Int = {
+    var n = 0
+    val it = materialized.iterator()
+    while (it.hasNext) {
+      it.next().unpersist(blocking)
+      it.remove()
+      n += 1
+    }
+    n
+  }
 
   /** Connected components by iterative min-label propagation — the
     * dedup-CLUSTER step that turns near-dup pairs into groups (pick

@@ -32,21 +32,29 @@ object LlmQueries {
   private val ivfIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // Fingerprint (size + mtime) of a source table file. Computed BEFORE
+  // the cache lookup and baked into the cache KEY, not just the path:
+  // if the driver regenerates testdata while this JVM is alive (the
+  // round-6 failure mode), the changed fingerprint misses the cache and
+  // forces a rebuild instead of serving the stale pre-regen index.
+  private def srcFingerprint(sfDir: String, table: String): String = {
+    val src = java.nio.file.Paths.get(sfDir, s"$table.parquet")
+    s"${java.nio.file.Files.size(src)}_" +
+      s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
+  }
+
   private def ivfIndexFor(s: org.apache.spark.sql.SparkSession, sfDir: String,
       emb: org.apache.spark.sql.DataFrame,
-      cent: org.apache.spark.sql.DataFrame): String =
-    ivfIndexCache.computeIfAbsent(sfDir, _ => {
-      // fingerprint the source file (size + mtime) into the path so a
-      // regenerated corpus can never silently serve a stale index
-      val src = java.nio.file.Paths.get(sfDir, "embeddings.parquet")
-      val fp = s"${java.nio.file.Files.size(src)}_" +
-        s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
+      cent: org.apache.spark.sql.DataFrame): String = {
+    val fp = srcFingerprint(sfDir, "embeddings")
+    ivfIndexCache.computeIfAbsent(s"$sfDir|$fp", _ => {
       val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
         s"graft_ivf_${Integer.toHexString((sfDir + fp).hashCode)}").toString
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")))
         GraftOps.ivfIndexBuild(emb, "vec_id", "embedding", cent, path)
       path
     })
+  }
 
   /** Pre-build (idempotently) the persisted IVF index for `d` so later
     * sim_ivf calls time only the probe path — the amortized steady
@@ -68,11 +76,11 @@ object LlmQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def mhIndexFor(s: org.apache.spark.sql.SparkSession,
-      sfDir: String): String =
-    mhIndexCache.computeIfAbsent(sfDir, _ => {
-      val src = java.nio.file.Paths.get(sfDir, "documents.parquet")
-      val fp = s"${java.nio.file.Files.size(src)}_" +
-        s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
+      sfDir: String): String = {
+    // fingerprint in the cache KEY (see srcFingerprint): a testdata
+    // regen mid-JVM forces a rebuild rather than a stale-index probe
+    val fp = srcFingerprint(sfDir, "documents")
+    mhIndexCache.computeIfAbsent(s"$sfDir|$fp", _ => {
       val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
         s"graft_mhidx_${Integer.toHexString((sfDir + fp).hashCode)}").toString
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")))
@@ -81,6 +89,7 @@ object LlmQueries {
           "doc_id", "text", path)
       path
     })
+  }
 
   /** Pre-build (idempotently) the persisted MinHash index for `d` so
     * later dedup_incremental calls time only the delta probe path.

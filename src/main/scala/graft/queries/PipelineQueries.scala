@@ -247,47 +247,62 @@ object PipelineQueries {
     // end-to-end. Stage predicates replicate quality_filter /
     // dedup_exact / text_decontaminate / sample_temperature exactly
     // (same decimal-rounded ratios, same eval split, same md5
-    // buckets). Plan shape: the quality gate is map-only; dedup is
-    // one norm-text window min; decontamination explodes ONLY the
-    // deduped survivors against a broadcast eval-shingle set; the
-    // sampler adds a combinable count + broadcast thresholds. One
-    // corpus scan feeds it all — at 100 TB the stages pipeline
-    // without materializing intermediates.
-    "pipeline_end2end" -> ((s, d) => {
-      val docs = load(s, d, "documents")
-      // stage 1: quality gate on the train split (eval = doc_id % 29 == 0)
-      val nWords = size(split(col("text"), " ")).cast("bigint")
-      val nShort = expr("size(filter(split(text, ' '), w -> length(w) <= 2))").cast("bigint")
-      val alphaR = (length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double")
-        / length(col("text")).cast("double")).cast(DecimalType(18, 6))
-      val shortR = (nShort.cast("double") / nWords.cast("double")).cast(DecimalType(18, 6))
-      val q = docs.filter(col("doc_id") % 29 =!= 0)
-        .withColumn("n_words", nWords)
-        .filter(col("n_words") >= 5 && alphaR.cast("double") >= 0.5
-          && shortR.cast("double") <= 0.5)
-        .select("doc_id", "lang", "text", "n_words")
-      // stage 2: exact dedup — min doc_id per normalized text
-      val ded = q.withColumn("__min_id",
-          min(col("doc_id")).over(Window.partitionBy(lower(trim(col("text"))))))
-        .filter(col("doc_id") === col("__min_id")).drop("__min_id")
-      // stage 3: decontamination — drop survivors sharing a 5-gram
-      // shingle with the eval split (broadcast eval set, semi-join)
-      val ev = GraftOps.shingles(
-          docs.filter(col("doc_id") % 29 === 0).select("doc_id", "text"),
-          "text", 5, "sh")
-        .select(explode(col("sh")).as("s")).distinct()
-      val contaminated = GraftOps.shingles(ded, "text", 5, "sh")
-        .select(col("doc_id"), explode(col("sh")).as("s"))
-        .join(broadcast(ev), "s")
-        .select("doc_id").distinct()
-      val clean = ded.join(contaminated, Seq("doc_id"), "left_anti")
-      // stage 4: temperature resampling of the survivor mix
-      GraftOps.sampleTemperature(clean, "doc_id", "lang",
-          alpha = 0.5, targetFrac = 0.5)
-        .select("doc_id", "lang", "n_words")
-        .orderBy("doc_id")
-    }),
+    // buckets). Plan shape: the quality gate is map-only; dedup is a
+    // digest-keyed combinable groupBy + semi-join (flood-proof, narrow
+    // shuffle keys); decontamination explodes ONLY the deduped
+    // survivors against a broadcast eval-shingle set; the sampler adds
+    // a combinable count + broadcast thresholds. One corpus scan feeds
+    // it all — at 100 TB the stages pipeline without materializing
+    // intermediates.
+    "pipeline_end2end" -> ((s, d) => endToEnd(load(s, d, "documents"))),
   )
+
+  /** The flagship curation DAG on an arbitrary documents frame
+    * (doc_id, lang, text, ...) — shared by the `pipeline_end2end`
+    * query binding and the SkewStress flood harness so the measured
+    * plan IS the shipped plan. Stages are documented at the query
+    * binding above; `stage` truncates the DAG for per-stage timing
+    * (1 = quality gate, 2 = +dedup, 3 = +decontaminate, 4 = full).
+    */
+  def endToEnd(docs: org.apache.spark.sql.DataFrame,
+      stage: Int = 4): org.apache.spark.sql.DataFrame = {
+    // stage 1: quality gate on the train split (eval = doc_id % 29 == 0)
+    val nWords = size(split(col("text"), " ")).cast("bigint")
+    val nShort = expr("size(filter(split(text, ' '), w -> length(w) <= 2))").cast("bigint")
+    val alphaR = (length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double")
+      / length(col("text")).cast("double")).cast(DecimalType(18, 6))
+    val shortR = (nShort.cast("double") / nWords.cast("double")).cast(DecimalType(18, 6))
+    val q = docs.filter(col("doc_id") % 29 =!= 0)
+      .withColumn("n_words", nWords)
+      .filter(col("n_words") >= 5 && alphaR.cast("double") >= 0.5
+        && shortR.cast("double") <= 0.5)
+      .select("doc_id", "lang", "text", "n_words")
+    if (stage == 1) return q
+    // stage 2: exact dedup — min doc_id per normalized text, via the
+    // digest-keyed combinable groupBy + semi-join of
+    // GraftOps.exactDedupRows: an exact-duplicate flood collapses
+    // map-side (windows have no partial aggregation) and the shuffle
+    // key is the 16-byte digest, not the document text
+    val ded = GraftOps.exactDedupRows(q, "doc_id", "text")
+    if (stage == 2) return ded
+    // stage 3: decontamination — drop survivors sharing a 5-gram
+    // shingle with the eval split (broadcast eval set, semi-join)
+    val ev = GraftOps.shingles(
+        docs.filter(col("doc_id") % 29 === 0).select("doc_id", "text"),
+        "text", 5, "sh")
+      .select(explode(col("sh")).as("s")).distinct()
+    val contaminated = GraftOps.shingles(ded, "text", 5, "sh")
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .join(broadcast(ev), "s")
+      .select("doc_id").distinct()
+    val clean = ded.join(contaminated, Seq("doc_id"), "left_anti")
+    if (stage == 3) return clean
+    // stage 4: temperature resampling of the survivor mix
+    GraftOps.sampleTemperature(clean, "doc_id", "lang",
+        alpha = 0.5, targetFrac = 0.5)
+      .select("doc_id", "lang", "n_words")
+      .orderBy("doc_id")
+  }
 
   val oracle: Map[String, String] = Map(
     "pipeline_end2end" ->

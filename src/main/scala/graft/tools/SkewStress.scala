@@ -144,9 +144,36 @@ object SkewStress {
     val (hrn, htn) = timeCount(() =>
       GraftOps.connectedComponents(hvN, "id", heN, "a_id", "b_id"))
 
+    // --- pipeline_end2end under an 83% exact-dup flood ---------------
+    // Five sixths of every copy's docs are EXACT COPIES of one fixed
+    // page (ids distinct, text identical — the boilerplate-page crawl
+    // shape), so at N× the flood dedup group holds ~83% of a corpus
+    // N× the size. The digest-keyed combinable groupBy collapses the
+    // flood to one row per map partition BEFORE the exchange (the
+    // round-7 full-text window had no partial aggregation: every
+    // flood copy landed in ONE window partition on one task), so
+    // runtime should track rows ~linearly. The full documents schema
+    // rides along (lang feeds the stage-4 sampler).
+    val fullDocs = load(spark, sfDir, "documents")
+    def plCopies(n: Int): DataFrame =
+      (0 until n).map { k =>
+        val rot = abc.drop(k % 26) + abc.take(k % 26)
+        fullDocs.select((col("doc_id") + lit(k * off)).as("doc_id"),
+          when(col("doc_id") % 6 =!= 0,
+            lit("subscribe to our newsletter for the latest updates " +
+              "and exclusive offers from our partner network today"))
+            .otherwise(translate(col("text"), abc, rot)).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ union _)
+    val pl1 = materialize(plCopies(1), "pl1")
+    val plN = materialize(plCopies(mult), "plN")
+    val (pr1, pt1) = timeCount(() => graft.queries.PipelineQueries.endToEnd(pl1))
+    val (prn, ptn) = timeCount(() => graft.queries.PipelineQueries.endToEnd(plN))
+
     Seq(
       ("dedup_ngram (50%-hot prefix block, routed MinHash tier)", nr1, nt1, nrn, ntn),
       ("dedup_minhash (83% exact-dup flood, bucket guard)", mr1, mt1, mrn, mtn),
-      ("dedup_cluster (83%-hot hub vertex star graph)", hr1, ht1, hrn, htn))
+      ("dedup_cluster (83%-hot hub vertex star graph)", hr1, ht1, hrn, htn),
+      ("pipeline_end2end (83% exact-dup flood, digest-key dedup)", pr1, pt1, prn, ptn))
   }
 }

@@ -42,6 +42,58 @@ class FixtureSpec extends GraftSpec {
       .filter(size(col("embedding")) =!= 64).count() === 0L)
   }
 
+  test("ALL ten tables' physical parquet schemas match the known generation") {
+    // Round 6 lost half a round to a silent testdata regen that only
+    // changed events.ts's physical encoding. This canary pins EVERY
+    // column of EVERY table as Spark reads it raw (post-tune, so the
+    // nanosAsLong conf is active exactly as in Tables.load) and fails
+    // with a message naming each drifted column — one loud named test
+    // instead of 200 downstream query mysteries.
+    import org.apache.spark.sql.types._
+    Tables.tune(spark)
+    val i = IntegerType; val l = LongType; val s = StringType; val d = DoubleType
+    val tsOk: Set[DataType] = Set(LongType, TimestampNTZType) // known events.ts generations
+    val ntz: Set[DataType] = Set(TimestampNTZType)
+    def one(t: DataType): Set[DataType] = Set(t)
+    val expected: Map[String, Seq[(String, Set[DataType])]] = Map(
+      "region" -> Seq("r_regionkey" -> one(i), "r_name" -> one(s)),
+      "nation" -> Seq("n_nationkey" -> one(i), "n_name" -> one(s), "n_regionkey" -> one(i)),
+      "customer" -> Seq("c_custkey" -> one(l), "c_name" -> one(s), "c_nationkey" -> one(i),
+        "c_acctbal" -> one(d), "c_mktsegment" -> one(s)),
+      "supplier" -> Seq("s_suppkey" -> one(l), "s_name" -> one(s), "s_nationkey" -> one(i),
+        "s_acctbal" -> one(d)),
+      "part" -> Seq("p_partkey" -> one(l), "p_name" -> one(s), "p_brand" -> one(s),
+        "p_type" -> one(s), "p_size" -> one(i), "p_retailprice" -> one(d)),
+      "orders" -> Seq("o_orderkey" -> one(l), "o_custkey" -> one(l), "o_orderstatus" -> one(s),
+        "o_totalprice" -> one(d), "o_orderdate" -> ntz, "o_orderpriority" -> one(s)),
+      "lineitem" -> Seq("l_orderkey" -> one(l), "l_partkey" -> one(l), "l_suppkey" -> one(l),
+        "l_linenumber" -> one(i), "l_quantity" -> one(d), "l_extendedprice" -> one(d),
+        "l_discount" -> one(d), "l_tax" -> one(d), "l_returnflag" -> one(s),
+        "l_linestatus" -> one(s), "l_shipdate" -> ntz),
+      "events" -> Seq("event_id" -> one(l), "ts" -> tsOk, "user_id" -> one(l),
+        "event_type" -> one(s), "value" -> one(d), "props" -> one(s)),
+      "documents" -> Seq("doc_id" -> one(l), "text" -> one(s), "lang" -> one(s),
+        "source" -> one(s), "n_chars" -> one(l)),
+      "embeddings" -> Seq("vec_id" -> one(l), "embedding" -> one(ArrayType(FloatType)),
+        "label" -> one(i)))
+    val drift = Tables.names.flatMap { t =>
+      val actual = spark.read.parquet(s"$sf/$t.parquet").schema
+      val exp = expected(t)
+      val missing = exp.map(_._1).filterNot(actual.fieldNames.contains)
+        .map(c => s"$t.$c: MISSING (driver dropped the column)")
+      val added = actual.fieldNames.filterNot(exp.map(_._1).contains(_))
+        .map(c => s"$t.$c: NEW column ${actual(c).dataType} (driver added it)")
+      val changed = exp.collect {
+        case (c, ok) if actual.fieldNames.contains(c) && !ok.contains(actual(c).dataType) =>
+          s"$t.$c: expected ${ok.mkString(" or ")}, driver regenerated as ${actual(c).dataType}"
+      }
+      missing ++ added ++ changed
+    }
+    assert(drift.isEmpty,
+      s"\nTESTDATA SCHEMA DRIFT — the driver regenerated fixtures; " +
+        s"audit every consumer of these columns:\n  ${drift.mkString("\n  ")}")
+  }
+
   test("events.ts physical type is a known generation and loads as TIMESTAMP_NTZ") {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     // The driver has regenerated events.parquet with different ts

@@ -147,6 +147,38 @@ class GraftOpsSpec extends GraftSpec {
     assert(out === Seq((1L, "ab ab"), (2L, "a ab"), (3L, "th e"), (4L, "x y")))
   }
 
+  test("bpeApply: multi-symbol merges via space-separated pairs") {
+    // Real merge lists beyond round 1 join multi-char symbols: after
+    // 'th' exists, merge ('th', 'e') → 'the'. Encoded "th e".
+    val words = Seq((1L, "the"), (2L, "then"), (3L, "ethe")).toDF("wid", "w")
+    val merges = Seq(("th", 1), ("th e", 2)).toDF("pair", "r")
+    val out = GraftOps.bpeApply(words, "w", merges, "pair", "r")
+      .orderBy("wid").collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+    // "the" → th e → the; "then" → th e n → the n;
+    // "ethe" → e th e → e the (the leading e is standalone, merges)
+    assert(out === Seq((1L, "the"), (2L, "the n"), (3L, "e the")))
+  }
+
+  test("bpeApply: malformed merge pair fails loudly, not silently") {
+    // A bare multi-char pair with no separator is ambiguous — the old
+    // first-two-chars guess would splice "the" wherever "t h" appears.
+    val words = Seq((1L, "this")).toDF("wid", "w")
+    val merges = Seq(("the", 1)).toDF("pair", "r")
+    val e = intercept[Exception] {
+      GraftOps.bpeApply(words, "w", merges, "pair", "r").collect()
+    }
+    assert(e.getMessage.contains("bpeApply") ||
+      Option(e.getCause).exists(_.getMessage.contains("bpeApply")))
+  }
+
+  test("exactDedupRows keeps exactly the min-id row per normalized text") {
+    val out = GraftOps.exactDedupRows(tiny, "rid", "body")
+      .orderBy("rid").collect().map(_.getLong(0)).toSeq
+    assert(out === Seq(1L, 3L, 4L)) // row 2 (dup of 1) dropped, cols intact
+    assert(GraftOps.exactDedupRows(tiny, "rid", "body").columns.toSeq ===
+      Seq("rid", "body"))
+  }
+
   test("removeDuplicatedSpans drops exactly the shared span, keeps the rest in order") {
     val docs = Seq(
       (1L, "a b c d e f g h i j"),  // shares "a b c d e" with doc 2

@@ -159,4 +159,67 @@ class LlmOpsSpec extends GraftSpec {
     assert(sharing.toDouble / plantedPairs.size > 0.8,
       s"only $sharing/${plantedPairs.size} planted pairs share prefix_fp")
   }
+
+  // ---- Pinned sf0.1 operating points (VERDICT r7 Next-round #6) ----
+  // AnnStress measured recall-vs-scan-fraction curves at sf0.1; these
+  // tests pin the current operating points as regression floors so a
+  // parameter or algorithm change that silently degrades the
+  // approximate tiers fails a named test, not a future audit.
+
+  private val sf01 = "/root/testdata/sf0.1"
+  private def q01(name: String): Set[(Long, Long)] =
+    SparkEntry.queries(name)(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("sim_ann sf0.1 operating point: candidate set covers the exact top-5") {
+    val exact = q01("sim_topk")
+    val ann = q01("sim_ann")
+    val recall = (ann & exact).size.toDouble / exact.size
+    // measured 0.940 (2026-08-14, seeded LSH ⇒ deterministic); floor
+    // leaves noise-free headroom only for corpus regen
+    info(f"sim_ann candidate recall of exact top-5 at sf0.1 = $recall%.3f")
+    assert(recall >= 0.85, s"sim_ann sf0.1 recall $recall below pinned 0.85 (measured 0.94)")
+  }
+
+  test("sim_ivf sf0.1 operating point: top-5 recall at nprobe=3 of 10") {
+    val exact = q01("sim_topk")
+    val ivf = q01("sim_ivf")
+    val recall = (ivf & exact).size.toDouble / exact.size
+    // measured 0.560 (2026-08-14) at a 30% scan fraction — beats a
+    // random 30% scan's expected 0.30 by structure, consistent with
+    // the SCALE.md margin analysis (noise-level neighbors cap ~0.6)
+    info(f"sim_ivf recall@5 at sf0.1 = $recall%.3f")
+    assert(recall >= 0.45, s"sim_ivf sf0.1 recall $recall below pinned 0.45 (measured 0.56)")
+  }
+
+  test("dedup_near is cross-tier consistent with oracled dedup_minhash at sf0.01") {
+    // VERDICT r7 Next-round #7: the MLlib-LSH tier (no DuckDB oracle)
+    // cross-checked against the DETERMINISTIC, fully-oracled banded
+    // MinHash tier on the same corpus: every banded candidate pair
+    // that passes dedup_near's own exact-Jaccard verify bar
+    // (jaccard >= 0.5 on 3-word shingles) must be found by dedup_near
+    // too — the exemption carries a consistency proof against an
+    // oracled operator, not just planted pairs.
+    val d = "/root/testdata/sf0.01"
+    def pairs(name: String): Set[(Long, Long)] =
+      SparkEntry.queries(name)(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val near = pairs("dedup_near")
+    val banded = pairs("dedup_minhash")
+    // exact 3-shingle Jaccard for the banded candidates (the verify
+    // step dedup_minhash deliberately leaves to its consumers)
+    val docs = Tables.load(spark, d, "documents")
+    val sh = graft.api.GraftOps.shingles(docs, "text", 3, "sh")
+      .select(col("doc_id"), col("sh")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val verified = banded.filter { case (a, b) =>
+      val (sa, sb) = (sh(a), sh(b))
+      val inter = (sa & sb).size.toDouble
+      inter / (sa.size + sb.size - inter) >= 0.5
+    }
+    assert(verified.nonEmpty, "cross-check vacuous: no verified banded pairs")
+    val missed = verified -- near
+    assert(missed.isEmpty,
+      s"dedup_near missed ${missed.size} oracled-tier pairs, e.g. ${missed.take(5)}")
+  }
 }
