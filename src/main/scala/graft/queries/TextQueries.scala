@@ -107,6 +107,43 @@ object TextQueries {
         .orderBy("w")
     }),
 
+    // CORPUS-grain BPE tokenization (round 8) — the production
+    // tokenizer-throughput shape: merges are applied ONCE per distinct
+    // word (the vocabulary map-reduce amortization — |vocab| ×
+    // |merges| string scans, independent of corpus size), then every
+    // word OCCURRENCE picks up its token count through a hash join on
+    // the word, and per-document counts are a combinable sum. At
+    // 100 TB the corpus explode shuffles narrow (doc_id, w) rows on w
+    // — document text never rides a shuffle — and the vocab side is
+    // tiny relative to occurrences (AQE broadcasts it when it fits).
+    // Deterministic string algebra end to end → full recursive-CTE
+    // oracle at corpus grain.
+    "text_tokenize_bpe" -> ((s, d) => {
+      val occ = load(s, d, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+        .filter(length(col("w")) >= 2)
+      val vocab = occ.groupBy("w").agg(count(lit(1)).as("wc"))
+      val merges = vocab
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"),
+          col("wc"))
+        .groupBy("pair").agg(sum(col("wc")).cast("bigint").as("n"))
+        .orderBy(desc("n"), col("pair")).limit(20)
+        .withColumn("r", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(desc("n"), col("pair"))))
+      val tokenized = GraftOps.bpeApply(vocab.select("w"), "w", merges, "pair", "r")
+        .withColumn("n_sym", size(split(col("toks"), " ")).cast("bigint"))
+        .select("w", "n_sym")
+      occ.join(tokenized, "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("bigint").as("n_words"),
+          sum(col("n_sym")).cast("bigint").as("n_tokens"))
+        .withColumn("tok_per_word",
+          (col("n_tokens").cast("double") / col("n_words").cast("double"))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+        .orderBy("doc_id")
+    }),
+
     // Classifier evaluation (round 5): per-class precision/recall/F1 of
     // the langid heuristic against the gold `lang` label. The corpus
     // collapses to a ≤|classes|² confusion matrix in ONE combinable
@@ -200,6 +237,36 @@ object TextQueries {
         | SELECT w, wc, trim(regexp_replace(s, '  +', ' ', 'g')) AS toks,
         |   CAST(len(string_split(trim(regexp_replace(s, '  +', ' ', 'g')), ' ')) AS BIGINT) AS n_sym
         | FROM appl WHERE r = (SELECT max(r) FROM merges) ORDER BY w""".stripMargin,
+    // corpus-grain twin: same learn + greedy fold applied to the FULL
+    // vocabulary, joined back to word occurrences for per-doc sums.
+    "text_tokenize_bpe" ->
+      """WITH RECURSIVE
+        | occ AS (SELECT doc_id, w FROM (
+        |     SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        |     FROM documents) t
+        |   WHERE length(w) >= 2),
+        | words AS (SELECT w, count(*) AS wc FROM occ GROUP BY w),
+        | pairs AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n FROM (
+        |     SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+        |       i -> substring(w, i, 2))) AS pair, wc FROM words) t
+        |   GROUP BY pair),
+        | merges AS (SELECT pair, row_number() OVER (ORDER BY n DESC, pair) AS r
+        |            FROM (SELECT * FROM pairs ORDER BY n DESC, pair LIMIT 20) t),
+        | appl AS (
+        |   SELECT w, '  ' || regexp_replace(w, '(.)', '\1  ', 'g') AS s, 0 AS r FROM words
+        |   UNION ALL
+        |   SELECT a.w,
+        |     replace(a.s, ' ' || substring(m.pair, 1, 1) || '  ' || substring(m.pair, 2, 1) || ' ',
+        |       ' ' || m.pair || ' '), a.r + 1
+        |   FROM appl a JOIN merges m ON m.r = a.r + 1),
+        | tok AS (SELECT w,
+        |     CAST(len(string_split(trim(regexp_replace(s, '  +', ' ', 'g')), ' ')) AS BIGINT) AS n_sym
+        |   FROM appl WHERE r = (SELECT max(r) FROM merges))
+        | SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |   CAST(sum(t.n_sym) AS BIGINT) AS n_tokens,
+        |   CAST(CAST(sum(t.n_sym) AS DOUBLE) / count(*) AS DECIMAL(18,6)) AS tok_per_word
+        | FROM occ o JOIN tok t USING (w)
+        | GROUP BY o.doc_id ORDER BY o.doc_id""".stripMargin,
     "text_langid" ->
       s"""SELECT doc_id, lang,
          | CAST(${markerCountDuck("de")} AS BIGINT) AS score_de,

@@ -92,4 +92,27 @@ class CurationSpec extends GraftSpec {
       graft.api.GraftOps.sampleTemperature(docs, "id", "dom", targetFrac = 0.0)
     }
   }
+
+  test("text_tokenize_bpe: per-doc token counts are BPE-consistent") {
+    import org.apache.spark.sql.functions._
+    val rows = q("text_tokenize_bpe").collect()
+    assert(rows.length > 400, s"most docs have >=1 tokenizable word, got ${rows.length}")
+    rows.foreach { r =>
+      val (nw, nt) = (r.getLong(1), r.getLong(2))
+      // every word is at least 1 and at most length(word) symbols
+      assert(nt >= nw, s"doc ${r.getLong(0)}: tokens $nt < words $nw")
+      assert(math.abs(r.getDecimal(3).doubleValue() - nt.toDouble / nw) < 1e-6,
+        "tok_per_word must be the 6-dp ratio")
+    }
+    // merges really fire: 20 learned merges must compress the corpus
+    // below its letters-per-word ceiling (chars = upper bound = no
+    // merges applied anywhere)
+    val chars = Tables.load(spark, sf, "documents")
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .agg(sum(length(col("w")))).collect()(0).getLong(0)
+    val totalToks = rows.map(_.getLong(2)).sum
+    assert(totalToks < chars,
+      s"no merge fired anywhere: $totalToks tokens vs $chars chars")
+  }
 }

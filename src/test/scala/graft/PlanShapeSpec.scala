@@ -187,4 +187,31 @@ class PlanShapeSpec extends GraftSpec {
     val sorts = plan.linesIterator.count(_.trim.startsWith("+- Sort"))
     assert(sorts <= 1, s"expected at most the presentation sort, found $sorts")
   }
+
+  test("dedup_exact is a digest-keyed partial-agg groupBy, not a text-keyed window") {
+    // Round-8 flood-proofing (VERDICT r7 #1/#2): the dedup exchange
+    // must carry the 16-byte md5 digest, with map-side partial
+    // aggregation collapsing duplicate floods before the shuffle. A
+    // window formulation (no partial agg, full-text key) regressing
+    // back in would pass the oracle but die on a boilerplate-page
+    // flood at scale.
+    val df = q("dedup_exact")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window crept into dedup_exact:\n${plan.take(1500)}")
+    assert(plan.contains("md5"), "dedup group key must be the md5 digest")
+    assert(plan.contains("partial_min") || plan.contains("partial min"),
+      s"map-side partial aggregation missing:\n${plan.take(1500)}")
+  }
+
+  test("pipeline_end2end dedup stage is window-free with a semi-join keep-set") {
+    val df = q("pipeline_end2end")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"pipeline dedup regressed to a window:\n${plan.take(1500)}")
+    assert(plan.contains("LeftSemi"), "digest keep-set must semi-join back")
+    assert(plan.contains("BroadcastHashJoin"),
+      "decontamination eval-set probe must stay broadcast")
+  }
 }
