@@ -257,6 +257,58 @@ object GraftOps {
     * `outDims` (fixed-point result scaled back; division by 2^bits is
     * exact).
     */
+  /** Symmetric per-vector int8 quantization of an embedding column —
+    * the 4× storage/scan-byte cut for persisted similarity indexes
+    * (compare [[randomProjection]]'s 8× DIMENSION cut: they compose —
+    * an 8-dim int8 index is a 32× byte cut over float-64). Each
+    * vector is scaled by its own max-abs (`scale` = amax/127) and
+    * each component mapped to floor(x·127/amax + 0.5) ∈ [-127, 127],
+    * stored as tinyint. `floor(+0.5)` instead of round(): identical
+    * semantics on every engine (ROUND ties differ across SQL
+    * dialects), and IEEE-exact for these magnitudes.
+    *
+    * Map-only codegen expression — no shuffle, no UDF. A zero vector
+    * quantizes to nulls (nullif guards the division); callers filter
+    * or treat as zero.
+    */
+  def int8Quantize(df: DataFrame, idCol: String, vecCol: String,
+      outCol: String = "q", scaleCol: String = "scale"): DataFrame =
+    df.withColumn("__amax", expr(s"array_max(transform($vecCol, x -> abs(double(x))))"))
+      .withColumn(scaleCol, (col("__amax") / lit(127.0)).cast("float"))
+      .withColumn(outCol, expr(
+        s"transform($vecCol, x -> cast(floor(double(x) * 127.0D / nullif(__amax, 0D) + 0.5D) as tinyint))"))
+      .select(col(idCol), col(outCol), col(scaleCol))
+
+  /** Per-vector quantization-quality stats for [[int8Quantize]]:
+    * reconstruction RMSE and the cosine between the original and the
+    * dequantized vector (both 6-dp, id-ordered — the cross-engine
+    * ranking contract of the sim_* family). The quality gate a
+    * pipeline runs BEFORE switching its shortlist scans to the int8
+    * index: q_cos ≥ 0.9999 on real embeddings means shortlist
+    * rankings are unaffected. Deterministic arithmetic → full DuckDB
+    * oracle.
+    */
+  def int8QuantizeStats(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val dec6 = (c: Column) => c.cast(org.apache.spark.sql.types.DecimalType(18, 6))
+    val withQ = df
+      .withColumn("__v", expr(s"transform($vecCol, x -> double(x))"))
+      .withColumn("__amax", expr("array_max(transform(__v, x -> abs(x)))"))
+      .withColumn("__qv", expr(
+        "transform(__v, x -> floor(x * 127.0D / nullif(__amax, 0D) + 0.5D))"))
+      .withColumn("__recon", expr("transform(__qv, x -> x * __amax / 127.0D)"))
+    withQ.select(
+      col(idCol),
+      size(col("__v")).cast("bigint").as("n_dims"),
+      dec6(col("__amax")).as("amax"),
+      dec6(expr(
+        "sqrt(aggregate(zip_with(__v, __recon, (a, b) -> (a - b) * (a - b)), 0D, " +
+          "(acc, x) -> acc + x) / size(__v))")).as("q_rmse"),
+      dec6(expr(
+        "aggregate(zip_with(__v, __recon, (a, b) -> a * b), 0D, (acc, x) -> acc + x) " +
+          "/ nullif(sqrt(aggregate(__v, 0D, (acc, x) -> acc + x * x)) " +
+          "* sqrt(aggregate(__recon, 0D, (acc, x) -> acc + x * x)), 0D)")).as("q_cos"))
+  }
+
   def randomProjection(df: DataFrame, vecCol: String, inDims: Int,
       outDims: Int, outCol: String = "proj", fixedPointBits: Int = 20): DataFrame = {
     require(inDims > 0 && outDims > 0, "randomProjection: dims must be positive")

@@ -257,6 +257,19 @@ object LlmQueries {
         .orderBy("q_id", "rn")
     }),
 
+    // Int8 quantization RECONSTRUCTION-QUALITY gate (round 8) — the
+    // companion of O11 `embed_quantize` (which emits the quantized
+    // values themselves): per-vector reconstruction RMSE and
+    // original-vs-dequantized cosine, i.e. the numbers a pipeline
+    // checks before switching its shortlist scans to the int8 index
+    // (4× byte cut; composes with sim_project's 8× dimension cut to
+    // 32× over float-64). floor(+0.5) quantize — identical semantics
+    // on both engines, unlike dialect-dependent ROUND ties. Map-only
+    // codegen; fully oracled.
+    "embed_quant_recon" -> ((s, d) =>
+      GraftOps.int8QuantizeStats(load(s, d, "embeddings"), "vec_id", "embedding")
+        .orderBy("vec_id")),
+
     // IVF-style ANN (the third similarity-search tier after brute-force
     // sim_topk and LSH sim_ann): corpus bucketed ONCE by nearest coarse
     // centroid and PERSISTED as bucket-partitioned parquet — the
@@ -352,6 +365,25 @@ object LlmQueries {
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM documents
         | GROUP BY lower(trim(text)) ORDER BY doc_id""".stripMargin,
+    "embed_quant_recon" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    CAST(len(embedding) AS BIGINT) AS n_dims,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        | r AS (
+        |  SELECT vec_id, n_dims, amax, v,
+        |    list_transform(v, x -> floor(x * 127.0 / nullif(amax, 0) + 0.5) * amax / 127.0) AS recon
+        |  FROM q)
+        | SELECT vec_id, n_dims,
+        |  CAST(amax AS DECIMAL(18,6)) AS amax,
+        |  CAST(sqrt(list_aggregate(list_transform(list_zip(v, recon),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') / n_dims) AS DECIMAL(18,6)) AS q_rmse,
+        |  CAST(list_aggregate(list_transform(list_zip(v, recon), p -> p[1] * p[2]), 'sum')
+        |    / nullif(sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum'))
+        |    * sqrt(list_aggregate(list_transform(recon, x -> x * x), 'sum')), 0) AS DECIMAL(18,6)) AS q_cos
+        | FROM r ORDER BY vec_id""".stripMargin,
     "dedup_ngram" ->
       """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |     sh AS (SELECT doc_id,
