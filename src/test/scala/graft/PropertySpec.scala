@@ -90,6 +90,47 @@ class PropertySpec extends GraftSpec {
     }
   }
 
+  test("containmentPairs pre-filter never changes the result (vs reference semantics)") {
+    import spark.implicits._
+    // The round-8 upper-bound pre-filter (shared_rare + min common
+    // counts) must be INVISIBLE: on random overlapping corpora the
+    // operator's output must equal the reference formulation —
+    // candidates = pairs sharing a rare (1 < df <= maxDf) shingle,
+    // verified on exact containment — computed brute-force in Scala.
+    val rnd = new scala.util.Random(11)
+    val vocab = Array("red", "blue", "green", "gold", "iron", "wolf", "moon", "star")
+    (0 until 6).foreach { round =>
+      val maxDf = 2 + round % 3 // 2..4: exercises the common-shingle counts
+      val thr = if (round % 2 == 0) 0.8 else 0.5
+      val docs = (1L to 25L).map { id =>
+        val n = 3 + rnd.nextInt(10)
+        (id, Array.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val df = docs.toDF("rid", "body")
+      val got = graft.api.GraftOps.containmentPairs(df, "rid", "body",
+        minContainment = thr, shingleSize = 3, maxDf = maxDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDecimal(2).stripTrailingZeros)).toSet
+      // reference semantics in plain Scala
+      def sh(t: String): Set[String] = {
+        val w = t.split(" ")
+        (0 to math.max(w.length - 3, 0)).map(i => w.slice(i, i + 3).mkString(" ")).toSet
+      }
+      val sets = docs.map { case (id, t) => id -> sh(t) }.toMap
+      val dfCount = sets.values.flatten.groupBy(identity).map { case (s, xs) => s -> xs.size }
+      val rare = dfCount.collect { case (s, c) if c > 1 && c <= maxDf => s }.toSet
+      val want = (for {
+        (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq
+        if a < b && (sa & sb).exists(rare)
+        cont = (sa & sb).size.toDouble / math.min(sa.size, sb.size)
+        if cont >= thr
+      } yield (a, b, BigDecimal(cont).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.stripTrailingZeros)).toSet
+      assert(got === want,
+        s"round=$round maxDf=$maxDf thr=$thr: missing ${want -- got}, extra ${got -- want}")
+    }
+  }
+
   test("sessionize session ids are dense, 1-based, monotone per key") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
