@@ -131,6 +131,22 @@ object AnnStress {
           k = 5, inDims = dim, projected = Some(idx)))
       println(f"| exact sim_topk | ${n}x | $re%.2f | $te%.2f | ${dirBytes(cPath) / 1e6}%.1f |")
       println(f"| JL sim_project | ${n}x | $rp%.2f | $tp%.2f | ${dirBytes(idxPath) / 1e6}%.1f |")
+      // round 8: int8-quantized variants of corpus and 8-dim index —
+      // the storage floor for the shortlist scan (int8Quantize
+      // composes with the dimension cut; recall measured against the
+      // same planted partners through the dequantized vectors)
+      val q8Path = s"$scratch/q8_$n"
+      GraftOps.int8Quantize(idx, "vec_id", "proj")
+        .write.mode("overwrite").parquet(q8Path)
+      val q8 = spark.read.parquet(q8Path)
+        .select(col("vec_id"), expr("transform(q, x -> cast(x * scale as float))").as("proj"))
+      val (rq, tq) = measure(() =>
+        GraftOps.projectedCosineTopK(c, "vec_id", "embedding", probeP,
+          k = 5, inDims = dim, projected = Some(q8)))
+      val qcPath = s"$scratch/qc_$n"
+      GraftOps.int8Quantize(c, "vec_id", "embedding").write.mode("overwrite").parquet(qcPath)
+      println(f"| int8 JL sim_project | ${n}x | $rq%.2f | $tq%.2f | ${dirBytes(q8Path) / 1e6}%.1f |")
+      println(f"| (int8 full corpus, for bytes only) | ${n}x | - | - | ${dirBytes(qcPath) / 1e6}%.1f |")
     }
     spark.stop()
   }
