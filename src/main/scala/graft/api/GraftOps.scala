@@ -25,9 +25,16 @@ object GraftOps {
     * as payload). MD5 over 2^64 documents has collision probability
     * < 2^-60 — far below the error rate of the storage layer — so the
     * digest group IS the exact-text group at any realistic scale.
+    *
+    * Null-safe: a null text digests to a sentinel (not SQL NULL), so
+    * null documents form one dedup group instead of silently vanishing
+    * through null-rejecting equi-join keys — the semantics the window
+    * formulation had (window partitioning groups NULLs together).
+    * The sentinel cannot collide with a real digest (md5 output is 32
+    * hex chars).
     */
   private def normDigest(textCol: String): Column =
-    md5(lower(trim(col(textCol))))
+    coalesce(md5(lower(trim(col(textCol)))), lit("null-doc"))
 
   /** Exact dedup on a normalization of `textCol`: one surviving row id
     * (the minimum) + duplicate count per distinct normalized text.

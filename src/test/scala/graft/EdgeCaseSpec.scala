@@ -98,6 +98,34 @@ class EdgeCaseSpec extends GraftSpec {
     assert(out.filter(col("m").isNotNull).count() === 0L)
   }
 
+  test("exactDedupRows: null/empty text and the empty frame degrade, never throw") {
+    val docs = Seq((1L, "alpha beta"), (2L, null), (3L, ""), (4L, "alpha beta"))
+      .toDF("rid", "body")
+    val kept = GraftOps.exactDedupRows(docs, "rid", "body")
+      .collect().map(_.getLong(0)).toSet
+    // null and "" are distinct digest groups (md5(null) is null — its
+    // own group), the exact-dup pair keeps the min id
+    assert(kept === Set(1L, 2L, 3L))
+    assert(GraftOps.exactDedupRows(docs.limit(0), "rid", "body").count() === 0L)
+  }
+
+  test("int8Quantize: zero vector quantizes to nulls (guarded division), not a crash") {
+    val vecs = Seq((1L, Array(0.0f, 0.0f)), (2L, Array(3.0f, -4.0f)))
+      .toDF("vid", "v")
+    val out = GraftOps.int8Quantize(vecs, "vid", "v")
+      .orderBy("vid").collect()
+    assert(out(0).getFloat(2) === 0.0f) // scale = amax/127 = 0
+    assert(out(0).getSeq[Any](1).forall(_ == null), "zero vector -> null components")
+    assert(out(1).getSeq[Byte](1) === Seq[Byte](95, -127)) // 3/4*127=95.25 -> 95
+  }
+
+  test("bpeApply with an empty merge list is the identity tokenization") {
+    val words = Seq((1L, "abc")).toDF("wid", "w")
+    val merges = Seq.empty[(String, Int)].toDF("pair", "r")
+    val out = GraftOps.bpeApply(words, "w", merges, "pair", "r").collect()
+    assert(out.length === 1 && out(0).getString(2) === "a b c")
+  }
+
   test("null text flows through dedup/shingle/quality operators without error") {
     // A 100 TB crawl always contains null/empty documents; the text
     // operators must degrade to null/empty results, never throw.
