@@ -220,6 +220,24 @@ class LlmOpsSpec extends GraftSpec {
     assert(recall >= 0.45, s"sim_ivf sf0.1 recall $recall below pinned 0.45 (measured 0.56)")
   }
 
+  test("dedup_simhash is cross-tier consistent with oracled dedup_ngram at sf0.01") {
+    // Same pattern as the dedup_near cross-check: the engine-specific
+    // simhash tier (xxhash64 fingerprints, no DuckDB oracle) must
+    // recover nearly all pairs the fully-oracled blocked n-gram
+    // Jaccard tier confirms at >= 0.8 — anchoring the exemption to a
+    // cross-engine-verified result, not just the 21 planted groups.
+    val d = "/root/testdata/sf0.01"
+    def pairs(name: String): Set[(Long, Long)] =
+      SparkEntry.queries(name)(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ngram = pairs("dedup_ngram")
+    val simhash = pairs("dedup_simhash")
+    assert(ngram.nonEmpty)
+    val recall = (simhash & ngram).size.toDouble / ngram.size
+    info(f"simhash recall of oracled ngram-tier pairs at sf0.01 = $recall%.3f")
+    assert(recall >= 0.9, s"simhash missed oracled-tier pairs: recall $recall")
+  }
+
   test("dedup_near is cross-tier consistent with oracled dedup_minhash at sf0.01") {
     // VERDICT r7 Next-round #7: the MLlib-LSH tier (no DuckDB oracle)
     // cross-checked against the DETERMINISTIC, fully-oracled banded
