@@ -95,6 +95,35 @@ object ScaleQueries {
       s.read.parquet(s"$dir/compact").orderBy("o_orderkey")
     }),
 
+    // Deterministic shard EXPORT (round 8) — the webdataset-style
+    // final step of a curation pipeline: docs assigned to 8 shards by
+    // a pure md5 hash of the id (the interleave_order grid — layout-
+    // and partitioning-independent) and physically written as
+    // partitionBy("shard") parquet, one directory per shard, exactly
+    // the layout a training loader consumes. The query returns the
+    // READ-BACK manifest (per-shard doc count, id range, char volume),
+    // proving both that the write round-trips and that the assignment
+    // matches the oracle's arithmetic. At 100 TB: one narrow-keyed
+    // exchange (repartition on shard) and 8 parallel streams out.
+    "sink_shards" -> ((s, d) => {
+      val dir = shardSinkDir.computeIfAbsent(d, _ => {
+        val out = java.nio.file.Files.createTempDirectory("graft_shard_sink").toString
+        load(s, d, "documents")
+          .withColumn("shard",
+            (conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+              .cast("bigint") % 8).cast("int"))
+          .repartition(col("shard"))
+          .write.mode("overwrite").partitionBy("shard").parquet(out)
+        out
+      })
+      s.read.parquet(dir)
+        .groupBy(col("shard").cast("bigint").as("shard"))
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"),
+          sum(col("n_chars")).cast("bigint").as("n_chars_total"))
+        .orderBy("shard")
+    }),
+
     "agg_salted" -> ((s, d) => {
       val salts = 8
       load(s, d, "lineitem")
@@ -112,6 +141,9 @@ object ScaleQueries {
   )
 
   private val sinkPartDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] val shardSinkDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private[graft] val compactDir =
@@ -177,6 +209,12 @@ object ScaleQueries {
     "sink_compacted" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         | FROM orders ORDER BY o_orderkey""".stripMargin,
+    "sink_shards" ->
+      """SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT % 8 AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+        | FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
     "agg_salted" ->
       """SELECT l_returnflag,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,

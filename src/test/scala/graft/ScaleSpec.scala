@@ -69,6 +69,19 @@ class ScaleSpec extends GraftSpec {
     assert(parquets(s"$root/compact") === 4)
   }
 
+  test("sink_shards writes one directory per shard covering every doc exactly once") {
+    val manifest = q("sink_shards").collect()
+    val root = graft.queries.ScaleQueries.shardSinkDir.get(sf)
+    val dirs = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard=")).map(_.getName).sorted
+    assert(dirs.toSeq === (0 until 8).map(i => s"shard=$i"),
+      s"expected 8 shard directories, got ${dirs.mkString(", ")}")
+    // partition completeness: shard counts sum to the corpus, no doc
+    // lost or duplicated by the export
+    val total = manifest.map(_.getLong(1)).sum
+    assert(total === Tables.load(spark, sf, "documents").count())
+  }
+
   test("agg_salted equals the direct group-by bit-for-bit") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.DecimalType
