@@ -752,6 +752,40 @@ object GraftOps {
       .select("a_id", "b_id", "cos_sim")
   }
 
+  /** Exact k-NN graph WITHIN blocks: each row's top-`k` cosine
+    * neighbors among the rows sharing its `blockCol` value — the
+    * all-rows companion of [[cosineTopK]] (which bounds the PROBE
+    * side instead). The block key is whatever coarse partitioner the
+    * pipeline already has — a cluster/IVF-cell assignment, a language,
+    * a shard — and is the thing that makes an all-rows k-NN graph
+    * buildable at 100 TB: the candidate join is a plain equi-join on
+    * the block (shuffle-hash, AQE-splittable), cost Σ b² over block
+    * sizes instead of n² global. Oversized blocks are the operator's
+    * skew hazard; the contract is the same as the IVF tier's — cap
+    * block size upstream (sub-split hot cells) rather than letting a
+    * mega-block go quadratic.
+    *
+    * The join projection drops both vectors immediately after the
+    * dot product, so the per-source ranking exchange carries only
+    * (src, dst, block, sim) scalars. Ranking follows the [[cosineTopK]]
+    * cross-engine contract: 6-dp-rounded similarity, id tie-break.
+    */
+  def cosineKnnBlocked(corpus: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, k: Int): DataFrame = {
+    val normed = withNorm(corpus, vecCol)
+    val a = normed.select(col(idCol).as("src"), col(blockCol).as("block"),
+      col(vecCol).as("q"), col("__norm").as("nq"))
+    val b = normed.select(col(idCol).as("dst"), col(blockCol).as("__b"),
+      col(vecCol).as("c"), col("__norm").as("nc"))
+    val w = Window.partitionBy(col("src")).orderBy(col("cos_sim").desc, col("dst").asc)
+    a.join(b, col("block") === col("__b") && col("src") =!= col("dst"))
+      .withColumn("cos_sim", (expr("array_dot(q, c)") / (col("nq") * col("nc")))
+        .cast(DecimalType(18, 6)))
+      .select("src", "block", "dst", "cos_sim")
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= k)
+  }
+
   /** Exact cosine top-k neighbors of each probe row against the
     * corpus. Deliberately brute-force — bound the probe side; the
     * LSH/IVF variants are the full-corpus-scale paths. Rankings use

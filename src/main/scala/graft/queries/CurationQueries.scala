@@ -138,9 +138,54 @@ object CurationQueries {
       GraftOps.removeDuplicatedSpans(load(s, d, "documents"), "doc_id", "text",
         k = 5)
         .orderBy("doc_id")),
+
+    // M6 (round 8): fixed-weight logistic-regression quality scorer —
+    // the model-based stage of a quality gate (the heuristic stage is
+    // K6 text_quality): score = σ(w·x) over three cheap features
+    // (word count, English stopword ratio, punctuation density), keep
+    // at score ≥ 0.5. The weights are frozen in the operator (a real
+    // pipeline ships them from an offline fit); inference is MAP-ONLY
+    // — per-row expressions, zero shuffle, embarrassingly parallel at
+    // any corpus size. The logit is written in one fixed evaluation
+    // order in both engines; keep is derived from the 6-dp-rounded
+    // score so the boolean can't split on a sub-rounding float diff.
+    "quality_lr_score" -> ((s, d) =>
+      load(s, d, "documents")
+        .filter("text IS NOT NULL AND length(text) > 0")
+        .selectExpr("doc_id",
+          "CAST(size(split(text, ' ')) AS BIGINT) AS wc",
+          s"size(filter(split(text, ' '), w -> w IN ($lrStopList))) AS stops",
+          "length(text) AS chars",
+          "(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', ''))) AS punct")
+        .selectExpr("doc_id", "wc", s"CAST($lrLogit AS DOUBLE) AS logit")
+        .selectExpr("doc_id", "wc",
+          "CAST(1.0 / (1.0 + exp(-logit)) AS DECIMAL(18,6)) AS score")
+        .selectExpr("doc_id", "wc", "score", "score >= 0.5 AS keep")
+        .orderBy("doc_id")),
   )
 
+  // quality_lr_score building blocks — shared verbatim with the DuckDB
+  // twin so the float arithmetic is evaluation-order-identical.
+  private val lrStopList =
+    Seq("the", "and", "of", "is", "a", "to", "in", "that", "it", "as")
+      .map(w => s"'$w'").mkString(", ")
+  private val lrLogit =
+    "-2.0 + 0.02 * wc + 20.0 * (stops / CAST(wc AS DOUBLE)) " +
+      "- 10.0 * (punct / CAST(chars AS DOUBLE))"
+
   val oracle: Map[String, String] = Map(
+    "quality_lr_score" ->
+      s"""WITH f AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS wc,
+         |    len(list_filter(string_split(text, ' '), w -> w IN ($lrStopList))) AS stops,
+         |    length(text) AS chars,
+         |    (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) AS punct
+         |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+         | l AS (SELECT doc_id, wc, CAST($lrLogit AS DOUBLE) AS logit FROM f),
+         | s AS (SELECT doc_id, wc,
+         |    CAST(1.0 / (1.0 + exp(-logit)) AS DECIMAL(18,6)) AS score FROM l)
+         |SELECT doc_id, wc, score, score >= 0.5 AS keep
+         |FROM s ORDER BY doc_id""".stripMargin,
     // M5 twin: same positional 5-gram spans; unnest(list_transform)
     // instead of lateral generate_series (DuckDB 1.0 rejects column
     // args in the lateral form); string_agg ORDER BY p mirrors the

@@ -270,6 +270,21 @@ object LlmQueries {
       GraftOps.int8QuantizeStats(load(s, d, "embeddings"), "vec_id", "embedding")
         .orderBy("vec_id")),
 
+    // K3c (round 8): exact k-NN GRAPH within blocks — every vector's
+    // top-3 cosine neighbors among the vectors sharing its label (the
+    // stand-in for whatever coarse partitioner a real pipeline has:
+    // cluster assignment, IVF cell, shard). Unlike probe-bounded
+    // sim_topk this ranks ALL rows, and stays buildable at 100 TB
+    // because candidates come from a label equi-join (Σ b², never n²);
+    // vectors are dropped before the ranking exchange. Fully oracled
+    // on the 6-dp + id tie-break contract.
+    "embed_knn_block" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      GraftOps.cosineKnnBlocked(load(s, d, "embeddings"), "vec_id", "embedding",
+        blockCol = "label", k = 3)
+        .orderBy("src", "rn")
+    }),
+
     // IVF-style ANN (the third similarity-search tier after brute-force
     // sim_topk and LSH sim_ann): corpus bucketed ONCE by nearest coarse
     // centroid and PERSISTED as bucket-partitioned parquet — the
@@ -542,6 +557,19 @@ object LlmQueries {
         |     row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id ASC) AS rn
         |   FROM sims) t
         | WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+    // K3c twin: label self-join + the sim_topk ranking contract.
+    "embed_knn_block" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |     sims AS (SELECT a.vec_id AS src, a.label AS block, b.vec_id AS dst,
+        |                CAST(list_cosine_similarity(a.v, b.v) AS DECIMAL(18,6)) AS cos_sim
+        |              FROM e a JOIN e b
+        |                ON a.label = b.label AND a.vec_id <> b.vec_id)
+        | SELECT src, block, dst, cos_sim, rn FROM (
+        |   SELECT src, block, dst, cos_sim,
+        |     row_number() OVER (PARTITION BY src ORDER BY cos_sim DESC, dst ASC) AS rn
+        |   FROM sims) t
+        | WHERE rn <= 3 ORDER BY src, rn""".stripMargin,
     // K4b twin: same fixed-point sign-matrix projection recipe as the
     // embed_project oracle, then both ranking stages on 6-dp-rounded
     // cosine with id tie-breaks (the sim_topk contract).

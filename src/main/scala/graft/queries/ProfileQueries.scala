@@ -126,10 +126,41 @@ object ProfileQueries {
           (col("pos") + 1).cast("bigint").as("rn"),
           col("col.l").as("level"), col("col.b").as("trend"),
           (col("col.l") + col("col.b")).as("forecast"))
-        .orderBy("user_id", "rn"))
+        .orderBy("user_id", "rn")),
+
+    // R5 (round 8): Benford first-digit audit of order totals — the
+    // classic fabricated-data / corrupted-feed detector. One combinable
+    // 9-group count aggregate (map-side collapse) + the expected
+    // log10(1+1/d) mass per digit; p_obs is one exact-int division.
+    "dq_benford" -> ((s, d) =>
+      load(s, d, "orders")
+        .filter(col("o_totalprice") >= 1)
+        .groupBy(expr(benfordDigit).as("digit"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("n", col("cnt").cast("bigint"))
+        .withColumn("p_obs", (col("cnt") / sum(col("cnt")).over(Window.partitionBy()))
+          .cast(DecimalType(18, 6)))
+        .withColumn("p_benford",
+          expr("CAST(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS DECIMAL(18,6))"))
+        .select("digit", "n", "p_obs", "p_benford")
+        .orderBy("digit"))
   )
 
+  // dq_benford first-digit extraction — shared SQL fragment: the first
+  // decimal digit comes from the INTEGER floor's string render (exact
+  // on both engines), never from log10 bucketing of a double (whose
+  // libm rounding near powers of 10 could flip the digit cross-engine).
+  private val benfordDigit =
+    "substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING), 1, 1)"
+
   val oracle: Map[String, String] = Map(
+    "dq_benford" ->
+      s"""WITH b AS (SELECT ${benfordDigit.replace("AS STRING", "AS VARCHAR")} AS digit
+         |           FROM orders WHERE o_totalprice >= 1)
+         |SELECT digit, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(count(*) / sum(count(*)) OVER () AS DECIMAL(18,6)) AS p_obs,
+         |  CAST(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS DECIMAL(18,6)) AS p_benford
+         |FROM b GROUP BY digit ORDER BY digit""".stripMargin,
     "dq_profile" ->
       """WITH u AS (
         |  SELECT 'o_orderstatus' AS col_name, o_orderstatus AS v FROM orders

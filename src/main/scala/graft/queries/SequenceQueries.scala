@@ -63,6 +63,30 @@ object SequenceQueries {
       graft.api.GraftOps.increasingStreaks(base, "event_type",
         Seq(col("ts").asc, col("event_id").asc), "x")
         .orderBy("event_type")
+    }),
+
+    // W4 (round 8): first-order Markov transition matrix over per-user
+    // event sequences — the sequence-mining primitive behind next-event
+    // prediction and session-flow reports. lag() per user (deterministic
+    // ts, event_id order) emits (prev, next) bigrams; one combinable
+    // count aggregate collapses them map-side, and the row-probability
+    // normalization runs over the TYPE²-sized matrix, not the events.
+    // Scale: the lag window rides one user_id exchange (bounded per-user
+    // partitions); everything after it is matrix-grain. The division is
+    // a single exact-integer-over-exact-integer op — no float folds.
+    "seq_markov" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      val pairs = load(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+      val counts = pairs.groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      counts
+        .withColumn("p", (col("n") / sum(col("n")).over(Window.partitionBy("prev_type")))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+        .select(col("prev_type"), col("next_type"), col("n").cast("bigint").as("n"), col("p"))
+        .orderBy("prev_type", "next_type")
     })
   )
 
@@ -109,6 +133,14 @@ object SequenceQueries {
         |  CAST(max(streak_len) AS BIGINT) AS max_streak,
         |  CAST(sum(CASE WHEN streak_len > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_streaks,
         |  CAST(sum(streak_len) AS BIGINT) AS n_up
-        |FROM i GROUP BY 1 ORDER BY event_type""".stripMargin
+        |FROM i GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "seq_markov" ->
+      """WITH p AS (SELECT event_type AS next_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(*) / sum(count(*)) OVER (PARTITION BY prev_type) AS DECIMAL(18,6)) AS p
+        |FROM p WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, next_type ORDER BY prev_type, next_type""".stripMargin
   )
 }

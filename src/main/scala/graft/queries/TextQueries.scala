@@ -209,9 +209,49 @@ object TextQueries {
         "md5(concat_ws(' ', slice(split(text, ' '), 1, 5))) AS prefix_fp",
         "CAST(size(split(text, ' ')) AS BIGINT) AS n_words")
         .orderBy("doc_id")),
+
+    // K7 (round 8): character-level Shannon entropy over [a-z] of the
+    // lowercased text — the classic gibberish/binary-spill filter
+    // (natural language sits ~3.5-4.2 bits; keyboard mash and
+    // base64 blobs sit at the extremes; CJK scores 0 here by design —
+    // its codepoints are outside the a-z alphabet this filter rates).
+    // Shape: 26 fixed replace-count expressions per row — MAP-ONLY,
+    // zero shuffle, and the 26-term sum is written in a FIXED a→z
+    // order in both engines, so the float fold is evaluation-order-
+    // identical (no shuffle-order nondeterminism to round away).
+    "text_entropy" -> ((s, d) =>
+      load(s, d, "documents")
+        .filter("text IS NOT NULL")
+        .selectExpr("doc_id", "lower(text) AS t")
+        .selectExpr("doc_id" +: az.map(c => s"${letterCount(c)} AS n_$c"): _*)
+        .selectExpr(("doc_id" +: az.map(c => s"n_$c")) :+ s"($letterSum) AS n": _*)
+        .selectExpr("doc_id",
+          "CAST(n AS BIGINT) AS n_letters",
+          s"CAST(CASE WHEN n = 0 THEN 0.0 ELSE -($entropySum) END AS DECIMAL(18,6)) AS entropy")
+        .orderBy("doc_id")),
   )
 
+  // text_entropy building blocks — the SAME SQL fragments feed the
+  // Spark selectExpr and the DuckDB oracle, so the arithmetic (and its
+  // left-to-right evaluation order) is textually identical cross-engine.
+  private val az = ('a' to 'z').map(_.toString)
+  private def letterCount(c: String): String =
+    s"(length(t) - length(replace(t, '$c', '')))"
+  private val letterSum = az.map(c => s"n_$c").mkString(" + ")
+  private def entropyTerm(c: String): String =
+    s"CASE WHEN n_$c = 0 THEN CAST(0.0 AS DOUBLE) ELSE " +
+      s"(CAST(n_$c AS DOUBLE) / CAST(n AS DOUBLE)) * log2(CAST(n_$c AS DOUBLE) / CAST(n AS DOUBLE)) END"
+  private val entropySum = az.map(entropyTerm).mkString(" + ")
+
   val oracle: Map[String, String] = Map(
+    "text_entropy" ->
+      s"""WITH t0 AS (SELECT doc_id, lower(text) AS t FROM documents
+         |            WHERE text IS NOT NULL),
+         | c0 AS (SELECT doc_id, ${az.map(c => s"${letterCount(c)} AS n_$c").mkString(", ")} FROM t0),
+         | s0 AS (SELECT *, ($letterSum) AS n FROM c0)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_letters,
+         |  CAST(CASE WHEN n = 0 THEN 0.0 ELSE -($entropySum) END AS DECIMAL(18,6)) AS entropy
+         |FROM s0 ORDER BY doc_id""".stripMargin,
     // round-7 twin of vocab_bpe_apply: same learn (top-20 pairs) +
     // greedy double-space replace fold, expressed as a recursive CTE
     // over merge rank.

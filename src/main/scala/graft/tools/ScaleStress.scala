@@ -464,6 +464,23 @@ object ScaleStress {
     val (irn, itn) = timeCount(() =>
       GraftOps.minhashIndexProbe(spark, idxN, deltaN, "doc_id", "text"))
 
+    // --- blocked k-NN graph over N× vectors in N× label blocks ------
+    // The Σ b² contract measured: block SIZE stays fixed (each copy's
+    // labels are offset to fresh block ids), block COUNT grows N×, so
+    // candidate pairs — and the claimed cost — grow exactly N×, never
+    // n². A shared-label construction would instead grow pairs N²;
+    // that regime is the operator's documented cap-upstream hazard.
+    def knnCopies(n: Int): DataFrame =
+      (0 until n).map(k => emb.select(
+        (col("vec_id") + lit(k * off)).as("vec_id"), col("embedding"),
+        (col("label") + lit(k * 1000)).as("label"))).reduce(_ union _)
+    val kn1 = materialize(knnCopies(1), "kn1")
+    val knN = materialize(knnCopies(mult), "knN")
+    def knn(df: DataFrame): DataFrame =
+      GraftOps.cosineKnnBlocked(df, "vec_id", "embedding", "label", 3)
+    val (zr1, zt1) = timeCount(() => knn(kn1))
+    val (zrn, ztn) = timeCount(() => knn(knN))
+
     Seq(
       ("sessionize_batch", sr1, st1, srn, stn),
       ("dedup_cluster (connectedComponents)", cr1, ct1, crn, ctn),
@@ -482,6 +499,7 @@ object ScaleStress {
       ("topk_physical (heap operator, disjoint customers)", yr1, yt1, yrn, ytn),
       ("dedup_minhash (rotated copies, disjoint signatures)", mr1, mt1, mrn, mtn),
       ("text_dedup_spans (rotated copies, copy-local spans)", vr1, vt1, vrn, vtn),
-      ("dedup_incremental (indexed corpus, 20% delta probe)", ir1, it1, irn, itn))
+      ("dedup_incremental (indexed corpus, 20% delta probe)", ir1, it1, irn, itn),
+      ("embed_knn_block (fixed block size, N× blocks)", zr1, zt1, zrn, ztn))
   }
 }

@@ -56,6 +56,30 @@ class PlanShapeSpec extends GraftSpec {
       s"custom expression fell out of codegen:\n${plan.take(1500)}")
   }
 
+  test("text_entropy and quality_lr_score are map-only (no hash exchange)") {
+    // the only exchange either is allowed is the presentation sort's
+    // range partitioning — a hash exchange means a shuffle crept into
+    // what must stay a pure scan-throughput job at 100 TB.
+    Seq("text_entropy", "quality_lr_score").foreach { n =>
+      val plan = planOf(n)
+      assert(!plan.contains("hashpartitioning"),
+        s"$n grew a hash shuffle:\n${plan.take(1500)}")
+    }
+  }
+
+  test("embed_knn_block drops the vectors before the ranking window") {
+    val plan = q("embed_knn_block").queryExecution.optimizedPlan
+    val wins = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.nonEmpty, "expected a ranking Window node")
+    wins.foreach { w =>
+      assert(!w.child.output.exists(
+        _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]),
+        s"ranking exchange must carry scalars, not vectors: ${w.child.output}")
+    }
+  }
+
   test("agg queries use hash aggregation with partial (map-side) phase") {
     val plan = planOf("agg_groupby")
     assert(plan.contains("HashAggregate"))
