@@ -374,6 +374,42 @@ object LlmQueries {
         .select(col("vec_id"), col("label"), col("cl").as("assigned"))
         .orderBy("vec_id")
     }),
+
+    // K8b (round 8): one full Lloyd iteration — K8's nearest-centroid
+    // E-step feeding the M-step centroid UPDATE, i.e. the loop body of
+    // distributed k-means. The update re-uses T9 embed_centroids'
+    // exact-sum recipe (components quantized to the 1e-6 grid BEFORE
+    // the sum, so the partial-agg fold is integer arithmetic —
+    // shuffle-order-independent, unlike a float mean). Scale shape:
+    // centroids broadcast (k×dims rows), assignment is map-only per
+    // vector, and the update is one combinable groupBy at
+    // clusters×dims grain — the whole iteration is a single shuffle
+    // whose payload is independent of corpus size. Assignment
+    // determinism carries K8's margin argument (best-vs-second
+    // distance ≥ 8e-6 on this corpus, six orders above float noise).
+    "cluster_kmeans_step" -> ((s, d) => {
+      val emb = load(s, d, "embeddings")
+      val cent = GraftOps.centroids(emb, "label", "embedding")
+      val dist2 =
+        "aggregate(zip_with(embedding, centroid, (x, y) -> (double(x) - y) * (double(x) - y)), 0D, (acc, v) -> acc + v)"
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cl").asc)
+      val assigned = emb.crossJoin(broadcast(cent))
+        .withColumn("d2", expr(dist2))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cl").as("assigned"), col("embedding"))
+      assigned
+        .select(col("assigned"), posexplode(col("embedding")).as(Seq("p", "comp")))
+        .select(col("assigned"), (col("p") + 1).cast("bigint").as("dim"),
+          expr("CAST(round(CAST(comp AS DOUBLE) * 1000000.0D) AS BIGINT)").as("q"))
+        .groupBy("assigned", "dim")
+        .agg(count(lit(1)).as("n"),
+          sum(col("q").cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s1"))
+        .selectExpr("assigned", "dim", "n",
+          "CAST((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / 1000000.0D AS DECIMAL(18,6)) AS centroid")
+        .orderBy("assigned", "dim")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -641,6 +677,31 @@ object LlmQueries {
         |          row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cl ASC) AS rn
         |        FROM d)
         | SELECT vec_id, label, assigned FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // K8b twin: the K8 assignment CTEs feeding the T9 exact-sum update.
+    "cluster_kmeans_step" ->
+      """WITH dims AS (SELECT unnest(generate_series(1,
+        |          (SELECT max(len(embedding)) FROM embeddings))) AS i),
+        |  el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+        |         FROM embeddings, dims),
+        |  cent AS (SELECT label AS cl, i,
+        |             sum(CAST(embedding[i] AS DOUBLE)) / count(*) AS cx
+        |           FROM embeddings, dims GROUP BY label, i),
+        |  d AS (SELECT e.vec_id, c.cl,
+        |          sum((e.x - c.cx) * (e.x - c.cx)) AS d2
+        |        FROM el e JOIN cent c ON e.i = c.i GROUP BY e.vec_id, c.cl),
+        |  r AS (SELECT vec_id, cl AS assigned,
+        |          row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cl ASC) AS rn
+        |        FROM d),
+        |  a AS (SELECT vec_id, assigned FROM r WHERE rn = 1),
+        |  q AS (SELECT a.assigned, CAST(i AS BIGINT) AS dim,
+        |          CAST(round(CAST(e.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+        |        FROM embeddings e JOIN a ON e.vec_id = a.vec_id CROSS JOIN dims),
+        |  g AS (SELECT assigned, dim, CAST(count(*) AS BIGINT) AS n,
+        |          sum(CAST(q AS DECIMAL(38,0))) AS s1
+        |        FROM q GROUP BY 1, 2)
+        | SELECT assigned, dim, n,
+        |   CAST((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / 1000000.0 AS DECIMAL(18,6)) AS centroid
+        | FROM g ORDER BY assigned, dim""".stripMargin,
     "multimodal_cols" ->
       """SELECT doc_id, lang, source, n_chars, label,
         | CAST(len(embedding) AS BIGINT) AS dim

@@ -24,7 +24,11 @@ class DeterminismSpec extends GraftSpec {
     "dedup_minhash",        // banded min-md5 signatures (round 5)
     "sample_reservoir",     // hash-order reservoir via the heap operator (round 5)
     "vocab_bpe_pairs",      // weighted pair counts + top-20 tie-break (round 5)
-    "sample_temperature")   // decimal-normalized rates + md5 buckets (round 6)
+    "sample_temperature",   // decimal-normalized rates + md5 buckets (round 6)
+    "text_entropy",         // fixed-order 26-term float fold (round 8)
+    "embed_knn_block",      // blocked rounded-cosine ranking (round 8)
+    "cluster_kmeans_step",  // E-step margin + exact-integer M-step (round 8)
+    "seq_markov")           // lag bigrams + single exact-int division (round 8)
 
   sample.foreach { name =>
     test(s"$name is partition-count invariant") {

@@ -91,6 +91,42 @@ class Round8OpsSpec extends GraftSpec {
     assert(kept > 0 && kept < out.length, "scorer must split the corpus, not rubber-stamp it")
   }
 
+  test("cluster_kmeans_step reproduces a driver-side Lloyd iteration") {
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble), r.getInt(2)))
+    val dims = emb.head._2.length
+    // label centroids as double means (the K8 seed), then nearest-
+    // centroid assignment — safe to replicate in doubles because the
+    // corpus's best-vs-second margin dwarfs summation noise.
+    val cents = emb.groupBy(_._3).map { case (l, vs) =>
+      l -> Array.tabulate(dims)(i => vs.map(_._2(i)).sum / vs.length)
+    }
+    val assigned = emb.map { case (id, v, _) =>
+      val best = cents.toSeq.map { case (cl, c) =>
+        (cl, v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum)
+      }.minBy { case (cl, d2) => (d2, cl) }._1
+      (id, v, best)
+    }
+    val expected = assigned.groupBy(_._3).map { case (cl, vs) =>
+      cl -> Array.tabulate(dims) { i =>
+        val qs = vs.map(t => math.round(t._2(i) * 1e6))
+        (qs.sum.toDouble / qs.length / 1e6, qs.length.toLong)
+      }
+    }
+    val out = q("cluster_kmeans_step").collect()
+    assert(out.length == expected.size * dims)
+    out.foreach { r =>
+      val (cl, dim) = (r.getInt(0), r.getLong(1).toInt - 1)
+      val (want, n) = expected(cl)(dim)
+      assert(r.getLong(2) == n, s"cluster $cl size mismatch")
+      assert(math.abs(r.getDecimal(3).doubleValue() - want) < 2e-6,
+        s"centroid mismatch at ($cl, $dim)")
+    }
+    assert(expected.values.map(_.head._2).sum == emb.length,
+      "every vector must be assigned to exactly one cluster")
+  }
+
   test("embed_knn_block: exact top-3 within label, verified brute-force") {
     val emb = Tables.load(spark, sf, "embeddings")
       .select("vec_id", "embedding", "label").collect()
