@@ -913,31 +913,55 @@ object GraftOps {
       .groupBy("cl")
       .agg(expr("transform(array_sort(collect_list(struct(i, cx))), s -> s.cx)").as("centroid"))
 
-  private val centDist2 =
-    "aggregate(zip_with(%s, centroid, (x, y) -> (double(x) - y) * (double(x) - y)), 0D, (acc, v) -> acc + v)"
-
-  /** Rank every row of `df` against the (broadcast) centroids: adds
-    * `__norm`, `cl`, `__d2`, `__rn` (1 = nearest centroid).
+  /** MAP-ONLY top-`m` nearest centroids per row: the k centroids
+    * collapse to ONE broadcast row (a sorted struct list) and each
+    * input row computes its (d2, cl)-sorted shortlist with per-row
+    * HOFs — `__ranked` = array<struct<d2,cl>> of the m nearest
+    * (d2 asc, cl asc on ties; the exact order the old window rank
+    * produced).
+    *
+    * This shape replaced a row_number() window over the row×centroid
+    * crossJoin (round 8): the window needed an Exchange on the row id
+    * carrying k copies of every VECTOR through the wire — corpus × k
+    * × 256 bytes of shuffle for a 64-dim float — where the fold needs
+    * zero exchanges: the plan is scan → 1-row broadcast → project, so
+    * centroid assignment is pure scan throughput at any corpus size.
     */
-  private def centroidRanked(df: DataFrame, idCol: String, vecCol: String,
-      cent: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__d2").asc, col("cl").asc)
-    withNorm(df, vecCol).crossJoin(broadcast(cent))
-      .withColumn("__d2", expr(centDist2.format(vecCol)))
-      .withColumn("__rn", row_number().over(w))
+  private def centroidTopM(df: DataFrame, vecCol: String,
+      cent: DataFrame, m: Int): DataFrame = {
+    val packed = cent.agg(
+      sort_array(collect_list(struct(col("cl"), col("centroid")))).as("__cents"))
+    df.crossJoin(broadcast(packed))
+      .withColumn("__ranked", expr(
+        s"""slice(array_sort(transform(__cents, c -> named_struct(
+           |  'd2', aggregate(zip_with($vecCol, c.centroid,
+           |          (x, y) -> (double(x) - y) * (double(x) - y)), 0D, (acc, v) -> acc + v),
+           |  'cl', c.cl))), 1, $m)""".stripMargin))
+      .drop("__cents")
   }
+
+  /** Nearest-centroid assignment (the k-means E-step / coarse
+    * quantizer): adds `assigned` to `df`, map-only (see
+    * [[centroidTopM]]). `cent` is a [[centroids]] frame (cl, centroid).
+    */
+  def assignNearestCentroid(df: DataFrame, vecCol: String,
+      cent: DataFrame): DataFrame =
+    centroidTopM(df, vecCol, cent, 1)
+      .withColumn("assigned", expr("element_at(__ranked, 1).cl"))
+      .drop("__ranked")
 
   /** IVF-style approximate top-k: corpus bucketed once by nearest
     * centroid; probes scan their `nprobe` nearest buckets only.
     */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String, cent: DataFrame,
       probePredicate: Column, k: Int, nprobe: Int): DataFrame = {
-    val assigned = centroidRanked(corpus, idCol, vecCol, cent)
-    val bucketed = assigned.filter(col("__rn") === 1)
-      .select(col(idCol).as("c_id"), col("cl").as("bucket"),
+    val bucketed = withNorm(centroidTopM(corpus, vecCol, cent, 1), vecCol)
+      .select(col(idCol).as("c_id"), expr("element_at(__ranked, 1).cl").as("bucket"),
         col(vecCol).as("c"), col("__norm").as("nc"))
-    val probes = assigned.filter(probePredicate && col("__rn") <= nprobe)
-      .select(col(idCol).as("q_id"), col("cl").as("bucket"),
+    val probes = withNorm(
+        centroidTopM(corpus.filter(probePredicate), vecCol, cent, nprobe), vecCol)
+      .select(col(idCol).as("q_id"),
+        explode(expr("transform(__ranked, r -> r.cl)")).as("bucket"),
         col(vecCol).as("q"), col("__norm").as("nq"))
     ivfJoin(probes, bucketed, k)
   }
@@ -949,10 +973,9 @@ object GraftOps {
     */
   def ivfIndexBuild(corpus: DataFrame, idCol: String, vecCol: String,
       cent: DataFrame, path: String): Unit =
-    centroidRanked(corpus, idCol, vecCol, cent)
-      .filter(col("__rn") === 1)
+    withNorm(centroidTopM(corpus, vecCol, cent, 1), vecCol)
       .select(col(idCol).as("c_id"), col(vecCol).as("c"),
-        col("__norm").as("nc"), col("cl").as("bucket"))
+        col("__norm").as("nc"), expr("element_at(__ranked, 1).cl").as("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
   /** Approximate top-k against a persisted IVF index (ivfIndexBuild).
@@ -963,9 +986,9 @@ object GraftOps {
   def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
       probesDf: DataFrame, idCol: String, vecCol: String, cent: DataFrame,
       k: Int, nprobe: Int): DataFrame = {
-    val probes = centroidRanked(probesDf, idCol, vecCol, cent)
-      .filter(col("__rn") <= nprobe)
-      .select(col(idCol).as("q_id"), col("cl").as("bucket"),
+    val probes = withNorm(centroidTopM(probesDf, vecCol, cent, nprobe), vecCol)
+      .select(col(idCol).as("q_id"),
+        explode(expr("transform(__ranked, r -> r.cl)")).as("bucket"),
         col(vecCol).as("q"), col("__norm").as("nq"))
     val wanted = probes.select("bucket").distinct().collect().map(_.get(0)).toSeq
     val bucketed = spark.read.parquet(indexPath)

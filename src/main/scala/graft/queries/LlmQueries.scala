@@ -363,15 +363,8 @@ object LlmQueries {
     "cluster_assign" -> ((s, d) => {
       val emb = load(s, d, "embeddings")
       val cent = GraftOps.centroids(emb, "label", "embedding")
-      val dist2 =
-        "aggregate(zip_with(embedding, centroid, (x, y) -> (double(x) - y) * (double(x) - y)), 0D, (acc, v) -> acc + v)"
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cl").asc)
-      emb.crossJoin(broadcast(cent))
-        .withColumn("d2", expr(dist2))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("label"), col("cl").as("assigned"))
+      GraftOps.assignNearestCentroid(emb, "embedding", cent)
+        .select(col("vec_id"), col("label"), col("assigned"))
         .orderBy("vec_id")
     }),
 
@@ -381,24 +374,18 @@ object LlmQueries {
     // exact-sum recipe (components quantized to the 1e-6 grid BEFORE
     // the sum, so the partial-agg fold is integer arithmetic —
     // shuffle-order-independent, unlike a float mean). Scale shape:
-    // centroids broadcast (k×dims rows), assignment is map-only per
-    // vector, and the update is one combinable groupBy at
-    // clusters×dims grain — the whole iteration is a single shuffle
-    // whose payload is independent of corpus size. Assignment
-    // determinism carries K8's margin argument (best-vs-second
-    // distance ≥ 8e-6 on this corpus, six orders above float noise).
+    // the centroid list collapses to ONE broadcast row, assignment is
+    // a per-row HOF argmin (MAP-ONLY — no row×centroid window), and
+    // the update is one combinable groupBy at clusters×dims grain —
+    // the whole iteration is a single data shuffle whose payload is
+    // independent of corpus size. Assignment determinism carries K8's
+    // margin argument (best-vs-second distance ≥ 8e-6 on this corpus,
+    // six orders above float noise).
     "cluster_kmeans_step" -> ((s, d) => {
       val emb = load(s, d, "embeddings")
       val cent = GraftOps.centroids(emb, "label", "embedding")
-      val dist2 =
-        "aggregate(zip_with(embedding, centroid, (x, y) -> (double(x) - y) * (double(x) - y)), 0D, (acc, v) -> acc + v)"
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cl").asc)
-      val assigned = emb.crossJoin(broadcast(cent))
-        .withColumn("d2", expr(dist2))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cl").as("assigned"), col("embedding"))
+      val assigned = GraftOps.assignNearestCentroid(emb, "embedding", cent)
+        .select(col("assigned"), col("embedding"))
       assigned
         .select(col("assigned"), posexplode(col("embedding")).as(Seq("p", "comp")))
         .select(col("assigned"), (col("p") + 1).cast("bigint").as("dim"),

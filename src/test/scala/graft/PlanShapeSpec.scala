@@ -80,6 +80,19 @@ class PlanShapeSpec extends GraftSpec {
     }
   }
 
+  test("centroid assignment is map-only: no window, no per-vector exchange") {
+    // the E-step folds a one-row broadcast centroid list per row; a
+    // Window in the plan means the row×centroid crossJoin rank crept
+    // back (corpus × k vectors through the wire at 100 TB).
+    Seq("cluster_assign", "cluster_kmeans_step").foreach { n =>
+      val plan = planOf(n)
+      assert(!plan.contains("Window"),
+        s"$n assignment regressed to a window rank:\n${plan.take(1500)}")
+      assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"),
+        s"$n must broadcast the packed centroid row")
+    }
+  }
+
   test("agg queries use hash aggregation with partial (map-side) phase") {
     val plan = planOf("agg_groupby")
     assert(plan.contains("HashAggregate"))
