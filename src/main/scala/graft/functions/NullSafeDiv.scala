@@ -67,5 +67,23 @@ object GraftFunctions {
       "array_dot", exprs => ArrayFloatDot(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "built-in")
+    // Spark's OWN bloom-filter pair (the machinery behind runtime
+    // row-level join filtering), shipped in catalyst but not exposed
+    // in the public FunctionRegistry — registered here so a query can
+    // build an explicit membership sketch as ONE aggregate row and
+    // prescreen a scan map-side before an exact join (the
+    // text_decontaminate_bloom pattern). The analyzer wraps the
+    // AggregateFunction and validates the might_contain input forms
+    // (constant or scalar subquery) exactly as for built-ins.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_agg",
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs(0), exprs(1), exprs(2)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_might_contain",
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1)),
+      "built-in")
   }
 }

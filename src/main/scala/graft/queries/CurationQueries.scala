@@ -74,6 +74,41 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // M2b (round 8): M1's decontamination with an explicit BLOOM
+    // PRESCREEN — the eval-set shingles collapse to ONE aggregate row
+    // (Spark's own BloomFilterAggregate, the runtime-join-filter
+    // machinery, registered via GraftFunctions) consumed as a scalar
+    // subquery by a map-side might_contain filter on the exploded
+    // training shingles. No false negatives ⇒ the exact join after it
+    // sees every true hit, and it resolves the false positives ⇒ the
+    // OUTPUT IS BIT-IDENTICAL to plain text_decontaminate (same
+    // oracle). What changes is the plan: at 100 TB the corpus-side
+    // explode no longer feeds the join exchange wholesale — the
+    // prescreen drops ~all non-matching shingles inside the scan
+    // stage, so shuffle volume tracks matches + the filter's false-
+    // positive rate instead of corpus size.
+    "text_decontaminate_bloom" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      GraftOps.shingles(
+        load(s, d, "documents").select("doc_id", "text"), "text", 5, "sh")
+        .createOrReplaceTempView("__decon_sh")
+      s.sql(
+        """WITH ev AS (SELECT DISTINCT explode(sh) AS s FROM __decon_sh
+          |            WHERE doc_id % 29 = 0),
+          | bf AS (SELECT bloom_agg(xxhash64(s), 50000L, 400000L) AS f FROM ev),
+          | tr AS (SELECT doc_id, explode(sh) AS s FROM __decon_sh
+          |        WHERE doc_id % 29 <> 0),
+          | pre AS (SELECT doc_id, s FROM tr
+          |         WHERE bloom_might_contain((SELECT f FROM bf), xxhash64(s))),
+          | hits AS (SELECT pre.doc_id, count(DISTINCT pre.s) AS n_shared
+          |          FROM pre JOIN ev ON pre.s = ev.s GROUP BY pre.doc_id)
+          |SELECT d.doc_id, coalesce(n_shared, CAST(0 AS BIGINT)) AS n_shared,
+          |  coalesce(n_shared, CAST(0 AS BIGINT)) > 0 AS contaminated
+          |FROM (SELECT doc_id FROM __decon_sh WHERE doc_id % 29 <> 0) d
+          |LEFT JOIN hits ON d.doc_id = hits.doc_id
+          |ORDER BY d.doc_id""".stripMargin)
+    }),
+
     // M3: Gopher-style repetition signals, map-only: duplicate-word
     // fraction, duplicate-3-gram fraction, and top-word frequency
     // ratio, each from array HOFs (O(distinct×n) per row — bounded by
@@ -239,6 +274,23 @@ object CurationQueries {
         |  CAST(len(regexp_extract_all(t, '[0-9]{13,16}')) AS BIGINT) AS n_cards
         | FROM synth ORDER BY doc_id""".stripMargin,
     "text_decontaminate" ->
+      """WITH sh AS (SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 4, 1)),
+        |      i -> array_to_string((string_split(text, ' '))[i:i+4], ' '))) AS shingles
+        |  FROM documents),
+        | ev AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 29 = 0),
+        | tr AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id % 29 <> 0),
+        | hits AS (SELECT tr.doc_id, count(DISTINCT tr.s) AS n_shared
+        |          FROM tr JOIN ev ON tr.s = ev.s GROUP BY tr.doc_id)
+        | SELECT d.doc_id, coalesce(n_shared, 0) AS n_shared,
+        |   coalesce(n_shared, 0) > 0 AS contaminated
+        | FROM (SELECT doc_id FROM documents WHERE doc_id % 29 <> 0) d
+        | LEFT JOIN hits ON d.doc_id = hits.doc_id
+        | ORDER BY d.doc_id""".stripMargin,
+    // M2b twin: the bloom prescreen is invisible to semantics (no
+    // false negatives; the exact join kills false positives), so the
+    // oracle is text_decontaminate's, verbatim.
+    "text_decontaminate_bloom" ->
       """WITH sh AS (SELECT doc_id,
         |    list_distinct(list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 4, 1)),
         |      i -> array_to_string((string_split(text, ' '))[i:i+4], ' '))) AS shingles

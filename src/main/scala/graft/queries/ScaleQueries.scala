@@ -124,6 +124,39 @@ object ScaleQueries {
         .orderBy("shard")
     }),
 
+    // JSONL shard export (round 8) — the same webdataset-style layout
+    // as sink_shards but through the interchange format training
+    // stacks actually exchange: line-delimited JSON (Spark's json sink
+    // IS jsonl — one object per line), partitioned into 4 md5 shards,
+    // then READ BACK with an explicit schema (no inference scan) to
+    // build the manifest. Proves the full unicode corpus (incl. CJK
+    // text) survives the JSON round trip: per-shard counts, id range,
+    // char volume and non-null-text tally all match the parquet-side
+    // oracle arithmetic. At 100 TB: one narrow-keyed exchange and 4
+    // parallel line-writer streams; the read-back is schema-pinned so
+    // a loader never pays an inference pass.
+    "sink_jsonl" -> ((s, d) => {
+      val dir = jsonlSinkDir.computeIfAbsent(d, _ => {
+        val out = java.nio.file.Files.createTempDirectory("graft_jsonl_sink").toString
+        load(s, d, "documents")
+          .withColumn("shard",
+            (conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+              .cast("bigint") % 4).cast("int"))
+          .repartition(col("shard"))
+          .write.mode("overwrite").partitionBy("shard").json(out)
+        out
+      })
+      s.read
+        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT, shard INT")
+        .json(dir)
+        .groupBy(col("shard").cast("bigint").as("shard"))
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"),
+          sum(col("n_chars")).cast("bigint").as("n_chars_total"),
+          count(col("text")).cast("bigint").as("n_text"))
+        .orderBy("shard")
+    }),
+
     "agg_salted" -> ((s, d) => {
       val salts = 8
       load(s, d, "lineitem")
@@ -144,6 +177,9 @@ object ScaleQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private[graft] val shardSinkDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] val jsonlSinkDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private[graft] val compactDir =
@@ -214,6 +250,16 @@ object ScaleQueries {
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id,
         |  CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+        | FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
+    // round-8 jsonl twin: same md5-bucket arithmetic straight off the
+    // parquet — equality proves the JSON write+read round-trips every
+    // row, char count and non-null text.
+    "sink_jsonl" ->
+      """SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT % 4 AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+        |  CAST(count(text) AS BIGINT) AS n_text
         | FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
     "agg_salted" ->
       """SELECT l_returnflag,

@@ -80,6 +80,12 @@ class PlanShapeSpec extends GraftSpec {
     }
   }
 
+  test("text_decontaminate_bloom prescreens map-side with might_contain") {
+    val plan = planOf("text_decontaminate_bloom")
+    assert(plan.contains("might_contain"),
+      s"bloom prescreen fell out of the plan:\n${plan.take(1500)}")
+  }
+
   test("centroid assignment is map-only: no window, no per-vector exchange") {
     // the E-step folds a one-row broadcast centroid list per row; a
     // Window in the plan means the row×centroid crossJoin rank crept

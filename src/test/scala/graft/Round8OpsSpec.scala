@@ -127,6 +127,13 @@ class Round8OpsSpec extends GraftSpec {
       "every vector must be assigned to exactly one cluster")
   }
 
+  test("text_decontaminate_bloom is bit-identical to the un-prescreened operator") {
+    val plain = q("text_decontaminate").collect().map(_.toString).toSeq
+    val bloom = q("text_decontaminate_bloom").collect().map(_.toString).toSeq
+    assert(plain.nonEmpty && plain == bloom,
+      "the bloom prescreen must be semantically invisible")
+  }
+
   test("embed_knn_block: exact top-3 within label, verified brute-force") {
     val emb = Tables.load(spark, sf, "embeddings")
       .select("vec_id", "embedding", "label").collect()

@@ -82,6 +82,21 @@ class ScaleSpec extends GraftSpec {
     assert(total === Tables.load(spark, sf, "documents").count())
   }
 
+  test("sink_jsonl round-trips every row, char and unicode text through line JSON") {
+    val manifest = q("sink_jsonl").collect()
+    val root = graft.queries.ScaleQueries.jsonlSinkDir.get(sf)
+    val dirs = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard=")).map(_.getName).sorted
+    assert(dirs.toSeq === (0 until 4).map(i => s"shard=$i"))
+    assert(manifest.map(_.getLong(1)).sum ===
+      Tables.load(spark, sf, "documents").count())
+    // the files really are line JSON (one object per line, no wrapper)
+    val part = new java.io.File(root + "/shard=0").listFiles()
+      .filter(_.getName.endsWith(".json")).head
+    val lines = scala.io.Source.fromFile(part, "UTF-8").getLines().take(3).toSeq
+    assert(lines.nonEmpty && lines.forall(l => l.startsWith("{") && l.endsWith("}")))
+  }
+
   test("agg_salted equals the direct group-by bit-for-bit") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.DecimalType
