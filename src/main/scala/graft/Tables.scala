@@ -27,6 +27,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** size+mtime fingerprint of a driver table's parquet — the cache
+    * key component that makes every derived-artifact cache (minhash /
+    * IVF indexes, sink exports) regen-safe: the driver rewriting
+    * testdata mid-JVM changes the fingerprint and forces a rebuild
+    * instead of a stale read (the round-6 failure mode, one layer
+    * deeper).
+    */
+  def fingerprint(sfDir: String, name: String): String = {
+    val src = java.nio.file.Paths.get(sfDir, s"$name.parquet")
+    s"${java.nio.file.Files.size(src)}_" +
+      s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
+  }
+
   /** Session confs every entry point needs. Idempotent, safe to call
     * per-query: these are runtime SQL confs, not static ones.
     */

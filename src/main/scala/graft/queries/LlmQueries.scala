@@ -37,11 +37,8 @@ object LlmQueries {
   // if the driver regenerates testdata while this JVM is alive (the
   // round-6 failure mode), the changed fingerprint misses the cache and
   // forces a rebuild instead of serving the stale pre-regen index.
-  private def srcFingerprint(sfDir: String, table: String): String = {
-    val src = java.nio.file.Paths.get(sfDir, s"$table.parquet")
-    s"${java.nio.file.Files.size(src)}_" +
-      s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
-  }
+  private def srcFingerprint(sfDir: String, table: String): String =
+    graft.Tables.fingerprint(sfDir, table)
 
   private def ivfIndexFor(s: org.apache.spark.sql.SparkSession, sfDir: String,
       emb: org.apache.spark.sql.DataFrame,
@@ -97,9 +94,6 @@ object LlmQueries {
     */
   def warmMinhashIndex(s: org.apache.spark.sql.SparkSession, d: String): Unit =
     mhIndexFor(s, d)
-
-  private val centDist2 =
-    "aggregate(zip_with(embedding, centroid, (x, y) -> (double(x) - y) * (double(x) - y)), 0D, (acc, v) -> acc + v)"
 
   /** Composable (built-ins only) cosine — kept as the reference
     * formulation for functions.ArrayFloatDot, which computes the same

@@ -63,13 +63,13 @@ object ScaleQueries {
     // directory's files are touched. Exempt (sink); PlanShapeSpec
     // asserts the PartitionFilters pruning.
     "sink_partitioned" -> ((s, d) => {
-      val dir = sinkPartDir.computeIfAbsent(d, _ => {
+      val dir = freshDir(sinkPartDir, d, "orders") {
         val out = java.nio.file.Files.createTempDirectory("graft_part_sink").toString
         load(s, d, "orders")
           .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
           .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
         out
-      })
+      }
       s.read.parquet(dir)
         .filter(col("o_orderstatus") === "F")
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
@@ -83,7 +83,7 @@ object ScaleQueries {
     // counts sane; the test asserts the file counts, the oracle checks
     // the data survived byte-exact.
     "sink_compacted" -> ((s, d) => {
-      val dir = compactDir.computeIfAbsent(d, _ => {
+      val dir = freshDir(compactDir, d, "orders") {
         val root = java.nio.file.Files.createTempDirectory("graft_compact").toString
         val o = load(s, d, "orders")
           .select("o_orderkey", "o_custkey", "o_totalprice")
@@ -91,7 +91,7 @@ object ScaleQueries {
         s.read.parquet(s"$root/small").repartition(4)
           .write.mode("overwrite").parquet(s"$root/compact")
         root
-      })
+      }
       s.read.parquet(s"$dir/compact").orderBy("o_orderkey")
     }),
 
@@ -106,7 +106,7 @@ object ScaleQueries {
     // matches the oracle's arithmetic. At 100 TB: one narrow-keyed
     // exchange (repartition on shard) and 8 parallel streams out.
     "sink_shards" -> ((s, d) => {
-      val dir = shardSinkDir.computeIfAbsent(d, _ => {
+      val dir = freshDir(shardSinkDir, d, "documents") {
         val out = java.nio.file.Files.createTempDirectory("graft_shard_sink").toString
         load(s, d, "documents")
           .withColumn("shard",
@@ -115,7 +115,7 @@ object ScaleQueries {
           .repartition(col("shard"))
           .write.mode("overwrite").partitionBy("shard").parquet(out)
         out
-      })
+      }
       s.read.parquet(dir)
         .groupBy(col("shard").cast("bigint").as("shard"))
         .agg(count(lit(1)).cast("bigint").as("n_docs"),
@@ -136,7 +136,7 @@ object ScaleQueries {
     // parallel line-writer streams; the read-back is schema-pinned so
     // a loader never pays an inference pass.
     "sink_jsonl" -> ((s, d) => {
-      val dir = jsonlSinkDir.computeIfAbsent(d, _ => {
+      val dir = freshDir(jsonlSinkDir, d, "documents") {
         val out = java.nio.file.Files.createTempDirectory("graft_jsonl_sink").toString
         load(s, d, "documents")
           .withColumn("shard",
@@ -145,7 +145,7 @@ object ScaleQueries {
           .repartition(col("shard"))
           .write.mode("overwrite").partitionBy("shard").json(out)
         out
-      })
+      }
       s.read
         .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT, shard INT")
         .json(dir)
@@ -173,16 +173,42 @@ object ScaleQueries {
     }),
   )
 
+  /** Regen-safe derived-dir cache: the cached value carries the source
+    * table's fingerprint, so a driver testdata rewrite mid-JVM misses
+    * and rebuilds instead of serving a stale export (the round-6
+    * failure class, same fix as the minhash/IVF index caches).
+    */
+  private[graft] def freshDir(
+      cache: java.util.concurrent.ConcurrentHashMap[String, String],
+      sfDir: String, table: String)(build: => String): String = {
+    val fp = graft.Tables.fingerprint(sfDir, table)
+    val v = cache.compute(sfDir, (_, old) =>
+      if (old != null && old.startsWith(fp + "|")) old else fp + "|" + build)
+    v.substring(v.indexOf('|') + 1)
+  }
+
+  private def cachedPath(
+      cache: java.util.concurrent.ConcurrentHashMap[String, String],
+      sfDir: String): String = {
+    val v = cache.get(sfDir)
+    v.substring(v.indexOf('|') + 1)
+  }
+
+  /** Export locations for the layout tests (fingerprint prefix stripped). */
+  private[graft] def shardSinkPath(sfDir: String): String = cachedPath(shardSinkDir, sfDir)
+  private[graft] def jsonlSinkPath(sfDir: String): String = cachedPath(jsonlSinkDir, sfDir)
+  private[graft] def compactPath(sfDir: String): String = cachedPath(compactDir, sfDir)
+
   private val sinkPartDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private[graft] val shardSinkDir =
+  private val shardSinkDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private[graft] val jsonlSinkDir =
+  private val jsonlSinkDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private[graft] val compactDir =
+  private val compactDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private val bucketSetupLock = new Object

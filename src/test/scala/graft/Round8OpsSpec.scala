@@ -127,6 +127,25 @@ class Round8OpsSpec extends GraftSpec {
       "every vector must be assigned to exactly one cluster")
   }
 
+  test("sink caches rebuild when the source table fingerprint changes") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_regen").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sf, "documents.parquet"),
+      java.nio.file.Paths.get(tmp, "documents.parquet"))
+    val cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    var builds = 0
+    def build(): String = { builds += 1; s"dir$builds" }
+    assert(graft.queries.ScaleQueries.freshDir(cache, tmp, "documents")(build()) == "dir1")
+    assert(graft.queries.ScaleQueries.freshDir(cache, tmp, "documents")(build()) == "dir1",
+      "unchanged fingerprint must reuse the cached export")
+    // simulate the driver regenerating testdata mid-JVM
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(tmp, "documents.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 5000))
+    assert(graft.queries.ScaleQueries.freshDir(cache, tmp, "documents")(build()) == "dir2",
+      "a changed fingerprint must force a rebuild, not serve the stale export")
+  }
+
   test("text_decontaminate_bloom is bit-identical to the un-prescreened operator") {
     val plain = q("text_decontaminate").collect().map(_.toString).toSeq
     val bloom = q("text_decontaminate_bloom").collect().map(_.toString).toSeq

@@ -62,7 +62,7 @@ class ScaleSpec extends GraftSpec {
 
   test("sink_compacted rewrites 64 small files into 4") {
     q("sink_compacted").collect()
-    val root = graft.queries.ScaleQueries.compactDir.get(sf)
+    val root = graft.queries.ScaleQueries.compactPath(sf)
     def parquets(p: String) =
       new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
     assert(parquets(s"$root/small") === 64)
@@ -71,7 +71,7 @@ class ScaleSpec extends GraftSpec {
 
   test("sink_shards writes one directory per shard covering every doc exactly once") {
     val manifest = q("sink_shards").collect()
-    val root = graft.queries.ScaleQueries.shardSinkDir.get(sf)
+    val root = graft.queries.ScaleQueries.shardSinkPath(sf)
     val dirs = new java.io.File(root).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("shard=")).map(_.getName).sorted
     assert(dirs.toSeq === (0 until 8).map(i => s"shard=$i"),
@@ -84,7 +84,7 @@ class ScaleSpec extends GraftSpec {
 
   test("sink_jsonl round-trips every row, char and unicode text through line JSON") {
     val manifest = q("sink_jsonl").collect()
-    val root = graft.queries.ScaleQueries.jsonlSinkDir.get(sf)
+    val root = graft.queries.ScaleQueries.jsonlSinkPath(sf)
     val dirs = new java.io.File(root).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("shard=")).map(_.getName).sorted
     assert(dirs.toSeq === (0 until 4).map(i => s"shard=$i"))
