@@ -109,7 +109,7 @@ object IntervalQueries {
     // (1-URGENT gets +10.00 on every price) and leave the rest
     // untouched; read the final table state back.
     "dml_partition_overwrite" -> ((s, d) => {
-      val dir = povDir.computeIfAbsent(d, _ => {
+      val dir = ScaleQueries.freshDir(povDir, d, "orders") {
         val out = java.nio.file.Files.createTempDirectory("graft_pov").toString
         val base = load(s, d, "orders")
           .select(col("o_orderkey"),
@@ -128,14 +128,68 @@ object IntervalQueries {
           case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
         }
         out
-      })
+      }
       s.read.parquet(dir)
         .select(col("o_orderkey"), col("price"), col("o_orderpriority"))
         .orderBy("o_orderkey")
+    }),
+
+    // Y5 (round 8): overlapping-interval COALESCING per user — the
+    // gaps-and-islands classic (billing/uptime/coverage): each event
+    // spans [ts, ts + value·10ms); an island opens where the start
+    // exceeds the running max end of all earlier intervals (abutting
+    // intervals merge). Output per user: interval/island counts,
+    // total covered time, longest island. ALL-INTEGER arithmetic
+    // (µs epochs) — nothing to round, hash-exact cross-engine. One
+    // user_id exchange carries both window passes AND the island
+    // rollup (keys are supersets of the partition key); the final
+    // per-user aggregate is combinable.
+    "interval_merge" -> ((s, d) => {
+      val iv = load(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(cast(ts as timestamp))").as("t0"),
+          expr("unix_micros(cast(ts as timestamp)) + CAST(round(value * 100) AS BIGINT) * 10000").as("t1"))
+      val ord = Window.partitionBy("user_id").orderBy(col("t0").asc, col("t1").asc, col("event_id").asc)
+      val prev = ord.rowsBetween(Window.unboundedPreceding, -1)
+      val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val islanded = iv
+        .withColumn("pmax", max(col("t1")).over(prev))
+        .withColumn("brk",
+          when(col("pmax").isNull || col("t0") > col("pmax"), 1L).otherwise(0L))
+        .withColumn("island", sum(col("brk")).over(run))
+      islanded
+        .groupBy("user_id", "island")
+        .agg(count(lit(1)).as("n_iv"), min(col("t0")).as("i0"), max(col("t1")).as("i1"))
+        .groupBy("user_id")
+        .agg(sum(col("n_iv")).cast("bigint").as("n_intervals"),
+          count(lit(1)).cast("bigint").as("n_islands"),
+          sum(col("i1") - col("i0")).cast("bigint").as("covered_us"),
+          max(col("i1") - col("i0")).cast("bigint").as("max_island_us"))
+        .orderBy("user_id")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "interval_merge" ->
+      """WITH iv AS (SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS t0,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) + CAST(round(value * 100) AS BIGINT) * 10000 AS t1
+        |  FROM events),
+        | w AS (SELECT user_id, event_id, t0, t1,
+        |    max(t1) OVER (PARTITION BY user_id ORDER BY t0, t1, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM iv),
+        | b AS (SELECT *, CASE WHEN pmax IS NULL OR t0 > pmax THEN 1 ELSE 0 END AS brk FROM w),
+        | g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t0, t1, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM b),
+        | i AS (SELECT user_id, island, count(*) AS n_iv, min(t0) AS i0, max(t1) AS i1
+        |       FROM g GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(n_iv) AS BIGINT) AS n_intervals,
+        |  CAST(count(*) AS BIGINT) AS n_islands,
+        |  CAST(sum(i1 - i0) AS BIGINT) AS covered_us,
+        |  CAST(max(i1 - i0) AS BIGINT) AS max_island_us
+        |FROM i GROUP BY user_id ORDER BY user_id""".stripMargin,
     "ts_concurrency" ->
       """WITH ev AS (SELECT event_type, event_id,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS t0,

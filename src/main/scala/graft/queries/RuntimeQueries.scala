@@ -39,12 +39,12 @@ object RuntimeQueries {
     // so static partition pruning can't see it — only the DPP
     // subquery, fed by the dim broadcast, can.
     "join_dpp" -> ((s, d) => {
-      val dir = dppDir.computeIfAbsent(d, _ => {
+      val dir = ScaleQueries.freshDir(dppDir, d, "orders") {
         val out = java.nio.file.Files.createTempDirectory("graft_dpp").toString
         load(s, d, "orders")
           .write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
         out
-      })
+      }
       val fact = s.read.parquet(dir)
       val dim = load(s, d, "orders").select("o_orderpriority").distinct()
         .select(col("o_orderpriority").as("p"),

@@ -64,7 +64,11 @@ object StreamQueries {
     * file-source stream. Returns (streamDF, sourceDir, schema).
     */
   private def eventStream(s: SparkSession, d: String): (DataFrame, String, StructType) = {
-    val (dir, schema) = sourceCache.computeIfAbsent(d, _ => {
+    // fingerprint in the key: a driver testdata regen mid-JVM forces a
+    // re-materialization instead of replaying the stale source (the
+    // round-6 class, same contract as the index and sink caches).
+    val (dir, schema) = sourceCache.computeIfAbsent(
+      s"$d|${graft.Tables.fingerprint(d, "events")}", _ => {
       val ev = load(s, d, "events")
         .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
           col("user_id"), col("event_type"), col("value"))

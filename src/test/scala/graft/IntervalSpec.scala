@@ -76,4 +76,45 @@ class IntervalSpec extends GraftSpec {
       else assert(p.compareTo(p0) == 0, s"non-target partition mutated")
     }
   }
+
+  test("interval_merge replays correctly against a driver-side sweep") {
+    import org.apache.spark.sql.functions._
+    val iv = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("t0"),
+        expr("unix_micros(cast(ts as timestamp)) + CAST(round(value * 100) AS BIGINT) * 10000").as("t1"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val expected = iv.groupBy(_._1).map { case (u, rows) =>
+      val sorted = rows.map(t => (t._2, t._3)).sortBy(identity)
+      // linear sweep: extend the open island or open a new one
+      var islands = List.empty[(Long, Long)]
+      sorted.foreach { case (s0, e0) =>
+        islands match {
+          case (i0, i1) :: rest if s0 <= i1 => islands = (i0, math.max(i1, e0)) :: rest
+          case _ => islands = (s0, e0) :: islands
+        }
+      }
+      u -> (rows.length.toLong, islands.length.toLong,
+        islands.map(i => i._2 - i._1).sum, islands.map(i => i._2 - i._1).max)
+    }
+    val out = q("interval_merge").collect()
+    assert(out.length == expected.size)
+    out.foreach { r =>
+      val (n, k, cov, mx) = expected(r.getLong(0))
+      assert(r.getLong(1) == n && r.getLong(2) == k &&
+        r.getLong(3) == cov && r.getLong(4) == mx,
+        s"island mismatch for user ${r.getLong(0)}")
+    }
+  }
+
+  test("interval_merge rides one user_id exchange for windows and rollups") {
+    val df = q("interval_merge")
+    df.collect()
+    // AQE's toString renders Final AND Initial plans — count only the
+    // final one or every exchange is double-counted.
+    val full = df.queryExecution.executedPlan.toString
+    val plan = full.split("== Initial Plan ==").head
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 1, s"expected one hash exchange, found $hashEx:\n${plan.take(1500)}")
+  }
 }
