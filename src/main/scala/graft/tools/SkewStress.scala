@@ -170,10 +170,44 @@ object SkewStress {
     val (pr1, pt1) = timeCount(() => graft.queries.PipelineQueries.endToEnd(pl1))
     val (prn, ptn) = timeCount(() => graft.queries.PipelineQueries.endToEnd(plN))
 
+    // --- seq_markov under an 83%-hot transition ----------------------
+    // Five sixths of all events become type "view" (one hot "view" →
+    // "view" bigram dominating the matrix, shared across copies so the
+    // hot transition key grows N× with the corpus). The bigram count
+    // is a COMBINABLE aggregate: the flood collapses to one row per
+    // map partition before the type²-grain exchange, so runtime should
+    // track rows — a per-key reduce without map-side partials would
+    // funnel 83% of the corpus into one reducer instead. The lag
+    // window's user_id partitions stay balanced (the flood is in the
+    // VALUE, not the window key).
+    val evm = load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(cast(ts as timestamp))").as("ep"))
+    def mkCopies(n: Int): DataFrame =
+      (0 until n).map(k => evm.select(
+        (col("user_id") + lit(k * off)).as("user_id"),
+        (col("event_id") + lit(k * off)).as("event_id"),
+        when(col("event_id") % 6 =!= 0, lit("view"))
+          .otherwise(col("event_type")).as("event_type"),
+        col("ep"))).reduce(_ union _)
+    def markov(df: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ep").asc, col("event_id").asc)
+      df.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+    }
+    val mk1 = materialize(mkCopies(1), "mk1")
+    val mkN = materialize(mkCopies(mult), "mkN")
+    val (kr1, kt1) = timeCount(() => markov(mk1))
+    val (krn, ktn) = timeCount(() => markov(mkN))
+
     Seq(
       ("dedup_ngram (50%-hot prefix block, routed MinHash tier)", nr1, nt1, nrn, ntn),
       ("dedup_minhash (83% exact-dup flood, bucket guard)", mr1, mt1, mrn, mtn),
       ("dedup_cluster (83%-hot hub vertex star graph)", hr1, ht1, hrn, htn),
-      ("pipeline_end2end (83% exact-dup flood, digest-key dedup)", pr1, pt1, prn, ptn))
+      ("pipeline_end2end (83% exact-dup flood, digest-key dedup)", pr1, pt1, prn, ptn),
+      ("seq_markov (83%-hot transition, combinable bigram agg)", kr1, kt1, krn, ktn))
   }
 }
