@@ -183,9 +183,25 @@ object ScaleQueries {
       sfDir: String, table: String)(build: => String): String = {
     val fp = graft.Tables.fingerprint(sfDir, table)
     val v = cache.compute(sfDir, (_, old) =>
-      if (old != null && old.startsWith(fp + "|")) old else fp + "|" + build)
+      if (old != null && old.startsWith(fp + "|")) old
+      else {
+        // the regen invalidated the old export — reclaim it, or a
+        // long-lived JVM leaks a table copy per sink per regen
+        if (old != null) deleteRecursively(old.substring(old.indexOf('|') + 1))
+        fp + "|" + build
+      })
     v.substring(v.indexOf('|') + 1)
   }
+
+  /** Best-effort recursive delete of a stale derived directory. */
+  private[graft] def deleteRecursively(path: String): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.exists(root))
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   private def cachedPath(
       cache: java.util.concurrent.ConcurrentHashMap[String, String],

@@ -58,24 +58,29 @@ object StreamQueries {
   // per JVM and share across the streaming queries (Bench runs all
   // seven; one write instead of seven).
   private val sourceCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, StructType)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, StructType)]()
 
   /** Materialize events (batch, ns-fix applied) and open it as a
     * file-source stream. Returns (streamDF, sourceDir, schema).
     */
   private def eventStream(s: SparkSession, d: String): (DataFrame, String, StructType) = {
-    // fingerprint in the key: a driver testdata regen mid-JVM forces a
-    // re-materialization instead of replaying the stale source (the
-    // round-6 class, same contract as the index and sink caches).
-    val (dir, schema) = sourceCache.computeIfAbsent(
-      s"$d|${graft.Tables.fingerprint(d, "events")}", _ => {
-      val ev = load(s, d, "events")
-        .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
-          col("user_id"), col("event_type"), col("value"))
-      val out = tmp("graft_stream")
-      ev.coalesce(1).write.mode("overwrite").parquet(out)
-      (out, ev.schema)
-    })
+    // fingerprint in the cached value: a driver testdata regen mid-JVM
+    // forces a re-materialization instead of replaying the stale
+    // source (the round-6 class, same contract as the index and sink
+    // caches), and the stale directory is reclaimed rather than
+    // leaked — one cache entry per sfDir however many regens happen.
+    val fp = graft.Tables.fingerprint(d, "events")
+    val (_, dir, schema) = sourceCache.compute(d, (_, old) =>
+      if (old != null && old._1 == fp) old
+      else {
+        if (old != null) graft.queries.ScaleQueries.deleteRecursively(old._2)
+        val ev = load(s, d, "events")
+          .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+            col("user_id"), col("event_type"), col("value"))
+        val out = tmp("graft_stream")
+        ev.coalesce(1).write.mode("overwrite").parquet(out)
+        (fp, out, ev.schema)
+      })
     (s.readStream.schema(schema).parquet(dir), dir, schema)
   }
 

@@ -134,16 +134,26 @@ class Round8OpsSpec extends GraftSpec {
       java.nio.file.Paths.get(tmp, "documents.parquet"))
     val cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
     var builds = 0
-    def build(): String = { builds += 1; s"dir$builds" }
-    assert(graft.queries.ScaleQueries.freshDir(cache, tmp, "documents")(build()) == "dir1")
-    assert(graft.queries.ScaleQueries.freshDir(cache, tmp, "documents")(build()) == "dir1",
+    def build(): String = {
+      builds += 1
+      val p = java.nio.file.Files.createTempDirectory(s"graft_regen_d$builds")
+      java.nio.file.Files.createFile(p.resolve("part-0.parquet"))
+      p.toString
+    }
+    val d1 = graft.queries.ScaleQueries.freshDir(cache, tmp, "documents")(build())
+    assert(builds == 1)
+    assert(graft.queries.ScaleQueries.freshDir(cache, tmp, "documents")(build()) == d1,
       "unchanged fingerprint must reuse the cached export")
+    assert(builds == 1)
     // simulate the driver regenerating testdata mid-JVM
     java.nio.file.Files.setLastModifiedTime(
       java.nio.file.Paths.get(tmp, "documents.parquet"),
       java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 5000))
-    assert(graft.queries.ScaleQueries.freshDir(cache, tmp, "documents")(build()) == "dir2",
+    val d2 = graft.queries.ScaleQueries.freshDir(cache, tmp, "documents")(build())
+    assert(builds == 2 && d2 != d1,
       "a changed fingerprint must force a rebuild, not serve the stale export")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(d1)),
+      "the invalidated export directory must be reclaimed, not leaked")
   }
 
   test("text_decontaminate_bloom is bit-identical to the un-prescreened operator") {
