@@ -162,10 +162,54 @@ object AnalyticsQueries {
           expr("""CAST(CAST(206835 * n_sent * n_words - 1015 * n_words * n_words
                  |        - 84600 * n_vg * n_sent AS DOUBLE)
                  | / CAST(1000 * n_sent * n_words AS DOUBLE) AS DECIMAL(18,4))""".stripMargin))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // U7 (round 8): LAST-TOUCH ATTRIBUTION — the marketing-analytics
+    // classic: every purchase is credited to the user's most recent
+    // PRECEDING non-purchase event (strictly earlier by (ts,
+    // event_id); 'direct' when none exists). One user_id exchange
+    // carries the IGNORE-NULLS last_value window; the per-channel
+    // rollup is a combinable count + exact decimal revenue sum at
+    // channel grain. The revenue division is a single decimal mean
+    // rendered ×1000 floor-scaled (the ts_gap_stats tie-free render).
+    "attribution_last_touch" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      load(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), dec(col("value")).as("v"))
+        .withColumn("touch", last(
+          when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("touch"), lit("direct")).as("channel"))
+        .agg(count(lit(1)).cast("bigint").as("n_purchases"),
+          sum(col("v")).cast(DecimalType(38, 2)).as("revenue"),
+          expr("CAST((sum(CAST(v * 100 AS DECIMAL(38,0))) * 10) DIV count(*) AS BIGINT)")
+            .as("avg_value_x1000"))
+        .orderBy("channel")
+    })
   )
 
   val oracle: Map[String, String] = Map(
+    // U7 twin: same IGNORE-NULLS preceding-frame window + exact
+    // decimal sums; ×1000 mean via HUGEINT floor division.
+    "attribution_last_touch" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    event_type, CAST(value AS DECIMAL(18,2)) AS v FROM events),
+        | t AS (SELECT *,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM e)
+        |SELECT coalesce(touch, 'direct') AS channel,
+        |  CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(v) AS DECIMAL(38,2)) AS revenue,
+        |  CAST(CAST(sum(CAST(v * 100 AS DECIMAL(38,0))) AS HUGEINT) * 10 // count(*) AS BIGINT)
+        |    AS avg_value_x1000
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY channel""".stripMargin,
     // U6 twin: identical exact-sum/round-before-reuse discipline.
     "ts_decompose" ->
       """WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,

@@ -96,4 +96,29 @@ class AnalyticsSpec extends GraftSpec {
     assert(p.split("Exchange hashpartitioning").length - 1 == 0,
       "readability scoring must not shuffle")
   }
+
+  test("attribution_last_touch replays correctly against a driver-side walk") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), expr("unix_micros(cast(ts as timestamp))").as("ep"),
+        col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expected = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    ev.groupBy(_._1).foreach { case (_, rows) =>
+      var touch: String = null
+      rows.sortBy(r => (r._2, r._3)).foreach { case (_, _, _, tpe) =>
+        if (tpe == "purchase")
+          expected(if (touch == null) "direct" else touch) += 1
+        else touch = tpe
+      }
+    }
+    val out = q("attribution_last_touch").collect()
+    assert(out.map(_.getLong(1)).sum == ev.count(_._4 == "purchase"),
+      "every purchase must be attributed exactly once")
+    out.foreach { r =>
+      assert(r.getLong(1) == expected(r.getString(0)),
+        s"attribution count mismatch for channel ${r.getString(0)}")
+    }
+    assert(out.map(_.getString(0)).toSet == expected.filter(_._2 > 0).keySet)
+  }
 }
