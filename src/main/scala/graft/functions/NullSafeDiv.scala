@@ -67,6 +67,8 @@ object GraftFunctions {
       "array_dot", exprs => ArrayFloatDot(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "char_entropy", exprs => CharEntropy(exprs.head), "built-in")
     // Spark's OWN bloom-filter pair (the machinery behind runtime
     // row-level join filtering), shipped in catalyst but not exposed
     // in the public FunctionRegistry — registered here so a query can

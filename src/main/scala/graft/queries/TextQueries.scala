@@ -215,21 +215,39 @@ object TextQueries {
     // (natural language sits ~3.5-4.2 bits; keyboard mash and
     // base64 blobs sit at the extremes; CJK scores 0 here by design —
     // its codepoints are outside the a-z alphabet this filter rates).
-    // Shape: 26 fixed replace-count expressions per row — MAP-ONLY,
-    // zero shuffle, and the 26-term sum is written in a FIXED a→z
-    // order in both engines, so the float fold is evaluation-order-
-    // identical (no shuffle-order nondeterminism to round away).
-    "text_entropy" -> ((s, d) =>
+    // MAP-ONLY, zero shuffle. Computed by the custom CharEntropy
+    // expression — ONE byte scan per row instead of the 26-replace
+    // SQL spelling's 26 full string scans — with a pinned arithmetic
+    // contract: same fixed a→z fold, same log2 bits, so it is
+    // output-identical to the 26-term formulation the DuckDB oracle
+    // mirrors (bit-equality asserted in Round8OpsSpec).
+    "text_entropy" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
       load(s, d, "documents")
         .filter("text IS NOT NULL")
-        .selectExpr("doc_id", "lower(text) AS t")
-        .selectExpr("doc_id" +: az.map(c => s"${letterCount(c)} AS n_$c"): _*)
-        .selectExpr(("doc_id" +: az.map(c => s"n_$c")) :+ s"($letterSum) AS n": _*)
+        .selectExpr("doc_id", "char_entropy(lower(text)) AS ce")
         .selectExpr("doc_id",
-          "CAST(n AS BIGINT) AS n_letters",
-          s"CAST(CASE WHEN n = 0 THEN 0.0 ELSE -($entropySum) END AS DECIMAL(18,6)) AS entropy")
-        .orderBy("doc_id")),
+          "ce.n_letters AS n_letters",
+          "CAST(ce.entropy AS DECIMAL(18,6)) AS entropy")
+        .orderBy("doc_id")
+    }),
   )
+
+  /** The 26-replace SQL spelling of text_entropy (the formulation the
+    * DuckDB oracle mirrors) — kept as the reference the CharEntropy
+    * expression is bit-compared against in tests.
+    */
+  private[graft] def entropyBySql(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    load(s, d, "documents")
+      .filter("text IS NOT NULL")
+      .selectExpr("doc_id", "lower(text) AS t")
+      .selectExpr("doc_id" +: az.map(c => s"${letterCount(c)} AS n_$c"): _*)
+      .selectExpr(("doc_id" +: az.map(c => s"n_$c")) :+ s"($letterSum) AS n": _*)
+      .selectExpr("doc_id",
+        "CAST(n AS BIGINT) AS n_letters",
+        s"CAST(CASE WHEN n = 0 THEN 0.0 ELSE -($entropySum) END AS DECIMAL(18,6)) AS entropy")
+      .orderBy("doc_id")
 
   // text_entropy building blocks — the SAME SQL fragments feed the
   // Spark selectExpr and the DuckDB oracle, so the arithmetic (and its

@@ -37,6 +37,14 @@ class Round8OpsSpec extends GraftSpec {
     }
   }
 
+  test("CharEntropy expression is bit-identical to the 26-replace SQL spelling") {
+    val viaExpr = q("text_entropy").collect().map(_.toString).toSeq
+    val viaSql = graft.queries.TextQueries.entropyBySql(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(viaExpr.nonEmpty && viaExpr == viaSql,
+      "the single-pass expression must reproduce the oracle formulation exactly")
+  }
+
   test("seq_markov is row-stochastic and covers exactly events - users transitions") {
     val ev = Tables.load(spark, sf, "events")
     val total = ev.count()
