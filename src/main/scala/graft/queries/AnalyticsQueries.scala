@@ -189,10 +189,47 @@ object AnalyticsQueries {
           expr("CAST((sum(CAST(v * 100 AS DECIMAL(38,0))) * 10) DIV count(*) AS BIGINT)")
             .as("avg_value_x1000"))
         .orderBy("channel")
+    }),
+
+    // U8 (round 8): RANK-DELTA report — period-over-period leaderboard
+    // movement (the "who moved up this month" OLAP classic, distinct
+    // from win_rank's single-snapshot ranking). Orders aggregate ONCE
+    // to (customer, month) revenue grain — exact decimal sums — then
+    // both windows (per-month rank, per-customer previous-month rank)
+    // run on the lattice-sized table, never the fact table. Every
+    // month's top-10 ships with its movement (prev_rnk = the rank in
+    // the customer's previous ACTIVE month; null = new entrant).
+    // Integer ranks + exact decimals ⇒ nothing rounds.
+    "olap_rank_delta" -> ((s, d) => {
+      val m = load(s, d, "orders")
+        .groupBy(col("o_custkey"),
+          date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("mon"))
+        .agg(sum(dec(col("o_totalprice"))).cast(DecimalType(38, 2)).as("rev"))
+      val rnk = Window.partitionBy("mon").orderBy(col("rev").desc, col("o_custkey").asc)
+      val hist = Window.partitionBy("o_custkey").orderBy(col("mon").asc)
+      m.withColumn("rnk", row_number().over(rnk).cast("bigint"))
+        .withColumn("prev_rnk", lag(col("rnk"), 1).over(hist))
+        .filter(col("rnk") <= 10)
+        .select(col("mon"), col("o_custkey"), col("rev"), col("rnk"),
+          col("prev_rnk"), (col("prev_rnk") - col("rnk")).as("delta"))
+        .orderBy("mon", "rnk")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    // U8 twin: same lattice-grain decimal sums + integer rank windows;
+    // prev_rnk is the rank in the customer's previous ACTIVE month.
+    "olap_rank_delta" ->
+      """WITH m AS (SELECT o_custkey, date_trunc('month', o_orderdate) AS mon,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS rev
+        |  FROM orders GROUP BY 1, 2),
+        | r AS (SELECT *, CAST(row_number() OVER (PARTITION BY mon
+        |        ORDER BY rev DESC, o_custkey ASC) AS BIGINT) AS rnk FROM m),
+        | h AS (SELECT *, lag(rnk) OVER (PARTITION BY o_custkey ORDER BY mon) AS prev_rnk
+        |       FROM r)
+        |SELECT mon, o_custkey, rev, rnk, prev_rnk, prev_rnk - rnk AS delta
+        |FROM h WHERE rnk <= 10
+        |ORDER BY mon, rnk""".stripMargin,
     // U7 twin: same IGNORE-NULLS preceding-frame window + exact
     // decimal sums; ×1000 mean via HUGEINT floor division.
     "attribution_last_touch" ->

@@ -97,6 +97,23 @@ class AnalyticsSpec extends GraftSpec {
       "readability scoring must not shuffle")
   }
 
+  test("olap_rank_delta: consecutive ranks, non-increasing revenue, consistent deltas") {
+    val out = q("olap_rank_delta").collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.get(0)).foreach { case (mon, rows) =>
+      val byRank = rows.sortBy(_.getLong(3))
+      assert(byRank.map(_.getLong(3)).toSeq == (1L to byRank.length).toSeq,
+        s"ranks not consecutive for $mon")
+      val revs = byRank.map(_.getDecimal(2).doubleValue())
+      assert(revs.zip(revs.tail).forall { case (a, b) => a >= b },
+        s"revenue not non-increasing for $mon")
+    }
+    out.filter(!_.isNullAt(4)).foreach { r =>
+      assert(r.getLong(5) == r.getLong(4) - r.getLong(3), "delta != prev_rnk - rnk")
+    }
+    assert(out.exists(_.isNullAt(4)), "expected at least one new entrant (null prev_rnk)")
+  }
+
   test("attribution_last_touch replays correctly against a driver-side walk") {
     import org.apache.spark.sql.functions._
     val ev = Tables.load(spark, sf, "events")

@@ -26,8 +26,13 @@ class SqlParitySpec extends GraftSpec {
     // (DuckDB's ns→µs truncation) shifts them to LTZ — same split as
     // scan_events_ns. The id/count-only streaming twins stay in the
     // shared dialect and ARE parity-checked.
+    // olap_rank_delta outputs the month boundary itself: the Spark
+    // side pins it NTZ (.cast("timestamp_ntz") after date_trunc), the
+    // oracle's bare date_trunc stays naive on DuckDB but promotes to
+    // LTZ through spark.sql — the same split as scan_events_ns.
     val dialectSpecific = Set("scan_events_ns", "subq_recursive",
-      "stream_tumbling", "stream_sliding", "stream_session", "stream_late_drop")
+      "stream_tumbling", "stream_sliding", "stream_session", "stream_late_drop",
+      "olap_rank_delta")
     SparkEntry.oracleSql.toSeq.sortBy(_._1)
       .filterNot(kv => dialectSpecific(kv._1)).foreach { case (name, sql) =>
       val viaSql =
