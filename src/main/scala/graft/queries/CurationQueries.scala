@@ -197,7 +197,28 @@ object CurationQueries {
           "CAST(1.0 / (1.0 + exp(-logit)) AS DECIMAL(18,6)) AS score")
         .selectExpr("doc_id", "wc", "score", "score >= 0.5 AS keep")
         .orderBy("doc_id")),
+
+    // M7: see groupSplitCase above.
+    "sample_group_split" -> ((s, d) =>
+      load(s, d, "events")
+        .selectExpr("user_id", "event_id",
+          "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % 10 AS b")
+        .selectExpr("user_id", "event_id", s"$groupSplitCase AS split")
+        .groupBy("split")
+        .agg(count(lit(1)).cast("bigint").as("n_events"),
+          countDistinct(col("user_id")).cast("bigint").as("n_users"))
+        .orderBy("split")),
   )
+
+  // M7 (round 8): GROUP-level train/valid/test split — the leakage
+  // guard a per-row split violates: hashing the ROW puts one user's
+  // events in several splits, so eval leaks that user's behavior.
+  // Bucketing on md5(user_id) (the sink_shards recipe: deterministic,
+  // layout- and partitioning-independent) assigns every event of a
+  // user to ONE split by construction: 0-7 train, 8 valid, 9 test.
+  // Map-only assignment + one combinable 3-group rollup.
+  private val groupSplitCase =
+    "CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'valid' ELSE 'test' END"
 
   // quality_lr_score building blocks — shared verbatim with the DuckDB
   // twin so the float arithmetic is evaluation-order-identical.
@@ -209,6 +230,15 @@ object CurationQueries {
       "- 10.0 * (punct / CAST(chars AS DOUBLE))"
 
   val oracle: Map[String, String] = Map(
+    // M7 twin: the sink_shards md5-bucket arithmetic on the GROUP key.
+    "sample_group_split" ->
+      s"""WITH b AS (SELECT user_id, event_id,
+         |    ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 4))::INT % 10 AS b
+         |  FROM events)
+         |SELECT $groupSplitCase AS split,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
     "quality_lr_score" ->
       s"""WITH f AS (SELECT doc_id,
          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS wc,

@@ -115,4 +115,17 @@ class CurationSpec extends GraftSpec {
     assert(totalToks < chars,
       s"no merge fired anywhere: $totalToks tokens vs $chars chars")
   }
+
+  test("sample_group_split never splits a user across sets") {
+    val out = q("sample_group_split").collect()
+    val ev = Tables.load(spark, sf, "events")
+    assert(out.map(_.getString(0)).toSet.subsetOf(Set("train", "valid", "test")))
+    assert(out.map(_.getLong(1)).sum == ev.count(),
+      "every event must land in exactly one split")
+    // THE leakage property: summing per-split distinct-user counts
+    // equals the global distinct-user count iff no user appears in
+    // two splits (a straddling user would be double-counted).
+    assert(out.map(_.getLong(2)).sum == ev.select("user_id").distinct().count())
+    assert(out.exists(r => r.getString(0) == "train" && r.getLong(2) > 0))
+  }
 }
