@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Stale-report guard (VERDICT r8 "What's wrong" #4): sbt's JUnit XML
+// reporter never removes the report of a DELETED spec, so a scratch
+// spec's failure XML can outlive its source and make the report dir
+// disagree with the live run (609/1 summed vs 606/0 real in r8). A
+// full `test` starts from a clean report dir; `testOnly` (a partial
+// run whose dir is expected to be partial) is left alone.
+Test / test := (Test / test)
+  .dependsOn(Def.task { IO.delete(target.value / "test-reports") })
+  .value
 // Pass the forked JVM's stdout through RAW (no "[info] " logger prefix)
 // and drop the trailing "[success] Total time ..." line, so Bench's
 // final machine-readable JSON line reaches the driver's parser verbatim

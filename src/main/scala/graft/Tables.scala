@@ -27,17 +27,45 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** size+mtime fingerprint of a driver table's parquet — the cache
-    * key component that makes every derived-artifact cache (minhash /
-    * IVF indexes, sink exports) regen-safe: the driver rewriting
-    * testdata mid-JVM changes the fingerprint and forces a rebuild
-    * instead of a stale read (the round-6 failure mode, one layer
-    * deeper).
+  /** Fingerprint of a driver table's parquet — the cache key component
+    * that makes every derived-artifact cache (minhash / IVF indexes,
+    * sink exports, stream replay source) regen-safe: the driver
+    * rewriting testdata mid-JVM changes the fingerprint and forces a
+    * rebuild instead of a stale read (the round-6 failure mode, one
+    * layer deeper).
+    *
+    * Components: size + mtime (ns where the filesystem provides it) +
+    * a CRC32 of the file's first and last 64 KiB. The checksum closes
+    * the ADVICE-r8 hole — a deterministic generator rewriting an
+    * identical-size file within one mtime granule would otherwise
+    * collide; parquet's footer (metadata, row-group offsets) lives in
+    * the tail bytes, so any content change the size doesn't catch the
+    * CRC does. Cost: ≤128 KiB of I/O per probe, page-cache-resident
+    * after the first read. Directories fall back to size+mtime of the
+    * path (the derived caches only fingerprint the driver's single
+    * parquet FILES, pinned by FixtureSpec).
     */
   def fingerprint(sfDir: String, name: String): String = {
     val src = java.nio.file.Paths.get(sfDir, s"$name.parquet")
-    s"${java.nio.file.Files.size(src)}_" +
-      s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
+    val size = java.nio.file.Files.size(src)
+    val mtimeNs = java.nio.file.Files.getLastModifiedTime(src)
+      .to(java.util.concurrent.TimeUnit.NANOSECONDS)
+    val crc =
+      if (java.nio.file.Files.isRegularFile(src)) {
+        val c = new java.util.zip.CRC32()
+        val ch = java.nio.file.Files.newByteChannel(src)
+        try {
+          val span = 64 * 1024
+          val buf = java.nio.ByteBuffer.allocate(span)
+          ch.read(buf); buf.flip(); c.update(buf)
+          if (size > span) {
+            buf.clear(); ch.position(math.max(0L, size - span))
+            ch.read(buf); buf.flip(); c.update(buf)
+          }
+        } finally ch.close()
+        c.getValue
+      } else 0L
+    s"${size}_${mtimeNs}_$crc"
   }
 
   /** Session confs every entry point needs. Idempotent, safe to call

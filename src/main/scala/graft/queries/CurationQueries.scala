@@ -89,13 +89,26 @@ object CurationQueries {
     // positive rate instead of corpus size.
     "text_decontaminate_bloom" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
-      GraftOps.shingles(
+      val sh = GraftOps.shingles(
         load(s, d, "documents").select("doc_id", "text"), "text", 5, "sh")
-        .createOrReplaceTempView("__decon_sh")
-      s.sql(
-        """WITH ev AS (SELECT DISTINCT explode(sh) AS s FROM __decon_sh
+      // Bloom sizing derived from the data, not pinned (ADVICE r8): the
+      // raw (pre-distinct) eval shingle count is a one-number map-side
+      // aggregate — sum(size(sh)) over the eval slice, no explode and
+      // no distinct shuffle — and an upper bound on the NDV the filter
+      // holds, so the FPP stays at the designed ~2% (8 bits/item) at
+      // ANY eval-set size instead of silently degrading past a cap.
+      // BloomFilterAggregate requires foldable sizing args, hence the
+      // literal interpolation rather than a computed column; the count
+      // job scans only the eval partition's array-size column.
+      val nEval = math.max(1L,
+        sh.filter(col("doc_id") % 29 === 0)
+          .agg(coalesce(sum(size(col("sh"))), lit(0L))).head().getLong(0))
+      val nBits = 8L * nEval
+      sh.createOrReplaceTempView("__decon_sh")
+      try s.sql(
+        s"""WITH ev AS (SELECT DISTINCT explode(sh) AS s FROM __decon_sh
           |            WHERE doc_id % 29 = 0),
-          | bf AS (SELECT bloom_agg(xxhash64(s), 50000L, 400000L) AS f FROM ev),
+          | bf AS (SELECT bloom_agg(xxhash64(s), ${nEval}L, ${nBits}L) AS f FROM ev),
           | tr AS (SELECT doc_id, explode(sh) AS s FROM __decon_sh
           |        WHERE doc_id % 29 <> 0),
           | pre AS (SELECT doc_id, s FROM tr
@@ -107,6 +120,10 @@ object CurationQueries {
           |FROM (SELECT doc_id FROM __decon_sh WHERE doc_id % 29 <> 0) d
           |LEFT JOIN hits ON d.doc_id = hits.doc_id
           |ORDER BY d.doc_id""".stripMargin)
+      // spark.sql analyzes eagerly, so the resolved plan no longer needs
+      // the view — drop it rather than leak a name into the shared
+      // session catalog (ADVICE r8).
+      finally s.catalog.dropTempView("__decon_sh")
     }),
 
     // M3: Gopher-style repetition signals, map-only: duplicate-word
@@ -184,6 +201,16 @@ object CurationQueries {
     // any corpus size. The logit is written in one fixed evaluation
     // order in both engines; keep is derived from the 6-dp-rounded
     // score so the boolean can't split on a sub-rounding float diff.
+    //
+    // SCORING DOMAIN IS LATIN/ENGLISH ONLY (ADVICE r8, same contract
+    // as text_entropy's a-z alphabet): the `punct` feature counts
+    // every char outside [a-zA-Z0-9 ] — including CJK and all other
+    // non-Latin LETTERS — as punctuation, and the stopword list is
+    // English, so non-Latin-script documents score ≈ σ(-10) and are
+    // uniformly dropped. A multilingual gate must route by language
+    // (text_langid) to per-script weights first; widening the class
+    // here to \p{L} would silently change the frozen model's feature
+    // definition, so the bias is documented rather than patched.
     "quality_lr_score" -> ((s, d) =>
       load(s, d, "documents")
         .filter("text IS NOT NULL AND length(text) > 0")

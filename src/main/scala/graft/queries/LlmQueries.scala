@@ -391,6 +391,24 @@ object LlmQueries {
           "CAST((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / 1000000.0D AS DECIMAL(18,6)) AS centroid")
         .orderBy("assigned", "dim")
     }),
+
+    // K8c (round 9): CONVERGED k-means — 5 full Lloyd iterations of
+    // K8b's loop body with driver-held O(k·dims) model state between
+    // rounds (the MLlib KMeans shape; see GraftOps.kmeansReport).
+    // Output is the convergence report: per (iteration, cluster) the
+    // cluster size and the centroid's L2 displacement from the
+    // previous round — on this corpus the label-centroid init is
+    // already near the fixpoint, so displacement collapses toward 0
+    // and sizes stabilize (pinned by Round9OpsSpec). Exempt tier: the
+    // iterative driver loop isn't single-statement-SQL-expressible;
+    // planted-truth tested instead (conservation, monotone-ish
+    // convergence, agreement with cluster_assign).
+    "cluster_kmeans" -> ((s, d) => {
+      val emb = load(s, d, "embeddings")
+      val init = GraftOps.centroids(emb, "label", "embedding")
+      GraftOps.kmeansReport(emb, "embedding", init, iters = 5)
+        .orderBy("iter", "cluster")
+    }),
   )
 
   val oracle: Map[String, String] = Map(

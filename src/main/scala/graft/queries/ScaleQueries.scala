@@ -182,13 +182,21 @@ object ScaleQueries {
       cache: java.util.concurrent.ConcurrentHashMap[String, String],
       sfDir: String, table: String)(build: => String): String = {
     val fp = graft.Tables.fingerprint(sfDir, table)
+    // Build-new, swap, THEN reclaim the invalidated export (ADVICE r8):
+    // deleting before the build meant a failed Spark write left the map
+    // still pointing at the just-deleted directory — a dangling path
+    // for every cachedPath caller until the next regen. With this
+    // ordering a failed build propagates its exception and the old
+    // entry (and its directory) stay intact and servable.
     val v = cache.compute(sfDir, (_, old) =>
       if (old != null && old.startsWith(fp + "|")) old
       else {
-        // the regen invalidated the old export — reclaim it, or a
-        // long-lived JVM leaks a table copy per sink per regen
+        val fresh = fp + "|" + build
+        // the regen invalidated the old export — reclaim it AFTER the
+        // new one exists, or a long-lived JVM leaks a table copy per
+        // sink per regen
         if (old != null) deleteRecursively(old.substring(old.indexOf('|') + 1))
-        fp + "|" + build
+        fresh
       })
     v.substring(v.indexOf('|') + 1)
   }
@@ -207,6 +215,10 @@ object ScaleQueries {
       cache: java.util.concurrent.ConcurrentHashMap[String, String],
       sfDir: String): String = {
     val v = cache.get(sfDir)
+    require(v != null,
+      s"no cached export for $sfDir in this JVM — run the producing " +
+        "sink query (sink_shards / sink_jsonl / sink_compacted) before " +
+        "asking for its path")
     v.substring(v.indexOf('|') + 1)
   }
 

@@ -481,6 +481,75 @@ object ScaleStress {
     val (zr1, zt1) = timeCount(() => knn(kn1))
     val (zrn, ztn) = timeCount(() => knn(knN))
 
+    // --- corpus-grain BPE over N× copies with a SHARED vocabulary ---
+    // The vocabulary-amortization claim measured (VERDICT r8 next #7):
+    // doc_id-offset copies share the text verbatim, so the distinct-
+    // word set — and hence the |vocab| × |merges| string-scan stage —
+    // is CONSTANT while occurrences grow N×. A per-occurrence
+    // tokenizer would scale the merge loop with the corpus; the
+    // amortized plan should grow only with the occurrence join +
+    // per-doc sums (≈ linear, with the constant vocab stage diluting
+    // the ratio below N on vocab-heavy corpora).
+    def bpe(df: DataFrame): DataFrame = {
+      val occ = df.select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+        .filter(length(col("w")) >= 2)
+      val vocab = occ.groupBy("w").agg(count(lit(1)).as("wc"))
+      val merges = vocab
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"),
+          col("wc"))
+        .groupBy("pair").agg(sum(col("wc")).cast("bigint").as("n"))
+        .orderBy(desc("n"), col("pair")).limit(20)
+        .withColumn("r", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(desc("n"), col("pair"))))
+      val tokenized = GraftOps.bpeApply(vocab.select("w"), "w", merges, "pair", "r")
+        .withColumn("n_sym", size(split(col("toks"), " ")).cast("bigint"))
+        .select("w", "n_sym")
+      occ.join(tokenized, "w").groupBy("doc_id")
+        .agg(count(lit(1)).cast("bigint").as("n_words"),
+          sum(col("n_sym")).cast("bigint").as("n_tokens"))
+    }
+    val (fr1, ft1) = timeCount(() => bpe(d1))
+    val (frn, ftn) = timeCount(() => bpe(dN))
+
+    // --- one Lloyd iteration over an N× corpus with SHARED labels ---
+    // cluster_kmeans_step's scale contract: the E-step is map-only
+    // (1-row broadcast centroid pack), the M-step one combinable
+    // clusters×dims shuffle — output CONSTANT (k×dims rows) while the
+    // corpus grows N×, so runtime should track the scan, ≈ linear,
+    // and the exchange payload not grow at all. Runs through the new
+    // kmeansReport(iters=1) so the measured path is the shipped one.
+    def kmCopies(n: Int): DataFrame =
+      (0 until n).map(k => emb.select(
+        (col("vec_id") + lit(k * off)).as("vec_id"),
+        col("embedding"), col("label"))).reduce(_ union _)
+    val km1 = materialize(kmCopies(1), "km1")
+    val kmN = materialize(kmCopies(mult), "kmN")
+    def kmStep(df: DataFrame): DataFrame =
+      GraftOps.kmeansReport(df, "embedding",
+        GraftOps.centroids(df, "label", "embedding"), iters = 1)
+    val (hr1, ht1) = timeCount(() => kmStep(km1))
+    val (hrn, htn) = timeCount(() => kmStep(kmN))
+
+    // --- md5-shard export of an N× corpus (write path) --------------
+    // sink_shards' scale contract: one narrow-keyed repartition on the
+    // shard id + 8 parallel parquet streams; write volume grows N×, so
+    // runtime should too (≈ linear) — the manifest read-back stays
+    // shard-grain (8 rows) at any size.
+    def shardExport(df: DataFrame, name: String): DataFrame = {
+      val out = s"$scratch/shard_$name"
+      df.withColumn("shard",
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+            .cast("bigint") % 8).cast("int"))
+        .repartition(col("shard"))
+        .write.mode("overwrite").partitionBy("shard").parquet(out)
+      spark.read.parquet(out).groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum(length(col("text"))).as("n_chars"))
+    }
+    val (jr1, jt1) = timeCount(() => shardExport(d1, "1"))
+    val (jrn, jtn) = timeCount(() => shardExport(dN, "N"))
+
     Seq(
       ("sessionize_batch", sr1, st1, srn, stn),
       ("dedup_cluster (connectedComponents)", cr1, ct1, crn, ctn),
@@ -500,6 +569,9 @@ object ScaleStress {
       ("dedup_minhash (rotated copies, disjoint signatures)", mr1, mt1, mrn, mtn),
       ("text_dedup_spans (rotated copies, copy-local spans)", vr1, vt1, vrn, vtn),
       ("dedup_incremental (indexed corpus, 20% delta probe)", ir1, it1, irn, itn),
-      ("embed_knn_block (fixed block size, N× blocks)", zr1, zt1, zrn, ztn))
+      ("embed_knn_block (fixed block size, N× blocks)", zr1, zt1, zrn, ztn),
+      ("text_tokenize_bpe (shared vocab, N× occurrences)", fr1, ft1, frn, ftn),
+      ("cluster_kmeans_step (shared labels, growing corpus; output k×dims)", hr1, ht1, hrn, htn),
+      ("sink_shards (fixed 8 shards, growing corpus write volume)", jr1, jt1, jrn, jtn))
   }
 }

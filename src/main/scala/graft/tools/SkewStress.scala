@@ -203,11 +203,43 @@ object SkewStress {
     val (kr1, kt1) = timeCount(() => markov(mk1))
     val (krn, ktn) = timeCount(() => markov(mkN))
 
+    // --- text_rarity under a 50%-mass hot word -----------------------
+    // VERDICT r8 next #8: every doc's text gets a run of the single
+    // word "zq" equal to its own word count, so ~half of ALL token
+    // mass lands on ONE unigram key, shared across copies (the hot
+    // key's occurrence count grows N× with the corpus). The round-9
+    // plan pre-aggregates (doc_id, word) counts BEFORE the unigram
+    // join, so the hot word crosses the w-keyed exchange as ONE row
+    // per doc (cnt=|doc|), never one row per occurrence — join input
+    // and skew amplitude are capped at |docs|, and runtime should
+    // track rows. The r8 token-grain join would instead push 50% of
+    // all token rows through a single reducer key.
+    def hotCopies(n: Int): DataFrame =
+      (0 until n).map(k => docs.select(
+        (col("doc_id") + lit(k * off)).as("doc_id"),
+        expr("concat(text, ' ', repeat('zq ', greatest(size(split(text, ' ')), 1)))")
+          .as("text"))).reduce(_ union _)
+    def rarity(df: DataFrame): DataFrame = {
+      val perDoc = df
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+      val uni = perDoc.groupBy("w").agg(sum(col("cnt")).cast("bigint").as("c"))
+      perDoc.join(uni, Seq("w")).groupBy("doc_id")
+        .agg(sum(col("cnt")).cast("bigint").as("n_tok"),
+          sum(col("cnt") * col("c")).cast("bigint").as("sum_c"),
+          min(col("c")).as("min_c"))
+    }
+    val ht1df = materialize(hotCopies(1), "hot1")
+    val htNdf = materialize(hotCopies(mult), "hotN")
+    val (rr1, rt1) = timeCount(() => rarity(ht1df))
+    val (rrn, rtn) = timeCount(() => rarity(htNdf))
+
     Seq(
       ("dedup_ngram (50%-hot prefix block, routed MinHash tier)", nr1, nt1, nrn, ntn),
       ("dedup_minhash (83% exact-dup flood, bucket guard)", mr1, mt1, mrn, mtn),
       ("dedup_cluster (83%-hot hub vertex star graph)", hr1, ht1, hrn, htn),
       ("pipeline_end2end (83% exact-dup flood, digest-key dedup)", pr1, pt1, prn, ptn),
-      ("seq_markov (83%-hot transition, combinable bigram agg)", kr1, kt1, krn, ktn))
+      ("seq_markov (83%-hot transition, combinable bigram agg)", kr1, kt1, krn, ktn),
+      ("text_rarity (50%-mass hot word, pre-aggregated join)", rr1, rt1, rrn, rtn))
   }
 }
