@@ -151,9 +151,88 @@ object LakehouseQueries {
           min(col("xc")).as("cust_min"), max(col("xc")).as("cust_max"),
           min(col("yd")).as("day_min"), max(col("yd")).as("day_max"))
         .orderBy("bucket"))
+  ,
+
+    // S6 (round 9): snapshot-isolation TIME TRAVEL over a real
+    // persisted commit log (sources/CommitLog — the Delta/Iceberg
+    // protocol core: full-snapshot manifests published by atomic
+    // rename, copy-on-write data units, partition-aligned file-drop
+    // deletes). The table is built once per (sfDir, orders
+    // fingerprint): v0 = the base table in 4 key-bucket units; v1 =
+    // a COW upsert that rewrites exactly ONE unit (bucket 2 re-priced
+    // ×2) and adds bucketed insert units (k%11 rows, keys shifted
+    // +1e9 — 1e9 ≡ 0 mod 4, so insert buckets align with base
+    // buckets); v2 = a pure MANIFEST delete of every bucket-1 unit
+    // (zero rows rewritten). The query then reads ALL THREE versions
+    // through the log and aggregates each — proving old snapshots
+    // stay byte-stable after later commits. Oracled end-to-end: the
+    // DuckDB twin recomputes each version's content arithmetically
+    // from `orders`. At 100 TB: each snapshot read is a plain
+    // multi-path parquet scan (pushdown/pruning intact); commits are
+    // O(new data + manifest), never O(table).
+    "dml_time_travel" -> ((s, d) => {
+      import graft.sources.CommitLog
+      val root = graft.queries.ScaleQueries.freshDir(timeTravelDir, d, "orders") {
+        val dir = java.nio.file.Files.createTempDirectory("graft_tt").toString
+        val base = load(s, d, "orders")
+          .select(col("o_orderkey").as("k"), dec(col("o_totalprice")).as("p"),
+            (col("o_orderkey") % 4).cast("int").as("bucket"))
+        base.repartition(col("bucket"))
+          .write.partitionBy("bucket").parquet(s"$dir/data/v0")
+        val v0Units = (0 to 3).map(b => s"data/v0/bucket=$b")
+        CommitLog.commit(dir, 0L, v0Units)
+        base.filter(col("bucket") === 2)
+          .select(col("k"), (col("p") * 2).cast(DecimalType(18, 2)).as("p"))
+          .write.parquet(s"$dir/data/v1b2")
+        base.filter(col("k") % 11 === 0)
+          .select((col("k") + 1000000000L).as("k"), col("p"), col("bucket"))
+          .repartition(col("bucket"))
+          .write.partitionBy("bucket").parquet(s"$dir/data/v1ins")
+        // an empty insert bucket writes no directory — reference only
+        // the units that exist (manifests list real files, not hopes)
+        val insUnits = (0 to 3).map(b => s"data/v1ins/bucket=$b")
+          .filter(u => java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get(dir, u)))
+        CommitLog.commit(dir, 1L,
+          v0Units.filterNot(_.endsWith("bucket=2")) :+ "data/v1b2" :++ insUnits)
+        CommitLog.commit(dir, 2L,
+          (v0Units.filterNot(_.endsWith("bucket=2")) :+ "data/v1b2" :++ insUnits)
+            .filterNot(_.endsWith("bucket=1")))
+        dir
+      }
+      CommitLog.versions(root).map { v =>
+        CommitLog.snapshot(s, root, v)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("p")).cast(DecimalType(38, 2)).as("total"),
+            min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+          .select(lit(v).cast("bigint").as("version"), col("n_rows"),
+            col("total"), col("min_k"), col("max_k"))
+      }.reduce(_ unionAll _).orderBy("version")
+    }),
   )
 
+  private val timeTravelDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   val oracle: Map[String, String] = Map(
+    "dml_time_travel" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        | v1 AS (
+        |  SELECT k, CASE WHEN k % 4 = 2 THEN CAST(p * 2 AS DECIMAL(18,2))
+        |    ELSE p END AS p FROM base
+        |  UNION ALL
+        |  SELECT k + 1000000000, p FROM base WHERE k % 11 = 0)
+        |SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_rows,
+        |    CAST(sum(p) AS DECIMAL(38,2)) AS total,
+        |    min(k) AS min_k, max(k) AS max_k FROM base
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), count(*), CAST(sum(p) AS DECIMAL(38,2)),
+        |    min(k), max(k) FROM v1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), count(*), CAST(sum(p) AS DECIMAL(38,2)),
+        |    min(k), max(k) FROM v1 WHERE k % 4 <> 1
+        |ORDER BY version""".stripMargin,
     "dml_snapshot_diff" ->
       """WITH v1 AS (SELECT o_orderkey AS k,
         |    CAST(o_totalprice AS DECIMAL(18,2)) AS p1 FROM orders),

@@ -1,0 +1,91 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal snapshot-manifest commit log over plain parquet — the
+  * time-travel / snapshot-isolation protocol of the lakehouse table
+  * formats (Delta/Iceberg ship it as a jar this image doesn't have;
+  * ref: n/a, SURVEY §0), reduced to its load-bearing core:
+  *
+  *  - A table is a directory; its state at version V is the list of
+  *    DATA UNITS (parquet files or directories) named by the manifest
+  *    `_log/vNNNNN.txt` — one unit path per line, relative to the
+  *    table root. Manifests are FULL snapshots (Iceberg's manifest-
+  *    list shape), so reading version V never replays history.
+  *  - Commits are copy-on-write at unit granularity: a writer adds
+  *    new unit files/dirs, then publishes a manifest referencing the
+  *    mix of retained and new units. Old units are never mutated —
+  *    every already-published version stays byte-stable (snapshot
+  *    isolation for readers at any version).
+  *  - A commit becomes visible via ATOMIC_MOVE of the manifest into
+  *    `_log/` — a crashed writer leaves only a `.tmp` file, which
+  *    readers ignore; there is no torn-manifest state.
+  *
+  * Scale: the manifest is O(units) text; [[snapshot]] hands Spark the
+  * unit paths directly, so the read is an ordinary multi-path parquet
+  * scan — predicate pushdown, column pruning and partition-pruning
+  * inside units all intact, nothing proportional to table history.
+  * Deletes that align with unit boundaries are pure manifest edits
+  * (file-drop, zero data rewrite) — the reason the lakehouse formats
+  * partition data into prunable units in the first place.
+  */
+object CommitLog {
+
+  private def logDir(table: String): java.nio.file.Path =
+    java.nio.file.Paths.get(table, "_log")
+
+  private def manifest(table: String, version: Long): java.nio.file.Path =
+    logDir(table).resolve(f"v$version%05d.txt")
+
+  /** Publish `version` as the snapshot made of `units` (paths relative
+    * to the table root). Atomic: readers either see the complete
+    * manifest or no version at all.
+    */
+  def commit(table: String, version: Long, units: Seq[String]): Unit = {
+    require(units.nonEmpty, "a snapshot must reference at least one unit")
+    val dir = logDir(table)
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = dir.resolve(f".v$version%05d.txt.tmp")
+    java.nio.file.Files.writeString(tmp, units.mkString("", "\n", "\n"))
+    java.nio.file.Files.move(tmp, manifest(table, version),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Published versions, ascending. `.tmp` leftovers of crashed
+    * writers are not versions.
+    */
+  def versions(table: String): Seq[Long] = {
+    val dir = logDir(table)
+    if (!java.nio.file.Files.isDirectory(dir)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(dir).iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case n if n.startsWith("v") && n.endsWith(".txt") =>
+          n.stripPrefix("v").stripSuffix(".txt").toLong }
+        .toSeq.sorted
+    }
+  }
+
+  def latestVersion(table: String): Long = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"$table has no published versions")
+    vs.last
+  }
+
+  /** The unit paths (absolute) of `version`'s snapshot. */
+  def units(table: String, version: Long): Seq[String] = {
+    val m = manifest(table, version)
+    require(java.nio.file.Files.isRegularFile(m),
+      s"$table has no version $version (published: ${versions(table).mkString(",")})")
+    java.nio.file.Files.readAllLines(m).toArray(Array.empty[String]).toSeq
+      .filter(_.nonEmpty)
+      .map(u => java.nio.file.Paths.get(table, u).toString)
+  }
+
+  /** Read the table AS OF `version` — an ordinary multi-path parquet
+    * scan over that snapshot's units.
+    */
+  def snapshot(spark: SparkSession, table: String, version: Long): DataFrame =
+    spark.read.parquet(units(table, version): _*)
+}
