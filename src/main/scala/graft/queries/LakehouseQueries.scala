@@ -209,9 +209,56 @@ object LakehouseQueries {
             col("total"), col("min_k"), col("max_k"))
       }.reduce(_ unionAll _).orderBy("version")
     }),
+
+    // S7 (round 9): OPTIMIZE — small-file compaction as a commit-log
+    // version. The table is born fragmented (16 key-bucket units, the
+    // many-small-files state a streaming ingest leaves behind); v1
+    // compacts the v0 snapshot into ONE unit and publishes it as a
+    // new version — content identical, layout changed, v0 still
+    // readable (time travel across an OPTIMIZE, exactly Delta/Iceberg
+    // semantics). Output is the per-version (unit count, row count,
+    // exact total) proving "layout, not content" — fully oracled: the
+    // unit count at v0 is count(DISTINCT k%16) by construction (only
+    // non-empty buckets become units), which the DuckDB twin computes
+    // directly. The VACUUM protocol (reclaiming v0's units after
+    // retention) is exercised on a scratch table in Round9OpsSpec —
+    // running it here would make the cached artifact read-once.
+    // At 100 TB: compaction cost is one read+write of LIVE data,
+    // commit cost O(manifest); readers never block (the new version
+    // is invisible until the atomic manifest rename).
+    "dml_optimize" -> ((s, d) => {
+      import graft.sources.CommitLog
+      val root = graft.queries.ScaleQueries.freshDir(optimizeDir, d, "orders") {
+        val dir = java.nio.file.Files.createTempDirectory("graft_opt").toString
+        val base = load(s, d, "orders")
+          .select(col("o_orderkey").as("k"), dec(col("o_totalprice")).as("p"),
+            (col("o_orderkey") % 16).cast("int").as("b"))
+        base.repartition(col("b"))
+          .write.partitionBy("b").parquet(s"$dir/data/small")
+        val units0 = (0 to 15).map(b => s"data/small/b=$b")
+          .filter(u => java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get(dir, u)))
+        CommitLog.commit(dir, 0L, units0)
+        CommitLog.snapshot(s, dir, 0L).coalesce(1)
+          .write.parquet(s"$dir/data/compact")
+        CommitLog.commit(dir, 1L, Seq("data/compact"))
+        dir
+      }
+      CommitLog.versions(root).map { v =>
+        CommitLog.snapshot(s, root, v)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("p")).cast(DecimalType(38, 2)).as("total"))
+          .select(lit(v).cast("bigint").as("version"),
+            lit(CommitLog.units(root, v).size.toLong).as("n_units"),
+            col("n_rows"), col("total"))
+      }.reduce(_ unionAll _).orderBy("version")
+    }),
   )
 
   private val timeTravelDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val optimizeDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   val oracle: Map[String, String] = Map(
@@ -232,6 +279,16 @@ object LakehouseQueries {
         |UNION ALL
         |SELECT CAST(2 AS BIGINT), count(*), CAST(sum(p) AS DECIMAL(38,2)),
         |    min(k), max(k) FROM v1 WHERE k % 4 <> 1
+        |ORDER BY version""".stripMargin,
+    "dml_optimize" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders)
+        |SELECT CAST(0 AS BIGINT) AS version,
+        |    count(DISTINCT k % 16) AS n_units, count(*) AS n_rows,
+        |    CAST(sum(p) AS DECIMAL(38,2)) AS total FROM base
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), CAST(1 AS BIGINT), count(*),
+        |    CAST(sum(p) AS DECIMAL(38,2)) FROM base
         |ORDER BY version""".stripMargin,
     "dml_snapshot_diff" ->
       """WITH v1 AS (SELECT o_orderkey AS k,

@@ -88,4 +88,26 @@ object CommitLog {
     */
   def snapshot(spark: SparkSession, table: String, version: Long): DataFrame =
     spark.read.parquet(units(table, version): _*)
+
+  /** VACUUM: delete every data unit not referenced by any version in
+    * `retain`, and drop the manifests of the non-retained versions —
+    * the retention-expiry maintenance op of the lakehouse formats.
+    * Returns the number of units deleted. Non-retained versions become
+    * unreadable (that is the point: reclaiming their exclusive
+    * storage); retained versions are untouched — a unit shared by a
+    * retained and an expired version survives.
+    */
+  def vacuum(table: String, retain: Seq[Long]): Long = {
+    val all = versions(table)
+    require(retain.nonEmpty && retain.forall(all.contains),
+      s"retain set ${retain.mkString(",")} must be published versions (${all.mkString(",")})")
+    val keep = retain.flatMap(v => units(table, v)).toSet
+    val dead = all.filterNot(retain.contains)
+      .flatMap(v => units(table, v)).distinct
+      .filterNot(keep)
+    dead.foreach(graft.queries.ScaleQueries.deleteRecursively)
+    all.filterNot(retain.contains)
+      .foreach(v => java.nio.file.Files.delete(manifest(table, v)))
+    dead.size.toLong
+  }
 }

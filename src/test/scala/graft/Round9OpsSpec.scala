@@ -94,6 +94,35 @@ class Round9OpsSpec extends GraftSpec {
     intercept[IllegalArgumentException](CommitLog.units(t, 9L))
   }
 
+  test("dml_optimize compacts layout without changing content; vacuum reclaims") {
+    import graft.sources.CommitLog
+    val out = q("dml_optimize").collect()
+    assert(out.length == 2)
+    val Array(v0, v1) = out
+    assert(v0.getLong(1) > 1L && v1.getLong(1) == 1L,
+      "optimize must collapse many units into one")
+    assert(v0.getLong(2) == v1.getLong(2) &&
+      v0.getDecimal(3) == v1.getDecimal(3),
+      "optimize changes layout, never content")
+    // vacuum protocol on a scratch table: expired units deleted,
+    // shared units retained, expired versions unreadable
+    val t = java.nio.file.Files.createTempDirectory("graft_vac").toString
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "s").write.parquet(s"$t/shared")
+    Seq((2L, "b")).toDF("id", "s").write.parquet(s"$t/old_only")
+    Seq((3L, "c")).toDF("id", "s").write.parquet(s"$t/new_only")
+    CommitLog.commit(t, 0L, Seq("shared", "old_only"))
+    CommitLog.commit(t, 1L, Seq("shared", "new_only"))
+    assert(CommitLog.vacuum(t, retain = Seq(1L)) == 1L,
+      "exactly the expired-exclusive unit is reclaimed")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(t, "old_only")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(t, "shared")),
+      "a unit shared with a retained version must survive")
+    assert(CommitLog.versions(t) == Seq(1L))
+    assert(CommitLog.snapshot(spark, t, 1L).count() == 2)
+    intercept[IllegalArgumentException](CommitLog.units(t, 0L))
+  }
+
   test("fingerprint catches a same-size same-mtime content rewrite") {
     val dir = java.nio.file.Files.createTempDirectory("graft_fp")
     val f = dir.resolve("documents.parquet")
