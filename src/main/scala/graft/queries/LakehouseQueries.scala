@@ -253,12 +253,56 @@ object LakehouseQueries {
             col("n_rows"), col("total"))
       }.reduce(_ unionAll _).orderBy("version")
     }),
+
+    // S8 (round 9): SCHEMA EVOLUTION — the additive-column path. v0
+    // units carry (k, p); v1 appends new rows written WITH an extra
+    // `flag` column (keys shifted +2e9; 2e9 ≡ 2 mod 4, irrelevant
+    // here — the shift just keeps key spaces disjoint). Reading v1
+    // through snapshotEvolved (parquet mergeSchema) surfaces `flag`
+    // on the old units as null — schema-on-read, no rewrite of
+    // history, and v0 still reads with its original 2-column schema.
+    // Output: per version, row count, column count (driver metadata),
+    // exact total, and the non-null flag tally. Fully oracled from
+    // `orders` arithmetic. At 100 TB: evolution costs one footer read
+    // per unit at planning time, zero data rewrite — the whole point
+    // of additive schema-on-read.
+    "dml_schema_evolution" -> ((s, d) => {
+      import graft.sources.CommitLog
+      val root = graft.queries.ScaleQueries.freshDir(schemaEvoDir, d, "orders") {
+        val dir = java.nio.file.Files.createTempDirectory("graft_se").toString
+        val base = load(s, d, "orders")
+          .select(col("o_orderkey").as("k"), dec(col("o_totalprice")).as("p"))
+        base.write.parquet(s"$dir/data/u0")
+        CommitLog.commit(dir, 0L, Seq("data/u0"))
+        base.filter(col("k") % 9 === 0)
+          .select((col("k") + 2000000000L).as("k"), col("p"),
+            lit("new").as("flag"))
+          .write.parquet(s"$dir/data/u1")
+        CommitLog.commit(dir, 1L, Seq("data/u0", "data/u1"))
+        dir
+      }
+      CommitLog.versions(root).map { v =>
+        val snap = CommitLog.snapshotEvolved(s, root, v)
+        val flagged =
+          if (snap.columns.contains("flag")) count(col("flag"))
+          else lit(0L)
+        snap.agg(count(lit(1)).as("n_rows"),
+            sum(col("p")).cast(DecimalType(38, 2)).as("total"),
+            flagged.cast("bigint").as("n_flagged"))
+          .select(lit(v).cast("bigint").as("version"),
+            lit(snap.columns.length.toLong).as("n_cols"),
+            col("n_rows"), col("total"), col("n_flagged"))
+      }.reduce(_ unionAll _).orderBy("version")
+    }),
   )
 
   private val timeTravelDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private val optimizeDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val schemaEvoDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   val oracle: Map[String, String] = Map(
@@ -289,6 +333,20 @@ object LakehouseQueries {
         |UNION ALL
         |SELECT CAST(1 AS BIGINT), CAST(1 AS BIGINT), count(*),
         |    CAST(sum(p) AS DECIMAL(38,2)) FROM base
+        |ORDER BY version""".stripMargin,
+    "dml_schema_evolution" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        | ins AS (SELECT k + 2000000000 AS k, p FROM base WHERE k % 9 = 0)
+        |SELECT CAST(0 AS BIGINT) AS version, CAST(2 AS BIGINT) AS n_cols,
+        |    count(*) AS n_rows, CAST(sum(p) AS DECIMAL(38,2)) AS total,
+        |    CAST(0 AS BIGINT) AS n_flagged FROM base
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), CAST(3 AS BIGINT),
+        |    (SELECT count(*) FROM base) + (SELECT count(*) FROM ins),
+        |    CAST((SELECT sum(p) FROM base) + (SELECT sum(p) FROM ins)
+        |      AS DECIMAL(38,2)),
+        |    (SELECT count(*) FROM ins)
         |ORDER BY version""".stripMargin,
     "dml_snapshot_diff" ->
       """WITH v1 AS (SELECT o_orderkey AS k,

@@ -89,6 +89,15 @@ object CommitLog {
   def snapshot(spark: SparkSession, table: String, version: Long): DataFrame =
     spark.read.parquet(units(table, version): _*)
 
+  /** Read AS OF `version` with SCHEMA-ON-READ evolution: units written
+    * before a column existed surface it as null (parquet mergeSchema —
+    * the additive-column path of the lakehouse formats; renames/drops
+    * need a mapping the manifest doesn't carry). Costs a footer read
+    * per unit at planning; pushdown/pruning on shared columns intact.
+    */
+  def snapshotEvolved(spark: SparkSession, table: String, version: Long): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(units(table, version): _*)
+
   /** VACUUM: delete every data unit not referenced by any version in
     * `retain`, and drop the manifests of the non-retained versions —
     * the retention-expiry maintenance op of the lakehouse formats.

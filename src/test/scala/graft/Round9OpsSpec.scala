@@ -123,6 +123,44 @@ class Round9OpsSpec extends GraftSpec {
     intercept[IllegalArgumentException](CommitLog.units(t, 0L))
   }
 
+  test("dml_schema_evolution: old units surface the added column as null") {
+    val out = q("dml_schema_evolution").collect()
+    assert(out.length == 2)
+    val Array(v0, v1) = out
+    assert(v0.getLong(1) == 2L && v1.getLong(1) == 3L,
+      "v1 must surface the evolved 3-column schema")
+    assert(v0.getLong(4) == 0L, "no flag column exists at v0")
+    assert(v1.getLong(4) == v1.getLong(2) - v0.getLong(2),
+      "exactly the new rows carry a non-null flag")
+  }
+
+  test("commit-log snapshot reads keep pushdown, pruning, and evolution nulls") {
+    import graft.sources.CommitLog
+    val t = java.nio.file.Files.createTempDirectory("graft_push").toString
+    import spark.implicits._
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "s", "v").write.parquet(s"$t/u0")
+    CommitLog.commit(t, 0L, Seq("u0"))
+    val df = CommitLog.snapshot(spark, t, 0L).filter($"id" > 1).select("id", "v")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("GreaterThan(id,1"),
+      s"snapshot scan must push the predicate:\n${plan.take(1500)}")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse("").replaceAll(".*ReadSchema: ", "")
+    assert(readSchema.contains("id:") && readSchema.contains("v:")
+      && !readSchema.contains("s:"),
+      s"snapshot scan must prune unprojected columns: $readSchema")
+    // evolution: a unit written with an extra column merges; the old
+    // unit's rows surface it as null
+    Seq((4L, "d", 40.0, "x")).toDF("id", "s", "v", "tag")
+      .write.parquet(s"$t/u1")
+    CommitLog.commit(t, 1L, Seq("u0", "u1"))
+    val ev = CommitLog.snapshotEvolved(spark, t, 1L)
+    assert(ev.columns.toSeq == Seq("id", "s", "v", "tag"))
+    assert(ev.filter($"tag".isNull).count() == 3 &&
+      ev.filter($"tag" === "x").count() == 1)
+  }
+
   test("fingerprint catches a same-size same-mtime content rewrite") {
     val dir = java.nio.file.Files.createTempDirectory("graft_fp")
     val f = dir.resolve("documents.parquet")
