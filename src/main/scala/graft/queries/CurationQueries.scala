@@ -235,6 +235,36 @@ object CurationQueries {
         .agg(count(lit(1)).cast("bigint").as("n_events"),
           countDistinct(col("user_id")).cast("bigint").as("n_users"))
         .orderBy("split")),
+
+    // M8 (round 9): TOKEN-BUDGETED mixture selection — the data-mixture
+    // op a pretraining run actually executes: a global token budget
+    // (half the corpus here) split equally across sources, each source
+    // filled greedily in a deterministic md5-permutation order until
+    // its budget is exhausted (a doc is never split; the budget is a
+    // cap, so the kept set is the maximal md5-prefix under it). Plan:
+    // map-only token counts → ONE 1-row broadcast agg (total tokens,
+    // source count) → per-source cumulative-sum window (the same
+    // per-group sort the M4 targets use) → map-only cap filter. All
+    // integer arithmetic (budget = total DIV (2·n_src)) — exact and
+    // order-independent cross-engine. At 100 TB the per-source window
+    // sort is the only super-scan term — the same boundary documented
+    // for M4, with sample_temperature as the rate-based scale twin.
+    "sample_token_budget" -> ((s, d) => {
+      val docs = load(s, d, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("bigint").as("n_tok"))
+      val tot = docs.agg(sum(col("n_tok")).as("t"),
+        countDistinct(col("source")).as("ns"))
+      val w = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.crossJoin(broadcast(tot))
+        .withColumn("budget", expr("t DIV (2 * ns)"))
+        .withColumn("cum_tok", sum(col("n_tok")).over(w))
+        .filter(col("cum_tok") <= col("budget"))
+        .select("doc_id", "source", "n_tok", "cum_tok")
+        .orderBy("source", "cum_tok", "doc_id")
+    }),
   )
 
   // M7 (round 8): GROUP-level train/valid/test split — the leakage
@@ -257,6 +287,22 @@ object CurationQueries {
       "- 10.0 * (punct / CAST(chars AS DOUBLE))"
 
   val oracle: Map[String, String] = Map(
+    // M8 twin: identical integer budget arithmetic and md5-permutation
+    // cumulative window.
+    "sample_token_budget" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents WHERE text IS NOT NULL),
+        | tot AS (SELECT sum(n_tok) AS t, count(DISTINCT source) AS ns FROM d),
+        | c AS (SELECT doc_id, source, n_tok,
+        |    CAST(sum(n_tok) OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_tok
+        |  FROM d)
+        |SELECT doc_id, source, n_tok, cum_tok
+        |FROM c, tot WHERE cum_tok <= t // (2 * ns)
+        |ORDER BY source, cum_tok, doc_id""".stripMargin,
     // M7 twin: the sink_shards md5-bucket arithmetic on the GROUP key.
     "sample_group_split" ->
       s"""WITH b AS (SELECT user_id, event_id,

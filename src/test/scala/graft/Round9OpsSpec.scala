@@ -161,6 +161,36 @@ class Round9OpsSpec extends GraftSpec {
       ev.filter($"tag" === "x").count() == 1)
   }
 
+  test("sample_token_budget keeps the maximal md5-prefix under each cap") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sf, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tok"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val total = docs.map(_._3).sum
+    val budget = total / (2L * docs.map(_._2).distinct.length)
+    val kept = q("sample_token_budget").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(kept.nonEmpty)
+    kept.groupBy(_._2).foreach { case (src, rs) =>
+      assert(rs.map(_._4).max <= budget, s"$src exceeds its budget")
+    }
+    // maximality: replay the greedy prefix fill per source (token
+    // counts are >= 1, so the running sum is strictly increasing and
+    // "cum <= budget" IS a prefix) and demand the exact same doc set —
+    // not just any under-budget subset
+    val expectedPrefix = docs.groupBy(_._2).flatMap { case (_, ds) =>
+      val sorted = ds.sortBy(d => (d._4, d._1))
+      val cums = sorted.scanLeft(0L)(_ + _._3).tail
+      sorted.zip(cums).takeWhile(_._2 <= budget).map(_._1._1).toSeq
+    }.toSet
+    assert(kept.map(_._1).toSet == expectedPrefix,
+      "kept set must be exactly the maximal cumulative md5 prefix")
+  }
+
   test("fingerprint catches a same-size same-mtime content rewrite") {
     val dir = java.nio.file.Files.createTempDirectory("graft_fp")
     val f = dir.resolve("documents.parquet")
