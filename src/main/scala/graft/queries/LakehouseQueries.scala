@@ -294,6 +294,61 @@ object LakehouseQueries {
             col("n_rows"), col("total"), col("n_flagged"))
       }.reduce(_ unionAll _).orderBy("version")
     }),
+
+    // S9 (round 9): STATS-BASED DATA SKIPPING — the manifest-level
+    // min/max file-stats index of the lakehouse formats. The table is
+    // laid out in 8 contiguous KEY-RANGE units (width = max_k DIV 8
+    // + 1 — range clustering is what makes min/max stats selective;
+    // a hash layout's per-unit ranges all span the key space and
+    // nothing skips); commit publishes a per-unit (min,max,count)
+    // sidecar. Three probes — one inside a single unit, one
+    // straddling two, one over everything — each read through
+    // CommitLog.snapshotRange, which prunes units at PLANNING time
+    // from the stats alone. Output: per probe, units actually
+    // scanned + the probe's row count and exact total. Fully
+    // oracled: DuckDB recomputes the unit ranges (k DIV width) and
+    // applies the same intersects-[lo,hi] rule. At 100 TB the stats
+    // sidecar is O(units) text and the skipping decision touches no
+    // data files — reading 1/8th of the table costs 1/8th.
+    "dml_data_skipping" -> ((s, d) => {
+      import graft.sources.CommitLog
+      val root = graft.queries.ScaleQueries.freshDir(skipStatsDir, d, "orders") {
+        val dir = java.nio.file.Files.createTempDirectory("graft_skip").toString
+        val base = load(s, d, "orders")
+          .select(col("o_orderkey").as("k"), dec(col("o_totalprice")).as("p"))
+        val wd = base.agg(expr("max(k) DIV 8 + 1")).head().getLong(0)
+        val withB = base.withColumn("bucket", expr(s"k DIV ${wd}L"))
+        withB.repartition(col("bucket"))
+          .write.partitionBy("bucket").parquet(s"$dir/data/v0")
+        // per-unit stats: 8 rows — manifest metadata, not data
+        val st = withB.groupBy("bucket")
+          .agg(min(col("k")).as("mn"), max(col("k")).as("mx"),
+            count(lit(1)).as("n"))
+          .take(16)
+          .map(r => (s"data/v0/bucket=${r.getLong(0)}",
+            r.getLong(1), r.getLong(2), r.getLong(3)))
+          .sortBy(_._1)
+        CommitLog.commit(dir, 0L, st.map(_._1).toSeq)
+        CommitLog.writeStats(dir, 0L, st.toSeq)
+        dir
+      }
+      val maxK = load(s, d, "orders")
+        .agg(max(col("o_orderkey"))).head().getLong(0)
+      val wd = maxK / 8L + 1L
+      val probes = Seq(
+        (0L, 2L * wd, 3L * wd - 1L),          // fully inside unit 2
+        (1L, 5L * wd + wd / 2L, 6L * wd + wd / 2L), // straddles units 5+6
+        (2L, 0L, maxK))                        // everything
+      probes.map { case (id, lo, hi) =>
+        val (snap, scanned) = CommitLog.snapshotRange(s, root, 0L, lo, hi)
+        snap.filter(col("k").between(lo, hi))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("p")).cast(DecimalType(38, 2)).as("total"))
+          .select(lit(id).as("probe"),
+            lit(scanned.toLong).as("n_units_scanned"),
+            col("n_rows"), col("total"))
+      }.reduce(_ unionAll _).orderBy("probe")
+    }),
   )
 
   private val timeTravelDir =
@@ -303,6 +358,9 @@ object LakehouseQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private val schemaEvoDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val skipStatsDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   val oracle: Map[String, String] = Map(
@@ -334,6 +392,22 @@ object LakehouseQueries {
         |SELECT CAST(1 AS BIGINT), CAST(1 AS BIGINT), count(*),
         |    CAST(sum(p) AS DECIMAL(38,2)) FROM base
         |ORDER BY version""".stripMargin,
+    "dml_data_skipping" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        | w AS (SELECT max(k) // 8 + 1 AS wd, max(k) AS mk FROM base),
+        | u AS (SELECT k // wd AS b, min(k) AS mn, max(k) AS mx
+        |       FROM base, w GROUP BY 1),
+        | probes AS (
+        |   SELECT CAST(0 AS BIGINT) AS probe, 2*wd AS lo, 3*wd - 1 AS hi FROM w
+        |   UNION ALL SELECT CAST(1 AS BIGINT), 5*wd + wd // 2, 6*wd + wd // 2 FROM w
+        |   UNION ALL SELECT CAST(2 AS BIGINT), 0, mk FROM w)
+        |SELECT probe,
+        |  (SELECT count(*) FROM u WHERE mn <= hi AND mx >= lo) AS n_units_scanned,
+        |  (SELECT count(*) FROM base WHERE k BETWEEN lo AND hi) AS n_rows,
+        |  CAST((SELECT sum(p) FROM base WHERE k BETWEEN lo AND hi)
+        |    AS DECIMAL(38,2)) AS total
+        |FROM probes ORDER BY probe""".stripMargin,
     "dml_schema_evolution" ->
       """WITH base AS (SELECT o_orderkey AS k,
         |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),

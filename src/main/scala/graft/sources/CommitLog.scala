@@ -98,6 +98,54 @@ object CommitLog {
   def snapshotEvolved(spark: SparkSession, table: String, version: Long): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(units(table, version): _*)
 
+  /** Publish per-unit statistics of a BIGINT column for `version` —
+    * the manifest-level min/max/count stats the lakehouse formats use
+    * for data skipping. One `unit|min|max|count` line per unit,
+    * sidecar to the manifest (same atomic-rename publish).
+    */
+  def writeStats(table: String, version: Long,
+      stats: Seq[(String, Long, Long, Long)]): Unit = {
+    val dir = logDir(table)
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = dir.resolve(f".v$version%05d.stats.tmp")
+    java.nio.file.Files.writeString(tmp,
+      stats.map { case (u, mn, mx, n) => s"$u|$mn|$mx|$n" }
+        .mkString("", "\n", "\n"))
+    java.nio.file.Files.move(tmp, dir.resolve(f"v$version%05d.stats.txt"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** The per-unit stats of `version` (unit, min, max, count). */
+  def stats(table: String, version: Long): Seq[(String, Long, Long, Long)] = {
+    val f = logDir(table).resolve(f"v$version%05d.stats.txt")
+    require(java.nio.file.Files.isRegularFile(f),
+      s"$table has no stats for version $version")
+    java.nio.file.Files.readAllLines(f).toArray(Array.empty[String]).toSeq
+      .filter(_.nonEmpty).map { l =>
+        val Array(u, mn, mx, n) = l.split('|')
+        (u, mn.toLong, mx.toLong, n.toLong)
+      }
+  }
+
+  /** Stats-pruned read: scan ONLY the units whose [min,max] range
+    * intersects [lo, hi] — manifest-level data skipping, the planning
+    * step a format's file-stats index performs before the scan ever
+    * opens a footer. Returns the dataframe over the surviving units
+    * plus how many units the probe actually scans (the skipping
+    * metric). Rows outside [lo, hi] inside a surviving unit still
+    * need the ordinary pushed filter — stats prune UNITS, not rows.
+    */
+  def snapshotRange(spark: SparkSession, table: String, version: Long,
+      lo: Long, hi: Long): (DataFrame, Int) = {
+    val picked = stats(table, version)
+      .filter { case (_, mn, mx, _) => mn <= hi && mx >= lo }
+      .map(s => java.nio.file.Paths.get(table, s._1).toString)
+    require(picked.nonEmpty,
+      s"probe [$lo,$hi] matches no unit of $table v$version — empty-probe " +
+        "reads should fall back to snapshot() with a filter")
+    (spark.read.parquet(picked: _*), picked.size)
+  }
+
   /** VACUUM: delete every data unit not referenced by any version in
     * `retain`, and drop the manifests of the non-retained versions —
     * the retention-expiry maintenance op of the lakehouse formats.

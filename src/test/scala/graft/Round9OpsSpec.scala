@@ -191,6 +191,32 @@ class Round9OpsSpec extends GraftSpec {
       "kept set must be exactly the maximal cumulative md5 prefix")
   }
 
+  test("dml_data_skipping prunes units by stats without changing answers") {
+    import org.apache.spark.sql.functions._
+    val base = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey").as("k"))
+    val maxK = base.agg(max(col("k"))).head().getLong(0)
+    val wd = maxK / 8L + 1L
+    val keys = base.collect().map(_.getLong(0))
+    val unitRange = keys.groupBy(_ / wd)
+      .map { case (b, ks) => b -> (ks.min, ks.max) }
+    def scannedFor(lo: Long, hi: Long): Long =
+      unitRange.count { case (_, (mn, mx)) => mn <= hi && mx >= lo }.toLong
+    val probes = Seq((0L, 2L * wd, 3L * wd - 1L),
+      (1L, 5L * wd + wd / 2L, 6L * wd + wd / 2L), (2L, 0L, maxK))
+    val out = q("dml_data_skipping").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    probes.foreach { case (id, lo, hi) =>
+      val (scanned, rows) = out(id)
+      assert(scanned == scannedFor(lo, hi),
+        s"probe $id must scan exactly the stats-intersecting units")
+      assert(rows == keys.count(k => k >= lo && k <= hi).toLong,
+        s"probe $id pruning must not change the answer")
+    }
+    assert(out(0L)._1 < out(2L)._1,
+      "a narrow probe must scan strictly fewer units than the full scan")
+  }
+
   test("fingerprint catches a same-size same-mtime content rewrite") {
     val dir = java.nio.file.Files.createTempDirectory("graft_fp")
     val f = dir.resolve("documents.parquet")
