@@ -17,9 +17,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    mix of retained and new units. Old units are never mutated —
   *    every already-published version stays byte-stable (snapshot
   *    isolation for readers at any version).
-  *  - A commit becomes visible via ATOMIC_MOVE of the manifest into
-  *    `_log/` — a crashed writer leaves only a `.tmp` file, which
-  *    readers ignore; there is no torn-manifest state.
+  *  - A commit becomes visible via an atomic hard-link publish of the
+  *    fully-written manifest into `_log/` — a crashed writer leaves
+  *    only a `.tmp` file, which readers ignore; there is no
+  *    torn-manifest state, and concurrent writers racing for the same
+  *    version number are serialized by the filesystem: exactly one
+  *    wins, the rest observe the conflict ([[tryCommit]]).
   *
   * Scale: the manifest is O(units) text; [[snapshot]] hands Spark the
   * unit paths directly, so the read is an ordinary multi-path parquet
@@ -39,16 +42,46 @@ object CommitLog {
 
   /** Publish `version` as the snapshot made of `units` (paths relative
     * to the table root). Atomic: readers either see the complete
-    * manifest or no version at all.
+    * manifest or no version at all. Throws if `version` is already
+    * published — use [[tryCommit]] for the optimistic-concurrency
+    * protocol.
     */
-  def commit(table: String, version: Long, units: Seq[String]): Unit = {
+  def commit(table: String, version: Long, units: Seq[String]): Unit =
+    require(tryCommit(table, version, units),
+      s"version $version of $table was published concurrently — " +
+        "re-read the table state, re-apply the change, and retry at " +
+        "the next version number")
+
+  /** Optimistic-concurrency publish — the conflict-detection core of
+    * the lakehouse formats: every writer prepares its units, then
+    * races to publish manifest vN; the rename-if-absent is atomic at
+    * the filesystem layer, so exactly ONE writer wins and every loser
+    * gets `false` with the winner's manifest untouched (its own
+    * prepared units are unreferenced garbage for VACUUM). A loser
+    * retries by re-reading the new latest version, re-applying its
+    * change on top, and publishing as vN+1 — snapshot-isolation
+    * writes without any lock service, the same protocol Delta runs
+    * on object stores.
+    */
+  def tryCommit(table: String, version: Long, units: Seq[String]): Boolean = {
     require(units.nonEmpty, "a snapshot must reference at least one unit")
     val dir = logDir(table)
     java.nio.file.Files.createDirectories(dir)
-    val tmp = dir.resolve(f".v$version%05d.txt.tmp")
+    val tmp = dir.resolve(f".v$version%05d.txt.${java.util.UUID.randomUUID}.tmp")
     java.nio.file.Files.writeString(tmp, units.mkString("", "\n", "\n"))
-    java.nio.file.Files.move(tmp, manifest(table, version),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    try {
+      // hard-link publish: link(2) is atomic and fails with EEXIST if
+      // the manifest already exists — rename(2)/ATOMIC_MOVE would
+      // silently REPLACE it on POSIX, losing the winner's commit. The
+      // link target is the fully-written tmp file, so readers can
+      // never observe a torn manifest.
+      java.nio.file.Files.createLink(manifest(table, version), tmp)
+      java.nio.file.Files.deleteIfExists(tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        java.nio.file.Files.deleteIfExists(tmp); false
+    }
   }
 
   /** Published versions, ascending. `.tmp` leftovers of crashed

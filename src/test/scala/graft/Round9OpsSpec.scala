@@ -191,6 +191,28 @@ class Round9OpsSpec extends GraftSpec {
       "kept set must be exactly the maximal cumulative md5 prefix")
   }
 
+  test("tryCommit: exactly one writer wins a version, loser retries on top") {
+    import graft.sources.CommitLog
+    val t = java.nio.file.Files.createTempDirectory("graft_occ").toString
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "s").write.parquet(s"$t/u0")
+    Seq((2L, "b")).toDF("id", "s").write.parquet(s"$t/u1")
+    assert(CommitLog.tryCommit(t, 0L, Seq("u0")))
+    assert(!CommitLog.tryCommit(t, 0L, Seq("u1")),
+      "a second publish of the same version must observe the conflict")
+    assert(CommitLog.units(t, 0L).head.endsWith("u0"),
+      "the losing writer must not clobber the winner's manifest")
+    // the optimistic retry: loser re-reads latest and publishes on top
+    assert(CommitLog.tryCommit(t, CommitLog.latestVersion(t) + 1, Seq("u0", "u1")))
+    assert(CommitLog.versions(t) == Seq(0L, 1L))
+    assert(CommitLog.snapshot(spark, t, 1L).count() == 2)
+    // the losing attempt leaves no stray tmp in the log dir
+    import scala.jdk.CollectionConverters._
+    val stray = java.nio.file.Files.list(java.nio.file.Paths.get(t, "_log"))
+      .iterator().asScala.map(_.getFileName.toString).filter(_.endsWith(".tmp"))
+    assert(stray.isEmpty, "losing commits must clean their tmp files")
+  }
+
   test("dml_data_skipping prunes units by stats without changing answers") {
     import org.apache.spark.sql.functions._
     val base = Tables.load(spark, sf, "orders")
