@@ -349,6 +349,42 @@ object LakehouseQueries {
             col("n_rows"), col("total"))
       }.reduce(_ unionAll _).orderBy("probe")
     }),
+
+    // S10 (round 9): INCREMENTAL READ — the table consumed as a
+    // stream. An append-only log (v0/v1/v2 each adding one key-slice
+    // unit) is read version by version through CommitLog.incremental,
+    // which hands back ONLY the units that version added (and fails
+    // loudly on non-append versions — retractions need CDC). Each
+    // "micro-batch" therefore costs O(delta); the output carries both
+    // the per-version delta stats and the full-snapshot row count,
+    // proving delta sums reconstruct the table exactly — the
+    // Delta/Iceberg streaming-source contract without a Kafka jar
+    // (SURVEY §7.4.5: none ships in this image; the table-as-stream
+    // feed is the honest file-native equivalent). Fully oracled from
+    // k%3 arithmetic.
+    "dml_incremental_read" -> ((s, d) => {
+      import graft.sources.CommitLog
+      val root = graft.queries.ScaleQueries.freshDir(incrReadDir, d, "orders") {
+        val dir = java.nio.file.Files.createTempDirectory("graft_incr").toString
+        val base = load(s, d, "orders")
+          .select(col("o_orderkey").as("k"), dec(col("o_totalprice")).as("p"))
+        (0 to 2).foreach { i =>
+          base.filter(col("k") % 3 === i).write.parquet(s"$dir/data/a$i")
+          CommitLog.commit(dir, i.toLong, (0 to i).map(j => s"data/a$j"))
+        }
+        dir
+      }
+      CommitLog.versions(root).map { v =>
+        val added = CommitLog.incremental(s, root, v)
+        val snapRows = CommitLog.snapshot(s, root, v).count()
+        added.agg(count(lit(1)).as("n_added_rows"),
+            sum(col("p")).cast(DecimalType(38, 2)).as("added_total"))
+          .select(lit(v).cast("bigint").as("version"),
+            lit(CommitLog.addedUnits(root, v).size.toLong).as("n_added_units"),
+            col("n_added_rows"), col("added_total"),
+            lit(snapRows).as("n_snapshot_rows"))
+      }.reduce(_ unionAll _).orderBy("version")
+    }),
   )
 
   private val timeTravelDir =
@@ -361,6 +397,9 @@ object LakehouseQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private val skipStatsDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val incrReadDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   val oracle: Map[String, String] = Map(
@@ -392,6 +431,17 @@ object LakehouseQueries {
         |SELECT CAST(1 AS BIGINT), CAST(1 AS BIGINT), count(*),
         |    CAST(sum(p) AS DECIMAL(38,2)) FROM base
         |ORDER BY version""".stripMargin,
+    "dml_incremental_read" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        | v AS (SELECT unnest([0, 1, 2]) AS version)
+        |SELECT CAST(version AS BIGINT) AS version,
+        |  CAST(1 AS BIGINT) AS n_added_units,
+        |  (SELECT count(*) FROM base WHERE k % 3 = version) AS n_added_rows,
+        |  CAST((SELECT sum(p) FROM base WHERE k % 3 = version)
+        |    AS DECIMAL(38,2)) AS added_total,
+        |  (SELECT count(*) FROM base WHERE k % 3 <= version) AS n_snapshot_rows
+        |FROM v ORDER BY version""".stripMargin,
     "dml_data_skipping" ->
       """WITH base AS (SELECT o_orderkey AS k,
         |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),

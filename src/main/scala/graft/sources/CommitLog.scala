@@ -179,6 +179,49 @@ object CommitLog {
     (spark.read.parquet(picked: _*), picked.size)
   }
 
+  /** The units `version` ADDED relative to its predecessor (all of
+    * them for the first version) — the incremental feed a streaming
+    * consumer of an append-only table processes: each micro-batch is
+    * one version's added units, cost O(delta) never O(table), exactly
+    * the Delta/Iceberg streaming-source contract. Tables that REMOVE
+    * units (deletes, compaction) need a CDC feed instead — removed
+    * units carry retracted rows this API deliberately does not
+    * surface (use [[removedUnits]] to detect and reject them).
+    */
+  def addedUnits(table: String, version: Long): Seq[String] = {
+    val now = units(table, version)
+    val vs = versions(table)
+    val idx = vs.indexOf(version)
+    require(idx >= 0, s"$table has no version $version")
+    if (idx == 0) now
+    else now.diff(units(table, vs(idx - 1)))
+  }
+
+  /** Units `version` removed relative to its predecessor — non-empty
+    * means the version is not an append and an incremental consumer
+    * must either fail or switch to a CDC-aware path.
+    */
+  def removedUnits(table: String, version: Long): Seq[String] = {
+    val vs = versions(table)
+    val idx = vs.indexOf(version)
+    require(idx >= 0, s"$table has no version $version")
+    if (idx == 0) Seq.empty
+    else units(table, vs(idx - 1)).diff(units(table, version))
+  }
+
+  /** Incremental read of an APPEND-ONLY version: the dataframe over
+    * only the units `version` added. Fails loudly when the version
+    * also removed units (a delete/compaction — silently treating it
+    * as an append would double-count or miss retractions).
+    */
+  def incremental(spark: SparkSession, table: String, version: Long): DataFrame = {
+    val removed = removedUnits(table, version)
+    require(removed.isEmpty,
+      s"version $version of $table removed units (${removed.mkString(",")}) — " +
+        "not an append; an incremental consumer needs a CDC feed here")
+    spark.read.parquet(addedUnits(table, version): _*)
+  }
+
   /** VACUUM: delete every data unit not referenced by any version in
     * `retain`, and drop the manifests of the non-retained versions —
     * the retention-expiry maintenance op of the lakehouse formats.

@@ -191,6 +191,26 @@ class Round9OpsSpec extends GraftSpec {
       "kept set must be exactly the maximal cumulative md5 prefix")
   }
 
+  test("dml_incremental_read: deltas reconstruct snapshots; CDC guard fires") {
+    import graft.sources.CommitLog
+    val out = q("dml_incremental_read").collect()
+    assert(out.length == 3)
+    val cum = out.scanLeft(0L)((acc, r) => acc + r.getLong(2)).tail
+    out.zip(cum).foreach { case (r, c) =>
+      assert(r.getLong(4) == c,
+        s"v${r.getLong(0)}: delta sums must reconstruct the snapshot row count")
+    }
+    // non-append versions must be rejected, not silently mis-consumed
+    val t = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "s").write.parquet(s"$t/u0")
+    Seq((2L, "b")).toDF("id", "s").write.parquet(s"$t/u1")
+    CommitLog.commit(t, 0L, Seq("u0"))
+    CommitLog.commit(t, 1L, Seq("u1")) // replaces u0: remove + add
+    assert(CommitLog.removedUnits(t, 1L).nonEmpty)
+    intercept[IllegalArgumentException](CommitLog.incremental(spark, t, 1L))
+  }
+
   test("tryCommit: exactly one writer wins a version, loser retries on top") {
     import graft.sources.CommitLog
     val t = java.nio.file.Files.createTempDirectory("graft_occ").toString
