@@ -364,16 +364,7 @@ object LakehouseQueries {
     // k%3 arithmetic.
     "dml_incremental_read" -> ((s, d) => {
       import graft.sources.CommitLog
-      val root = graft.queries.ScaleQueries.freshDir(incrReadDir, d, "orders") {
-        val dir = java.nio.file.Files.createTempDirectory("graft_incr").toString
-        val base = load(s, d, "orders")
-          .select(col("o_orderkey").as("k"), dec(col("o_totalprice")).as("p"))
-        (0 to 2).foreach { i =>
-          base.filter(col("k") % 3 === i).write.parquet(s"$dir/data/a$i")
-          CommitLog.commit(dir, i.toLong, (0 to i).map(j => s"data/a$j"))
-        }
-        dir
-      }
+      val root = incrTable(s, d)
       CommitLog.versions(root).map { v =>
         val added = CommitLog.incremental(s, root, v)
         val snapRows = CommitLog.snapshot(s, root, v).count()
@@ -383,6 +374,45 @@ object LakehouseQueries {
             lit(CommitLog.addedUnits(root, v).size.toLong).as("n_added_units"),
             col("n_added_rows"), col("added_total"),
             lit(snapRows).as("n_snapshot_rows"))
+      }.reduce(_ unionAll _).orderBy("version")
+    }),
+
+    // S11 (round 9): SHALLOW CLONE — a zero-copy table fork. The
+    // clone is a NEW table whose v0 manifest references the SOURCE's
+    // data units by relative path: no byte of data moves, the clone
+    // materializes instantly at any table size (manifest-write cost
+    // only — Delta's SHALLOW CLONE). The clone then evolves
+    // INDEPENDENTLY: its v1 adds a unit of its own (the k%3==0 slice
+    // with keys shifted +5e9) that the source never sees — the
+    // dev/test-against-prod-data workflow. Output: the clone's
+    // per-version row count and exact total; Round9OpsSpec pins
+    // source isolation (the source's version list and content are
+    // untouched by the clone's writes). Fully oracled.
+    "dml_clone" -> ((s, d) => {
+      import graft.sources.CommitLog
+      val root = graft.queries.ScaleQueries.freshDir(cloneDir, d, "orders") {
+        val src = incrTable(s, d)
+        val dir = java.nio.file.Files.createTempDirectory("graft_clone").toString
+        // reference the source's CURRENT snapshot units relative to
+        // the clone root — the whole clone is this manifest write
+        val rel = CommitLog.units(src, CommitLog.latestVersion(src))
+          .map(u => java.nio.file.Paths.get(dir)
+            .relativize(java.nio.file.Paths.get(u)).toString)
+        CommitLog.commit(dir, 0L, rel)
+        load(s, d, "orders")
+          .select(col("o_orderkey").as("k"), dec(col("o_totalprice")).as("p"))
+          .filter(col("k") % 3 === 0)
+          .select((col("k") + 5000000000L).as("k"), col("p"))
+          .write.parquet(s"$dir/data/own")
+        CommitLog.commit(dir, 1L, rel :+ "data/own")
+        dir
+      }
+      CommitLog.versions(root).map { v =>
+        CommitLog.snapshot(s, root, v)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("p")).cast(DecimalType(38, 2)).as("total"))
+          .select(lit(v).cast("bigint").as("version"),
+            col("n_rows"), col("total"))
       }.reduce(_ unionAll _).orderBy("version")
     }),
   )
@@ -401,6 +431,26 @@ object LakehouseQueries {
 
   private val incrReadDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val cloneDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The append-only 3-version log S10/S11 share: v0/v1/v2 each add
+    * one k%3 key-slice unit. Built once per (sfDir, orders
+    * fingerprint).
+    */
+  private def incrTable(s: org.apache.spark.sql.SparkSession, d: String): String =
+    graft.queries.ScaleQueries.freshDir(incrReadDir, d, "orders") {
+      val dir = java.nio.file.Files.createTempDirectory("graft_incr").toString
+      val base = load(s, d, "orders")
+        .select(col("o_orderkey").as("k"), dec(col("o_totalprice")).as("p"))
+      (0 to 2).foreach { i =>
+        base.filter(col("k") % 3 === i).write.parquet(s"$dir/data/a$i")
+        graft.sources.CommitLog.commit(dir, i.toLong,
+          (0 to i).map(j => s"data/a$j"))
+      }
+      dir
+    }
 
   val oracle: Map[String, String] = Map(
     "dml_time_travel" ->
@@ -430,6 +480,18 @@ object LakehouseQueries {
         |UNION ALL
         |SELECT CAST(1 AS BIGINT), CAST(1 AS BIGINT), count(*),
         |    CAST(sum(p) AS DECIMAL(38,2)) FROM base
+        |ORDER BY version""".stripMargin,
+    "dml_clone" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders)
+        |SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_rows,
+        |    CAST(sum(p) AS DECIMAL(38,2)) AS total FROM base
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT),
+        |    (SELECT count(*) FROM base) +
+        |      (SELECT count(*) FROM base WHERE k % 3 = 0),
+        |    CAST((SELECT sum(p) FROM base) +
+        |      (SELECT sum(p) FROM base WHERE k % 3 = 0) AS DECIMAL(38,2))
         |ORDER BY version""".stripMargin,
     "dml_incremental_read" ->
       """WITH base AS (SELECT o_orderkey AS k,

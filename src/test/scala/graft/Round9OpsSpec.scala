@@ -211,6 +211,22 @@ class Round9OpsSpec extends GraftSpec {
     intercept[IllegalArgumentException](CommitLog.incremental(spark, t, 1L))
   }
 
+  test("dml_clone: zero-copy fork evolves without touching the source") {
+    import graft.sources.CommitLog
+    val out = q("dml_clone").collect()
+    assert(out.length == 2)
+    val Array(v0, v1) = out
+    val nOrders = Tables.load(spark, sf, "orders").count()
+    assert(v0.getLong(1) == nOrders,
+      "clone v0 must see the source's full content without copying it")
+    assert(v1.getLong(1) > v0.getLong(1), "clone v1 adds its own unit")
+    // source isolation: after the clone's writes, the source table
+    // still has exactly its own 3 versions and its full content
+    val srcOut = q("dml_incremental_read").collect()
+    assert(srcOut.length == 3 && srcOut.last.getLong(4) == nOrders,
+      "the clone's evolution must be invisible to the source")
+  }
+
   test("tryCommit: exactly one writer wins a version, loser retries on top") {
     import graft.sources.CommitLog
     val t = java.nio.file.Files.createTempDirectory("graft_occ").toString
