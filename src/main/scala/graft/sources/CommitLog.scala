@@ -92,10 +92,13 @@ object CommitLog {
     if (!java.nio.file.Files.isDirectory(dir)) Seq.empty
     else {
       import scala.jdk.CollectionConverters._
+      // strict vNNNNN.txt match: the stats sidecar (vNNNNN.stats.txt)
+      // also starts with "v" and ends ".txt" — a loose prefix/suffix
+      // test would throw parsing "00000.stats" as a version number
+      val m = java.util.regex.Pattern.compile("^v(\\d+)\\.txt$")
       java.nio.file.Files.list(dir).iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case n if n.startsWith("v") && n.endsWith(".txt") =>
-          n.stripPrefix("v").stripSuffix(".txt").toLong }
+        .map(n => m.matcher(n.getFileName.toString))
+        .collect { case mm if mm.matches() => mm.group(1).toLong }
         .toSeq.sorted
     }
   }
@@ -239,8 +242,14 @@ object CommitLog {
       .flatMap(v => units(table, v)).distinct
       .filterNot(keep)
     dead.foreach(graft.queries.ScaleQueries.deleteRecursively)
-    all.filterNot(retain.contains)
-      .foreach(v => java.nio.file.Files.delete(manifest(table, v)))
+    all.filterNot(retain.contains).foreach { v =>
+      java.nio.file.Files.delete(manifest(table, v))
+      // reclaim the expired version's stats sidecar too — an orphan
+      // sidecar would let stats() answer for a version that no longer
+      // exists
+      java.nio.file.Files.deleteIfExists(
+        logDir(table).resolve(f"v$v%05d.stats.txt"))
+    }
     dead.size.toLong
   }
 }
