@@ -56,11 +56,19 @@ object Tables {
         val ch = java.nio.file.Files.newByteChannel(src)
         try {
           val span = 64 * 1024
+          // loop to full-or-EOF (ADVICE r9): a single read() may return
+          // short, and a short head/tail yields a DIFFERENT CRC for the
+          // same file — a flapping fingerprint spuriously invalidates
+          // every freshDir cache keyed on it
+          def readFully(buf: java.nio.ByteBuffer): Unit = {
+            var n = 0
+            while (buf.hasRemaining && n >= 0) n = ch.read(buf)
+          }
           val buf = java.nio.ByteBuffer.allocate(span)
-          ch.read(buf); buf.flip(); c.update(buf)
+          readFully(buf); buf.flip(); c.update(buf)
           if (size > span) {
             buf.clear(); ch.position(math.max(0L, size - span))
-            ch.read(buf); buf.flip(); c.update(buf)
+            readFully(buf); buf.flip(); c.update(buf)
           }
         } finally ch.close()
         c.getValue

@@ -992,6 +992,12 @@ object GraftOps {
         .map(r => r.getLong(0) -> r.getSeq[Double](1).map(grid6).toArray)
         .toSeq.sortBy(_._1)
     val report = Seq.newBuilder[(Int, Long, Long, java.math.BigDecimal)]
+    // try/finally (ADVICE r9): an iteration's Spark action can throw
+    // (Bench's flake path runs queries twice); without the finally the
+    // MEMORY_AND_DISK pin of the full vector column leaks for the JVM
+    // lifetime, invisible to releaseMaterialized (it is scoped here,
+    // not in the reuse registry)
+    try {
     for (it <- 1 to iters) {
       val centDf = cents
         .map { case (cl, a) => (cl, a.map(_.doubleValue()).toSeq) }
@@ -1029,10 +1035,12 @@ object GraftOps {
       }
       cents = next.map { case (cl, _, arr) => (cl, arr) }
     }
-    // scoped pin: release OUR cache only (not the shared reuse
-    // registry — a blanket releaseMaterialized here would drop other
-    // operators' still-useful pinned frames as a side effect)
-    pinned.unpersist()
+    } finally {
+      // scoped pin: release OUR cache only (not the shared reuse
+      // registry — a blanket releaseMaterialized here would drop other
+      // operators' still-useful pinned frames as a side effect)
+      pinned.unpersist()
+    }
     report.result()
       .toDF("iter", "cluster", "n", "centroid_shift")
       .select(col("iter").cast("int").as("iter"), col("cluster"),

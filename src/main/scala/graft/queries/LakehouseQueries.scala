@@ -179,7 +179,12 @@ object LakehouseQueries {
             (col("o_orderkey") % 4).cast("int").as("bucket"))
         base.repartition(col("bucket"))
           .write.partitionBy("bucket").parquet(s"$dir/data/v0")
+        // same existence rule as the insert units below (ADVICE r9): at
+        // a degenerate SF an empty k%4 bucket writes NO directory, and
+        // a manifest line for it would poison every snapshot read
         val v0Units = (0 to 3).map(b => s"data/v0/bucket=$b")
+          .filter(u => java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get(dir, u)))
         CommitLog.commit(dir, 0L, v0Units)
         base.filter(col("bucket") === 2)
           .select(col("k"), (col("p") * 2).cast(DecimalType(18, 2)).as("p"))

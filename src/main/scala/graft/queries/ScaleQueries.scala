@@ -201,15 +201,15 @@ object ScaleQueries {
     v.substring(v.indexOf('|') + 1)
   }
 
-  /** Best-effort recursive delete of a stale derived directory. */
+  /** Best-effort recursive delete of a stale derived directory — a
+    * leaked cache dir is waste, not corruption, so failures are
+    * intentionally dropped here. The counting, failure-surfacing
+    * variant lives in [[graft.sources.Fs.deleteRecursively]] (VACUUM
+    * needs the accounting; cache cleanup does not).
+    */
   private[graft] def deleteRecursively(path: String): Unit =
-    try {
-      import scala.jdk.CollectionConverters._
-      val root = java.nio.file.Paths.get(path)
-      if (java.nio.file.Files.exists(root))
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    } catch { case scala.util.control.NonFatal(_) => () }
+    try graft.sources.Fs.deleteRecursively(path)
+    catch { case scala.util.control.NonFatal(_) => () }
 
   private def cachedPath(
       cache: java.util.concurrent.ConcurrentHashMap[String, String],

@@ -96,10 +96,15 @@ object CommitLog {
       // also starts with "v" and ends ".txt" — a loose prefix/suffix
       // test would throw parsing "00000.stats" as a version number
       val m = java.util.regex.Pattern.compile("^v(\\d+)\\.txt$")
-      java.nio.file.Files.list(dir).iterator().asScala
+      // close the listing stream (ADVICE r9): Files.list holds a
+      // directory fd until closed; versions() runs several times per
+      // dml query, so a leak here accumulates for the JVM lifetime
+      val st = java.nio.file.Files.list(dir)
+      try st.iterator().asScala
         .map(n => m.matcher(n.getFileName.toString))
         .collect { case mm if mm.matches() => mm.group(1).toLong }
-        .toSeq.sorted
+        .toVector.sorted
+      finally st.close()
     }
   }
 
@@ -176,10 +181,12 @@ object CommitLog {
     val picked = stats(table, version)
       .filter { case (_, mn, mx, _) => mn <= hi && mx >= lo }
       .map(s => java.nio.file.Paths.get(table, s._1).toString)
-    require(picked.nonEmpty,
-      s"probe [$lo,$hi] matches no unit of $table v$version — empty-probe " +
-        "reads should fall back to snapshot() with a filter")
-    (spark.read.parquet(picked: _*), picked.size)
+    // a probe intersecting no unit is a valid, fully-pruned read: the
+    // answer is the EMPTY frame with the snapshot's schema (planning
+    // reads footers only, zero data files — throwing here forced
+    // callers to special-case the best case)
+    if (picked.isEmpty) (snapshot(spark, table, version).limit(0), 0)
+    else (spark.read.parquet(picked: _*), picked.size)
   }
 
   /** The units `version` ADDED relative to its predecessor (all of
@@ -197,7 +204,13 @@ object CommitLog {
     val idx = vs.indexOf(version)
     require(idx >= 0, s"$table has no version $version")
     if (idx == 0) now
-    else now.diff(units(table, vs(idx - 1)))
+    else {
+      // Set membership, not Seq.diff: manifests are O(units) lines and
+      // the diff runs per micro-batch — O(n·m) scans would make log
+      // planning quadratic in table width at 100 TB unit counts
+      val prev = units(table, vs(idx - 1)).toSet
+      now.filterNot(prev)
+    }
   }
 
   /** Units `version` removed relative to its predecessor — non-empty
@@ -209,7 +222,10 @@ object CommitLog {
     val idx = vs.indexOf(version)
     require(idx >= 0, s"$table has no version $version")
     if (idx == 0) Seq.empty
-    else units(table, vs(idx - 1)).diff(units(table, version))
+    else {
+      val now = units(table, version).toSet
+      units(table, vs(idx - 1)).filterNot(now)
+    }
   }
 
   /** Incremental read of an APPEND-ONLY version: the dataframe over
@@ -225,24 +241,72 @@ object CommitLog {
     spark.read.parquet(addedUnits(table, version): _*)
   }
 
+  /** What [[vacuum]] actually did: `unitsDeleted` fully-reclaimed data
+    * units, `filesDeleted` files/dirs removed inside them,
+    * `failedPaths` paths the filesystem refused to delete (surfaced,
+    * never swallowed — a retention protocol that miscounts reclaimed
+    * storage is lying to its capacity planner), and `skippedExternal`
+    * expired units that resolve OUTSIDE the table root and were
+    * therefore refused.
+    */
+  final case class VacuumReport(unitsDeleted: Long, filesDeleted: Long,
+      failedPaths: Seq[String], skippedExternal: Seq[String])
+
+  /** Is `unit` (a manifest-relative path) strictly under `table`'s
+    * root once `..` segments resolve? Shallow clones publish manifests
+    * whose units point INTO THE SOURCE table via `../` paths — legal
+    * to read, but never this table's storage to reclaim.
+    */
+  private[graft] def ownsUnit(table: String, unit: String): Boolean = {
+    val root = java.nio.file.Paths.get(table).toAbsolutePath.normalize
+    val p = java.nio.file.Paths.get(table, unit).toAbsolutePath.normalize
+    p.startsWith(root) && p != root
+  }
+
   /** VACUUM: delete every data unit not referenced by any version in
     * `retain`, and drop the manifests of the non-retained versions —
     * the retention-expiry maintenance op of the lakehouse formats.
-    * Returns the number of units deleted. Non-retained versions become
-    * unreadable (that is the point: reclaiming their exclusive
-    * storage); retained versions are untouched — a unit shared by a
-    * retained and an expired version survives.
+    * Non-retained versions become unreadable (that is the point:
+    * reclaiming their exclusive storage); retained versions are
+    * untouched — a unit shared by a retained and an expired version
+    * survives.
+    *
+    * OWNERSHIP RULE (ADVICE r9): vacuum only ever deletes paths
+    * strictly under the table root. A shallow clone's manifest
+    * references the SOURCE table's units by `../`-relative path;
+    * resolving and deleting those here would be cross-table data loss
+    * (Delta's vacuum has the same guard — it walks the table dir, so
+    * foreign absolute paths are unreachable by construction). Such
+    * units are reported in `skippedExternal`, and the inverse hazard —
+    * a SOURCE vacuum reclaiming units a clone still references — is
+    * the documented contract: a clone borrows storage it does not own,
+    * so the source's retention wins; clone before you vacuum, or keep
+    * the source versions a clone pins in the source's retain set.
     */
-  def vacuum(table: String, retain: Seq[Long]): Long = {
+  def vacuum(table: String, retain: Seq[Long]): VacuumReport = {
     val all = versions(table)
     require(retain.nonEmpty && retain.forall(all.contains),
       s"retain set ${retain.mkString(",")} must be published versions (${all.mkString(",")})")
     val keep = retain.flatMap(v => units(table, v)).toSet
-    val dead = all.filterNot(retain.contains)
-      .flatMap(v => units(table, v)).distinct
+    val expired = all.filterNot(retain.contains)
+    val dead = expired.flatMap(v => units(table, v)).distinct
       .filterNot(keep)
-    dead.foreach(graft.queries.ScaleQueries.deleteRecursively)
-    all.filterNot(retain.contains).foreach { v =>
+    val root = java.nio.file.Paths.get(table).toAbsolutePath.normalize
+    val (owned, external) = dead.partition { u =>
+      // units() returns resolved paths — re-check against the
+      // normalized root, refusing anything `..` walks out
+      val p = java.nio.file.Paths.get(u).toAbsolutePath.normalize
+      p.startsWith(root) && p != root
+    }
+    var unitsDeleted = 0L
+    var filesDeleted = 0L
+    val failed = Vector.newBuilder[String]
+    owned.foreach { u =>
+      val (n, f) = Fs.deleteRecursively(u)
+      filesDeleted += n
+      if (f.isEmpty) unitsDeleted += 1 else failed ++= f
+    }
+    expired.foreach { v =>
       java.nio.file.Files.delete(manifest(table, v))
       // reclaim the expired version's stats sidecar too — an orphan
       // sidecar would let stats() answer for a version that no longer
@@ -250,6 +314,6 @@ object CommitLog {
       java.nio.file.Files.deleteIfExists(
         logDir(table).resolve(f"v$v%05d.stats.txt"))
     }
-    dead.size.toLong
+    VacuumReport(unitsDeleted, filesDeleted, failed.result(), external)
   }
 }

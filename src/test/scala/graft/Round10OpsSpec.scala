@@ -1,0 +1,91 @@
+package graft
+
+/** Round-10 additions: the vacuum ownership rule (a clone's vacuum
+  * must never reach into its source table — ADVICE r9), vacuum's
+  * deletion accounting, and the fully-pruned snapshotRange read.
+  */
+class Round10OpsSpec extends GraftSpec {
+
+  import graft.sources.CommitLog
+
+  test("vacuum on a shallow clone never deletes the source's units") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_vsrc").toString
+    val clone = java.nio.file.Files.createTempDirectory("graft_vcl").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s").write.parquet(s"$src/u0")
+    CommitLog.commit(src, 0L, Seq("u0"))
+    // shallow clone: v0 borrows the source unit by ../-relative path,
+    // v1 adds a unit of the clone's own
+    val rel = java.nio.file.Paths.get(clone)
+      .relativize(java.nio.file.Paths.get(src, "u0")).toString
+    CommitLog.commit(clone, 0L, Seq(rel))
+    Seq((3L, "c")).toDF("id", "s").write.parquet(s"$clone/own")
+    CommitLog.commit(clone, 1L, Seq(rel, "own"))
+    // expire the clone's v0 AND pretend the borrowed unit became
+    // unreferenced by dropping it from v2 — the deletion candidate set
+    // now contains the cross-table path
+    CommitLog.commit(clone, 2L, Seq("own"))
+    val rep = CommitLog.vacuum(clone, retain = Seq(2L))
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(src, "u0")),
+      "the source table's unit must survive a clone vacuum")
+    assert(rep.skippedExternal.nonEmpty,
+      "the refused cross-table unit is surfaced, not silently skipped")
+    assert(CommitLog.snapshot(spark, src, 0L).count() == 2,
+      "the source table still reads after the clone vacuum")
+    assert(CommitLog.snapshot(spark, clone, 2L).count() == 1)
+  }
+
+  test("ownsUnit resolves .. segments against the table root") {
+    val t = java.nio.file.Files.createTempDirectory("graft_own").toString
+    assert(CommitLog.ownsUnit(t, "data/u0"))
+    assert(!CommitLog.ownsUnit(t, "../elsewhere/u0"))
+    assert(!CommitLog.ownsUnit(t, "data/../../elsewhere"))
+    assert(!CommitLog.ownsUnit(t, "."), "the root itself is not a unit")
+  }
+
+  test("vacuum counts real file deletions and surfaces failures") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft_vcount").toString
+    Seq((1L, "a")).toDF("id", "s").write.parquet(s"$t/keep")
+    Seq((2L, "b")).toDF("id", "s").write.parquet(s"$t/dead")
+    CommitLog.commit(t, 0L, Seq("keep", "dead"))
+    CommitLog.commit(t, 1L, Seq("keep"))
+    // make one file in the dead unit undeletable. Tests run as root,
+    // so permission bits don't block unlink — the ext4 immutable flag
+    // does. Skip (don't fake-pass) where the fs lacks chattr support.
+    val deadDir = java.nio.file.Paths.get(t, "dead")
+    val pinned = {
+      val st = java.nio.file.Files.list(deadDir)
+      try st.iterator().next() finally st.close()
+    }
+    import scala.sys.process._
+    assume(Seq("chattr", "+i", pinned.toString).! == 0,
+      "filesystem does not support the immutable flag")
+    try {
+      val rep = CommitLog.vacuum(t, retain = Seq(1L))
+      assert(rep.unitsDeleted == 0L,
+        "a unit whose files survive is NOT counted as reclaimed")
+      assert(rep.failedPaths.nonEmpty,
+        "the undeletable paths are surfaced to the caller")
+      assert(java.nio.file.Files.exists(pinned))
+    } finally Seq("chattr", "-i", pinned.toString).!
+    // with the flag cleared the unit reclaims for real (manifest v0 is
+    // already gone — the dir is unreferenced garbage now)
+    val (n, failed) = graft.sources.Fs.deleteRecursively(deadDir.toString)
+    assert(n > 0 && failed.isEmpty)
+  }
+
+  test("snapshotRange with a no-match probe returns the empty frame, 0 scanned") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft_srange").toString
+    Seq((1L, "a"), (9L, "b")).toDF("k", "s").write.parquet(s"$t/u0")
+    CommitLog.commit(t, 0L, Seq("u0"))
+    CommitLog.writeStats(t, 0L, Seq(("u0", 1L, 9L, 2L)))
+    val (df, scanned) = CommitLog.snapshotRange(spark, t, 0L, 100L, 200L)
+    assert(scanned == 0, "a fully-pruned probe scans zero units")
+    assert(df.count() == 0)
+    assert(df.columns.toSeq == Seq("k", "s"),
+      "the empty frame still carries the snapshot schema")
+  }
+}

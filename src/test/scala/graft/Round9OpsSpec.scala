@@ -113,8 +113,12 @@ class Round9OpsSpec extends GraftSpec {
     Seq((3L, "c")).toDF("id", "s").write.parquet(s"$t/new_only")
     CommitLog.commit(t, 0L, Seq("shared", "old_only"))
     CommitLog.commit(t, 1L, Seq("shared", "new_only"))
-    assert(CommitLog.vacuum(t, retain = Seq(1L)) == 1L,
+    val rep = CommitLog.vacuum(t, retain = Seq(1L))
+    assert(rep.unitsDeleted == 1L,
       "exactly the expired-exclusive unit is reclaimed")
+    assert(rep.filesDeleted > 0L && rep.failedPaths.isEmpty &&
+      rep.skippedExternal.isEmpty,
+      "clean vacuum: real file deletions counted, nothing failed or skipped")
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(t, "old_only")))
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(t, "shared")),
       "a unit shared with a retained version must survive")
