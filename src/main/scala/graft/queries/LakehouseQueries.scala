@@ -420,7 +420,75 @@ object LakehouseQueries {
             col("n_rows"), col("total"))
       }.reduce(_ unionAll _).orderBy("version")
     }),
+
+    // S12 (round 10): CDC READ — the row-level changes feed over the
+    // commit log (CommitLog.changes: symmetric multiset diff of only
+    // the touched units). The table walks the full lifecycle an
+    // incremental consumer must survive: v0 base insert (4 key-bucket
+    // units), v1 COW update (bucket 2 re-priced ×2 — surfaces as
+    // delete-old + insert-new pairs), v2 OPTIMIZE (all units
+    // compacted to one — content identical, so the change feed MUST
+    // be empty: rewrite-without-change detection, the property that
+    // keeps maintenance commits from replaying the table at
+    // downstream consumers), v3 COW delete (k%4==1 rows dropped —
+    // pure deletes, the untouched rows of the rewritten unit cancel
+    // out of the diff). Output: the zero-filled (version ×
+    // change_type) lattice with row counts and exact totals — v2's
+    // explicit (0, 0.00) rows ARE the assertion. Fully oracled from
+    // orders arithmetic. At 100 TB: each version's feed costs
+    // O(touched units) — v2's diff reads only the rewritten data,
+    // never the table's history, and the diff itself is one
+    // hash-exchange per side.
+    "dml_cdc_read" -> ((s, d) => {
+      import graft.sources.CommitLog
+      val root = graft.queries.ScaleQueries.freshDir(cdcReadDir, d, "orders") {
+        val dir = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+        val base = load(s, d, "orders")
+          .select(col("o_orderkey").as("k"), dec(col("o_totalprice")).as("p"),
+            (col("o_orderkey") % 4).cast("int").as("bucket"))
+        base.repartition(col("bucket"))
+          .write.partitionBy("bucket").parquet(s"$dir/data/v0")
+        val v0Units = (0 to 3).map(b => s"data/v0/bucket=$b")
+          .filter(u => java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get(dir, u)))
+        CommitLog.commit(dir, 0L, v0Units)
+        base.filter(col("bucket") === 2)
+          .select(col("k"), (col("p") * 2).cast(DecimalType(18, 2)).as("p"))
+          .write.parquet(s"$dir/data/v1b2")
+        CommitLog.commit(dir, 1L,
+          v0Units.filterNot(_.endsWith("bucket=2")) :+ "data/v1b2")
+        CommitLog.snapshot(s, dir, 1L).coalesce(1)
+          .write.parquet(s"$dir/data/compact")
+        CommitLog.commit(dir, 2L, Seq("data/compact"))
+        CommitLog.snapshot(s, dir, 2L).filter(col("k") % 4 =!= 1)
+          .coalesce(1).write.parquet(s"$dir/data/v3")
+        CommitLog.commit(dir, 3L, Seq("data/v3"))
+        dir
+      }
+      val per = CommitLog.versions(root).map { v =>
+        CommitLog.changes(s, root, v)
+          .groupBy(col("_change_type").as("ct"))
+          .agg(count(lit(1)).as("cn"),
+            sum(col("p")).cast(DecimalType(38, 2)).as("ctot"))
+          .select(lit(v).cast("bigint").as("cv"), col("ct"), col("cn"), col("ctot"))
+      }.reduce(_ unionAll _)
+      // zero-filled lattice: an EMPTY feed (v2, the OPTIMIZE) must be
+      // visible as explicit zero rows, not silently absent
+      import s.implicits._
+      val spine = CommitLog.versions(root)
+        .flatMap(v => Seq((v, "insert"), (v, "delete")))
+        .toDF("version", "change_type")
+      spine.join(per,
+          col("version") === col("cv") && col("change_type") === col("ct"), "left")
+        .select(col("version"), col("change_type"),
+          coalesce(col("cn"), lit(0L)).as("n_rows"),
+          coalesce(col("ctot"), lit(0).cast(DecimalType(38, 2))).as("total"))
+        .orderBy("version", "change_type")
+    }),
   )
+
+  private val cdcReadDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private val timeTravelDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -458,6 +526,25 @@ object LakehouseQueries {
     }
 
   val oracle: Map[String, String] = Map(
+    "dml_cdc_read" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        | b2 AS (SELECT k, p FROM base WHERE k % 4 = 2),
+        | d3 AS (SELECT k, p FROM base WHERE k % 4 = 1)
+        |SELECT CAST(0 AS BIGINT) AS version, 'delete' AS change_type,
+        |    CAST(0 AS BIGINT) AS n_rows, CAST(0 AS DECIMAL(38,2)) AS total
+        |UNION ALL SELECT 0, 'insert', count(*),
+        |    CAST(sum(p) AS DECIMAL(38,2)) FROM base
+        |UNION ALL SELECT 1, 'delete', count(*),
+        |    CAST(sum(p) AS DECIMAL(38,2)) FROM b2
+        |UNION ALL SELECT 1, 'insert', count(*),
+        |    CAST(sum(CAST(p * 2 AS DECIMAL(18,2))) AS DECIMAL(38,2)) FROM b2
+        |UNION ALL SELECT 2, 'delete', 0, CAST(0 AS DECIMAL(38,2))
+        |UNION ALL SELECT 2, 'insert', 0, CAST(0 AS DECIMAL(38,2))
+        |UNION ALL SELECT 3, 'delete', count(*),
+        |    CAST(sum(p) AS DECIMAL(38,2)) FROM d3
+        |UNION ALL SELECT 3, 'insert', 0, CAST(0 AS DECIMAL(38,2))
+        |ORDER BY version, change_type""".stripMargin,
     "dml_time_travel" ->
       """WITH base AS (SELECT o_orderkey AS k,
         |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),

@@ -241,6 +241,45 @@ object CommitLog {
     spark.read.parquet(addedUnits(table, version): _*)
   }
 
+  /** CDC feed of `version`: the row-level changes it applied relative
+    * to its predecessor, as the snapshot's columns plus
+    * `_change_type` ('insert' | 'delete'). An update surfaces as a
+    * delete of the old row plus an insert of the new one (the
+    * pre/post-image pair of the lakehouse CDC feeds).
+    *
+    * Computed as a symmetric MULTISET diff over only the touched
+    * units: inserts = rows(addedUnits) EXCEPT ALL rows(removedUnits),
+    * deletes = the reverse. Unchanged rows that merely moved files
+    * cancel out — an OPTIMIZE/clustering version (pure rewrite, same
+    * content) therefore yields an EMPTY feed, which is exactly the
+    * rewrite-without-change detection a downstream consumer needs so
+    * maintenance commits don't replay the table at it. This closes the
+    * gap [[incremental]]'s guard advertises: versions that remove
+    * units are fully consumable here.
+    *
+    * Scale: cost is O(touched units), never O(table) — untouched units
+    * are not read; the diff is one hash-exchange per side on the full
+    * row (Spark's exceptAll). Schema evolution: both sides are read
+    * mergeSchema and aligned to the version's evolved column set, so a
+    * column born in this version reads as null on the removed side.
+    */
+  def changes(spark: SparkSession, table: String, version: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val schemaSrc = snapshotEvolved(spark, table, version).limit(0)
+    def read(us: Seq[String]): DataFrame =
+      if (us.isEmpty) schemaSrc
+      else spark.read.option("mergeSchema", "true").parquet(us: _*)
+    def align(df: DataFrame): DataFrame =
+      df.select(schemaSrc.schema.map { f =>
+        if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    val a = align(read(addedUnits(table, version)))
+    val r = align(read(removedUnits(table, version)))
+    a.exceptAll(r).withColumn("_change_type", lit("insert"))
+      .unionAll(r.exceptAll(a).withColumn("_change_type", lit("delete")))
+  }
+
   /** What [[vacuum]] actually did: `unitsDeleted` fully-reclaimed data
     * units, `filesDeleted` files/dirs removed inside them,
     * `failedPaths` paths the filesystem refused to delete (surfaced,

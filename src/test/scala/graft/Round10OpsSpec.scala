@@ -76,6 +76,56 @@ class Round10OpsSpec extends GraftSpec {
     assert(n > 0 && failed.isEmpty)
   }
 
+  test("changes(): appends are all-insert, OPTIMIZE is empty, updates pair up") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = java.nio.file.Files.createTempDirectory("graft_cdc_t").toString
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "p")
+      .write.parquet(s"$t/u0")
+    CommitLog.commit(t, 0L, Seq("u0"))
+    // append version: feed == the added rows, all inserts — exactly
+    // what dml_incremental_read's guard calls "the CDC path's job"
+    Seq((4L, 40.0)).toDF("k", "p").write.parquet(s"$t/u1")
+    CommitLog.commit(t, 1L, Seq("u0", "u1"))
+    val app = CommitLog.changes(spark, t, 1L).collect()
+    assert(app.map(r => (r.getLong(0), r.getString(2))).toSet ==
+      Set((4L, "insert")))
+    // and the incremental() fast path agrees with it on an append
+    assert(CommitLog.incremental(spark, t, 1L).count() == 1)
+    // OPTIMIZE: rewrite both units into one, content unchanged — the
+    // feed must be EMPTY (rewrite-without-change detection)
+    CommitLog.snapshot(spark, t, 1L).coalesce(1).write.parquet(s"$t/compact")
+    CommitLog.commit(t, 2L, Seq("compact"))
+    intercept[IllegalArgumentException](CommitLog.incremental(spark, t, 2L))
+    assert(CommitLog.changes(spark, t, 2L).count() == 0,
+      "a pure rewrite must produce no change rows")
+    // COW update: k=2 repriced — surfaces as one delete + one insert
+    CommitLog.snapshot(spark, t, 2L)
+      .withColumn("p", org.apache.spark.sql.functions
+        .when(col("k") === 2L, 99.0).otherwise(col("p")))
+      .coalesce(1).write.parquet(s"$t/u3")
+    CommitLog.commit(t, 3L, Seq("u3"))
+    val upd = CommitLog.changes(spark, t, 3L).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(upd == Set((2L, 20.0, "delete"), (2L, 99.0, "insert")),
+      s"update must emit the pre/post-image pair, got $upd")
+  }
+
+  test("changes() across additive schema evolution null-fills the old side") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft_cdc_se").toString
+    Seq((1L, 10.0)).toDF("k", "p").write.parquet(s"$t/u0")
+    CommitLog.commit(t, 0L, Seq("u0"))
+    // v1 rewrites u0 WITH a new column: the removed side lacks `flag`,
+    // so the old row must read as (1, 10.0, null) and pair against the
+    // new (1, 10.0, "x") as delete+insert — not crash on schema drift
+    Seq((1L, 10.0, "x")).toDF("k", "p", "flag").write.parquet(s"$t/u1")
+    CommitLog.commit(t, 1L, Seq("u1"))
+    val rows = CommitLog.changes(spark, t, 1L).collect()
+      .map(r => (r.getLong(0), Option(r.getString(2)), r.getString(3))).toSet
+    assert(rows == Set((1L, None, "delete"), (1L, Some("x"), "insert")))
+  }
+
   test("snapshotRange with a no-match probe returns the empty frame, 0 scanned") {
     import spark.implicits._
     val t = java.nio.file.Files.createTempDirectory("graft_srange").toString
