@@ -485,9 +485,66 @@ object LakehouseQueries {
           coalesce(col("ctot"), lit(0).cast(DecimalType(38, 2))).as("total"))
         .orderBy("version", "change_type")
     }),
+
+    // S13 (round 10): MERGE as unit-granular copy-on-write
+    // (CommitLog.mergeCow). The table is the key-range-clustered
+    // 8-unit layout of dml_data_skipping (range clustering is what
+    // makes merge routing selective); the merge re-prices two key
+    // slices confined to units 2 and 5 (×3) and upserts a k%13 slice
+    // shifted past every unit's range (pure inserts). Routing via the
+    // stats sidecar rewrites EXACTLY units 2+5 into one new unit and
+    // lands the inserts in another — 6 of 8 original units are never
+    // opened and stay byte-identical (pinned by Round10OpsSpec, with
+    // the commit-race loser-retry path). Output: per-version (unit
+    // count, row count, exact total); v1's unchanged unit count (8 =
+    // 8 − 2 touched + 1 rewrite + 1 insert) is itself the routing
+    // assertion. Fully oracled from orders arithmetic. At 100 TB: a
+    // merge touching 2 of 10⁵ units moves 2 units of data + O(units)
+    // manifest text; the commit is optimistic, lock-free.
+    "dml_merge_cow" -> ((s, d) => {
+      import graft.sources.CommitLog
+      val root = graft.queries.ScaleQueries.freshDir(mergeCowDir, d, "orders") {
+        val dir = java.nio.file.Files.createTempDirectory("graft_merge").toString
+        val base = load(s, d, "orders")
+          .select(col("o_orderkey").as("k"), dec(col("o_totalprice")).as("p"))
+        val wd = base.agg(expr("max(k) DIV 8 + 1")).head().getLong(0)
+        val withB = base.withColumn("bucket", expr(s"k DIV ${wd}L"))
+        withB.repartition(col("bucket"))
+          .write.partitionBy("bucket").parquet(s"$dir/data/v0")
+        val st = withB.groupBy("bucket")
+          .agg(min(col("k")).as("mn"), max(col("k")).as("mx"),
+            count(lit(1)).as("n"))
+          .take(16)
+          .map(r => (s"data/v0/bucket=${r.getLong(0)}",
+            r.getLong(1), r.getLong(2), r.getLong(3)))
+          .sortBy(_._1)
+        CommitLog.commit(dir, 0L, st.map(_._1).toSeq)
+        CommitLog.writeStats(dir, 0L, st.toSeq)
+        val updates = base
+          .withColumn("bucket", expr(s"k DIV ${wd}L"))
+          .filter((col("bucket") === 2 && col("k") % 2 === 0)
+            || (col("bucket") === 5 && col("k") % 3 === 0))
+          .select(col("k"), (col("p") * 3).cast(DecimalType(18, 2)).as("p"))
+          .unionAll(base.filter(col("k") % 13 === 0)
+            .select((col("k") + 8L * wd).as("k"), col("p")))
+        CommitLog.mergeCow(s, dir, updates, "k")
+        dir
+      }
+      CommitLog.versions(root).map { v =>
+        CommitLog.snapshot(s, root, v)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("p")).cast(DecimalType(38, 2)).as("total"))
+          .select(lit(v).cast("bigint").as("version"),
+            lit(CommitLog.units(root, v).size.toLong).as("n_units"),
+            col("n_rows"), col("total"))
+      }.reduce(_ unionAll _).orderBy("version")
+    }),
   )
 
   private val cdcReadDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val mergeCowDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private val timeTravelDir =
@@ -526,6 +583,27 @@ object LakehouseQueries {
     }
 
   val oracle: Map[String, String] = Map(
+    "dml_merge_cow" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        | w AS (SELECT max(k) // 8 + 1 AS wd FROM base),
+        | upd AS (SELECT k, CAST(p * 3 AS DECIMAL(18,2)) AS p FROM base, w
+        |   WHERE (k // wd = 2 AND k % 2 = 0) OR (k // wd = 5 AND k % 3 = 0)),
+        | ins AS (SELECT k + 8 * wd AS k, p FROM base, w WHERE k % 13 = 0),
+        | v1 AS (SELECT k, p FROM base WHERE k NOT IN (SELECT k FROM upd)
+        |   UNION ALL SELECT k, p FROM upd
+        |   UNION ALL SELECT k, p FROM ins)
+        |SELECT CAST(0 AS BIGINT) AS version,
+        |    (SELECT count(DISTINCT k // wd) FROM base, w) AS n_units,
+        |    count(*) AS n_rows, CAST(sum(p) AS DECIMAL(38,2)) AS total
+        |  FROM base
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT),
+        |    (SELECT count(DISTINCT k // wd) FROM base, w)
+        |      - (SELECT count(DISTINCT k // wd) FROM upd, w)
+        |      + 1 + (CASE WHEN EXISTS(SELECT 1 FROM ins) THEN 1 ELSE 0 END),
+        |    count(*), CAST(sum(p) AS DECIMAL(38,2)) FROM v1
+        |ORDER BY version""".stripMargin,
     "dml_cdc_read" ->
       """WITH base AS (SELECT o_orderkey AS k,
         |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),

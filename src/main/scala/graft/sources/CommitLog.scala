@@ -241,6 +241,109 @@ object CommitLog {
     spark.read.parquet(addedUnits(table, version): _*)
   }
 
+  /** MERGE (upsert by key) as a unit-granular copy-on-write commit —
+    * the Delta MERGE INTO core. Rows of `updates` replace same-key
+    * rows of the latest snapshot; keys matching no existing row are
+    * inserted. `updates` must carry exactly the table's columns, with
+    * unique keys (the standard MERGE source contract).
+    *
+    * The write path is what makes this scale:
+    *  1. ROUTE — update keys are ranged against the stats sidecar
+    *     (O(units) metadata, broadcast), so only units whose [min,max]
+    *     key range an update can touch are rewritten. A merge touching
+    *     2 of 10⁵ units reads and writes 2 units of data, never the
+    *     table.
+    *  2. REWRITE — touched units re-emerge as one new unit: their rows
+    *     minus replaced keys, plus every in-range update row. Keys
+    *     outside all unit ranges land in a separate insert unit.
+    *  3. PUBLISH — the new manifest (untouched units carried by name +
+    *     the new units) races through [[tryCommit]]; a loser re-reads
+    *     the winner's snapshot and re-applies the merge on top —
+    *     snapshot-isolated optimistic concurrency, no lock service.
+    *     A fresh stats sidecar (untouched entries carried, new units
+    *     measured) is published with the winning version so the NEXT
+    *     merge routes correctly.
+    *
+    * Untouched unit files are never opened, so they stay byte-stable
+    * across the merge (pinned by Round10OpsSpec). Returns the new
+    * version. `beforeCommit` is a test seam: it runs between prepare
+    * and publish, where a concurrent writer would interleave.
+    */
+  def mergeCow(spark: SparkSession, table: String, updates: DataFrame,
+      keyCol: String, beforeCommit: () => Unit = () => ()): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit, max, min}
+    var hook = beforeCommit
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 10,
+        s"merge on $table lost $attempts commit races — livelock; back off")
+      val v = latestVersion(table)
+      val st = stats(table, v)
+      require(st.size == units(table, v).size,
+        s"stats sidecar of $table v$v covers ${st.size} of " +
+          s"${units(table, v).size} units — merge routing needs every " +
+          "unit's key range")
+      // disjoint ranges are what make per-key routing single-target: a
+      // hash layout's overlapping spans would silently DUPLICATE every
+      // in-range update row through the range join below
+      st.sortBy(_._2).sliding(2).foreach {
+        case Seq((ua, _, mxa, _), (ub, mnb, _, _)) =>
+          require(mxa < mnb,
+            s"unit key ranges overlap ($ua..$mxa vs $ub..$mnb) — merge " +
+              "routing requires a range-clustered layout")
+        case _ => ()
+      }
+      import spark.implicits._
+      val ranges = st.zipWithIndex
+        .map { case ((u, mn, mx, _), i) => (i, mn, mx) }
+        .toDF("__uid", "__mn", "__mx")
+      val tagged = updates.join(broadcast(ranges),
+        col(keyCol).between(col("__mn"), col("__mx")), "left")
+      val inRange = tagged.filter(col("__uid").isNotNull)
+        .drop("__uid", "__mn", "__mx")
+      val outRange = tagged.filter(col("__uid").isNull)
+        .drop("__uid", "__mn", "__mx")
+      val touchedIds = updates.select(col(keyCol).as("__k"))
+        .join(broadcast(ranges), col("__k").between(col("__mn"), col("__mx")))
+        .select("__uid").distinct()
+        .collect().map(_.getInt(0)).toSet // O(units) driver state
+      val touchedRel = st.zipWithIndex.collect {
+        case ((u, _, _, _), i) if touchedIds(i) => u
+      }
+      val newUnits = Seq.newBuilder[String]
+      val newStats = Seq.newBuilder[(String, Long, Long, Long)]
+      def writeUnit(df: DataFrame, rel: String): Unit = {
+        df.write.parquet(java.nio.file.Paths.get(table, rel).toString)
+        val r = df.agg(min(col(keyCol).cast("long")),
+          max(col(keyCol).cast("long")), count(lit(1))).head()
+        newUnits += rel
+        newStats += ((rel, r.getLong(0), r.getLong(1), r.getLong(2)))
+      }
+      if (touchedRel.nonEmpty) {
+        val touchedDf = spark.read.parquet(
+          touchedRel.map(u => java.nio.file.Paths.get(table, u).toString): _*)
+        writeUnit(
+          touchedDf.join(inRange.select(col(keyCol)), Seq(keyCol), "left_anti")
+            .unionByName(inRange),
+          f"data/merge_v${v + 1}%05d_rw_$attempts")
+      }
+      if (!outRange.isEmpty)
+        writeUnit(outRange, f"data/merge_v${v + 1}%05d_ins_$attempts")
+      val carried = st.filterNot(s => touchedRel.contains(s._1))
+      val manifestUnits =
+        carried.map(_._1) ++ newUnits.result()
+      hook(); hook = () => () // the race window fires once
+      if (tryCommit(table, v + 1, manifestUnits)) {
+        writeStats(table, v + 1, carried ++ newStats.result())
+        return v + 1
+      }
+      // lost the race: the prepared units are unreferenced garbage for
+      // vacuum; loop re-reads the winner's snapshot and re-applies
+    }
+    -1L // unreachable
+  }
+
   /** CDC feed of `version`: the row-level changes it applied relative
     * to its predecessor, as the snapshot's columns plus
     * `_change_type` ('insert' | 'delete'). An update surfaces as a

@@ -76,6 +76,89 @@ class Round10OpsSpec extends GraftSpec {
     assert(n > 0 && failed.isEmpty)
   }
 
+  private def partFiles(dir: java.nio.file.Path): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    val st = java.nio.file.Files.walk(dir)
+    try st.iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet"))
+      .map(p => p.toString -> crc(p))
+      .toMap
+    finally st.close()
+  }
+
+  private def crc(p: java.nio.file.Path): Long = {
+    val c = new java.util.zip.CRC32()
+    c.update(java.nio.file.Files.readAllBytes(p))
+    c.getValue
+  }
+
+  /** 3 range-clustered units (k 1-30, 31-60, 61-100) with stats. */
+  private def rangeTable(): String = {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft_mrg").toString
+    def slice(lo: Long, hi: Long, u: String): (String, Long, Long, Long) = {
+      (lo to hi).map(k => (k, k * 2.0)).toDF("k", "p")
+        .coalesce(1).write.parquet(s"$t/$u")
+      (u, lo, hi, hi - lo + 1)
+    }
+    val st = Seq(slice(1, 30, "u_a"), slice(31, 60, "u_b"), slice(61, 100, "u_c"))
+    CommitLog.commit(t, 0L, st.map(_._1))
+    CommitLog.writeStats(t, 0L, st)
+    t
+  }
+
+  test("mergeCow rewrites only touched units; untouched files stay byte-identical") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = rangeTable()
+    val before = partFiles(java.nio.file.Paths.get(t, "u_a")) ++
+      partFiles(java.nio.file.Paths.get(t, "u_c"))
+    // updates hit only u_b's range; one upsert key beyond every range
+    val updates = Seq((35L, 999.0), (40L, 888.0), (500L, 7.0)).toDF("k", "p")
+    val v = CommitLog.mergeCow(spark, t, updates, "k")
+    assert(v == 1L)
+    val after = partFiles(java.nio.file.Paths.get(t, "u_a")) ++
+      partFiles(java.nio.file.Paths.get(t, "u_c"))
+    assert(after == before,
+      "units outside the update's key ranges must never be rewritten")
+    val snap = CommitLog.snapshot(spark, t, 1L)
+    assert(snap.count() == 101, "100 base rows + 1 upsert")
+    val got = snap.filter(col("k").isin(35L, 40L, 500L, 36L)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(35L -> 999.0, 40L -> 888.0, 500L -> 7.0, 36L -> 72.0),
+      "updates replace, upserts insert, in-range non-targets survive")
+    assert(CommitLog.units(t, 1L).size == 4, "3 - 1 touched + rewrite + insert")
+    // the refreshed sidecar covers every v1 unit → a second merge routes
+    val v2 = CommitLog.mergeCow(spark, t,
+      Seq((500L, 8.0)).toDF("k", "p"), "k")
+    assert(v2 == 2L)
+    assert(CommitLog.snapshot(spark, t, 2L)
+      .filter(col("k") === 500L).head().getDouble(1) == 8.0)
+  }
+
+  test("mergeCow loser retries on top of the winner's snapshot") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = rangeTable()
+    // the race seam: a competing writer publishes v1 (an append of
+    // k=1000 with its stats) between our prepare and our publish
+    val competitor: () => Unit = () => {
+      Seq((1000L, 1.0)).toDF("k", "p").coalesce(1).write.parquet(s"$t/appended")
+      CommitLog.commit(t, 1L,
+        CommitLog.stats(t, 0L).map(_._1) :+ "appended")
+      CommitLog.writeStats(t, 1L,
+        CommitLog.stats(t, 0L) :+ (("appended", 1000L, 1000L, 1L)))
+    }
+    val v = CommitLog.mergeCow(spark, t,
+      Seq((35L, 999.0)).toDF("k", "p"), "k", beforeCommit = competitor)
+    assert(v == 2L, "the loser must republish on top of the winner")
+    val snap = CommitLog.snapshot(spark, t, 2L)
+    assert(snap.count() == 101, "100 base + competitor's append")
+    assert(snap.filter(col("k") === 35L).head().getDouble(1) == 999.0)
+    assert(snap.filter(col("k") === 1000L).count() == 1,
+      "the winner's append survives the retried merge")
+  }
+
   test("changes(): appends are all-insert, OPTIMIZE is empty, updates pair up") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
