@@ -322,37 +322,57 @@ object LakehouseQueries {
         val base = load(s, d, "orders")
           .select(col("o_orderkey").as("k"), dec(col("o_totalprice")).as("p"))
         val wd = base.agg(expr("max(k) DIV 8 + 1")).head().getLong(0)
-        val withB = base.withColumn("bucket", expr(s"k DIV ${wd}L"))
+        // ks = the zero-padded key string: lexicographic order equals
+        // numeric order, so range clustering makes STRING footer
+        // min/max selective too (the ISO-date / padded-id case)
+        val withB = base
+          .withColumn("ks", lpad(col("k").cast("string"), 12, "0"))
+          .withColumn("bucket", expr(s"k DIV ${wd}L"))
         withB.repartition(col("bucket"))
           .write.partitionBy("bucket").parquet(s"$dir/data/v0")
-        // per-unit stats: 8 rows — manifest metadata, not data
-        val st = withB.groupBy("bucket")
-          .agg(min(col("k")).as("mn"), max(col("k")).as("mx"),
-            count(lit(1)).as("n"))
-          .take(16)
-          .map(r => (s"data/v0/bucket=${r.getLong(0)}",
-            r.getLong(1), r.getLong(2), r.getLong(3)))
-          .sortBy(_._1)
-        CommitLog.commit(dir, 0L, st.map(_._1).toSeq)
-        CommitLog.writeStats(dir, 0L, st.toSeq)
+        val units = withB.select("bucket").distinct().take(16)
+          .map(_.getLong(0)).sorted.map(b => s"data/v0/bucket=$b").toSeq
+        CommitLog.commit(dir, 0L, units)
+        // round 10: stats are LIFTED FROM THE JUST-WRITTEN FOOTERS
+        // (footerColStats — metadata-only I/O, the writer already paid
+        // for them), not recomputed by a second scan the caller could
+        // get wrong; published via the same atomic hard-link protocol
+        // as the manifest
+        CommitLog.writeColStats(dir, 0L,
+          CommitLog.footerColStats(s, dir, units, Seq("k", "ks")))
         dir
       }
       val maxK = load(s, d, "orders")
         .agg(max(col("o_orderkey"))).head().getLong(0)
       val wd = maxK / 8L + 1L
-      val probes = Seq(
+      val numeric = Seq(
         (0L, 2L * wd, 3L * wd - 1L),          // fully inside unit 2
         (1L, 5L * wd + wd / 2L, 6L * wd + wd / 2L), // straddles units 5+6
         (2L, 0L, maxK))                        // everything
-      probes.map { case (id, lo, hi) =>
-        val (snap, scanned) = CommitLog.snapshotRange(s, root, 0L, lo, hi)
+      def pad(v: Long) = f"$v%012d"
+      val per = numeric.map { case (id, lo, hi) =>
+        val (snap, scanned) =
+          CommitLog.snapshotRangeCol(s, root, 0L, "k", lo.toString, hi.toString)
         snap.filter(col("k").between(lo, hi))
           .agg(count(lit(1)).as("n_rows"),
             sum(col("p")).cast(DecimalType(38, 2)).as("total"))
           .select(lit(id).as("probe"),
             lit(scanned.toLong).as("n_units_scanned"),
             col("n_rows"), col("total"))
-      }.reduce(_ unionAll _).orderBy("probe")
+      } :+ {
+        // probe 3: the STRING column path end-to-end — pruned on the
+        // footers' binary min/max, filtered lexicographically
+        val (lo, hi) = (6L * wd + wd / 2L, 7L * wd + wd / 2L)
+        val (snap, scanned) =
+          CommitLog.snapshotRangeCol(s, root, 0L, "ks", pad(lo), pad(hi))
+        snap.filter(col("ks").between(pad(lo), pad(hi)))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("p")).cast(DecimalType(38, 2)).as("total"))
+          .select(lit(3L).as("probe"),
+            lit(scanned.toLong).as("n_units_scanned"),
+            col("n_rows"), col("total"))
+      }
+      per.reduce(_ unionAll _).orderBy("probe")
     }),
 
     // S10 (round 9): INCREMENTAL READ — the table consumed as a
@@ -683,7 +703,11 @@ object LakehouseQueries {
         | probes AS (
         |   SELECT CAST(0 AS BIGINT) AS probe, 2*wd AS lo, 3*wd - 1 AS hi FROM w
         |   UNION ALL SELECT CAST(1 AS BIGINT), 5*wd + wd // 2, 6*wd + wd // 2 FROM w
-        |   UNION ALL SELECT CAST(2 AS BIGINT), 0, mk FROM w)
+        |   UNION ALL SELECT CAST(2 AS BIGINT), 0, mk FROM w
+        |   -- probe 3 is the engine's STRING-stats path; the key string
+        |   -- is zero-padded so its lexicographic pruning and filtering
+        |   -- are value-identical to this numeric recomputation
+        |   UNION ALL SELECT CAST(3 AS BIGINT), 6*wd + wd // 2, 7*wd + wd // 2 FROM w)
         |SELECT probe,
         |  (SELECT count(*) FROM u WHERE mn <= hi AND mx >= lo) AS n_units_scanned,
         |  (SELECT count(*) FROM base WHERE k BETWEEN lo AND hi) AS n_rows,

@@ -139,22 +139,43 @@ object CommitLog {
   def snapshotEvolved(spark: SparkSession, table: String, version: Long): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(units(table, version): _*)
 
+  /** Atomic, immutable sidecar publish: same hard-link protocol as
+    * manifests (rename would silently REPLACE a concurrent writer's
+    * sidecar — the one commit-path rename race left after round 9),
+    * plus the published-version check: stats may only be attached to a
+    * version whose manifest exists, so a sidecar can never describe an
+    * unpublished (or never-to-be-published) snapshot.
+    */
+  private def publishSidecar(table: String, version: Long, suffix: String,
+      content: String): Unit = {
+    require(java.nio.file.Files.isRegularFile(manifest(table, version)),
+      s"cannot publish $suffix stats for unpublished version $version of $table")
+    val dir = logDir(table)
+    val tmp = dir.resolve(
+      f".v$version%05d.$suffix.${java.util.UUID.randomUUID}.tmp")
+    java.nio.file.Files.writeString(tmp, content)
+    try java.nio.file.Files.createLink(
+      dir.resolve(f"v$version%05d.$suffix"), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        java.nio.file.Files.deleteIfExists(tmp)
+        throw new IllegalStateException(
+          s"$suffix stats for $table v$version already published — " +
+            "sidecars are immutable once linked")
+    }
+    java.nio.file.Files.deleteIfExists(tmp)
+  }
+
   /** Publish per-unit statistics of a BIGINT column for `version` —
     * the manifest-level min/max/count stats the lakehouse formats use
     * for data skipping. One `unit|min|max|count` line per unit,
-    * sidecar to the manifest (same atomic-rename publish).
+    * sidecar to the manifest (same atomic hard-link publish).
     */
   def writeStats(table: String, version: Long,
-      stats: Seq[(String, Long, Long, Long)]): Unit = {
-    val dir = logDir(table)
-    java.nio.file.Files.createDirectories(dir)
-    val tmp = dir.resolve(f".v$version%05d.stats.tmp")
-    java.nio.file.Files.writeString(tmp,
+      stats: Seq[(String, Long, Long, Long)]): Unit =
+    publishSidecar(table, version, "stats.txt",
       stats.map { case (u, mn, mx, n) => s"$u|$mn|$mx|$n" }
         .mkString("", "\n", "\n"))
-    java.nio.file.Files.move(tmp, dir.resolve(f"v$version%05d.stats.txt"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-  }
 
   /** The per-unit stats of `version` (unit, min, max, count). */
   def stats(table: String, version: Long): Seq[(String, Long, Long, Long)] = {
@@ -166,6 +187,144 @@ object CommitLog {
         val Array(u, mn, mx, n) = l.split('|')
         (u, mn.toLong, mx.toLong, n.toLong)
       }
+  }
+
+  /** One column's per-unit statistics: `kind` is `long`, `double` or
+    * `string`; min/max are string-rendered (lexicographic compare is
+    * order-faithful for `string`, numeric parse for the others);
+    * `count` is the column's value count including nulls.
+    */
+  final case class ColStat(unit: String, col: String, kind: String,
+      min: String, max: String, count: Long)
+
+  /** Derive per-unit multi-column stats from the units' PARQUET
+    * FOOTERS — no data pages are read. This is how a format's commit
+    * path gets its file-stats index for free: the writer already paid
+    * for the footer statistics, the commit just lifts them into the
+    * manifest layer (caller-supplied stats can lie; footers can't).
+    *
+    * Footer I/O is O(units × row groups) metadata. Binary (string)
+    * min/max may be TRUNCATED bounds in the footer (parquet-mr keeps
+    * them safe: truncated min sorts ≤ the true min, truncated max is
+    * bumped to sort ≥ the true max), so pruning on them stays correct.
+    * Columns whose every row group lacks usable statistics fail
+    * loudly rather than silently publishing an unprunable entry.
+    */
+  def footerColStats(spark: SparkSession, table: String,
+      relUnits: Seq[String], cols: Seq[String]): Seq[ColStat] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import scala.jdk.CollectionConverters._
+    val want = cols.toSet
+    val hconf = spark.sessionState.newHadoopConf()
+    relUnits.flatMap { u =>
+      val dir = new org.apache.hadoop.fs.Path(
+        java.nio.file.Paths.get(table, u).toString)
+      val fs = dir.getFileSystem(hconf)
+      val files =
+        if (fs.getFileStatus(dir).isFile) Seq(dir)
+        else fs.listStatus(dir).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath)
+      // (col, kind) -> (min, max, count) folded across files/row groups
+      val acc = scala.collection.mutable.Map
+        .empty[String, (String, String, String, Long)]
+      files.foreach { f =>
+        val rd = ParquetFileReader.open(HadoopInputFile.fromPath(f, hconf))
+        try rd.getFooter.getBlocks.asScala.foreach { block =>
+          block.getColumns.asScala.foreach { cc =>
+            val name = cc.getPath.toDotString
+            if (want(name)) {
+              val st = cc.getStatistics
+              require(st != null && st.hasNonNullValue,
+                s"unit $u column $name has no usable footer statistics " +
+                  "— cannot publish a prunable stats entry for it")
+              val (kind, mn, mx) = cc.getPrimitiveType.getPrimitiveTypeName match {
+                case INT64 | INT32 => ("long",
+                  st.genericGetMin.toString, st.genericGetMax.toString)
+                case DOUBLE | FLOAT => ("double",
+                  st.genericGetMin.toString, st.genericGetMax.toString)
+                case BINARY => ("string",
+                  st.minAsString, st.maxAsString)
+                case other => throw new IllegalArgumentException(
+                  s"unsupported stats physical type $other for $name")
+              }
+              acc.updateWith(name) {
+                case None => Some((kind, mn, mx, cc.getValueCount))
+                case Some((k, omn, omx, n)) =>
+                  require(k == kind, s"mixed physical types for $name")
+                  def lt(a: String, b: String): Boolean =
+                    if (kind == "string") a < b
+                    else if (kind == "long") a.toLong < b.toLong
+                    else a.toDouble < b.toDouble
+                  Some((k, if (lt(mn, omn)) mn else omn,
+                    if (lt(omx, mx)) mx else omx, n + cc.getValueCount))
+              }
+            }
+          }
+        } finally rd.close()
+      }
+      cols.map { c =>
+        val (kind, mn, mx, n) = acc.getOrElse(c, throw new
+            IllegalArgumentException(s"column $c absent from unit $u"))
+        ColStat(u, c, kind, mn, mx, n)
+      }
+    }
+  }
+
+  /** Publish the multi-column stats sidecar (`vNNNNN.cstats.txt`) —
+    * one URL-encoded `unit|col|kind|min|max|count` line per entry,
+    * same atomic hard-link publish and published-version check as the
+    * manifest.
+    */
+  def writeColStats(table: String, version: Long, stats: Seq[ColStat]): Unit = {
+    def enc(s: String) =
+      java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+    publishSidecar(table, version, "cstats.txt",
+      stats.map(s => Seq(s.unit, s.col, s.kind, s.min, s.max)
+        .map(enc).mkString("|") + s"|${s.count}")
+        .mkString("", "\n", "\n"))
+  }
+
+  /** The multi-column stats of `version`. */
+  def colStats(table: String, version: Long): Seq[ColStat] = {
+    val f = logDir(table).resolve(f"v$version%05d.cstats.txt")
+    require(java.nio.file.Files.isRegularFile(f),
+      s"$table has no column stats for version $version")
+    def dec(s: String) =
+      java.net.URLDecoder.decode(s, java.nio.charset.StandardCharsets.UTF_8)
+    java.nio.file.Files.readAllLines(f).toArray(Array.empty[String]).toSeq
+      .filter(_.nonEmpty).map { l =>
+        val Array(u, c, k, mn, mx, n) = l.split('|')
+        ColStat(dec(u), dec(c), dec(k), dec(mn), dec(mx), n.toLong)
+      }
+  }
+
+  /** Stats-pruned read on ANY statted column: scan only the units
+    * whose footer [min,max] for `colName` intersects [lo, hi] —
+    * numeric compare for long/double stats, lexicographic for string
+    * (order-faithful when the column's encoding is, e.g. zero-padded
+    * keys or ISO dates). Returns the surviving-units frame + how many
+    * units the probe scans; a no-match probe is the empty frame. Rows
+    * outside [lo, hi] inside a surviving unit still need the ordinary
+    * pushed filter — stats prune UNITS, not rows.
+    */
+  def snapshotRangeCol(spark: SparkSession, table: String, version: Long,
+      colName: String, lo: String, hi: String): (DataFrame, Int) = {
+    val cs = colStats(table, version).filter(_.col == colName)
+    require(cs.nonEmpty,
+      s"$table v$version has no stats for column $colName")
+    val picked = cs.filter { s =>
+        s.kind match {
+          case "long" => s.min.toLong <= hi.toLong && s.max.toLong >= lo.toLong
+          case "double" =>
+            s.min.toDouble <= hi.toDouble && s.max.toDouble >= lo.toDouble
+          case _ => s.min <= hi && s.max >= lo
+        }
+      }.map(s => java.nio.file.Paths.get(table, s.unit).toString)
+    if (picked.isEmpty) (snapshot(spark, table, version).limit(0), 0)
+    else (spark.read.parquet(picked: _*), picked.size)
   }
 
   /** Stats-pruned read: scan ONLY the units whose [min,max] range
@@ -450,11 +609,13 @@ object CommitLog {
     }
     expired.foreach { v =>
       java.nio.file.Files.delete(manifest(table, v))
-      // reclaim the expired version's stats sidecar too — an orphan
-      // sidecar would let stats() answer for a version that no longer
-      // exists
+      // reclaim the expired version's stats sidecars too — an orphan
+      // sidecar would let stats()/colStats() answer for a version that
+      // no longer exists
       java.nio.file.Files.deleteIfExists(
         logDir(table).resolve(f"v$v%05d.stats.txt"))
+      java.nio.file.Files.deleteIfExists(
+        logDir(table).resolve(f"v$v%05d.cstats.txt"))
     }
     VacuumReport(unitsDeleted, filesDeleted, failed.result(), external)
   }

@@ -209,6 +209,49 @@ class Round10OpsSpec extends GraftSpec {
     assert(rows == Set((1L, None, "delete"), (1L, Some("x"), "insert")))
   }
 
+  test("footerColStats agrees with a recomputing scan, long and string") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val t = java.nio.file.Files.createTempDirectory("graft_fstat").toString
+    val df = (1L to 500L).map(k => (k, f"id$k%06d")).toDF("k", "s")
+    df.repartition(3).write.parquet(s"$t/u0")
+    CommitLog.commit(t, 0L, Seq("u0"))
+    val st = CommitLog.footerColStats(spark, t, Seq("u0"), Seq("k", "s"))
+    val byCol = st.map(s => s.col -> s).toMap
+    assert(byCol("k").kind == "long" && byCol("k").min == "1"
+      && byCol("k").max == "500" && byCol("k").count == 500L)
+    assert(byCol("s").kind == "string" && byCol("s").min == "id000001"
+      && byCol("s").max == "id000500")
+    // published sidecar round-trips, including the | and newline armor
+    CommitLog.writeColStats(t, 0L, st)
+    assert(CommitLog.colStats(t, 0L).toSet == st.toSet)
+    // immutability: a second publish of the same version's sidecar is
+    // refused, never silently replaced (the round-9 rename race)
+    intercept[IllegalStateException](CommitLog.writeColStats(t, 0L, st))
+    // published-version check: stats can't attach to an unpublished v
+    intercept[IllegalArgumentException](CommitLog.writeColStats(t, 5L, st))
+  }
+
+  test("dml_data_skipping string probe prunes like its numeric twin") {
+    import org.apache.spark.sql.functions._
+    val base = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey").as("k"))
+    val maxK = base.agg(max(col("k"))).head().getLong(0)
+    val wd = maxK / 8L + 1L
+    val keys = base.collect().map(_.getLong(0))
+    val (lo, hi) = (6L * wd + wd / 2L, 7L * wd + wd / 2L)
+    val unitRange = keys.groupBy(_ / wd)
+      .map { case (b, ks) => b -> (ks.min, ks.max) }
+    val out = q("dml_data_skipping").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L))
+    assert(out(3L)._1 ==
+      unitRange.count { case (_, (mn, mx)) => mn <= hi && mx >= lo }.toLong,
+      "lexicographic pruning on the padded key must match numeric pruning")
+    assert(out(3L)._2 == keys.count(k => k >= lo && k <= hi).toLong)
+    assert(out(3L)._1 < out(2L)._1, "the string probe skips units")
+  }
+
   test("snapshotRange with a no-match probe returns the empty frame, 0 scanned") {
     import spark.implicits._
     val t = java.nio.file.Files.createTempDirectory("graft_srange").toString
