@@ -422,6 +422,70 @@ object StreamQueries {
       drain().orderBy("event_type")
     }),
 
+    // I9 (round 10): the COMMIT LOG as a streaming source — the
+    // Delta/Iceberg table-as-stream contract driven through a real
+    // file-source stream with checkpoint resume. The table starts at
+    // v0 (the k%3==0 slice), one AvailableNow drain runs, the table
+    // GROWS A VERSION (v1 appends the rest as new unit files —
+    // append-only, so directory growth IS the version delta:
+    // CommitLog.addedUnits(v1) and the file-source's batch-1 input
+    // are the same set, pinned by Round10OpsSpec), and a second drain
+    // restarts from the SAME checkpoint. Exactly-once is what the
+    // oracle proves arithmetically: the drain-1 aggregate carries
+    // drain-0's state forward, so a re-read of v0's files would
+    // double-count and a missed v1 file would under-count — correct
+    // totals mean each unit was consumed exactly once. At 100 TB this
+    // loop (drain, commit, drain) is the streaming-backfill pattern:
+    // per-drain cost is O(added units), never O(table).
+    "stream_commit_log" -> ((s, d) => {
+      import graft.sources.CommitLog
+      val base = load(s, d, "orders")
+        .select(col("o_orderkey").as("k"),
+          col("o_orderstatus").as("status"),
+          dec(col("o_totalprice")).as("p"))
+      val root = tmp("graft_slog")
+      val dataDir = s"$root/data"
+      def unitFiles(): Seq[String] = {
+        import scala.jdk.CollectionConverters._
+        val st = java.nio.file.Files.walk(java.nio.file.Paths.get(dataDir))
+        try st.iterator().asScala
+          .filter(p => p.toString.endsWith(".parquet"))
+          .map(p => java.nio.file.Paths.get(root).relativize(p).toString)
+          .toVector.sorted
+        finally st.close()
+      }
+      val ckpt = tmp("graft_slog_ckpt")
+      val schema = base.schema
+      def drain(tag: Long): DataFrame = {
+        val sdf = s.readStream.schema(schema).parquet(dataDir)
+        val agg = sdf.groupBy("status")
+          .agg(count(lit(1)).as("n"),
+            sum(col("p")).cast(DecimalType(38, 2)).as("total"))
+        val name = s"graft_sink_${sinkId.incrementAndGet()}"
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val q = agg.writeStream.outputMode("complete").format("memory")
+            .queryName(name).option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+        s.table(name)
+          .select(lit(tag).as("drain"), col("status"), col("n"), col("total"))
+      }
+      base.filter(col("k") % 3 === 0).coalesce(1)
+        .write.mode("append").parquet(dataDir)
+      CommitLog.commit(root, 0L, unitFiles())
+      val d0 = drain(0L)
+      // the version boundary lands BETWEEN the drains — the log grows
+      // while the consumer is offline, exactly the backfill loop
+      base.filter(col("k") % 3 =!= 0).coalesce(1)
+        .write.mode("append").parquet(dataDir)
+      CommitLog.commit(root, 1L, unitFiles())
+      val d1 = drain(1L)
+      d0.unionAll(d1).orderBy("drain", "status")
+    }),
+
     // I7: stream-static join — events stream enriched with the
     // customer dimension (no watermark needed on the static side).
     "stream_join" -> ((s, d) => {
@@ -439,6 +503,20 @@ object StreamQueries {
     * truncation, matching Tables.load's integer-div rebuild.
     */
   val oracle: Map[String, String] = Map(
+    // I9: exactly-once across the version boundary — drain 0 sees the
+    // k%3==0 slice, drain 1's carried state plus the added units must
+    // equal one batch group-by over everything (double-count on
+    // re-read, under-count on a missed unit — either breaks this).
+    "stream_commit_log" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders)
+        |SELECT CAST(0 AS BIGINT) AS drain, status, count(*) AS n,
+        |    CAST(sum(p) AS DECIMAL(38,2)) AS total
+        |  FROM base WHERE k % 3 = 0 GROUP BY status
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), status, count(*),
+        |    CAST(sum(p) AS DECIMAL(38,2)) FROM base GROUP BY status
+        |ORDER BY drain, status""".stripMargin,
     // I1: complete-mode tumbling agg over one batch = plain group-by.
     // Exact decimal sum → double, same as the Spark side's
     // dec→DECIMAL(38,2)→Canon(double) pipeline.

@@ -252,6 +252,56 @@ class Round10OpsSpec extends GraftSpec {
     assert(out(3L)._1 < out(2L)._1, "the string probe skips units")
   }
 
+  test("file-stream batches consume exactly the commit log's added units") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft_slogt").toString
+    val dataDir = s"$root/data"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_slogt_ck").toString
+    def unitFiles(): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(dataDir))
+      try st.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .map(p => java.nio.file.Paths.get(root).relativize(p).toString)
+        .toVector.sorted
+      finally st.close()
+    }
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("k", "long")
+    def drain(name: String): Long = {
+      val q = spark.readStream.schema(schema).parquet(dataDir)
+        .agg(count(lit(1)).as("n"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(name).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name).head().getLong(0)
+    }
+    (1L to 10L).toDF("k").coalesce(1).write.mode("append").parquet(dataDir)
+    graft.sources.CommitLog.commit(root, 0L, unitFiles())
+    assert(drain("slog_d0") == 10L)
+    (11L to 15L).toDF("k").coalesce(1).write.mode("append").parquet(dataDir)
+    graft.sources.CommitLog.commit(root, 1L, unitFiles())
+    assert(drain("slog_d1") == 15L,
+      "the resumed drain must carry state and add only the new unit")
+    // the checkpoint's file-source log is the ground truth of what
+    // each batch read — tie it to the log's version deltas
+    def batchPaths(b: Int): Set[String] = {
+      val f = java.nio.file.Paths.get(ckpt, "sources", "0", b.toString)
+      val re = "\"path\":\"file://([^\"]+)\"".r
+      re.findAllMatchIn(java.nio.file.Files.readString(f))
+        .map(_.group(1)).toSet
+    }
+    def absUnits(v: Long): Set[String] =
+      (if (v == 0L) graft.sources.CommitLog.units(root, 0L)
+       else graft.sources.CommitLog.addedUnits(root, v)).toSet
+    assert(batchPaths(0) == absUnits(0L),
+      "batch 0 must read exactly v0's units")
+    assert(batchPaths(1) == absUnits(1L),
+      "batch 1 must read exactly the units v1 ADDED — nothing re-read")
+  }
+
   test("snapshotRange with a no-match probe returns the empty frame, 0 scanned") {
     import spark.implicits._
     val t = java.nio.file.Files.createTempDirectory("graft_srange").toString
