@@ -1063,6 +1063,28 @@ object GraftOps {
     ivfJoin(probes, bucketed, k)
   }
 
+  /** Nearest-centroid bucket assignment of a corpus — the IVF coarse
+    * quantization step, exposed on its own so an index can be GROWN:
+    * appending a vector batch to an existing index is assigning ONLY
+    * the batch against the frozen centroids (O(delta) work), never
+    * re-assigning the corpus. Returns (c_id, c, nc, bucket).
+    */
+  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
+      cent: DataFrame): DataFrame =
+    withNorm(centroidTopM(corpus, vecCol, cent, 1), vecCol)
+      .select(col(idCol).as("c_id"), col(vecCol).as("c"),
+        col("__norm").as("nc"), expr("element_at(__ranked, 1).cl").as("bucket"))
+
+  /** The probe side of an IVF lookup: each query exploded to its
+    * `nprobe` nearest buckets. Returns (q_id, bucket, q, nq).
+    */
+  def ivfProbes(probesDf: DataFrame, idCol: String, vecCol: String,
+      cent: DataFrame, nprobe: Int): DataFrame =
+    withNorm(centroidTopM(probesDf, vecCol, cent, nprobe), vecCol)
+      .select(col(idCol).as("q_id"),
+        explode(expr("transform(__ranked, r -> r.cl)")).as("bucket"),
+        col(vecCol).as("q"), col("__norm").as("nq"))
+
   /** Persist the IVF "index": the corpus with nearest-centroid bucket
     * assignment, written as parquet PARTITIONED BY bucket. At scale the
     * directory layout is the inverted file — a probe batch then reads
@@ -1070,9 +1092,7 @@ object GraftOps {
     */
   def ivfIndexBuild(corpus: DataFrame, idCol: String, vecCol: String,
       cent: DataFrame, path: String): Unit =
-    withNorm(centroidTopM(corpus, vecCol, cent, 1), vecCol)
-      .select(col(idCol).as("c_id"), col(vecCol).as("c"),
-        col("__norm").as("nc"), expr("element_at(__ranked, 1).cl").as("bucket"))
+    ivfAssign(corpus, idCol, vecCol, cent)
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
   /** Approximate top-k against a persisted IVF index (ivfIndexBuild).
@@ -1083,15 +1103,20 @@ object GraftOps {
   def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
       probesDf: DataFrame, idCol: String, vecCol: String, cent: DataFrame,
       k: Int, nprobe: Int): DataFrame = {
-    val probes = withNorm(centroidTopM(probesDf, vecCol, cent, nprobe), vecCol)
-      .select(col(idCol).as("q_id"),
-        explode(expr("transform(__ranked, r -> r.cl)")).as("bucket"),
-        col(vecCol).as("q"), col("__norm").as("nq"))
+    val probes = ivfProbes(probesDf, idCol, vecCol, cent, nprobe)
     val wanted = probes.select("bucket").distinct().collect().map(_.get(0)).toSeq
     val bucketed = spark.read.parquet(indexPath)
       .filter(col("bucket").isin(wanted: _*))
     ivfJoin(probes, bucketed, k)
   }
+
+  /** The probe×bucket ranking stage over an already-pruned bucketed
+    * corpus frame — public so callers that prune by their own means
+    * (e.g. commit-log manifest stats) reuse the exact ranking contract
+    * (6-dp decimal cosine, id tie-break).
+    */
+  def ivfRank(probes: DataFrame, bucketed: DataFrame, k: Int): DataFrame =
+    ivfJoin(probes, bucketed, k)
 
   /** Shared probe×bucket join + per-probe top-k (6-dp decimal rank,
     * id tie-break).

@@ -32,6 +32,11 @@ object LlmQueries {
   private val ivfIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // The delta-grown commit-log IVF table (sim_ivf_delta): built once
+  // per (sfDir, embeddings fingerprint).
+  private val ivfLogDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   // Fingerprint (size + mtime) of a source table file. Computed BEFORE
   // the cache lookup and baked into the cache KEY, not just the path:
   // if the driver regenerates testdata while this JVM is alive (the
@@ -296,6 +301,78 @@ object LlmQueries {
       GraftOps.ivfTopKFromIndex(s, idx, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", cent, k = 5, nprobe = 3)
         .orderBy("q_id", "rn")
+    }),
+
+    // K4d (round 10): INCREMENTAL IVF — the inverted-file index stored
+    // AS A COMMIT-LOG TABLE so it grows by delta, never by rebuild.
+    // v0 indexes the standing corpus (vec_id%10≠0) into bucket-
+    // homogeneous units; v1 APPENDS the arriving batch (vec_id%10==0)
+    // as its own bucket units — only the delta is assigned against the
+    // FROZEN coarse quantizer (standard IVF practice: centroids move
+    // on retrain, not on insert), so the index-build cost of a version
+    // tracks the delta, not the corpus (SCALE.md row). The probe prunes
+    // at the MANIFEST layer: each unit's stats entry is its bucket id
+    // (min=max — bucket-homogeneous by layout), so the nprobe wanted
+    // buckets select matching units from BOTH the base and delta
+    // generations before any footer is opened; ranking reuses
+    // sim_ivf's exact contract (6-dp cosine, id tie-break). Exempt
+    // tier (approx + engine-specific hashing upstream of centroids is
+    // not the issue — the iterative/multi-path build isn't
+    // single-statement SQL); planted-truth tested: the delta-grown
+    // index answers IDENTICALLY to a from-scratch rebuild, because
+    // assignment against frozen centroids is pointwise.
+    "sim_ivf_delta" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.sources.CommitLog
+      val emb = load(s, d, "embeddings")
+      val cent = GraftOps.centroids(emb, "label", "embedding")
+      val root = graft.queries.ScaleQueries.freshDir(ivfLogDir, d, "embeddings") {
+        val dir = java.nio.file.Files.createTempDirectory("graft_ivflog").toString
+        def appendUnits(part: org.apache.spark.sql.DataFrame,
+            sub: String): Seq[(String, Long, Long, Long)] = {
+          GraftOps.ivfAssign(part, "vec_id", "embedding", cent)
+            // bval duplicates the partition column INTO the files: a
+            // manifest-pruned read lists bucket dirs directly (no
+            // basePath partition discovery), so the join key must
+            // survive inside the data
+            .withColumn("bval", col("bucket"))
+            .write.partitionBy("bucket").parquet(s"$dir/data/$sub")
+          import scala.jdk.CollectionConverters._
+          val stream = java.nio.file.Files.list(
+            java.nio.file.Paths.get(dir, "data", sub))
+          val dirs =
+            try stream.iterator().asScala
+              .filter(_.getFileName.toString.startsWith("bucket="))
+              .map(p => s"data/$sub/${p.getFileName}").toVector.sorted
+            finally stream.close()
+          val counts = CommitLog.footerColStats(s, dir, dirs, Seq("c_id"))
+            .map(cs => cs.unit -> cs.count).toMap
+          dirs.map { u =>
+            val b = u.substring(u.indexOf("bucket=") + 7).toLong
+            (u, b, b, counts(u))
+          }
+        }
+        val st0 = appendUnits(emb.filter(col("vec_id") % 10 =!= 0), "base")
+        CommitLog.commit(dir, 0L, st0.map(_._1))
+        CommitLog.writeStats(dir, 0L, st0)
+        // the version boundary: ONLY the delta batch is assigned and
+        // written — O(delta) index growth
+        val st1 = appendUnits(emb.filter(col("vec_id") % 10 === 0), "delta")
+        CommitLog.commit(dir, 1L, st0.map(_._1) ++ st1.map(_._1))
+        CommitLog.writeStats(dir, 1L, st0 ++ st1)
+        dir
+      }
+      val probes = GraftOps.ivfProbes(emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", cent, nprobe = 3)
+      val wanted = probes.select(col("bucket").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSet // ≤ probes × nprobe ids
+      val v = CommitLog.latestVersion(root)
+      val picked = CommitLog.stats(root, v)
+        .filter { case (_, mn, mx, _) => wanted.exists(b => mn <= b && mx >= b) }
+        .map(u => java.nio.file.Paths.get(root, u._1).toString)
+      val bucketed = s.read.parquet(picked: _*)
+        .withColumnRenamed("bval", "bucket")
+      GraftOps.ivfRank(probes, bucketed, 5).orderBy("q_id", "rn")
     }),
 
     // K5: per-language token statistics (stopword-filtered).

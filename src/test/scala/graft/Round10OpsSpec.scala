@@ -302,6 +302,27 @@ class Round10OpsSpec extends GraftSpec {
       "batch 1 must read exactly the units v1 ADDED — nothing re-read")
   }
 
+  test("sim_ivf_delta: the delta-grown index answers like a full rebuild") {
+    import org.apache.spark.sql.functions.col
+    graft.functions.GraftFunctions.register(spark)
+    val out = q("sim_ivf_delta").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).toPlainString,
+        r.getLong(3))).toSet
+    assert(out.nonEmpty)
+    // full rebuild twin: the same probes against the WHOLE corpus
+    // assigned in one shot (GraftOps.ivfTopK — no persisted index, no
+    // deltas). Assignment against frozen centroids is pointwise, so
+    // growing by delta must lose NOTHING: recall 1.0, exact equality.
+    val emb = Tables.load(spark, sf, "embeddings")
+    val cent = api.GraftOps.centroids(emb, "label", "embedding")
+    val full = api.GraftOps.ivfTopK(emb, "vec_id", "embedding", cent,
+        col("vec_id") < 10, k = 5, nprobe = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).toPlainString,
+        r.getLong(3))).toSet
+    assert(out == full,
+      "delta-grown IVF must rank identically to a from-scratch rebuild")
+  }
+
   test("snapshotRange with a no-match probe returns the empty frame, 0 scanned") {
     import spark.implicits._
     val t = java.nio.file.Files.createTempDirectory("graft_srange").toString
