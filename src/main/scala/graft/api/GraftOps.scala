@@ -1104,7 +1104,8 @@ object GraftOps {
       probesDf: DataFrame, idCol: String, vecCol: String, cent: DataFrame,
       k: Int, nprobe: Int): DataFrame = {
     val probes = ivfProbes(probesDf, idCol, vecCol, cent, nprobe)
-    val wanted = probes.select("bucket").distinct().collect().map(_.get(0)).toSeq
+    val wanted = probes.select("bucket").distinct()
+      .collect().map(_.get(0)).toSeq // metadata-sized: <= distinct probe buckets (the DPP pattern)
     val bucketed = spark.read.parquet(indexPath)
       .filter(col("bucket").isin(wanted: _*))
     ivfJoin(probes, bucketed, k)

@@ -559,12 +559,99 @@ object LakehouseQueries {
             col("n_rows"), col("total"))
       }.reduce(_ unionAll _).orderBy("version")
     }),
+
+    // S14 (round 10): OPTIMIZE ZORDER — re-clustering as a commit-log
+    // version, judged by what it does to DATA SKIPPING on two probe
+    // dimensions at once. v0 lays the 1996 orders out date-clustered
+    // (8 yd-range units — the natural ingest order): a day probe
+    // prunes to 1 unit, but a customer probe hits EVERY unit (xc is
+    // uniform within any date range). v1 rewrites the same rows
+    // z-ordered (sort_zorder's bit-interleave HOF, units = 8 zval
+    // ranges): both dims now have bounded per-unit spans, so the
+    // customer probe prunes too — the multi-dimensional locality
+    // trade that is the whole point of OPTIMIZE ZORDER (each dim gets
+    // ~√ locality instead of one dim getting everything). Both
+    // versions stay readable (time travel across the re-cluster);
+    // pruning runs on FOOTER-derived per-unit xc/yd stats through
+    // snapshotRangeCol. Output: (version, probe, units scanned, rows)
+    // — n_rows is layout-invariant by construction, the unit counts
+    // are the clustering metric. Fully oracled: DuckDB recomputes the
+    // z-values (sort_zorder's proven twin), both unit layouts, and
+    // the intersects rule. At 100 TB: the rewrite is one read+write
+    // of live data (the OPTIMIZE cost model), and every later probe
+    // on EITHER dim reads a bounded fraction of units forever after.
+    "dml_optimize_zorder" -> ((s, d) => {
+      import graft.sources.CommitLog
+      val zExpr =
+        """aggregate(sequence(0, 15), 0L, (acc, i) ->
+          |  acc + shiftleft(shiftright(xc, CAST(i AS INT)) % 2, CAST(2*i AS INT))
+          |      + shiftleft(shiftright(yd, CAST(i AS INT)) % 2, CAST(2*i+1 AS INT)))""".stripMargin
+      val root = graft.queries.ScaleQueries.freshDir(zorderDir, d, "orders") {
+        val dir = java.nio.file.Files.createTempDirectory("graft_zord").toString
+        val o = load(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+            && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .select(col("o_orderkey").as("k"),
+            col("o_custkey").cast("bigint").as("xc"),
+            datediff(col("o_orderdate").cast("date"),
+              lit("1996-01-01").cast("date")).cast("bigint").as("yd"))
+        val z = o.withColumn("zval", expr(zExpr))
+        val Array(ydw, zw) = z
+          .agg(expr("max(yd) DIV 8 + 1"), expr("max(zval) DIV 8 + 1"))
+          .head().toSeq.map(_.asInstanceOf[Long]).toArray
+        def layout(bucketOf: org.apache.spark.sql.Column, sub: String,
+            version: Long): Unit = {
+          z.withColumn("bucket", bucketOf).repartition(col("bucket"))
+            .select("k", "xc", "yd", "bucket")
+            .write.partitionBy("bucket").parquet(s"$dir/data/$sub")
+          val units = {
+            import scala.jdk.CollectionConverters._
+            val st = java.nio.file.Files.list(
+              java.nio.file.Paths.get(dir, "data", sub))
+            try st.iterator().asScala.map(p => s"data/$sub/${p.getFileName}")
+              .filter(_.contains("bucket=")).toVector.sorted
+            finally st.close()
+          }
+          CommitLog.commit(dir, version, units)
+          CommitLog.writeColStats(dir, version,
+            CommitLog.footerColStats(s, dir, units, Seq("xc", "yd")))
+          units
+        }
+        layout(expr(s"yd DIV ${ydw}L"), "linear", 0L)
+        layout(expr(s"zval DIV ${zw}L"), "zorder", 1L)
+        dir
+      }
+      val o96 = load(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_custkey").cast("bigint").as("xc"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1996-01-01").cast("date")).cast("bigint").as("yd"))
+      val Array(mxc, myd) = o96.agg(max(col("xc")), max(col("yd")))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      val probes = Seq(
+        ("cust", "xc", 0L, mxc / 8L),
+        ("day", "yd", 0L, (myd / 8L + 1L) - 1L))
+      CommitLog.versions(root).flatMap { v =>
+        probes.map { case (tag, cn, lo, hi) =>
+          val (snap, scanned) =
+            CommitLog.snapshotRangeCol(s, root, v, cn, lo.toString, hi.toString)
+          snap.filter(col(cn).between(lo, hi))
+            .agg(count(lit(1)).as("n_rows"))
+            .select(lit(v).cast("bigint").as("version"), lit(tag).as("probe"),
+              lit(scanned.toLong).as("n_units_scanned"), col("n_rows"))
+        }
+      }.reduce(_ unionAll _).orderBy("version", "probe")
+    }),
   )
 
   private val cdcReadDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private val mergeCowDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val zorderDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private val timeTravelDir =
@@ -603,6 +690,46 @@ object LakehouseQueries {
     }
 
   val oracle: Map[String, String] = Map(
+    "dml_optimize_zorder" ->
+      """WITH o AS (SELECT o_orderkey AS k, CAST(o_custkey AS BIGINT) AS xc,
+        |    CAST(datediff('day', DATE '1996-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS yd
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01'),
+        | bits AS (SELECT unnest(generate_series(0, 15)) AS i),
+        | z AS (SELECT k, xc, yd,
+        |    sum((((xc >> i) % 2) << (i*2)) + (((yd >> i) % 2) << (i*2+1))) AS zval
+        |  FROM o, bits GROUP BY k, xc, yd),
+        | w AS (SELECT max(yd) // 8 + 1 AS ydw, max(zval) // 8 + 1 AS zw,
+        |    max(xc) AS mxc, max(yd) AS myd FROM z),
+        | u0 AS (SELECT yd // ydw AS b, min(xc) AS mnx, max(xc) AS mxx,
+        |    min(yd) AS mny, max(yd) AS mxy FROM z, w GROUP BY 1),
+        | u1 AS (SELECT zval // zw AS b, min(xc) AS mnx, max(xc) AS mxx,
+        |    min(yd) AS mny, max(yd) AS mxy FROM z, w GROUP BY 1),
+        | pr AS (SELECT 'cust' AS probe, 0 AS lo, mxc // 8 AS hi FROM w
+        |   UNION ALL SELECT 'day', 0, myd // 8 FROM w)
+        |SELECT CAST(0 AS BIGINT) AS version, probe,
+        |  CASE WHEN probe = 'cust'
+        |    THEN (SELECT count(*) FROM u0 WHERE mnx <= hi AND mxx >= lo)
+        |    ELSE (SELECT count(*) FROM u0 WHERE mny <= hi AND mxy >= lo)
+        |  END AS n_units_scanned,
+        |  CASE WHEN probe = 'cust'
+        |    THEN (SELECT count(*) FROM z WHERE xc BETWEEN lo AND hi)
+        |    ELSE (SELECT count(*) FROM z WHERE yd BETWEEN lo AND hi)
+        |  END AS n_rows
+        |FROM pr
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), probe,
+        |  CASE WHEN probe = 'cust'
+        |    THEN (SELECT count(*) FROM u1 WHERE mnx <= hi AND mxx >= lo)
+        |    ELSE (SELECT count(*) FROM u1 WHERE mny <= hi AND mxy >= lo)
+        |  END,
+        |  CASE WHEN probe = 'cust'
+        |    THEN (SELECT count(*) FROM z WHERE xc BETWEEN lo AND hi)
+        |    ELSE (SELECT count(*) FROM z WHERE yd BETWEEN lo AND hi)
+        |  END
+        |FROM pr
+        |ORDER BY version, probe""".stripMargin,
     "dml_merge_cow" ->
       """WITH base AS (SELECT o_orderkey AS k,
         |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),

@@ -365,7 +365,7 @@ object LlmQueries {
       val probes = GraftOps.ivfProbes(emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", cent, nprobe = 3)
       val wanted = probes.select(col("bucket").cast("long")).distinct()
-        .collect().map(_.getLong(0)).toSet // ≤ probes × nprobe ids
+        .collect().map(_.getLong(0)).toSet // metadata-sized: <= probes x nprobe ids
       val v = CommitLog.latestVersion(root)
       val picked = CommitLog.stats(root, v)
         .filter { case (_, mn, mx, _) => wanted.exists(b => mn <= b && mx >= b) }

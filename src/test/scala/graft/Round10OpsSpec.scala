@@ -323,6 +323,27 @@ class Round10OpsSpec extends GraftSpec {
       "delta-grown IVF must rank identically to a from-scratch rebuild")
   }
 
+  test("dml_optimize_zorder trades one-axis locality for both-axis pruning") {
+    val out = q("dml_optimize_zorder").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out.keySet ==
+      Set((0L, "cust"), (0L, "day"), (1L, "cust"), (1L, "day")))
+    val nUnits = out((0L, "cust"))._1.max(out((1L, "cust"))._1)
+    // v0 is date-clustered: the day probe prunes hard, the customer
+    // probe cannot prune at all (xc uniform within any date range)
+    assert(out((0L, "day"))._1 < out((0L, "cust"))._1)
+    // v1 is z-ordered: the customer probe now prunes too (the whole
+    // point), and the day probe must not collapse to a full scan
+    assert(out((1L, "cust"))._1 < out((0L, "cust"))._1,
+      "z-ordering must cut the off-axis probe's unit count")
+    assert(out((1L, "day"))._1 < nUnits,
+      "the on-axis probe must keep pruning after the re-cluster")
+    // layout never changes answers
+    assert(out((0L, "cust"))._2 == out((1L, "cust"))._2)
+    assert(out((0L, "day"))._2 == out((1L, "day"))._2)
+  }
+
   test("snapshotRange with a no-match probe returns the empty frame, 0 scanned") {
     import spark.implicits._
     val t = java.nio.file.Files.createTempDirectory("graft_srange").toString

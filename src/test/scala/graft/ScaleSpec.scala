@@ -163,14 +163,15 @@ class ScaleSpec extends GraftSpec {
   }
 
   test("no unbounded driver-side collect anywhere in operator code") {
-    // Allowed .collect() sites, all in GraftOps and all bounded by
-    // MODEL/METADATA size, never data size: ivfTopKFromIndex's
-    // probe-bucket-id pruning (<= distinct probe buckets, the dynamic-
-    // partition-pruning pattern) plus any line carrying an explicit
-    // "model-state-sized" justification (kmeansReport's k-row /
-    // k×dims-row centroid state — the MLlib KMeans driver-state shape).
-    // Anything else is a scale bug: a driver-side loop over data-sized
-    // results.
+    // Every .collect() in operator code must carry an explicit bound
+    // justification on its line: "model-state-sized" (kmeansReport's
+    // k-row / k×dims-row centroid state — the MLlib KMeans
+    // driver-state shape) or "metadata-sized" (probe-bucket-id
+    // pruning and commit-log unit routing — bounded by bucket/unit
+    // counts, the dynamic-partition-pruning pattern). An unmarked
+    // collect is a scale bug: a driver-side loop over data-sized
+    // results — and the marker forces the bound to be ARGUED at the
+    // call site where a reviewer can check it.
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get("src/main/scala/graft")
     val hits = java.nio.file.Files.walk(root).iterator().asScala
@@ -185,11 +186,12 @@ class ScaleSpec extends GraftSpec {
         scala.util.Using.resource(scala.io.Source.fromFile(p.toFile, "UTF-8")) { src =>
           src.getLines().zipWithIndex.collect {
             case (l, i) if l.contains(".collect()") &&
-              !l.contains("model-state-sized") => s"$p:${i + 1}: ${l.trim}"
+              !l.contains("model-state-sized") &&
+              !l.contains("metadata-sized") => s"$p:${i + 1}: ${l.trim}"
           }.toList
         }
       }.toList
-    assert(hits.size <= 1 && hits.forall(_.contains("GraftOps.scala")),
+    assert(hits.isEmpty,
       s"unexpected driver-side collect in operator code:\n${hits.mkString("\n")}")
   }
 
