@@ -643,6 +643,91 @@ object LakehouseQueries {
         }
       }.reduce(_ unionAll _).orderBy("version", "probe")
     }),
+
+    // S15 (round 10): MERGE-ON-READ DELETE — the Iceberg
+    // equality-delete / Delta deletion-vector shape. v1 deletes
+    // k%7==0 by writing ONE tombstone unit of the deleted keys and a
+    // dv sidecar line — ZERO data units rewritten, which the output
+    // proves by carrying both the MoR-visible row count (deletes
+    // applied at read time via a broadcast anti-join) AND the raw
+    // pre-image count (unchanged at v1: the data files still hold
+    // every row). v2 is the compaction that APPLIES the tombstones
+    // and publishes a clean version — visible == raw again, sidecar
+    // gone, and v1 stays time-travel-readable both ways. Fully
+    // oracled from k%7 arithmetic. At 100 TB: the delete writes
+    // O(deleted keys) + a sidecar line (a GDPR erasure on a 100 TB
+    // table is seconds, not a table rewrite); readers pay one
+    // broadcast anti-join until compaction removes it.
+    "dml_delete_mor" -> ((s, d) => {
+      import graft.sources.CommitLog
+      val root = graft.queries.ScaleQueries.freshDir(morDeleteDir, d, "orders") {
+        val dir = java.nio.file.Files.createTempDirectory("graft_mor").toString
+        val base = load(s, d, "orders")
+          .select(col("o_orderkey").as("k"), dec(col("o_totalprice")).as("p"),
+            (col("o_orderkey") % 4).cast("int").as("bucket"))
+        base.repartition(col("bucket"))
+          .write.partitionBy("bucket").parquet(s"$dir/data/v0")
+        val units = (0 to 3).map(b => s"data/v0/bucket=$b")
+          .filter(u => java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get(dir, u)))
+        CommitLog.commit(dir, 0L, units)
+        // the delete: tombstone keys only — no data unit is opened
+        base.filter(col("k") % 7 === 0).select(col("k"))
+          .coalesce(1).write.parquet(s"$dir/data/dv1")
+        CommitLog.commit(dir, 1L, units)
+        CommitLog.writeDeletes(dir, 1L, Seq("data/dv1"))
+        // compaction applies the tombstones; no sidecar on v2
+        CommitLog.snapshotMoR(s, dir, 1L, "k").coalesce(1)
+          .write.parquet(s"$dir/data/compact")
+        CommitLog.commit(dir, 2L, Seq("data/compact"))
+        dir
+      }
+      CommitLog.versions(root).map { v =>
+        val raw = CommitLog.snapshot(s, root, v).count()
+        CommitLog.snapshotMoR(s, root, v, "k")
+          .agg(count(lit(1)).as("n_visible"),
+            sum(col("p")).cast(DecimalType(38, 2)).as("total_visible"))
+          .select(lit(v).cast("bigint").as("version"),
+            col("n_visible"), col("total_visible"),
+            lit(CommitLog.deletes(root, v).size.toLong).as("n_tombstone_units"),
+            lit(raw).as("n_raw_rows"))
+      }.reduce(_ unionAll _).orderBy("version")
+    }),
+
+    // S16 (round 10): RESTORE — rollback as a NEW version whose
+    // manifest is a byte-for-byte copy of the target's: v1 fat-
+    // fingers a manifest-only delete of half the table, v2 restores
+    // v0 by republishing its unit list. Nothing moves — restore cost
+    // is one manifest write at ANY table size, history stays intact
+    // (v1 remains readable: audit the incident, don't erase it), and
+    // the restored version is bit-identical to the original because
+    // both reference the SAME immutable units. Fully oracled.
+    "dml_restore" -> ((s, d) => {
+      import graft.sources.CommitLog
+      val root = graft.queries.ScaleQueries.freshDir(restoreDir, d, "orders") {
+        val dir = java.nio.file.Files.createTempDirectory("graft_restore").toString
+        val base = load(s, d, "orders")
+          .select(col("o_orderkey").as("k"), dec(col("o_totalprice")).as("p"),
+            (col("o_orderkey") % 2).cast("int").as("bucket"))
+        base.repartition(col("bucket"))
+          .write.partitionBy("bucket").parquet(s"$dir/data/v0")
+        val units = (0 to 1).map(b => s"data/v0/bucket=$b")
+          .filter(u => java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get(dir, u)))
+        CommitLog.commit(dir, 0L, units)
+        CommitLog.commit(dir, 1L, units.filterNot(_.endsWith("bucket=1")))
+        // RESTORE TO VERSION 0: republish v0's manifest as v2
+        CommitLog.commit(dir, 2L, units)
+        dir
+      }
+      CommitLog.versions(root).map { v =>
+        CommitLog.snapshot(s, root, v)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("p")).cast(DecimalType(38, 2)).as("total"))
+          .select(lit(v).cast("bigint").as("version"),
+            col("n_rows"), col("total"))
+      }.reduce(_ unionAll _).orderBy("version")
+    }),
   )
 
   private val cdcReadDir =
@@ -652,6 +737,12 @@ object LakehouseQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private val zorderDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val morDeleteDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val restoreDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private val timeTravelDir =
@@ -690,6 +781,35 @@ object LakehouseQueries {
     }
 
   val oracle: Map[String, String] = Map(
+    "dml_delete_mor" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        | live AS (SELECT k, p FROM base WHERE k % 7 <> 0)
+        |SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_visible,
+        |    CAST(sum(p) AS DECIMAL(38,2)) AS total_visible,
+        |    CAST(0 AS BIGINT) AS n_tombstone_units,
+        |    count(*) AS n_raw_rows FROM base
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), (SELECT count(*) FROM live),
+        |    CAST((SELECT sum(p) FROM live) AS DECIMAL(38,2)),
+        |    CAST(1 AS BIGINT), count(*) FROM base
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), count(*),
+        |    CAST(sum(p) AS DECIMAL(38,2)), CAST(0 AS BIGINT), count(*)
+        |  FROM live
+        |ORDER BY version""".stripMargin,
+    "dml_restore" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders)
+        |SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_rows,
+        |    CAST(sum(p) AS DECIMAL(38,2)) AS total FROM base
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), count(*), CAST(sum(p) AS DECIMAL(38,2))
+        |  FROM base WHERE k % 2 = 0
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), count(*), CAST(sum(p) AS DECIMAL(38,2))
+        |  FROM base
+        |ORDER BY version""".stripMargin,
     "dml_optimize_zorder" ->
       """WITH o AS (SELECT o_orderkey AS k, CAST(o_custkey AS BIGINT) AS xc,
         |    CAST(datediff('day', DATE '1996-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS yd

@@ -503,6 +503,63 @@ object CommitLog {
     -1L // unreachable
   }
 
+  /** Attach MERGE-ON-READ equality deletes to `version`: the
+    * `vNNNNN.dv.txt` sidecar lists tombstone units — parquet files of
+    * DELETED KEY VALUES — that [[snapshotMoR]] anti-joins at read
+    * time. This is the Iceberg equality-delete / Delta
+    * deletion-vector shape reduced to its core: a delete writes
+    * O(deleted keys) tombstone data and one sidecar line, NEVER
+    * rewriting a data unit; readers pay one anti-join until a
+    * compaction applies the tombstones and publishes a clean version
+    * (no sidecar). Tombstone units live outside the manifest, so
+    * [[snapshot]] (the raw pre-image), [[changes]] and
+    * [[incremental]] are untouched by them.
+    *
+    * Same atomic hard-link publish + published-version check as every
+    * sidecar: immutable once linked, attachable only to a published
+    * version. A version's sidecar carries the FULL tombstone-unit
+    * list for that snapshot (cumulative, like the manifest itself) —
+    * O(versions-with-deletes) lines, no history replay.
+    */
+  def writeDeletes(table: String, version: Long,
+      tombstoneUnits: Seq[String]): Unit = {
+    require(tombstoneUnits.nonEmpty,
+      "a delete sidecar must reference at least one tombstone unit — " +
+        "a version with no deletes simply publishes no sidecar")
+    publishSidecar(table, version, "dv.txt",
+      tombstoneUnits.mkString("", "\n", "\n"))
+  }
+
+  /** The tombstone units of `version` (absolute paths) — empty when
+    * the version carries no merge-on-read deletes.
+    */
+  def deletes(table: String, version: Long): Seq[String] = {
+    val f = logDir(table).resolve(f"v$version%05d.dv.txt")
+    if (!java.nio.file.Files.isRegularFile(f)) Seq.empty
+    else java.nio.file.Files.readAllLines(f).toArray(Array.empty[String])
+      .toSeq.filter(_.nonEmpty)
+      .map(u => java.nio.file.Paths.get(table, u).toString)
+  }
+
+  /** Read `version` with its merge-on-read deletes APPLIED: the
+    * snapshot anti-joined against the union of its tombstone units on
+    * `keyCol`. With no sidecar this IS [[snapshot]] — zero overhead
+    * on clean versions. At scale the tombstone side is
+    * O(deleted keys) and broadcasts when small (the common case — a
+    * GDPR-style delete touches a sliver of a 100 TB table); the
+    * anti-join is the read-amplification a compaction later removes.
+    */
+  def snapshotMoR(spark: SparkSession, table: String, version: Long,
+      keyCol: String): DataFrame = {
+    val base = snapshot(spark, table, version)
+    val tu = deletes(table, version)
+    if (tu.isEmpty) base
+    else base.join(
+      org.apache.spark.sql.functions.broadcast(
+        spark.read.parquet(tu: _*).select(keyCol).distinct()),
+      Seq(keyCol), "left_anti")
+  }
+
   /** CDC feed of `version`: the row-level changes it applied relative
     * to its predecessor, as the snapshot's columns plus
     * `_change_type` ('insert' | 'delete'). An update surfaces as a
@@ -599,10 +656,14 @@ object CommitLog {
     val all = versions(table)
     require(retain.nonEmpty && retain.forall(all.contains),
       s"retain set ${retain.mkString(",")} must be published versions (${all.mkString(",")})")
-    val keep = retain.flatMap(v => units(table, v)).toSet
+    // tombstone units ride the retention protocol too: a retained
+    // version's MoR deletes must survive (dropping them would
+    // resurrect its deleted rows), an expired-exclusive tombstone is
+    // reclaimable storage like any data unit
+    val keep = retain.flatMap(v => units(table, v) ++ deletes(table, v)).toSet
     val expired = all.filterNot(retain.contains)
-    val dead = expired.flatMap(v => units(table, v)).distinct
-      .filterNot(keep)
+    val dead = expired.flatMap(v => units(table, v) ++ deletes(table, v))
+      .distinct.filterNot(keep)
     val root = java.nio.file.Paths.get(table).toAbsolutePath.normalize
     val (owned, external) = dead.partition { u =>
       // units() returns resolved paths — re-check against the
@@ -627,6 +688,8 @@ object CommitLog {
         logDir(table).resolve(f"v$v%05d.stats.txt"))
       java.nio.file.Files.deleteIfExists(
         logDir(table).resolve(f"v$v%05d.cstats.txt"))
+      java.nio.file.Files.deleteIfExists(
+        logDir(table).resolve(f"v$v%05d.dv.txt"))
     }
     VacuumReport(unitsDeleted, filesDeleted, failed.result(), external)
   }

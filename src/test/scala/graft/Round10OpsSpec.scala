@@ -344,6 +344,57 @@ class Round10OpsSpec extends GraftSpec {
     assert(out((0L, "day"))._2 == out((1L, "day"))._2)
   }
 
+  test("merge-on-read deletes never touch data files; compaction applies them") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = java.nio.file.Files.createTempDirectory("graft_mor_t").toString
+    Seq((1L, "a"), (2L, "b"), (3L, "c"), (7L, "d")).toDF("k", "s")
+      .coalesce(1).write.parquet(s"$t/u0")
+    CommitLog.commit(t, 0L, Seq("u0"))
+    val before = partFiles(java.nio.file.Paths.get(t, "u0"))
+    Seq(Tuple1(2L), Tuple1(7L)).toDF("k").coalesce(1).write.parquet(s"$t/dv")
+    CommitLog.commit(t, 1L, Seq("u0"))
+    CommitLog.writeDeletes(t, 1L, Seq("dv"))
+    assert(partFiles(java.nio.file.Paths.get(t, "u0")) == before,
+      "a MoR delete must not rewrite any data unit")
+    assert(CommitLog.snapshotMoR(spark, t, 1L, "k").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 3L))
+    assert(CommitLog.snapshot(spark, t, 1L).count() == 4,
+      "the raw pre-image keeps every row")
+    // clean versions read through snapshotMoR with zero overhead
+    assert(CommitLog.snapshotMoR(spark, t, 0L, "k").count() == 4)
+    // vacuum accounting: retaining only a compacted v2 reclaims the
+    // tombstone unit WITH the expired version that owned it
+    CommitLog.snapshotMoR(spark, t, 1L, "k").coalesce(1)
+      .write.parquet(s"$t/compact")
+    CommitLog.commit(t, 2L, Seq("compact"))
+    val rep = CommitLog.vacuum(t, retain = Seq(2L))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(t, "dv")),
+      "an expired-exclusive tombstone unit is reclaimable storage")
+    assert(rep.unitsDeleted == 2L, "u0 and dv both reclaimed")
+    assert(CommitLog.snapshotMoR(spark, t, 2L, "k").count() == 2)
+    // and a RETAINED version's tombstones survive a vacuum (deleting
+    // them would resurrect its deleted rows)
+    val t2 = java.nio.file.Files.createTempDirectory("graft_mor_t2").toString
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s").write.parquet(s"$t2/u0")
+    CommitLog.commit(t2, 0L, Seq("u0"))
+    Seq(Tuple1(2L)).toDF("k").write.parquet(s"$t2/dv")
+    CommitLog.commit(t2, 1L, Seq("u0"))
+    CommitLog.writeDeletes(t2, 1L, Seq("dv"))
+    CommitLog.vacuum(t2, retain = Seq(1L))
+    assert(CommitLog.snapshotMoR(spark, t2, 1L, "k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L),
+      "retained tombstones must survive vacuum")
+  }
+
+  test("dml_restore republishes the target manifest without moving data") {
+    val out = q("dml_restore").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDecimal(2))).toMap
+    assert(out(2L) == out(0L),
+      "the restored version must be value-identical to its target")
+    assert(out(1L)._1 < out(0L)._1, "the incident version lost rows")
+  }
+
   test("snapshotRange with a no-match probe returns the empty frame, 0 scanned") {
     import spark.implicits._
     val t = java.nio.file.Files.createTempDirectory("graft_srange").toString
