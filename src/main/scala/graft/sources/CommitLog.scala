@@ -567,18 +567,21 @@ object CommitLog {
     * pre/post-image pair of the lakehouse CDC feeds).
     *
     * Computed as a symmetric MULTISET diff over only the touched
-    * units: inserts = rows(addedUnits) EXCEPT ALL rows(removedUnits),
-    * deletes = the reverse. Unchanged rows that merely moved files
-    * cancel out — an OPTIMIZE/clustering version (pure rewrite, same
-    * content) therefore yields an EMPTY feed, which is exactly the
-    * rewrite-without-change detection a downstream consumer needs so
-    * maintenance commits don't replay the table at it. This closes the
-    * gap [[incremental]]'s guard advertises: versions that remove
-    * units are fully consumable here.
+    * units: each added row weighs +1, each removed row −1, and ONE
+    * row-keyed aggregate sums the weights — positive net counts
+    * replicate out as inserts, negative as deletes. Unchanged rows
+    * that merely moved files cancel to 0 — an OPTIMIZE/clustering
+    * version (pure rewrite, same content) therefore yields an EMPTY
+    * feed, which is exactly the rewrite-without-change detection a
+    * downstream consumer needs so maintenance commits don't replay
+    * the table at it. This closes the gap [[incremental]]'s guard
+    * advertises: versions that remove units are fully consumable.
     *
-    * Scale: cost is O(touched units), never O(table) — untouched units
-    * are not read; the diff is one hash-exchange per side on the full
-    * row (Spark's exceptAll). Schema evolution: both sides are read
+    * Scale: cost is O(touched units), never O(table) — untouched
+    * units are not read, and the signed-weight formulation reads each
+    * touched side ONCE through a single partial-agg exchange (the
+    * naive a.exceptAll(r) ∪ r.exceptAll(a) plan scans and shuffles
+    * every touched unit twice). Schema evolution: both sides are read
     * mergeSchema and aligned to the version's evolved column set, so a
     * column born in this version reads as null on the removed side.
     */
@@ -604,10 +607,19 @@ object CommitLog {
         if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }: _*)
+    import org.apache.spark.sql.functions.{abs, explode, expr, sum, when}
     val a = align(read(added))
     val r = align(read(removed))
-    a.exceptAll(r).withColumn("_change_type", lit("insert"))
-      .unionAll(r.exceptAll(a).withColumn("_change_type", lit("delete")))
+    val cols = schemaSrc.columns.toSeq
+    a.withColumn("__w", lit(1L)).unionAll(r.withColumn("__w", lit(-1L)))
+      .groupBy(cols.map(col): _*).agg(sum(col("__w")).as("__n"))
+      .filter(col("__n") =!= 0)
+      .withColumn("_change_type",
+        when(col("__n") > 0, "insert").otherwise("delete"))
+      // net multiset count > 1 means the version added (or removed)
+      // genuine duplicate rows — replicate them out like exceptAll
+      .withColumn("__i", explode(expr("sequence(1L, abs(__n))")))
+      .select(cols.map(col) :+ col("_change_type"): _*)
   }
 
   /** What [[vacuum]] actually did: `unitsDeleted` fully-reclaimed data

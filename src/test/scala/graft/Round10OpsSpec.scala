@@ -395,6 +395,29 @@ class Round10OpsSpec extends GraftSpec {
     assert(out(1L)._1 < out(0L)._1, "the incident version lost rows")
   }
 
+  test("changes() and snapshotMoR compile to the plans their cost model claims") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft_plan_t").toString
+    (1L to 500L).map(k => (k, k * 2.0)).toDF("k", "p").write.parquet(s"$t/u0")
+    CommitLog.commit(t, 0L, Seq("u0"))
+    (1L to 400L).map(k => (k, k * 2.0)).toDF("k", "p").write.parquet(s"$t/u1")
+    CommitLog.commit(t, 1L, Seq("u1"))
+    // the signed-weight diff: each touched side scanned ONCE, one
+    // row-keyed exchange, no join anywhere
+    val cp = CommitLog.changes(spark, t, 1L)
+      .queryExecution.executedPlan.toString
+    assert(!cp.contains("CartesianProduct") && !cp.contains("Join"))
+    assert("Scan parquet".r.findAllIn(cp).size == 2,
+      s"each touched side must be scanned exactly once:\n$cp")
+    // MoR read: broadcast anti-join, tombstones on the build side
+    Seq(Tuple1(5L)).toDF("k").write.parquet(s"$t/dv")
+    CommitLog.writeDeletes(t, 1L, Seq("dv"))
+    val mp = CommitLog.snapshotMoR(spark, t, 1L, "k")
+      .queryExecution.executedPlan.toString
+    assert(mp.contains("BroadcastHashJoin") && mp.contains("LeftAnti"),
+      s"MoR deletes must apply as a broadcast anti-join:\n$mp")
+  }
+
   test("snapshotRange with a no-match probe returns the empty frame, 0 scanned") {
     import spark.implicits._
     val t = java.nio.file.Files.createTempDirectory("graft_srange").toString
