@@ -203,25 +203,41 @@ object CommitLog {
     * for the footer statistics, the commit just lifts them into the
     * manifest layer (caller-supplied stats can lie; footers can't).
     *
-    * Footer I/O is O(units × row groups) metadata. Binary (string)
-    * min/max may be TRUNCATED bounds in the footer (parquet-mr keeps
-    * them safe: truncated min sorts ≤ the true min, truncated max is
-    * bumped to sort ≥ the true max), so pruning on them stays correct.
-    * Columns whose every row group lacks usable statistics fail
-    * loudly rather than silently publishing an unprunable entry.
+    * Footer I/O is O(units × row groups) metadata, and it runs ON THE
+    * EXECUTORS (one task per unit batch): a driver-side loop would
+    * serialize 10⁵ footer round-trips into minutes of commit latency —
+    * the listing, open and footer decode all distribute; only the
+    * O(units × cols) stat tuples come back to the driver. The Hadoop
+    * conf ships to tasks as plain key/value pairs (so object-store
+    * credentials and endpoints survive without any Spark-internal
+    * serialization helper).
+    *
+    * Binary (string) min/max may be TRUNCATED bounds in the footer
+    * (parquet-mr keeps them safe: truncated min sorts ≤ the true min,
+    * truncated max is bumped to sort ≥ the true max), so pruning on
+    * them stays correct. Columns whose every row group lacks usable
+    * statistics fail loudly — on the task, propagated to the caller —
+    * rather than silently publishing an unprunable entry.
     */
   def footerColStats(spark: SparkSession, table: String,
       relUnits: Seq[String], cols: Seq[String]): Seq[ColStat] = {
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
-    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-    import scala.jdk.CollectionConverters._
+    if (relUnits.isEmpty) return Seq.empty
     val want = cols.toSet
-    val hconf = spark.sessionState.newHadoopConf()
-    relUnits.flatMap { u =>
-      val dir = new org.apache.hadoop.fs.Path(
-        java.nio.file.Paths.get(table, u).toString)
-      val fs = dir.getFileSystem(hconf)
+    val hconfKV: Array[(String, String)] = {
+      import scala.jdk.CollectionConverters._
+      spark.sessionState.newHadoopConf().iterator().asScala
+        .map(e => e.getKey -> e.getValue).toArray
+    }
+    val absUnits = relUnits.map(u =>
+      u -> java.nio.file.Paths.get(table, u).toString)
+    def statsOfUnit(rel: String, abs: String,
+        conf: org.apache.hadoop.conf.Configuration): Seq[ColStat] = {
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+      import scala.jdk.CollectionConverters._
+      val dir = new org.apache.hadoop.fs.Path(abs)
+      val fs = dir.getFileSystem(conf)
       val files =
         if (fs.getFileStatus(dir).isFile) Seq(dir)
         else fs.listStatus(dir).toSeq
@@ -231,14 +247,14 @@ object CommitLog {
       val acc = scala.collection.mutable.Map
         .empty[String, (String, String, String, Long)]
       files.foreach { f =>
-        val rd = ParquetFileReader.open(HadoopInputFile.fromPath(f, hconf))
+        val rd = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
         try rd.getFooter.getBlocks.asScala.foreach { block =>
           block.getColumns.asScala.foreach { cc =>
             val name = cc.getPath.toDotString
             if (want(name)) {
               val st = cc.getStatistics
               require(st != null && st.hasNonNullValue,
-                s"unit $u column $name has no usable footer statistics " +
+                s"unit $rel column $name has no usable footer statistics " +
                   "— cannot publish a prunable stats entry for it")
               val (kind, mn, mx) = cc.getPrimitiveType.getPrimitiveTypeName match {
                 case INT64 | INT32 => ("long",
@@ -267,10 +283,20 @@ object CommitLog {
       }
       cols.map { c =>
         val (kind, mn, mx, n) = acc.getOrElse(c, throw new
-            IllegalArgumentException(s"column $c absent from unit $u"))
-        ColStat(u, c, kind, mn, mx, n)
+            IllegalArgumentException(s"column $c absent from unit $rel"))
+        ColStat(rel, c, kind, mn, mx, n)
       }
     }
+    val slices = math.max(1, math.min(absUnits.size,
+      spark.sparkContext.defaultParallelism * 4))
+    val byUnit = spark.sparkContext.parallelize(absUnits, slices)
+      .map { case (rel, abs) =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        hconfKV.foreach { case (k, v) => conf.set(k, v) }
+        rel -> statsOfUnit(rel, abs, conf)
+      }
+      .collect().toMap // metadata-sized: O(units × cols) stat tuples
+    relUnits.flatMap(byUnit) // stable caller order
   }
 
   /** Publish the multi-column stats sidecar (`vNNNNN.cstats.txt`) —
@@ -544,19 +570,21 @@ object CommitLog {
   /** Read `version` with its merge-on-read deletes APPLIED: the
     * snapshot anti-joined against the union of its tombstone units on
     * `keyCol`. With no sidecar this IS [[snapshot]] — zero overhead
-    * on clean versions. At scale the tombstone side is
-    * O(deleted keys) and broadcasts when small (the common case — a
-    * GDPR-style delete touches a sliver of a 100 TB table); the
-    * anti-join is the read-amplification a compaction later removes.
+    * on clean versions. The join strategy is deliberately left to the
+    * optimizer: the common tombstone set (a GDPR-style delete on a
+    * 100 TB table) is tiny and broadcasts, but a bulk delete's
+    * key list can be arbitrarily large, and a forced broadcast hint
+    * there is a driver OOM — AQE degrades it to a shuffled anti-join
+    * instead. The anti-join is the read-amplification a compaction
+    * later removes; caller predicates still push down to the data
+    * scan through it (PLANS.md round 10).
     */
   def snapshotMoR(spark: SparkSession, table: String, version: Long,
       keyCol: String): DataFrame = {
     val base = snapshot(spark, table, version)
     val tu = deletes(table, version)
     if (tu.isEmpty) base
-    else base.join(
-      org.apache.spark.sql.functions.broadcast(
-        spark.read.parquet(tu: _*).select(keyCol).distinct()),
+    else base.join(spark.read.parquet(tu: _*).select(keyCol).distinct(),
       Seq(keyCol), "left_anti")
   }
 
