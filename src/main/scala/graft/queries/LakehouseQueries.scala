@@ -629,14 +629,19 @@ object LakehouseQueries {
             lit("1996-01-01").cast("date")).cast("bigint").as("yd"))
       val Array(mxc, myd) = o96.agg(max(col("xc")), max(col("yd")))
         .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      val (custHi, dayHi) = (mxc / 8L, (myd / 8L + 1L) - 1L)
       val probes = Seq(
-        ("cust", "xc", 0L, mxc / 8L),
-        ("day", "yd", 0L, (myd / 8L + 1L) - 1L))
+        ("cust", Seq(("xc", 0L, custHi))),
+        ("day", Seq(("yd", 0L, dayHi))),
+        // the rectangle probe: conjunctive pruning on BOTH dims — the
+        // query shape a z-ordered layout exists for
+        ("both", Seq(("xc", 0L, custHi), ("yd", 0L, dayHi))))
       CommitLog.versions(root).flatMap { v =>
-        probes.map { case (tag, cn, lo, hi) =>
-          val (snap, scanned) =
-            CommitLog.snapshotRangeCol(s, root, v, cn, lo.toString, hi.toString)
-          snap.filter(col(cn).between(lo, hi))
+        probes.map { case (tag, preds) =>
+          val (snap, scanned) = CommitLog.snapshotRangeMulti(s, root, v,
+            preds.map { case (c, lo, hi) => (c, lo.toString, hi.toString) })
+          preds.foldLeft(snap) { case (df, (c, lo, hi)) =>
+              df.filter(col(c).between(lo, hi)) }
             .agg(count(lit(1)).as("n_rows"))
             .select(lit(v).cast("bigint").as("version"), lit(tag).as("probe"),
               lit(scanned.toLong).as("n_units_scanned"), col("n_rows"))
@@ -826,28 +831,27 @@ object LakehouseQueries {
         |    min(yd) AS mny, max(yd) AS mxy FROM z, w GROUP BY 1),
         | u1 AS (SELECT zval // zw AS b, min(xc) AS mnx, max(xc) AS mxx,
         |    min(yd) AS mny, max(yd) AS mxy FROM z, w GROUP BY 1),
-        | pr AS (SELECT 'cust' AS probe, 0 AS lo, mxc // 8 AS hi FROM w
-        |   UNION ALL SELECT 'day', 0, myd // 8 FROM w)
+        | pr AS (SELECT 'cust' AS probe, 0 AS xlo, mxc // 8 AS xhi,
+        |     NULL AS ylo, NULL AS yhi FROM w
+        |   UNION ALL SELECT 'day', NULL, NULL, 0, myd // 8 FROM w
+        |   UNION ALL SELECT 'both', 0, mxc // 8, 0, myd // 8 FROM w)
         |SELECT CAST(0 AS BIGINT) AS version, probe,
-        |  CASE WHEN probe = 'cust'
-        |    THEN (SELECT count(*) FROM u0 WHERE mnx <= hi AND mxx >= lo)
-        |    ELSE (SELECT count(*) FROM u0 WHERE mny <= hi AND mxy >= lo)
-        |  END AS n_units_scanned,
-        |  CASE WHEN probe = 'cust'
-        |    THEN (SELECT count(*) FROM z WHERE xc BETWEEN lo AND hi)
-        |    ELSE (SELECT count(*) FROM z WHERE yd BETWEEN lo AND hi)
-        |  END AS n_rows
+        |  (SELECT count(*) FROM u0
+        |    WHERE (xlo IS NULL OR (mnx <= xhi AND mxx >= xlo))
+        |      AND (ylo IS NULL OR (mny <= yhi AND mxy >= ylo)))
+        |    AS n_units_scanned,
+        |  (SELECT count(*) FROM z
+        |    WHERE (xlo IS NULL OR xc BETWEEN xlo AND xhi)
+        |      AND (ylo IS NULL OR yd BETWEEN ylo AND yhi)) AS n_rows
         |FROM pr
         |UNION ALL
         |SELECT CAST(1 AS BIGINT), probe,
-        |  CASE WHEN probe = 'cust'
-        |    THEN (SELECT count(*) FROM u1 WHERE mnx <= hi AND mxx >= lo)
-        |    ELSE (SELECT count(*) FROM u1 WHERE mny <= hi AND mxy >= lo)
-        |  END,
-        |  CASE WHEN probe = 'cust'
-        |    THEN (SELECT count(*) FROM z WHERE xc BETWEEN lo AND hi)
-        |    ELSE (SELECT count(*) FROM z WHERE yd BETWEEN lo AND hi)
-        |  END
+        |  (SELECT count(*) FROM u1
+        |    WHERE (xlo IS NULL OR (mnx <= xhi AND mxx >= xlo))
+        |      AND (ylo IS NULL OR (mny <= yhi AND mxy >= ylo))),
+        |  (SELECT count(*) FROM z
+        |    WHERE (xlo IS NULL OR xc BETWEEN xlo AND xhi)
+        |      AND (ylo IS NULL OR yd BETWEEN ylo AND yhi))
         |FROM pr
         |ORDER BY version, probe""".stripMargin,
     "dml_merge_cow" ->

@@ -114,6 +114,32 @@ object CommitLog {
     vs.last
   }
 
+  /** When `version` became visible: the manifest's mtime, stamped by
+    * the atomic link publish itself — no separate clock column to
+    * drift from the commit protocol.
+    */
+  def commitTime(table: String, version: Long): java.time.Instant = {
+    val m = manifest(table, version)
+    require(java.nio.file.Files.isRegularFile(m),
+      s"$table has no version $version")
+    java.nio.file.Files.getLastModifiedTime(m).toInstant
+  }
+
+  /** TIMESTAMP AS OF: the latest version whose commit time is ≤ `ts` —
+    * what a reader at that wall-clock instant would have seen. Fails
+    * loudly for a timestamp before the first commit (there was no
+    * table to read; silently returning v0 would fabricate history).
+    */
+  def versionAsOf(table: String, ts: java.time.Instant): Long = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"$table has no published versions")
+    val at = vs.filter(v => !commitTime(table, v).isAfter(ts))
+    require(at.nonEmpty,
+      s"$ts predates the first commit of $table " +
+        s"(${commitTime(table, vs.head)})")
+    at.last
+  }
+
   /** The unit paths (absolute) of `version`'s snapshot. */
   def units(table: String, version: Long): Seq[String] = {
     val m = manifest(table, version)
@@ -349,6 +375,36 @@ object CommitLog {
           case _ => s.min <= hi && s.max >= lo
         }
       }.map(s => java.nio.file.Paths.get(table, s.unit).toString)
+    if (picked.isEmpty) (snapshot(spark, table, version).limit(0), 0)
+    else (spark.read.parquet(picked: _*), picked.size)
+  }
+
+  /** Conjunctive stats-pruned read: a unit survives only if EVERY
+    * predicate's [lo, hi] intersects that column's footer [min, max] —
+    * the multi-column skipping a z-ordered layout exists to serve
+    * (each dim's span is bounded per unit, so a small rectangle probe
+    * prunes multiplicatively where a linear layout prunes on one dim
+    * at best). Same kind-aware compare as [[snapshotRangeCol]].
+    */
+  def snapshotRangeMulti(spark: SparkSession, table: String, version: Long,
+      preds: Seq[(String, String, String)]): (DataFrame, Int) = {
+    require(preds.nonEmpty, "need at least one (column, lo, hi) predicate")
+    val cs = colStats(table, version)
+    val surviving = preds.map { case (colName, lo, hi) =>
+      val forCol = cs.filter(_.col == colName)
+      require(forCol.nonEmpty,
+        s"$table v$version has no stats for column $colName")
+      forCol.filter { s =>
+        s.kind match {
+          case "long" => s.min.toLong <= hi.toLong && s.max.toLong >= lo.toLong
+          case "double" =>
+            s.min.toDouble <= hi.toDouble && s.max.toDouble >= lo.toDouble
+          case _ => s.min <= hi && s.max >= lo
+        }
+      }.map(_.unit).toSet
+    }.reduce(_ intersect _)
+    val picked = surviving.toSeq.sorted
+      .map(u => java.nio.file.Paths.get(table, u).toString)
     if (picked.isEmpty) (snapshot(spark, table, version).limit(0), 0)
     else (spark.read.parquet(picked: _*), picked.size)
   }

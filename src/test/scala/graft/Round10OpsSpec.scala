@@ -327,8 +327,14 @@ class Round10OpsSpec extends GraftSpec {
     val out = q("dml_optimize_zorder").collect()
       .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
       .toMap
-    assert(out.keySet ==
-      Set((0L, "cust"), (0L, "day"), (1L, "cust"), (1L, "day")))
+    assert(out.keySet == Set((0L, "cust"), (0L, "day"), (0L, "both"),
+      (1L, "cust"), (1L, "day"), (1L, "both")))
+    // the rectangle probe prunes conjunctively: never worse than the
+    // better of its two single-dim probes, on either layout
+    Seq(0L, 1L).foreach { v =>
+      assert(out((v, "both"))._1 <=
+        out((v, "cust"))._1.min(out((v, "day"))._1))
+    }
     val nUnits = out((0L, "cust"))._1.max(out((1L, "cust"))._1)
     // v0 is date-clustered: the day probe prunes hard, the customer
     // probe cannot prune at all (xc uniform within any date range)
@@ -385,6 +391,28 @@ class Round10OpsSpec extends GraftSpec {
     assert(CommitLog.snapshotMoR(spark, t2, 1L, "k").collect()
       .map(_.getLong(0)).toSeq == Seq(1L),
       "retained tombstones must survive vacuum")
+  }
+
+  test("versionAsOf resolves what a reader at that instant saw") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft_asof").toString
+    Seq((1L, "a")).toDF("k", "s").write.parquet(s"$t/u0")
+    CommitLog.commit(t, 0L, Seq("u0"))
+    val between = java.time.Instant.now()
+    // manifest mtimes carry the commit instant; push v1 visibly later
+    // than `between` without sleeping the test
+    Seq((2L, "b")).toDF("k", "s").write.parquet(s"$t/u1")
+    CommitLog.commit(t, 1L, Seq("u0", "u1"))
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(t, "_log", "v00001.txt"),
+      java.nio.file.attribute.FileTime.from(between.plusSeconds(60)))
+    assert(CommitLog.versionAsOf(t, between) == 0L,
+      "a reader between the commits saw v0")
+    assert(CommitLog.versionAsOf(t, between.plusSeconds(120)) == 1L)
+    assert(CommitLog.versionAsOf(t, java.time.Instant.now()
+      .plusSeconds(3600)) == 1L, "the future reads latest")
+    intercept[IllegalArgumentException](
+      CommitLog.versionAsOf(t, between.minusSeconds(3600)))
   }
 
   test("dml_restore republishes the target manifest without moving data") {
