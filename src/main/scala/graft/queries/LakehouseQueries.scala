@@ -461,30 +461,7 @@ object LakehouseQueries {
     // hash-exchange per side.
     "dml_cdc_read" -> ((s, d) => {
       import graft.sources.CommitLog
-      val root = graft.queries.ScaleQueries.freshDir(cdcReadDir, d, "orders") {
-        val dir = java.nio.file.Files.createTempDirectory("graft_cdc").toString
-        val base = load(s, d, "orders")
-          .select(col("o_orderkey").as("k"), dec(col("o_totalprice")).as("p"),
-            (col("o_orderkey") % 4).cast("int").as("bucket"))
-        base.repartition(col("bucket"))
-          .write.partitionBy("bucket").parquet(s"$dir/data/v0")
-        val v0Units = (0 to 3).map(b => s"data/v0/bucket=$b")
-          .filter(u => java.nio.file.Files.isDirectory(
-            java.nio.file.Paths.get(dir, u)))
-        CommitLog.commit(dir, 0L, v0Units)
-        base.filter(col("bucket") === 2)
-          .select(col("k"), (col("p") * 2).cast(DecimalType(18, 2)).as("p"))
-          .write.parquet(s"$dir/data/v1b2")
-        CommitLog.commit(dir, 1L,
-          v0Units.filterNot(_.endsWith("bucket=2")) :+ "data/v1b2")
-        CommitLog.snapshot(s, dir, 1L).coalesce(1)
-          .write.parquet(s"$dir/data/compact")
-        CommitLog.commit(dir, 2L, Seq("data/compact"))
-        CommitLog.snapshot(s, dir, 2L).filter(col("k") % 4 =!= 1)
-          .coalesce(1).write.parquet(s"$dir/data/v3")
-        CommitLog.commit(dir, 3L, Seq("data/v3"))
-        dir
-      }
+      val root = cdcTable(s, d)
       val per = CommitLog.versions(root).map { v =>
         CommitLog.changes(s, root, v)
           .groupBy(col("_change_type").as("ct"))
@@ -558,6 +535,25 @@ object LakehouseQueries {
             lit(CommitLog.units(root, v).size.toLong).as("n_units"),
             col("n_rows"), col("total"))
       }.reduce(_ unionAll _).orderBy("version")
+    }),
+
+    // S17 (round 10): DESCRIBE HISTORY — the audit view of a table's
+    // commit log (CommitLog.history): per version its unit count and
+    // the added/removed manifest delta vs the predecessor, plus the
+    // is_append classification that tells an incremental consumer
+    // which versions it may fast-path and which need the CDC feed.
+    // Runs over the S12 lifecycle table (insert → COW update →
+    // OPTIMIZE → COW delete), so every row class appears. Pure
+    // manifest arithmetic — zero data I/O, O(versions × units) text —
+    // which is why the DuckDB twin can recompute it from the bucket
+    // construction alone (commit_time is dropped from the oracled
+    // projection: wall-clock is the one nondeterministic column).
+    "dml_history" -> ((s, d) => {
+      val root = cdcTable(s, d)
+      graft.sources.CommitLog.history(s, root)
+        .select(col("version"), col("n_units"),
+          col("n_added"), col("n_removed"), col("is_append"))
+        .orderBy("version")
     }),
 
     // S14 (round 10): OPTIMIZE ZORDER — re-clustering as a commit-log
@@ -768,6 +764,38 @@ object LakehouseQueries {
   private val cloneDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** The 4-version lifecycle table S12 (dml_cdc_read) and S17
+    * (dml_history) share: v0 base insert in k%4 bucket units, v1 COW
+    * reprice of bucket 2, v2 OPTIMIZE to one unit, v3 COW delete of
+    * k%4==1. Built once per (sfDir, orders fingerprint).
+    */
+  private def cdcTable(s: org.apache.spark.sql.SparkSession, d: String): String =
+    graft.queries.ScaleQueries.freshDir(cdcReadDir, d, "orders") {
+      import graft.sources.CommitLog
+      val dir = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+      val base = load(s, d, "orders")
+        .select(col("o_orderkey").as("k"), dec(col("o_totalprice")).as("p"),
+          (col("o_orderkey") % 4).cast("int").as("bucket"))
+      base.repartition(col("bucket"))
+        .write.partitionBy("bucket").parquet(s"$dir/data/v0")
+      val v0Units = (0 to 3).map(b => s"data/v0/bucket=$b")
+        .filter(u => java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(dir, u)))
+      CommitLog.commit(dir, 0L, v0Units)
+      base.filter(col("bucket") === 2)
+        .select(col("k"), (col("p") * 2).cast(DecimalType(18, 2)).as("p"))
+        .write.parquet(s"$dir/data/v1b2")
+      CommitLog.commit(dir, 1L,
+        v0Units.filterNot(_.endsWith("bucket=2")) :+ "data/v1b2")
+      CommitLog.snapshot(s, dir, 1L).coalesce(1)
+        .write.parquet(s"$dir/data/compact")
+      CommitLog.commit(dir, 2L, Seq("data/compact"))
+      CommitLog.snapshot(s, dir, 2L).filter(col("k") % 4 =!= 1)
+        .coalesce(1).write.parquet(s"$dir/data/v3")
+      CommitLog.commit(dir, 3L, Seq("data/v3"))
+      dir
+    }
+
   /** The append-only 3-version log S10/S11 share: v0/v1/v2 each add
     * one k%3 key-slice unit. Built once per (sfDir, orders
     * fingerprint).
@@ -786,6 +814,20 @@ object LakehouseQueries {
     }
 
   val oracle: Map[String, String] = Map(
+    "dml_history" ->
+      """WITH base AS (SELECT o_orderkey AS k FROM orders),
+        | s AS (SELECT count(DISTINCT k % 4) AS d,
+        |    max(CASE WHEN k % 4 = 2 THEN 1 ELSE 0 END) AS h2 FROM base)
+        |SELECT CAST(0 AS BIGINT) AS version, CAST(d AS BIGINT) AS n_units,
+        |    CAST(d AS BIGINT) AS n_added, CAST(0 AS BIGINT) AS n_removed,
+        |    TRUE AS is_append FROM s
+        |UNION ALL
+        |SELECT 1, d - h2 + 1, 1, h2, h2 = 0 FROM s
+        |UNION ALL
+        |SELECT 2, 1, 1, d - h2 + 1, FALSE FROM s
+        |UNION ALL
+        |SELECT 3, 1, 1, 1, FALSE FROM s
+        |ORDER BY version""".stripMargin,
     "dml_delete_mor" ->
       """WITH base AS (SELECT o_orderkey AS k,
         |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),

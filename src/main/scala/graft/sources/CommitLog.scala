@@ -141,14 +141,9 @@ object CommitLog {
   }
 
   /** The unit paths (absolute) of `version`'s snapshot. */
-  def units(table: String, version: Long): Seq[String] = {
-    val m = manifest(table, version)
-    require(java.nio.file.Files.isRegularFile(m),
-      s"$table has no version $version (published: ${versions(table).mkString(",")})")
-    java.nio.file.Files.readAllLines(m).toArray(Array.empty[String]).toSeq
-      .filter(_.nonEmpty)
+  def units(table: String, version: Long): Seq[String] =
+    manifestLines(table, version)
       .map(u => java.nio.file.Paths.get(table, u).toString)
-  }
 
   /** Read the table AS OF `version` — an ordinary multi-path parquet
     * scan over that snapshot's units.
@@ -583,6 +578,92 @@ object CommitLog {
       // vacuum; loop re-reads the winner's snapshot and re-applies
     }
     -1L // unreachable
+  }
+
+  /** Incremental OPTIMIZE: bin-pack ONLY the units smaller than
+    * `minUnitBytes` into one new unit and publish the result via
+    * [[tryCommit]]; units already at healthy size are carried by name
+    * and never opened (their files stay byte-identical — the property
+    * that makes repeated compaction affordable: cost tracks the
+    * SMALL-FILE BACKLOG, not the table). This is the real formats'
+    * OPTIMIZE cost model (Delta compacts only files under
+    * minFileSize); the full-rewrite variant in dml_optimize is the
+    * degenerate `minUnitBytes = ∞` case. Returns the new version, or
+    * None when fewer than two units qualify (nothing to pack — a
+    * no-op version would just churn the log). A loser of the commit
+    * race retries on the winner's snapshot, same as [[mergeCow]].
+    */
+  def compact(spark: SparkSession, table: String,
+      minUnitBytes: Long): Option[Long] = {
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 10,
+        s"compaction on $table lost $attempts commit races — back off")
+      val v = latestVersion(table)
+      val current = units(table, v)
+      val sized = current.map { abs =>
+        val (n, _) = unitSize(abs)
+        (abs, n)
+      }
+      val (small, big) = sized.partition(_._2 < minUnitBytes)
+      if (small.size < 2) return None
+      val rel = f"data/compact_v${v + 1}%05d_$attempts"
+      spark.read.parquet(small.map(_._1): _*)
+        .write.parquet(java.nio.file.Paths.get(table, rel).toString)
+      // carry big units by their original manifest-relative names
+      val root = java.nio.file.Paths.get(table)
+      val carried = {
+        val bigSet = big.map(_._1).toSet
+        manifestLines(table, v).filter { line =>
+          bigSet(java.nio.file.Paths.get(table, line).toString)
+        }
+      }
+      if (tryCommit(table, v + 1, carried :+ rel)) return Some(v + 1)
+      Fs.deleteRecursively(root.resolve(rel).toString)
+    }
+    None // unreachable
+  }
+
+  /** Total bytes and file count of a unit (file or directory). */
+  private def unitSize(abs: String): (Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(abs)
+    if (java.nio.file.Files.isRegularFile(p))
+      (java.nio.file.Files.size(p), 1L)
+    else {
+      val st = java.nio.file.Files.walk(p)
+      try {
+        val fs = st.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_)).toVector
+        (fs.map(java.nio.file.Files.size).sum, fs.size.toLong)
+      } finally st.close()
+    }
+  }
+
+  /** The manifest's raw relative unit lines for `version`. */
+  private def manifestLines(table: String, version: Long): Seq[String] = {
+    val m = manifest(table, version)
+    require(java.nio.file.Files.isRegularFile(m),
+      s"$table has no version $version (published: ${versions(table).mkString(",")})")
+    java.nio.file.Files.readAllLines(m).toArray(Array.empty[String]).toSeq
+      .filter(_.nonEmpty)
+  }
+
+  /** DESCRIBE HISTORY: one row per version — commit time, unit count,
+    * added/removed unit counts vs the predecessor, and whether the
+    * version is a pure append (the [[incremental]]-consumable class).
+    * O(versions × units) manifest text, zero data I/O.
+    */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    versions(table).map { v =>
+      val added = addedUnits(table, v).size.toLong
+      val removed = removedUnits(table, v).size.toLong
+      (v, commitTime(table, v).toString, units(table, v).size.toLong,
+        added, removed, removed == 0L)
+    }.toDF("version", "commit_time", "n_units",
+      "n_added", "n_removed", "is_append")
   }
 
   /** Attach MERGE-ON-READ equality deletes to `version`: the

@@ -393,6 +393,28 @@ class Round10OpsSpec extends GraftSpec {
       "retained tombstones must survive vacuum")
   }
 
+  test("compact() bin-packs only the small-file backlog") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft_cpt").toString
+    (1L to 20000L).map(k => (k, s"row$k")).toDF("k", "s")
+      .coalesce(1).write.parquet(s"$t/big")
+    (1 to 3).foreach { i =>
+      Seq((100000L + i, "tiny")).toDF("k", "s")
+        .coalesce(1).write.parquet(s"$t/small$i")
+    }
+    CommitLog.commit(t, 0L, Seq("big", "small1", "small2", "small3"))
+    val before = partFiles(java.nio.file.Paths.get(t, "big"))
+    val v = CommitLog.compact(spark, t, minUnitBytes = 16 * 1024)
+    assert(v == Some(1L))
+    assert(partFiles(java.nio.file.Paths.get(t, "big")) == before,
+      "healthy-sized units are never opened by an incremental compaction")
+    assert(CommitLog.units(t, 1L).size == 2, "big + one packed unit")
+    assert(CommitLog.snapshot(spark, t, 1L).count() == 20003L)
+    // idempotent: with the backlog gone there is nothing left to pack
+    assert(CommitLog.compact(spark, t, minUnitBytes = 16 * 1024).isEmpty,
+      "a second compaction must be a no-op, not log churn")
+  }
+
   test("versionAsOf resolves what a reader at that instant saw") {
     import spark.implicits._
     val t = java.nio.file.Files.createTempDirectory("graft_asof").toString
