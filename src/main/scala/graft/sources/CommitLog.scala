@@ -574,8 +574,12 @@ object CommitLog {
         writeStats(table, v + 1, carried ++ newStats.result())
         return v + 1
       }
-      // lost the race: the prepared units are unreferenced garbage for
-      // vacuum; loop re-reads the winner's snapshot and re-applies
+      // lost the race: reclaim our prepared units immediately (no
+      // manifest ever referenced them, so this is safe) instead of
+      // leaving them as vacuum-bait, then re-read the winner's
+      // snapshot and re-apply on top
+      newUnits.result().foreach(u =>
+        Fs.deleteRecursively(java.nio.file.Paths.get(table, u).toString))
     }
     -1L // unreachable
   }
