@@ -158,6 +158,56 @@ object LogStress {
     rows += (("CDC changes of last version: FIXED delta, history 10 -> 100 versions",
       c1, cs1, c2, cs2))
 
+    // MoR delete read amplification: same snapshot with and without a
+    // 1%-of-keys tombstone sidecar — the anti-join must cost a small
+    // constant over the clean read, not a second scan of the table
+    val (tMor, _) = buildRange(base, 32)
+    base.filter(col("k") % 100 === 0).select(col("k"))
+      .coalesce(1).write.parquet(s"$tMor/dv")
+    CommitLog.commit(tMor, 1L, {
+      import scala.jdk.CollectionConverters._
+      val st = java.nio.file.Files.list(
+        java.nio.file.Paths.get(tMor, "data", "v0"))
+      try st.iterator().asScala.map(p => s"data/v0/${p.getFileName}")
+        .filter(_.contains("bucket=")).toVector.sorted
+      finally st.close()
+    })
+    CommitLog.writeDeletes(tMor, 1L, Seq("dv"))
+    def morRead(v: Long): Long = CommitLog.snapshotMoR(spark, tMor, v, "k")
+      .agg(count(lit(1))).head().getLong(0)
+    val (m1, ms1) = time(morRead(0L))
+    val (m2, ms2) = time(morRead(1L))
+    rows += (("MoR read: clean snapshot vs same data + 1% tombstone anti-join",
+      m1, ms1, m2, ms2))
+
+    // incremental compaction: FIXED 10-unit small-file backlog, the
+    // carried big unit 1x -> 10x — cost must track the backlog
+    def backlogTable(bigMult: Int): String = {
+      val dir = tmp()
+      val big = (0 until bigMult).map(i => base.select(
+          (col("k") + lit(i * 100000000L)).as("k"), col("p")))
+        .reduce(_ unionAll _)
+      big.coalesce(4).write.parquet(s"$dir/big")
+      (1 to 10).foreach { i =>
+        base.limit(100).select((col("k") + lit(i * 10000000000L)).as("k"), col("p"))
+          .coalesce(1).write.parquet(s"$dir/small$i")
+      }
+      CommitLog.commit(dir, 0L, "big" +: (1 to 10).map(i => s"small$i"))
+      dir
+    }
+    def timedCompact(bigMult: Int): (Long, Double) = {
+      CommitLog.compact(spark, backlogTable(bigMult), 256 * 1024) // warmup
+      val t = backlogTable(bigMult)
+      val t0 = System.nanoTime()
+      val v = CommitLog.compact(spark, t, 256 * 1024)
+      val sec = (System.nanoTime() - t0) / 1e9
+      (CommitLog.snapshot(spark, t, v.get).count(), sec)
+    }
+    val (k1, ks1) = timedCompact(1)
+    val (k2, ks2) = timedCompact(10)
+    rows += (("incremental compact: FIXED 10-unit backlog, carried unit 1x -> 10x rows",
+      k1, ks1, k2, ks2))
+
     // IVF growth: assigning a FIXED arriving batch vs rebuilding the
     // whole 10x corpus from scratch — the delta append must cost the
     // batch, not the corpus (ratio ≈ batch/corpus, here ~1/20)
