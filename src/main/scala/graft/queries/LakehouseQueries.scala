@@ -556,6 +556,56 @@ object LakehouseQueries {
         .orderBy("version")
     }),
 
+    // S18 (round 10): INCREMENTAL OPTIMIZE — compaction that touches
+    // only the small-file backlog (CommitLog.compact, the Delta
+    // minFileSize cost model). The table is one healthy unit carrying
+    // ~99.95% of the rows plus ten streaming-ingest crumbs; v1 packs
+    // EXACTLY the crumbs into one unit and carries the big unit by
+    // name — never opening it (byte-stability pinned in
+    // Round10OpsSpec), so repeated compaction costs the backlog, not
+    // the table (measured: SCALE.md round-10 row, 0.9× at 10× carried
+    // data). Stats sidecars fold across the rewrite as pure sidecar
+    // arithmetic (range-union / count-sum), keeping merge routing and
+    // skipping alive through maintenance. Output: per-version (unit
+    // count, row count, exact total) — 11 → 2 units, content
+    // unchanged. Fully oracled.
+    "dml_compact_incr" -> ((s, d) => {
+      import graft.sources.CommitLog
+      val root = graft.queries.ScaleQueries.freshDir(compactDir, d, "orders") {
+        val dir = java.nio.file.Files.createTempDirectory("graft_cpt").toString
+        val base = load(s, d, "orders")
+          .select(col("o_orderkey").as("k"), dec(col("o_totalprice")).as("p"))
+        base.filter(!(col("k") % 200).between(1, 10))
+          .write.parquet(s"$dir/big")
+        (1 to 10).foreach { i =>
+          base.filter(col("k") % 200 === i)
+            .coalesce(1).write.parquet(s"$dir/small$i")
+        }
+        CommitLog.commit(dir, 0L, "big" +: (1 to 10).map(i => s"small$i"))
+        // threshold = the healthy unit's own size: everything smaller
+        // packs, the big unit carries — SF-independent by construction
+        val bigBytes = {
+          import scala.jdk.CollectionConverters._
+          val st = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "big"))
+          try st.iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(java.nio.file.Files.size).sum
+          finally st.close()
+        }
+        require(CommitLog.compact(s, dir, bigBytes).contains(1L),
+          "the crumb backlog must pack into v1")
+        dir
+      }
+      CommitLog.versions(root).map { v =>
+        CommitLog.snapshot(s, root, v)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("p")).cast(DecimalType(38, 2)).as("total"))
+          .select(lit(v).cast("bigint").as("version"),
+            lit(CommitLog.units(root, v).size.toLong).as("n_units"),
+            col("n_rows"), col("total"))
+      }.reduce(_ unionAll _).orderBy("version")
+    }),
+
     // S14 (round 10): OPTIMIZE ZORDER — re-clustering as a commit-log
     // version, judged by what it does to DATA SKIPPING on two probe
     // dimensions at once. v0 lays the 1996 orders out date-clustered
@@ -743,6 +793,9 @@ object LakehouseQueries {
   private val morDeleteDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  private val compactDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private val restoreDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -814,6 +867,16 @@ object LakehouseQueries {
     }
 
   val oracle: Map[String, String] = Map(
+    "dml_compact_incr" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders)
+        |SELECT CAST(0 AS BIGINT) AS version, CAST(11 AS BIGINT) AS n_units,
+        |    count(*) AS n_rows, CAST(sum(p) AS DECIMAL(38,2)) AS total
+        |  FROM base
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), CAST(2 AS BIGINT), count(*),
+        |    CAST(sum(p) AS DECIMAL(38,2)) FROM base
+        |ORDER BY version""".stripMargin,
     "dml_history" ->
       """WITH base AS (SELECT o_orderkey AS k FROM orders),
         | s AS (SELECT count(DISTINCT k % 4) AS d,

@@ -623,10 +623,60 @@ object CommitLog {
           bigSet(java.nio.file.Paths.get(table, line).toString)
         }
       }
-      if (tryCommit(table, v + 1, carried :+ rel)) return Some(v + 1)
+      if (tryCommit(table, v + 1, carried :+ rel)) {
+        carryStats(table, v, v + 1, small.map(_._1).toSet, rel)
+        return Some(v + 1)
+      }
       Fs.deleteRecursively(root.resolve(rel).toString)
     }
     None // unreachable
+  }
+
+  /** Fold a version's stats sidecars across a compaction: the packed
+    * unit's entry is the range-union / count-sum of the packed units'
+    * entries — pure sidecar arithmetic, zero data reads, no knowledge
+    * of any key column needed — and untouched units carry verbatim.
+    * Without this, an OPTIMIZE would orphan the stats layer and break
+    * every downstream consumer of it (mergeCow routing,
+    * snapshotRange skipping) until the next full stats rebuild.
+    * Sidecars the version doesn't have are simply not carried.
+    */
+  private def carryStats(table: String, from: Long, to: Long,
+      packedAbs: Set[String], packedRel: String): Unit = {
+    def abs(rel: String) = java.nio.file.Paths.get(table, rel).toString
+    if (java.nio.file.Files.isRegularFile(
+        logDir(table).resolve(f"v$from%05d.stats.txt"))) {
+      val st = stats(table, from)
+      val (packed, carried) = st.partition(s => packedAbs(abs(s._1)))
+      // fold only when the sidecar covers every packed unit — a
+      // partial fold would publish a LYING range
+      if (packed.nonEmpty && packedAbs.size == packed.size)
+        writeStats(table, to, carried :+
+          ((packedRel, packed.map(_._2).min, packed.map(_._3).max,
+            packed.map(_._4).sum)))
+    }
+    if (java.nio.file.Files.isRegularFile(
+        logDir(table).resolve(f"v$from%05d.cstats.txt"))) {
+      val cs = colStats(table, from)
+      val (packed, carried) = cs.partition(s => packedAbs(abs(s.unit)))
+      val byCol = packed.groupBy(_.col)
+      val covered = byCol.values.forall(_.size == packedAbs.size)
+      if (byCol.nonEmpty && covered) {
+        val folded = byCol.toSeq.sortBy(_._1).map { case (c, ss) =>
+          val kind = ss.head.kind
+          require(ss.forall(_.kind == kind), s"mixed stat kinds for $c")
+          def lt(a: String, b: String): Boolean =
+            if (kind == "string") a < b
+            else if (kind == "long") a.toLong < b.toLong
+            else a.toDouble < b.toDouble
+          ColStat(packedRel, c, kind,
+            ss.map(_.min).reduce((a, b) => if (lt(a, b)) a else b),
+            ss.map(_.max).reduce((a, b) => if (lt(a, b)) b else a),
+            ss.map(_.count).sum)
+        }
+        writeColStats(table, to, carried ++ folded)
+      }
+    }
   }
 
   /** Total bytes and file count of a unit (file or directory). */

@@ -415,6 +415,25 @@ class Round10OpsSpec extends GraftSpec {
       "a second compaction must be a no-op, not log churn")
   }
 
+  test("stats sidecars fold across compaction; merge routes on the folded stats") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = rangeTable() // 3 units, 1-30 / 31-60 / 61-100, long sidecar
+    val v = CommitLog.compact(spark, t, minUnitBytes = Long.MaxValue)
+    assert(v == Some(1L))
+    assert(CommitLog.units(t, 1L).size == 1)
+    // the packed entry is the range-union / count-sum of the packed
+    // units' entries — derived from sidecar text, no data read
+    assert(CommitLog.stats(t, 1L).map(s => (s._2, s._3, s._4)) ==
+      Seq((1L, 100L, 100L)))
+    // and a MERGE after the OPTIMIZE routes on the folded sidecar
+    val v2 = CommitLog.mergeCow(spark, t,
+      Seq((35L, 999.0)).toDF("k", "p"), "k")
+    val snap = CommitLog.snapshot(spark, t, v2)
+    assert(snap.count() == 100)
+    assert(snap.filter(col("k") === 35L).head().getDouble(1) == 999.0)
+  }
+
   test("versionAsOf resolves what a reader at that instant saw") {
     import spark.implicits._
     val t = java.nio.file.Files.createTempDirectory("graft_asof").toString
