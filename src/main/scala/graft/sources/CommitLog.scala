@@ -572,6 +572,18 @@ object CommitLog {
       hook(); hook = () => () // the race window fires once
       if (tryCommit(table, v + 1, manifestUnits)) {
         writeStats(table, v + 1, carried ++ newStats.result())
+        // a table that also tracks multi-column footer stats keeps
+        // them across the merge: untouched entries carry, new units
+        // get theirs lifted from the just-written footers — without
+        // this the merge would orphan snapshotRangeCol skipping
+        if (java.nio.file.Files.isRegularFile(
+            logDir(table).resolve(f"v$v%05d.cstats.txt"))) {
+          val cs = colStats(table, v)
+          writeColStats(table, v + 1,
+            cs.filterNot(s => touchedRel.contains(s.unit)) ++
+              footerColStats(spark, table, newUnits.result(),
+                cs.map(_.col).distinct))
+        }
         return v + 1
       }
       // lost the race: reclaim our prepared units immediately (no

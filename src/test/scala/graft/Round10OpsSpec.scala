@@ -434,6 +434,22 @@ class Round10OpsSpec extends GraftSpec {
     assert(snap.filter(col("k") === 35L).head().getDouble(1) == 999.0)
   }
 
+  test("mergeCow carries the cstats sidecar via footer stats on new units") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = rangeTable()
+    CommitLog.writeColStats(t, 0L,
+      CommitLog.footerColStats(spark, t, Seq("u_a", "u_b", "u_c"), Seq("k")))
+    val v = CommitLog.mergeCow(spark, t,
+      Seq((35L, 999.0), (500L, 7.0)).toDF("k", "p"), "k")
+    val cs = CommitLog.colStats(t, v).filter(_.col == "k")
+    assert(cs.size == CommitLog.units(t, v).size,
+      "every unit of the merged version keeps a prunable stats entry")
+    // skipping still works through the merged version
+    val (df, scanned) = CommitLog.snapshotRangeCol(spark, t, v, "k", "500", "500")
+    assert(scanned == 1 && df.filter(col("k") === 500L).count() == 1)
+  }
+
   test("versionAsOf resolves what a reader at that instant saw") {
     import spark.implicits._
     val t = java.nio.file.Files.createTempDirectory("graft_asof").toString
