@@ -515,6 +515,16 @@ object CommitLog {
       require(attempts <= 10,
         s"merge on $table lost $attempts commit races — livelock; back off")
       val v = latestVersion(table)
+      // a MERGE rewrites touched units from their RAW pre-images; on a
+      // table with outstanding merge-on-read deletes that would
+      // resurrect deleted rows inside the rewritten region AND the new
+      // version would need sidecar surgery to stay correct — refuse
+      // loudly, the compaction that applies the tombstones is the
+      // documented prerequisite (exactly Delta's rule: DVs must be
+      // rewritten away before the file is eligible for DML rewrite)
+      require(dvLines(table, v).isEmpty,
+        s"$table v$v has outstanding merge-on-read deletes — run a " +
+          "compaction (snapshotMoR -> new version) before merging")
       val st = stats(table, v)
       require(st.size == units(table, v).size,
         s"stats sidecar of $table v$v covers ${st.size} of " +
@@ -637,6 +647,11 @@ object CommitLog {
       }
       if (tryCommit(table, v + 1, carried :+ rel)) {
         carryStats(table, v, v + 1, small.map(_._1).toSet, rel)
+        // a MoR table's tombstones still apply to the packed raw rows
+        // (bin-packing preserves pre-images) — carry the dv sidecar or
+        // the compaction would RESURRECT every deleted row at v+1
+        val dv = dvLines(table, v)
+        if (dv.nonEmpty) writeDeletes(table, v + 1, dv)
         return Some(v + 1)
       }
       Fs.deleteRecursively(root.resolve(rel).toString)
@@ -742,7 +757,14 @@ object CommitLog {
     * compaction applies the tombstones and publishes a clean version
     * (no sidecar). Tombstone units live outside the manifest, so
     * [[snapshot]] (the raw pre-image), [[changes]] and
-    * [[incremental]] are untouched by them.
+    * [[incremental]] are untouched by them — which also means a CDC
+    * consumer of a MoR table must watch dv sidecars alongside the
+    * feed (or consume only post-compaction versions): the delete's
+    * retractions surface in [[changes]] at the compaction that
+    * applies them, not at the version that declared them.
+    * [[compact]] carries an outstanding sidecar forward (packing
+    * preserves pre-images, so the tombstones still apply);
+    * [[mergeCow]] refuses outstanding deletes outright.
     *
     * Same atomic hard-link publish + published-version check as every
     * sidecar: immutable once linked, attachable only to a published
@@ -762,12 +784,16 @@ object CommitLog {
   /** The tombstone units of `version` (absolute paths) — empty when
     * the version carries no merge-on-read deletes.
     */
-  def deletes(table: String, version: Long): Seq[String] = {
+  def deletes(table: String, version: Long): Seq[String] =
+    dvLines(table, version)
+      .map(u => java.nio.file.Paths.get(table, u).toString)
+
+  /** Raw (table-relative) dv sidecar lines of `version`. */
+  private def dvLines(table: String, version: Long): Seq[String] = {
     val f = logDir(table).resolve(f"v$version%05d.dv.txt")
     if (!java.nio.file.Files.isRegularFile(f)) Seq.empty
     else java.nio.file.Files.readAllLines(f).toArray(Array.empty[String])
       .toSeq.filter(_.nonEmpty)
-      .map(u => java.nio.file.Paths.get(table, u).toString)
   }
 
   /** Read `version` with its merge-on-read deletes APPLIED: the

@@ -450,6 +450,27 @@ class Round10OpsSpec extends GraftSpec {
     assert(scanned == 1 && df.filter(col("k") === 500L).count() == 1)
   }
 
+  test("compaction carries outstanding MoR deletes; merge refuses them") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = rangeTable()
+    Seq(Tuple1(35L)).toDF("k").coalesce(1).write.parquet(s"$t/dv")
+    CommitLog.writeDeletes(t, 0L, Seq("dv"))
+    // bin-packing preserves raw pre-images, so the tombstone must ride
+    // along — without the carry, k=35 would resurrect at v1
+    val v = CommitLog.compact(spark, t, minUnitBytes = Long.MaxValue)
+    assert(v == Some(1L))
+    assert(CommitLog.snapshotMoR(spark, t, 1L, "k")
+      .filter(col("k") === 35L).count() == 0,
+      "a compaction must never resurrect MoR-deleted rows")
+    assert(CommitLog.snapshotMoR(spark, t, 1L, "k").count() == 99)
+    // a merge on outstanding deletes is refused (it rewrites raw
+    // pre-images — Delta's DV-before-DML rule)
+    val ex = intercept[IllegalArgumentException](
+      CommitLog.mergeCow(spark, t, Seq((36L, 1.0)).toDF("k", "p"), "k"))
+    assert(ex.getMessage.contains("outstanding merge-on-read deletes"))
+  }
+
   test("versionAsOf resolves what a reader at that instant saw") {
     import spark.implicits._
     val t = java.nio.file.Files.createTempDirectory("graft_asof").toString
