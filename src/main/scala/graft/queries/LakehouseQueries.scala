@@ -551,8 +551,8 @@ object LakehouseQueries {
     "dml_history" -> ((s, d) => {
       val root = cdcTable(s, d)
       graft.sources.CommitLog.history(s, root)
-        .select(col("version"), col("n_units"),
-          col("n_added"), col("n_removed"), col("is_append"))
+        .select(col("version"), col("n_units"), col("n_added"),
+          col("n_removed"), col("n_dv_units"), col("is_append"))
         .orderBy("version")
     }),
 
@@ -883,13 +883,13 @@ object LakehouseQueries {
         |    max(CASE WHEN k % 4 = 2 THEN 1 ELSE 0 END) AS h2 FROM base)
         |SELECT CAST(0 AS BIGINT) AS version, CAST(d AS BIGINT) AS n_units,
         |    CAST(d AS BIGINT) AS n_added, CAST(0 AS BIGINT) AS n_removed,
-        |    TRUE AS is_append FROM s
+        |    CAST(0 AS BIGINT) AS n_dv_units, TRUE AS is_append FROM s
         |UNION ALL
-        |SELECT 1, d - h2 + 1, 1, h2, h2 = 0 FROM s
+        |SELECT 1, d - h2 + 1, 1, h2, 0, h2 = 0 FROM s
         |UNION ALL
-        |SELECT 2, 1, 1, d - h2 + 1, FALSE FROM s
+        |SELECT 2, 1, 1, d - h2 + 1, 0, FALSE FROM s
         |UNION ALL
-        |SELECT 3, 1, 1, 1, FALSE FROM s
+        |SELECT 3, 1, 1, 1, 0, FALSE FROM s
         |ORDER BY version""".stripMargin,
     "dml_delete_mor" ->
       """WITH base AS (SELECT o_orderkey AS k,

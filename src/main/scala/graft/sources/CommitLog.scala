@@ -474,7 +474,23 @@ object CommitLog {
     require(removed.isEmpty,
       s"version $version of $table removed units (${removed.mkString(",")}) — " +
         "not an append; an incremental consumer needs a CDC feed here")
-    spark.read.parquet(addedUnits(table, version): _*)
+    // merge-on-read deletes are retractions too: a version that
+    // declares NEW tombstones is not an append even though its
+    // manifest only grew (carried-forward sidecars from a compaction
+    // are fine — those tombstones were already accounted)
+    val vs = versions(table)
+    val prevDv =
+      if (vs.indexOf(version) <= 0) Set.empty[String]
+      else dvLines(table, vs(vs.indexOf(version) - 1)).toSet
+    val newDv = dvLines(table, version).filterNot(prevDv)
+    require(newDv.isEmpty,
+      s"version $version of $table declared merge-on-read deletes " +
+        s"(${newDv.mkString(",")}) — retractions need the CDC/dv path")
+    val added = addedUnits(table, version)
+    // a manifest-identical version (e.g. dv-free metadata republish)
+    // contributes an EMPTY micro-batch, not a crash
+    if (added.isEmpty) snapshot(spark, table, version).limit(0)
+    else spark.read.parquet(added: _*)
   }
 
   /** MERGE (upsert by key) as a unit-granular copy-on-write commit —
@@ -732,19 +748,27 @@ object CommitLog {
   }
 
   /** DESCRIBE HISTORY: one row per version — commit time, unit count,
-    * added/removed unit counts vs the predecessor, and whether the
-    * version is a pure append (the [[incremental]]-consumable class).
+    * added/removed unit counts vs the predecessor, outstanding
+    * tombstone-unit count, and whether the version is a pure append
+    * (the [[incremental]]-consumable class: no removals AND no newly
+    * declared merge-on-read deletes — a dv-only delete version must
+    * not masquerade as an append in the audit view).
     * O(versions × units) manifest text, zero data I/O.
     */
   def history(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
-    versions(table).map { v =>
+    val vs = versions(table)
+    vs.zipWithIndex.map { case (v, i) =>
       val added = addedUnits(table, v).size.toLong
       val removed = removedUnits(table, v).size.toLong
+      val dv = dvLines(table, v)
+      val prevDv = if (i == 0) Set.empty[String]
+        else dvLines(table, vs(i - 1)).toSet
+      val newDv = dv.count(u => !prevDv(u)).toLong
       (v, commitTime(table, v).toString, units(table, v).size.toLong,
-        added, removed, removed == 0L)
+        added, removed, dv.size.toLong, removed == 0L && newDv == 0L)
     }.toDF("version", "commit_time", "n_units",
-      "n_added", "n_removed", "is_append")
+      "n_added", "n_removed", "n_dv_units", "is_append")
   }
 
   /** Attach MERGE-ON-READ equality deletes to `version`: the

@@ -469,6 +469,25 @@ class Round10OpsSpec extends GraftSpec {
     val ex = intercept[IllegalArgumentException](
       CommitLog.mergeCow(spark, t, Seq((36L, 1.0)).toDF("k", "p"), "k"))
     assert(ex.getMessage.contains("outstanding merge-on-read deletes"))
+    // the audit view surfaces tombstones, and a dv-declaring version
+    // never masquerades as an append (v0 here declared the sidecar)
+    val h = CommitLog.history(spark, t).collect()
+      .map(r => r.getLong(0) -> (r.getLong(5), r.getBoolean(6))).toMap
+    assert(h(0L) == (1L, false), "v0 declared a tombstone: not an append")
+    assert(h(1L) == (1L, false),
+      "the compaction carried the sidecar (n_dv_units=1); it removed " +
+        "units, so it is rightly not an append either")
+    // incremental() refuses the version that declared the deletes
+    val t2 = java.nio.file.Files.createTempDirectory("graft_dvinc").toString
+    Seq((1L, "a")).toDF("k", "s").write.parquet(s"$t2/u0")
+    CommitLog.commit(t2, 0L, Seq("u0"))
+    Seq((2L, "b")).toDF("k", "s").write.parquet(s"$t2/u1")
+    CommitLog.commit(t2, 1L, Seq("u0", "u1"))
+    Seq(Tuple1(1L)).toDF("k").write.parquet(s"$t2/dv")
+    CommitLog.writeDeletes(t2, 1L, Seq("dv"))
+    val ex2 = intercept[IllegalArgumentException](
+      CommitLog.incremental(spark, t2, 1L))
+    assert(ex2.getMessage.contains("merge-on-read deletes"))
   }
 
   test("versionAsOf resolves what a reader at that instant saw") {
