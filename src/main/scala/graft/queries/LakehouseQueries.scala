@@ -606,6 +606,60 @@ object LakehouseQueries {
       }.reduce(_ unionAll _).orderBy("version")
     }),
 
+    // S19 (round 10): BLOOM-SIDECAR POINT SKIPPING — the index class
+    // range stats can't provide. The table is range-clustered on k,
+    // so every unit's min/max for `uid` (= md5 of the key — a
+    // scattered, high-cardinality identifier, the document-digest /
+    // content-hash shape) spans the whole domain and min/max pruning
+    // is useless; the per-unit bloom sidecar
+    // (CommitLog.writeBloomStats) answers "definitely absent" per
+    // unit instead, so a point probe reads ~1 of 8 units
+    // (false-positive cost: an extra unit scan, never a wrong
+    // answer). Output: three planted point lookups (first / middle /
+    // last key's uid) with their row counts and totals — the
+    // pruned-unit count is asserted in spec rather than oracled, as
+    // bloom FP behavior is hash-internal and not DuckDB-computable;
+    // the ANSWERS are layout-independent and fully oracled. At
+    // 100 TB: the sidecar is O(units × bloom bytes) (~1.2 KB/unit at
+    // 1k rows, fpp 1%) and a digest lookup touches one unit instead
+    // of the table — the "find this exact document" operation of a
+    // dedup pipeline.
+    "dml_bloom_skipping" -> ((s, d) => {
+      import graft.sources.CommitLog
+      val root = graft.queries.ScaleQueries.freshDir(bloomSkipDir, d, "orders") {
+        val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+        val base = load(s, d, "orders")
+          .select(col("o_orderkey").as("k"), dec(col("o_totalprice")).as("p"),
+            md5(col("o_orderkey").cast("string")).as("uid"))
+        val wd = base.agg(expr("max(k) DIV 8 + 1")).head().getLong(0)
+        val n = base.count()
+        base.withColumn("bucket", expr(s"k DIV ${wd}L"))
+          .repartition(col("bucket"))
+          .write.partitionBy("bucket").parquet(s"$dir/data/v0")
+        val units = base.select(expr(s"k DIV ${wd}L").as("b")).distinct()
+          .take(16).map(_.getLong(0)).sorted.map(b => s"data/v0/bucket=$b").toSeq
+        CommitLog.commit(dir, 0L, units)
+        // honest sizing: the real per-unit row count, 1% fpp
+        CommitLog.writeBloomStats(s, dir, 0L, "uid", n / units.size + 1, 0.01)
+        dir
+      }
+      val base = load(s, d, "orders").select(col("o_orderkey").as("k"))
+      val maxK = base.agg(max(col("k"))).head().getLong(0)
+      val keys = base.agg(min(col("k")),
+          min(when(col("k") >= maxK / 2, col("k"))), max(col("k")))
+        .head().toSeq.map(_.asInstanceOf[Long])
+      keys.zipWithIndex.map { case (k0, i) =>
+        val uid = java.security.MessageDigest.getInstance("MD5")
+          .digest(k0.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val (snap, _) = CommitLog.snapshotBloom(s, root, 0L, "uid", uid)
+        snap.filter(col("uid") === uid)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("p")).cast(DecimalType(38, 2)).as("total"))
+          .select(lit(i.toLong).as("probe"), col("n_rows"), col("total"))
+      }.reduce(_ unionAll _).orderBy("probe")
+    }),
+
     // S14 (round 10): OPTIMIZE ZORDER — re-clustering as a commit-log
     // version, judged by what it does to DATA SKIPPING on two probe
     // dimensions at once. v0 lays the 1996 orders out date-clustered
@@ -796,6 +850,9 @@ object LakehouseQueries {
   private val compactDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  private val bloomSkipDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private val restoreDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -867,6 +924,23 @@ object LakehouseQueries {
     }
 
   val oracle: Map[String, String] = Map(
+    "dml_bloom_skipping" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        | w AS (SELECT min(k) AS k0,
+        |    min(CASE WHEN k >= (SELECT max(k) FROM base) // 2
+        |      THEN k END) AS k1,
+        |    max(k) AS k2 FROM base)
+        |SELECT CAST(0 AS BIGINT) AS probe, count(*) AS n_rows,
+        |    CAST(sum(p) AS DECIMAL(38,2)) AS total
+        |  FROM base, w WHERE k = k0
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), count(*), CAST(sum(p) AS DECIMAL(38,2))
+        |  FROM base, w WHERE k = k1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), count(*), CAST(sum(p) AS DECIMAL(38,2))
+        |  FROM base, w WHERE k = k2
+        |ORDER BY probe""".stripMargin,
     "dml_compact_incr" ->
       """WITH base AS (SELECT o_orderkey AS k,
         |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders)

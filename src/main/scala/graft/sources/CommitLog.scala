@@ -771,6 +771,70 @@ object CommitLog {
       "n_added", "n_removed", "n_dv_units", "is_append")
   }
 
+  /** Publish per-unit BLOOM filters of `colName` for `version` — the
+    * point-lookup skipping index for UNCLUSTERED columns, where
+    * min/max range stats are useless (every unit's range spans the
+    * whole domain). One pass over each unit's single column at
+    * publish time (delta-sized when called for a version's new units
+    * right after writing them — the write already had the data in
+    * cache); the sidecar carries one base64 filter per unit,
+    * O(units × bloomBytes) text. Spark's BloomFilter hashes with a
+    * fixed seed, so pruning decisions are deterministic for fixed
+    * data. Same atomic publish + published-version check as every
+    * sidecar. `expectedPerUnit`/`fpp` size the filter (bits ≈
+    * -n·ln(fpp)/ln2², the standard formula — callers pass their real
+    * per-unit row count for honest sizing).
+    */
+  def writeBloomStats(spark: SparkSession, table: String, version: Long,
+      colName: String, expectedPerUnit: Long, fpp: Double): Unit = {
+    val lines = unitsRel(table, version).map { rel =>
+      val abs = java.nio.file.Paths.get(table, rel).toString
+      val bf = spark.read.parquet(abs)
+        .stat.bloomFilter(colName, expectedPerUnit, fpp)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      val b64 = java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+      s"$rel|$colName|$b64"
+    }
+    publishSidecar(table, version, s"bloom.txt", lines.mkString("", "\n", "\n"))
+  }
+
+  /** Bloom-pruned point read: scan only the units whose bloom filter
+    * says `value` MIGHT be present — "definitely absent" units are
+    * skipped at planning time, no footer opened. The complement of
+    * range skipping: a point probe on a scattered high-cardinality
+    * column (document ids, content digests) prunes to ~1 unit here
+    * where min/max stats prune nothing. False positives cost an extra
+    * unit scan, never a wrong answer — the probe row filter still
+    * applies inside surviving units.
+    */
+  def snapshotBloom(spark: SparkSession, table: String, version: Long,
+      colName: String, value: Any): (DataFrame, Int) = {
+    val f = logDir(table).resolve(f"v$version%05d.bloom.txt")
+    require(java.nio.file.Files.isRegularFile(f),
+      s"$table v$version has no bloom sidecar")
+    val entries = java.nio.file.Files.readAllLines(f)
+      .toArray(Array.empty[String]).toSeq.filter(_.nonEmpty)
+      .map { l => val Array(rel, c, b64) = l.split('|'); (rel, c, b64) }
+      .filter(_._2 == colName)
+    require(entries.nonEmpty,
+      s"$table v$version bloom sidecar has no entries for $colName")
+    val picked = entries.flatMap { case (rel, _, b64) =>
+      val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(
+          java.util.Base64.getDecoder.decode(b64)))
+      if (bf.mightContain(value))
+        Some(java.nio.file.Paths.get(table, rel).toString)
+      else None
+    }
+    if (picked.isEmpty) (snapshot(spark, table, version).limit(0), 0)
+    else (spark.read.parquet(picked: _*), picked.size)
+  }
+
+  /** The manifest-relative unit names of `version`. */
+  private def unitsRel(table: String, version: Long): Seq[String] =
+    manifestLines(table, version)
+
   /** Attach MERGE-ON-READ equality deletes to `version`: the
     * `vNNNNN.dv.txt` sidecar lists tombstone units — parquet files of
     * DELETED KEY VALUES — that [[snapshotMoR]] anti-joins at read
@@ -983,6 +1047,8 @@ object CommitLog {
         logDir(table).resolve(f"v$v%05d.cstats.txt"))
       java.nio.file.Files.deleteIfExists(
         logDir(table).resolve(f"v$v%05d.dv.txt"))
+      java.nio.file.Files.deleteIfExists(
+        logDir(table).resolve(f"v$v%05d.bloom.txt"))
     }
     VacuumReport(unitsDeleted, filesDeleted, failed.result(), external)
   }

@@ -490,6 +490,36 @@ class Round10OpsSpec extends GraftSpec {
     assert(ex2.getMessage.contains("merge-on-read deletes"))
   }
 
+  test("bloom sidecar prunes point lookups where range stats cannot") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = java.nio.file.Files.createTempDirectory("graft_bloomt").toString
+    // 4 units clustered on k; uid is scattered (hash-shaped), so every
+    // unit's uid min/max spans the domain — range stats prune nothing
+    (0 until 4).foreach { u =>
+      (0 until 250).map { i =>
+        val k = u * 250 + i
+        (k.toLong, f"uid_${(k * 2654435761L) % 100000}%05d")
+      }.toDF("k", "uid").coalesce(1).write.parquet(s"$t/u$u")
+    }
+    CommitLog.commit(t, 0L, (0 until 4).map(u => s"u$u"))
+    CommitLog.writeBloomStats(spark, t, 0L, "uid", 250L, 0.01)
+    val probe = spark.read.parquet(s"$t/u2")
+      .select("uid").head().getString(0) // a value known to live in u2
+    val (snap, scanned) = CommitLog.snapshotBloom(spark, t, 0L, "uid", probe)
+    assert(scanned >= 1 && scanned <= 2,
+      s"bloom must prune to ~1 unit (fp tolerance 1), got $scanned")
+    assert(snap.filter(col("uid") === probe).count() >= 1)
+    // definitely-absent value: everything prunes (<=1 fp), zero rows
+    val (miss, missScanned) =
+      CommitLog.snapshotBloom(spark, t, 0L, "uid", "no_such_uid")
+    assert(missScanned <= 1)
+    assert(miss.filter(col("uid") === "no_such_uid").count() == 0)
+    // unknown column fails loudly, not as a silent full scan
+    intercept[IllegalArgumentException](
+      CommitLog.snapshotBloom(spark, t, 0L, "nope", "x"))
+  }
+
   test("versionAsOf resolves what a reader at that instant saw") {
     import spark.implicits._
     val t = java.nio.file.Files.createTempDirectory("graft_asof").toString
