@@ -355,7 +355,10 @@ object CommitLog {
     * keys or ISO dates). Returns the surviving-units frame + how many
     * units the probe scans; a no-match probe is the empty frame. Rows
     * outside [lo, hi] inside a surviving unit still need the ordinary
-    * pushed filter — stats prune UNITS, not rows.
+    * pushed filter — stats prune UNITS, not rows. Like [[snapshot]],
+    * all the pruned-read paths serve the RAW pre-image: on a table
+    * with outstanding merge-on-read deletes, anti-join [[deletes]]
+    * yourself or compact first.
     */
   def snapshotRangeCol(spark: SparkSession, table: String, version: Long,
       colName: String, lo: String, hi: String): (DataFrame, Int) = {
@@ -430,9 +433,10 @@ object CommitLog {
     * consumer of an append-only table processes: each micro-batch is
     * one version's added units, cost O(delta) never O(table), exactly
     * the Delta/Iceberg streaming-source contract. Tables that REMOVE
-    * units (deletes, compaction) need a CDC feed instead — removed
-    * units carry retracted rows this API deliberately does not
-    * surface (use [[removedUnits]] to detect and reject them).
+    * units (deletes, compaction) need the CDC feed ([[changes]])
+    * instead — removed units carry retracted rows this API
+    * deliberately does not surface (use [[removedUnits]] to detect
+    * and reject them).
     */
   def addedUnits(table: String, version: Long): Seq[String] = {
     val now = units(table, version)
