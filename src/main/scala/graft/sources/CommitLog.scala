@@ -65,6 +65,16 @@ object CommitLog {
     */
   def tryCommit(table: String, version: Long, units: Seq[String]): Boolean = {
     require(units.nonEmpty, "a snapshot must reference at least one unit")
+    // the manifest is newline-delimited and the plain sidecars are
+    // '|'-delimited: a unit name carrying either separator would
+    // CORRUPT the log silently (a '\n' splits one unit into two
+    // phantom paths; a '|' shears every stats line) — reject at the
+    // commit boundary, the one gate all writers pass through
+    units.foreach { u =>
+      require(u.nonEmpty && !u.exists(c => c == '\n' || c == '\r' || c == '|'),
+        s"illegal unit name ${u.replace("\n", "\\n").replace("\r", "\\r")} — " +
+          "unit paths must be non-empty and free of newlines and '|'")
+    }
     val dir = logDir(table)
     java.nio.file.Files.createDirectories(dir)
     val tmp = dir.resolve(f".v$version%05d.txt.${java.util.UUID.randomUUID}.tmp")

@@ -208,6 +208,27 @@ object LogStress {
     rows += (("incremental compact: FIXED 10-unit backlog, carried unit 1x -> 10x rows",
       k1, ks1, k2, ks2))
 
+    // bloom point lookup on an UNCLUSTERED column: the full-scan
+    // formulation reads every unit; the bloom-pruned read opens ~1 —
+    // range stats can't serve this shape at all (every unit's uid
+    // min/max spans the domain)
+    val baseU = base.withColumn("uid", md5(col("k").cast("string")))
+    val (tBloom, _) = buildRange(baseU, 32)
+    CommitLog.writeBloomStats(spark, tBloom, 0L, "uid",
+      baseU.count() / 32 + 1, 0.01)
+    val probeUid = java.security.MessageDigest.getInstance("MD5")
+      .digest(maxK.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def pointFull(): Long = CommitLog.snapshot(spark, tBloom, 0L)
+      .filter(col("uid") === probeUid).count()
+    def pointBloom(): Long = {
+      val (df, _) = CommitLog.snapshotBloom(spark, tBloom, 0L, "uid", probeUid)
+      df.filter(col("uid") === probeUid).count()
+    }
+    val (b1, bs1) = time(pointFull())
+    val (b2, bs2) = time(pointBloom())
+    rows += (("digest point lookup: full 32-unit scan vs bloom-pruned read",
+      b1, bs1, b2, bs2))
+
     // IVF growth: assigning a FIXED arriving batch vs rebuilding the
     // whole 10x corpus from scratch — the delta append must cost the
     // batch, not the corpus (ratio ≈ batch/corpus, here ~1/20)

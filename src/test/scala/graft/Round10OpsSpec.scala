@@ -36,6 +36,18 @@ class Round10OpsSpec extends GraftSpec {
     assert(CommitLog.snapshot(spark, clone, 2L).count() == 1)
   }
 
+  test("commit rejects unit names that would corrupt the log encoding") {
+    val t = java.nio.file.Files.createTempDirectory("graft_badname").toString
+    intercept[IllegalArgumentException](
+      CommitLog.tryCommit(t, 0L, Seq("a\nphantom")))
+    intercept[IllegalArgumentException](
+      CommitLog.tryCommit(t, 0L, Seq("a|b")))
+    intercept[IllegalArgumentException](
+      CommitLog.tryCommit(t, 0L, Seq("")))
+    assert(CommitLog.versions(t).isEmpty,
+      "a rejected commit must publish nothing")
+  }
+
   test("ownsUnit resolves .. segments against the table root") {
     val t = java.nio.file.Files.createTempDirectory("graft_own").toString
     assert(CommitLog.ownsUnit(t, "data/u0"))
