@@ -60,4 +60,39 @@ object Aggregators {
     override def bufferEncoder: Encoder[VarBuf] = Encoders.product[VarBuf]
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
+
+  /** Per-group BLOOM filter of a string column — the publish-time
+    * index build behind CommitLog.writeBloomStats. The buffer is
+    * Spark's own `util.sketch.BloomFilter` (java-serializable,
+    * mergeable when sized identically), so the whole per-unit index
+    * of a table builds in ONE grouped pass instead of one job per
+    * unit, and the serialized output round-trips through
+    * `BloomFilter.readFrom` with the same string hashing the probe's
+    * `mightContain` uses.
+    */
+  class BloomAgg(expectedItems: Long, fpp: Double) extends Aggregator[
+      String, org.apache.spark.util.sketch.BloomFilter, Array[Byte]] {
+    override def zero: org.apache.spark.util.sketch.BloomFilter =
+      org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
+    override def reduce(b: org.apache.spark.util.sketch.BloomFilter,
+        s: String): org.apache.spark.util.sketch.BloomFilter = {
+      if (s != null) b.putString(s)
+      b
+    }
+    override def merge(a: org.apache.spark.util.sketch.BloomFilter,
+        b: org.apache.spark.util.sketch.BloomFilter)
+        : org.apache.spark.util.sketch.BloomFilter = {
+      a.mergeInPlace(b); a
+    }
+    override def finish(b: org.apache.spark.util.sketch.BloomFilter)
+        : Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      b.writeTo(bos)
+      bos.toByteArray
+    }
+    override def bufferEncoder
+        : Encoder[org.apache.spark.util.sketch.BloomFilter] =
+      Encoders.javaSerialization[org.apache.spark.util.sketch.BloomFilter]
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
 }

@@ -801,15 +801,49 @@ object CommitLog {
     */
   def writeBloomStats(spark: SparkSession, table: String, version: Long,
       colName: String, expectedPerUnit: Long, fpp: Double): Unit = {
-    val lines = unitsRel(table, version).map { rel =>
-      val abs = java.nio.file.Paths.get(table, rel).toString
-      val bf = spark.read.parquet(abs)
-        .stat.bloomFilter(colName, expectedPerUnit, fpp)
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos)
-      val b64 = java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
-      s"$rel|$colName|$b64"
+    import org.apache.spark.sql.functions.{col, input_file_name, udaf}
+    val rels = unitsRel(table, version)
+    // ONE grouped pass over the whole snapshot builds every unit's
+    // filter (per-FILE groups, folded into units below): one job
+    // however many units the table has, where a per-unit
+    // df.stat.bloomFilter loop is one driver-serialized job each —
+    // the footerColStats lesson applied to the bloom layer
+    val bloomAgg = udaf(new graft.functions.Aggregators.BloomAgg(
+      expectedPerUnit, fpp))
+    val perFile = spark.read
+      .parquet(rels.map(u => java.nio.file.Paths.get(table, u).toString): _*)
+      .select(input_file_name().as("__f"), col(colName).cast("string").as("__v"))
+      .groupBy("__f").agg(bloomAgg(col("__v")).as("__bf"))
+      .collect() // metadata-sized: one serialized filter per data file
+      .map(r => (r.getString(0), r.getAs[Array[Byte]](1)))
+    // fold file filters into their units: a file belongs to the unit
+    // whose path equals it or an ancestor directory of it
+    val byAbs = rels.map(rel =>
+      java.nio.file.Paths.get(table, rel).toAbsolutePath.normalize -> rel).toMap
+    def unitOf(fileUri: String): String = {
+      var p = java.nio.file.Paths.get(
+        new java.net.URI(fileUri).getPath).toAbsolutePath.normalize
+      while (p != null && !byAbs.contains(p)) p = p.getParent
+      require(p != null, s"file $fileUri belongs to no unit of v$version")
+      byAbs(p)
     }
+    val lines = perFile
+      .groupBy { case (f, _) => unitOf(f) }
+      .toSeq.sortBy(_._1)
+      .map { case (rel, files) =>
+        val merged = files.map { case (_, bytes) =>
+          org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(bytes))
+        }.reduce { (a, b) => a.mergeInPlace(b); a }
+        val bos = new java.io.ByteArrayOutputStream()
+        merged.writeTo(bos)
+        s"$rel|$colName|${java.util.Base64.getEncoder
+          .encodeToString(bos.toByteArray)}"
+      }
+    require(lines.size == rels.size,
+      s"bloom build covered ${lines.size} of ${rels.size} units — an " +
+        "empty unit has no files to hash; publish its filter explicitly " +
+        "or drop the unit from the manifest")
     publishSidecar(table, version, s"bloom.txt", lines.mkString("", "\n", "\n"))
   }
 
