@@ -94,6 +94,50 @@ object CommitLog {
     }
   }
 
+  /** SCHEMA-ENFORCED commit: like [[commit]], but the units the new
+    * version ADDS must carry a schema compatible with the current
+    * snapshot's — every existing column present with the same type;
+    * new columns allowed only when `allowAdditive` (the
+    * schema-evolution opt-in, Delta's mergeSchema write flag). This is
+    * the WRITE-side gate that keeps schema-on-read honest: without it
+    * one producer typo'ing a column type poisons every future
+    * mergeSchema read with a merge conflict at query time, far from
+    * the write that caused it. Validation reads only the NEW units'
+    * footers — O(delta) metadata, nothing table-sized.
+    */
+  def commitChecked(spark: SparkSession, table: String, version: Long,
+      units: Seq[String], allowAdditive: Boolean = true): Unit = {
+    val vs = versions(table)
+    if (vs.nonEmpty) {
+      val prevUnits = this.units(table, vs.last).toSet
+      val added = units
+        .map(u => java.nio.file.Paths.get(table, u).toString)
+        .filterNot(prevUnits)
+      if (added.nonEmpty) {
+        val prev = spark.read.option("mergeSchema", "true")
+          .parquet(this.units(table, vs.last): _*).schema
+        val next = spark.read.option("mergeSchema", "true")
+          .parquet(added: _*).schema
+        prev.fields.foreach { f =>
+          next.fields.find(_.name == f.name).foreach { g =>
+            require(g.dataType == f.dataType,
+              s"schema enforcement: column ${f.name} is ${f.dataType} " +
+                s"in $table but the new units carry ${g.dataType} — a " +
+                "type change needs an explicit rewrite, not a commit")
+          }
+        }
+        if (!allowAdditive) {
+          val extra = next.fieldNames.toSet -- prev.fieldNames.toSet
+          require(extra.isEmpty,
+            s"schema enforcement: new units add columns " +
+              s"${extra.mkString(",")} — pass allowAdditive=true to " +
+              "opt into schema evolution")
+        }
+      }
+    }
+    commit(table, version, units)
+  }
+
   /** Published versions, ascending. `.tmp` leftovers of crashed
     * writers are not versions.
     */

@@ -36,6 +36,26 @@ class Round10OpsSpec extends GraftSpec {
     assert(CommitLog.snapshot(spark, clone, 2L).count() == 1)
   }
 
+  test("commitChecked enforces writer schema: types pinned, evolution opt-in") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft_enf").toString
+    Seq((1L, "a")).toDF("k", "s").write.parquet(s"$t/u0")
+    CommitLog.commitChecked(spark, t, 0L, Seq("u0"))
+    // type flip on an existing column: rejected at the WRITE, not at
+    // some later mergeSchema read
+    Seq((2, "b")).toDF("k", "s").write.parquet(s"$t/bad") // k is INT here
+    val ex = intercept[IllegalArgumentException](
+      CommitLog.commitChecked(spark, t, 1L, Seq("u0", "bad")))
+    assert(ex.getMessage.contains("schema enforcement"))
+    assert(CommitLog.latestVersion(t) == 0L, "nothing published")
+    // additive column: allowed by default, refused when opted out
+    Seq((3L, "c", true)).toDF("k", "s", "flag").write.parquet(s"$t/add")
+    intercept[IllegalArgumentException](CommitLog.commitChecked(
+      spark, t, 1L, Seq("u0", "add"), allowAdditive = false))
+    CommitLog.commitChecked(spark, t, 1L, Seq("u0", "add"))
+    assert(CommitLog.snapshotEvolved(spark, t, 1L).count() == 2)
+  }
+
   test("commit rejects unit names that would corrupt the log encoding") {
     val t = java.nio.file.Files.createTempDirectory("graft_badname").toString
     intercept[IllegalArgumentException](
