@@ -283,7 +283,11 @@ object LakehouseQueries {
           .select((col("k") + 2000000000L).as("k"), col("p"),
             lit("new").as("flag"))
           .write.parquet(s"$dir/data/u1")
-        CommitLog.commit(dir, 1L, Seq("data/u0", "data/u1"))
+        // the evolution commit goes through the WRITE-side schema gate:
+        // existing columns type-checked against the snapshot, the new
+        // `flag` column admitted by the explicit additive opt-in
+        CommitLog.commitChecked(s, dir, 1L, Seq("data/u0", "data/u1"),
+          allowAdditive = true)
         dir
       }
       CommitLog.versions(root).map { v =>
