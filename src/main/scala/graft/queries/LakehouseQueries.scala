@@ -541,6 +541,44 @@ object LakehouseQueries {
       }.reduce(_ unionAll _).orderBy("version")
     }),
 
+    // S20 (round 10): CDC REPLAY — the closure proof that the changes
+    // feed is SUFFICIENT to maintain a downstream replica. A replica
+    // is folded purely from the feed (state_v = state_{v-1} minus
+    // delete rows, plus insert rows — multiset semantics via
+    // exceptAll, so an update's pre/post pair lands as remove-old +
+    // add-new) across the full S12 lifecycle, INCLUDING the OPTIMIZE
+    // version whose empty feed must leave the replica untouched. The
+    // output row carries the replica's and the final snapshot's
+    // (count, exact total) side by side — the oracle pins them equal,
+    // which is the entire CDC contract in one row. At 100 TB this is
+    // the pattern a downstream materialized view runs per version:
+    // apply O(changes) rows, never re-read the table.
+    "dml_cdc_replay" -> ((s, d) => {
+      import graft.sources.CommitLog
+      val root = cdcTable(s, d)
+      val vs = CommitLog.versions(root)
+      val replica = vs.foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
+        (acc, v) =>
+          val ch = CommitLog.changes(s, root, v)
+          val ins = ch.filter(col("_change_type") === "insert")
+            .drop("_change_type")
+          val del = ch.filter(col("_change_type") === "delete")
+            .drop("_change_type")
+          Some(acc match {
+            case None => ins
+            case Some(r) => r.exceptAll(del).unionAll(ins)
+          })
+      }.get
+      val rep = replica.agg(count(lit(1)).as("replica_rows"),
+        sum(col("p")).cast(DecimalType(38, 2)).as("replica_total"))
+      val fin = CommitLog.snapshot(s, root, vs.last)
+        .agg(count(lit(1)).as("snapshot_rows"),
+          sum(col("p")).cast(DecimalType(38, 2)).as("snapshot_total"))
+      rep.crossJoin(fin)
+        .select(col("replica_rows"), col("replica_total"),
+          col("snapshot_rows"), col("snapshot_total"))
+    }),
+
     // S17 (round 10): DESCRIBE HISTORY — the audit view of a table's
     // commit log (CommitLog.history): per version its unit count and
     // the added/removed manifest delta vs the predecessor, plus the
@@ -928,6 +966,17 @@ object LakehouseQueries {
     }
 
   val oracle: Map[String, String] = Map(
+    "dml_cdc_replay" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        | v1 AS (SELECT k, CASE WHEN k % 4 = 2
+        |     THEN CAST(p * 2 AS DECIMAL(18,2)) ELSE p END AS p FROM base),
+        | fin AS (SELECT k, p FROM v1 WHERE k % 4 <> 1)
+        |SELECT count(*) AS replica_rows,
+        |    CAST(sum(p) AS DECIMAL(38,2)) AS replica_total,
+        |    count(*) AS snapshot_rows,
+        |    CAST(sum(p) AS DECIMAL(38,2)) AS snapshot_total
+        |FROM fin""".stripMargin,
     "dml_bloom_skipping" ->
       """WITH base AS (SELECT o_orderkey AS k,
         |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),

@@ -605,6 +605,12 @@ class Round10OpsSpec extends GraftSpec {
       s"MoR deletes must apply as a broadcast anti-join:\n$mp")
   }
 
+  test("dml_cdc_replay: the feed-built replica equals the final snapshot exactly") {
+    val r = q("dml_cdc_replay").head()
+    assert(r.getLong(0) == r.getLong(2), "row counts must match")
+    assert(r.getDecimal(1) == r.getDecimal(3), "exact totals must match")
+  }
+
   test("snapshotRange with a no-match probe returns the empty frame, 0 scanned") {
     import spark.implicits._
     val t = java.nio.file.Files.createTempDirectory("graft_srange").toString
