@@ -888,7 +888,7 @@ object CommitLog {
       s"bloom build covered ${lines.size} of ${rels.size} units — an " +
         "empty unit has no files to hash; publish its filter explicitly " +
         "or drop the unit from the manifest")
-    publishSidecar(table, version, s"bloom.txt", lines.mkString("", "\n", "\n"))
+    publishSidecar(table, version, "bloom.txt", lines.mkString("", "\n", "\n"))
   }
 
   /** Bloom-pruned point read: scan only the units whose bloom filter
