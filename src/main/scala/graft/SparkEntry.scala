@@ -48,6 +48,7 @@ object SparkEntry {
       RobustQueries.queries ++
       IntervalQueries.queries ++
       ReportQueries.queries ++
+      RetrievalQueries.queries ++
       graft.streaming.StreamQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -80,5 +81,6 @@ object SparkEntry {
       RobustQueries.oracle ++
       IntervalQueries.oracle ++
       ReportQueries.oracle ++
+      RetrievalQueries.oracle ++
       graft.streaming.StreamQueries.oracle
 }

@@ -1,0 +1,338 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables.load
+
+/** Family AB (round 10): retrieval scoring and model-evaluation
+  * operators — the query-side half of a training-data pipeline
+  * (ref: n/a, SURVEY §0 — the reference repo is empty; BM25/RRF/AUC
+  * are public-literature contracts: Robertson & Walker SIGIR'94,
+  * Cormack et al. SIGIR'09 reciprocal-rank fusion, Hanley & McNeil
+  * 1982 rank-statistic AUC).
+  *
+  * Scale shapes (the 100 TB contract):
+  *  - `text_bm25` — the query-term set is small BY DEFINITION (it is
+  *    a query), so term stats (df) and corpus stats (N, avgdl) are
+  *    broadcast 5-row / 1-row aggregates; the corpus is touched by
+  *    exactly two column-pruned scans (one map-only for doc lengths,
+  *    one explode→filter→combinable-agg for term frequencies) and
+  *    one doc_id-keyed exchange. Nothing is proportional to
+  *    vocabulary size.
+  *  - `sim_hybrid` — probes broadcast against the candidate scan
+  *    (probe-bounded cross join, the sim_topk precedent); the two
+  *    rankings ride per-probe window partitions, which is inherent
+  *    to the semantics (a ranking per query) and bounded by corpus
+  *    size per probe, not corpus², and the fused re-rank moves only
+  *    (q_id, c_id, rank) triples — vectors and token sets are
+  *    dropped before any exchange.
+  *  - `eval_auc` — the corpus collapses to a distinct-score
+  *    histogram in ONE combinable shuffle; the rank arithmetic runs
+  *    integer-exact over that tiny table (window over the aggregate,
+  *    the ts_weekday_profile precedent). AUC itself is all-integer
+  *    until one final division — shuffle-order-proof by
+  *    construction.
+  *  - `eval_calibration` — map-only binning + one combinable 10-group
+  *    rollup; per-bin mean prediction sums DECIMAL, so no
+  *    double-accumulation order dependence.
+  *  - `sample_curriculum` — curriculum ordering needs a running token
+  *    total per stage, but a stage is a huge partition at 100 TB, so
+  *    the prefix sum is TWO-LEVEL: rows bucket by the first hex
+  *    nibble of their md5 sort key (16 RANGES of the ordering, so
+  *    bucket-local sums + a 48-row running offset table reconstruct
+  *    the global prefix exactly), the windows run per (stage, bucket)
+  *    — 3×16-way parallel — and only the tiny offset/budget tables
+  *    broadcast. The DuckDB twin computes the same result with a
+  *    plain per-stage window; equality of the two formulations IS
+  *    the distributed-prefix-sum correctness proof.
+  *
+  * Exactness discipline: every mixed-type arithmetic step is forced
+  * to DOUBLE on at least one operand (explicit CASTs in BOTH the
+  * Spark expression and the oracle SQL) so neither engine's
+  * decimal-promotion rules enter; ranks, counts and token budgets
+  * stay BIGINT; emitted scores round through DECIMAL(18,6) (the
+  * sim_topk contract).
+  */
+object RetrievalQueries {
+
+  /** BM25 query-term set — high-df corpus terms so multi-term docs
+    * exercise the additive part of the score (the driver corpus is
+    * SQL-engine word salad; classic English stopwords barely occur).
+    */
+  private val bm25Terms = Seq("hash", "join", "merge", "scan", "window")
+
+  /** Okapi BM25 term weight with k1 = 1.2, b = 0.75, and the
+    * +1-inside-the-log idf (the Lucene formulation — never negative).
+    * All-double expression, mirrored verbatim in the oracle.
+    */
+  private val bm25W =
+    "ln(1.0 + (CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))" +
+      " * (CAST(tf AS DOUBLE) * 2.2)" +
+      " / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (dl / avgdl))) AS w"
+
+  val queries: Map[String, Q] = Map(
+    // AB1: Okapi BM25 scoring of the corpus against a fixed 5-term
+    // query. Term order in the final sum is pinned by the 5-column
+    // pivot (one conditional sum per term, added in fixed textual
+    // order) — a plain sum(w) over a double would be
+    // shuffle-order-dependent.
+    "text_bm25" -> ((s, d) => {
+      val docs = load(s, d, "documents").filter(col("text").isNotNull)
+      val dl = docs.selectExpr("doc_id",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS dl")
+      val corpus = dl.agg(count(lit(1)).cast("bigint").as("n"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term").isin(bm25Terms: _*))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).cast("bigint").as("tf"))
+      val dfreq = tf.groupBy("term")
+        .agg(count(lit(1)).cast("bigint").as("df"))
+      tf.join(broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(corpus))
+        .selectExpr("doc_id", "term", bm25W)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("bigint").as("n_hit"),
+          coalesce(sum(when(col("term") === "hash", col("w"))), lit(0.0)).as("w_hash"),
+          coalesce(sum(when(col("term") === "join", col("w"))), lit(0.0)).as("w_join"),
+          coalesce(sum(when(col("term") === "merge", col("w"))), lit(0.0)).as("w_merge"),
+          coalesce(sum(when(col("term") === "scan", col("w"))), lit(0.0)).as("w_scan"),
+          coalesce(sum(when(col("term") === "window", col("w"))), lit(0.0)).as("w_window"))
+        .selectExpr("doc_id", "n_hit",
+          "CAST(w_hash + w_join + w_merge + w_scan + w_window AS DECIMAL(18,6)) AS bm25")
+        .orderBy("doc_id")
+    }),
+
+    // AB2: hybrid retrieval — reciprocal-rank fusion (k = 60) of a
+    // lexical ranking (distinct-token overlap with the probe doc) and
+    // a vector ranking (cosine, the sim_topk 6-dp + id-tie-break
+    // contract) over the doc_id = vec_id multimodal join. Both ranks
+    // are computed over the FULL candidate set so rank alignment is
+    // exact, then the top-5 fused results per probe are emitted.
+    "sim_hybrid" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val uni = load(s, d, "documents").filter(col("text").isNotNull)
+        .join(load(s, d, "embeddings"), col("doc_id") === col("vec_id"))
+        .selectExpr("doc_id AS id", "array_distinct(split(text, ' ')) AS toks",
+          "embedding", "sqrt(array_dot(embedding, embedding)) AS nrm")
+      val probes = uni
+        .selectExpr("id AS q_id", "toks AS qt", "embedding AS qv", "nrm AS nq")
+        .filter(col("q_id") < 10)
+      val pairs = uni.crossJoin(broadcast(probes))
+        .filter(col("q_id") =!= col("id"))
+        .selectExpr("q_id", "id AS c_id",
+          "CAST(size(array_intersect(qt, toks)) AS BIGINT) AS overlap",
+          "CAST(array_dot(qv, embedding) / (nq * nrm) AS DECIMAL(18,6)) AS cos_sim")
+      val wl = Window.partitionBy("q_id").orderBy(col("overlap").desc, col("c_id").asc)
+      val wv = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("c_id").asc)
+      val fused = pairs
+        .withColumn("rl", row_number().over(wl).cast("bigint"))
+        .withColumn("rv", row_number().over(wv).cast("bigint"))
+        // ranks are exact BIGINTs, so the fused score is a sum of two
+        // exact rationals — identical IEEE doubles on both engines
+        .selectExpr("q_id", "c_id", "rl", "rv",
+          "CAST(1.0 / CAST(60 + rl AS DOUBLE) + 1.0 / CAST(60 + rv AS DOUBLE)" +
+            " AS DECIMAL(18,6)) AS rrf")
+      val wr = Window.partitionBy("q_id").orderBy(col("rrf").desc, col("c_id").asc)
+      fused.withColumn("rn", row_number().over(wr).cast("bigint"))
+        .filter(col("rn") <= 5)
+        .select("q_id", "c_id", "rl", "rv", "rrf", "rn")
+        .orderBy("q_id", "rn")
+    }),
+
+    // AB3: ROC AUC of "stopword ratio predicts lang = 'en'" via the
+    // tie-aware Mann-Whitney rank statistic on the score HISTOGRAM:
+    // num2 = Σ_s n_pos(s) · (2·negBelow(s) + n_neg(s)) counts
+    // concordant pairs twice and ties once, so auc = num2 / (2·P·N)
+    // with no half-weights until the single final division.
+    "eval_auc" -> ((s, d) => {
+      val hist = load(s, d, "documents").filter(col("text").isNotNull)
+        .selectExpr("(lang = 'en') AS pos",
+          "CAST(CAST(size(filter(split(text, ' '), " +
+            "w -> w IN ('the', 'and', 'of', 'a', 'in', 'to'))) AS DOUBLE)" +
+            " / size(split(text, ' ')) AS DECIMAL(18,6)) AS score")
+        .groupBy("score")
+        .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos_s"),
+          sum(when(col("pos"), 0L).otherwise(1L)).as("n_neg_s"))
+      val wrun = Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val tot = hist.agg(sum(col("n_pos_s")).cast("bigint").as("np"),
+        sum(col("n_neg_s")).cast("bigint").as("nn"))
+      hist.withColumn("neg_below",
+          coalesce(sum(col("n_neg_s")).over(wrun), lit(0L)).cast("bigint"))
+        .crossJoin(broadcast(tot))
+        .groupBy("np", "nn")
+        .agg(sum(col("n_pos_s") * (lit(2L) * col("neg_below") + col("n_neg_s")))
+          .cast("bigint").as("num2"))
+        .selectExpr("np AS n_pos", "nn AS n_neg", "num2",
+          "CAST(num2 AS DOUBLE) / (2.0 * np * nn) AS auc")
+        .orderBy("n_pos")
+    }),
+
+    // AB4: calibration curve — lexical diversity (distinct/total
+    // tokens, a [0,1] pseudo-probability) binned into deciles, per-bin
+    // mean prediction vs empirical positive rate. The mean sums
+    // DECIMAL(18,6) predictions (exact) and divides once.
+    "eval_calibration" -> ((s, d) =>
+      load(s, d, "documents").filter(col("text").isNotNull)
+        .selectExpr("(lang = 'en') AS pos",
+          "CAST(size(array_distinct(split(text, ' '))) AS DOUBLE)" +
+            " / size(split(text, ' ')) AS p")
+        .selectExpr("pos", "CAST(least(floor(p * 10), 9) AS BIGINT) AS bin",
+          "CAST(p AS DECIMAL(18,6)) AS pd")
+        .groupBy("bin")
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+          sum(col("pd")).cast(DecimalType(38, 6)).as("sum_p"),
+          (sum(col("pd")).cast("double") / count(lit(1))).as("mean_p"),
+          (sum(when(col("pos"), 1L).otherwise(0L)).cast("double")
+            / count(lit(1))).as("frac_pos"))
+        .orderBy("bin")),
+
+    // AB5: curriculum sampling — stage by length band, deterministic
+    // md5-shuffled order within stage, and HALF of each stage's token
+    // mass selected by running budget. The per-stage prefix sum runs
+    // as the two-level bucket decomposition described in the family
+    // doc; the single-window DuckDB twin proves it exact.
+    "sample_curriculum" -> ((s, d) => {
+      val staged = load(s, d, "documents").filter(col("text").isNotNull)
+        .selectExpr("doc_id", "CAST(size(split(text, ' ')) AS BIGINT) AS n_tok")
+        .selectExpr("doc_id", "n_tok",
+          "CASE WHEN n_tok < 40 THEN 'a_short' WHEN n_tok < 70 THEN 'b_mid'" +
+            " ELSE 'c_long' END AS stage",
+          "md5(CAST(doc_id AS STRING)) AS ord")
+        .withColumn("bkt", substring(col("ord"), 1, 1))
+      val wloc = Window.partitionBy("stage", "bkt")
+        .orderBy(col("ord"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val woff = Window.partitionBy("stage").orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val off = staged.groupBy("stage", "bkt").agg(sum(col("n_tok")).as("bt"))
+        .withColumn("off", coalesce(sum(col("bt")).over(woff), lit(0L)))
+        .drop("bt")
+      val budget = staged.groupBy("stage").agg(expr("sum(n_tok) DIV 2").as("b"))
+      staged.withColumn("loc_cum", sum(col("n_tok")).over(wloc))
+        .join(broadcast(off), Seq("stage", "bkt"))
+        .withColumn("cum_tok", (col("loc_cum") + col("off")).cast("bigint"))
+        .join(broadcast(budget), "stage")
+        .filter(col("cum_tok") <= col("b"))
+        .select("stage", "doc_id", "n_tok", "cum_tok")
+        .orderBy("stage", "cum_tok", "doc_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "text_bm25" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        | dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+        | corpus AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        | tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+        |  WHERE term IN ('hash', 'join', 'merge', 'scan', 'window')
+        |  GROUP BY doc_id, term),
+        | df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        | ts AS (SELECT tf.doc_id, tf.term,
+        |    ln(1.0 + (CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |      * (CAST(tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / avgdl))) AS w
+        |  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id, corpus),
+        | piv AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+        |    coalesce(sum(CASE WHEN term = 'hash' THEN w END), 0.0) AS w_hash,
+        |    coalesce(sum(CASE WHEN term = 'join' THEN w END), 0.0) AS w_join,
+        |    coalesce(sum(CASE WHEN term = 'merge' THEN w END), 0.0) AS w_merge,
+        |    coalesce(sum(CASE WHEN term = 'scan' THEN w END), 0.0) AS w_scan,
+        |    coalesce(sum(CASE WHEN term = 'window' THEN w END), 0.0) AS w_window
+        |  FROM ts GROUP BY doc_id)
+        |SELECT doc_id, n_hit,
+        |  CAST(w_hash + w_join + w_merge + w_scan + w_window AS DECIMAL(18,6)) AS bm25
+        |FROM piv ORDER BY doc_id""".stripMargin,
+    "sim_hybrid" ->
+      """WITH uni AS (
+        |  SELECT d.doc_id AS id, list_distinct(string_split(d.text, ' ')) AS toks,
+        |    CAST(e.embedding AS DOUBLE[]) AS v
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |  WHERE d.text IS NOT NULL),
+        | probes AS (SELECT id AS q_id, toks AS qt, v AS qv FROM uni WHERE id < 10),
+        | pairs AS (SELECT q_id, id AS c_id,
+        |    CAST(len(list_intersect(qt, toks)) AS BIGINT) AS overlap,
+        |    CAST(list_cosine_similarity(qv, v) AS DECIMAL(18,6)) AS cos_sim
+        |  FROM probes, uni WHERE q_id <> id),
+        | ranked AS (SELECT q_id, c_id,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY overlap DESC, c_id) AS BIGINT) AS rl,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos_sim DESC, c_id) AS BIGINT) AS rv
+        |  FROM pairs),
+        | fused AS (SELECT q_id, c_id, rl, rv,
+        |    CAST(1.0 / CAST(60 + rl AS DOUBLE) + 1.0 / CAST(60 + rv AS DOUBLE)
+        |      AS DECIMAL(18,6)) AS rrf
+        |  FROM ranked)
+        |SELECT q_id, c_id, rl, rv, rrf, rn FROM (
+        |  SELECT q_id, c_id, rl, rv, rrf,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY rrf DESC, c_id) AS BIGINT) AS rn
+        |  FROM fused) t
+        |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+    "eval_auc" ->
+      """WITH scored AS (
+        |  SELECT (lang = 'en') AS pos,
+        |    CAST(CAST(len(list_filter(string_split(text, ' '),
+        |        w -> w IN ('the', 'and', 'of', 'a', 'in', 'to'))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS DECIMAL(18,6)) AS score
+        |  FROM documents WHERE text IS NOT NULL),
+        | hist AS (SELECT score,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_s,
+        |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg_s
+        |  FROM scored GROUP BY score),
+        | run AS (SELECT score, n_pos_s, n_neg_s,
+        |    CAST(coalesce(sum(n_neg_s) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS neg_below
+        |  FROM hist),
+        | tot AS (SELECT CAST(sum(n_pos_s) AS BIGINT) AS np,
+        |    CAST(sum(n_neg_s) AS BIGINT) AS nn FROM hist)
+        |SELECT np AS n_pos, nn AS n_neg,
+        |  CAST(sum(n_pos_s * (2 * neg_below + n_neg_s)) AS BIGINT) AS num2,
+        |  CAST(sum(n_pos_s * (2 * neg_below + n_neg_s)) AS DOUBLE)
+        |    / (2.0 * np * nn) AS auc
+        |FROM run, tot GROUP BY np, nn ORDER BY n_pos""".stripMargin,
+    "eval_calibration" ->
+      """WITH scored AS (
+        |  SELECT (lang = 'en') AS pos,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS p
+        |  FROM documents WHERE text IS NOT NULL),
+        | binned AS (SELECT pos,
+        |    CAST(least(floor(p * 10), 9) AS BIGINT) AS bin,
+        |    CAST(p AS DECIMAL(18,6)) AS pd
+        |  FROM scored)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  CAST(sum(pd) AS DECIMAL(38,6)) AS sum_p,
+        |  CAST(sum(pd) AS DOUBLE) / count(*) AS mean_p,
+        |  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS frac_pos
+        |FROM binned GROUP BY bin ORDER BY bin""".stripMargin,
+    "sample_curriculum" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents WHERE text IS NOT NULL),
+        | staged AS (SELECT doc_id, n_tok,
+        |    CASE WHEN n_tok < 40 THEN 'a_short' WHEN n_tok < 70 THEN 'b_mid'
+        |      ELSE 'c_long' END AS stage
+        |  FROM d),
+        | cum AS (SELECT stage, doc_id, n_tok,
+        |    CAST(sum(n_tok) OVER (PARTITION BY stage
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+        |  FROM staged),
+        | budget AS (SELECT stage, sum(n_tok) // 2 AS b FROM staged GROUP BY stage)
+        |SELECT c.stage, doc_id, n_tok, cum_tok
+        |FROM cum c JOIN budget USING (stage) WHERE cum_tok <= b
+        |ORDER BY stage, cum_tok, doc_id""".stripMargin
+  )
+}
