@@ -841,6 +841,111 @@ object LakehouseQueries {
       }.reduce(_ unionAll _).orderBy("version")
     }),
 
+    // S21 (round 10): MERGE-ON-READ UPSERT — the write-cheap half of
+    // the DML matrix (dml_merge_cow is the read-cheap half). v1
+    // replaces k%5==0 rows and inserts k%11==0 twins by publishing
+    // exactly TWO new objects: one post-image unit (appended to the
+    // manifest) and one tombstone unit of the update keys (the dv
+    // sidecar) — no existing unit opened, no key routed. Readers use
+    // the SEQUENCE-AWARE snapshotMoRSeq: tombstones erase replaced
+    // pre-images from carried units while the post-image unit, added
+    // by the same version, is exempt (Iceberg's sequence-number rule
+    // collapsed to one commit step; a global apply would delete the
+    // post-images right back out). The output pins the raw pre-image
+    // count growing by |updates| while the visible count grows only
+    // by the inserts. At 100 TB: write cost is O(|updates|) at ANY
+    // table size — the continuous-ingest shape; applyDeletes later
+    // trades the read-side anti-join away (dml_apply_deletes).
+    "dml_upsert_mor" -> ((s, d) => {
+      import graft.sources.CommitLog
+      val root = graft.queries.ScaleQueries.freshDir(morUpsertDir, d, "orders") {
+        val dir = java.nio.file.Files.createTempDirectory("graft_morup").toString
+        val base = load(s, d, "orders")
+          .select(col("o_orderkey").as("k"), dec(col("o_totalprice")).as("p"),
+            (col("o_orderkey") % 4).cast("int").as("bucket"))
+        base.repartition(col("bucket"))
+          .write.partitionBy("bucket").parquet(s"$dir/data/v0")
+        val units = (0 to 3).map(b => s"data/v0/bucket=$b")
+          .filter(u => java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get(dir, u)))
+        CommitLog.commit(dir, 0L, units)
+        // the table's logical schema is (k, p): partition-dir units
+        // surface no partition column, so the post-image unit must not
+        // either
+        val updates = base.filter(col("k") % 5 === 0)
+          .select(col("k"), (col("p") * 2).cast(DecimalType(18, 2)).as("p"))
+          .unionAll(base.filter(col("k") % 11 === 0)
+            .select((col("k") + 1000000000L).as("k"), col("p")))
+        CommitLog.upsertMoR(s, dir, updates, "k")
+        dir
+      }
+      CommitLog.versions(root).map { v =>
+        val raw = CommitLog.snapshot(s, root, v).count()
+        CommitLog.snapshotMoRSeq(s, root, v, "k")
+          .agg(count(lit(1)).as("n_visible"),
+            sum(col("p")).cast(DecimalType(38, 2)).as("total_visible"))
+          .select(lit(v).cast("bigint").as("version"),
+            col("n_visible"), col("total_visible"),
+            lit(CommitLog.deletes(root, v).size.toLong).as("n_tombstone_units"),
+            lit(raw).as("n_raw_rows"))
+      }.reduce(_ unionAll _).orderBy("version")
+    }),
+
+    // S22 (round 10): APPLY DELETES — the stats-ROUTED maintenance
+    // step that turns a merge-on-read version back into a clean one
+    // (the compaction writeDeletes' doc promises). The table is
+    // range-clustered (8 disjoint key-range units + stats sidecar);
+    // v1 MoR-deletes k%3==0 keys from buckets 2 and 5 only; v2 =
+    // CommitLog.applyDeletes routes the tombstone keys through the
+    // stats sidecar and rewrites EXACTLY the two intersecting units
+    // (anti-joined clean, packed as one) — the other six carry by
+    // name, never opened, byte-stable (spec-pinned). No dv sidecar on
+    // v2; its CDC feed is exactly the deleted rows as retractions —
+    // the documented point where a MoR delete becomes CDC-visible.
+    // At 100 TB: apply cost tracks the units the deletes TOUCH, never
+    // the table — the GDPR-erasure maintenance shape.
+    "dml_apply_deletes" -> ((s, d) => {
+      import graft.sources.CommitLog
+      val root = graft.queries.ScaleQueries.freshDir(applyDelDir, d, "orders") {
+        val dir = java.nio.file.Files.createTempDirectory("graft_applyd").toString
+        val base = load(s, d, "orders")
+          .select(col("o_orderkey").as("k"), dec(col("o_totalprice")).as("p"))
+        val wd = base.agg(expr("max(k) DIV 8 + 1")).head().getLong(0)
+        val withB = base.withColumn("bucket", expr(s"k DIV ${wd}L"))
+        withB.repartition(col("bucket"))
+          .write.partitionBy("bucket").parquet(s"$dir/data/v0")
+        val st = withB.groupBy("bucket")
+          .agg(min(col("k")).as("mn"), max(col("k")).as("mx"),
+            count(lit(1)).as("n"))
+          .take(16)
+          .map(r => (s"data/v0/bucket=${r.getLong(0)}",
+            r.getLong(1), r.getLong(2), r.getLong(3)))
+          .sortBy(_._1)
+        CommitLog.commit(dir, 0L, st.map(_._1).toSeq)
+        CommitLog.writeStats(dir, 0L, st.toSeq)
+        // the MoR delete: tombstone keys only, confined to two ranges
+        withB.filter((col("bucket") === 2 || col("bucket") === 5)
+            && col("k") % 3 === 0)
+          .select("k").coalesce(1).write.parquet(s"$dir/data/dv1")
+        CommitLog.commit(dir, 1L, st.map(_._1).toSeq)
+        // the stats sidecar rides every version (the mergeCow carry
+        // discipline) — applyDeletes routes off it
+        CommitLog.writeStats(dir, 1L, st.toSeq)
+        CommitLog.writeDeletes(dir, 1L, Seq("data/dv1"))
+        CommitLog.applyDeletes(s, dir, "k")
+        dir
+      }
+      CommitLog.versions(root).map { v =>
+        CommitLog.snapshotMoRSeq(s, root, v, "k")
+          .agg(count(lit(1)).as("n_visible"),
+            sum(col("p")).cast(DecimalType(38, 2)).as("total_visible"))
+          .select(lit(v).cast("bigint").as("version"),
+            lit(CommitLog.units(root, v).size.toLong).as("n_units"),
+            col("n_visible"), col("total_visible"),
+            lit(CommitLog.deletes(root, v).size.toLong).as("n_tombstone_units"))
+      }.reduce(_ unionAll _).orderBy("version")
+    }),
+
     // S16 (round 10): RESTORE — rollback as a NEW version whose
     // manifest is a byte-for-byte copy of the target's: v1 fat-
     // fingers a manifest-only delete of half the table, v2 restores
@@ -887,6 +992,12 @@ object LakehouseQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private val morDeleteDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val morUpsertDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val applyDelDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private val compactDir =
@@ -1017,6 +1128,47 @@ object LakehouseQueries {
         |SELECT 2, 1, 1, d - h2 + 1, 0, FALSE FROM s
         |UNION ALL
         |SELECT 3, 1, 1, 1, 0, FALSE FROM s
+        |ORDER BY version""".stripMargin,
+    "dml_upsert_mor" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        | upd AS (SELECT k, CAST(p * 2 AS DECIMAL(18,2)) AS p FROM base
+        |   WHERE k % 5 = 0),
+        | ins AS (SELECT k + 1000000000 AS k, p FROM base WHERE k % 11 = 0),
+        | v1 AS (SELECT k, p FROM base WHERE k % 5 <> 0
+        |   UNION ALL SELECT k, p FROM upd
+        |   UNION ALL SELECT k, p FROM ins)
+        |SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_visible,
+        |    CAST(sum(p) AS DECIMAL(38,2)) AS total_visible,
+        |    CAST(0 AS BIGINT) AS n_tombstone_units, count(*) AS n_raw_rows
+        |  FROM base
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), (SELECT count(*) FROM v1),
+        |    CAST((SELECT sum(p) FROM v1) AS DECIMAL(38,2)), CAST(1 AS BIGINT),
+        |    (SELECT count(*) FROM base) + (SELECT count(*) FROM upd)
+        |      + (SELECT count(*) FROM ins)
+        |ORDER BY version""".stripMargin,
+    "dml_apply_deletes" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        | w AS (SELECT max(k) // 8 + 1 AS wd FROM base),
+        | del AS (SELECT k FROM base, w
+        |   WHERE (k // wd = 2 OR k // wd = 5) AND k % 3 = 0),
+        | live AS (SELECT k, p FROM base, w
+        |   WHERE NOT ((k // wd = 2 OR k // wd = 5) AND k % 3 = 0)),
+        | nb AS (SELECT count(DISTINCT k // wd) AS nu FROM base, w)
+        |SELECT CAST(0 AS BIGINT) AS version, (SELECT nu FROM nb) AS n_units,
+        |    count(*) AS n_visible, CAST(sum(p) AS DECIMAL(38,2)) AS total_visible,
+        |    CAST(0 AS BIGINT) AS n_tombstone_units FROM base
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), (SELECT nu FROM nb),
+        |    (SELECT count(*) FROM live),
+        |    CAST((SELECT sum(p) FROM live) AS DECIMAL(38,2)), CAST(1 AS BIGINT)
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT),
+        |    (SELECT nu FROM nb) - (SELECT count(DISTINCT k // wd) FROM del, w) + 1,
+        |    (SELECT count(*) FROM live),
+        |    CAST((SELECT sum(p) FROM live) AS DECIMAL(38,2)), CAST(0 AS BIGINT)
         |ORDER BY version""".stripMargin,
     "dml_delete_mor" ->
       """WITH base AS (SELECT o_orderkey AS k,

@@ -536,11 +536,7 @@ object CommitLog {
     // declares NEW tombstones is not an append even though its
     // manifest only grew (carried-forward sidecars from a compaction
     // are fine — those tombstones were already accounted)
-    val vs = versions(table)
-    val prevDv =
-      if (vs.indexOf(version) <= 0) Set.empty[String]
-      else dvLines(table, vs(vs.indexOf(version) - 1)).toSet
-    val newDv = dvLines(table, version).filterNot(prevDv)
+    val newDv = newDvLines(table, version)
     require(newDv.isEmpty,
       s"version $version of $table declared merge-on-read deletes " +
         s"(${newDv.mkString(",")}) — retractions need the CDC/dv path")
@@ -701,6 +697,15 @@ object CommitLog {
       require(attempts <= 10,
         s"compaction on $table lost $attempts commit races — back off")
       val v = latestVersion(table)
+      // an un-applied upsert's tombstones do NOT apply to its own
+      // post-image units (the snapshotMoRSeq sequence rule);
+      // bin-packing would blend pre- and post-images into one unit
+      // under a globally-applied carried sidecar — deleting the
+      // post-images right back out. Maintenance order is applyDeletes
+      // first (the same discipline mergeCow enforces).
+      require(seqLines(table, v).isEmpty,
+        s"$table v$v is an un-applied merge-on-read upsert — run " +
+          "applyDeletes before compacting")
       val current = units(table, v)
       val sized = current.map { abs =>
         val (n, _) = unitSize(abs)
@@ -927,6 +932,12 @@ object CommitLog {
   private def unitsRel(table: String, version: Long): Seq[String] =
     manifestLines(table, version)
 
+  /** Public view of the manifest-relative unit names — what stats
+    * sidecar entries key on (the absolute-path twin is [[units]]).
+    */
+  def unitNames(table: String, version: Long): Seq[String] =
+    unitsRel(table, version)
+
   /** Attach MERGE-ON-READ equality deletes to `version`: the
     * `vNNNNN.dv.txt` sidecar lists tombstone units — parquet files of
     * DELETED KEY VALUES — that [[snapshotMoR]] anti-joins at read
@@ -995,6 +1006,245 @@ object CommitLog {
     if (tu.isEmpty) base
     else base.join(spark.read.parquet(tu: _*).select(keyCol).distinct(),
       Seq(keyCol), "left_anti")
+  }
+
+  /** The tombstone-unit lines `version` declared that its predecessor
+    * did not carry — the dv delta that distinguishes a version which
+    * PERFORMED a merge-on-read delete/upsert from one that merely
+    * carried an outstanding sidecar forward (a compaction).
+    */
+  private def newDvLines(table: String, version: Long): Seq[String] = {
+    val vs = versions(table)
+    val prevDv =
+      if (vs.indexOf(version) <= 0) Set.empty[String]
+      else dvLines(table, vs(vs.indexOf(version) - 1)).toSet
+    dvLines(table, version).filterNot(prevDv)
+  }
+
+  /** The version's SEQUENCE-EXEMPT unit names: post-image units its
+    * own tombstones must not erase, recorded by [[upsertMoR]] in the
+    * `vNNNNN.seq.txt` sidecar. Intent is RECORDED, never inferred — a
+    * base version that declares a dv over its own units (a legitimate
+    * delete) is structurally identical to an upsert from the manifest
+    * alone, so a heuristic on (new dv + added units) would mis-exempt
+    * it and resurrect its deleted rows.
+    */
+  private def seqLines(table: String, version: Long): Seq[String] = {
+    val f = logDir(table).resolve(f"v$version%05d.seq.txt")
+    if (!java.nio.file.Files.isRegularFile(f)) Seq.empty
+    else java.nio.file.Files.readAllLines(f).toArray(Array.empty[String])
+      .toSeq.filter(_.nonEmpty)
+  }
+
+  /** SEQUENCE-AWARE merge-on-read read — the read path for
+    * [[upsertMoR]] versions, and identical to [[snapshotMoR]] on
+    * every version without a seq sidecar.
+    *
+    * Iceberg's rule, collapsed to one commit step: an equality delete
+    * applies only to data written BEFORE it. An upsert version's
+    * tombstones therefore anti-join the CARRIED units only — the
+    * post-image units the same commit added (named by its seq
+    * sidecar) are exempt, where a global apply ([[snapshotMoR]])
+    * would delete the replacements right back out. Compaction-carried
+    * sidecars and plain deletes have no seq sidecar and keep the
+    * global-apply semantics (a packed unit holds pre-images, so its
+    * carried tombstones MUST apply to it).
+    *
+    * Scale shape is [[snapshotMoR]]'s: one anti-join whose build side
+    * is O(deleted keys), caller predicates still push to the data
+    * scans, clean versions read with zero overhead.
+    */
+  def snapshotMoRSeq(spark: SparkSession, table: String, version: Long,
+      keyCol: String): DataFrame = {
+    val tu = deletes(table, version)
+    val exempt = seqLines(table, version).toSet
+    if (tu.isEmpty) snapshot(spark, table, version)
+    else if (exempt.isEmpty) snapshotMoR(spark, table, version, keyCol)
+    else {
+      val (post, pre) = unitsRel(table, version).partition(exempt)
+      def abs(rel: Seq[String]) =
+        rel.map(u => java.nio.file.Paths.get(table, u).toString)
+      val keys = spark.read.parquet(tu: _*)
+        .select(keyCol).distinct()
+      spark.read.parquet(abs(pre): _*).join(keys, Seq(keyCol), "left_anti")
+        .unionByName(spark.read.parquet(abs(post): _*))
+    }
+  }
+
+  /** MERGE-ON-READ upsert: same-key rows of `updates` replace the
+    * snapshot's, new keys append — with ZERO existing data read or
+    * written. The commit publishes exactly two new objects: one
+    * post-image unit (all of `updates`, appended to the manifest) and
+    * one tombstone unit of the update KEYS (outside the manifest,
+    * attached as the dv sidecar). Readers use [[snapshotMoRSeq]]: the
+    * tombstones erase the replaced pre-images from carried units while
+    * the post-image unit — added by this same version — is exempt by
+    * the sequence rule. A key with no pre-image tombstones nothing
+    * (the anti-join finds no match), so inserts need no routing
+    * either: the upsert never probes which units a key lives in,
+    * which is what makes its write cost O(|updates|) at ANY table
+    * size — vs [[mergeCow]]'s O(touched units) rewrite.
+    *
+    * Contract mirrors mergeCow: `updates` carries the table's columns
+    * with unique keys; outstanding deletes must be applied first
+    * ([[applyDeletes]]) — stacking a second dv generation would need
+    * real per-tombstone sequence tracking, and the one-outstanding-
+    * generation rule is exactly Delta's DV-before-DML discipline.
+    * The dv sidecar attaches AFTER the manifest commit (sidecars are
+    * only attachable to published versions); a crash in that window
+    * leaves an append-only version whose post-images coexist with
+    * their pre-images — detectable (the orphaned `_keys` unit names
+    * the expected sidecar) but not atomic, the documented cost of
+    * keeping manifests single-file. Stats sidecars carry forward with
+    * the post-image unit's entry appended, so skipping and merge
+    * routing survive the upsert. Returns the committed version.
+    */
+  def upsertMoR(spark: SparkSession, table: String, updates: DataFrame,
+      keyCol: String, beforeCommit: () => Unit = () => ()): Long = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    var hook = beforeCommit
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 10,
+        s"upsert on $table lost $attempts commit races — livelock; back off")
+      val v = latestVersion(table)
+      require(dvLines(table, v).isEmpty,
+        s"$table v$v has outstanding merge-on-read deletes — apply them " +
+          "(applyDeletes) before stacking another MoR generation")
+      val img = f"data/upsert_v${v + 1}%05d_img_$attempts"
+      val tomb = f"data/upsert_v${v + 1}%05d_keys_$attempts"
+      updates.write.parquet(java.nio.file.Paths.get(table, img).toString)
+      updates.select(col(keyCol)).distinct()
+        .write.parquet(java.nio.file.Paths.get(table, tomb).toString)
+      hook(); hook = () => () // the race window fires once
+      if (tryCommit(table, v + 1, unitsRel(table, v) :+ img)) {
+        // record the sequence exemption EXPLICITLY: the post-image
+        // unit is immune to this version's own tombstones (see
+        // seqLines — inferring this from the manifest would mis-read
+        // a delete-on-base-version as an upsert). Published BEFORE the
+        // dv: a crash between the two leaves seq-without-dv, which
+        // reads as a plain append (pre/post images coexist —
+        // detectable duplication); dv-without-seq would instead
+        // globally erase the post-images — silent data loss.
+        publishSidecar(table, v + 1, "seq.txt", img + "\n")
+        writeDeletes(table, v + 1, Seq(tomb))
+        if (java.nio.file.Files.isRegularFile(
+            logDir(table).resolve(f"v$v%05d.stats.txt"))) {
+          val r = updates.agg(min(col(keyCol).cast("long")),
+            max(col(keyCol).cast("long")), count(lit(1))).head()
+          writeStats(table, v + 1,
+            stats(table, v) :+ ((img, r.getLong(0), r.getLong(1), r.getLong(2))))
+        }
+        if (java.nio.file.Files.isRegularFile(
+            logDir(table).resolve(f"v$v%05d.cstats.txt"))) {
+          val cs = colStats(table, v)
+          writeColStats(table, v + 1,
+            cs ++ footerColStats(spark, table, Seq(img), cs.map(_.col).distinct))
+        }
+        return v + 1
+      }
+      Seq(img, tomb).foreach(u =>
+        Fs.deleteRecursively(java.nio.file.Paths.get(table, u).toString))
+    }
+    -1L // unreachable
+  }
+
+  /** Apply a version's merge-on-read tombstones and publish a CLEAN
+    * version — the maintenance step [[writeDeletes]]' doc promises
+    * ("readers pay one anti-join until a compaction applies the
+    * tombstones"), and the prerequisite [[mergeCow]]/[[upsertMoR]]
+    * point at when they refuse a dv-bearing table.
+    *
+    * Stats-ROUTED like mergeCow: with a stats sidecar present, only
+    * units whose [min,max] key range intersects a tombstone key are
+    * rewritten (anti-joined clean); out-of-range units — and, on an
+    * upsert version, the sequence-exempt post-image units — are
+    * carried by name, never opened, byte-stable. Without stats every
+    * eligible unit rewrites (correct, just unrouted). The new version
+    * publishes NO dv sidecar; its [[changes]] feed surfaces exactly
+    * the deleted rows as retractions — the documented point where a
+    * CDC consumer of a MoR table observes the delete. Stats sidecars
+    * fold forward (carried entries verbatim, the rewrite unit
+    * re-measured). Returns the new version.
+    */
+  def applyDeletes(spark: SparkSession, table: String,
+      keyCol: String): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit, max, min}
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 10,
+        s"applyDeletes on $table lost $attempts commit races — back off")
+      val v = latestVersion(table)
+      val tu = deletes(table, v)
+      require(tu.nonEmpty, s"$table v$v has no merge-on-read deletes to apply")
+      // sequence-exempt post-images (an upsert's added units, named by
+      // its seq sidecar) carry; everything else is an apply candidate
+      val exempt: Set[String] = seqLines(table, v).toSet
+      val eligible = unitsRel(table, v).filterNot(exempt)
+      val keys = spark.read.parquet(tu: _*).select(col(keyCol)).distinct()
+      // no stats sidecar → no routing: every eligible unit rewrites
+      // (correct, just unrouted — the same degradation mergeCow refuses
+      // but a maintenance pass can afford)
+      val st =
+        if (java.nio.file.Files.isRegularFile(
+            logDir(table).resolve(f"v$v%05d.stats.txt")))
+          stats(table, v)
+        else Seq.empty[(String, Long, Long, Long)]
+      val stByUnit = st.map(s => s._1 -> s).toMap
+      val touched: Seq[String] =
+        if (eligible.forall(stByUnit.contains)) {
+          import spark.implicits._
+          val ranges = eligible.zipWithIndex.map { case (u, i) =>
+            val (_, mn, mx, _) = stByUnit(u); (i, mn, mx)
+          }.toDF("__uid", "__mn", "__mx")
+          val ids = keys.join(broadcast(ranges),
+              col(keyCol).between(col("__mn"), col("__mx")))
+            .select("__uid").distinct()
+            .collect().map(_.getInt(0)).toSet // metadata-sized: O(units) routing state
+          eligible.zipWithIndex.collect { case (u, i) if ids(i) => u }
+        } else eligible
+      // tombstones for keys no unit can hold (already-gone keys) leave
+      // nothing to rewrite — the clean version is then a pure manifest
+      // republish dropping the sidecar
+      val rel = f"data/apply_v${v + 1}%05d_$attempts"
+      val newUnits =
+        if (touched.isEmpty) Seq.empty[String]
+        else {
+          spark.read.parquet(
+              touched.map(u => java.nio.file.Paths.get(table, u).toString): _*)
+            .join(keys, Seq(keyCol), "left_anti")
+            .write.parquet(java.nio.file.Paths.get(table, rel).toString)
+          Seq(rel)
+        }
+      val carried = eligible.filterNot(touched.contains)
+      if (tryCommit(table, v + 1,
+          carried ++ exempt.toSeq.sorted ++ newUnits)) {
+        if (st.nonEmpty) {
+          val rewrittenStats = newUnits.map { u =>
+            val r = spark.read.parquet(
+                java.nio.file.Paths.get(table, u).toString)
+              .agg(min(col(keyCol).cast("long")),
+                max(col(keyCol).cast("long")), count(lit(1))).head()
+            (u, r.getLong(0), r.getLong(1), r.getLong(2))
+          }
+          writeStats(table, v + 1,
+            st.filterNot(s => touched.contains(s._1)) ++ rewrittenStats)
+        }
+        if (java.nio.file.Files.isRegularFile(
+            logDir(table).resolve(f"v$v%05d.cstats.txt"))) {
+          val cs = colStats(table, v)
+          writeColStats(table, v + 1,
+            cs.filterNot(s => touched.contains(s.unit)) ++
+              footerColStats(spark, table, newUnits, cs.map(_.col).distinct))
+        }
+        return v + 1
+      }
+      newUnits.foreach(u =>
+        Fs.deleteRecursively(java.nio.file.Paths.get(table, u).toString))
+    }
+    -1L // unreachable
   }
 
   /** CDC feed of `version`: the row-level changes it applied relative
@@ -1139,6 +1389,8 @@ object CommitLog {
         logDir(table).resolve(f"v$v%05d.cstats.txt"))
       java.nio.file.Files.deleteIfExists(
         logDir(table).resolve(f"v$v%05d.dv.txt"))
+      java.nio.file.Files.deleteIfExists(
+        logDir(table).resolve(f"v$v%05d.seq.txt"))
       java.nio.file.Files.deleteIfExists(
         logDir(table).resolve(f"v$v%05d.bloom.txt"))
     }
