@@ -71,6 +71,30 @@ object RetrievalQueries {
       " * (CAST(tf AS DOUBLE) * 2.2)" +
       " / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (dl / avgdl))) AS w"
 
+  /** The fixed-order 5-column pivot that makes the per-doc score sum
+    * shuffle-order-proof — shared by the from-scratch and the
+    * index-backed scorer so the two formulations cannot drift.
+    * Expects (doc_id, term, w).
+    */
+  private def bm25Pivot(scored: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).cast("bigint").as("n_hit"),
+        coalesce(sum(when(col("term") === "hash", col("w"))), lit(0.0)).as("w_hash"),
+        coalesce(sum(when(col("term") === "join", col("w"))), lit(0.0)).as("w_join"),
+        coalesce(sum(when(col("term") === "merge", col("w"))), lit(0.0)).as("w_merge"),
+        coalesce(sum(when(col("term") === "scan", col("w"))), lit(0.0)).as("w_scan"),
+        coalesce(sum(when(col("term") === "window", col("w"))), lit(0.0)).as("w_window"))
+      .selectExpr("doc_id", "n_hit",
+        "CAST(w_hash + w_join + w_merge + w_scan + w_window AS DECIMAL(18,6)) AS bm25")
+      .orderBy("doc_id")
+
+  // The delta-grown commit-log postings table (text_bm25_postings):
+  // built once per sf-dir, re-probed across Verify/Bench runs — the
+  // sim_ivf_delta precedent applied to the lexical index.
+  private[graft] val postingsLogDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   val queries: Map[String, Q] = Map(
     // AB1: Okapi BM25 scoring of the corpus against a fixed 5-term
     // query. Term order in the final sum is pinned by the 5-column
@@ -94,16 +118,102 @@ object RetrievalQueries {
         .join(dl, "doc_id")
         .crossJoin(broadcast(corpus))
         .selectExpr("doc_id", "term", bm25W)
-        .groupBy("doc_id")
-        .agg(count(lit(1)).cast("bigint").as("n_hit"),
-          coalesce(sum(when(col("term") === "hash", col("w"))), lit(0.0)).as("w_hash"),
-          coalesce(sum(when(col("term") === "join", col("w"))), lit(0.0)).as("w_join"),
-          coalesce(sum(when(col("term") === "merge", col("w"))), lit(0.0)).as("w_merge"),
-          coalesce(sum(when(col("term") === "scan", col("w"))), lit(0.0)).as("w_scan"),
-          coalesce(sum(when(col("term") === "window", col("w"))), lit(0.0)).as("w_window"))
-        .selectExpr("doc_id", "n_hit",
-          "CAST(w_hash + w_join + w_merge + w_scan + w_window AS DECIMAL(18,6)) AS bm25")
-        .orderBy("doc_id")
+        .transform(bm25Pivot)
+    }),
+
+    // AB6 (round 11): BM25 from a PERSISTED POSTINGS INDEX stored as a
+    // commit-log table — the lexical twin of sim_ivf_delta (VERDICT
+    // r10 #9). Build: the full-vocabulary postings (term, doc_id, dl,
+    // tf) land in term-hash-bucketed units (bucket = pmod(xxhash64,8),
+    // min=max stats entry = the bucket id), plus one 1-row META unit
+    // per ingest carrying that batch's (n_docs, sum_dl) — segment
+    // metadata, Lucene-style, so corpus stats fold from O(ingests)
+    // rows, never a corpus re-scan. The index GROWS BY DELTA: v1
+    // appends only the arriving batch's buckets + meta (O(delta)
+    // postings written; v0 units untouched). Query: the 5 query
+    // terms' buckets resolve through the SAME engine hash, the
+    // manifest prunes to those units across both generations before
+    // any footer is opened, df folds from the probed postings (a
+    // term's postings are complete within its bucket), and scoring
+    // reuses text_bm25's exact expression + pivot. Same oracle as
+    // text_bm25: the index-backed scorer must be value-identical to
+    // the from-scratch scan, which is the entire index contract. At
+    // 100 TB: query cost is O(postings of the query terms), ingest
+    // cost is O(delta) — neither touches the corpus.
+    "text_bm25_postings" -> ((s, d) => {
+      import graft.sources.CommitLog
+      val root = graft.queries.ScaleQueries.freshDir(postingsLogDir, d,
+          "documents") {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_bm25log").toString
+        val docsAll = load(s, d, "documents").filter(col("text").isNotNull)
+        def ingest(part: org.apache.spark.sql.DataFrame,
+            sub: String): Seq[(String, Long, Long, Long)] = {
+          part.select(col("doc_id"),
+              expr("CAST(size(split(text, ' ')) AS BIGINT)").as("dl"),
+              explode(split(col("text"), " ")).as("term"))
+            .groupBy("term", "doc_id", "dl")
+            .agg(count(lit(1)).cast("bigint").as("tf"))
+            .withColumn("bucket", expr("pmod(xxhash64(term), 8)"))
+            // bval keeps the bucket INSIDE the files (the sim_ivf_delta
+            // rule): pruned reads list bucket dirs directly, no
+            // basePath partition discovery
+            .withColumn("bval", col("bucket"))
+            .write.partitionBy("bucket").parquet(s"$dir/data/$sub")
+          part.agg(count(lit(1)).cast("bigint").as("n_docs"),
+              sum(expr("CAST(size(split(text, ' ')) AS BIGINT)"))
+                .cast("bigint").as("sum_dl"))
+            .coalesce(1).write.parquet(s"$dir/data/${sub}_meta")
+          import scala.jdk.CollectionConverters._
+          val stream = java.nio.file.Files.list(
+            java.nio.file.Paths.get(dir, "data", sub))
+          val dirs =
+            try stream.iterator().asScala
+              .filter(_.getFileName.toString.startsWith("bucket="))
+              .map(p => s"data/$sub/${p.getFileName}").toVector.sorted
+            finally stream.close()
+          val counts = CommitLog.footerColStats(s, dir, dirs, Seq("doc_id"))
+            .map(cs => cs.unit -> cs.count).toMap
+          dirs.map { u =>
+            val b = u.substring(u.indexOf("bucket=") + 7).toLong
+            (u, b, b, counts(u))
+          } :+ ((s"data/${sub}_meta", -1L, -1L, 1L))
+        }
+        val st0 = ingest(docsAll.filter(col("doc_id") % 10 =!= 0), "base")
+        CommitLog.commit(dir, 0L, st0.map(_._1))
+        CommitLog.writeStats(dir, 0L, st0)
+        // the version boundary: ONLY the delta batch is tokenized and
+        // written — O(delta) index growth, v0 units byte-untouched
+        val st1 = ingest(docsAll.filter(col("doc_id") % 10 === 0), "delta")
+        CommitLog.commit(dir, 1L, st0.map(_._1) ++ st1.map(_._1))
+        CommitLog.writeStats(dir, 1L, st0 ++ st1)
+        dir
+      }
+      // the query terms' buckets through the SAME engine hash
+      val wanted = s.createDataset(bm25Terms)(
+          org.apache.spark.sql.Encoders.STRING)
+        .selectExpr("pmod(xxhash64(value), 8) AS bucket")
+        .distinct().collect().map(_.getLong(0)) // metadata-sized: <= 5 query-term bucket ids
+        .toSet
+      val st = CommitLog.stats(root, CommitLog.latestVersion(root))
+      val picked = st
+        .filter { case (_, mn, _, _) => mn >= 0 && wanted(mn) }
+        .map(u => java.nio.file.Paths.get(root, u._1).toString)
+      val metas = st.filter(_._2 == -1L)
+        .map(u => java.nio.file.Paths.get(root, u._1).toString)
+      val corpus = s.read.parquet(metas: _*)
+        .agg(sum(col("n_docs")).cast("bigint").as("n"),
+          (sum(col("sum_dl")).cast("double") /
+            sum(col("n_docs"))).as("avgdl"))
+      val postings = s.read.parquet(picked: _*)
+        .filter(col("term").isin(bm25Terms: _*))
+        .select("term", "doc_id", "dl", "tf")
+      val dfreq = postings.groupBy("term")
+        .agg(count(lit(1)).cast("bigint").as("df"))
+      postings.join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(corpus))
+        .selectExpr("doc_id", "term", bm25W)
+        .transform(bm25Pivot)
     }),
 
     // AB2: hybrid retrieval — reciprocal-rank fusion (k = 60) of a
@@ -224,9 +334,12 @@ object RetrievalQueries {
     })
   )
 
-  val oracle: Map[String, String] = Map(
-    "text_bm25" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+  /** One SQL twin for BOTH bm25 scorers: the index-backed formulation
+    * must be value-identical to the from-scratch scan — sharing the
+    * oracle string IS that contract.
+    */
+  private val bm25Sql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
         |  FROM documents WHERE text IS NOT NULL),
         | dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
         | corpus AS (SELECT CAST(count(*) AS BIGINT) AS n,
@@ -250,7 +363,11 @@ object RetrievalQueries {
         |  FROM ts GROUP BY doc_id)
         |SELECT doc_id, n_hit,
         |  CAST(w_hash + w_join + w_merge + w_scan + w_window AS DECIMAL(18,6)) AS bm25
-        |FROM piv ORDER BY doc_id""".stripMargin,
+        |FROM piv ORDER BY doc_id""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "text_bm25" -> bm25Sql,
+    "text_bm25_postings" -> bm25Sql,
     "sim_hybrid" ->
       """WITH uni AS (
         |  SELECT d.doc_id AS id, list_distinct(string_split(d.text, ' ')) AS toks,

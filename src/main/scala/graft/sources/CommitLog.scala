@@ -264,6 +264,29 @@ object CommitLog {
       }
   }
 
+  /** CRASH RECOVERY for the stats layer: derive and publish the
+    * `stats.txt` sidecar of an already-published `version` from its
+    * units' PARQUET FOOTERS — no caller-remembered stats needed, no
+    * data pages read. This closes the mergeCow/applyDeletes crash
+    * window (tryCommit succeeded, the post-commit sidecar publish did
+    * not): the version is readable but the NEXT merge refuses to route
+    * without per-unit key ranges — run rebuildStats and it proceeds.
+    * Footers are the ground truth the original publish also measured,
+    * so the rebuilt sidecar is equivalent, not approximate. Publishing
+    * is the same immutable hard-link as every sidecar: rebuilding a
+    * version that already has stats fails loudly (there is nothing to
+    * recover).
+    */
+  def rebuildStats(spark: SparkSession, table: String, version: Long,
+      keyCol: String): Unit = {
+    val cs = footerColStats(spark, table, unitsRel(table, version), Seq(keyCol))
+    cs.foreach(s => require(s.kind == "long",
+      s"stats sidecar requires a BIGINT key column; $keyCol in ${s.unit} " +
+        s"is ${s.kind}"))
+    writeStats(table, version,
+      cs.map(s => (s.unit, s.min.toLong, s.max.toLong, s.count)))
+  }
+
   /** One column's per-unit statistics: `kind` is `long`, `double` or
     * `string`; min/max are string-rendered (lexicographic compare is
     * order-faithful for `string`, numeric parse for the others);
@@ -315,9 +338,20 @@ object CommitLog {
       val fs = dir.getFileSystem(conf)
       val files =
         if (fs.getFileStatus(dir).isFile) Seq(dir)
-        else fs.listStatus(dir).toSeq
-          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          .map(_.getPath)
+        else {
+          // RECURSIVE listing: a unit written with partitioning (or any
+          // nested layout) keeps its files in subdirectories — a
+          // top-level-only listing would silently exclude them and
+          // publish an understated entry that mis-prunes reads
+          val it = fs.listFiles(dir, true)
+          val buf = Seq.newBuilder[org.apache.hadoop.fs.Path]
+          while (it.hasNext) {
+            val f = it.next()
+            if (f.isFile && f.getPath.getName.endsWith(".parquet"))
+              buf += f.getPath
+          }
+          buf.result()
+        }
       // (col, kind) -> (min, max, count) folded across files/row groups
       val acc = scala.collection.mutable.Map
         .empty[String, (String, String, String, Long)]
@@ -616,8 +650,6 @@ object CommitLog {
         .toDF("__uid", "__mn", "__mx")
       val tagged = updates.join(broadcast(ranges),
         col(keyCol).between(col("__mn"), col("__mx")), "left")
-      val inRange = tagged.filter(col("__uid").isNotNull)
-        .drop("__uid", "__mn", "__mx")
       val outRange = tagged.filter(col("__uid").isNull)
         .drop("__uid", "__mn", "__mx")
       val touchedIds = updates.select(col(keyCol).as("__k"))
@@ -636,13 +668,26 @@ object CommitLog {
         newUnits += rel
         newStats += ((rel, r.getLong(0), r.getLong(1), r.getLong(2)))
       }
-      if (touchedRel.nonEmpty) {
-        val touchedDf = spark.read.parquet(
-          touchedRel.map(u => java.nio.file.Paths.get(table, u).toString): _*)
-        writeUnit(
-          touchedDf.join(inRange.select(col(keyCol)), Seq(keyCol), "left_anti")
-            .unionByName(inRange),
-          f"data/merge_v${v + 1}%05d_rw_$attempts")
+      // ONE REWRITTEN UNIT PER TOUCHED UNIT, never a collapsed span:
+      // each rewrite is (that unit's rows minus its replaced keys) ∪
+      // (the updates routed to it), so its key range stays a SUBSET of
+      // the original unit's — the layout stays disjoint and the NEXT
+      // merge still routes. A single collapsed rewrite of
+      // non-adjacent touched units (say 2 and 5) would publish a
+      // range spanning the carried units between them and permanently
+      // trip the overlap require above. Loop cost is O(touched units)
+      // delta-sized jobs — the documented merge cost model.
+      st.zipWithIndex.foreach { case ((u, _, _, _), i) =>
+        if (touchedIds(i)) {
+          val upd = tagged.filter(col("__uid") === i)
+            .drop("__uid", "__mn", "__mx")
+          val unitDf = spark.read.parquet(
+            java.nio.file.Paths.get(table, u).toString)
+          writeUnit(
+            unitDf.join(upd.select(col(keyCol)), Seq(keyCol), "left_anti")
+              .unionByName(upd),
+            f"data/merge_v${v + 1}%05d_rw${i}_$attempts")
+        }
       }
       if (!outRange.isEmpty)
         writeUnit(outRange, f"data/merge_v${v + 1}%05d_ins_$attempts")
@@ -663,6 +708,16 @@ object CommitLog {
             cs.filterNot(s => touchedRel.contains(s.unit)) ++
               footerColStats(spark, table, newUnits.result(),
                 cs.map(_.col).distinct))
+        }
+        // a bloom-indexed table keeps point-lookup skipping across the
+        // merge: carried entries verbatim, rewritten/insert units get
+        // filters REBUILT delta-only (their content changed — a
+        // carried filter would go stale-positive, a missing one would
+        // make snapshotBloom refuse the whole sidecar)
+        locally {
+          val ns = newStats.result().map(s => s._1 -> s._4).toMap
+          carryBloomStats(spark, table, v, v + 1, newUnits.result(),
+            touchedRel.toSet, rel => ns.getOrElse(rel, 1L), 0.03)
         }
         return v + 1
       }
@@ -726,6 +781,19 @@ object CommitLog {
       }
       if (tryCommit(table, v + 1, carried :+ rel)) {
         carryStats(table, v, v + 1, small.map(_._1).toSet, rel)
+        // bloom filters fold the same way as range stats: the packed
+        // unit's filter is the mergeInPlace-union of the packed
+        // filters (pure sidecar arithmetic — packing moves rows, never
+        // changes them), untouched entries carry verbatim
+        locally {
+          val smallSet = small.map(_._1).toSet
+          val smallRel = manifestLines(table, v).filter(line =>
+            smallSet(java.nio.file.Paths.get(table, line).toString))
+          carryBloomAcrossPack(spark, table, v, v + 1, rel, smallRel.toSet,
+            r => spark.read.parquet(
+              java.nio.file.Paths.get(table, r).toString).count(),
+            0.03)
+        }
         // a MoR table's tombstones still apply to the packed raw rows
         // (bin-packing preserves pre-images) — carry the dv sidecar or
         // the compaction would RESURRECT every deleted row at v+1
@@ -850,13 +918,175 @@ object CommitLog {
     */
   def writeBloomStats(spark: SparkSession, table: String, version: Long,
       colName: String, expectedPerUnit: Long, fpp: Double): Unit = {
-    import org.apache.spark.sql.functions.{col, input_file_name, udaf}
     val rels = unitsRel(table, version)
-    // ONE grouped pass over the whole snapshot builds every unit's
-    // filter (per-FILE groups, folded into units below): one job
-    // however many units the table has, where a per-unit
-    // df.stat.bloomFilter loop is one driver-serialized job each —
-    // the footerColStats lesson applied to the bloom layer
+    val lines = buildBloomLines(spark, table, rels, colName,
+      expectedPerUnit, fpp)
+    require(lines.size == rels.size,
+      s"bloom build covered ${lines.size} of ${rels.size} units — an " +
+        "empty unit has no files to hash; publish its filter explicitly " +
+        "or drop the unit from the manifest")
+    publishSidecar(table, version, "bloom.txt",
+      lines.map(bloomLine(_, colName)).mkString("", "\n", "\n"))
+  }
+
+  /** PUBLIC delta-sized bloom publish for an APPEND version: build
+    * filters only for `newRels` (the units `to` added) and carry every
+    * other unit's entry verbatim from `carryFrom`'s sidecar — publish
+    * cost tracks the delta, not the table (at 10⁵ units the
+    * [[writeBloomStats]] full-snapshot build is a full-table pass per
+    * publish; it stays as the backfill path). Loud where the private
+    * maintenance fold is lenient: a missing `carryFrom` sidecar or an
+    * uncovered unit of `to` fails the publish instead of silently
+    * leaving the new version bloom-less.
+    */
+  def writeBloomStatsDelta(spark: SparkSession, table: String,
+      carryFrom: Long, to: Long, newRels: Seq[String],
+      expectedPerUnit: Long, fpp: Double): Unit = {
+    require(bloomLines(table, carryFrom).nonEmpty,
+      s"$table v$carryFrom has no bloom sidecar to carry from — " +
+        "backfill with writeBloomStats first")
+    carryBloomStats(spark, table, carryFrom, to, newRels, Set.empty,
+      _ => expectedPerUnit, fpp)
+    require(java.nio.file.Files.isRegularFile(
+        logDir(table).resolve(f"v$to%05d.bloom.txt")),
+      s"delta bloom publish for $table v$to left units uncovered — " +
+        s"newRels must name every unit absent from v$carryFrom")
+  }
+
+  /** Delta-sized bloom publish for a maintenance/append version: build
+    * filters ONLY for `newRels` (the version's new units) and carry
+    * every other unit's filter verbatim from `carryFrom`'s sidecar —
+    * publish cost tracks the DELTA, not the table (the
+    * [[writeBloomStats]] full-snapshot build stays as the backfill
+    * path). `rewrittenAbsorbed` names the `carryFrom` units whose rows
+    * were folded INTO the new units (packed or rewritten) — their old
+    * entries are dropped, not carried. Sized by `expectedOf(rel)` so a
+    * maintenance caller can pass honest per-unit row counts from the
+    * stats sidecar it just folded.
+    */
+  private def carryBloomStats(spark: SparkSession, table: String,
+      carryFrom: Long, to: Long, newRels: Seq[String],
+      rewrittenAbsorbed: Set[String], expectedOf: String => Long,
+      fpp: Double): Unit = {
+    val prev = bloomLines(table, carryFrom)
+    if (prev.isEmpty) return
+    val targetRels = unitsRel(table, to).toSet
+    val cols = prev.map(_._2).distinct
+    val carried = prev.filter { case (rel, _, _) =>
+      targetRels(rel) && !rewrittenAbsorbed(rel)
+    }
+    val built = cols.flatMap { c =>
+      newRels.flatMap { rel =>
+        buildBloomLines(spark, table, Seq(rel), c,
+          math.max(1L, expectedOf(rel)), fpp).map(l => (l._1, c, l._2))
+      }
+    }
+    val all = carried ++ built
+    // only publish a sidecar that still answers for EVERY unit of the
+    // target snapshot — a partial sidecar would let snapshotBloom skip
+    // an uncovered unit and return a silently wrong answer
+    if (cols.forall(c => targetRels.forall(r =>
+        all.exists(e => e._1 == r && e._2 == c))))
+      publishSidecar(table, to, "bloom.txt",
+        all.sortBy(e => (e._2, e._1))
+          .map { case (rel, c, b64) => bloomLine((rel, b64), c) }
+          .mkString("", "\n", "\n"))
+  }
+
+  /** Fold a bloom sidecar across a PACK (compaction): the packed
+    * unit's filter is the mergeInPlace-union of the packed units'
+    * filters — the union of filters IS the filter of the union at
+    * fixed params, so this is pure sidecar arithmetic, zero data
+    * reads. Untouched entries carry verbatim. If the packed filters
+    * were built with incompatible params (mixed sizing generations),
+    * the packed unit's filter is REBUILT from its data instead —
+    * correctness never depends on the cheap path applying.
+    */
+  private def carryBloomAcrossPack(spark: SparkSession, table: String,
+      from: Long, to: Long, packedRel: String,
+      packedAbsorbed: Set[String], expectedOf: String => Long,
+      fpp: Double): Unit = {
+    val prev = bloomLines(table, from)
+    if (prev.isEmpty) return
+    val cols = prev.map(_._2).distinct
+    val carried = prev.filterNot(e => packedAbsorbed(e._1))
+    val packedEntries = cols.flatMap { c =>
+      val parts = prev.filter(e => packedAbsorbed(e._1) && e._2 == c)
+      if (parts.size != packedAbsorbed.size) Seq.empty // partial → give up col
+      else {
+        val merged =
+          try {
+            val fs = parts.map { case (_, _, b64) =>
+              org.apache.spark.util.sketch.BloomFilter.readFrom(
+                new java.io.ByteArrayInputStream(
+                  java.util.Base64.getDecoder.decode(b64)))
+            }
+            Some(fs.reduce { (a, b) => a.mergeInPlace(b); a })
+          } catch {
+            case _: org.apache.spark.util.sketch.IncompatibleMergeException =>
+              None
+          }
+        merged match {
+          case Some(bf) =>
+            val bos = new java.io.ByteArrayOutputStream()
+            bf.writeTo(bos)
+            Seq((packedRel, c,
+              java.util.Base64.getEncoder.encodeToString(bos.toByteArray)))
+          case None =>
+            buildBloomLines(spark, table, Seq(packedRel), c,
+              math.max(1L, expectedOf(packedRel)), fpp)
+              .map(l => (l._1, c, l._2))
+        }
+      }
+    }
+    val all = carried ++ packedEntries
+    val targetRels = unitsRel(table, to).toSet
+    if (cols.forall(c => targetRels.forall(r =>
+        all.exists(e => e._1 == r && e._2 == c))))
+      publishSidecar(table, to, "bloom.txt",
+        all.sortBy(e => (e._2, e._1))
+          .map { case (rel, c, b64) => bloomLine((rel, b64), c) }
+          .mkString("", "\n", "\n"))
+  }
+
+  /** One bloom sidecar line, `rel|col|base64` with rel and col
+    * URL-encoded (a column name containing '|' must not corrupt the
+    * 3-way split at read time — same armor as the cstats sidecar).
+    */
+  private def bloomLine(e: (String, String), colName: String): String = {
+    def enc(s: String) =
+      java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+    s"${enc(e._1)}|${enc(colName)}|${e._2}"
+  }
+
+  /** The decoded `(rel, col, base64)` bloom entries of `version` —
+    * empty when the version has no bloom sidecar.
+    */
+  private def bloomLines(table: String,
+      version: Long): Seq[(String, String, String)] = {
+    def dec(s: String) =
+      java.net.URLDecoder.decode(s, java.nio.charset.StandardCharsets.UTF_8)
+    val f = logDir(table).resolve(f"v$version%05d.bloom.txt")
+    if (!java.nio.file.Files.isRegularFile(f)) Seq.empty
+    else java.nio.file.Files.readAllLines(f)
+      .toArray(Array.empty[String]).toSeq.filter(_.nonEmpty)
+      .map { l => val Array(rel, c, b64) = l.split('|')
+        (dec(rel), dec(c), b64) }
+  }
+
+  /** Build `(rel, base64-filter)` bloom entries for `rels` — ONE
+    * grouped pass over exactly those units (per-FILE groups, folded
+    * into units below): one job however many units are asked for,
+    * where a per-unit df.stat.bloomFilter loop is one driver-serialized
+    * job each — the footerColStats lesson applied to the bloom layer.
+    * Values hash through cast('string') + putString; probes must use
+    * the same encoding ([[snapshotBloom]]).
+    */
+  private def buildBloomLines(spark: SparkSession, table: String,
+      rels: Seq[String], colName: String, expectedPerUnit: Long,
+      fpp: Double): Seq[(String, String)] = {
+    import org.apache.spark.sql.functions.{col, input_file_name, udaf}
+    if (rels.isEmpty) return Seq.empty
     val bloomAgg = udaf(new graft.functions.Aggregators.BloomAgg(
       expectedPerUnit, fpp))
     val perFile = spark.read
@@ -873,10 +1103,10 @@ object CommitLog {
       var p = java.nio.file.Paths.get(
         new java.net.URI(fileUri).getPath).toAbsolutePath.normalize
       while (p != null && !byAbs.contains(p)) p = p.getParent
-      require(p != null, s"file $fileUri belongs to no unit of v$version")
+      require(p != null, s"file $fileUri belongs to no requested unit")
       byAbs(p)
     }
-    val lines = perFile
+    perFile
       .groupBy { case (f, _) => unitOf(f) }
       .toSeq.sortBy(_._1)
       .map { case (rel, files) =>
@@ -886,14 +1116,8 @@ object CommitLog {
         }.reduce { (a, b) => a.mergeInPlace(b); a }
         val bos = new java.io.ByteArrayOutputStream()
         merged.writeTo(bos)
-        s"$rel|$colName|${java.util.Base64.getEncoder
-          .encodeToString(bos.toByteArray)}"
+        (rel, java.util.Base64.getEncoder.encodeToString(bos.toByteArray))
       }
-    require(lines.size == rels.size,
-      s"bloom build covered ${lines.size} of ${rels.size} units — an " +
-        "empty unit has no files to hash; publish its filter explicitly " +
-        "or drop the unit from the manifest")
-    publishSidecar(table, version, "bloom.txt", lines.mkString("", "\n", "\n"))
   }
 
   /** Bloom-pruned point read: scan only the units whose bloom filter
@@ -907,20 +1131,27 @@ object CommitLog {
     */
   def snapshotBloom(spark: SparkSession, table: String, version: Long,
       colName: String, value: Any): (DataFrame, Int) = {
-    val f = logDir(table).resolve(f"v$version%05d.bloom.txt")
-    require(java.nio.file.Files.isRegularFile(f),
+    require(java.nio.file.Files.isRegularFile(
+        logDir(table).resolve(f"v$version%05d.bloom.txt")),
       s"$table v$version has no bloom sidecar")
-    val entries = java.nio.file.Files.readAllLines(f)
-      .toArray(Array.empty[String]).toSeq.filter(_.nonEmpty)
-      .map { l => val Array(rel, c, b64) = l.split('|'); (rel, c, b64) }
-      .filter(_._2 == colName)
+    val entries = bloomLines(table, version).filter(_._2 == colName)
     require(entries.nonEmpty,
       s"$table v$version bloom sidecar has no entries for $colName")
+    // the sidecar must answer for EVERY unit of the snapshot — a unit
+    // without an entry has no filter to say "maybe", and skipping it
+    // would be a silently wrong answer, not a false positive
+    val uncovered = unitsRel(table, version).toSet -- entries.map(_._1).toSet
+    require(uncovered.isEmpty,
+      s"$table v$version bloom sidecar for $colName misses units " +
+        s"${uncovered.toSeq.sorted.mkString(",")} — rebuild it")
     val picked = entries.flatMap { case (rel, _, b64) =>
       val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
         new java.io.ByteArrayInputStream(
           java.util.Base64.getDecoder.decode(b64)))
-      if (bf.mightContain(value))
+      // probe with the SAME encoding the build hashed (cast('string')
+      // + putString): a raw Long probe would dispatch to
+      // mightContainLong and get guaranteed false negatives
+      if (bf.mightContainString(String.valueOf(value)))
         Some(java.nio.file.Paths.get(table, rel).toString)
       else None
     }
@@ -947,12 +1178,12 @@ object CommitLog {
     * rewriting a data unit; readers pay one anti-join until a
     * compaction applies the tombstones and publishes a clean version
     * (no sidecar). Tombstone units live outside the manifest, so
-    * [[snapshot]] (the raw pre-image), [[changes]] and
-    * [[incremental]] are untouched by them — which also means a CDC
-    * consumer of a MoR table must watch dv sidecars alongside the
-    * feed (or consume only post-compaction versions): the delete's
-    * retractions surface in [[changes]] at the compaction that
-    * applies them, not at the version that declared them.
+    * [[snapshot]] (the raw pre-image) and [[incremental]] are
+    * untouched by them. [[changes]] IS MoR-aware: the declaring
+    * version's feed emits the tombstoned rows as retractions
+    * (tombstone keys ⋈ pre-image units), and the compaction that
+    * later applies them yields an empty feed — a CDC consumer sees
+    * each delete exactly once, at declaration time.
     * [[compact]] carries an outstanding sidecar forward (packing
     * preserves pre-images, so the tombstones still apply);
     * [[mergeCow]] refuses outstanding deletes outright.
@@ -1208,40 +1439,68 @@ object CommitLog {
       // tombstones for keys no unit can hold (already-gone keys) leave
       // nothing to rewrite — the clean version is then a pure manifest
       // republish dropping the sidecar
-      val rel = f"data/apply_v${v + 1}%05d_$attempts"
-      val newUnits =
-        if (touched.isEmpty) Seq.empty[String]
+      val routed = eligible.forall(stByUnit.contains) && st.nonEmpty
+      val newUnits = Seq.newBuilder[String]
+      val newStats = Seq.newBuilder[(String, Long, Long, Long)]
+      def writeClean(srcAbs: Seq[String], rel: String): Unit = {
+        spark.read.parquet(srcAbs: _*)
+          .join(keys, Seq(keyCol), "left_anti")
+          .write.parquet(java.nio.file.Paths.get(table, rel).toString)
+        // measure BEFORE commit (read-back of the just-written small
+        // unit) — count first: a rewrite the tombstones fully emptied
+        // has null min/max, no stats to publish and no reason to live
+        // in the manifest at all
+        val r = spark.read.parquet(
+            java.nio.file.Paths.get(table, rel).toString)
+          .agg(min(col(keyCol).cast("long")),
+            max(col(keyCol).cast("long")), count(lit(1))).head()
+        if (r.getLong(2) == 0L)
+          Fs.deleteRecursively(java.nio.file.Paths.get(table, rel).toString)
         else {
-          spark.read.parquet(
-              touched.map(u => java.nio.file.Paths.get(table, u).toString): _*)
-            .join(keys, Seq(keyCol), "left_anti")
-            .write.parquet(java.nio.file.Paths.get(table, rel).toString)
-          Seq(rel)
+          newUnits += rel
+          newStats += ((rel, r.getLong(0), r.getLong(1), r.getLong(2)))
         }
+      }
+      if (routed)
+        // ONE REWRITE PER TOUCHED UNIT: each clean unit's key range is
+        // a subset of its source's, so the stats layout stays disjoint
+        // and the next mergeCow still routes (a collapsed rewrite of
+        // non-adjacent touched units would span the carried units
+        // between them). O(touched) delta-sized jobs.
+        touched.zipWithIndex.foreach { case (u, i) =>
+          writeClean(Seq(java.nio.file.Paths.get(table, u).toString),
+            f"data/apply_v${v + 1}%05d_rw${i}_$attempts")
+        }
+      else if (touched.nonEmpty)
+        // unrouted (no stats sidecar): nothing preserves ranges anyway
+        // — one collapsed rewrite keeps this degraded path O(1) jobs
+        writeClean(touched.map(u => java.nio.file.Paths.get(table, u).toString),
+          f"data/apply_v${v + 1}%05d_$attempts")
       val carried = eligible.filterNot(touched.contains)
       if (tryCommit(table, v + 1,
-          carried ++ exempt.toSeq.sorted ++ newUnits)) {
-        if (st.nonEmpty) {
-          val rewrittenStats = newUnits.map { u =>
-            val r = spark.read.parquet(
-                java.nio.file.Paths.get(table, u).toString)
-              .agg(min(col(keyCol).cast("long")),
-                max(col(keyCol).cast("long")), count(lit(1))).head()
-            (u, r.getLong(0), r.getLong(1), r.getLong(2))
-          }
+          carried ++ exempt.toSeq.sorted ++ newUnits.result())) {
+        if (st.nonEmpty)
           writeStats(table, v + 1,
-            st.filterNot(s => touched.contains(s._1)) ++ rewrittenStats)
-        }
+            st.filterNot(s => touched.contains(s._1)) ++ newStats.result())
         if (java.nio.file.Files.isRegularFile(
             logDir(table).resolve(f"v$v%05d.cstats.txt"))) {
           val cs = colStats(table, v)
           writeColStats(table, v + 1,
             cs.filterNot(s => touched.contains(s.unit)) ++
-              footerColStats(spark, table, newUnits, cs.map(_.col).distinct))
+              footerColStats(spark, table, newUnits.result(),
+                cs.map(_.col).distinct))
+        }
+        // bloom skipping survives the apply: carried entries verbatim,
+        // rewritten units rebuilt delta-only (their content shrank — a
+        // carried filter would answer "maybe" for every deleted key)
+        locally {
+          val ns = newStats.result().map(s => s._1 -> s._4).toMap
+          carryBloomStats(spark, table, v, v + 1, newUnits.result(),
+            touched.toSet, r => ns.getOrElse(r, 1L), 0.03)
         }
         return v + 1
       }
-      newUnits.foreach(u =>
+      newUnits.result().foreach(u =>
         Fs.deleteRecursively(java.nio.file.Paths.get(table, u).toString))
     }
     -1L // unreachable
@@ -1294,11 +1553,12 @@ object CommitLog {
         if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }: _*)
-    import org.apache.spark.sql.functions.{abs, explode, expr, sum, when}
+    import org.apache.spark.sql.functions.{broadcast, explode, expr, sum, when}
     val a = align(read(added))
     val r = align(read(removed))
     val cols = schemaSrc.columns.toSeq
-    a.withColumn("__w", lit(1L)).unionAll(r.withColumn("__w", lit(-1L)))
+    val diff = a.withColumn("__w", lit(1L))
+      .unionAll(r.withColumn("__w", lit(-1L)))
       .groupBy(cols.map(col): _*).agg(sum(col("__w")).as("__n"))
       .filter(col("__n") =!= 0)
       .withColumn("_change_type",
@@ -1307,6 +1567,83 @@ object CommitLog {
       // genuine duplicate rows — replicate them out like exceptAll
       .withColumn("__i", explode(expr("sequence(1L, abs(__n))")))
       .select(cols.map(col) :+ col("_change_type"): _*)
+    // MERGE-ON-READ AWARENESS — the feed surfaces a MoR delete at the
+    // version that DECLARES it, not at the compaction that later
+    // applies it (the consumer caveat the r10 dv.txt doc carried, now
+    // closed):
+    //  1. A version declaring NEW tombstones emits their retractions:
+    //     tombstone keys ⋈ the pre-image units (the snapshot minus the
+    //     same commit's sequence-exempt post-images) as change_type
+    //     'delete'. An upsert therefore reads as delete(pre) +
+    //     insert(post) in ONE version — the lakehouse pre/post-image
+    //     pair. The tombstone unit's schema names the key column, so
+    //     the feed needs no key parameter.
+    //  2. The APPLY version (predecessor carried tombstones, this one
+    //     is clean) suppresses the physically-removed tombstoned rows
+    //     — the consumer already saw those deletes at declaration, and
+    //     re-emitting them would double-delete a folding replica. Its
+    //     feed is empty, like any other pure-maintenance commit.
+    val newDv = newDvLines(table, version)
+    val withRetract =
+      if (newDv.isEmpty) diff
+      else {
+        val exempt = seqLines(table, version).toSet
+        val preRel = unitsRel(table, version).filterNot(exempt)
+        val keys = spark.read.parquet(
+          newDv.map(u => java.nio.file.Paths.get(table, u).toString): _*)
+          .distinct()
+        // STATS-ROUTED pre-image read (the applyDeletes discipline):
+        // when the version carries a stats sidecar covering every
+        // pre-image unit AND the tombstone schema is the single key
+        // column those ranges describe, only units whose key range
+        // holds at least one tombstone key are opened — a GDPR batch
+        // confined to 2 of 10⁵ units costs 2 units of pre-image I/O,
+        // never a table scan. One extra keyed job over the (small)
+        // tombstone set buys the pruning; the fallback (no stats, or
+        // composite tombstone schema) reads every pre-image unit,
+        // which is the only sound answer without ranges.
+        val st =
+          if (java.nio.file.Files.isRegularFile(
+              logDir(table).resolve(f"v$version%05d.stats.txt")))
+            stats(table, version)
+          else Seq.empty
+        val stByUnit = st.map(s => s._1 -> s).toMap
+        val keyIsIntegral = keys.schema.fields.headOption.exists(f =>
+          f.dataType == org.apache.spark.sql.types.LongType ||
+            f.dataType == org.apache.spark.sql.types.IntegerType)
+        val routedRel =
+          if (keys.columns.size == 1 && keyIsIntegral && st.nonEmpty &&
+              preRel.forall(stByUnit.contains)) {
+            import spark.implicits._
+            val ranges = preRel.map(stByUnit).zipWithIndex
+              .map { case ((u, mn, mx, _), i) => (i, u, mn, mx) }
+              .toDF("__i", "__u", "__mn", "__mx")
+            keys.join(broadcast(ranges),
+                col(keys.columns.head).between(col("__mn"), col("__mx")))
+              .select("__u").distinct()
+              .collect().map(_.getString(0)) // metadata-sized: touched unit names
+              .toSeq.sorted
+          } else preRel
+        val preAbs = routedRel
+          .map(u => java.nio.file.Paths.get(table, u).toString)
+        if (preAbs.isEmpty) diff
+        else diff.unionByName(
+          align(read(preAbs)).join(keys, keys.columns.toSeq, "left_semi")
+            .withColumn("_change_type", lit("delete"))
+            .select(cols.map(col) :+ col("_change_type"): _*))
+      }
+    val vs = versions(table)
+    val prevDvApplied = vs.indexOf(version) > 0 &&
+      dvLines(table, version).isEmpty &&
+      dvLines(table, vs(vs.indexOf(version) - 1)).nonEmpty
+    if (!prevDvApplied) withRetract
+    else {
+      val tombKeys = spark.read.parquet(
+        deletes(table, vs(vs.indexOf(version) - 1)): _*).distinct()
+      withRetract.filter(col("_change_type") === "insert").unionByName(
+        withRetract.filter(col("_change_type") === "delete")
+          .join(tombKeys, tombKeys.columns.toSeq, "left_anti"))
+    }
   }
 
   /** What [[vacuum]] actually did: `unitsDeleted` fully-reclaimed data

@@ -486,6 +486,94 @@ object StreamQueries {
       d0.unionAll(d1).orderBy("drain", "status")
     }),
 
+    // I10 (round 11): the CDC feed as a STREAMING CONSUMER — the
+    // incremental materialized-view loop that dml_cdc_replay proves in
+    // batch, now driven by a real stream with checkpoint resume
+    // (VERDICT r10 #8). The stream source is the COMMIT LOG itself: a
+    // file stream over `_log/v?????.txt` delivers each published
+    // manifest exactly once (sidecars don't match the glob), and a
+    // foreachBatch maps every arriving version to CommitLog.changes()
+    // and folds it into a persisted replica — state_v = state_{v-1}
+    // minus delete rows plus insert rows, materialized per version so
+    // the plan stays O(1) deep. The lifecycle crossed between the two
+    // drains is the full MoR story: v0 insert slice → drain; offline,
+    // v1 = upsertMoR (the feed is the delete(pre)+insert(post) pair at
+    // the DECLARING version) and v2 = applyDeletes (pure maintenance,
+    // EMPTY feed — the consumer already saw the deletes) → drain. The
+    // replica must equal the final clean snapshot: a re-delivered
+    // manifest would double-apply, a missed one under-apply, a
+    // retraction emitted at BOTH declaration and apply would
+    // double-delete — the oracle equality rules all three out. At
+    // 100 TB per-drain cost is O(changed rows since last drain), never
+    // O(table): the replica-maintenance shape for a downstream index,
+    // feature store, or serving copy.
+    "stream_cdc_apply" -> ((s, d) => {
+      import graft.sources.CommitLog
+      val base = load(s, d, "orders")
+        .select(col("o_orderkey").as("k"), dec(col("o_totalprice")).as("p"))
+      val root = tmp("graft_scdc")
+      val ckpt = tmp("graft_scdc_ckpt")
+      val stateDir = tmp("graft_scdc_state")
+      def latestState(): Option[String] = {
+        import scala.jdk.CollectionConverters._
+        val st = java.nio.file.Files.list(java.nio.file.Paths.get(stateDir))
+        try st.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("v")).toVector
+          .sortBy(_.drop(1).toLong).lastOption
+          .map(n => s"$stateDir/$n")
+        finally st.close()
+      }
+      def drain(): Unit = {
+        val sdf = s.readStream.text(s"$root/_log/v?????.txt")
+          .select(col("_metadata.file_path").as("path"))
+        val q = sdf.writeStream.outputMode("append")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val vs = batch.select("path").distinct().collect() // metadata-sized: one row per arrived manifest
+              .map(_.getString(0).split('/').last
+                .stripPrefix("v").stripSuffix(".txt").toLong)
+              .sorted
+            vs.foreach { v =>
+              val ch = CommitLog.changes(s, root, v)
+              val ins = ch.filter(col("_change_type") === "insert")
+                .drop("_change_type")
+              val del = ch.filter(col("_change_type") === "delete")
+                .drop("_change_type")
+              (latestState(), ch.isEmpty) match {
+                case (None, _) => ins.write.parquet(s"$stateDir/v$v")
+                case (Some(_), true) => () // maintenance: replica untouched
+                case (Some(prev), false) =>
+                  s.read.parquet(prev).exceptAll(del).unionAll(ins)
+                    .write.parquet(s"$stateDir/v$v")
+              }
+            }
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      // v0: the k%3==0 slice — one insert unit
+      base.filter(col("k") % 3 === 0).coalesce(1).write.parquet(s"$root/u0")
+      CommitLog.commit(root, 0L, Seq("u0"))
+      drain()
+      // the table lives on while the consumer is offline: an upsert
+      // (k%15==0 re-priced ×2, k%3==1 keys inserted) and the
+      // maintenance pass that applies its tombstones
+      CommitLog.upsertMoR(s, root,
+        base.filter(col("k") % 15 === 0)
+          .select(col("k"), (col("p") * 2).cast(DecimalType(18, 2)).as("p"))
+          .unionAll(base.filter(col("k") % 3 === 1)), "k")
+      CommitLog.applyDeletes(s, root, "k")
+      drain()
+      val rep = s.read.parquet(latestState().get)
+        .agg(count(lit(1)).as("replica_rows"),
+          sum(col("p")).cast(DecimalType(38, 2)).as("replica_total"))
+      val vLast = CommitLog.versions(root).last
+      val fin = CommitLog.snapshot(s, root, vLast)
+        .agg(count(lit(1)).as("snapshot_rows"),
+          sum(col("p")).cast(DecimalType(38, 2)).as("snapshot_total"))
+      rep.crossJoin(fin)
+    }),
+
     // I7: stream-static join — events stream enriched with the
     // customer dimension (no watermark needed on the static side).
     "stream_join" -> ((s, d) => {
@@ -517,6 +605,21 @@ object StreamQueries {
         |SELECT CAST(1 AS BIGINT), status, count(*),
         |    CAST(sum(p) AS DECIMAL(38,2)) FROM base GROUP BY status
         |ORDER BY drain, status""".stripMargin,
+    // I10: the stream-fed replica equals the final snapshot, both
+    // derivable from orders arithmetic (an update's total contribution
+    // is p*2 = p + p, so the final total is base-slice + re-priced
+    // delta + inserted slice).
+    "stream_cdc_apply" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        | fin AS (SELECT k, CASE WHEN k % 15 = 0
+        |      THEN CAST(p * 2 AS DECIMAL(18,2)) ELSE p END AS p
+        |    FROM base WHERE k % 3 = 0
+        |  UNION ALL SELECT k, p FROM base WHERE k % 3 = 1)
+        |SELECT (SELECT count(*) FROM fin) AS replica_rows,
+        |    CAST((SELECT sum(p) FROM fin) AS DECIMAL(38,2)) AS replica_total,
+        |    (SELECT count(*) FROM fin) AS snapshot_rows,
+        |    CAST((SELECT sum(p) FROM fin) AS DECIMAL(38,2)) AS snapshot_total""".stripMargin,
     // I1: complete-mode tumbling agg over one batch = plain group-by.
     // Exact decimal sum → double, same as the Spark side's
     // dec→DECIMAL(38,2)→Canon(double) pipeline.

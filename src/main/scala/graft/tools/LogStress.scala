@@ -229,6 +229,125 @@ object LogStress {
     rows += (("digest point lookup: full 32-unit scan vs bloom-pruned read",
       b1, bs1, b2, bs2))
 
+    // bloom publish after an append: the full-snapshot rebuild reads
+    // all 32 units' column; the delta publish builds ONE unit's filter
+    // and carries the rest as sidecar text — publish cost must track
+    // the delta, not the table (VERDICT r10 #4)
+    def appendOneUnit(t: String): String = {
+      base.limit(1000).select((col("k") + lit(77000000000L)).as("k"),
+          col("p"), md5(col("k").cast("string")).as("uid"))
+        .coalesce(1).write.parquet(s"$t/data/app")
+      CommitLog.commit(t, 1L, {
+        import scala.jdk.CollectionConverters._
+        val st = java.nio.file.Files.list(
+          java.nio.file.Paths.get(t, "data", "v0"))
+        val olds = try st.iterator().asScala.map(p => s"data/v0/${p.getFileName}")
+          .filter(_.contains("bucket=")).toVector.sorted
+        finally st.close()
+        olds :+ "data/app"
+      })
+      t
+    }
+    def bloomTable(): String = {
+      val (t, _) = buildRange(baseU, 32)
+      CommitLog.writeBloomStats(spark, t, 0L, "uid",
+        baseU.count() / 32 + 1, 0.01)
+      appendOneUnit(t)
+    }
+    val tFullPub = bloomTable()
+    val tDeltaPub = bloomTable()
+    // time() would double-publish an immutable sidecar — warm up on
+    // throwaway tables instead, then time one publish each
+    CommitLog.writeBloomStats(spark, bloomTable(), 1L, "uid",
+      baseU.count() / 32 + 1, 0.01) // warmup full
+    CommitLog.writeBloomStatsDelta(spark, bloomTable(), 0L, 1L,
+      Seq("data/app"), 1000L, 0.01) // warmup delta
+    val tp0 = System.nanoTime()
+    CommitLog.writeBloomStats(spark, tFullPub, 1L, "uid",
+      baseU.count() / 32 + 1, 0.01)
+    val fullPubSec = (System.nanoTime() - tp0) / 1e9
+    val tp1 = System.nanoTime()
+    CommitLog.writeBloomStatsDelta(spark, tDeltaPub, 0L, 1L,
+      Seq("data/app"), 1000L, 0.01)
+    val deltaPubSec = (System.nanoTime() - tp1) / 1e9
+    rows += (("bloom publish after 1-unit append: full 33-unit rebuild vs delta build + carry",
+      33L, fullPubSec, 1L, deltaPubSec))
+
+    // CDC replica fold, MATERIALIZED per version (VERDICT r10 #6): the
+    // per-version cost must stay flat as history grows 10 -> 100 —
+    // each step reads the persisted state and writes the next, so the
+    // plan is O(1) deep at any depth (the lazy exceptAll/unionAll tree
+    // re-analyzes its whole history every step). Reported seconds are
+    // PER VERSION (total fold / versions); healthy ratio ≈ 1x.
+    def foldAll(t: String): (Long, Double) = {
+      val repDir = tmp()
+      val vsAll = CommitLog.versions(t)
+      val t0 = System.nanoTime()
+      var prev: Option[String] = None
+      vsAll.foreach { v =>
+        val ch = CommitLog.changes(spark, t, v)
+        val ins = ch.filter(col("_change_type") === "insert")
+          .drop("_change_type")
+        val del = ch.filter(col("_change_type") === "delete")
+          .drop("_change_type")
+        val out = s"$repDir/v$v"
+        prev match {
+          case None => ins.write.parquet(out)
+          case Some(p) => spark.read.parquet(p)
+            .exceptAll(del).unionAll(ins).write.parquet(out)
+        }
+        prev = Some(out)
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      (spark.read.parquet(prev.get).count(), sec / vsAll.size)
+    }
+    foldAll(log10) // warmup
+    val (r10rows, r10per) = foldAll(log10)
+    val (r100rows, r100per) = foldAll(log100)
+    rows += (("CDC replica fold per-version cost: history 10 -> 100 versions (materialized state, O(1) plan depth)",
+      r10rows, r10per, r100rows, r100per))
+
+    // MoR CDC retractions at the DECLARING version: tombstones confined
+    // to 1 of 32 key ranges — with a stats sidecar the pre-image read
+    // routes to the touched unit; without one, the only sound answer
+    // reads all 32 (the routed feed must cost the touched units)
+    def dvDeclareTable(withStats: Boolean): String = {
+      val (t, wdv) = buildRange(base, 32)
+      val units = {
+        import scala.jdk.CollectionConverters._
+        val st = java.nio.file.Files.list(
+          java.nio.file.Paths.get(t, "data", "v0"))
+        try st.iterator().asScala.map(p => s"data/v0/${p.getFileName}")
+          .filter(_.contains("bucket=")).toVector.sorted
+        finally st.close()
+      }
+      // the DELETE lands at v1 (one tiny appended unit + the dv
+      // sidecar), so its feed's diff side costs one tiny unit and the
+      // measurement isolates the PRE-IMAGE read the routing prunes
+      base.limit(10).select((col("k") + lit(99000000000L)).as("k"), col("p"))
+        .coalesce(1).write.parquet(s"$t/data/app")
+      CommitLog.commit(t, 1L, units :+ "data/app")
+      if (withStats) {
+        val cs = CommitLog.footerColStats(spark, t, units :+ "data/app", Seq("k"))
+        CommitLog.writeStats(t, 1L,
+          cs.map(s => (s.unit, s.min.toLong, s.max.toLong, s.count)))
+      }
+      base.filter(col("k") < lit(wdv) && col("k") % 10 === 0).select("k")
+        .coalesce(1).write.parquet(s"$t/dv")
+      CommitLog.writeDeletes(t, 1L, Seq("dv"))
+      t
+    }
+    val tUnrouted = dvDeclareTable(withStats = false)
+    val tRouted = dvDeclareTable(withStats = true)
+    def feedCount(t: String): Long =
+      CommitLog.changes(spark, t, 1L)
+        .filter(col("_change_type") === "delete")
+        .agg(count(lit(1))).head().getLong(0)
+    val (u1, us1) = time(feedCount(tUnrouted))
+    val (u2, us2) = time(feedCount(tRouted))
+    rows += (("MoR CDC retractions at declare: full 32-unit pre-image read vs stats-routed 1-unit read",
+      u1, us1, u2, us2))
+
     // IVF growth: assigning a FIXED arriving batch vs rebuilding the
     // whole 10x corpus from scratch — the delta append must cost the
     // batch, not the corpus (ratio ≈ batch/corpus, here ~1/20)

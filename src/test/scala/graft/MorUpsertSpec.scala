@@ -108,18 +108,48 @@ class MorUpsertSpec extends GraftSpec {
     assert(st2.map(_._1).toSet == CommitLog.unitNames(dir, 2L).toSet)
   }
 
-  test("changes() at the apply version surfaces exactly the deleted rows as retractions") {
+  test("changes() surfaces a MoR delete at DECLARATION; the apply version's feed is empty") {
     import spark.implicits._
     val dir = freshTable("graft_up5")
     seed(dir)
     Seq(Tuple1(2L)).toDF("k").coalesce(1).write.parquet(s"$dir/dv")
     CommitLog.commit(dir, 1L, Seq("u0", "u1"))
     CommitLog.writeDeletes(dir, 1L, Seq("dv"))
-    CommitLog.applyDeletes(spark, dir, "k")
-    val feed = CommitLog.changes(spark, dir, 2L)
+    // the DECLARING version carries the retraction — a CDC consumer
+    // never has to wait for (or watch) the compaction
+    val declared = CommitLog.changes(spark, dir, 1L)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
-    assert(feed == Seq((2L, "b", "delete")),
-      s"the apply version's CDC feed must be the delete retraction, got $feed")
+    assert(declared == Seq((2L, "b", "delete")),
+      s"the declaring version's CDC feed must be the retraction, got $declared")
+    CommitLog.applyDeletes(spark, dir, "k")
+    // the apply version is pure maintenance: the consumer already saw
+    // the delete, so re-emitting it would double-delete a replica
+    val feed = CommitLog.changes(spark, dir, 2L).collect()
+    assert(feed.isEmpty,
+      s"the apply version's CDC feed must be empty, got ${feed.toSeq}")
+  }
+
+  test("changes() at an upsert version is the pre/post-image pair in one feed") {
+    import spark.implicits._
+    val dir = freshTable("graft_up7")
+    seed(dir)
+    CommitLog.upsertMoR(spark, dir,
+      Seq((2L, "B"), (100L, "NEW")).toDF("k", "s"), "k")
+    val feed = CommitLog.changes(spark, dir, 1L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq.sortBy(r => (r._1, r._3))
+    assert(feed == Seq((2L, "B", "insert"), (2L, "b", "delete"),
+        (100L, "NEW", "insert")).sortBy(r => (r._1, r._3)),
+      s"upsert feed must be delete(pre) + insert(post), got $feed")
+    // folding the feed onto the previous snapshot reproduces the MoR view
+    val replica = CommitLog.snapshot(spark, dir, 0L)
+      .exceptAll(CommitLog.changes(spark, dir, 1L)
+        .filter($"_change_type" === "delete").drop("_change_type"))
+      .unionAll(CommitLog.changes(spark, dir, 1L)
+        .filter($"_change_type" === "insert").drop("_change_type"))
+    val want = CommitLog.snapshotMoRSeq(spark, dir, 1L, "k")
+    assert(replica.exceptAll(want).isEmpty && want.exceptAll(replica).isEmpty,
+      "CDC-folded replica must equal the MoR-resolved snapshot")
   }
 
   test("upsert after applyDeletes completes the cycle; a lost race retries on top") {

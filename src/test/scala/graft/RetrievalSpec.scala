@@ -19,6 +19,44 @@ class RetrievalSpec extends GraftSpec {
     }
   }
 
+  test("text_bm25_postings: the index-backed scorer is value-identical to the scan") {
+    // the entire index contract: bucketed postings + folded segment
+    // meta must reproduce the from-scratch formulation exactly —
+    // same docs, same n_hit, same 6-dp score (both also share one
+    // DuckDB oracle at the gate)
+    val scan = q("text_bm25").collect() // result-sized (≤ corpus docs)
+    val idx = q("text_bm25_postings").collect() // result-sized
+    assert(scan.nonEmpty && scan.length == idx.length)
+    scan.zip(idx).foreach { case (a, b) =>
+      assert(a == b, s"index-backed row diverged: scan=$a idx=$b")
+    }
+  }
+
+  test("text_bm25_postings: the manifest prunes to the query terms' buckets") {
+    import graft.sources.CommitLog
+    q("text_bm25_postings") // ensure the cached index exists
+    val cached = graft.queries.RetrievalQueries.postingsLogDir.get(sf)
+    assert(cached != null, "index fixture missing from the cache")
+    val root = cached.substring(cached.indexOf('|') + 1)
+    val st = CommitLog.stats(root, CommitLog.latestVersion(root))
+    val wanted = spark.createDataset(
+      Seq("hash", "join", "merge", "scan", "window"))(
+      org.apache.spark.sql.Encoders.STRING)
+      .selectExpr("pmod(xxhash64(value), 8) AS bucket")
+      .distinct().collect().map(_.getLong(0)).toSet // metadata-sized: query terms
+    val picked = st.filter { case (_, mn, _, _) => mn >= 0 && wanted(mn) }
+    val postingsUnits = st.filter(_._2 >= 0)
+    // 5 terms hash into at most 5 of the 8 buckets per generation —
+    // the probe must open a strict subset of the postings units, and
+    // every picked unit must be one of the wanted buckets
+    assert(picked.nonEmpty && picked.size < postingsUnits.size,
+      s"no pruning: picked ${picked.size} of ${postingsUnits.size}")
+    assert(picked.forall(u => wanted(u._2)))
+    // the 2 meta units (one per ingest generation) sit outside the
+    // bucket id space and never join a probe
+    assert(st.count(_._2 == -1L) == 2)
+  }
+
   test("text_bm25: higher tf at equal dl never scores lower per term") {
     // idf and the length normalizer are per-term/per-doc constants, so
     // the tf-saturation factor tf·(k1+1)/(tf+K) is increasing in tf —

@@ -1,0 +1,243 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-11 commit-log maintenance layer: bloom sidecars that survive
+  * compaction / COW merge / delete application, the delta-sized bloom
+  * publish, the rebuildStats crash-recovery op, per-touched-unit
+  * rewrites that keep the stats layout disjoint, encoding-armored
+  * sidecar lines, and the probe/build hash parity fix.
+  */
+class Round11OpsSpec extends GraftSpec {
+
+  import graft.sources.CommitLog
+
+  private def fresh(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** `n` units clustered on k (disjoint ranges of `per` keys) with a
+    * scattered `uid` string column, committed as v0 WITH range stats —
+    * the bloom fixture: uid min/max spans the domain in every unit, so
+    * range stats prune nothing and only the bloom layer can skip.
+    */
+  private def seedBloom(dir: String, n: Int, per: Int): Unit = {
+    import spark.implicits._
+    (0 until n).foreach { u =>
+      (0 until per).map { i =>
+        val k = u * per + i
+        (k.toLong, f"uid_${(k * 2654435761L) % 100000}%05d")
+      }.toDF("k", "uid").coalesce(1).write.parquet(s"$dir/u$u")
+    }
+    CommitLog.commit(dir, 0L, (0 until n).map(u => s"u$u"))
+    CommitLog.writeStats(dir, 0L, (0 until n).map(u =>
+      (s"u$u", u.toLong * per, u.toLong * per + per - 1, per.toLong)))
+  }
+
+  private def uidOf(k: Long): String =
+    f"uid_${(k * 2654435761L) % 100000}%05d"
+
+  test("bloom sidecar survives compaction as pure sidecar arithmetic") {
+    val t = fresh("graft_r11_bpack")
+    seedBloom(t, 4, 250)
+    CommitLog.writeBloomStats(spark, t, 0L, "uid", 250L, 0.01)
+    // pack everything: the packed unit's filter must be the merged
+    // union of the four packed filters — no data reads needed
+    val v1 = CommitLog.compact(spark, t, Long.MaxValue).get
+    assert(CommitLog.unitNames(t, v1).size == 1)
+    val (snap, scanned) = CommitLog.snapshotBloom(spark, t, v1, "uid", uidOf(700L))
+    assert(scanned == 1, s"present probe must scan the packed unit, got $scanned")
+    assert(snap.filter(col("uid") === uidOf(700L)).count() >= 1)
+    // definitely-absent probe: the merged filter still says no
+    val (_, missScanned) =
+      CommitLog.snapshotBloom(spark, t, v1, "uid", "no_such_uid")
+    assert(missScanned == 0,
+      s"absent probe must prune the packed unit, got $missScanned")
+  }
+
+  test("bloom sidecar survives mergeCow: carried verbatim + rebuilt delta-only") {
+    import spark.implicits._
+    val t = fresh("graft_r11_bmerge")
+    seedBloom(t, 4, 250)
+    CommitLog.writeBloomStats(spark, t, 0L, "uid", 250L, 0.01)
+    // update one key inside u1: only u1's filter is rebuilt
+    val v1 = CommitLog.mergeCow(spark, t,
+      Seq((260L, "uid_fresh")).toDF("k", "uid"), "k")
+    // an untouched unit's value still prunes to ~1 unit
+    val (snap, scanned) = CommitLog.snapshotBloom(spark, t, v1, "uid", uidOf(700L))
+    assert(scanned >= 1 && scanned <= 2,
+      s"carried filters must keep pruning (fp tolerance 1), got $scanned")
+    assert(snap.filter(col("uid") === uidOf(700L)).count() >= 1)
+    // the post-image value lives in the rebuilt filter
+    val (updSnap, updScanned) =
+      CommitLog.snapshotBloom(spark, t, v1, "uid", "uid_fresh")
+    assert(updScanned >= 1)
+    assert(updSnap.filter(col("uid") === "uid_fresh").count() == 1)
+    // the replaced pre-image value is gone from the data whatever the
+    // (rebuilt, hence honest) filter answers
+    val (gone, _) = CommitLog.snapshotBloom(spark, t, v1, "uid", uidOf(260L))
+    assert(gone.filter(col("uid") === uidOf(260L)).count() == 0)
+  }
+
+  test("bloom sidecar survives applyDeletes; emptied units leave the manifest") {
+    import spark.implicits._
+    val t = fresh("graft_r11_bapply")
+    seedBloom(t, 4, 250)
+    CommitLog.writeBloomStats(spark, t, 0L, "uid", 250L, 0.01)
+    // tombstone ALL of u0 plus one row of u2: u0 must vanish (no
+    // empty-unit stats NPE — ADVICE r10), u2 is rewritten per-unit
+    (0L until 250L).map(Tuple1(_)).toDF("k")
+      .unionAll(Seq(Tuple1(600L)).toDF("k"))
+      .coalesce(1).write.parquet(s"$t/dv")
+    CommitLog.writeDeletes(t, 0L, Seq("dv"))
+    val v1 = CommitLog.applyDeletes(spark, t, "k")
+    assert(CommitLog.snapshot(spark, t, v1).count() == 4 * 250 - 251)
+    assert(CommitLog.unitNames(t, v1).size == 3,
+      "the fully-emptied unit must not survive in the manifest")
+    // bloom still answers for the whole snapshot, including the
+    // rewritten unit, and still prunes
+    val (snap, scanned) = CommitLog.snapshotBloom(spark, t, v1, "uid", uidOf(300L))
+    assert(scanned >= 1 && scanned <= 2)
+    assert(snap.filter(col("uid") === uidOf(300L)).count() >= 1)
+    val (gone, _) = CommitLog.snapshotBloom(spark, t, v1, "uid", uidOf(600L))
+    assert(gone.filter(col("uid") === uidOf(600L)).count() == 0)
+    // the folded stats still route: a follow-up merge succeeds
+    val v2 = CommitLog.mergeCow(spark, t,
+      Seq((700L, "uid_v2")).toDF("k", "uid"), "k")
+    assert(CommitLog.snapshotBloom(spark, t, v2, "uid", "uid_v2")
+      ._1.filter(col("uid") === "uid_v2").count() == 1)
+  }
+
+  test("numeric probes hash like the build: no guaranteed false negatives") {
+    import spark.implicits._
+    val t = fresh("graft_r11_bnum")
+    (0 until 100).map(i => Tuple1(i.toLong * 7)).toDF("k")
+      .coalesce(1).write.parquet(s"$t/u0")
+    CommitLog.commit(t, 0L, Seq("u0"))
+    CommitLog.writeBloomStats(spark, t, 0L, "k", 100L, 0.01)
+    // a Long probe on a BIGINT column: the build hashed
+    // cast('string'), so the probe must too — the raw-Long dispatch to
+    // mightContainLong answered a guaranteed false negative here
+    val (snap, scanned) = CommitLog.snapshotBloom(spark, t, 0L, "k", 77L)
+    assert(scanned == 1, s"numeric probe must hit its own unit, got $scanned")
+    assert(snap.filter(col("k") === 77L).count() == 1)
+  }
+
+  test("mergeCow on non-adjacent units keeps ranges disjoint and the table mergeable") {
+    import spark.implicits._
+    val t = fresh("graft_r11_nonadj")
+    (0 until 6).foreach { u =>
+      (0 until 10).map(i => ((u * 10 + i).toLong, s"s$u"))
+        .toDF("k", "s").coalesce(1).write.parquet(s"$t/u$u")
+    }
+    CommitLog.commit(t, 0L, (0 until 6).map(u => s"u$u"))
+    CommitLog.writeStats(t, 0L, (0 until 6).map(u =>
+      (s"u$u", u.toLong * 10, u.toLong * 10 + 9, 10L)))
+    // touch units 2 and 4 (non-adjacent): the rewrite must emit ONE
+    // unit per touched unit, each range a subset of its source's — a
+    // collapsed rewrite would span carried u3 and permanently trip the
+    // next merge's overlap require
+    val v1 = CommitLog.mergeCow(spark, t,
+      Seq((25L, "upd"), (45L, "upd")).toDF("k", "s"), "k")
+    val got = CommitLog.snapshot(spark, t, v1)
+      .filter(col("k").isin(25L, 45L, 35L))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq(25L -> "upd", 35L -> "s3", 45L -> "upd"))
+    // the table is NOT locked out: a second merge routes and commits
+    val v2 = CommitLog.mergeCow(spark, t,
+      Seq((5L, "upd2")).toDF("k", "s"), "k")
+    assert(CommitLog.snapshot(spark, t, v2)
+      .filter(col("k") === 5L).head().getString(1) == "upd2")
+    assert(CommitLog.snapshot(spark, t, v2).count() == 60)
+  }
+
+  test("rebuildStats recovers the published-but-statless crash window") {
+    import spark.implicits._
+    val t = fresh("graft_r11_rebuild")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s").coalesce(1)
+      .write.parquet(s"$t/u0")
+    Seq((11L, "c"), (12L, "d")).toDF("k", "s").coalesce(1)
+      .write.parquet(s"$t/u1")
+    CommitLog.commit(t, 0L, Seq("u0", "u1"))
+    CommitLog.writeStats(t, 0L, Seq(("u0", 1L, 2L, 2L), ("u1", 11L, 12L, 2L)))
+    // simulate the mergeCow crash window: v1 wins tryCommit (here: a
+    // plain append commit) but its stats sidecar was never published —
+    // the next merge refuses to route
+    Seq((21L, "e")).toDF("k", "s").coalesce(1).write.parquet(s"$t/u2")
+    CommitLog.commit(t, 1L, Seq("u0", "u1", "u2"))
+    val ex = intercept[IllegalArgumentException](CommitLog.mergeCow(
+      spark, t, Seq((1L, "A")).toDF("k", "s"), "k"))
+    assert(ex.getMessage.nonEmpty) // routing refused without stats
+    // recovery: derive the sidecar from parquet footers — no data
+    // pages read, no caller-remembered state — then the merge proceeds
+    CommitLog.rebuildStats(spark, t, 1L, "k")
+    val v2 = CommitLog.mergeCow(spark, t, Seq((1L, "A")).toDF("k", "s"), "k")
+    assert(CommitLog.snapshot(spark, t, v2)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq(1L -> "A", 2L -> "b", 11L -> "c", 12L -> "d", 21L -> "e"))
+    // rebuilding a version that already has stats fails loudly —
+    // sidecars are immutable, there is nothing to recover
+    intercept[Exception](CommitLog.rebuildStats(spark, t, 1L, "k"))
+  }
+
+  test("footerColStats recurses into nested unit layouts") {
+    import spark.implicits._
+    val t = fresh("graft_r11_nested")
+    // one UNIT whose files live in subdirectories — a top-level-only
+    // listing would publish an understated entry that mis-prunes
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s").coalesce(1)
+      .write.parquet(s"$t/u0/part1")
+    Seq((50L, "y"), (60L, "z")).toDF("k", "s").coalesce(1)
+      .write.parquet(s"$t/u0/part2")
+    CommitLog.commit(t, 0L, Seq("u0"))
+    val st = CommitLog.footerColStats(spark, t, Seq("u0"), Seq("k"))
+    assert(st.size == 1)
+    assert(st.head.count == 4L, s"nested files must all count, got ${st.head}")
+    assert(st.head.min.toLong == 1L && st.head.max.toLong == 60L)
+  }
+
+  test("bloom sidecar lines armor the column name") {
+    import spark.implicits._
+    val t = fresh("graft_r11_armor")
+    Seq((1L, "x"), (2L, "y")).toDF("k", "weird|col").coalesce(1)
+      .write.parquet(s"$t/u0")
+    CommitLog.commit(t, 0L, Seq("u0"))
+    // a '|' in the column name must not corrupt the 3-way sidecar
+    // split at read time (URL-encoded like the cstats sidecar)
+    CommitLog.writeBloomStats(spark, t, 0L, "weird|col", 2L, 0.01)
+    val (snap, scanned) =
+      CommitLog.snapshotBloom(spark, t, 0L, "weird|col", "x")
+    assert(scanned == 1)
+    assert(snap.filter(col("`weird|col`") === "x").count() == 1)
+  }
+
+  test("writeBloomStatsDelta: append publish at delta cost, loud when uncovered") {
+    import spark.implicits._
+    val t = fresh("graft_r11_bdelta")
+    seedBloom(t, 2, 250)
+    CommitLog.writeBloomStats(spark, t, 0L, "uid", 250L, 0.01)
+    (500 until 750).map(i => (i.toLong, uidOf(i.toLong))).toDF("k", "uid")
+      .coalesce(1).write.parquet(s"$t/u_new")
+    CommitLog.commit(t, 1L, Seq("u0", "u1", "u_new"))
+    // naming only the delta builds only the delta; carried entries
+    // answer for the old units
+    CommitLog.writeBloomStatsDelta(spark, t, 0L, 1L, Seq("u_new"), 250L, 0.01)
+    val (snap, scanned) = CommitLog.snapshotBloom(spark, t, 1L, "uid", uidOf(600L))
+    assert(scanned >= 1 && scanned <= 2)
+    assert(snap.filter(col("uid") === uidOf(600L)).count() >= 1)
+    val (old, oldScanned) = CommitLog.snapshotBloom(spark, t, 1L, "uid", uidOf(100L))
+    assert(oldScanned >= 1 && oldScanned <= 2)
+    assert(old.filter(col("uid") === uidOf(100L)).count() >= 1)
+    // a delta publish that misses a new unit must fail loudly, never
+    // leave a silently-partial sidecar behind
+    Seq((900L, uidOf(900L))).toDF("k", "uid").coalesce(1)
+      .write.parquet(s"$t/u_more")
+    CommitLog.commit(t, 2L, Seq("u0", "u1", "u_new", "u_more"))
+    intercept[IllegalArgumentException](CommitLog.writeBloomStatsDelta(
+      spark, t, 1L, 2L, Seq.empty, 250L, 0.01))
+    // and carrying from a bloom-less version is refused up front
+    val t2 = fresh("graft_r11_bdelta2")
+    seedBloom(t2, 1, 10)
+    intercept[IllegalArgumentException](CommitLog.writeBloomStatsDelta(
+      spark, t2, 0L, 0L, Seq.empty, 10L, 0.01))
+  }
+}

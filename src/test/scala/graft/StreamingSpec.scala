@@ -86,4 +86,18 @@ class StreamingSpec extends GraftSpec {
     assert(finals.count() === ev.count(), "loss or double-count after restart")
     assert(finals.select("event_id").distinct().count() === ev.count())
   }
+
+  test("stream_cdc_apply: the stream-fed replica equals the final clean snapshot") {
+    // the query internally runs drain / upsertMoR+applyDeletes / drain
+    // from one checkpoint; equality of the replica and snapshot sides
+    // is the exactly-once proof (a re-delivered manifest double-
+    // applies, a missed one under-applies, a retraction emitted at
+    // both declare and apply double-deletes)
+    val r = q("stream_cdc_apply").head()
+    assert(r.getLong(0) > 0, "replica empty")
+    assert(r.getLong(0) == r.getLong(2),
+      s"replica rows ${r.getLong(0)} != snapshot rows ${r.getLong(2)}")
+    assert(r.getDecimal(1) == r.getDecimal(3),
+      s"replica total ${r.getDecimal(1)} != snapshot total ${r.getDecimal(3)}")
+  }
 }
