@@ -487,6 +487,59 @@ object LakehouseQueries {
         .orderBy("version", "change_type")
     }),
 
+    // S26 (round 11): the CDC lattice of dml_cdc_read walked across a
+    // MERGE-ON-READ lifecycle (VERDICT r10 #5's oracled extension) —
+    // the declare-time visibility rule made arithmetic: v0 inserts the
+    // even-key slice; v1 is ONE upsertMoR whose feed must read as the
+    // pre/post-image pair (delete k%6==0 at OLD prices + insert the
+    // same keys at ×3 alongside the odd-multiple-of-3 arrivals) even
+    // though no data unit was rewritten; v2 = applyDeletes is pure
+    // maintenance and must read EMPTY — the retractions already
+    // surfaced at v1, and re-emitting them would double-delete a
+    // folding replica (both zero rows pinned by the oracle). The v0
+    // stats sidecar also makes v1's pre-image read stats-ROUTED: only
+    // range-intersecting units open (at this layout, all of them —
+    // the routing is exercised, the pruning is LogStress's row).
+    "dml_cdc_read_mor" -> ((s, d) => {
+      import graft.sources.CommitLog
+      val root = graft.queries.ScaleQueries.freshDir(cdcMorDir, d, "orders") {
+        val dir = java.nio.file.Files.createTempDirectory("graft_cdcmor").toString
+        val base = load(s, d, "orders")
+          .select(col("o_orderkey").as("k"), dec(col("o_totalprice")).as("p"))
+        base.filter(col("k") % 2 === 0).coalesce(1)
+          .write.parquet(s"$dir/u0")
+        CommitLog.commit(dir, 0L, Seq("u0"))
+        val r = s.read.parquet(s"$dir/u0")
+          .agg(min(col("k")), max(col("k")), count(lit(1))).head()
+        CommitLog.writeStats(dir, 0L,
+          Seq(("u0", r.getLong(0), r.getLong(1), r.getLong(2))))
+        CommitLog.upsertMoR(s, dir,
+          base.filter(col("k") % 6 === 0)
+            .select(col("k"), (col("p") * 3).cast(DecimalType(18, 2)).as("p"))
+            .unionAll(base.filter(col("k") % 2 === 1 && col("k") % 3 === 0)),
+          "k")
+        CommitLog.applyDeletes(s, dir, "k")
+        dir
+      }
+      val per = CommitLog.versions(root).map { v =>
+        CommitLog.changes(s, root, v)
+          .groupBy(col("_change_type").as("ct"))
+          .agg(count(lit(1)).as("cn"),
+            sum(col("p")).cast(DecimalType(38, 2)).as("ctot"))
+          .select(lit(v).cast("bigint").as("cv"), col("ct"), col("cn"), col("ctot"))
+      }.reduce(_ unionAll _)
+      import s.implicits._
+      val spine = CommitLog.versions(root)
+        .flatMap(v => Seq((v, "insert"), (v, "delete")))
+        .toDF("version", "change_type")
+      spine.join(per,
+          col("version") === col("cv") && col("change_type") === col("ct"), "left")
+        .select(col("version"), col("change_type"),
+          coalesce(col("cn"), lit(0L)).as("n_rows"),
+          coalesce(col("ctot"), lit(0).cast(DecimalType(38, 2))).as("total"))
+        .orderBy("version", "change_type")
+    }),
+
     // S13 (round 10): MERGE as unit-granular copy-on-write
     // (CommitLog.mergeCow). The table is the key-range-clustered
     // 8-unit layout of dml_data_skipping (range clustering is what
@@ -599,6 +652,64 @@ object LakehouseQueries {
       rep.crossJoin(fin)
         .select(col("replica_rows"), col("replica_total"),
           col("snapshot_rows"), col("snapshot_total"))
+    }),
+
+    // S25 (round 11): INCREMENTAL AGGREGATE VIEW — the cheaper (and
+    // more common) downstream of a CDC feed than the raw replica:
+    // a grouped (count, sum) view maintained by folding each
+    // version's feed as SIGNED deltas (insert = +1/+p, delete =
+    // −1/−p), so the per-version cost is O(changes) + O(groups) —
+    // the replica fold's O(state) exceptAll never appears, and the
+    // materialized state is O(groups) rows (10 here) at ANY table
+    // size. Walks the S12 lifecycle: the COW update's pre/post pair
+    // cancels to the price delta, the OPTIMIZE version's empty feed
+    // carries the state file untouched, the delete version subtracts
+    // its groups. The oracle pins the folded view equal to a group-by
+    // over the final snapshot — the self-maintainable-view contract
+    // (sum/count are the distributive aggregates that make it exact).
+    // At 100 TB this is the materialized-dashboard loop: each version
+    // costs the feed plus a 10-row join, never a table re-read.
+    "dml_cdc_agg_view" -> ((s, d) => {
+      import graft.sources.CommitLog
+      val root = cdcTable(s, d)
+      val stDir = java.nio.file.Files
+        .createTempDirectory("graft_aggview").toString
+      val zero = lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 2))
+      val last = CommitLog.versions(root)
+        .foldLeft(Option.empty[String]) { (acc, v) =>
+          val ch = CommitLog.changes(s, root, v)
+          val delta = ch
+            .withColumn("sgn",
+              when(col("_change_type") === "insert", lit(1L))
+                .otherwise(lit(-1L)))
+            .groupBy((col("k") % 10).as("g"))
+            .agg(sum(col("sgn")).as("dn"),
+              sum((col("p") * col("sgn")).cast(DecimalType(38, 2)))
+                .cast(DecimalType(38, 2)).as("dp"))
+          acc match {
+            case None =>
+              val out = s"$stDir/v$v"
+              delta.select(col("g"), col("dn").as("n"), col("dp").as("total"))
+                .write.parquet(out)
+              Some(out)
+            case Some(prev) if ch.isEmpty => Some(prev) // maintenance: no-op
+            case Some(prev) =>
+              val out = s"$stDir/v$v"
+              s.read.parquet(prev).join(delta, Seq("g"), "full_outer")
+                .select(col("g"),
+                  (coalesce(col("n"), lit(0L)) +
+                    coalesce(col("dn"), lit(0L))).as("n"),
+                  (coalesce(col("total"), zero) + coalesce(col("dp"), zero))
+                    .cast(DecimalType(38, 2)).as("total"))
+                .write.parquet(out)
+              Some(out)
+          }
+        }.get
+      s.read.parquet(last).filter(col("n") =!= 0L)
+        .select(col("g").cast("bigint").as("g"),
+          col("n").cast("bigint").as("n"),
+          col("total").cast(DecimalType(38, 2)).as("total"))
+        .orderBy("g")
     }),
 
     // S17 (round 10): DESCRIBE HISTORY — the audit view of a table's
@@ -1009,6 +1120,9 @@ object LakehouseQueries {
   private val cdcReadDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  private val cdcMorDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private val mergeCowDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -1112,6 +1226,15 @@ object LakehouseQueries {
         |    count(*) AS snapshot_rows,
         |    CAST(sum(p) AS DECIMAL(38,2)) AS snapshot_total
         |FROM fin""".stripMargin,
+    "dml_cdc_agg_view" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        | v1 AS (SELECT k, CASE WHEN k % 4 = 2
+        |     THEN CAST(p * 2 AS DECIMAL(18,2)) ELSE p END AS p FROM base),
+        | fin AS (SELECT k, p FROM v1 WHERE k % 4 <> 1)
+        |SELECT k % 10 AS g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(p) AS DECIMAL(38,2)) AS total
+        |FROM fin GROUP BY 1 ORDER BY g""".stripMargin,
     "dml_bloom_skipping" ->
       """WITH base AS (SELECT o_orderkey AS k,
         |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
@@ -1300,6 +1423,27 @@ object LakehouseQueries {
         |UNION ALL SELECT 3, 'delete', count(*),
         |    CAST(sum(p) AS DECIMAL(38,2)) FROM d3
         |UNION ALL SELECT 3, 'insert', 0, CAST(0 AS DECIMAL(38,2))
+        |ORDER BY version, change_type""".stripMargin,
+    "dml_cdc_read_mor" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        | ev AS (SELECT k, p FROM base WHERE k % 2 = 0),
+        | pre AS (SELECT k, p FROM base WHERE k % 6 = 0),
+        | upd AS (SELECT k, CAST(p * 3 AS DECIMAL(18,2)) AS p
+        |   FROM base WHERE k % 6 = 0),
+        | ins AS (SELECT k, p FROM base WHERE k % 2 = 1 AND k % 3 = 0)
+        |SELECT CAST(0 AS BIGINT) AS version, 'delete' AS change_type,
+        |    CAST(0 AS BIGINT) AS n_rows, CAST(0 AS DECIMAL(38,2)) AS total
+        |UNION ALL SELECT 0, 'insert', count(*),
+        |    CAST(sum(p) AS DECIMAL(38,2)) FROM ev
+        |UNION ALL SELECT 1, 'delete', count(*),
+        |    CAST(sum(p) AS DECIMAL(38,2)) FROM pre
+        |UNION ALL SELECT 1, 'insert',
+        |    (SELECT count(*) FROM upd) + (SELECT count(*) FROM ins),
+        |    CAST((SELECT sum(p) FROM upd) + (SELECT sum(p) FROM ins)
+        |      AS DECIMAL(38,2))
+        |UNION ALL SELECT 2, 'delete', 0, CAST(0 AS DECIMAL(38,2))
+        |UNION ALL SELECT 2, 'insert', 0, CAST(0 AS DECIMAL(38,2))
         |ORDER BY version, change_type""".stripMargin,
     "dml_time_travel" ->
       """WITH base AS (SELECT o_orderkey AS k,

@@ -1393,9 +1393,11 @@ object CommitLog {
     * upsert version, the sequence-exempt post-image units — are
     * carried by name, never opened, byte-stable. Without stats every
     * eligible unit rewrites (correct, just unrouted). The new version
-    * publishes NO dv sidecar; its [[changes]] feed surfaces exactly
-    * the deleted rows as retractions — the documented point where a
-    * CDC consumer of a MoR table observes the delete. Stats sidecars
+    * publishes NO dv sidecar, and its [[changes]] feed is EMPTY —
+    * pure maintenance: the retractions surfaced at the version that
+    * DECLARED the tombstones (the MoR-aware changes() rule), so
+    * re-emitting them here would double-delete a folding replica.
+    * Stats sidecars
     * fold forward (carried entries verbatim, the rewrite unit
     * re-measured). Returns the new version.
     */
