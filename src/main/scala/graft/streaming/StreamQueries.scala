@@ -574,6 +574,62 @@ object StreamQueries {
       rep.crossJoin(fin)
     }),
 
+    // I11 (round 11): streaming INTO the table format — the sink
+    // direction of stream_commit_log's source story, with the
+    // idempotent-commit rule that makes a foreachBatch sink
+    // exactly-once (Delta's txnVersion pattern): version = batchId,
+    // each batch writes its unit then races tryCommit — a REPLAYED
+    // batch (crash between commit and checkpoint advance) rewrites
+    // the same unit content and loses the commit race to itself, so
+    // the table never double-counts. Two AvailableNow drains from one
+    // checkpoint with files landing between: batch 0 → v0 (the even
+    // slice), batch 1 → v1 (everything). The output reads the TABLE
+    // back per version; the oracle pins both snapshots from events
+    // arithmetic — a dropped batch under-counts v1, a double-applied
+    // one over-counts, either breaks the equality. At 100 TB this is
+    // the continuous-ingest shape: each micro-batch costs its own
+    // data + one manifest write, never a table rewrite, and readers
+    // get atomic versioned snapshots of the growing table.
+    "stream_commit_sink" -> ((s, d) => {
+      import graft.sources.CommitLog
+      val ev = load(s, d, "events")
+        .select(col("event_id"), col("event_type"), dec(col("value")).as("value"))
+      val srcDir = tmp("graft_ssink_src")
+      val root = tmp("graft_ssink_tbl")
+      val ckpt = tmp("graft_ssink_ckpt")
+      def drain(): Unit = {
+        val sdf = s.readStream.schema(ev.schema).parquet(srcDir)
+        val q = sdf.writeStream.outputMode("append")
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            val rel = f"data/b$id%05d"
+            // overwrite = replay-safe: a re-delivered batch rewrites
+            // the same deterministic unit before losing the race
+            batch.write.mode("overwrite")
+              .parquet(java.nio.file.Paths.get(root, rel).toString)
+            val prev: Seq[String] =
+              if (CommitLog.versions(root).isEmpty) Seq.empty
+              else CommitLog.unitNames(root, CommitLog.latestVersion(root))
+            CommitLog.tryCommit(root, id, prev :+ rel)
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      ev.filter(col("event_id") % 2 === 0).coalesce(1)
+        .write.mode("append").parquet(srcDir)
+      drain()
+      ev.filter(col("event_id") % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(srcDir)
+      drain()
+      CommitLog.versions(root).map { v =>
+        CommitLog.snapshot(s, root, v)
+          .agg(count(lit(1)).as("n"),
+            sum(col("value")).cast(DecimalType(38, 2)).as("total"))
+          .select(lit(v).cast("bigint").as("version"), col("n"), col("total"))
+      }.reduce(_ unionAll _).orderBy("version")
+    }),
+
     // I7: stream-static join — events stream enriched with the
     // customer dimension (no watermark needed on the static side).
     "stream_join" -> ((s, d) => {
@@ -718,6 +774,17 @@ object StreamQueries {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
         | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // I11: both committed versions recomputed from events arithmetic —
+    // v0 is batch 0's even slice, v1 adds batch 1's odds.
+    "stream_commit_sink" ->
+      """WITH base AS (SELECT event_id,
+        |    CAST(value AS DECIMAL(18,2)) AS value FROM events)
+        |SELECT CAST(0 AS BIGINT) AS version, count(*) AS n,
+        |    CAST(sum(value) AS DECIMAL(38,2)) AS total
+        |  FROM base WHERE event_id % 2 = 0
+        |UNION ALL SELECT 1, count(*), CAST(sum(value) AS DECIMAL(38,2))
+        |  FROM base
+        |ORDER BY version""".stripMargin,
     // I7: stream-static enrichment join + global agg.
     "stream_join" ->
       """SELECT c_mktsegment, count(*) AS n

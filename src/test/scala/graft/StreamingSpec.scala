@@ -87,6 +87,39 @@ class StreamingSpec extends GraftSpec {
     assert(finals.select("event_id").distinct().count() === ev.count())
   }
 
+  test("stream_commit_sink: a replayed batch loses the commit race — exactly-once") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.sources.CommitLog
+    val root = java.nio.file.Files.createTempDirectory("graft_sink_rp").toString
+    // the foreachBatch body the sink runs, extracted: write the
+    // batch's deterministic unit, then race version = batchId
+    def applyBatch(batch: org.apache.spark.sql.DataFrame, id: Long): Boolean = {
+      val rel = f"data/b$id%05d"
+      batch.write.mode("overwrite")
+        .parquet(java.nio.file.Paths.get(root, rel).toString)
+      val prev: Seq[String] =
+        if (CommitLog.versions(root).isEmpty) Seq.empty
+        else CommitLog.unitNames(root, CommitLog.latestVersion(root))
+      CommitLog.tryCommit(root, id, prev :+ rel)
+    }
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    val b1 = Seq((3L, "c")).toDF("k", "s")
+    assert(applyBatch(b0, 0L))
+    assert(applyBatch(b1, 1L))
+    val before = CommitLog.snapshot(spark, root, 1L).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // the crash-replay: batch 1 re-delivered (checkpoint hadn't
+    // advanced) — the unit rewrites with the same content and the
+    // commit MUST lose to itself
+    assert(!applyBatch(b1, 1L), "a replayed batch must lose the race")
+    assert(CommitLog.versions(root) == Seq(0L, 1L), "no phantom version")
+    val after = CommitLog.snapshot(spark, root, 1L).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(after == before && after == Seq(1L -> "a", 2L -> "b", 3L -> "c"),
+      "the table must not double-count a replayed batch")
+  }
+
   test("stream_cdc_apply: the stream-fed replica equals the final clean snapshot") {
     // the query internally runs drain / upsertMoR+applyDeletes / drain
     // from one checkpoint; equality of the replica and snapshot sides
