@@ -247,6 +247,21 @@ class PlanShapeSpec extends GraftSpec {
       s"map-side partial aggregation missing:\n${plan.take(1500)}")
   }
 
+  test("text_bm25_postings probe pushes the term filter and broadcasts df + corpus stats") {
+    val plan = planOf("text_bm25_postings")
+    // the term IN (...) predicate must reach the postings parquet scan
+    // (the probe already opened only the wanted bucket units; inside
+    // them row-group stats on term still prune)
+    assert(plan.contains("PushedFilters") && plan.contains("term"),
+      plan.take(3000))
+    // df (5 rows) joins as a broadcast hash join and the 1-row corpus
+    // stats as a broadcast nested-loop cross — the only exchange left
+    // is the doc_id-keyed pivot aggregation
+    assert(plan.contains("BroadcastHashJoin"), "df must broadcast-hash-join")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "corpus stats must ride a broadcast cross join")
+  }
+
   test("pipeline_end2end dedup stage is window-free with a semi-join keep-set") {
     val df = q("pipeline_end2end")
     df.collect()
