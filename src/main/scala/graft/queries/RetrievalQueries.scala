@@ -95,6 +95,118 @@ object RetrievalQueries {
   private[graft] val postingsLogDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Build (or reuse) the 3-version postings index table: v0 = the
+    * standing corpus (doc_id%10≠0), v1 = the arriving batch appended
+    * O(delta), v2 = the doc_id%7 slice DELETED via a tombstone unit +
+    * a signed meta unit (no bucket unit touched at any version
+    * boundary after its ingest).
+    */
+  private def postingsIndex(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    import graft.sources.CommitLog
+    graft.queries.ScaleQueries.freshDir(postingsLogDir, d, "documents") {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_bm25log").toString
+      val docsAll = load(s, d, "documents").filter(col("text").isNotNull)
+      def ingest(part: org.apache.spark.sql.DataFrame,
+          sub: String): Seq[(String, Long, Long, Long)] = {
+        part.select(col("doc_id"),
+            expr("CAST(size(split(text, ' ')) AS BIGINT)").as("dl"),
+            explode(split(col("text"), " ")).as("term"))
+          .groupBy("term", "doc_id", "dl")
+          .agg(count(lit(1)).cast("bigint").as("tf"))
+          .withColumn("bucket", expr("pmod(xxhash64(term), 8)"))
+          // bval keeps the bucket INSIDE the files (the sim_ivf_delta
+          // rule): pruned reads list bucket dirs directly, no
+          // basePath partition discovery
+          .withColumn("bval", col("bucket"))
+          .write.partitionBy("bucket").parquet(s"$dir/data/$sub")
+        part.agg(count(lit(1)).cast("bigint").as("n_docs"),
+            sum(expr("CAST(size(split(text, ' ')) AS BIGINT)"))
+              .cast("bigint").as("sum_dl"))
+          .coalesce(1).write.parquet(s"$dir/data/${sub}_meta")
+        import scala.jdk.CollectionConverters._
+        val stream = java.nio.file.Files.list(
+          java.nio.file.Paths.get(dir, "data", sub))
+        val dirs =
+          try stream.iterator().asScala
+            .filter(_.getFileName.toString.startsWith("bucket="))
+            .map(p => s"data/$sub/${p.getFileName}").toVector.sorted
+          finally stream.close()
+        val counts = CommitLog.footerColStats(s, dir, dirs, Seq("doc_id"))
+          .map(cs => cs.unit -> cs.count).toMap
+        dirs.map { u =>
+          val b = u.substring(u.indexOf("bucket=") + 7).toLong
+          (u, b, b, counts(u))
+        } :+ ((s"data/${sub}_meta", -1L, -1L, 1L))
+      }
+      val st0 = ingest(docsAll.filter(col("doc_id") % 10 =!= 0), "base")
+      CommitLog.commit(dir, 0L, st0.map(_._1))
+      CommitLog.writeStats(dir, 0L, st0)
+      // the version boundary: ONLY the delta batch is tokenized and
+      // written — O(delta) index growth, v0 units byte-untouched
+      val st1 = ingest(docsAll.filter(col("doc_id") % 10 === 0), "delta")
+      CommitLog.commit(dir, 1L, st0.map(_._1) ++ st1.map(_._1))
+      CommitLog.writeStats(dir, 1L, st0 ++ st1)
+      // v2: DELETE the doc_id%7 slice — a tombstone unit (dv channel)
+      // + a signed meta unit; every bucket unit carries by name
+      val dead = docsAll.filter(col("doc_id") % 7 === 0)
+      dead.select("doc_id").coalesce(1).write.parquet(s"$dir/data/del1")
+      dead.agg((count(lit(1)) * lit(-1L)).cast("bigint").as("n_docs"),
+          (sum(expr("CAST(size(split(text, ' ')) AS BIGINT)")) * lit(-1L))
+            .cast("bigint").as("sum_dl"))
+        .coalesce(1).write.parquet(s"$dir/data/del1_meta")
+      val metaSt = Seq(("data/del1_meta", -1L, -1L, 1L))
+      CommitLog.commit(dir, 2L,
+        st0.map(_._1) ++ st1.map(_._1) ++ metaSt.map(_._1))
+      CommitLog.writeStats(dir, 2L, st0 ++ st1 ++ metaSt)
+      CommitLog.writeDeletes(dir, 2L, Seq("data/del1"))
+      dir
+    }
+  }
+
+  /** Score the fixed query against the index AT `version`: manifest-
+    * pruned bucket read, broadcast tombstone anti-join (when the
+    * version carries doc deletions), df folded from the surviving
+    * postings, corpus stats from the signed meta fold — then the
+    * shared expression + pivot.
+    */
+  private def bm25FromIndex(s: org.apache.spark.sql.SparkSession,
+      root: String, version: Long): org.apache.spark.sql.DataFrame = {
+    import graft.sources.CommitLog
+    // the query terms' buckets through the SAME engine hash
+    val wanted = s.createDataset(bm25Terms)(
+        org.apache.spark.sql.Encoders.STRING)
+      .selectExpr("pmod(xxhash64(value), 8) AS bucket")
+      .distinct().collect().map(_.getLong(0)) // metadata-sized: <= 5 query-term bucket ids
+      .toSet
+    val st = CommitLog.stats(root, version)
+    val picked = st
+      .filter { case (_, mn, _, _) => mn >= 0 && wanted(mn) }
+      .map(u => java.nio.file.Paths.get(root, u._1).toString)
+    val metas = st.filter(_._2 == -1L)
+      .map(u => java.nio.file.Paths.get(root, u._1).toString)
+    val corpus = s.read.parquet(metas: _*)
+      .agg(sum(col("n_docs")).cast("bigint").as("n"),
+        (sum(col("sum_dl")).cast("double") /
+          sum(col("n_docs"))).as("avgdl"))
+    val raw = s.read.parquet(picked: _*)
+      .filter(col("term").isin(bm25Terms: _*))
+      .select("term", "doc_id", "dl", "tf")
+    val dv = CommitLog.deletes(root, version)
+    val postings =
+      if (dv.isEmpty) raw
+      else raw.join(
+        broadcast(s.read.parquet(dv: _*).select("doc_id").distinct()),
+        Seq("doc_id"), "left_anti")
+    val dfreq = postings.groupBy("term")
+      .agg(count(lit(1)).cast("bigint").as("df"))
+    postings.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(corpus))
+      .selectExpr("doc_id", "term", bm25W)
+      .transform(bm25Pivot)
+  }
+
   val queries: Map[String, Q] = Map(
     // AB1: Okapi BM25 scoring of the corpus against a fixed 5-term
     // query. Term order in the final sum is pinned by the 5-column
@@ -140,81 +252,31 @@ object RetrievalQueries {
     // the from-scratch scan, which is the entire index contract. At
     // 100 TB: query cost is O(postings of the query terms), ingest
     // cost is O(delta) — neither touches the corpus.
-    "text_bm25_postings" -> ((s, d) => {
-      import graft.sources.CommitLog
-      val root = graft.queries.ScaleQueries.freshDir(postingsLogDir, d,
-          "documents") {
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft_bm25log").toString
-        val docsAll = load(s, d, "documents").filter(col("text").isNotNull)
-        def ingest(part: org.apache.spark.sql.DataFrame,
-            sub: String): Seq[(String, Long, Long, Long)] = {
-          part.select(col("doc_id"),
-              expr("CAST(size(split(text, ' ')) AS BIGINT)").as("dl"),
-              explode(split(col("text"), " ")).as("term"))
-            .groupBy("term", "doc_id", "dl")
-            .agg(count(lit(1)).cast("bigint").as("tf"))
-            .withColumn("bucket", expr("pmod(xxhash64(term), 8)"))
-            // bval keeps the bucket INSIDE the files (the sim_ivf_delta
-            // rule): pruned reads list bucket dirs directly, no
-            // basePath partition discovery
-            .withColumn("bval", col("bucket"))
-            .write.partitionBy("bucket").parquet(s"$dir/data/$sub")
-          part.agg(count(lit(1)).cast("bigint").as("n_docs"),
-              sum(expr("CAST(size(split(text, ' ')) AS BIGINT)"))
-                .cast("bigint").as("sum_dl"))
-            .coalesce(1).write.parquet(s"$dir/data/${sub}_meta")
-          import scala.jdk.CollectionConverters._
-          val stream = java.nio.file.Files.list(
-            java.nio.file.Paths.get(dir, "data", sub))
-          val dirs =
-            try stream.iterator().asScala
-              .filter(_.getFileName.toString.startsWith("bucket="))
-              .map(p => s"data/$sub/${p.getFileName}").toVector.sorted
-            finally stream.close()
-          val counts = CommitLog.footerColStats(s, dir, dirs, Seq("doc_id"))
-            .map(cs => cs.unit -> cs.count).toMap
-          dirs.map { u =>
-            val b = u.substring(u.indexOf("bucket=") + 7).toLong
-            (u, b, b, counts(u))
-          } :+ ((s"data/${sub}_meta", -1L, -1L, 1L))
-        }
-        val st0 = ingest(docsAll.filter(col("doc_id") % 10 =!= 0), "base")
-        CommitLog.commit(dir, 0L, st0.map(_._1))
-        CommitLog.writeStats(dir, 0L, st0)
-        // the version boundary: ONLY the delta batch is tokenized and
-        // written — O(delta) index growth, v0 units byte-untouched
-        val st1 = ingest(docsAll.filter(col("doc_id") % 10 === 0), "delta")
-        CommitLog.commit(dir, 1L, st0.map(_._1) ++ st1.map(_._1))
-        CommitLog.writeStats(dir, 1L, st0 ++ st1)
-        dir
-      }
-      // the query terms' buckets through the SAME engine hash
-      val wanted = s.createDataset(bm25Terms)(
-          org.apache.spark.sql.Encoders.STRING)
-        .selectExpr("pmod(xxhash64(value), 8) AS bucket")
-        .distinct().collect().map(_.getLong(0)) // metadata-sized: <= 5 query-term bucket ids
-        .toSet
-      val st = CommitLog.stats(root, CommitLog.latestVersion(root))
-      val picked = st
-        .filter { case (_, mn, _, _) => mn >= 0 && wanted(mn) }
-        .map(u => java.nio.file.Paths.get(root, u._1).toString)
-      val metas = st.filter(_._2 == -1L)
-        .map(u => java.nio.file.Paths.get(root, u._1).toString)
-      val corpus = s.read.parquet(metas: _*)
-        .agg(sum(col("n_docs")).cast("bigint").as("n"),
-          (sum(col("sum_dl")).cast("double") /
-            sum(col("n_docs"))).as("avgdl"))
-      val postings = s.read.parquet(picked: _*)
-        .filter(col("term").isin(bm25Terms: _*))
-        .select("term", "doc_id", "dl", "tf")
-      val dfreq = postings.groupBy("term")
-        .agg(count(lit(1)).cast("bigint").as("df"))
-      postings.join(broadcast(dfreq), "term")
-        .crossJoin(broadcast(corpus))
-        .selectExpr("doc_id", "term", bm25W)
-        .transform(bm25Pivot)
-    }),
+    "text_bm25_postings" -> ((s, d) =>
+      bm25FromIndex(s, postingsIndex(s, d), 1L)),
+
+    // AB7 (round 11): the postings index UNDER DOC DELETION — the
+    // secondary-index-maintenance story. v2 deletes the doc_id%7
+    // slice (GDPR shape) by publishing exactly TWO small objects:
+    // a doc-id tombstone unit (the dv sidecar channel) and a SIGNED
+    // meta unit (−n_docs, −sum_dl) that folds into the corpus stats
+    // like every other ingest's — every bucket unit stays
+    // byte-untouched, so deletion costs O(deleted docs), never an
+    // index rewrite. The probe anti-joins the broadcast tombstone set
+    // after the manifest-pruned bucket read, df folds from the
+    // surviving postings, and N/avgdl come out exact because the
+    // signed meta fold is plain addition. Probed at v2 while
+    // text_bm25_postings probes the SAME table at v1 — index time
+    // travel for free. Oracle: the shared bm25 SQL body over the
+    // corpus minus the deleted slice — the index must score the
+    // remaining docs EXACTLY as a from-scratch scan of the remaining
+    // corpus would, idf shift and all. (The stats sidecar of an index
+    // table carries BUCKET ids, not key ranges — row-DML maintenance
+    // ops like applyDeletes don't apply here; reclaiming tombstoned
+    // postings physically is an index rebuild, which the delta-ingest
+    // path makes cheap per generation.)
+    "text_bm25_postings_delete" -> ((s, d) =>
+      bm25FromIndex(s, postingsIndex(s, d), 2L)),
 
     // AB2: hybrid retrieval — reciprocal-rank fusion (k = 60) of a
     // lexical ranking (distinct-token overlap with the probe doc) and
@@ -338,10 +400,8 @@ object RetrievalQueries {
     * must be value-identical to the from-scratch scan — sharing the
     * oracle string IS that contract.
     */
-  private val bm25Sql: String =
-    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
-        |  FROM documents WHERE text IS NOT NULL),
-        | dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+  private val bm25SqlBody: String =
+    """ dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
         | corpus AS (SELECT CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
         | tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
@@ -365,9 +425,21 @@ object RetrievalQueries {
         |  CAST(w_hash + w_join + w_merge + w_scan + w_window AS DECIMAL(18,6)) AS bm25
         |FROM piv ORDER BY doc_id""".stripMargin
 
+  /** The shared scorer SQL over a parameterizable corpus predicate —
+    * one body for the scan, the index probe, AND the post-deletion
+    * index probe; sharing it IS the index contract.
+    */
+  private def bm25SqlOver(corpusPred: String): String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL$corpusPred),""".stripMargin +
+      "\n" + bm25SqlBody
+
+  private val bm25Sql: String = bm25SqlOver("")
+
   val oracle: Map[String, String] = Map(
     "text_bm25" -> bm25Sql,
     "text_bm25_postings" -> bm25Sql,
+    "text_bm25_postings_delete" -> bm25SqlOver(" AND doc_id % 7 <> 0"),
     "sim_hybrid" ->
       """WITH uni AS (
         |  SELECT d.doc_id AS id, list_distinct(string_split(d.text, ' ')) AS toks,

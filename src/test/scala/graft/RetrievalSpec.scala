@@ -38,7 +38,7 @@ class RetrievalSpec extends GraftSpec {
     val cached = graft.queries.RetrievalQueries.postingsLogDir.get(sf)
     assert(cached != null, "index fixture missing from the cache")
     val root = cached.substring(cached.indexOf('|') + 1)
-    val st = CommitLog.stats(root, CommitLog.latestVersion(root))
+    val st = CommitLog.stats(root, 1L)
     val wanted = spark.createDataset(
       Seq("hash", "join", "merge", "scan", "window"))(
       org.apache.spark.sql.Encoders.STRING)
@@ -55,6 +55,29 @@ class RetrievalSpec extends GraftSpec {
     // the 2 meta units (one per ingest generation) sit outside the
     // bucket id space and never join a probe
     assert(st.count(_._2 == -1L) == 2)
+    // the DELETE version adds exactly one signed meta unit and one
+    // dv tombstone unit — every bucket unit carries by name
+    val st2 = CommitLog.stats(root, 2L)
+    assert(st2.count(_._2 == -1L) == 3)
+    assert(st2.filter(_._2 >= 0).map(_._1).toSet ==
+      st.filter(_._2 >= 0).map(_._1).toSet,
+      "deletion must not touch any bucket unit")
+    assert(CommitLog.deletes(root, 2L).size == 1)
+  }
+
+  test("text_bm25_postings_delete: deletion shifts idf exactly like a corpus re-scan") {
+    val rows = q("text_bm25_postings_delete").collect() // result-sized
+    assert(rows.nonEmpty)
+    // no deleted doc survives in the scored output
+    assert(rows.forall(_.getLong(0) % 7 != 0), "a tombstoned doc scored")
+    // and the deletion is not a plain filter of the old output: the
+    // idf/avgdl shift must change surviving docs' scores (oracle pins
+    // the exact values; here pin that SOME score moved)
+    val before = q("text_bm25_postings").collect()
+      .map(r => r.getLong(0) -> r.getDecimal(2)).toMap
+    val moved = rows.count(r => before.get(r.getLong(0))
+      .exists(_ != r.getDecimal(2)))
+    assert(moved > 0, "corpus-stat shift must reprice surviving docs")
   }
 
   test("text_bm25: higher tf at equal dl never scores lower per term") {
