@@ -150,6 +150,39 @@ class Round11OpsSpec extends GraftSpec {
     assert(CommitLog.snapshot(spark, t, v2).count() == 60)
   }
 
+  test("cross-op OCC: a merge losing to a concurrent compaction retries on the packed snapshot") {
+    import spark.implicits._
+    val t = fresh("graft_r11_xrace")
+    (0 until 4).foreach { u =>
+      (0 until 10).map(i => ((u * 10 + i).toLong, s"s$u"))
+        .toDF("k", "s").coalesce(1).write.parquet(s"$t/u$u")
+    }
+    CommitLog.commit(t, 0L, (0 until 4).map(u => s"u$u"))
+    CommitLog.writeStats(t, 0L, (0 until 4).map(u =>
+      (s"u$u", u.toLong * 10, u.toLong * 10 + 9, 10L)))
+    // the merge prepares against v0; in its commit window a COMPACTION
+    // wins v1 (packing everything into one unit and FOLDING the stats
+    // sidecar). The merge must lose, re-read the packed snapshot, and
+    // re-apply — routing off the folded stats, not the stale v0 layout.
+    var fired = false
+    val v = CommitLog.mergeCow(spark, t,
+      Seq((15L, "upd")).toDF("k", "s"), "k",
+      beforeCommit = () => if (!fired) {
+        fired = true
+        assert(CommitLog.compact(spark, t, Long.MaxValue).contains(1L))
+      })
+    assert(v == 2L, s"merge must land AFTER the compaction, got v$v")
+    val got = CommitLog.snapshot(spark, t, v).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got.size == 40 && got.contains(15L -> "upd")
+      && got.contains(14L -> "s1"),
+      "the retried merge must apply on top of the packed layout")
+    // and the winner's folded stats still route a THIRD writer
+    val v3 = CommitLog.mergeCow(spark, t, Seq((25L, "u2")).toDF("k", "s"), "k")
+    assert(CommitLog.snapshot(spark, t, v3)
+      .filter(col("k") === 25L).head().getString(1) == "u2")
+  }
+
   test("rebuildStats recovers the published-but-statless crash window") {
     import spark.implicits._
     val t = fresh("graft_r11_rebuild")
