@@ -712,6 +712,64 @@ object LakehouseQueries {
         .orderBy("g")
     }),
 
+    // S27 (round 11): MULTI-TABLE ATOMIC COMMIT — the catalog-commit
+    // protocol (sources/TxnLog.scala) driven through its canonical
+    // use: a fact table and its derived 1-row aggregate that must
+    // move TOGETHER. txn 0 publishes both tables' v0 under one txn
+    // entry. Then a writer CRASHES mid-transaction: fact's next
+    // manifest lands but neither the agg manifest nor the txn entry —
+    // a coordinated reader still resolves the OLD consistent pair
+    // (the orphan is invisible; that is the protocol's whole point,
+    // where independent per-table resolution would show new facts
+    // against the stale aggregate). The retry commits the full pair;
+    // fact skips over the orphaned version. Output: per txn entry,
+    // the fact-side recount NEXT TO the stored aggregate — the oracle
+    // pins them equal at EVERY transaction, which is exactly the
+    // invariant the coordinator exists to protect. At 100 TB the txn
+    // adds O(tables) manifest writes + one entry over the normal data
+    // cost; cross-table time travel (snapshotAt) is catalog
+    // arithmetic.
+    "dml_txn_multi" -> ((s, d) => {
+      import graft.sources.{CommitLog, TxnLog}
+      val root = graft.queries.ScaleQueries.freshDir(txnMultiDir, d, "orders") {
+        val dir = java.nio.file.Files.createTempDirectory("graft_txn").toString
+        val fact = s"$dir/fact"
+        val agg = s"$dir/agg"
+        val base = load(s, d, "orders")
+          .select(col("o_orderkey").as("k"), dec(col("o_totalprice")).as("p"))
+        def aggUnit(pred: org.apache.spark.sql.Column, sub: String): Unit =
+          base.filter(pred)
+            .agg(count(lit(1)).cast("bigint").as("n"),
+              sum(col("p")).cast(DecimalType(38, 2)).as("total"))
+            .coalesce(1).write.parquet(s"$agg/$sub")
+        base.filter(col("k") % 3 === 0).coalesce(1).write.parquet(s"$fact/s0")
+        aggUnit(col("k") % 3 === 0, "a0")
+        TxnLog.commitAtomic(dir, Seq(fact -> Seq("s0"), agg -> Seq("a0")))
+        // the CRASH: a second writer publishes fact's manifest and
+        // dies before the agg manifest and the txn entry — an orphan
+        base.filter(col("k") % 3 === 1).coalesce(1).write.parquet(s"$fact/s1")
+        CommitLog.tryCommit(fact, 1L, Seq("s0", "s1"))
+        // the retry completes the pair; fact lands PAST the orphan
+        aggUnit(col("k") % 3 =!= 2, "a1")
+        TxnLog.commitAtomic(dir,
+          Seq(fact -> Seq("s0", "s1"), agg -> Seq("a1")))
+        dir
+      }
+      val fact = s"$root/fact"
+      val agg = s"$root/agg"
+      TxnLog.txns(root).map { id =>
+        val snaps = TxnLog.snapshotAt(s, root, id, Seq(fact, agg))
+        val f = snaps(fact)
+          .agg(count(lit(1)).as("fact_rows"),
+            sum(col("p")).cast(DecimalType(38, 2)).as("fact_total"))
+        val a = snaps(agg)
+          .select(col("n").as("agg_rows"), col("total").as("agg_total"))
+        f.crossJoin(a)
+          .select(lit(id).cast("bigint").as("txn"), col("fact_rows"),
+            col("fact_total"), col("agg_rows"), col("agg_total"))
+      }.reduce(_ unionAll _).orderBy("txn")
+    }),
+
     // S17 (round 10): DESCRIBE HISTORY — the audit view of a table's
     // commit log (CommitLog.history): per version its unit count and
     // the added/removed manifest delta vs the predecessor, plus the
@@ -1123,6 +1181,9 @@ object LakehouseQueries {
   private val cdcMorDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  private val txnMultiDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private val mergeCowDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -1424,6 +1485,18 @@ object LakehouseQueries {
         |    CAST(sum(p) AS DECIMAL(38,2)) FROM d3
         |UNION ALL SELECT 3, 'insert', 0, CAST(0 AS DECIMAL(38,2))
         |ORDER BY version, change_type""".stripMargin,
+    "dml_txn_multi" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        | s0 AS (SELECT k, p FROM base WHERE k % 3 = 0),
+        | s01 AS (SELECT k, p FROM base WHERE k % 3 <> 2)
+        |SELECT CAST(0 AS BIGINT) AS txn, count(*) AS fact_rows,
+        |    CAST(sum(p) AS DECIMAL(38,2)) AS fact_total,
+        |    count(*) AS agg_rows, CAST(sum(p) AS DECIMAL(38,2)) AS agg_total
+        |  FROM s0
+        |UNION ALL SELECT 1, count(*), CAST(sum(p) AS DECIMAL(38,2)),
+        |    count(*), CAST(sum(p) AS DECIMAL(38,2)) FROM s01
+        |ORDER BY txn""".stripMargin,
     "dml_cdc_read_mor" ->
       """WITH base AS (SELECT o_orderkey AS k,
         |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),

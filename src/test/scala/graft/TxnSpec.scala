@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-11 multi-table transaction coordinator (sources/TxnLog):
+  * the txn entry is the single commit point, orphaned manifests are
+  * invisible to coordinated readers, per-table races abort the whole
+  * transaction, and cross-table time travel resolves recorded pairs.
+  */
+class TxnSpec extends GraftSpec {
+
+  import graft.sources.{CommitLog, TxnLog}
+
+  private def fresh(): (String, String, String) = {
+    val root = java.nio.file.Files.createTempDirectory("graft_txns").toString
+    (root, s"$root/a", s"$root/b")
+  }
+
+  private def unit(table: String, rel: String, rows: Seq[(Long, String)]): Unit = {
+    import spark.implicits._
+    rows.toDF("k", "s").coalesce(1).write.parquet(s"$table/$rel")
+  }
+
+  test("the txn entry is the commit point: a crash before it leaves readers on the old pair") {
+    val (root, a, b) = fresh()
+    unit(a, "u0", Seq(1L -> "a1")); unit(b, "u0", Seq(1L -> "b1"))
+    val t0 = TxnLog.commitAtomic(root, Seq(a -> Seq("u0"), b -> Seq("u0")))
+    assert(t0 == 0L)
+    // crash in the window AFTER both manifests, BEFORE the entry
+    unit(a, "u1", Seq(2L -> "a2")); unit(b, "u1", Seq(2L -> "b2"))
+    intercept[RuntimeException](TxnLog.commitAtomic(root,
+      Seq(a -> Seq("u0", "u1"), b -> Seq("u0", "u1")),
+      prepared = () => throw new RuntimeException("crash")))
+    // both tables' logs HOLD the orphaned v1s...
+    assert(CommitLog.versions(a) == Seq(0L, 1L))
+    assert(CommitLog.versions(b) == Seq(0L, 1L))
+    // ...but the coordinated reader still resolves the OLD pair
+    val snaps = TxnLog.snapshotAtomic(spark, root, Seq(a, b))
+    assert(snaps(a).count() == 1 && snaps(b).count() == 1)
+    // the retry lands PAST the orphans under a new entry
+    val t1 = TxnLog.commitAtomic(root,
+      Seq(a -> Seq("u0", "u1"), b -> Seq("u0", "u1")))
+    assert(t1 == 1L)
+    assert(TxnLog.entry(root, t1).toMap == Map(a -> 2L, b -> 2L))
+    val now = TxnLog.snapshotAtomic(spark, root, Seq(a, b))
+    assert(now(a).count() == 2 && now(b).count() == 2)
+  }
+
+  test("a per-table version race aborts the whole transaction") {
+    val (root, a, b) = fresh()
+    unit(a, "u0", Seq(1L -> "a1")); unit(b, "u0", Seq(1L -> "b1"))
+    assert(TxnLog.commitAtomic(root, Seq(a -> Seq("u0"), b -> Seq("u0"))) == 0L)
+    // an independent writer grabs b's next version INSIDE the txn's
+    // per-table race window (a sorts first, so a's manifest is
+    // already published when b loses)
+    unit(b, "loner", Seq(9L -> "x"))
+    unit(a, "u1", Seq(2L -> "a2")); unit(b, "u1", Seq(2L -> "b2"))
+    val r = TxnLog.commitAtomic(root,
+      Seq(a -> Seq("u0", "u1"), b -> Seq("u0", "u1")),
+      raceSeam = t =>
+        if (t == b) CommitLog.commit(b, 1L, Seq("u0", "loner")))
+    assert(r == -1L, "a lost per-table race must abort the transaction")
+    assert(TxnLog.txns(root) == Seq(0L), "no entry for the aborted txn")
+    // readers are unaffected; the caller's retry on fresh state lands
+    assert(TxnLog.snapshotAtomic(spark, root, Seq(a, b))(a).count() == 1)
+    val t1 = TxnLog.commitAtomic(root,
+      Seq(a -> Seq("u0", "u1"), b -> Seq("u0", "loner", "u1")))
+    assert(t1 == 1L)
+    assert(TxnLog.snapshotAtomic(spark, root, Seq(a, b))(b).count() == 3)
+  }
+
+  test("cross-table time travel resolves each txn's recorded pair") {
+    val (root, a, b) = fresh()
+    unit(a, "u0", Seq(1L -> "a1")); unit(b, "u0", Seq(1L -> "b1"))
+    TxnLog.commitAtomic(root, Seq(a -> Seq("u0"), b -> Seq("u0")))
+    unit(a, "u1", Seq(2L -> "a2")); unit(b, "u1", Seq(2L -> "b2"))
+    TxnLog.commitAtomic(root, Seq(a -> Seq("u0", "u1"), b -> Seq("u0", "u1")))
+    val at0 = TxnLog.snapshotAt(spark, root, 0L, Seq(a, b))
+    assert(at0(a).count() == 1 && at0(b).count() == 1)
+    // asking the coordinator for a table it never covered fails loudly
+    intercept[IllegalArgumentException](
+      TxnLog.snapshotAt(spark, root, 0L, Seq(s"$root/nope")))
+  }
+
+  test("dml_txn_multi: the stored aggregate matches the fact recount at every txn") {
+    val rows = q("dml_txn_multi").collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(3),
+        s"row-count drift between fact and its coordinated aggregate: $r")
+      assert(r.getDecimal(2) == r.getDecimal(4),
+        s"total drift between fact and its coordinated aggregate: $r")
+    }
+  }
+}
