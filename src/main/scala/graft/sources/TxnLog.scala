@@ -138,6 +138,35 @@ object TxnLog {
     -1L // unreachable
   }
 
+  /** Reclaim everything the retained transactions do NOT reference:
+    * per table, every version absent from the retained entries — in
+    * particular the ORPHANS a crashed transaction left (manifests
+    * published, entry never was) — goes through [[CommitLog.vacuum]]
+    * with its ownership guard and deletion accounting; expired txn
+    * entries themselves are removed last (an entry must never outlive
+    * the versions it references — the reverse order would let a
+    * coordinated reader resolve a vacuumed version). Default retains
+    * every published transaction, i.e. reclaims ONLY orphans.
+    */
+  def vacuumOrphans(root: String,
+      retainTxns: Option[Seq[Long]] = None)
+      : Map[String, CommitLog.VacuumReport] = {
+    val all = txns(root)
+    val keepIds = retainTxns.getOrElse(all)
+    require(keepIds.nonEmpty && keepIds.forall(all.contains),
+      s"retain set ${keepIds.mkString(",")} must be published txns " +
+        s"(${all.mkString(",")})")
+    val byTable = keepIds.flatMap(id => entry(root, id))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted.toSeq)
+      .toMap
+    val reports = byTable.map { case (t, keep) =>
+      t -> CommitLog.vacuum(t, keep)
+    }
+    all.filterNot(keepIds.contains).foreach(id =>
+      java.nio.file.Files.delete(txnDir(root).resolve(f"t$id%05d.txt")))
+    reports
+  }
+
   /** Coordinated read: every requested table at the versions the
     * LATEST txn entry records — all of a transaction or none of it.
     * Fails loudly on a table the entry does not cover (a coordinated

@@ -82,6 +82,34 @@ class TxnSpec extends GraftSpec {
       TxnLog.snapshotAt(spark, root, 0L, Seq(s"$root/nope")))
   }
 
+  test("vacuumOrphans reclaims exactly what no retained txn references") {
+    val (root, a, b) = fresh()
+    unit(a, "u0", Seq(1L -> "a1")); unit(b, "u0", Seq(1L -> "b1"))
+    TxnLog.commitAtomic(root, Seq(a -> Seq("u0"), b -> Seq("u0")))
+    // a crashed transaction: both v1 manifests orphaned, plus their
+    // exclusive units on disk
+    unit(a, "orph_a", Seq(2L -> "x")); unit(b, "orph_b", Seq(2L -> "y"))
+    intercept[RuntimeException](TxnLog.commitAtomic(root,
+      Seq(a -> Seq("u0", "orph_a"), b -> Seq("u0", "orph_b")),
+      prepared = () => throw new RuntimeException("crash")))
+    // default = retain every published txn: ONLY the orphans go
+    val rep = TxnLog.vacuumOrphans(root)
+    assert(rep(a).unitsDeleted == 1 && rep(b).unitsDeleted == 1)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(a, "orph_a")),
+      "the orphan's exclusive unit must be reclaimed")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(a, "u0")),
+      "a retained txn's unit must survive")
+    assert(CommitLog.versions(a) == Seq(0L), "the orphan manifest is gone")
+    // the coordinated reader is untouched
+    assert(TxnLog.snapshotAtomic(spark, root, Seq(a, b))(a).count() == 1)
+    // trimming txn history removes entries AND their exclusive versions
+    unit(a, "u1", Seq(3L -> "a2")); unit(b, "u1", Seq(3L -> "b2"))
+    TxnLog.commitAtomic(root, Seq(a -> Seq("u0", "u1"), b -> Seq("u0", "u1")))
+    TxnLog.vacuumOrphans(root, Some(Seq(TxnLog.txns(root).last)))
+    assert(TxnLog.txns(root).size == 1)
+    assert(TxnLog.snapshotAtomic(spark, root, Seq(a, b))(a).count() == 2)
+  }
+
   test("dml_txn_multi: the stored aggregate matches the fact recount at every txn") {
     val rows = q("dml_txn_multi").collect()
     assert(rows.length == 2)
