@@ -146,7 +146,10 @@ object TxnLog {
     * entries themselves are removed last (an entry must never outlive
     * the versions it references — the reverse order would let a
     * coordinated reader resolve a vacuumed version). Default retains
-    * every published transaction, i.e. reclaims ONLY orphans.
+    * every published transaction, i.e. reclaims ONLY orphans. A table
+    * referenced by NO retained transaction is out of scope here — its
+    * whole directory is the caller's to delete (this op never guesses
+    * at table lifetimes beyond what the retained catalog states).
     */
   def vacuumOrphans(root: String,
       retainTxns: Option[Seq[Long]] = None)

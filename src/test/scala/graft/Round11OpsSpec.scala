@@ -212,6 +212,61 @@ class Round11OpsSpec extends GraftSpec {
     intercept[Exception](CommitLog.rebuildStats(spark, t, 1L, "k"))
   }
 
+  test("a streamed table gets range skipping for free via per-batch delta stats") {
+    import spark.implicits._
+    val t = fresh("graft_r11_sinkstats")
+    // the stream_commit_sink foreachBatch body EXTENDED by the
+    // delta-sized stats publish: carry the previous entries verbatim,
+    // footer-measure ONLY the new unit — O(batch) metadata per commit,
+    // and every committed version is range-skippable from birth
+    def applyBatch(rows: Seq[(Long, String)], id: Long): Unit = {
+      val rel = f"data/b$id%05d"
+      rows.toDF("k", "s").coalesce(1)
+        .write.parquet(java.nio.file.Paths.get(t, rel).toString)
+      val prev: Seq[String] =
+        if (CommitLog.versions(t).isEmpty) Seq.empty
+        else CommitLog.unitNames(t, CommitLog.latestVersion(t))
+      val prevSt =
+        if (CommitLog.versions(t).isEmpty) Seq.empty
+        else CommitLog.stats(t, CommitLog.latestVersion(t))
+      assert(CommitLog.tryCommit(t, id, prev :+ rel))
+      val cs = CommitLog.footerColStats(spark, t, Seq(rel), Seq("k")).head
+      CommitLog.writeStats(t, id,
+        prevSt :+ ((rel, cs.min.toLong, cs.max.toLong, cs.count)))
+    }
+    applyBatch((0L until 10L).map(k => (k, "a")), 0L)
+    applyBatch((100L until 110L).map(k => (k, "b")), 1L)
+    applyBatch((200L until 210L).map(k => (k, "c")), 2L)
+    val (snap, scanned) = CommitLog.snapshotRange(spark, t, 2L, 100L, 105L)
+    assert(scanned == 1, s"probe must open only its batch's unit, got $scanned")
+    assert(snap.filter(col("k").between(100L, 105L)).count() == 6)
+    val (_, none) = CommitLog.snapshotRange(spark, t, 2L, 500L, 600L)
+    assert(none == 0, "a no-match probe is a fully-pruned read")
+  }
+
+  test("changes() through additive schema evolution aligns pre-images with null") {
+    import spark.implicits._
+    val t = fresh("graft_r11_cdcevo")
+    Seq((1L, "a")).toDF("k", "s").coalesce(1).write.parquet(s"$t/u0")
+    CommitLog.commit(t, 0L, Seq("u0"))
+    // v1 COW-rewrites u0 into an evolved unit that ADDS a column: the
+    // feed's universe is the touched units' merged schema, so the
+    // removed pre-image surfaces with flag = null and the evolved
+    // post-images with their real values — a downstream replica sees
+    // the widening exactly once, at the version that introduced it
+    Seq((1L, "a", true), (2L, "b", false)).toDF("k", "s", "flag")
+      .coalesce(1).write.parquet(s"$t/u1")
+    CommitLog.commit(t, 1L, Seq("u1"))
+    val feed = CommitLog.changes(spark, t, 1L)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)), r.getString(3))).toSet
+    assert(feed == Set(
+      (1L, "a", None, "delete"),
+      (1L, "a", Some(true), "insert"),
+      (2L, "b", Some(false), "insert")),
+      s"evolution feed wrong: $feed")
+  }
+
   test("footerColStats recurses into nested unit layouts") {
     import spark.implicits._
     val t = fresh("graft_r11_nested")
