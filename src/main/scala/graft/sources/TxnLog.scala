@@ -87,14 +87,30 @@ object TxnLog {
     * published but before the txn entry — the crash window the
     * protocol exists for. `raceSeam` fires per table between its
     * version read and its tryCommit — the per-table race window.
+    *
+    * `id` pins the transaction's ENTRY id — the idempotence handle a
+    * streaming sink needs (id = batchId, the Delta txnVersion idea
+    * lifted to multi-table): a REPLAYED transaction whose entry
+    * already exists returns that id up front, committing nothing —
+    * exactly-once for coordinated readers however many times the
+    * batch re-fires. A replay that crashed after its manifests but
+    * before its entry re-publishes manifests at fresh versions and
+    * then claims the fixed id; the first attempt's versions stay
+    * invisible orphans ([[vacuumOrphans]] fodder). With `id` unset,
+    * entry ids auto-increment (the interactive-writer path).
     */
   def commitAtomic(root: String,
       entries: Seq[(String, Seq[String])],
       prepared: () => Unit = () => (),
-      raceSeam: String => Unit = _ => ()): Long = {
+      raceSeam: String => Unit = _ => (),
+      id: Option[Long] = None): Long = {
     require(entries.nonEmpty, "an empty transaction commits nothing")
     require(entries.map(_._1).distinct.size == entries.size,
       "a table may appear once per transaction")
+    id match { // idempotent replay: the txn already committed
+      case Some(i) if txns(root).contains(i) => return i
+      case _ => ()
+    }
     // fixed global order: concurrent transactions touching the same
     // tables contend on the first shared table instead of publishing
     // interleaved prefixes
@@ -108,19 +124,22 @@ object TxnLog {
       committed += ((table, v))
     }
     prepared()
-    publishEntry(root, committed.result())
+    publishEntry(root, committed.result(), id)
   }
 
-  /** Publish the txn entry at the next free id (retrying the id race
-    * only — every manifest it references is already durable).
+  /** Publish the txn entry — at the caller's fixed id (losing the
+    * link race there means a concurrent replay of the SAME logical
+    * transaction won: report its id), or at the next free id,
+    * retrying the id race only (every manifest either entry
+    * references is already durable).
     */
-  private def publishEntry(root: String,
-      pairs: Seq[(String, Long)]): Long = {
+  private def publishEntry(root: String, pairs: Seq[(String, Long)],
+      fixed: Option[Long]): Long = {
     val d = txnDir(root)
     java.nio.file.Files.createDirectories(d)
     val content = pairs
       .map { case (t, v) => s"${enc(t)}|$v" }.mkString("", "\n", "\n")
-    var id = txns(root).lastOption.map(_ + 1).getOrElse(0L)
+    var id = fixed.getOrElse(txns(root).lastOption.map(_ + 1).getOrElse(0L))
     while (true) {
       val tmp = d.resolve(s".t$id.${java.util.UUID.randomUUID}.tmp")
       java.nio.file.Files.writeString(tmp, content)
@@ -131,6 +150,7 @@ object TxnLog {
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           java.nio.file.Files.deleteIfExists(tmp)
+          if (fixed.isDefined) return id // the replayed twin won
           id += 1 // entry-id race: both txns' manifests are durable,
                   // the retry only serializes visibility order
       }

@@ -630,6 +630,87 @@ object StreamQueries {
       }.reduce(_ unionAll _).orderBy("version")
     }),
 
+    // I12 (round 11): TRANSACTIONAL exactly-once streaming across TWO
+    // tables — stream_commit_sink composed with the TxnLog
+    // catalog-commit protocol. Each micro-batch appends its fact unit
+    // AND publishes the updated 1-row running aggregate, committed
+    // ATOMICALLY under txn id = batchId (TxnLog.commitAtomic's
+    // idempotence handle): a replayed batch finds its entry and
+    // commits nothing, a crash between manifests and entry leaves
+    // invisible orphans and the replay completes the same logical
+    // txn — coordinated readers can never see new facts against a
+    // stale aggregate OR a double-applied batch. The previous state
+    // resolves through the COORDINATOR (last txn entry), never
+    // through raw latest-version reads that could observe orphans.
+    // Output: per txn, the fact-side recount NEXT TO the stored
+    // aggregate — the oracle pins them equal at both txns, from
+    // events arithmetic. At 100 TB: per batch costs its own data +
+    // O(tables) manifest writes + one entry; the aggregate updates at
+    // O(batch), never a fact re-scan (running sums fold).
+    "stream_txn_sink" -> ((s, d) => {
+      import graft.sources.{CommitLog, TxnLog}
+      val ev = load(s, d, "events")
+        .select(col("event_id"), dec(col("value")).as("value"))
+      val srcDir = tmp("graft_stx_src")
+      val root = tmp("graft_stx_root")
+      val fact = s"$root/fact"
+      val agg = s"$root/agg"
+      val ckpt = tmp("graft_stx_ckpt")
+      def drain(): Unit = {
+        val sdf = s.readStream.schema(ev.schema).parquet(srcDir)
+        val q = sdf.writeStream.outputMode("append")
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            if (!TxnLog.txns(root).contains(id)) { // replay short-circuit
+              val rel = f"data/b$id%05d"
+              batch.write.mode("overwrite")
+                .parquet(java.nio.file.Paths.get(fact, rel).toString)
+              val batchAgg = batch
+                .agg(count(lit(1)).cast("bigint").as("n"),
+                  sum(col("value")).cast(DecimalType(38, 2)).as("total"))
+              val prev = TxnLog.txns(root).lastOption.map(last =>
+                TxnLog.snapshotAt(s, root, last, Seq(fact, agg)))
+              // the RUNNING aggregate folds the previous stored row +
+              // this batch — O(batch), never a fact re-scan
+              val nextAgg = prev match {
+                case None => batchAgg
+                case Some(snaps) => snaps(agg).unionAll(batchAgg)
+                  .agg(sum(col("n")).cast("bigint").as("n"),
+                    sum(col("total")).cast(DecimalType(38, 2)).as("total"))
+              }
+              nextAgg.coalesce(1).write.mode("overwrite")
+                .parquet(java.nio.file.Paths.get(agg, f"a$id%05d").toString)
+              val prevFactUnits = prev.map(_ => CommitLog.unitNames(fact,
+                TxnLog.entry(root, TxnLog.txns(root).last).toMap.apply(fact)))
+                .getOrElse(Seq.empty)
+              TxnLog.commitAtomic(root,
+                Seq(fact -> (prevFactUnits :+ rel), agg -> Seq(f"a$id%05d")),
+                id = Some(id))
+            }
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      ev.filter(col("event_id") % 2 === 0).coalesce(1)
+        .write.mode("append").parquet(srcDir)
+      drain()
+      ev.filter(col("event_id") % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(srcDir)
+      drain()
+      TxnLog.txns(root).map { id =>
+        val snaps = TxnLog.snapshotAt(s, root, id, Seq(fact, agg))
+        val f = snaps(fact)
+          .agg(count(lit(1)).as("fact_rows"),
+            sum(col("value")).cast(DecimalType(38, 2)).as("fact_total"))
+        val a = snaps(agg)
+          .select(col("n").as("agg_rows"), col("total").as("agg_total"))
+        f.crossJoin(a)
+          .select(lit(id).cast("bigint").as("txn"), col("fact_rows"),
+            col("fact_total"), col("agg_rows"), col("agg_total"))
+      }.reduce(_ unionAll _).orderBy("txn")
+    }),
+
     // I7: stream-static join — events stream enriched with the
     // customer dimension (no watermark needed on the static side).
     "stream_join" -> ((s, d) => {
@@ -785,6 +866,18 @@ object StreamQueries {
         |UNION ALL SELECT 1, count(*), CAST(sum(value) AS DECIMAL(38,2))
         |  FROM base
         |ORDER BY version""".stripMargin,
+    // I12: both coordinated pairs recomputed from events arithmetic —
+    // the stored aggregate must equal the fact recount at each txn.
+    "stream_txn_sink" ->
+      """WITH base AS (SELECT event_id,
+        |    CAST(value AS DECIMAL(18,2)) AS value FROM events)
+        |SELECT CAST(0 AS BIGINT) AS txn, count(*) AS fact_rows,
+        |    CAST(sum(value) AS DECIMAL(38,2)) AS fact_total,
+        |    count(*) AS agg_rows, CAST(sum(value) AS DECIMAL(38,2)) AS agg_total
+        |  FROM base WHERE event_id % 2 = 0
+        |UNION ALL SELECT 1, count(*), CAST(sum(value) AS DECIMAL(38,2)),
+        |    count(*), CAST(sum(value) AS DECIMAL(38,2)) FROM base
+        |ORDER BY txn""".stripMargin,
     // I7: stream-static enrichment join + global agg.
     "stream_join" ->
       """SELECT c_mktsegment, count(*) AS n

@@ -82,6 +82,33 @@ class TxnSpec extends GraftSpec {
       TxnLog.snapshotAt(spark, root, 0L, Seq(s"$root/nope")))
   }
 
+  test("a replayed fixed-id transaction commits nothing (streaming exactly-once)") {
+    val (root, a, b) = fresh()
+    unit(a, "u0", Seq(1L -> "a1")); unit(b, "u0", Seq(1L -> "b1"))
+    assert(TxnLog.commitAtomic(root,
+      Seq(a -> Seq("u0"), b -> Seq("u0")), id = Some(0L)) == 0L)
+    // full replay of a committed batch: short-circuits on the entry —
+    // no new versions, no new entry, nothing written
+    assert(TxnLog.commitAtomic(root,
+      Seq(a -> Seq("u0"), b -> Seq("u0")), id = Some(0L)) == 0L)
+    assert(TxnLog.txns(root) == Seq(0L))
+    assert(CommitLog.versions(a) == Seq(0L) && CommitLog.versions(b) == Seq(0L))
+    // crash AFTER manifests, BEFORE the entry; the replay completes
+    // the SAME logical txn at the fixed id on fresh versions — the
+    // first attempt's manifests stay invisible orphans
+    unit(a, "u1", Seq(2L -> "a2")); unit(b, "u1", Seq(2L -> "b2"))
+    intercept[RuntimeException](TxnLog.commitAtomic(root,
+      Seq(a -> Seq("u0", "u1"), b -> Seq("u0", "u1")),
+      prepared = () => throw new RuntimeException("crash"), id = Some(1L)))
+    val t1 = TxnLog.commitAtomic(root,
+      Seq(a -> Seq("u0", "u1"), b -> Seq("u0", "u1")), id = Some(1L))
+    assert(t1 == 1L)
+    assert(TxnLog.entry(root, 1L).toMap == Map(a -> 2L, b -> 2L),
+      "the completed entry must reference the replay's versions")
+    val now = TxnLog.snapshotAtomic(spark, root, Seq(a, b))
+    assert(now(a).count() == 2 && now(b).count() == 2)
+  }
+
   test("vacuumOrphans reclaims exactly what no retained txn references") {
     val (root, a, b) = fresh()
     unit(a, "u0", Seq(1L -> "a1")); unit(b, "u0", Seq(1L -> "b1"))
