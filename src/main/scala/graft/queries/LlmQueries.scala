@@ -37,6 +37,61 @@ object LlmQueries {
   private val ivfLogDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Build (or reuse) the 3-version commit-log IVF table: v0 = the
+    * standing corpus (vec_id%10≠0) bucket-assigned against the frozen
+    * quantizer, v1 = the arriving batch appended O(delta), v2 = the
+    * vec_id%9 slice (probe ids excluded) DELETED via one tombstone
+    * unit on the dv channel — no bucket unit touched after its
+    * ingest. sim_ivf_delta probes v1, sim_ivf_delete probes v2.
+    */
+  private def ivfLogTable(s: org.apache.spark.sql.SparkSession, d: String,
+      emb: org.apache.spark.sql.DataFrame,
+      cent: org.apache.spark.sql.DataFrame): String = {
+    import graft.sources.CommitLog
+    graft.queries.ScaleQueries.freshDir(ivfLogDir, d, "embeddings") {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivflog").toString
+      def appendUnits(part: org.apache.spark.sql.DataFrame,
+          sub: String): Seq[(String, Long, Long, Long)] = {
+        GraftOps.ivfAssign(part, "vec_id", "embedding", cent)
+          // bval duplicates the partition column INTO the files: a
+          // manifest-pruned read lists bucket dirs directly (no
+          // basePath partition discovery), so the join key must
+          // survive inside the data
+          .withColumn("bval", col("bucket"))
+          .write.partitionBy("bucket").parquet(s"$dir/data/$sub")
+        import scala.jdk.CollectionConverters._
+        val stream = java.nio.file.Files.list(
+          java.nio.file.Paths.get(dir, "data", sub))
+        val dirs =
+          try stream.iterator().asScala
+            .filter(_.getFileName.toString.startsWith("bucket="))
+            .map(p => s"data/$sub/${p.getFileName}").toVector.sorted
+          finally stream.close()
+        val counts = CommitLog.footerColStats(s, dir, dirs, Seq("c_id"))
+          .map(cs => cs.unit -> cs.count).toMap
+        dirs.map { u =>
+          val b = u.substring(u.indexOf("bucket=") + 7).toLong
+          (u, b, b, counts(u))
+        }
+      }
+      val st0 = appendUnits(emb.filter(col("vec_id") % 10 =!= 0), "base")
+      CommitLog.commit(dir, 0L, st0.map(_._1))
+      CommitLog.writeStats(dir, 0L, st0)
+      // the version boundary: ONLY the delta batch is assigned and
+      // written — O(delta) index growth
+      val st1 = appendUnits(emb.filter(col("vec_id") % 10 === 0), "delta")
+      CommitLog.commit(dir, 1L, st0.map(_._1) ++ st1.map(_._1))
+      CommitLog.writeStats(dir, 1L, st0 ++ st1)
+      // v2: the deletion — one tombstone unit, bucket units untouched
+      emb.filter(col("vec_id") % 9 === 0 && col("vec_id") >= 10)
+        .select("vec_id").coalesce(1).write.parquet(s"$dir/data/dv")
+      CommitLog.commit(dir, 2L, st0.map(_._1) ++ st1.map(_._1))
+      CommitLog.writeStats(dir, 2L, st0 ++ st1)
+      CommitLog.writeDeletes(dir, 2L, Seq("data/dv"))
+      dir
+    }
+  }
+
   // Fingerprint (size + mtime) of a source table file. Computed BEFORE
   // the cache lookup and baked into the cache KEY, not just the path:
   // if the driver regenerates testdata while this JVM is alive (the
@@ -326,52 +381,51 @@ object LlmQueries {
       import graft.sources.CommitLog
       val emb = load(s, d, "embeddings")
       val cent = GraftOps.centroids(emb, "label", "embedding")
-      val root = graft.queries.ScaleQueries.freshDir(ivfLogDir, d, "embeddings") {
-        val dir = java.nio.file.Files.createTempDirectory("graft_ivflog").toString
-        def appendUnits(part: org.apache.spark.sql.DataFrame,
-            sub: String): Seq[(String, Long, Long, Long)] = {
-          GraftOps.ivfAssign(part, "vec_id", "embedding", cent)
-            // bval duplicates the partition column INTO the files: a
-            // manifest-pruned read lists bucket dirs directly (no
-            // basePath partition discovery), so the join key must
-            // survive inside the data
-            .withColumn("bval", col("bucket"))
-            .write.partitionBy("bucket").parquet(s"$dir/data/$sub")
-          import scala.jdk.CollectionConverters._
-          val stream = java.nio.file.Files.list(
-            java.nio.file.Paths.get(dir, "data", sub))
-          val dirs =
-            try stream.iterator().asScala
-              .filter(_.getFileName.toString.startsWith("bucket="))
-              .map(p => s"data/$sub/${p.getFileName}").toVector.sorted
-            finally stream.close()
-          val counts = CommitLog.footerColStats(s, dir, dirs, Seq("c_id"))
-            .map(cs => cs.unit -> cs.count).toMap
-          dirs.map { u =>
-            val b = u.substring(u.indexOf("bucket=") + 7).toLong
-            (u, b, b, counts(u))
-          }
-        }
-        val st0 = appendUnits(emb.filter(col("vec_id") % 10 =!= 0), "base")
-        CommitLog.commit(dir, 0L, st0.map(_._1))
-        CommitLog.writeStats(dir, 0L, st0)
-        // the version boundary: ONLY the delta batch is assigned and
-        // written — O(delta) index growth
-        val st1 = appendUnits(emb.filter(col("vec_id") % 10 === 0), "delta")
-        CommitLog.commit(dir, 1L, st0.map(_._1) ++ st1.map(_._1))
-        CommitLog.writeStats(dir, 1L, st0 ++ st1)
-        dir
-      }
+      val root = ivfLogTable(s, d, emb, cent)
       val probes = GraftOps.ivfProbes(emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", cent, nprobe = 3)
       val wanted = probes.select(col("bucket").cast("long")).distinct()
         .collect().map(_.getLong(0)).toSet // metadata-sized: <= probes x nprobe ids
-      val v = CommitLog.latestVersion(root)
-      val picked = CommitLog.stats(root, v)
+      // probed at v1, the grown-by-delta generation; v2 (the deletion)
+      // is sim_ivf_delete's — index time travel, the postings twin
+      val picked = CommitLog.stats(root, 1L)
         .filter { case (_, mn, mx, _) => wanted.exists(b => mn <= b && mx >= b) }
         .map(u => java.nio.file.Paths.get(root, u._1).toString)
       val bucketed = s.read.parquet(picked: _*)
         .withColumnRenamed("bval", "bucket")
+      GraftOps.ivfRank(probes, bucketed, 5).orderBy("q_id", "rn")
+    }),
+
+    // K4e (round 11): IVF UNDER VECTOR DELETION — the vector twin of
+    // text_bm25_postings_delete. v2 deletes the vec_id%9 slice (probe
+    // ids excluded so the query set is fixed) by publishing ONE
+    // tombstone unit on the dv sidecar channel; every bucket unit
+    // carries by name — deletion costs O(deleted ids), never an index
+    // rewrite. The probe anti-joins the broadcast tombstone set after
+    // the manifest-pruned bucket read; ranking reuses the exact
+    // sim_ivf contract. Exempt tier like the rest of the IVF family;
+    // planted truth (Round11OpsSpec): the tombstoned index answers
+    // IDENTICALLY to a from-scratch rebuild over the remaining
+    // corpus, because assignment is pointwise and removal of a
+    // pointwise-assigned vector cannot move any other vector's bucket.
+    "sim_ivf_delete" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.sources.CommitLog
+      val emb = load(s, d, "embeddings")
+      val cent = GraftOps.centroids(emb, "label", "embedding")
+      val root = ivfLogTable(s, d, emb, cent)
+      val probes = GraftOps.ivfProbes(emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", cent, nprobe = 3)
+      val wanted = probes.select(col("bucket").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSet // metadata-sized: <= probes x nprobe ids
+      val picked = CommitLog.stats(root, 2L)
+        .filter { case (_, mn, mx, _) => wanted.exists(b => mn <= b && mx >= b) }
+        .map(u => java.nio.file.Paths.get(root, u._1).toString)
+      val dead = s.read.parquet(CommitLog.deletes(root, 2L): _*)
+        .select(col("vec_id").as("c_id")).distinct()
+      val bucketed = s.read.parquet(picked: _*)
+        .withColumnRenamed("bval", "bucket")
+        .join(broadcast(dead), Seq("c_id"), "left_anti")
       GraftOps.ivfRank(probes, bucketed, 5).orderBy("q_id", "rn")
     }),
 

@@ -212,6 +212,31 @@ class Round11OpsSpec extends GraftSpec {
     intercept[Exception](CommitLog.rebuildStats(spark, t, 1L, "k"))
   }
 
+  test("sim_ivf_delete answers like a rebuild over the remaining corpus") {
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions.col
+    val out = q("sim_ivf_delete").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).toPlainString,
+        r.getLong(3))).toSet
+    assert(out.nonEmpty)
+    // assignment against the frozen quantizer is pointwise, so
+    // removing vectors cannot move any survivor's bucket — the
+    // tombstoned index must rank EXACTLY like a from-scratch rebuild
+    // over the remaining corpus (same probes: none are deleted)
+    val emb = Tables.load(spark, sf, "embeddings")
+    val cent = api.GraftOps.centroids(emb, "label", "embedding")
+    val remaining = emb.filter(
+      !(col("vec_id") % 9 === 0 && col("vec_id") >= 10))
+    val full = api.GraftOps.ivfTopK(remaining, "vec_id", "embedding", cent,
+        col("vec_id") < 10, k = 5, nprobe = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).toPlainString,
+        r.getLong(3))).toSet
+    assert(out == full,
+      "tombstoned IVF must rank identically to a remaining-corpus rebuild")
+    // and no tombstoned id survives as a neighbor
+    assert(out.forall { case (_, cId, _, _) => cId % 9 != 0 || cId < 10 })
+  }
+
   test("a streamed table gets range skipping for free via per-batch delta stats") {
     import spark.implicits._
     val t = fresh("graft_r11_sinkstats")
