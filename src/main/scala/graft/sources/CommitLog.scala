@@ -245,12 +245,22 @@ object CommitLog {
     * the manifest-level min/max/count stats the lakehouse formats use
     * for data skipping. One `unit|min|max|count` line per unit,
     * sidecar to the manifest (same atomic hard-link publish).
+    * `keyCol`, when given, is recorded as a `#key=` header naming the
+    * COLUMN the ranges describe — the soundness marker for consumers
+    * that route ROW KEYS through these ranges ([[changes]]' routed
+    * pre-image read): an index table whose "ranges" are bucket ids
+    * writes no header and such consumers fall back to the unrouted
+    * (always-sound) path instead of silently mis-pruning.
     */
   def writeStats(table: String, version: Long,
-      stats: Seq[(String, Long, Long, Long)]): Unit =
+      stats: Seq[(String, Long, Long, Long)],
+      keyCol: Option[String] = None): Unit = {
+    val header = keyCol.map(c => "#key=" + java.net.URLEncoder.encode(
+      c, java.nio.charset.StandardCharsets.UTF_8) + "\n").getOrElse("")
     publishSidecar(table, version, "stats.txt",
-      stats.map { case (u, mn, mx, n) => s"$u|$mn|$mx|$n" }
+      header + stats.map { case (u, mn, mx, n) => s"$u|$mn|$mx|$n" }
         .mkString("", "\n", "\n"))
+  }
 
   /** The per-unit stats of `version` (unit, min, max, count). */
   def stats(table: String, version: Long): Seq[(String, Long, Long, Long)] = {
@@ -258,10 +268,24 @@ object CommitLog {
     require(java.nio.file.Files.isRegularFile(f),
       s"$table has no stats for version $version")
     java.nio.file.Files.readAllLines(f).toArray(Array.empty[String]).toSeq
-      .filter(_.nonEmpty).map { l =>
+      .filter(l => l.nonEmpty && !l.startsWith("#")).map { l =>
         val Array(u, mn, mx, n) = l.split('|')
         (u, mn.toLong, mx.toLong, n.toLong)
       }
+  }
+
+  /** The column `version`'s stats ranges describe, when the writer
+    * recorded it (the `#key=` header) — None on older or index-table
+    * sidecars, which key-routing consumers must treat as "ranges are
+    * NOT key ranges".
+    */
+  def statsKey(table: String, version: Long): Option[String] = {
+    val f = logDir(table).resolve(f"v$version%05d.stats.txt")
+    if (!java.nio.file.Files.isRegularFile(f)) None
+    else java.nio.file.Files.readAllLines(f)
+      .toArray(Array.empty[String]).toSeq
+      .find(_.startsWith("#key=")).map(l => java.net.URLDecoder.decode(
+        l.stripPrefix("#key="), java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** CRASH RECOVERY for the stats layer: derive and publish the
@@ -284,7 +308,8 @@ object CommitLog {
       s"stats sidecar requires a BIGINT key column; $keyCol in ${s.unit} " +
         s"is ${s.kind}"))
     writeStats(table, version,
-      cs.map(s => (s.unit, s.min.toLong, s.max.toLong, s.count)))
+      cs.map(s => (s.unit, s.min.toLong, s.max.toLong, s.count)),
+      Some(keyCol))
   }
 
   /** One column's per-unit statistics: `kind` is `long`, `double` or
@@ -611,7 +636,7 @@ object CommitLog {
     */
   def mergeCow(spark: SparkSession, table: String, updates: DataFrame,
       keyCol: String, beforeCommit: () => Unit = () => ()): Long = {
-    import org.apache.spark.sql.functions.{broadcast, col, count, lit, max, min}
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, lit, max, min, when}
     var hook = beforeCommit
     var attempts = 0
     while (true) {
@@ -689,14 +714,39 @@ object CommitLog {
             f"data/merge_v${v + 1}%05d_rw${i}_$attempts")
         }
       }
-      if (!outRange.isEmpty)
-        writeUnit(outRange, f"data/merge_v${v + 1}%05d_ins_$attempts")
+      // INSERTS land ONE UNIT PER GAP of the range layout (below the
+      // first unit, between consecutive units, above the last), never
+      // one collapsed unit: on a layout with interior gaps (natural
+      // after applyDeletes shrinks or empties a unit) a collapsed
+      // insert unit's [min,max] would SPAN the carried units between
+      // its keys and permanently trip the next merge's overlap guard —
+      // the same lock-out the per-touched-unit rewrite prevents, on
+      // the insert side. Each gap unit's measured range is a subset of
+      // its gap by construction, so the layout stays disjoint.
+      if (!outRange.isEmpty) {
+        val sorted = st.map(s => (s._2, s._3)).sortBy(_._1)
+        // gap g = keys before unit g's min (and past unit g-1's max —
+        // given, since the row matched no range); g = units.size is
+        // the region above every range
+        val gapped = outRange.withColumn("__gap",
+          sorted.indices.map(g =>
+            when(col(keyCol) < lit(sorted(g)._1), lit(g)))
+            .reduceOption((a, b) => coalesce(a, b))
+            .map(c => coalesce(c, lit(sorted.size)))
+            .getOrElse(lit(0)))
+        val gaps = gapped.select("__gap").distinct()
+          .collect().map(_.getInt(0)).sorted // metadata-sized: <= units+1 gap ids
+        gaps.foreach { g =>
+          writeUnit(gapped.filter(col("__gap") === g).drop("__gap"),
+            f"data/merge_v${v + 1}%05d_ins${g}_$attempts")
+        }
+      }
       val carried = st.filterNot(s => touchedRel.contains(s._1))
       val manifestUnits =
         carried.map(_._1) ++ newUnits.result()
       hook(); hook = () => () // the race window fires once
       if (tryCommit(table, v + 1, manifestUnits)) {
-        writeStats(table, v + 1, carried ++ newStats.result())
+        writeStats(table, v + 1, carried ++ newStats.result(), Some(keyCol))
         // a table that also tracks multi-column footer stats keeps
         // them across the merge: untouched entries carry, new units
         // get theirs lifted from the just-written footers — without
@@ -827,7 +877,7 @@ object CommitLog {
       if (packed.nonEmpty && packedAbs.size == packed.size)
         writeStats(table, to, carried :+
           ((packedRel, packed.map(_._2).min, packed.map(_._3).max,
-            packed.map(_._4).sum)))
+            packed.map(_._4).sum)), statsKey(table, from))
     }
     if (java.nio.file.Files.isRegularFile(
         logDir(table).resolve(f"v$from%05d.cstats.txt"))) {
@@ -975,11 +1025,15 @@ object CommitLog {
     val carried = prev.filter { case (rel, _, _) =>
       targetRels(rel) && !rewrittenAbsorbed(rel)
     }
+    // ONE grouped pass per COLUMN over all new units (buildBloomLines'
+    // own batching — a per-(unit, column) loop would run touched×cols
+    // driver-serialized jobs); sizing by the largest unit is safe,
+    // over-sizing a filter only lowers its fpp
+    val maxExpected = math.max(1L,
+      newRels.map(expectedOf).foldLeft(1L)(math.max))
     val built = cols.flatMap { c =>
-      newRels.flatMap { rel =>
-        buildBloomLines(spark, table, Seq(rel), c,
-          math.max(1L, expectedOf(rel)), fpp).map(l => (l._1, c, l._2))
-      }
+      buildBloomLines(spark, table, newRels, c, maxExpected, fpp)
+        .map(l => (l._1, c, l._2))
     }
     val all = carried ++ built
     // only publish a sidecar that still answers for EVERY unit of the
@@ -1128,6 +1182,15 @@ object CommitLog {
     * where min/max stats prune nothing. False positives cost an extra
     * unit scan, never a wrong answer — the probe row filter still
     * applies inside surviving units.
+    *
+    * Probe-encoding contract: the build hashed each value through
+    * Spark's cast-to-string, so the probe must be A VALUE OF THE
+    * INDEXED COLUMN'S TYPE — Long/Int/String render identically on
+    * both sides, and BigDecimal probes go through toPlainString (the
+    * cast rendering for decimals). Probing a DECIMAL column with a
+    * Double (\"77.5\" vs the stored \"77.50\") is a caller type error
+    * this API cannot detect and WILL false-negative — pass the
+    * column's own type.
     */
   def snapshotBloom(spark: SparkSession, table: String, version: Long,
       colName: String, value: Any): (DataFrame, Int) = {
@@ -1150,8 +1213,15 @@ object CommitLog {
           java.util.Base64.getDecoder.decode(b64)))
       // probe with the SAME encoding the build hashed (cast('string')
       // + putString): a raw Long probe would dispatch to
-      // mightContainLong and get guaranteed false negatives
-      if (bf.mightContainString(String.valueOf(value)))
+      // mightContainLong and get guaranteed false negatives, and a
+      // BigDecimal must render plain (Spark's decimal cast), never
+      // scientific notation
+      val rendered = value match {
+        case d: java.math.BigDecimal => d.toPlainString
+        case d: scala.math.BigDecimal => d.bigDecimal.toPlainString
+        case other => String.valueOf(other)
+      }
+      if (bf.mightContainString(rendered))
         Some(java.nio.file.Paths.get(table, rel).toString)
       else None
     }
@@ -1365,7 +1435,8 @@ object CommitLog {
           val r = updates.agg(min(col(keyCol).cast("long")),
             max(col(keyCol).cast("long")), count(lit(1))).head()
           writeStats(table, v + 1,
-            stats(table, v) :+ ((img, r.getLong(0), r.getLong(1), r.getLong(2))))
+            stats(table, v) :+ ((img, r.getLong(0), r.getLong(1), r.getLong(2))),
+            Some(keyCol))
         }
         if (java.nio.file.Files.isRegularFile(
             logDir(table).resolve(f"v$v%05d.cstats.txt"))) {
@@ -1483,7 +1554,8 @@ object CommitLog {
           carried ++ exempt.toSeq.sorted ++ newUnits.result())) {
         if (st.nonEmpty)
           writeStats(table, v + 1,
-            st.filterNot(s => touched.contains(s._1)) ++ newStats.result())
+            st.filterNot(s => touched.contains(s._1)) ++ newStats.result(),
+            Some(keyCol))
         if (java.nio.file.Files.isRegularFile(
             logDir(table).resolve(f"v$v%05d.cstats.txt"))) {
           val cs = colStats(table, v)
@@ -1596,14 +1668,16 @@ object CommitLog {
           .distinct()
         // STATS-ROUTED pre-image read (the applyDeletes discipline):
         // when the version carries a stats sidecar covering every
-        // pre-image unit AND the tombstone schema is the single key
-        // column those ranges describe, only units whose key range
-        // holds at least one tombstone key are opened — a GDPR batch
+        // pre-image unit AND its `#key=` header names EXACTLY the
+        // single tombstone column (the soundness marker — an index
+        // table's bucket-id "ranges" carry no header, and routing doc
+        // tombstones through bucket ids would silently drop most
+        // retractions from the feed), only units whose key range holds
+        // at least one tombstone key are opened — a GDPR batch
         // confined to 2 of 10⁵ units costs 2 units of pre-image I/O,
         // never a table scan. One extra keyed job over the (small)
-        // tombstone set buys the pruning; the fallback (no stats, or
-        // composite tombstone schema) reads every pre-image unit,
-        // which is the only sound answer without ranges.
+        // tombstone set buys the pruning; every other case reads every
+        // pre-image unit, the only sound answer without key ranges.
         val st =
           if (java.nio.file.Files.isRegularFile(
               logDir(table).resolve(f"v$version%05d.stats.txt")))
@@ -1615,6 +1689,7 @@ object CommitLog {
             f.dataType == org.apache.spark.sql.types.IntegerType)
         val routedRel =
           if (keys.columns.size == 1 && keyIsIntegral && st.nonEmpty &&
+              statsKey(table, version).contains(keys.columns.head) &&
               preRel.forall(stByUnit.contains)) {
             import spark.implicits._
             val ranges = preRel.map(stByUnit).zipWithIndex
@@ -1646,6 +1721,70 @@ object CommitLog {
         withRetract.filter(col("_change_type") === "delete")
           .join(tombKeys, tombKeys.columns.toSeq, "left_anti"))
     }
+  }
+
+  /** Fold `version`'s CDC feed into the persisted replica under
+    * `stateDir` and return the path of the replica state current as
+    * of `version` — THE materialized per-version consumption loop
+    * every downstream replica runs (state_v = state_prev minus delete
+    * rows plus insert rows, multiset semantics; an EMPTY feed — a
+    * maintenance version — carries the previous state untouched).
+    * Materializing per version keeps every job's plan O(1) deep at
+    * any history length, where the lazy exceptAll/unionAll tree
+    * re-analyzes its whole history each step.
+    *
+    * REPLAY-SAFE, the property a foreachBatch consumer needs: a state
+    * that already exists for `version` is returned as-is (folds are
+    * deterministic), and a fresh fold writes to a temp dir published
+    * by ATOMIC move — a crashed attempt can never pass for a
+    * completed one, and a concurrent twin losing the move just
+    * adopts the winner's state.
+    */
+  def replayInto(spark: SparkSession, table: String, version: Long,
+      stateDir: String): String = {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Paths.get(stateDir)
+    java.nio.file.Files.createDirectories(dir)
+    val out = dir.resolve(s"v$version")
+    if (java.nio.file.Files.isDirectory(out)) return out.toString
+    val prev = replayStates(stateDir).filter(_ < version).lastOption
+      .map(v => dir.resolve(s"v$v").toString)
+    val ch = changes(spark, table, version)
+    prev match {
+      case Some(p) if ch.isEmpty => return p // maintenance: carry
+      case _ => ()
+    }
+    val ins = ch.filter(col("_change_type") === "insert")
+      .drop("_change_type")
+    val del = ch.filter(col("_change_type") === "delete")
+      .drop("_change_type")
+    val tmp = dir.resolve(s".v$version.${java.util.UUID.randomUUID}.tmp")
+    (prev match {
+      case None => ins
+      case Some(p) => spark.read.parquet(p).exceptAll(del).unionAll(ins)
+    }).write.parquet(tmp.toString)
+    try java.nio.file.Files.move(tmp, out,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Fs.deleteRecursively(tmp.toString) // a concurrent twin won
+    }
+    out.toString
+  }
+
+  /** The version numbers with a published replica state under
+    * `stateDir` (ascending) — [[replayInto]]'s bookkeeping, public so
+    * a resuming consumer can find where it left off.
+    */
+  def replayStates(stateDir: String): Seq[Long] = {
+    val dir = java.nio.file.Paths.get(stateDir)
+    if (!java.nio.file.Files.isDirectory(dir)) return Seq.empty
+    import scala.jdk.CollectionConverters._
+    val st = java.nio.file.Files.list(dir)
+    try st.iterator().asScala.map(_.getFileName.toString)
+      .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+      .map(_.drop(1).toLong).toVector.sorted
+    finally st.close()
   }
 
   /** What [[vacuum]] actually did: `unitsDeleted` fully-reclaimed data

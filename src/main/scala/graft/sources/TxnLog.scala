@@ -163,9 +163,12 @@ object TxnLog {
     * particular the ORPHANS a crashed transaction left (manifests
     * published, entry never was) — goes through [[CommitLog.vacuum]]
     * with its ownership guard and deletion accounting; expired txn
-    * entries themselves are removed last (an entry must never outlive
-    * the versions it references — the reverse order would let a
-    * coordinated reader resolve a vacuumed version). Default retains
+    * entries are removed FIRST (an entry must never outlive the
+    * versions it references — vacuuming first would let a coordinated
+    * reader, or a crash between the two steps, resolve an entry whose
+    * manifests are already gone; the safe-direction crash instead
+    * leaves entry-less versions, which are ordinary orphans the next
+    * run reclaims). Default retains
     * every published transaction, i.e. reclaims ONLY orphans. A table
     * referenced by NO retained transaction is out of scope here — its
     * whole directory is the caller's to delete (this op never guesses
@@ -182,12 +185,9 @@ object TxnLog {
     val byTable = keepIds.flatMap(id => entry(root, id))
       .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted.toSeq)
       .toMap
-    val reports = byTable.map { case (t, keep) =>
-      t -> CommitLog.vacuum(t, keep)
-    }
     all.filterNot(keepIds.contains).foreach(id =>
       java.nio.file.Files.delete(txnDir(root).resolve(f"t$id%05d.txt")))
-    reports
+    byTable.map { case (t, keep) => t -> CommitLog.vacuum(t, keep) }
   }
 
   /** Coordinated read: every requested table at the versions the

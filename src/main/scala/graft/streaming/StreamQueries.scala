@@ -514,15 +514,6 @@ object StreamQueries {
       val root = tmp("graft_scdc")
       val ckpt = tmp("graft_scdc_ckpt")
       val stateDir = tmp("graft_scdc_state")
-      def latestState(): Option[String] = {
-        import scala.jdk.CollectionConverters._
-        val st = java.nio.file.Files.list(java.nio.file.Paths.get(stateDir))
-        try st.iterator().asScala.map(_.getFileName.toString)
-          .filter(_.startsWith("v")).toVector
-          .sortBy(_.drop(1).toLong).lastOption
-          .map(n => s"$stateDir/$n")
-        finally st.close()
-      }
       def drain(): Unit = {
         val sdf = s.readStream.text(s"$root/_log/v?????.txt")
           .select(col("_metadata.file_path").as("path"))
@@ -532,20 +523,11 @@ object StreamQueries {
               .map(_.getString(0).split('/').last
                 .stripPrefix("v").stripSuffix(".txt").toLong)
               .sorted
-            vs.foreach { v =>
-              val ch = CommitLog.changes(s, root, v)
-              val ins = ch.filter(col("_change_type") === "insert")
-                .drop("_change_type")
-              val del = ch.filter(col("_change_type") === "delete")
-                .drop("_change_type")
-              (latestState(), ch.isEmpty) match {
-                case (None, _) => ins.write.parquet(s"$stateDir/v$v")
-                case (Some(_), true) => () // maintenance: replica untouched
-                case (Some(prev), false) =>
-                  s.read.parquet(prev).exceptAll(del).unionAll(ins)
-                    .write.parquet(s"$stateDir/v$v")
-              }
-            }
+            // the shared replay-safe fold: a batch retry or checkpoint
+            // re-delivery finds the already-published state and skips
+            // (CommitLog.replayInto — atomic-move publish, never a
+            // half-written state mistaken for a completed one)
+            vs.foreach(v => CommitLog.replayInto(s, root, v, stateDir))
           }
           .option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow()).start()
@@ -564,7 +546,8 @@ object StreamQueries {
           .unionAll(base.filter(col("k") % 3 === 1)), "k")
       CommitLog.applyDeletes(s, root, "k")
       drain()
-      val rep = s.read.parquet(latestState().get)
+      val rep = s.read.parquet(
+        s"$stateDir/v${CommitLog.replayStates(stateDir).last}")
         .agg(count(lit(1)).as("replica_rows"),
           sum(col("p")).cast(DecimalType(38, 2)).as("replica_total"))
       val vLast = CommitLog.versions(root).last
@@ -660,7 +643,17 @@ object StreamQueries {
         val sdf = s.readStream.schema(ev.schema).parquet(srcDir)
         val q = sdf.writeStream.outputMode("append")
           .foreachBatch { (batch: DataFrame, id: Long) =>
-            if (!TxnLog.txns(root).contains(id)) { // replay short-circuit
+            // commitAtomic returning -1 means a per-table version race
+            // was lost — the batch must RETRY on fresh coordinator
+            // state, never be silently dropped while the checkpoint
+            // advances (the unit writes are mode-overwrite, so a retry
+            // rewrites them; the fixed txn id keeps the whole loop
+            // idempotent under batch replay too)
+            var attempts = 0
+            while (!TxnLog.txns(root).contains(id)) {
+              attempts += 1
+              require(attempts <= 10,
+                s"txn sink batch $id lost $attempts commit races — back off")
               val rel = f"data/b$id%05d"
               batch.write.mode("overwrite")
                 .parquet(java.nio.file.Paths.get(fact, rel).toString)

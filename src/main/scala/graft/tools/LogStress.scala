@@ -283,23 +283,11 @@ object LogStress {
       val repDir = tmp()
       val vsAll = CommitLog.versions(t)
       val t0 = System.nanoTime()
-      var prev: Option[String] = None
-      vsAll.foreach { v =>
-        val ch = CommitLog.changes(spark, t, v)
-        val ins = ch.filter(col("_change_type") === "insert")
-          .drop("_change_type")
-        val del = ch.filter(col("_change_type") === "delete")
-          .drop("_change_type")
-        val out = s"$repDir/v$v"
-        prev match {
-          case None => ins.write.parquet(out)
-          case Some(p) => spark.read.parquet(p)
-            .exceptAll(del).unionAll(ins).write.parquet(out)
-        }
-        prev = Some(out)
-      }
+      vsAll.foreach(v => CommitLog.replayInto(spark, t, v, repDir))
       val sec = (System.nanoTime() - t0) / 1e9
-      (spark.read.parquet(prev.get).count(), sec / vsAll.size)
+      (spark.read.parquet(
+        s"$repDir/v${CommitLog.replayStates(repDir).last}").count(),
+        sec / vsAll.size)
     }
     foldAll(log10) // warmup
     val (r10rows, r10per) = foldAll(log10)
@@ -330,7 +318,8 @@ object LogStress {
       if (withStats) {
         val cs = CommitLog.footerColStats(spark, t, units :+ "data/app", Seq("k"))
         CommitLog.writeStats(t, 1L,
-          cs.map(s => (s.unit, s.min.toLong, s.max.toLong, s.count)))
+          cs.map(s => (s.unit, s.min.toLong, s.max.toLong, s.count)),
+          Some("k"))
       }
       base.filter(col("k") < lit(wdv) && col("k") % 10 === 0).select("k")
         .coalesce(1).write.parquet(s"$t/dv")

@@ -183,6 +183,35 @@ class Round11OpsSpec extends GraftSpec {
       .filter(col("k") === 25L).head().getString(1) == "u2")
   }
 
+  test("mergeCow inserts split per gap: an interior-gap layout stays mergeable") {
+    import spark.implicits._
+    val t = fresh("graft_r11_gaps")
+    // layout with an INTERIOR RANGE GAP (natural after applyDeletes
+    // empties a unit): [0..9] and [30..39]
+    Seq((0L, "a"), (9L, "a")).toDF("k", "s").coalesce(1)
+      .write.parquet(s"$t/u0")
+    Seq((30L, "b"), (39L, "b")).toDF("k", "s").coalesce(1)
+      .write.parquet(s"$t/u1")
+    CommitLog.commit(t, 0L, Seq("u0", "u1"))
+    CommitLog.writeStats(t, 0L, Seq(("u0", 0L, 9L, 2L), ("u1", 30L, 39L, 2L)))
+    // inserts land in the interior gap (15) AND above everything (50):
+    // a collapsed insert unit would publish [15,50], spanning carried
+    // u1 and permanently tripping the next merge's overlap guard
+    val v1 = CommitLog.mergeCow(spark, t,
+      Seq((15L, "gap"), (50L, "top")).toDF("k", "s"), "k")
+    val st1 = CommitLog.stats(t, v1).sortBy(_._2)
+    assert(st1.size == 4, s"one insert unit per gap, got $st1")
+    st1.sliding(2).foreach { case Seq((_, _, mxa, _), (_, mnb, _, _)) =>
+      assert(mxa < mnb, s"ranges must stay disjoint: $st1")
+    }
+    // the table is NOT locked out: a second merge routes and commits
+    val v2 = CommitLog.mergeCow(spark, t, Seq((35L, "upd")).toDF("k", "s"), "k")
+    assert(CommitLog.snapshot(spark, t, v2).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq(0L -> "a", 9L -> "a", 15L -> "gap", 30L -> "b", 35L -> "upd",
+        39L -> "b", 50L -> "top"))
+  }
+
   test("rebuildStats recovers the published-but-statless crash window") {
     import spark.implicits._
     val t = fresh("graft_r11_rebuild")
