@@ -1174,6 +1174,187 @@ object LakehouseQueries {
             col("n_rows"), col("total"))
       }.reduce(_ unionAll _).orderBy("version")
     }),
+
+    // S30 (round 11): METADATA-ONLY COLUMN RENAME — the column-mapping
+    // protocol (CommitLog.writeColMap/renameColumn/snapshotMapped):
+    // parquet footers keep their PHYSICAL names forever; a rename
+    // publishes a physical->logical sidecar and re-commits the same
+    // units — zero data bytes move (byte-stability spec-pinned), the
+    // only rename a 100 TB table can afford. The lifecycle: v0 lands
+    // (k, p) in two bucket units; v1 renames p -> price (pure
+    // metadata); v2 APPENDS a slice written through toPhysical, so the
+    // new files' footers agree with the frozen physical schema and
+    // mapped reads stay mergeSchema-free. The mapped read is an
+    // alias-only projection on top of the ordinary snapshot scan —
+    // pushdown/pruning identical to the unmapped read — and time
+    // travel is name-faithful: v0 still reads column `p`
+    // (RenameWapSpec). Output: the v2 mapped snapshot rolled up per
+    // k%4 under the LOGICAL name, which only exists through the map.
+    "dml_rename_col" -> ((s, d) => {
+      import graft.sources.CommitLog
+      val root = graft.queries.ScaleQueries.freshDir(renameDir, d, "orders") {
+        val dir = java.nio.file.Files.createTempDirectory("graft_ren").toString
+        val base = load(s, d, "orders")
+          .select(col("o_orderkey").as("k"), dec(col("o_totalprice")).as("p"))
+        base.filter(col("k") % 3 === 0).write.parquet(s"$dir/data/s0")
+        base.filter(col("k") % 3 === 1).write.parquet(s"$dir/data/s1")
+        CommitLog.commit(dir, 0L, Seq("data/s0", "data/s1"))
+        CommitLog.renameColumn(s, dir, "p", "price") // v1, metadata-only
+        // the append AFTER the rename: logical-named rows physicalized
+        // so the new unit's footer matches the frozen physical schema
+        CommitLog.toPhysical(dir, 1L,
+            base.filter(col("k") % 3 === 2)
+              .select(col("k"), col("p").as("price")))
+          .write.parquet(s"$dir/data/s2")
+        CommitLog.commit(dir, 2L, Seq("data/s0", "data/s1", "data/s2"))
+        dir
+      }
+      CommitLog.snapshotMapped(s, root, 2L)
+        .groupBy((col("k") % 4).cast("bigint").as("g"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price")).cast(DecimalType(38, 2)).as("total_price"))
+        .orderBy("g")
+    }),
+
+    // S31 (round 11): WRITE-AUDIT-PUBLISH — quality-gated ingest
+    // through staged branches (CommitLog.stageBranch/snapshotBranch/
+    // publishBranch/abandonBranch). Two candidate batches arrive: the
+    // BAD one (nulls poisoning every 10th key) is staged, audited by a
+    // null-count query over the branch snapshot, and ABANDONED — main
+    // never sees it, its exclusive unit is reclaimed, and no version
+    // number is burned. The GOOD batch stages base+delta, passes the
+    // same audit, and publishes as v1 via one atomic manifest link
+    // over units already on disk. The audit runs full query shape
+    // against exactly the bytes that will be published (not a copy) —
+    // the WAP property. Main-line invisibility of staged branches and
+    // the publish/abandon state machine are spec-pinned
+    // (RenameWapSpec). Output: per published version, rows + total —
+    // v0 = the even-key base, v1 = base + odd-key delta; the rejected
+    // batch appears in NO row, which is what the oracle checks.
+    "dml_wap" -> ((s, d) => {
+      import graft.sources.CommitLog
+      val root = graft.queries.ScaleQueries.freshDir(wapDir, d, "orders") {
+        val dir = java.nio.file.Files.createTempDirectory("graft_wap").toString
+        val base = load(s, d, "orders")
+          .select(col("o_orderkey").as("k"), dec(col("o_totalprice")).as("p"))
+        base.filter(col("k") % 2 === 0).write.parquet(s"$dir/data/base")
+        CommitLog.commit(dir, 0L, Seq("data/base"))
+        def audit(branch: String): Boolean =
+          CommitLog.snapshotBranch(s, dir, branch)
+            .filter(col("k").isNull).limit(1).isEmpty
+        // candidate 1: a poisoned batch (every 10th key nulled)
+        base.filter(col("k") % 2 === 1)
+          .select(when(col("k") % 10 === 5, lit(null)).otherwise(col("k"))
+            .cast("bigint").as("k"), col("p"))
+          .write.parquet(s"$dir/data/cand_bad")
+        CommitLog.stageBranch(dir, "ingest1", Seq("data/base", "data/cand_bad"))
+        if (!audit("ingest1")) CommitLog.abandonBranch(dir, "ingest1")
+        // candidate 2: the clean batch — same audit, opposite verdict
+        base.filter(col("k") % 2 === 1).write.parquet(s"$dir/data/cand_ok")
+        CommitLog.stageBranch(dir, "ingest2", Seq("data/base", "data/cand_ok"))
+        if (audit("ingest2")) CommitLog.publishBranch(dir, "ingest2")
+        dir
+      }
+      CommitLog.versions(root).map { v =>
+        CommitLog.snapshot(s, root, v)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("p")).cast(DecimalType(38, 2)).as("total"))
+          .select(lit(v).cast("bigint").as("version"),
+            col("n_rows"), col("total"))
+      }.reduce(_ unionAll _).orderBy("version")
+    }),
+
+    // S32 (round 11): INCREMENTAL JOIN-VIEW MAINTENANCE — the missing
+    // half of the IVM story (dml_cdc_agg_view maintains a single-table
+    // aggregate; real marts maintain JOINS). View = fact ⋈ dim on k,
+    // grouped to (g, count, sum p). Both inputs are commit-log tables
+    // with independent histories: fact walks the S12 lifecycle
+    // (insert, COW reprice, OPTIMIZE, COW delete), dim inserts k->k%10
+    // in k%4 bucket units then COW-promotes bucket 3 to g+20. The fold
+    // applies the classic signed delta algebra, one CHANGED table per
+    // step: a fact step joins changes(fact) ⋈ dim@current, a dim step
+    // joins fact@current ⋈ changes(dim) — the delta side is BROADCAST,
+    // so the snapshot side is one pruned scan driven by the (small)
+    // changed-key set, never a table×table join; at 100 TB the
+    // snapshot read routes via the stats/bloom layer on k. Each step's
+    // grouped signed delta folds into an O(groups) materialized state
+    // exactly like the aggregate view (full_outer + coalesce), so
+    // per-step cost is O(changes ⋈ other) + O(groups) and plan depth
+    // stays O(1) at any history length. The OPTIMIZE version's empty
+    // feed is a carried no-op. Oracle: the folded view equals the
+    // join+group-by over both tables' FINAL snapshots — the
+    // self-maintainable-join-view contract.
+    "dml_cdc_join_view" -> ((s, d) => {
+      import graft.sources.CommitLog
+      val fact = cdcTable(s, d)
+      val dim = dimTable(s, d)
+      val stDir = graft.queries.ScaleQueries.freshDir(joinViewStateDir, d,
+          "orders") {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_joinview").toString
+        val zero = lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 2))
+        // the global step order interleaving both tables' histories;
+        // each step names (table-with-changes, its version, the OTHER
+        // side's table and current version)
+        val steps: Seq[(String, Long, String, Option[Long])] = Seq(
+          (dim, 0L, fact, None),      // dim arrives first: fact empty
+          (fact, 0L, dim, Some(0L)),
+          (fact, 1L, dim, Some(0L)),
+          (fact, 2L, dim, Some(0L)),  // OPTIMIZE: empty feed, no-op
+          (dim, 1L, fact, Some(2L)),
+          (fact, 3L, dim, Some(1L)))
+        steps.zipWithIndex.foldLeft(Option.empty[String]) {
+          case (acc, ((chTab, chV, otherTab, otherV), i)) =>
+            val ch = CommitLog.changes(s, chTab, chV)
+              .withColumn("sgn",
+                when(col("_change_type") === "insert", lit(1L))
+                  .otherwise(lit(-1L)))
+              .drop("_change_type")
+            val joined = otherV match {
+              case None => None // other side not born yet: delta ⋈ ∅
+              case Some(ov) =>
+                // broadcast the DELTA; the snapshot side is scanned
+                // once, driven by the broadcast hash of changed keys
+                Some(CommitLog.snapshot(s, otherTab, ov)
+                  .join(broadcast(ch), "k"))
+            }
+            val delta = joined.map(
+              _.groupBy(col("g"))
+                .agg(sum(col("sgn")).as("dn"),
+                  sum((col("p") * col("sgn")).cast(DecimalType(38, 2)))
+                    .cast(DecimalType(38, 2)).as("dp")))
+            val out = s"$dir/s$i"
+            (acc, delta) match {
+              case (None, None) =>
+                None // nothing joined, nothing to materialize yet
+              case (None, Some(dl)) =>
+                dl.select(col("g"), col("dn").as("n"), col("dp").as("total"))
+                  .write.parquet(out)
+                Some(out)
+              case (Some(prev), None) => Some(prev)
+              case (Some(prev), Some(dl)) if ch.isEmpty => Some(prev)
+              case (Some(prev), Some(dl)) =>
+                s.read.parquet(prev).join(dl, Seq("g"), "full_outer")
+                  .select(col("g"),
+                    (coalesce(col("n"), lit(0L)) +
+                      coalesce(col("dn"), lit(0L))).as("n"),
+                    (coalesce(col("total"), zero) +
+                      coalesce(col("dp"), zero))
+                      .cast(DecimalType(38, 2)).as("total"))
+                  .write.parquet(out)
+                Some(out)
+            }
+        }.foreach { last =>
+          s.read.parquet(last).write.parquet(s"$dir/final")
+        }
+        dir
+      }
+      s.read.parquet(s"$stDir/final").filter(col("n") =!= 0L)
+        .select(col("g").cast("bigint").as("g"),
+          col("n").cast("bigint").as("n"),
+          col("total").cast(DecimalType(38, 2)).as("total"))
+        .orderBy("g")
+    }),
   )
 
   private val cdcReadDir =
@@ -1189,6 +1370,18 @@ object LakehouseQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private val aggViewStateDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val joinViewStateDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val dimTableDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val renameDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val wapDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private val mergeCowDir =
@@ -1265,6 +1458,35 @@ object LakehouseQueries {
       dir
     }
 
+  /** The 2-version DIMENSION table S32 (dml_cdc_join_view) joins the
+    * S12 fact lifecycle against: v0 inserts k -> k%10 in k%4 bucket
+    * units; v1 COW-promotes bucket 3's segment to g+20 (a rewrite of
+    * exactly that unit — the changed keys confined to one bucket, the
+    * COW shape changes() reads as pre/post pairs). Built once per
+    * (sfDir, orders fingerprint).
+    */
+  private def dimTable(s: org.apache.spark.sql.SparkSession, d: String): String =
+    graft.queries.ScaleQueries.freshDir(dimTableDir, d, "orders") {
+      import graft.sources.CommitLog
+      val dir = java.nio.file.Files.createTempDirectory("graft_dim").toString
+      val base = load(s, d, "orders")
+        .select(col("o_orderkey").as("k"),
+          (col("o_orderkey") % 10).cast("bigint").as("g"),
+          (col("o_orderkey") % 4).cast("int").as("bucket"))
+      base.repartition(col("bucket"))
+        .write.partitionBy("bucket").parquet(s"$dir/data/v0")
+      val v0Units = (0 to 3).map(b => s"data/v0/bucket=$b")
+        .filter(u => java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(dir, u)))
+      CommitLog.commit(dir, 0L, v0Units)
+      base.filter(col("bucket") === 3)
+        .select(col("k"), (col("g") + 20).cast("bigint").as("g"))
+        .write.parquet(s"$dir/data/v1b3")
+      CommitLog.commit(dir, 1L,
+        v0Units.filterNot(_.endsWith("bucket=3")) :+ "data/v1b3")
+      dir
+    }
+
   /** The append-only 3-version log S10/S11 share: v0/v1/v2 each add
     * one k%3 key-slice unit. Built once per (sfDir, orders
     * fingerprint).
@@ -1283,6 +1505,34 @@ object LakehouseQueries {
     }
 
   val oracle: Map[String, String] = Map(
+    "dml_rename_col" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders)
+        |SELECT CAST(k % 4 AS BIGINT) AS g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(p) AS DECIMAL(38,2)) AS total_price
+        |FROM base GROUP BY 1 ORDER BY g""".stripMargin,
+    "dml_wap" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        | v AS (
+        |  SELECT 0 AS version, k, p FROM base WHERE k % 2 = 0
+        |  UNION ALL
+        |  SELECT 1 AS version, k, p FROM base)
+        |SELECT CAST(version AS BIGINT) AS version,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(p) AS DECIMAL(38,2)) AS total
+        |FROM v GROUP BY version ORDER BY version""".stripMargin,
+    "dml_cdc_join_view" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        | v1 AS (SELECT k, CASE WHEN k % 4 = 2
+        |     THEN CAST(p * 2 AS DECIMAL(18,2)) ELSE p END AS p FROM base),
+        | fin AS (SELECT k, p FROM v1 WHERE k % 4 <> 1),
+        | dim AS (SELECT k, k % 10
+        |     + CASE WHEN k % 4 = 3 THEN 20 ELSE 0 END AS g FROM base)
+        |SELECT CAST(g AS BIGINT) AS g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(p) AS DECIMAL(38,2)) AS total
+        |FROM fin JOIN dim USING (k) GROUP BY g ORDER BY g""".stripMargin,
     "dml_cdc_replay" ->
       """WITH base AS (SELECT o_orderkey AS k,
         |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),

@@ -1836,8 +1836,13 @@ object CommitLog {
     // tombstone units ride the retention protocol too: a retained
     // version's MoR deletes must survive (dropping them would
     // resurrect its deleted rows), an expired-exclusive tombstone is
-    // reclaimable storage like any data unit
-    val keep = retain.flatMap(v => units(table, v) ++ deletes(table, v)).toSet
+    // reclaimable storage like any data unit. Staged-branch units are
+    // equally live: a WAP batch awaiting its audit is referenced by no
+    // version manifest YET — vacuuming it out from under the audit
+    // would turn the later publish into a dangling manifest.
+    val keep = (retain.flatMap(v => units(table, v) ++ deletes(table, v)) ++
+      stagedBranches(table).flatMap(b => stagedUnits(table, b))
+        .map(u => java.nio.file.Paths.get(table, u).toString)).toSet
     val expired = all.filterNot(retain.contains)
     val dead = expired.flatMap(v => units(table, v) ++ deletes(table, v))
       .distinct.filterNot(keep)
@@ -1871,7 +1876,233 @@ object CommitLog {
         logDir(table).resolve(f"v$v%05d.seq.txt"))
       java.nio.file.Files.deleteIfExists(
         logDir(table).resolve(f"v$v%05d.bloom.txt"))
+      java.nio.file.Files.deleteIfExists(
+        logDir(table).resolve(f"v$v%05d.colmap.txt"))
     }
     VacuumReport(unitsDeleted, filesDeleted, failed.result(), external)
+  }
+
+  // ------------------------------------------------------------------
+  // COLUMN MAPPING — metadata-only renames (ref: n/a, SURVEY §0; the
+  // Delta column-mapping / Iceberg name-mapping idea reduced to its
+  // core). Parquet files carry PHYSICAL column names frozen at write
+  // time; a rename publishes a sidecar mapping physical -> logical and
+  // commits the SAME units as a new version — zero data bytes move,
+  // which is the only rename a 100 TB table can afford. The mapping
+  // carries forward until a later rename supersedes it, so time travel
+  // is name-faithful: version V reads under the names V was published
+  // with.
+  // ------------------------------------------------------------------
+
+  /** Publish the physical->logical column map sidecar of `version`.
+    * The map lists ONLY renamed columns (identity entries are
+    * dropped); names are URL-encoded so a '|' in a column name cannot
+    * shear the line format (the bloom-sidecar lesson, ADVICE r10).
+    */
+  def writeColMap(table: String, version: Long,
+      map: Seq[(String, String)]): Unit = {
+    def enc(s: String) =
+      java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+    publishSidecar(table, version, "colmap.txt",
+      map.map { case (p, l) => s"${enc(p)}|${enc(l)}" }
+        .mkString("", "\n", "\n"))
+  }
+
+  /** The physical->logical map in force AT `version`: the newest
+    * colmap sidecar published at or before it (a mapping persists
+    * across later data commits until a later rename replaces it
+    * wholesale). Empty = identity, the state of every table that never
+    * renamed. O(versions) file-existence probes, metadata only.
+    */
+  def colMapAt(table: String, version: Long): Map[String, String] = {
+    def dec(s: String) =
+      java.net.URLDecoder.decode(s, java.nio.charset.StandardCharsets.UTF_8)
+    versions(table).filter(_ <= version).reverse
+      .map(v => logDir(table).resolve(f"v$v%05d.colmap.txt"))
+      .find(java.nio.file.Files.isRegularFile(_))
+      .map { f =>
+        java.nio.file.Files.readAllLines(f).toArray(Array.empty[String])
+          .toSeq.filter(_.nonEmpty).map { l =>
+            val Array(p, lg) = l.split('|')
+            dec(p) -> dec(lg)
+          }.toMap
+      }.getOrElse(Map.empty)
+  }
+
+  /** RENAME COLUMN as a metadata-only commit: publish version+1 with
+    * the CURRENT snapshot's units verbatim plus a colmap sidecar whose
+    * map composes the rename onto the map already in force. Validates
+    * against the current LOGICAL schema (the names readers see), so
+    * renames chain: p -> price -> unit_price keeps one entry
+    * (physical p -> unit_price), and renaming back to the physical
+    * name drops the entry entirely. Returns the published version.
+    * Cost: one footer-read for the schema + one manifest + one sidecar
+    * — nothing proportional to data size.
+    */
+  def renameColumn(spark: SparkSession, table: String,
+      from: String, to: String): Long = {
+    val v = latestVersion(table)
+    val cur = colMapAt(table, v)
+    val physSchema = snapshot(spark, table, v).schema.fieldNames.toSeq
+    val logical = physSchema.map(p => cur.getOrElse(p, p))
+    require(logical.contains(from),
+      s"rename: $table has no column $from (logical schema: " +
+        s"${logical.mkString(",")})")
+    require(!logical.contains(to) || from == to,
+      s"rename: $table already has a column $to")
+    // the physical name behind the logical `from`
+    val phys = cur.find(_._2 == from).map(_._1).getOrElse(from)
+    val next = (cur - phys) ++ (if (phys == to) Map.empty[String, String]
+      else Map(phys -> to))
+    val nv = v + 1
+    commit(table, nv, unitsRel(table, v))
+    writeColMap(table, nv, next.toSeq.sortBy(_._1))
+    nv
+  }
+
+  /** Read AS OF `version` under that version's LOGICAL names — the
+    * plain [[snapshot]] scan followed by an alias-only projection, so
+    * pushdown, pruning and codegen are exactly the unmapped read's.
+    */
+  def snapshotMapped(spark: SparkSession, table: String,
+      version: Long): DataFrame = {
+    val df = snapshot(spark, table, version)
+    val m = colMapAt(table, version)
+    if (m.isEmpty) df
+    else df.select(df.schema.fieldNames.toIndexedSeq.map(p =>
+      org.apache.spark.sql.functions.col(p).as(m.getOrElse(p, p))): _*)
+  }
+
+  /** Writer-side inverse of [[snapshotMapped]]: project a logical-name
+    * DataFrame back to the PHYSICAL names `version`'s map expects, so
+    * appends after a rename land files whose footers agree with the
+    * table's frozen physical schema (a logical-named file would fork
+    * the physical schema and break every mapped read that follows).
+    */
+  def toPhysical(table: String, version: Long, df: DataFrame): DataFrame = {
+    val inv = colMapAt(table, version).map(_.swap)
+    if (inv.isEmpty) df
+    else df.select(df.schema.fieldNames.toIndexedSeq.map(l =>
+      org.apache.spark.sql.functions.col(l).as(inv.getOrElse(l, l))): _*)
+  }
+
+  // ------------------------------------------------------------------
+  // WRITE-AUDIT-PUBLISH — staged branches (ref: n/a, SURVEY §0; the
+  // Iceberg WAP / Delta shadow-branch pattern on this log). A producer
+  // STAGES a candidate snapshot as a named branch manifest that no
+  // snapshot()/versions() reader can see; an audit job reads the
+  // branch in full query shape; only a passing audit PUBLISHES the
+  // branch — one atomic manifest link, promoting the already-written
+  // units without moving a byte. A failing audit abandons the branch
+  // and main never saw the bad batch: the quarantine the
+  // quality-gated ingest of a 100 TB pipeline needs, at metadata cost.
+  // ------------------------------------------------------------------
+
+  private def branchFile(table: String, branch: String): java.nio.file.Path = {
+    val enc = java.net.URLEncoder.encode(branch,
+      java.nio.charset.StandardCharsets.UTF_8)
+    logDir(table).resolve(s"branch_$enc.txt")
+  }
+
+  /** Stage `units` as branch `branch` — atomic create-if-absent (the
+    * tryCommit hard-link protocol), so two producers racing for the
+    * same branch name serialize: one wins, the other fails loudly
+    * instead of silently overwriting a staged-but-unaudited batch.
+    * Unit-name hygiene is the commit gate's.
+    */
+  def stageBranch(table: String, branch: String, units: Seq[String]): Unit = {
+    require(units.nonEmpty, "a staged branch must reference at least one unit")
+    units.foreach { u =>
+      require(u.nonEmpty && !u.exists(c => c == '\n' || c == '\r' || c == '|'),
+        s"illegal unit name $u in staged branch")
+    }
+    val dir = logDir(table)
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = dir.resolve(s".branch.${java.util.UUID.randomUUID}.tmp")
+    java.nio.file.Files.writeString(tmp, units.mkString("", "\n", "\n"))
+    try {
+      java.nio.file.Files.createLink(branchFile(table, branch), tmp)
+      java.nio.file.Files.deleteIfExists(tmp)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        java.nio.file.Files.deleteIfExists(tmp)
+        throw new IllegalStateException(
+          s"branch $branch of $table is already staged — audit and " +
+            "publish/abandon it before re-staging")
+    }
+  }
+
+  /** Names of currently staged (unpublished, unabandoned) branches. */
+  def stagedBranches(table: String): Seq[String] = {
+    val dir = logDir(table)
+    if (!java.nio.file.Files.isDirectory(dir)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      val st = java.nio.file.Files.list(dir)
+      try st.iterator().asScala.map(_.getFileName.toString)
+        .collect { case n if n.startsWith("branch_") && n.endsWith(".txt") =>
+          java.net.URLDecoder.decode(
+            n.stripPrefix("branch_").stripSuffix(".txt"),
+            java.nio.charset.StandardCharsets.UTF_8)
+        }.toVector.sorted
+      finally st.close()
+    }
+  }
+
+  /** The staged branch's unit paths, table-root relative. */
+  def stagedUnits(table: String, branch: String): Seq[String] = {
+    val f = branchFile(table, branch)
+    require(java.nio.file.Files.isRegularFile(f),
+      s"$table has no staged branch $branch")
+    java.nio.file.Files.readAllLines(f).toArray(Array.empty[String])
+      .toSeq.filter(_.nonEmpty)
+  }
+
+  /** Read the staged branch — the AUDIT surface: full query shape over
+    * the candidate snapshot, invisible to every main-line reader.
+    */
+  def snapshotBranch(spark: SparkSession, table: String,
+      branch: String): DataFrame =
+    spark.read.parquet(stagedUnits(table, branch)
+      .map(u => java.nio.file.Paths.get(table, u).toString): _*)
+
+  /** PUBLISH a staged branch: commit its units as the next main
+    * version and drop the branch marker. Races with concurrent main
+    * commits via the tryCommit loop — the staged units are immutable,
+    * so retrying at the next version number re-publishes the same
+    * audited content (the audit's subject cannot drift between
+    * attempts). Returns the version published.
+    */
+  def publishBranch(table: String, branch: String): Long = {
+    val us = stagedUnits(table, branch)
+    var v = versions(table).lastOption.map(_ + 1L).getOrElse(0L)
+    while (!tryCommit(table, v, us)) v += 1
+    java.nio.file.Files.delete(branchFile(table, branch))
+    v
+  }
+
+  /** ABANDON a staged branch (the failing-audit path): drop the marker
+    * and reclaim the branch's EXCLUSIVE owned units — those no
+    * published version references (a branch may legitimately carry
+    * main-line units when it stages base+delta; only the delta dies).
+    * Main is untouched by construction: nothing here ever had a
+    * version manifest. Returns the number of units reclaimed.
+    */
+  def abandonBranch(table: String, branch: String): Long = {
+    val us = stagedUnits(table, branch)
+    java.nio.file.Files.delete(branchFile(table, branch))
+    val live = versions(table)
+      .flatMap(v => units(table, v) ++ deletes(table, v)).toSet ++
+      stagedBranches(table).flatMap(b => stagedUnits(table, b))
+        .map(u => java.nio.file.Paths.get(table, u).toString)
+    var n = 0L
+    us.foreach { u =>
+      val abs = java.nio.file.Paths.get(table, u).toString
+      if (!live(abs) && ownsUnit(table, u)) {
+        Fs.deleteRecursively(abs)
+        n += 1
+      }
+    }
+    n
   }
 }
