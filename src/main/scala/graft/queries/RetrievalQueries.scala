@@ -161,6 +161,50 @@ object RetrievalQueries {
         st0.map(_._1) ++ st1.map(_._1) ++ metaSt.map(_._1))
       CommitLog.writeStats(dir, 2L, st0 ++ st1 ++ metaSt)
       CommitLog.writeDeletes(dir, 2L, Seq("data/del1"))
+      // v3: COMPACT the index — the maintenance op that folds the
+      // tombstones INTO the dirty buckets and collapses the signed
+      // meta chain, so steady-state probes stop paying the anti-join
+      // and the O(ingests) meta fold. Dirty buckets = those whose
+      // postings hit the tombstone set (routed by one semi-join over
+      // the bucket units; clean buckets would carry by name). The
+      // rewrite also collapses a bucket's base+delta GENERATIONS into
+      // one unit — compaction is the generational merge. v3 publishes
+      // clean-carried + rewritten buckets + ONE meta unit and NO dv
+      // sidecar; probe equality with v2 is the compaction contract.
+      val bucketSt = (st0 ++ st1).filter(_._2 >= 0)
+      def abs(rel: String) = java.nio.file.Paths.get(dir, rel).toString
+      val tomb = s.read.parquet(abs("data/del1")).select("doc_id").distinct()
+      val dirtyIds = s.read.parquet(bucketSt.map(u => abs(u._1)): _*)
+        .join(broadcast(tomb), "doc_id")
+        .select("bval").distinct()
+        .collect().map(_.getLong(0)).toSet // metadata-sized: <= 8 dirty bucket ids
+      val (dirtySt, cleanSt) = bucketSt.partition(u => dirtyIds(u._2))
+      s.read.parquet(dirtySt.map(u => abs(u._1)): _*)
+        .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+        .withColumn("bucket", col("bval"))
+        .write.partitionBy("bucket").parquet(s"$dir/data/cpct")
+      s.read.parquet(abs("data/base_meta"), abs("data/delta_meta"),
+          abs("data/del1_meta"))
+        .agg(sum(col("n_docs")).cast("bigint").as("n_docs"),
+          sum(col("sum_dl")).cast("bigint").as("sum_dl"))
+        .coalesce(1).write.parquet(s"$dir/data/cmeta")
+      val cpctStream = java.nio.file.Files.list(
+        java.nio.file.Paths.get(dir, "data", "cpct"))
+      val cpctDirs =
+        try {
+          import scala.jdk.CollectionConverters._
+          cpctStream.iterator().asScala
+            .filter(_.getFileName.toString.startsWith("bucket="))
+            .map(p => s"data/cpct/${p.getFileName}").toVector.sorted
+        } finally cpctStream.close()
+      val cpctCounts = CommitLog.footerColStats(s, dir, cpctDirs, Seq("doc_id"))
+        .map(cs => cs.unit -> cs.count).toMap
+      val cpctSt = cpctDirs.map { u =>
+        val b = u.substring(u.indexOf("bucket=") + 7).toLong
+        (u, b, b, cpctCounts(u))
+      } ++ cleanSt :+ (("data/cmeta", -1L, -1L, 1L))
+      CommitLog.commit(dir, 3L, cpctSt.map(_._1))
+      CommitLog.writeStats(dir, 3L, cpctSt)
       dir
     }
   }
@@ -277,6 +321,20 @@ object RetrievalQueries {
     // path makes cheap per generation.)
     "text_bm25_postings_delete" -> ((s, d) =>
       bm25FromIndex(s, postingsIndex(s, d), 2L)),
+
+    // AB8 (round 11): the postings index COMPACTED — v3 folds the v2
+    // tombstones into the dirty buckets (routed by a semi-join, each
+    // bucket's base+delta generations merged to one unit), collapses
+    // the 3-unit signed meta chain to one row, and drops the dv
+    // sidecar. The probe is bm25FromIndex unchanged: at v3 it finds
+    // no deletes, so the anti-join vanishes from the plan and the
+    // meta fold reads one unit — the steady-state cost a compacted
+    // index buys. Scores must equal the v2 (tombstone-masked) probe
+    // AND the shared from-scratch oracle over the surviving corpus —
+    // compaction may move bytes, never results (RetrievalSpec pins
+    // the v2/v3 equality and the collapsed layout).
+    "text_bm25_postings_compact" -> ((s, d) =>
+      bm25FromIndex(s, postingsIndex(s, d), 3L)),
 
     // AB2: hybrid retrieval — reciprocal-rank fusion (k = 60) of a
     // lexical ranking (distinct-token overlap with the probe doc) and
@@ -440,6 +498,7 @@ object RetrievalQueries {
     "text_bm25" -> bm25Sql,
     "text_bm25_postings" -> bm25Sql,
     "text_bm25_postings_delete" -> bm25SqlOver(" AND doc_id % 7 <> 0"),
+    "text_bm25_postings_compact" -> bm25SqlOver(" AND doc_id % 7 <> 0"),
     "sim_hybrid" ->
       """WITH uni AS (
         |  SELECT d.doc_id AS id, list_distinct(string_split(d.text, ' ')) AS toks,

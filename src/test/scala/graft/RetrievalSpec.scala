@@ -80,6 +80,34 @@ class RetrievalSpec extends GraftSpec {
     assert(moved > 0, "corpus-stat shift must reprice surviving docs")
   }
 
+  test("text_bm25_postings_compact: compaction moves bytes, never results") {
+    import graft.sources.CommitLog
+    val cpt = q("text_bm25_postings_compact").collect() // result-sized
+    val del = q("text_bm25_postings_delete").collect()
+    assert(cpt.map(_.toSeq).toSeq == del.map(_.toSeq).toSeq,
+      "the compacted index must score identically to the tombstone-masked one")
+    val cached = graft.queries.RetrievalQueries.postingsLogDir.get(sf)
+    val root = cached.substring(cached.indexOf('|') + 1)
+    // the dv channel is gone: steady-state probes pay no anti-join
+    assert(CommitLog.deletes(root, 3L).isEmpty,
+      "compaction must retire the tombstone sidecar")
+    // the signed meta chain collapsed to ONE unit
+    val st3 = CommitLog.stats(root, 3L)
+    assert(st3.count(_._2 == -1L) == 1, "one folded meta unit at v3")
+    // generational merge: at most one unit per bucket id remains
+    val perBucket = st3.filter(_._2 >= 0).groupBy(_._2).values.map(_.size)
+    assert(perBucket.forall(_ == 1),
+      "each bucket's base+delta generations must merge to one unit")
+    // and no tombstoned doc survived physically in any rewritten unit
+    val rewritten = st3.map(_._1).filter(_.startsWith("data/cpct"))
+    if (rewritten.nonEmpty) {
+      val bad = spark.read.parquet(rewritten.map(u =>
+          java.nio.file.Paths.get(root, u).toString): _*)
+        .filter(col("doc_id") % 7 === 0).limit(1).count()
+      assert(bad == 0L, "a tombstoned doc's postings survived compaction")
+    }
+  }
+
   test("text_bm25: higher tf at equal dl never scores lower per term") {
     // idf and the length normalizer are per-term/per-doc constants, so
     // the tf-saturation factor tf·(k1+1)/(tf+K) is increasing in tf —
