@@ -1133,6 +1133,175 @@ object GraftOps {
       .select("q_id", "c_id", "cos_sim", "rn")
   }
 
+  /** PRODUCT-QUANTIZATION codebook training (ref: n/a, SURVEY §0; the
+    * Jégou-Douze-Schmid PQ construction from the public literature):
+    * split `vecCol` (dims = m·dsub) into `m` subspaces and train
+    * `ksub` centroids per subspace — `iters` Lloyd rounds from a
+    * deterministic hash-sliced init (code 0 of the init = the mean of
+    * the vectors whose id hashes there, so the init needs no RNG and
+    * replays bit-identically).
+    *
+    * Scale shape: the model state — m×ksub×dsub doubles (8·16·8 = 1 Ki
+    * here) — lives on the driver like [[kmeansReport]]'s; per round
+    * the plan is one broadcast-codebook join + a (id, sub) min-by
+    * shuffle of corpus×m SUBVECTOR rows + one model-sized collect.
+    * At 100 TB you train on a corpus SAMPLE (PQ codebooks converge on
+    * ~10⁵–10⁶ vectors — standard practice) and [[pqEncode]], which is
+    * the map-only full-corpus pass, against the frozen result.
+    *
+    * Determinism: the M-step reuses the kmeansReport recipe —
+    * components quantized to the 1e-6 grid BEFORE the sum (integer
+    * partial agg, shuffle-order invariant), mean taken on exact
+    * integers, written half-up at 6 dp; assignment ties break to the
+    * lowest code id. Empty codes carry their previous centroid.
+    */
+  def pqTrain(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, dsub: Int, ksub: Int, iters: Int): Array[Array[Array[Double]]] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sv = df.select(col(idCol).as("__id"),
+        posexplode(expr(s"transform(sequence(0, ${m - 1}), " +
+          s"s -> slice($vecCol, s * $dsub + 1, $dsub))"))
+          .as(Seq("sub", "sv")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def grid6(v: Double): Double =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    // fold an assignment into the next codebook: exact-integer
+    // per-coordinate means on the 1e-6 grid (m×ksub×dsub model rows)
+    def mstep(assigned: DataFrame,
+        prev: Option[Array[Array[Array[Double]]]]): Array[Array[Array[Double]]] = {
+      val rows = assigned
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("p", "x")))
+        .select(col("sub"), col("code"), col("p"),
+          expr("CAST(round(CAST(x AS DOUBLE) * 1000000.0D) AS BIGINT)").as("q"))
+        .groupBy("sub", "code", "p")
+        .agg(count(lit(1)).as("n"), sum(col("q").cast(DecimalType(38, 0))).as("s"))
+        .collect() // model-state-sized: m×ksub×dsub rows, corpus-independent
+      val cb = prev.map(_.map(_.map(_.clone()).clone()).clone())
+        .getOrElse(Array.fill(m, ksub, dsub)(0.0))
+      rows.foreach { r =>
+        val (s, c, p) = (r.getInt(0), r.getInt(1), r.getInt(2))
+        val n = r.getLong(3)
+        val sum = r.getDecimal(4).longValueExact()
+        cb(s)(c)(p) = grid6(sum.toDouble / n.toDouble / 1e6)
+      }
+      cb
+    }
+    def cbDf(cb: Array[Array[Array[Double]]]): DataFrame =
+      cb.zipWithIndex.flatMap { case (codes, s) =>
+        codes.zipWithIndex.map { case (cent, j) => (s, j, cent.toSeq) }
+      }.toSeq.toDF("sub", "code", "cent")
+    try {
+      var cb = mstep(sv.withColumn("code",
+        expr(s"CAST(pmod(xxhash64(__id), $ksub) AS INT)")), None)
+      for (_ <- 1 to iters) {
+        val assigned = sv.join(broadcast(cbDf(cb)), "sub")
+          .withColumn("dist",
+            expr("aggregate(zip_with(sv, cent, " +
+              "(a, b) -> CAST((a - b) * (a - b) AS DOUBLE)), " +
+              "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+          .groupBy("__id", "sub")
+          // lowest-code tie-break via the (dist, code) struct min;
+          // sv is functionally determined by the group key
+          .agg(min(struct(col("dist"), col("code"))).getField("code").as("code"),
+            first(col("sv")).as("sv"))
+        cb = mstep(assigned, Some(cb))
+      }
+      cb
+    } finally sv.unpersist()
+  }
+
+  private def cbLiteral(cb: Array[Array[Array[Double]]]): Column =
+    typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+
+  /** PQ-ENCODE a corpus against a frozen codebook: one MAP-ONLY pass
+    * (the codebook rides as a literal inside the expression — no join,
+    * no shuffle, stays in whole-stage codegen) emitting per vector its
+    * m nearest-centroid codes and true norm. The encoded index is the
+    * PQ story: a 64-float vector (256 B) becomes m small codes + one
+    * norm, so ANN scans read ~30× fewer bytes and every downstream
+    * exchange carries scalars. Distances per subspace are computed
+    * once into a table, then argmin'd with a lowest-code tie-break —
+    * deterministic, no floating sum ever crosses a partition boundary.
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      cb: Array[Array[Array[Double]]]): DataFrame = {
+    val m = cb.length
+    val ksub = cb(0).length
+    val dsub = cb(0)(0).length
+    withNorm(df, vecCol)
+      .withColumn("__cb", cbLiteral(cb))
+      .select(col(idCol).as("c_id"),
+        expr(
+          s"""transform(
+             |  transform(sequence(0, ${m - 1}), s ->
+             |    transform(sequence(0, ${ksub - 1}), j ->
+             |      aggregate(zip_with(slice($vecCol, s * $dsub + 1, $dsub),
+             |          __cb[s][j],
+             |          (a, b) -> CAST((a - b) * (a - b) AS DOUBLE)),
+             |        CAST(0 AS DOUBLE), (acc, x) -> acc + x))),
+             |  ds -> CAST(aggregate(sequence(1, ${ksub - 1}), 0,
+             |    (best, j) -> IF(ds[j] < ds[best], j, best)) AS INT))
+             |""".stripMargin.trim).as("codes"),
+        col("__norm").as("nc"))
+  }
+
+  /** ASYMMETRIC-DISTANCE (ADC) top-k over a PQ-encoded index: each
+    * probe precomputes its m×ksub lookup table of subspace dot
+    * products (map-only, against the literal codebook), the encoded
+    * index is scanned ONCE per probe batch summing m table lookups
+    * per vector — never touching the original vectors — and only the
+    * `shortlist` best candidates per probe are re-ranked EXACTLY
+    * against the raw corpus (the sim_ivf 6-dp + id tie-break
+    * contract), so the reported cosines are true cosines, approximate
+    * only in which candidates were considered. The probe side
+    * broadcasts (probes × lut is KiB-sized); the index side never
+    * shuffles vectors — the ranking exchange carries (q_id, c_id,
+    * score) scalars. At 100 TB: scan bytes ∝ the ~30×-smaller code
+    * table, exact work ∝ probes × shortlist.
+    */
+  def pqTopK(probesDf: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, cb: Array[Array[Array[Double]]], index: DataFrame,
+      k: Int, shortlist: Int): DataFrame = {
+    val m = cb.length
+    val ksub = cb(0).length
+    val dsub = cb(0)(0).length
+    val probes = withNorm(probesDf, vecCol)
+      .withColumn("__cb", cbLiteral(cb))
+      .withColumn("lut",
+        expr(s"transform(sequence(0, ${m - 1}), s -> " +
+          s"transform(sequence(0, ${ksub - 1}), j -> " +
+          s"aggregate(zip_with(slice($vecCol, s * $dsub + 1, $dsub), " +
+          s"__cb[s][j], (a, b) -> CAST(a * b AS DOUBLE)), " +
+          "CAST(0 AS DOUBLE), (acc, x) -> acc + x)))"))
+      .select(col(idCol).as("q_id"), col(vecCol).as("q"),
+        col("__norm").as("nq"), col("lut"))
+    val ws = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx").desc, col("c_id").asc)
+    val cand = index
+      .crossJoin(broadcast(probes.select(col("q_id"), col("nq"), col("lut"))))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("approx",
+        expr(s"aggregate(sequence(0, ${m - 1}), CAST(0 AS DOUBLE), " +
+          "(acc, s) -> acc + lut[s][codes[s]])") / (col("nq") * col("nc")))
+      .withColumn("srn", row_number().over(ws))
+      .filter(col("srn") <= shortlist)
+      .select("q_id", "c_id")
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("c_id").asc)
+    cand
+      .join(corpus.select(col(idCol).as("c_id"), col(vecCol).as("c")), "c_id")
+      .join(probes.select(col("q_id"), col("q"), col("nq")), "q_id")
+      .withColumn("cos_sim",
+        (expr("array_dot(q, c)") /
+          (col("nq") * expr("sqrt(array_dot(c, c))")))
+          .cast(DecimalType(18, 6)))
+      .withColumn("rn", row_number().over(wq).cast("bigint"))
+      .filter(col("rn") <= k)
+      .select("q_id", "c_id", "cos_sim", "rn")
+  }
+
   /** MERGE/upsert semantics over immutable columnar storage (the
     * copy-on-write lake pattern, pre-table-format): rows from `updates`
     * win on key collision, unmatched `base` rows survive, new keys
