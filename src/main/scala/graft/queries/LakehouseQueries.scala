@@ -1264,6 +1264,52 @@ object LakehouseQueries {
       }.reduce(_ unionAll _).orderBy("version")
     }),
 
+    // S33 (round 11): RIGHT-TO-BE-FORGOTTEN — CommitLog.purgeKeys, the
+    // one sanctioned HISTORY REWRITE: the k%100==7 key slice is
+    // physically erased from EVERY version (data units AND the MoR
+    // tombstone unit — a dv entry is personal data too), while time
+    // travel stays alive for every surviving row: the lifecycle is
+    // v0 insert, v1 append, v2 merge-on-read delete of k%5==0, and
+    // the output walks all three versions MoR-applied AFTER the
+    // purge. Clean units are carried byte-verbatim (spec-pinned);
+    // dirty ones are rewritten to purged twins exactly once however
+    // many versions reference them; per-version stats sidecars are
+    // re-derived from the twins' footers; manifests/sidecars swap
+    // atomically. Cost: ONE scan of the distinct historical units +
+    // O(dirty) rewrites + O(versions) metadata swaps — never
+    // O(versions × data). Oracle: per-version counts/totals over
+    // orders arithmetic with the purge predicate applied everywhere.
+    "dml_purge" -> ((s, d) => {
+      import graft.sources.CommitLog
+      val root = graft.queries.ScaleQueries.freshDir(purgeDir, d, "orders") {
+        val dir = java.nio.file.Files.createTempDirectory("graft_purge").toString
+        val base = load(s, d, "orders")
+          .select(col("o_orderkey").as("k"), dec(col("o_totalprice")).as("p"))
+        base.filter(col("k") % 3 === 0).write.parquet(s"$dir/data/s0")
+        CommitLog.commit(dir, 0L, Seq("data/s0"))
+        base.filter(col("k") % 3 === 1).write.parquet(s"$dir/data/s1")
+        CommitLog.commit(dir, 1L, Seq("data/s0", "data/s1"))
+        // v2: MoR delete of the k%5 slice — a tombstone unit that
+        // itself carries purgeable keys
+        base.filter(col("k") % 3 <= 1 && col("k") % 5 === 0)
+          .select("k").coalesce(1).write.parquet(s"$dir/data/t0")
+        CommitLog.commit(dir, 2L, Seq("data/s0", "data/s1"))
+        CommitLog.writeDeletes(dir, 2L, Seq("data/t0"))
+        (0L to 2L).foreach(v => CommitLog.rebuildStats(s, dir, v, "k"))
+        val victims = base.filter(col("k") % 100 === 7).select("k")
+          .collect().map(_.getLong(0)).toSeq // purge-request-sized: the erasure list itself
+        CommitLog.purgeKeys(s, dir, "k", victims)
+        dir
+      }
+      CommitLog.versions(root).map { v =>
+        CommitLog.snapshotMoR(s, root, v, "k")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("p")).cast(DecimalType(38, 2)).as("total"))
+          .select(lit(v).cast("bigint").as("version"),
+            col("n_rows"), col("total"))
+      }.reduce(_ unionAll _).orderBy("version")
+    }),
+
     // S32 (round 11): INCREMENTAL JOIN-VIEW MAINTENANCE — the missing
     // half of the IVM story (dml_cdc_agg_view maintains a single-table
     // aggregate; real marts maintain JOINS). View = fact ⋈ dim on k,
@@ -1382,6 +1428,9 @@ object LakehouseQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private val wapDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val purgeDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private val mergeCowDir =
@@ -1518,6 +1567,21 @@ object LakehouseQueries {
         |  SELECT 0 AS version, k, p FROM base WHERE k % 2 = 0
         |  UNION ALL
         |  SELECT 1 AS version, k, p FROM base)
+        |SELECT CAST(version AS BIGINT) AS version,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(p) AS DECIMAL(38,2)) AS total
+        |FROM v GROUP BY version ORDER BY version""".stripMargin,
+    "dml_purge" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        | live AS (SELECT k, p FROM base WHERE k % 100 <> 7),
+        | v AS (
+        |  SELECT 0 AS version, k, p FROM live WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT 1 AS version, k, p FROM live WHERE k % 3 <= 1
+        |  UNION ALL
+        |  SELECT 2 AS version, k, p FROM live
+        |  WHERE k % 3 <= 1 AND k % 5 <> 0)
         |SELECT CAST(version AS BIGINT) AS version,
         |    CAST(count(*) AS BIGINT) AS n_rows,
         |    CAST(sum(p) AS DECIMAL(38,2)) AS total

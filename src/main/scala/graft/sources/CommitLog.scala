@@ -1882,6 +1882,176 @@ object CommitLog {
     VacuumReport(unitsDeleted, filesDeleted, failed.result(), external)
   }
 
+  /** What [[purgeKeys]] did: rows physically removed, units rewritten
+    * to purged twins, units dropped outright (every row purged), and
+    * versions whose manifest was swapped.
+    */
+  final case class PurgeReport(rowsPurged: Long, unitsRewritten: Long,
+      unitsDropped: Long, versionsTouched: Long)
+
+  /** RIGHT-TO-BE-FORGOTTEN purge: physically remove every row whose
+    * `keyCol` is in `keys` from EVERY published version — the one
+    * sanctioned HISTORY REWRITE (ref: n/a, SURVEY §0; the GDPR-erasure
+    * problem the lakehouse formats answer with "vacuum your history" —
+    * this keeps time travel alive for every surviving row instead).
+    *
+    * Mechanics: the distinct data units across all manifests (plus all
+    * tombstone units — a dv entry carrying a purged key is personal
+    * data too, and dropping key k from BOTH the data and the delete
+    * side leaves every other key's MoR semantics untouched) are
+    * scanned ONCE to find the dirty subset; each dirty unit is
+    * rewritten to a purged twin exactly once no matter how many
+    * versions reference it; then every manifest (and dv/seq/stats
+    * sidecar, and staged-branch marker) is atomically swapped to the
+    * twin mapping, and the dirty originals are deleted. Per-version
+    * sidecar stats for rewritten units are re-derived from the twins'
+    * parquet footers; carried units keep their lines verbatim.
+    *
+    * Cost: one scan of the distinct historical units + O(dirty)
+    * rewrites + O(versions) metadata swaps — never O(versions × data).
+    *
+    * Crash semantics: each manifest/sidecar swap is an atomic rename,
+    * so readers always see a consistent version; a crash mid-purge
+    * leaves a mix of purged and unpurged VERSIONS and possibly
+    * not-yet-deleted originals — rerunning completes the manifest
+    * swaps (idempotent: still-referenced dirty units are re-found),
+    * and [[vacuum]]-style reclamation applies to any orphaned
+    * original. Refuses tables carrying cstats or bloom sidecars (those
+    * layers would silently go stale; rebuild them after the purge
+    * instead) and refuses a purge that would empty any version's
+    * manifest entirely.
+    */
+  def purgeKeys(spark: SparkSession, table: String, keyCol: String,
+      keys: Seq[Long]): PurgeReport = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit}
+    require(keys.nonEmpty, "purge needs at least one key")
+    val vs = versions(table)
+    require(vs.nonEmpty, s"$table has no published versions")
+    vs.foreach { v =>
+      Seq("cstats.txt", "bloom.txt").foreach { sc =>
+        require(!java.nio.file.Files.isRegularFile(
+            logDir(table).resolve(f"v$v%05d.$sc")),
+          s"purge would silently stale the $sc sidecar of v$v — drop or " +
+            "rebuild that index layer around the purge")
+      }
+    }
+    val dataRels = vs.flatMap(v => manifestLines(table, v)).distinct
+    val dvRels = vs.flatMap(v => dvLines(table, v)).distinct
+    val allRels = (dataRels ++ dvRels).distinct
+    val byAbs = allRels.map(rel =>
+      java.nio.file.Paths.get(table, rel).toAbsolutePath.normalize -> rel).toMap
+    def unitOf(fileUri: String): String = {
+      var p = java.nio.file.Paths.get(
+        new java.net.URI(fileUri).getPath).toAbsolutePath.normalize
+      while (p != null && !byAbs.contains(p)) p = p.getParent
+      require(p != null, s"file $fileUri belongs to no historical unit")
+      byAbs(p)
+    }
+    // ONE scan over the distinct historical units finds the dirty set
+    // and the per-unit purge counts
+    val hits = spark.read
+      .parquet(allRels.map(u => java.nio.file.Paths.get(table, u).toString): _*)
+      .select(input_file_name().as("__f"), col(keyCol).as("__k"))
+      .filter(col("__k").isin(keys.map(Long.box): _*))
+      .groupBy("__f").agg(count(lit(1)).as("n"))
+      .collect() // bounded by data files containing purge keys
+      .map(r => unitOf(r.getString(0)) -> r.getLong(1))
+    val rowsPurged = hits.map(_._2).sum
+    val dirty = hits.map(_._1).distinct.toSeq.sorted
+    if (dirty.isEmpty)
+      return PurgeReport(0L, 0L, 0L, 0L)
+    // rewrite each dirty unit ONCE to its purged twin; a unit whose
+    // every row is purged maps to None (dropped from all manifests)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(table, "purged"))
+    val twinOf: Map[String, Option[String]] = dirty.zipWithIndex.map {
+      case (rel, i) =>
+        val abs = java.nio.file.Paths.get(table, rel).toString
+        val survivors = spark.read.parquet(abs)
+          .filter(!col(keyCol).isin(keys.map(Long.box): _*))
+        if (survivors.isEmpty) rel -> None
+        else {
+          // twin name keyed by content position, unique per purge run
+          val twin = s"purged/p${System.nanoTime()}_$i"
+          survivors.write.parquet(
+            java.nio.file.Paths.get(table, twin).toString)
+          rel -> Some(twin)
+        }
+    }.toMap
+    def remap(lines: Seq[String]): Seq[String] =
+      lines.flatMap(l => twinOf.get(l) match {
+        case None => Some(l) // clean unit: carried verbatim
+        case Some(Some(t)) => Some(t)
+        case Some(None) => None // fully-purged unit: dropped
+      })
+    // validate BEFORE mutating anything: no version may end up empty
+    vs.foreach { v =>
+      require(remap(manifestLines(table, v)).nonEmpty,
+        s"purge would empty version $v of $table — delete the table " +
+          "instead of purging its entire content")
+    }
+    def swap(path: java.nio.file.Path, content: Seq[String]): Unit = {
+      val tmp = path.resolveSibling(
+        s".${path.getFileName}.${java.util.UUID.randomUUID}.tmp")
+      java.nio.file.Files.writeString(tmp, content.mkString("", "\n", "\n"))
+      java.nio.file.Files.move(tmp, path,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    var versionsTouched = 0L
+    vs.foreach { v =>
+      val oldLines = manifestLines(table, v)
+      val newLines = remap(oldLines)
+      val touched = newLines != oldLines
+      if (touched) swap(manifest(table, v), newLines)
+      // dv sidecar: tombstone units purged like data units; an emptied
+      // sidecar is deleted (reads then take the clean path)
+      val dv = dvLines(table, v)
+      if (dv.nonEmpty && remap(dv) != dv) {
+        val f = logDir(table).resolve(f"v$v%05d.dv.txt")
+        val nd = remap(dv)
+        if (nd.isEmpty) java.nio.file.Files.delete(f) else swap(f, nd)
+      }
+      // seq sidecar names post-image units — remap to the twins
+      val sq = seqLines(table, v)
+      if (sq.nonEmpty && remap(sq) != sq)
+        swap(logDir(table).resolve(f"v$v%05d.seq.txt"), remap(sq))
+      // stats sidecar: carried lines verbatim, rewritten units
+      // re-measured from the twins' footers, dropped units removed
+      val statsFile = logDir(table).resolve(f"v$v%05d.stats.txt")
+      if (touched && java.nio.file.Files.isRegularFile(statsFile)) {
+        val header = statsKey(table, v)
+          .map(c => "#key=" + java.net.URLEncoder.encode(
+            c, java.nio.charset.StandardCharsets.UTF_8))
+        val newStats = stats(table, v).flatMap { case (u, mn, mx, n) =>
+          twinOf.get(u) match {
+            case None => Some(s"$u|$mn|$mx|$n")
+            case Some(Some(t)) =>
+              val cs = footerColStats(spark, table, Seq(t), Seq(keyCol)).head
+              Some(s"$t|${cs.min.toLong}|${cs.max.toLong}|${cs.count}")
+            case Some(None) => None
+          }
+        }
+        swap(statsFile, header.toSeq ++ newStats)
+      }
+      if (touched) versionsTouched += 1
+    }
+    // staged branches reference units by name too
+    stagedBranches(table).foreach { b =>
+      val us = stagedUnits(table, b)
+      if (remap(us) != us && remap(us).nonEmpty)
+        swap(branchFile(table, b), remap(us))
+    }
+    // finally: the dirty originals still hold the purged rows — delete
+    var dropped = 0L
+    dirty.foreach { rel =>
+      if (ownsUnit(table, rel))
+        Fs.deleteRecursively(java.nio.file.Paths.get(table, rel).toString)
+      if (twinOf(rel).isEmpty) dropped += 1
+    }
+    PurgeReport(rowsPurged, dirty.size - dropped, dropped, versionsTouched)
+  }
+
   // ------------------------------------------------------------------
   // COLUMN MAPPING — metadata-only renames (ref: n/a, SURVEY §0; the
   // Delta column-mapping / Iceberg name-mapping idea reduced to its
