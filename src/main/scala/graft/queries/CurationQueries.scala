@@ -265,6 +265,29 @@ object CurationQueries {
         .select("doc_id", "source", "n_tok", "cum_tok")
         .orderBy("source", "cum_tok", "doc_id")
     }),
+
+    // M9 (round 11): CLASS-BALANCED downsampling — the imbalance fix a
+    // classifier-training set needs: every class capped at the
+    // minority class's size, members picked by the deterministic
+    // md5-permutation (the M8 order), so the kept set is reproducible
+    // under any partitioning. Plan: one combinable class-count agg
+    // collapsed to a broadcast 1-row min; per-class row_number window;
+    // map-only cap filter. At 100 TB the per-class window sort is the
+    // boundary shared with M4/M8 — for hot classes it decomposes the
+    // same two-level way sample_curriculum's prefix sum does.
+    "sample_balanced" -> ((s, d) => {
+      val docs = load(s, d, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"))
+      val cap = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+        .agg(min(col("n")).cast("bigint").as("cap"))
+      val w = Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      docs.withColumn("rn", row_number().over(w).cast("bigint"))
+        .crossJoin(broadcast(cap))
+        .filter(col("rn") <= col("cap"))
+        .select("lang", "doc_id", "rn")
+        .orderBy("lang", "rn")
+    }),
   )
 
   // M7 (round 8): GROUP-level train/valid/test split — the leakage
@@ -287,6 +310,19 @@ object CurationQueries {
       "- 10.0 * (punct / CAST(chars AS DOUBLE))"
 
   val oracle: Map[String, String] = Map(
+    // M9 twin: identical min-class cap and md5-permutation window.
+    "sample_balanced" ->
+      """WITH d AS (SELECT doc_id, lang FROM documents
+        |  WHERE text IS NOT NULL),
+        | cap AS (SELECT CAST(min(n) AS BIGINT) AS cap FROM
+        |   (SELECT count(*) AS n FROM d GROUP BY lang) t),
+        | r AS (SELECT lang, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+        |  FROM d)
+        |SELECT lang, doc_id, rn FROM r, cap WHERE rn <= cap
+        |ORDER BY lang, rn""".stripMargin,
+
     // M8 twin: identical integer budget arithmetic and md5-permutation
     // cumulative window.
     "sample_token_budget" ->

@@ -1401,6 +1401,74 @@ object LakehouseQueries {
           col("total").cast(DecimalType(38, 2)).as("total"))
         .orderBy("g")
     }),
+
+    // S34 (round 11): PARTITION EVOLUTION — the Iceberg flagship the
+    // layout layer was still missing: the partition SPEC changes
+    // mid-history and reads stay uniform and pruned across the mixed
+    // generations. v0 lands the even-key half in 2 COARSE range units
+    // (half-domain grain); v1 appends the odd-key half under a FINER
+    // spec — 8 eighth-domain range units — without touching the old
+    // units (evolution is metadata: old data keeps its old layout
+    // forever; a rewrite of 50 TB of history is exactly what the
+    // feature exists to avoid). The probe path is the ordinary
+    // stats-routed read (snapshotRangeCol): pruning works per UNIT
+    // from footer min/max, so it is layout-agnostic by construction —
+    // a narrow range scans 1 coarse + 1-2 fine units out of 10, and
+    // the fine generation keeps getting finer pruning as new specs
+    // arrive. Output: per-probe scanned-unit count (recomputed
+    // arithmetically by the oracle from the same grouping) + exact
+    // row/total answers.
+    "dml_partition_evolution" -> ((s, d) => {
+      import graft.sources.CommitLog
+      val root = graft.queries.ScaleQueries.freshDir(partEvoDir, d, "orders") {
+        val dir = java.nio.file.Files.createTempDirectory("graft_pevo").toString
+        val base = load(s, d, "orders")
+          .select(col("o_orderkey").as("k"), dec(col("o_totalprice")).as("p"))
+        val mk = base.agg(max(col("k"))).head().getLong(0)
+        val wd2 = mk / 2L + 1L
+        val wd8 = mk / 8L + 1L
+        // generation 0: the ORIGINAL spec — 2 coarse range units
+        val g0 = base.filter(col("k") % 2 === 0)
+          .withColumn("bucket", expr(s"k DIV ${wd2}L"))
+        g0.repartition(col("bucket"))
+          .write.partitionBy("bucket").parquet(s"$dir/data/g0")
+        val u0 = g0.select("bucket").distinct().take(4)
+          .map(_.getLong(0)).sorted.map(b => s"data/g0/bucket=$b").toSeq
+        CommitLog.commit(dir, 0L, u0)
+        CommitLog.writeColStats(dir, 0L,
+          CommitLog.footerColStats(s, dir, u0, Seq("k")))
+        // generation 1: the EVOLVED spec — 8 fine range units appended
+        val g1 = base.filter(col("k") % 2 === 1)
+          .withColumn("bucket", expr(s"k DIV ${wd8}L"))
+        g1.repartition(col("bucket"))
+          .write.partitionBy("bucket").parquet(s"$dir/data/g1")
+        val u1 = g1.select("bucket").distinct().take(16)
+          .map(_.getLong(0)).sorted.map(b => s"data/g1/bucket=$b").toSeq
+        CommitLog.commit(dir, 1L, u0 ++ u1)
+        // stats carry for the old units, delta-derived for the new —
+        // one footer pass over u0 ++ u1 keeps the example simple
+        CommitLog.writeColStats(dir, 1L,
+          CommitLog.footerColStats(s, dir, u0 ++ u1, Seq("k")))
+        dir
+      }
+      val mk = load(s, d, "orders")
+        .agg(max(col("o_orderkey"))).head().getLong(0)
+      val wd8 = mk / 8L + 1L
+      val probes = Seq(
+        (0L, 2L * wd8, 3L * wd8 - 1L),               // 1 coarse + 1 fine
+        (1L, 5L * wd8 + wd8 / 2L, 6L * wd8 + wd8 / 2L), // 1 coarse + 2 fine
+        (2L, 0L, mk))                                 // everything
+      probes.map { case (id, lo, hi) =>
+        val (snap, scanned) =
+          CommitLog.snapshotRangeCol(s, root, 1L, "k", lo.toString, hi.toString)
+        snap.filter(col("k").between(lo, hi))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("p")).cast(DecimalType(38, 2)).as("total"))
+          .select(lit(id).as("probe"),
+            lit(scanned.toLong).as("n_units_scanned"),
+            col("n_rows"), col("total"))
+      }.reduce(_ unionAll _).orderBy("probe")
+    }),
   )
 
   private val cdcReadDir =
@@ -1467,6 +1535,9 @@ object LakehouseQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private val skipStatsDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val partEvoDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private val incrReadDir =
@@ -1597,6 +1668,32 @@ object LakehouseQueries {
         |SELECT CAST(g AS BIGINT) AS g, CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(p) AS DECIMAL(38,2)) AS total
         |FROM fin JOIN dim USING (k) GROUP BY g ORDER BY g""".stripMargin,
+    // S34 twin: both generations' unit layouts recomputed from the
+    // same grouping arithmetic, pruned-unit counts by interval
+    // intersection — layout-agnostic pruning verified from first
+    // principles.
+    "dml_partition_evolution" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        | w AS (SELECT max(k) // 2 + 1 AS wd2, max(k) // 8 + 1 AS wd8,
+        |    max(k) AS mk FROM base),
+        | u0 AS (SELECT k // wd2 AS b, min(k) AS mn, max(k) AS mx
+        |    FROM base, w WHERE k % 2 = 0 GROUP BY 1),
+        | u1 AS (SELECT k // wd8 AS b, min(k) AS mn, max(k) AS mx
+        |    FROM base, w WHERE k % 2 = 1 GROUP BY 1),
+        | units AS (SELECT mn, mx FROM u0 UNION ALL SELECT mn, mx FROM u1),
+        | probes AS (
+        |   SELECT CAST(0 AS BIGINT) AS probe, 2*wd8 AS lo, 3*wd8 - 1 AS hi FROM w
+        |   UNION ALL SELECT CAST(1 AS BIGINT), 5*wd8 + wd8 // 2,
+        |     6*wd8 + wd8 // 2 FROM w
+        |   UNION ALL SELECT CAST(2 AS BIGINT), 0, mk FROM w)
+        |SELECT probe,
+        |  (SELECT count(*) FROM units WHERE mn <= hi AND mx >= lo)
+        |    AS n_units_scanned,
+        |  (SELECT count(*) FROM base WHERE k BETWEEN lo AND hi) AS n_rows,
+        |  CAST((SELECT sum(p) FROM base WHERE k BETWEEN lo AND hi)
+        |    AS DECIMAL(38,2)) AS total
+        |FROM probes ORDER BY probe""".stripMargin,
     "dml_cdc_replay" ->
       """WITH base AS (SELECT o_orderkey AS k,
         |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),

@@ -451,8 +451,156 @@ object RetrievalQueries {
         .filter(col("cum_tok") <= col("b"))
         .select("stage", "doc_id", "n_tok", "cum_tok")
         .orderBy("stage", "cum_tok", "doc_id")
+    }),
+
+    // AB9 (round 11): NDCG@10 — graded ranking quality of the cosine
+    // retrieval against the deterministic length-band relevance proxy
+    // (relPairs). The log2 discounts are PINNED 12-dp DECIMAL
+    // constants shared verbatim with the oracle (discCase), gains are
+    // the integer 2^rel-1 table, so every per-rank term is an EXACT
+    // decimal and the per-query sums are shuffle-order-proof — no
+    // transcendental is evaluated by either engine. One probe-bounded
+    // broadcast cross join + two windows over per-query partitions;
+    // only rank/gain integers reach the aggregation exchange.
+    "eval_ndcg" -> ((s, d) => {
+      val wv = Window.partitionBy("q_id")
+        .orderBy(col("cos_sim").desc, col("c_id").asc)
+      val wi = Window.partitionBy("q_id")
+        .orderBy(col("rel").desc, col("c_id").asc)
+      relPairs(s, d)
+        .withColumn("rk", row_number().over(wv).cast("bigint"))
+        .withColumn("ik", row_number().over(wi).cast("bigint"))
+        .filter(col("rk") <= 10 || col("ik") <= 10)
+        .selectExpr("q_id",
+          s"CAST(CASE WHEN rk <= 10 THEN ($gainCase) * (${discCase("rk")})" +
+            " ELSE 0 END AS DECIMAL(38,12)) AS dterm",
+          s"CAST(CASE WHEN ik <= 10 THEN ($gainCase) * (${discCase("ik")})" +
+            " ELSE 0 END AS DECIMAL(38,12)) AS iterm")
+        .groupBy("q_id")
+        .agg(sum(col("dterm")).cast(DecimalType(38, 12)).as("dcg12"),
+          sum(col("iterm")).cast(DecimalType(38, 12)).as("icg12"))
+        // 6-dp render goes THROUGH DOUBLE: a direct decimal->decimal
+        // downcast rounds in Spark but truncates in DuckDB; the
+        // double->decimal path is the engine-agreeing sim_topk contract
+        .selectExpr("q_id",
+          "CAST(CAST(dcg12 AS DOUBLE) AS DECIMAL(18,6)) AS dcg",
+          "CAST(CAST(icg12 AS DOUBLE) AS DECIMAL(18,6)) AS idcg",
+          "CAST(CASE WHEN icg12 = 0 THEN 0.0 ELSE" +
+            " CAST(dcg12 AS DOUBLE) / CAST(icg12 AS DOUBLE) END" +
+            " AS DECIMAL(18,6)) AS ndcg")
+        .orderBy("q_id")
+    }),
+
+    // AB10 (round 11): MRR — reciprocal rank of the first fully
+    // relevant candidate (rel = 3, same length band) in the cosine
+    // ranking. All-integer until the single 1/rank division (an exact
+    // IEEE quotient both engines round identically); probes with no
+    // relevant candidate emit the defined (0, 0.000000) row rather
+    // than vanishing, so the output is total over the probe set.
+    "eval_mrr" -> ((s, d) => {
+      val wv = Window.partitionBy("q_id")
+        .orderBy(col("cos_sim").desc, col("c_id").asc)
+      relPairs(s, d)
+        .withColumn("rk", row_number().over(wv).cast("bigint"))
+        .groupBy("q_id")
+        .agg(min(when(col("rel") === 3, col("rk"))).as("fr"))
+        .selectExpr("q_id",
+          "CAST(coalesce(fr, 0) AS BIGINT) AS first_rel",
+          "CAST(CASE WHEN fr IS NULL THEN 0.0" +
+            " ELSE 1.0 / CAST(fr AS DOUBLE) END AS DECIMAL(18,6)) AS rr")
+        .orderBy("q_id")
+    }),
+
+    // AB11 (round 11): recall@5 — coverage of the fully relevant set
+    // (rel = 3) by the cosine top-5. Integer hit/total counts from one
+    // combinable per-query aggregation, one final division; the
+    // zero-relevant probe emits a defined 0.000000.
+    "eval_recall_k" -> ((s, d) => {
+      val wv = Window.partitionBy("q_id")
+        .orderBy(col("cos_sim").desc, col("c_id").asc)
+      relPairs(s, d)
+        .withColumn("rk", row_number().over(wv).cast("bigint"))
+        .groupBy("q_id")
+        .agg(sum(when(col("rel") === 3, 1L).otherwise(0L)).as("n_rel"),
+          sum(when(col("rel") === 3 && col("rk") <= 5, 1L).otherwise(0L))
+            .as("hits"))
+        .selectExpr("q_id",
+          "CAST(n_rel AS BIGINT) AS n_rel", "CAST(hits AS BIGINT) AS hits",
+          "CAST(CASE WHEN n_rel = 0 THEN 0.0 ELSE" +
+            " CAST(hits AS DOUBLE) / CAST(n_rel AS DOUBLE) END" +
+            " AS DECIMAL(18,6)) AS recall")
+        .orderBy("q_id")
     })
   )
+
+  /** Graded-relevance retrieval pairs shared by the ranking-metric
+    * trio (AB9-AB11). Ranking signal = the sim_topk-contract cosine
+    * (6-dp DECIMAL, id tie-break); relevance = the deterministic
+    * length-band proxy rel = max(0, 3 - |band_q - band_c|) with
+    * band = n_tok DIV 20 — grades 0..3 derived purely from the data so
+    * both engines reproduce them exactly. Scale shape: the candidate
+    * corpus is scanned ONCE, probes and their norms ride a broadcast
+    * (the sim_hybrid precedent), and only (q_id, c_id, cos_sim, rel)
+    * rows — never vectors or token arrays — reach any exchange.
+    */
+  private[graft] def relPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val uni = load(s, d, "documents").filter(col("text").isNotNull)
+      .join(load(s, d, "embeddings"), col("doc_id") === col("vec_id"))
+      .selectExpr("doc_id AS id",
+        "CAST(size(split(text, ' ')) DIV 20 AS BIGINT) AS band",
+        "embedding", "sqrt(array_dot(embedding, embedding)) AS nrm")
+    val probes = uni
+      .selectExpr("id AS q_id", "band AS qb", "embedding AS qv", "nrm AS nq")
+      .filter(col("q_id") < 10)
+    uni.crossJoin(broadcast(probes))
+      .filter(col("q_id") =!= col("id"))
+      .selectExpr("q_id", "id AS c_id",
+        "CAST(array_dot(qv, embedding) / (nq * nrm) AS DECIMAL(18,6))" +
+          " AS cos_sim",
+        "CAST(greatest(0, 3 - abs(qb - band)) AS BIGINT) AS rel")
+  }
+
+  /** The integer 2^rel - 1 gain table (rel is 0..3 by construction). */
+  private val gainCase: String =
+    "CASE rel WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 7 END"
+
+  /** NDCG discount 1/log2(rank+1) for rank 1..10 as PINNED 12-dp
+    * DECIMAL literals — the same CASE text is embedded in the Spark
+    * expression and the DuckDB oracle, so neither engine evaluates a
+    * transcendental and the per-term products are exact decimals
+    * (integer gain × 12-dp constant), making the metric
+    * shuffle-order-proof by construction.
+    */
+  private def discCase(c: String): String =
+    s"CASE $c WHEN 1 THEN 1.000000000000 WHEN 2 THEN 0.630929753571" +
+      " WHEN 3 THEN 0.500000000000 WHEN 4 THEN 0.430676558073" +
+      " WHEN 5 THEN 0.386852807235 WHEN 6 THEN 0.356207187108" +
+      " WHEN 7 THEN 0.333333333333 WHEN 8 THEN 0.315464876786" +
+      " WHEN 9 THEN 0.301029995664 ELSE 0.289064826318 END"
+
+  /** Shared DuckDB CTE body for the ranking-metric trio — the oracle
+    * twin of relPairs + the cosine/ideal rank windows.
+    */
+  private val rankedPairsSql: String =
+    """WITH uni AS (SELECT d.doc_id AS id,
+      |    CAST(len(string_split(d.text, ' ')) // 20 AS BIGINT) AS band,
+      |    CAST(e.embedding AS DOUBLE[]) AS v
+      |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      |  WHERE d.text IS NOT NULL),
+      | probes AS (SELECT id AS q_id, band AS qb, v AS qv
+      |  FROM uni WHERE id < 10),
+      | pairs AS (SELECT q_id, id AS c_id,
+      |    CAST(list_cosine_similarity(qv, v) AS DECIMAL(18,6)) AS cos_sim,
+      |    CAST(greatest(0, 3 - abs(qb - band)) AS BIGINT) AS rel
+      |  FROM probes, uni WHERE q_id <> id),
+      | ranked AS (SELECT q_id, c_id, rel,
+      |    CAST(row_number() OVER (PARTITION BY q_id
+      |      ORDER BY cos_sim DESC, c_id) AS BIGINT) AS rk,
+      |    CAST(row_number() OVER (PARTITION BY q_id
+      |      ORDER BY rel DESC, c_id) AS BIGINT) AS ik
+      |  FROM pairs)""".stripMargin
 
   /** One SQL twin for BOTH bm25 scorers: the index-backed formulation
     * must be value-identical to the from-scratch scan — sharing the
@@ -581,6 +729,45 @@ object RetrievalQueries {
         | budget AS (SELECT stage, sum(n_tok) // 2 AS b FROM staged GROUP BY stage)
         |SELECT c.stage, doc_id, n_tok, cum_tok
         |FROM cum c JOIN budget USING (stage) WHERE cum_tok <= b
-        |ORDER BY stage, cum_tok, doc_id""".stripMargin
+        |ORDER BY stage, cum_tok, doc_id""".stripMargin,
+    "eval_ndcg" -> (rankedPairsSql +
+      s""",
+        | terms AS (SELECT q_id,
+        |    CAST(CASE WHEN rk <= 10 THEN ($gainCase) * (${discCase("rk")})
+        |      ELSE 0 END AS DECIMAL(38,12)) AS dterm,
+        |    CAST(CASE WHEN ik <= 10 THEN ($gainCase) * (${discCase("ik")})
+        |      ELSE 0 END AS DECIMAL(38,12)) AS iterm
+        |  FROM ranked WHERE rk <= 10 OR ik <= 10),
+        | sums AS (SELECT q_id,
+        |    CAST(sum(dterm) AS DECIMAL(38,12)) AS dcg12,
+        |    CAST(sum(iterm) AS DECIMAL(38,12)) AS icg12
+        |  FROM terms GROUP BY q_id)
+        |SELECT q_id, CAST(CAST(dcg12 AS DOUBLE) AS DECIMAL(18,6)) AS dcg,
+        |  CAST(CAST(icg12 AS DOUBLE) AS DECIMAL(18,6)) AS idcg,
+        |  CAST(CASE WHEN icg12 = 0 THEN 0.0 ELSE
+        |    CAST(dcg12 AS DOUBLE) / CAST(icg12 AS DOUBLE) END
+        |    AS DECIMAL(18,6)) AS ndcg
+        |FROM sums ORDER BY q_id""".stripMargin),
+    "eval_mrr" -> (rankedPairsSql +
+      """
+        |SELECT q_id,
+        |  CAST(coalesce(min(CASE WHEN rel = 3 THEN rk END), 0) AS BIGINT)
+        |    AS first_rel,
+        |  CAST(CASE WHEN min(CASE WHEN rel = 3 THEN rk END) IS NULL THEN 0.0
+        |    ELSE 1.0 / CAST(min(CASE WHEN rel = 3 THEN rk END) AS DOUBLE) END
+        |    AS DECIMAL(18,6)) AS rr
+        |FROM ranked GROUP BY q_id ORDER BY q_id""".stripMargin),
+    "eval_recall_k" -> (rankedPairsSql +
+      """
+        |SELECT q_id,
+        |  CAST(sum(CASE WHEN rel = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+        |  CAST(sum(CASE WHEN rel = 3 AND rk <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS hits,
+        |  CAST(CASE WHEN sum(CASE WHEN rel = 3 THEN 1 ELSE 0 END) = 0 THEN 0.0
+        |    ELSE CAST(sum(CASE WHEN rel = 3 AND rk <= 5 THEN 1 ELSE 0 END)
+        |      AS DOUBLE)
+        |      / CAST(sum(CASE WHEN rel = 3 THEN 1 ELSE 0 END) AS DOUBLE) END
+        |    AS DECIMAL(18,6)) AS recall
+        |FROM ranked GROUP BY q_id ORDER BY q_id""".stripMargin)
   )
 }

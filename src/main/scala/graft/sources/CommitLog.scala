@@ -1954,7 +1954,7 @@ object CommitLog {
       .select(input_file_name().as("__f"), col(keyCol).as("__k"))
       .filter(col("__k").isin(keys.map(Long.box): _*))
       .groupBy("__f").agg(count(lit(1)).as("n"))
-      .collect() // bounded by data files containing purge keys
+      .collect() // metadata-sized: one row per data FILE containing purge keys
       .map(r => unitOf(r.getString(0)) -> r.getLong(1))
     val rowsPurged = hits.map(_._2).sum
     val dirty = hits.map(_._1).distinct.toSeq.sorted

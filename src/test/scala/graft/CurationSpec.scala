@@ -128,4 +128,25 @@ class CurationSpec extends GraftSpec {
     assert(out.map(_.getLong(2)).sum == ev.select("user_id").distinct().count())
     assert(out.exists(r => r.getString(0) == "train" && r.getLong(2) > 0))
   }
+
+  test("sample_balanced caps every class at the minority size, deterministically") {
+    val out = q("sample_balanced").collect()
+    val docs = Tables.load(spark, sf, "documents")
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull)
+    val classCounts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cap = classCounts.values.min
+    // every class present and sampled to EXACTLY the minority size
+    val sizes = out.groupBy(_.getString(0)).map { case (l, g) => l -> g.size }
+    assert(sizes.keySet == classCounts.keySet)
+    sizes.foreach { case (l, n) =>
+      assert(n.toLong == cap, s"class $l: $n rows, cap $cap")
+    }
+    // members are real distinct docs, and the pick is reproducible
+    assert(out.map(_.getLong(1)).distinct.length == out.length)
+    val again = q("sample_balanced").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      again.map(r => (r.getString(0), r.getLong(1))).toSeq,
+      "md5-permutation selection must be reproducible run to run")
+  }
 }

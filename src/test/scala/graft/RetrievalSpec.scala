@@ -215,4 +215,79 @@ class RetrievalSpec extends GraftSpec {
       assert(g.map(_.getLong(3)).max <= b)
     }
   }
+
+  /** Reference model for the ranking-metric trio (AB9-AB11): the
+    * engine's own relPairs output (cosine + graded relevance) ranked
+    * and scored in plain Scala with FLOATING log2 — so the pinned
+    * 12-dp discount constants, the gain table, the rank windows and
+    * the zero-relevance guards are all validated against an
+    * independent arithmetic path.
+    */
+  private lazy val truthRanked: Map[Long, Seq[(Long, Long, Long)]] = {
+    // (q_id -> ordered (c_id, rel, rank)) under (cos desc, c_id asc)
+    val pairs = queries.RetrievalQueries.relPairs(spark, sf)
+      .collect() // test-only reference model at sf0.001
+      .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2), r.getLong(3)))
+    pairs.groupBy(_._1).map { case (q, g) =>
+      val ranked = g.sortBy { case (_, c, cos, _) => (cos, c) }(
+        Ordering.Tuple2(Ordering[java.math.BigDecimal].reverse,
+          Ordering[Long]))
+      q -> ranked.zipWithIndex.map { case ((_, c, _, rel), i) =>
+        (c, rel, i + 1L)
+      }.toSeq
+    }
+  }
+
+  test("eval_ndcg matches a floating-log2 recomputation of NDCG@10") {
+    def disc(rank: Long): Double = 1.0 / (math.log(rank + 1.0) / math.log(2.0))
+    def gain(rel: Long): Double = (1L << rel) - 1.0
+    val rows = q("eval_ndcg").collect() // 10 probes
+    assert(rows.length == truthRanked.size)
+    rows.foreach { r =>
+      val qid = r.getLong(0)
+      val byCos = truthRanked(qid)
+      val dcg = byCos.filter(_._3 <= 10)
+        .map { case (_, rel, rk) => gain(rel) * disc(rk) }.sum
+      val idcg = byCos.sortBy { case (c, rel, _) => (-rel, c) }
+        .take(10).zipWithIndex
+        .map { case ((_, rel, _), i) => gain(rel) * disc(i + 1L) }.sum
+      val ndcg = if (idcg == 0.0) 0.0 else dcg / idcg
+      assert(math.abs(r.getDecimal(1).doubleValue - dcg) < 2e-6,
+        s"q$qid dcg: got ${r.getDecimal(1)}, truth $dcg")
+      assert(math.abs(r.getDecimal(2).doubleValue - idcg) < 2e-6,
+        s"q$qid idcg: got ${r.getDecimal(2)}, truth $idcg")
+      assert(math.abs(r.getDecimal(3).doubleValue - ndcg) < 2e-6,
+        s"q$qid ndcg: got ${r.getDecimal(3)}, truth $ndcg")
+      assert(r.getDecimal(3).doubleValue >= 0.0 &&
+        r.getDecimal(3).doubleValue <= 1.0 + 1e-9)
+    }
+  }
+
+  test("eval_mrr is exactly the reciprocal of the first rel-3 rank") {
+    val rows = q("eval_mrr").collect() // 10 probes
+    assert(rows.length == truthRanked.size)
+    rows.foreach { r =>
+      val qid = r.getLong(0)
+      val first = truthRanked(qid).collectFirst {
+        case (_, 3L, rk) => rk
+      }.getOrElse(0L)
+      assert(r.getLong(1) == first, s"q$qid first_rel: $r, truth $first")
+      val rr = if (first == 0L) 0.0 else 1.0 / first
+      assert(math.abs(r.getDecimal(2).doubleValue - rr) < 1e-6)
+    }
+  }
+
+  test("eval_recall_k counts rel-3 coverage of the cosine top-5 exactly") {
+    val rows = q("eval_recall_k").collect() // 10 probes
+    assert(rows.length == truthRanked.size)
+    rows.foreach { r =>
+      val qid = r.getLong(0)
+      val rel3 = truthRanked(qid).filter(_._2 == 3L)
+      val hits = rel3.count(_._3 <= 5L)
+      assert(r.getLong(1) == rel3.size, s"q$qid n_rel: $r, truth ${rel3.size}")
+      assert(r.getLong(2) == hits, s"q$qid hits: $r, truth $hits")
+      val rec = if (rel3.isEmpty) 0.0 else hits.toDouble / rel3.size
+      assert(math.abs(r.getDecimal(3).doubleValue - rec) < 1e-6)
+    }
+  }
 }

@@ -382,4 +382,33 @@ class Round11OpsSpec extends GraftSpec {
     intercept[IllegalArgumentException](CommitLog.writeBloomStatsDelta(
       spark, t2, 0L, 0L, Seq.empty, 10L, 0.01))
   }
+
+  test("dml_partition_evolution: mixed-grain layouts prune per unit") {
+    // recompute the expected scanned-unit counts from first principles
+    // with the same interval arithmetic the oracle uses — the query's
+    // counts must match at ANY sf, proving pruning is layout-agnostic
+    val keys = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey")).collect().map(_.getLong(0)) // test-sized
+    val mk = keys.max
+    val (wd2, wd8) = (mk / 2 + 1, mk / 8 + 1)
+    def intervals(ks: Seq[Long], wd: Long): Seq[(Long, Long)] =
+      ks.groupBy(_ / wd).values.map(g => (g.min, g.max)).toSeq
+    val units = intervals(keys.filter(_ % 2 == 0).toSeq, wd2) ++
+      intervals(keys.filter(_ % 2 == 1).toSeq, wd8)
+    val probes = Seq((2 * wd8, 3 * wd8 - 1),
+      (5 * wd8 + wd8 / 2, 6 * wd8 + wd8 / 2), (0L, mk))
+    val rows = q("dml_partition_evolution").collect()
+    assert(rows.length == 3)
+    rows.zip(probes).foreach { case (r, (lo, hi)) =>
+      val expScan = units.count { case (mn, mx) => mn <= hi && mx >= lo }
+      val expRows = keys.count(k => k >= lo && k <= hi)
+      assert(r.getLong(1) == expScan,
+        s"probe ${r.getLong(0)}: scanned ${r.getLong(1)}, expected $expScan")
+      assert(r.getLong(2) == expRows)
+    }
+    // the evolution property itself: the narrow probe reads a strict
+    // subset of the table's units even though two specs coexist
+    assert(rows(0).getLong(1) < rows(2).getLong(1),
+      "narrow probe must scan fewer units than the full-range probe")
+  }
 }

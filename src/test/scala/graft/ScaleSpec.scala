@@ -168,7 +168,9 @@ class ScaleSpec extends GraftSpec {
     // k-row / k×dims-row centroid state — the MLlib KMeans
     // driver-state shape) or "metadata-sized" (probe-bucket-id
     // pruning and commit-log unit routing — bounded by bucket/unit
-    // counts, the dynamic-partition-pruning pattern). An unmarked
+    // counts, the dynamic-partition-pruning pattern) or
+    // "purge-request-sized" (an RTBF erasure list is bounded by the
+    // user's purge REQUEST, never by the table). An unmarked
     // collect is a scale bug: a driver-side loop over data-sized
     // results — and the marker forces the bound to be ARGUED at the
     // call site where a reviewer can check it.
@@ -187,7 +189,8 @@ class ScaleSpec extends GraftSpec {
           src.getLines().zipWithIndex.collect {
             case (l, i) if l.contains(".collect()") &&
               !l.contains("model-state-sized") &&
-              !l.contains("metadata-sized") => s"$p:${i + 1}: ${l.trim}"
+              !l.contains("metadata-sized") &&
+              !l.contains("purge-request-sized") => s"$p:${i + 1}: ${l.trim}"
           }.toList
         }
       }.toList
