@@ -530,6 +530,38 @@ object RetrievalQueries {
             " CAST(hits AS DOUBLE) / CAST(n_rel AS DOUBLE) END" +
             " AS DECIMAL(18,6)) AS recall")
         .orderBy("q_id")
+    }),
+
+    // AB12 (round 11): two-sample Kolmogorov-Smirnov statistic between
+    // the en / non-en stopword-ratio distributions — the
+    // distribution-shift alarm a pipeline runs between corpus
+    // snapshots. Same ONE combinable histogram collapse as eval_auc;
+    // running CDFs ride a window over the tiny distinct-score table;
+    // the sup-distance is CROSS-MULTIPLIED (|cum_pos·NN − cum_neg·NP|,
+    // BIGINT) so it stays all-integer until the single final division.
+    "eval_ks" -> ((s, d) => {
+      val hist = load(s, d, "documents").filter(col("text").isNotNull)
+        .selectExpr("(lang = 'en') AS pos",
+          "CAST(CAST(size(filter(split(text, ' '), " +
+            "w -> w IN ('the', 'and', 'of', 'a', 'in', 'to'))) AS DOUBLE)" +
+            " / size(split(text, ' ')) AS DECIMAL(18,6)) AS score")
+        .groupBy("score")
+        .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos_s"),
+          sum(when(col("pos"), 0L).otherwise(1L)).as("n_neg_s"))
+      val wrun = Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = hist.agg(sum(col("n_pos_s")).cast("bigint").as("np"),
+        sum(col("n_neg_s")).cast("bigint").as("nn"))
+      hist
+        .withColumn("cp", sum(col("n_pos_s")).over(wrun).cast("bigint"))
+        .withColumn("cn", sum(col("n_neg_s")).over(wrun).cast("bigint"))
+        .crossJoin(broadcast(tot))
+        .groupBy("np", "nn")
+        .agg(max(abs(col("cp") * col("nn") - col("cn") * col("np")))
+          .cast("bigint").as("ks_num"))
+        .selectExpr("np AS n_pos", "nn AS n_neg", "ks_num",
+          "CAST(ks_num AS DOUBLE) / (CAST(np AS DOUBLE) * nn) AS ks")
+        .orderBy("n_pos")
     })
   )
 
@@ -768,6 +800,32 @@ object RetrievalQueries {
         |      AS DOUBLE)
         |      / CAST(sum(CASE WHEN rel = 3 THEN 1 ELSE 0 END) AS DOUBLE) END
         |    AS DECIMAL(18,6)) AS recall
-        |FROM ranked GROUP BY q_id ORDER BY q_id""".stripMargin)
+        |FROM ranked GROUP BY q_id ORDER BY q_id""".stripMargin),
+    "eval_ks" ->
+      """WITH scored AS (
+        |  SELECT (lang = 'en') AS pos,
+        |    CAST(CAST(len(list_filter(string_split(text, ' '),
+        |        w -> w IN ('the', 'and', 'of', 'a', 'in', 'to'))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS DECIMAL(18,6)) AS score
+        |  FROM documents WHERE text IS NOT NULL),
+        | hist AS (SELECT score,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_s,
+        |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg_s
+        |  FROM scored GROUP BY score),
+        | run AS (SELECT score,
+        |    CAST(sum(n_pos_s) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cp,
+        |    CAST(sum(n_neg_s) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cn
+        |  FROM hist),
+        | tot AS (SELECT CAST(sum(n_pos_s) AS BIGINT) AS np,
+        |    CAST(sum(n_neg_s) AS BIGINT) AS nn FROM hist)
+        |SELECT np AS n_pos, nn AS n_neg,
+        |  CAST(max(abs(cp*nn - cn*np)) AS BIGINT) AS ks_num,
+        |  CAST(max(abs(cp*nn - cn*np)) AS DOUBLE)
+        |    / (CAST(np AS DOUBLE) * nn) AS ks
+        |FROM run, tot GROUP BY np, nn ORDER BY n_pos""".stripMargin
   )
 }

@@ -170,6 +170,40 @@ object StatsQueries {
         .unionAll(f3.withColumn("dist", lit(3L)))
         .groupBy("v").agg(min(col("dist")).as("dist"))
         .orderBy("v")
+    }),
+
+    // Q6 (round 11): CONNECTED COMPONENTS over a REAL bipartite graph
+    // — orders ⋈ parts they contain (an l_orderkey%100 slice keeps
+    // multiple components; node ids disambiguate the two sides by
+    // parity). Reuses the engine's min-label Pregel loop
+    // (GraftOps.connectedComponents — per-round keyed join + keyed
+    // agg, localCheckpoint-truncated plans, converges in ≤ diameter
+    // rounds): the SAME operator dedup_cluster runs on near-dup pairs,
+    // here exposed as the named graph query so the oracle can pin it
+    // against DuckDB's recursive-CTE transitive closure. Per-component
+    // rollup: size + how many of each side. At 100 TB the per-round
+    // cost is one shuffle on vertex id and the label frame is
+    // O(vertices) — the closure the oracle materializes (O(Σ comp²))
+    // is exactly what the iterative formulation avoids.
+    "graph_components" -> ((s, d) => {
+      val li = load(s, d, "lineitem")
+        .filter(col("l_orderkey") % 100 === 0)
+        .select((col("l_orderkey") * 2).as("a"),
+          (col("l_partkey") * 2 + 1).as("b"))
+        .distinct()
+      val verts = li.select(col("a").as("id"))
+        .unionAll(li.select(col("b").as("id"))).distinct()
+      graft.api.GraftOps
+        .connectedComponents(verts, "id", li, "a", "b", maxIter = 30)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).cast("bigint").as("n_nodes"),
+          sum(when(col("id") % 2 === 0, 1L).otherwise(0L))
+            .cast("bigint").as("n_orders"),
+          sum(when(col("id") % 2 === 1, 1L).otherwise(0L))
+            .cast("bigint").as("n_parts"))
+        .select(col("cluster").cast("bigint").as("cluster"),
+          col("n_nodes"), col("n_orders"), col("n_parts"))
+        .orderBy("cluster")
     })
   )
 
@@ -258,6 +292,27 @@ object StatsQueries {
         |  UNION ALL SELECT v, 2 FROM f2
         |  UNION ALL SELECT v, 3 FROM f3)
         |SELECT v, CAST(min(dist) AS BIGINT) AS dist
-        |FROM all_d GROUP BY v ORDER BY v""".stripMargin
+        |FROM all_d GROUP BY v ORDER BY v""".stripMargin,
+    // Q6 twin: the recursive-CTE transitive closure (every label
+    // reachable from every node, then min per node) — the from-first-
+    // principles fixpoint the iterative min-label loop must equal.
+    "graph_components" ->
+      """WITH RECURSIVE e AS (SELECT DISTINCT 2*l_orderkey AS a,
+        |    2*l_partkey+1 AS b
+        |  FROM lineitem WHERE l_orderkey % 100 = 0),
+        | sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+        | lbl AS (
+        |   SELECT a AS id, a AS cluster
+        |   FROM (SELECT a FROM sym UNION SELECT b FROM sym) t(a)
+        |   UNION
+        |   SELECT s.a AS id, l.cluster FROM sym s JOIN lbl l ON s.b = l.id),
+        | fin AS (SELECT id, min(cluster) AS cluster FROM lbl GROUP BY id)
+        |SELECT CAST(cluster AS BIGINT) AS cluster,
+        |  CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(sum(CASE WHEN id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_orders,
+        |  CAST(sum(CASE WHEN id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_parts
+        |FROM fin GROUP BY cluster ORDER BY cluster""".stripMargin
   )
 }

@@ -290,4 +290,35 @@ class RetrievalSpec extends GraftSpec {
       assert(math.abs(r.getDecimal(3).doubleValue - rec) < 1e-6)
     }
   }
+
+  test("eval_ks matches a brute-force sup-distance over raw scores") {
+    import org.apache.spark.sql.functions._
+    val scored = Tables.load(spark, sf, "documents")
+      .filter(col("text").isNotNull)
+      .selectExpr("(lang = 'en') AS pos",
+        "CAST(CAST(size(filter(split(text, ' '), " +
+          "w -> w IN ('the', 'and', 'of', 'a', 'in', 'to'))) AS DOUBLE)" +
+          " / size(split(text, ' ')) AS DECIMAL(18,6)) AS score")
+      .collect() // test-only reference model
+      .map(r => (r.getBoolean(0), r.getDecimal(1)))
+    val np = scored.count(_._1).toLong
+    val nn = scored.length - np
+    val distinct = scored.map(_._2).distinct.sorted(
+      Ordering[java.math.BigDecimal])
+    var (cp, cn, best) = (0L, 0L, 0L)
+    distinct.foreach { s =>
+      cp += scored.count(t => t._1 && t._2 == s)
+      cn += scored.count(t => !t._1 && t._2 == s)
+      best = math.max(best, math.abs(cp * nn - cn * np))
+    }
+    val row = q("eval_ks").collect() match {
+      case Array(r) => r
+      case other => fail(s"expected 1 row, got ${other.length}")
+    }
+    assert(row.getLong(0) == np && row.getLong(1) == nn)
+    assert(row.getLong(2) == best,
+      s"ks_num: got ${row.getLong(2)}, truth $best")
+    assert(math.abs(row.getDouble(3) - best.toDouble / (np * nn)) < 1e-12)
+    assert(row.getDouble(3) >= 0.0 && row.getDouble(3) <= 1.0)
+  }
 }

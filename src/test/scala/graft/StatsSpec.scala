@@ -64,4 +64,38 @@ class StatsSpec extends GraftSpec {
     val p = plan("graph_triangles")
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
+
+  test("graph_components equals a union-find recomputation") {
+    import org.apache.spark.sql.functions._
+    val edges = Tables.load(spark, sf, "lineitem")
+      .filter(col("l_orderkey") % 100 === 0)
+      .select((col("l_orderkey") * 2).as("a"), (col("l_partkey") * 2 + 1).as("b"))
+      .distinct().collect() // test-only reference model
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // plain union-find with path compression — an algorithmically
+    // INDEPENDENT path to the same partition as min-label propagation
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = parent.keys.toSeq.groupBy(find)
+      .map { case (_, members) =>
+        val ms = members.toSet
+        ms.min -> (ms.size.toLong,
+          ms.count(_ % 2 == 0).toLong, ms.count(_ % 2 == 1).toLong)
+      }
+    val rows = q("graph_components").collect()
+    assert(rows.length == truth.size,
+      s"component count: got ${rows.length}, truth ${truth.size}")
+    rows.foreach { r =>
+      val t = truth(r.getLong(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == t,
+        s"component ${r.getLong(0)}: got $r, truth $t")
+    }
+  }
 }
