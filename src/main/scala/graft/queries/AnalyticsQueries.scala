@@ -112,6 +112,43 @@ object AnalyticsQueries {
             .as("idx"))
         .orderBy("event_type", "isodow")),
 
+    // U9 (round 11): FORECAST-ACCURACY metrics — the naive one-step
+    // baseline every forecast evaluation needs: pred(t) = actual(t-1)
+    // on the per-type HOURLY series. The series collapses to integer
+    // grain first (the U4 q-grid: round(value*100) sums to BIGINT), so
+    // residuals, |residuals| and squared residuals are ALL-INTEGER and
+    // every metric is exact until its single final division: MAE, RMSE
+    // (sqrt of an exact rational — correctly rounded identically by
+    // both engines), and R² against the power-sum form of the
+    // variance. One corpus-grain shuffle to (type, hour) groups; the
+    // lag and the metric rollup run on the tiny hourly table.
+    "eval_forecast" -> ((s, d) => {
+      val hourly = load(s, d, "events")
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("hr"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("q"))
+        .groupBy("event_type", "hr")
+        .agg(sum(col("q")).cast("bigint").as("v"))
+      val w = Window.partitionBy("event_type").orderBy("hr")
+      hourly.withColumn("pred", lag(col("v"), 1).over(w))
+        .filter(col("pred").isNotNull)
+        .withColumn("res", (col("v") - col("pred")).cast("bigint"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(abs(col("res")).cast(DecimalType(38, 0))).as("sae"),
+          sum(col("res").cast(DecimalType(19, 0))
+            * col("res").cast(DecimalType(18, 0))).as("sse"),
+          sum(col("v").cast(DecimalType(38, 0))).as("sv"),
+          sum(col("v").cast(DecimalType(19, 0))
+            * col("v").cast(DecimalType(18, 0))).as("svv"))
+        .selectExpr("event_type", "n",
+          "CAST(CAST(sae AS DOUBLE) / n AS DECIMAL(18,6)) AS mae",
+          "CAST(sqrt(CAST(sse AS DOUBLE) / n) AS DECIMAL(18,6)) AS rmse",
+          "CAST(1.0 - CAST(sse AS DOUBLE) / (CAST(svv AS DOUBLE)" +
+            " - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n)" +
+            " AS DECIMAL(18,6)) AS r2")
+        .orderBy("event_type")
+    }),
+
     // U6 (round 7): classical trend/seasonal/residual decomposition
     // of the per-type daily event series — trend = centered 7-day
     // moving average (exact integer frame sum / frame count),
@@ -314,6 +351,31 @@ object AnalyticsQueries {
         |  CAST((CAST(s_dw AS DOUBLE) * CAST(n_t AS DOUBLE))
         |    / (CAST(n_dw AS DOUBLE) * CAST(s_t AS DOUBLE)) AS DECIMAL(18,6)) AS idx
         |FROM w ORDER BY event_type, isodow""".stripMargin,
+    // U9 twin: same integer q-grid, HUGEINT power sums (DuckDB's
+    // exact-integer path where Spark widens to DECIMAL) — both reach
+    // identical exact integers, so the final doubles agree bit-wise.
+    "eval_forecast" ->
+      """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        | lagged AS (SELECT event_type, v,
+        |    lag(v) OVER (PARTITION BY event_type ORDER BY hr) AS pred
+        |  FROM hourly),
+        | res AS (SELECT event_type, v, v - pred AS res
+        |  FROM lagged WHERE pred IS NOT NULL),
+        | aggd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(abs(res) AS HUGEINT)) AS sae,
+        |    sum(CAST(res AS HUGEINT) * res) AS sse,
+        |    sum(CAST(v AS HUGEINT)) AS sv,
+        |    sum(CAST(v AS HUGEINT) * v) AS svv
+        |  FROM res GROUP BY 1)
+        |SELECT event_type, n,
+        |  CAST(CAST(sae AS DOUBLE) / n AS DECIMAL(18,6)) AS mae,
+        |  CAST(sqrt(CAST(sse AS DOUBLE) / n) AS DECIMAL(18,6)) AS rmse,
+        |  CAST(1.0 - CAST(sse AS DOUBLE) / (CAST(svv AS DOUBLE)
+        |    - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n)
+        |    AS DECIMAL(18,6)) AS r2
+        |FROM aggd ORDER BY event_type""".stripMargin,
     "text_readability" ->
       """WITH c AS (SELECT doc_id, lang,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,

@@ -288,6 +288,33 @@ object CurationQueries {
         .select("lang", "doc_id", "rn")
         .orderBy("lang", "rn")
     }),
+
+    // M10 (round 11): NEGATIVE SAMPLING for contrastive training —
+    // each anchor doc gets k=3 deterministic pseudo-random negatives.
+    // The trick that scales: candidates pair only WITHIN an md5 bucket
+    // (16-way here; at 100 TB the bucket count grows with the corpus
+    // so per-bucket work stays constant — the dedup-blocking recipe
+    // applied to sampling), and the per-pair "randomness" is
+    // md5(anchor|candidate) — a pure function of the pair, so the
+    // sample is reproducible under any partitioning, immune to rerun
+    // drift, and oracle-checkable. One bucket-keyed self-join + a
+    // per-anchor top-3 window over bucket-bounded candidate sets.
+    "sample_negative" -> ((s, d) => {
+      val docs = load(s, d, "documents").filter(col("text").isNotNull)
+        .selectExpr("doc_id",
+          "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10)" +
+            " AS BIGINT) % 16 AS b")
+      val cands = docs.selectExpr("b", "doc_id AS neg_id")
+      val w = Window.partitionBy("doc_id").orderBy(col("pair_h"), col("neg_id"))
+      docs.join(cands, "b")
+        .filter(col("doc_id") =!= col("neg_id"))
+        .withColumn("pair_h", md5(concat(col("doc_id").cast("string"),
+          lit("|"), col("neg_id").cast("string"))))
+        .withColumn("rn", row_number().over(w).cast("bigint"))
+        .filter(col("rn") <= 3)
+        .select("doc_id", "neg_id", "rn")
+        .orderBy("doc_id", "rn")
+    }),
   )
 
   // M7 (round 8): GROUP-level train/valid/test split — the leakage
@@ -322,6 +349,23 @@ object CurationQueries {
         |  FROM d)
         |SELECT lang, doc_id, rn FROM r, cap WHERE rn <= cap
         |ORDER BY lang, rn""".stripMargin,
+
+    // M10 twin: identical bucket hash and pair-hash ordering.
+    "sample_negative" ->
+      """WITH d AS (SELECT doc_id,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 16
+        |      AS b
+        |  FROM documents WHERE text IS NOT NULL),
+        | pairs AS (SELECT a.doc_id AS doc_id, c.doc_id AS neg_id,
+        |    md5(CAST(a.doc_id AS VARCHAR) || '|' || CAST(c.doc_id AS VARCHAR))
+        |      AS pair_h
+        |  FROM d a JOIN d c USING (b) WHERE a.doc_id <> c.doc_id),
+        | r AS (SELECT doc_id, neg_id,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY pair_h, neg_id) AS BIGINT) AS rn
+        |  FROM pairs)
+        |SELECT doc_id, neg_id, rn FROM r WHERE rn <= 3
+        |ORDER BY doc_id, rn""".stripMargin,
 
     // M8 twin: identical integer budget arithmetic and md5-permutation
     // cumulative window.

@@ -138,4 +138,37 @@ class AnalyticsSpec extends GraftSpec {
     }
     assert(out.map(_.getString(0)).toSet == expected.filter(_._2 > 0).keySet)
   }
+
+  test("eval_forecast matches a brute-force naive-baseline recomputation") {
+    import org.apache.spark.sql.functions._
+    val hourly = Tables.load(spark, sf, "events")
+      .select(col("event_type"),
+        date_trunc("hour", col("ts")).cast("string").as("hr"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("q"))
+      .groupBy("event_type", "hr").agg(sum(col("q")).as("v"))
+      .collect() // test-only reference model (hour grain)
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val rows = q("eval_forecast").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val series = hourly.filter(_._1 == et).sortBy(_._2).map(_._3)
+      val res = series.sliding(2).map(p => p(1) - p(0)).toSeq
+      val n = res.length.toLong
+      assert(r.getLong(1) == n, s"$et n: $r vs $n")
+      val mae = res.map(x => math.abs(x).toDouble).sum / n
+      val rmse = math.sqrt(res.map(x => x.toDouble * x).sum / n)
+      val tail = series.drop(1)
+      val sv = tail.map(BigInt(_)).sum
+      val svv = tail.map(x => BigInt(x) * BigInt(x)).sum
+      val sstot = svv.toDouble - sv.toDouble * sv.toDouble / n
+      val r2 = 1.0 - res.map(x => x.toDouble * x).sum / sstot
+      assert(math.abs(r.getDecimal(2).doubleValue - mae) < 1e-4,
+        s"$et mae: $r vs $mae")
+      assert(math.abs(r.getDecimal(3).doubleValue - rmse) < 1e-4,
+        s"$et rmse: $r vs $rmse")
+      assert(math.abs(r.getDecimal(4).doubleValue - r2) < 1e-4,
+        s"$et r2: $r vs $r2")
+    }
+  }
 }

@@ -149,4 +149,36 @@ class CurationSpec extends GraftSpec {
       again.map(r => (r.getString(0), r.getLong(1))).toSeq,
       "md5-permutation selection must be reproducible run to run")
   }
+
+  test("sample_negative picks the brute-force top-3 pair hashes in-bucket") {
+    import org.apache.spark.sql.functions.col
+    val out = q("sample_negative").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map(b => f"$b%02x").mkString
+    }
+    val ids = Tables.load(spark, sf, "documents")
+      .filter(col("text").isNotNull)
+      .select("doc_id").collect().map(_.getLong(0)) // test-sized
+    def bucket(id: Long): Long =
+      java.lang.Long.parseLong(md5hex(id.toString).take(4), 16) % 16
+    val byBucket = ids.groupBy(bucket)
+    val truth = ids.flatMap { a =>
+      byBucket(bucket(a)).filter(_ != a)
+        .map(c => (a, c, md5hex(s"$a|$c")))
+        .sortBy { case (_, c, h) => (h, c) }
+        .take(3).zipWithIndex
+        .map { case ((_, c, _), i) => (a, c, i + 1L) }
+    }.toSet
+    assert(out.length == truth.size,
+      s"row count: got ${out.length}, truth ${truth.size}")
+    out.foreach(t => assert(truth(t), s"unexpected negative $t"))
+    // structural guards: no self-pair, in-bucket only, <= 3 per anchor
+    out.foreach { case (a, c, _) =>
+      assert(a != c); assert(bucket(a) == bucket(c))
+    }
+    out.groupBy(_._1).values.foreach(g => assert(g.length <= 3))
+  }
 }
