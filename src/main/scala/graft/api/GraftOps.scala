@@ -1269,12 +1269,7 @@ object GraftOps {
     val dsub = cb(0)(0).length
     val probes = withNorm(probesDf, vecCol)
       .withColumn("__cb", cbLiteral(cb))
-      .withColumn("lut",
-        expr(s"transform(sequence(0, ${m - 1}), s -> " +
-          s"transform(sequence(0, ${ksub - 1}), j -> " +
-          s"aggregate(zip_with(slice($vecCol, s * $dsub + 1, $dsub), " +
-          s"__cb[s][j], (a, b) -> CAST(a * b AS DOUBLE)), " +
-          "CAST(0 AS DOUBLE), (acc, x) -> acc + x)))"))
+      .withColumn("lut", expr(lutExpr(m, ksub, dsub, vecCol)))
       .select(col(idCol).as("q_id"), col(vecCol).as("q"),
         col("__norm").as("nq"), col("lut"))
     val ws = Window.partitionBy(col("q_id"))
@@ -1282,17 +1277,41 @@ object GraftOps {
     val cand = index
       .crossJoin(broadcast(probes.select(col("q_id"), col("nq"), col("lut"))))
       .filter(col("q_id") =!= col("c_id"))
-      .withColumn("approx",
-        expr(s"aggregate(sequence(0, ${m - 1}), CAST(0 AS DOUBLE), " +
-          "(acc, s) -> acc + lut[s][codes[s]])") / (col("nq") * col("nc")))
+      .withColumn("approx", adcExpr(m) / (col("nq") * col("nc")))
       .withColumn("srn", row_number().over(ws))
       .filter(col("srn") <= shortlist)
       .select("q_id", "c_id")
+    exactRerank(cand, corpus, idCol, vecCol,
+      probes.select(col("q_id"), col("q"), col("nq")), k)
+  }
+
+  /** The probe-side ADC lookup table: per probe an m×ksub table of
+    * subspace dot products against the literal codebook (`__cb` must
+    * be in scope) — map-only, KiB-sized per probe.
+    */
+  private def lutExpr(m: Int, ksub: Int, dsub: Int, vecCol: String): String =
+    s"transform(sequence(0, ${m - 1}), s -> " +
+      s"transform(sequence(0, ${ksub - 1}), j -> " +
+      s"aggregate(zip_with(slice($vecCol, s * $dsub + 1, $dsub), " +
+      s"__cb[s][j], (a, b) -> CAST(a * b AS DOUBLE)), " +
+      "CAST(0 AS DOUBLE), (acc, x) -> acc + x)))"
+
+  /** ADC score: m lookup-table reads summed per candidate. */
+  private def adcExpr(m: Int): Column =
+    expr(s"aggregate(sequence(0, ${m - 1}), CAST(0 AS DOUBLE), " +
+      "(acc, s) -> acc + lut[s][codes[s]])")
+
+  /** EXACT re-rank of a (q_id, c_id) shortlist against the raw corpus
+    * under the sim_topk contract (6-dp decimal cosine, id tie-break) —
+    * shared tail of every shortlist-based ANN path.
+    */
+  private def exactRerank(cand: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, probeVecs: DataFrame, k: Int): DataFrame = {
     val wq = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("c_id").asc)
     cand
       .join(corpus.select(col(idCol).as("c_id"), col(vecCol).as("c")), "c_id")
-      .join(probes.select(col("q_id"), col("q"), col("nq")), "q_id")
+      .join(probeVecs, "q_id")
       .withColumn("cos_sim",
         (expr("array_dot(q, c)") /
           (col("nq") * expr("sqrt(array_dot(c, c))")))
@@ -1300,6 +1319,48 @@ object GraftOps {
       .withColumn("rn", row_number().over(wq).cast("bigint"))
       .filter(col("rn") <= k)
       .select("q_id", "c_id", "cos_sim", "rn")
+  }
+
+  /** IVF-PQ composite top-k — the production ANN layout (ref: n/a,
+    * SURVEY §0; the Jégou-Douze-Schmid IVFADC construction from the
+    * public literature): the coarse quantizer routes each probe to its
+    * `nprobe` inverted lists (partition/manifest pruning at scale —
+    * the index frame arrives already bucket-keyed), ADC scores ONLY
+    * those lists' PQ codes (m table lookups per candidate, never a raw
+    * vector), and the per-probe `shortlist` is re-ranked EXACTLY under
+    * the sim_topk contract. The two reductions COMPOSE: scan bytes ∝
+    * (nprobe / nlist) × the ~30×-smaller code table. With nprobe =
+    * nlist the bucket join degenerates to pqTopK's full scan and the
+    * result is IDENTICAL (spec-pinned) — the algebraic anchor that the
+    * composition only prunes candidates, never re-scores them.
+    */
+  def ivfpqTopK(probesDf: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, cent: DataFrame, cb: Array[Array[Array[Double]]],
+      index: DataFrame, nprobe: Int, k: Int, shortlist: Int): DataFrame = {
+    val m = cb.length
+    val ksub = cb(0).length
+    val dsub = cb(0)(0).length
+    val probes = withNorm(centroidTopM(probesDf, vecCol, cent, nprobe), vecCol)
+      .withColumn("__cb", cbLiteral(cb))
+      .withColumn("lut", expr(lutExpr(m, ksub, dsub, vecCol)))
+      .select(col(idCol).as("q_id"),
+        explode(expr("transform(__ranked, r -> r.cl)")).as("bucket"),
+        col("__norm").as("nq"), col("lut"))
+    val ws = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx").desc, col("c_id").asc)
+    // bucket EQUI-join (each candidate lives in exactly one list, so a
+    // probe meets a candidate at most once); probes×lut broadcasts
+    val cand = index
+      .join(broadcast(probes), "bucket")
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("approx", adcExpr(m) / (col("nq") * col("nc")))
+      .withColumn("srn", row_number().over(ws))
+      .filter(col("srn") <= shortlist)
+      .select("q_id", "c_id")
+    val pside = withNorm(probesDf, vecCol)
+      .select(col(idCol).as("q_id"), col(vecCol).as("q"),
+        col("__norm").as("nq"))
+    exactRerank(cand, corpus, idCol, vecCol, pside, k)
   }
 
   /** MERGE/upsert semantics over immutable columnar storage (the

@@ -503,6 +503,36 @@ object LlmQueries {
         .orderBy("q_id", "rn")
     }),
 
+    // K4g (round 11): IVF-PQ COMPOSITE — the production ANN layout
+    // (FAISS's IVFADC, from the public literature): the coarse
+    // quantizer routes each probe to nprobe=3 inverted lists, ADC
+    // scores ONLY those lists' PQ codes (the index frame carries
+    // bucket + codes + norm per vector; the probe side broadcasts its
+    // KiB lookup tables), and the ≤30-row shortlist is re-ranked
+    // EXACTLY under the sim_topk contract. The two reductions compose
+    // multiplicatively: scan bytes ∝ (nprobe/nlist) × the ~30×-smaller
+    // code payload — at 100 TB the bucket key is the partition/
+    // manifest-pruning key (sim_ivf*'s layout) and this probe touches
+    // ~1% of the index bytes a flat scan would. Exempt tier like the
+    // rest of the ANN family; planted-truth tested (LlmOpsSpec):
+    // determinism, candidates confined to probed buckets, exact
+    // equality with pqTopK when nprobe = nlist (the algebraic anchor
+    // that routing only prunes candidates, never re-scores them), and
+    // recall@5 vs exact sim_topk.
+    "sim_ivfpq" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = load(s, d, "embeddings")
+      val cent = GraftOps.centroids(emb, "label", "embedding")
+      val root = pqIndexFor(s, d, emb)
+      val index = s.read.parquet(s"$root/index")
+        .join(GraftOps.ivfAssign(emb, "vec_id", "embedding", cent)
+          .select(col("c_id"), col("bucket")), "c_id")
+      GraftOps.ivfpqTopK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", cent, pqCodebook(s, root), index,
+        nprobe = 3, k = 5, shortlist = 30)
+        .orderBy("q_id", "rn")
+    }),
+
     // K5: per-language token statistics (stopword-filtered).
     "text_stats" -> ((s, d) => {
       val stop = Seq("the", "and", "of", "a", "in", "to", "table", "row")

@@ -327,4 +327,58 @@ class LlmOpsSpec extends GraftSpec {
     assert(missed.isEmpty,
       s"dedup_near missed ${missed.size} oracled-tier pairs, e.g. ${missed.take(5)}")
   }
+
+  test("sim_ivfpq: candidates stay in probed lists; nprobe=nlist equals pqTopK") {
+    import org.apache.spark.sql.functions._
+    val a = q("sim_ivfpq").collect().map(_.toSeq).toSeq
+    assert(a == q("sim_ivfpq").collect().map(_.toSeq).toSeq,
+      "repeated IVF-PQ probes must answer identically")
+    assert(a.nonEmpty && a.groupBy(_.head).values.forall(_.size <= 5))
+    val emb = Tables.load(spark, sf, "embeddings")
+    val cent = graft.api.GraftOps.centroids(emb, "label", "embedding")
+    val root = graft.queries.LlmQueries.pqIndexFor(spark, sf, emb)
+    val cb = graft.queries.LlmQueries.pqCodebook(spark, root)
+    val buckets = graft.api.GraftOps
+      .ivfAssign(emb, "vec_id", "embedding", cent)
+      .select(col("c_id"), col("bucket"))
+    // ROUTING property: every returned candidate's list is one of its
+    // probe's nprobe=3 coarse buckets
+    val bOf = buckets.collect() // test-sized (corpus ids -> bucket)
+      .map(r => r.getLong(0) ->
+        r.getAs[Number](1).longValue()).toMap
+    val probed = graft.api.GraftOps
+      .ivfProbes(emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        cent, nprobe = 3)
+      .select("q_id", "bucket").collect() // probes × nprobe rows
+      .groupBy(_.getLong(0)).map { case (k, g) =>
+        k -> g.map(_.getAs[Number](1).longValue()).toSet
+      }
+    a.foreach { r =>
+      val (qid, cid) = (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long])
+      assert(probed(qid).contains(bOf(cid)),
+        s"candidate $cid of probe $qid escaped the probed lists")
+    }
+    // ALGEBRAIC anchor: with nprobe = nlist the bucket routing prunes
+    // nothing, so IVF-PQ must equal the flat PQ scan EXACTLY (same
+    // shortlist, same rerank, same rounding)
+    val nlist = cent.count().toInt
+    val index = spark.read.parquet(s"$root/index").join(buckets, "c_id")
+    val full = graft.api.GraftOps.ivfpqTopK(
+      emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
+      cent, cb, index, nprobe = nlist, k = 5, shortlist = 50)
+      .orderBy("q_id", "rn").collect().map(_.toSeq).toSeq
+    val flat = graft.api.GraftOps.pqTopK(
+      emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
+      cb, spark.read.parquet(s"$root/index"), k = 5, shortlist = 50)
+      .orderBy("q_id", "rn").collect().map(_.toSeq).toSeq
+    assert(full == flat,
+      "nprobe=nlist IVF-PQ diverged from the flat PQ scan")
+    // recall@5 vs the exact scan stays useful at nprobe=3
+    val exact = q("sim_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = a.map(r =>
+      (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long])).toSet
+    val recall = (got & exact).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF-PQ recall collapsed: $recall")
+  }
 }
