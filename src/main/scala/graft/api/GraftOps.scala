@@ -1587,10 +1587,67 @@ object GraftOps {
       labels = next.select("id", "cluster")
       i += 1
     }
+    // GRAPH CONTRACTION + DRIVER FINISH (round 11): if the round cap
+    // hit before the fixpoint (a diameter > maxIter graph — long
+    // order↔part chains in a sparse slice do this), the old behavior
+    // was to return the UNCONVERGED labels silently — components left
+    // split (caught at sf0.1: 674 labels for 666 true components).
+    // Instead CONTRACT once: the residual graph's vertices are the
+    // distinct labels reached so far and its edges the distinct
+    // inter-label pairs still crossing components — after maxIter
+    // rounds of merging that residual is a tiny fraction of the input
+    // (each label already stands for a ≤maxIter-hop ball). Finish it
+    // with union-find on the driver (min-label, path-compressed —
+    // exactly the fixpoint more rounds would reach) and broadcast the
+    // closure back. The driver step is bounded LOUDLY: a residual
+    // still above the cap fails with guidance (raise maxIter /
+    // pre-cluster) rather than answering wrong — at 100 TB a residual
+    // that large means the graph is adversarially chained and needs
+    // an algorithm choice, not a silent mislabel.
+    if (changed == 0) labels
+    else {
+      val resolved = ckpt(labels, true)
+      val half = sym
+        .join(resolved, col("__src") === col("id"))
+        .select(col("__dst"), col("cluster").as("__ca"))
+      val cedges = half
+        .join(resolved, col("__dst") === col("id"))
+        .select(col("__ca").as("ca"), col("cluster").as("cb"))
+        .filter(col("ca") =!= col("cb"))
+        .distinct()
+      val nResidual = cedges.count()
+      require(nResidual <= 4000000L,
+        s"connectedComponents: $nResidual residual inter-label edges after " +
+          s"$maxIter rounds — the graph's diameter far exceeds maxIter; " +
+          "raise maxIter (or supply a reliable checkpointDir and a higher " +
+          "cap) instead of accepting an unconverged labeling")
+      val residual = cedges
+        .collect() // metadata-sized: residual inter-LABEL pairs, required <= 4e6 just above
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      residual.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val closure = parent.keys.toSeq.map(l => (l, find(l)))
+      val spark = vertices.sparkSession
+      import spark.implicits._
+      val closDf = closure.toDF("__lbl", "__final")
+      resolved.join(broadcast(closDf),
+          resolved("cluster") === col("__lbl"), "left")
+        .select(resolved("id"),
+          coalesce(col("__final"), resolved("cluster")).as("cluster"))
+    }
     // Checkpoint blocks (sym + superseded rounds) are label-frame-sized
     // and freed by the ContextCleaner as references drop; explicit
     // unpersist() is a CacheManager no-op for checkpointed data.
-    labels
   }
 
   /** Fixed-iteration PageRank over an undirected edge list. All

@@ -173,7 +173,7 @@ object StatsQueries {
     }),
 
     // Q6 (round 11): CONNECTED COMPONENTS over a REAL bipartite graph
-    // — orders ⋈ parts they contain (an l_orderkey%100 slice keeps
+    // — orders ⋈ parts they contain (an l_orderkey%40 slice keeps
     // multiple components; node ids disambiguate the two sides by
     // parity). Reuses the engine's min-label Pregel loop
     // (GraftOps.connectedComponents — per-round keyed join + keyed
@@ -187,14 +187,19 @@ object StatsQueries {
     // is exactly what the iterative formulation avoids.
     "graph_components" -> ((s, d) => {
       val li = load(s, d, "lineitem")
-        .filter(col("l_orderkey") % 100 === 0)
+        .filter(col("l_orderkey") % 40 === 0)
         .select((col("l_orderkey") * 2).as("a"),
           (col("l_partkey") * 2 + 1).as("b"))
         .distinct()
       val verts = li.select(col("a").as("id"))
         .unionAll(li.select(col("b").as("id"))).distinct()
+      // maxIter 12 + the operator's exact contraction finish: 12
+      // distributed rounds collapse every ≤12-hop ball, the residual
+      // label graph (a few hundred pairs here) closes exactly on the
+      // driver — half the wall-clock of running HashMin to its ~27-
+      // round fixpoint, same pinned answer
       graft.api.GraftOps
-        .connectedComponents(verts, "id", li, "a", "b", maxIter = 30)
+        .connectedComponents(verts, "id", li, "a", "b", maxIter = 12)
         .groupBy(col("cluster"))
         .agg(count(lit(1)).cast("bigint").as("n_nodes"),
           sum(when(col("id") % 2 === 0, 1L).otherwise(0L))
@@ -299,7 +304,7 @@ object StatsQueries {
     "graph_components" ->
       """WITH RECURSIVE e AS (SELECT DISTINCT 2*l_orderkey AS a,
         |    2*l_partkey+1 AS b
-        |  FROM lineitem WHERE l_orderkey % 100 = 0),
+        |  FROM lineitem WHERE l_orderkey % 40 = 0),
         | sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
         | lbl AS (
         |   SELECT a AS id, a AS cluster

@@ -245,6 +245,23 @@ class GraftOpsSpec extends GraftSpec {
     assert(out.toSeq === Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L), (6L, 5L)))
   }
 
+  test("connectedComponents converges past the round cap via contraction") {
+    // A 60-node PATH has diameter 59 ≫ maxIter = 5: the pre-contraction
+    // code returned the round-5 labels SILENTLY UNCONVERGED (the sf0.1
+    // purchase graph hit exactly this — 674 labels for 666 components).
+    // Contraction must recurse on the label graph until one component
+    // remains, whatever the cap.
+    val n = 60
+    val vs = (0L until n).toDF("node")
+    val es = (0L until n - 1).map(i => (i, i + 1)).toDF("u", "v")
+    val out = GraftOps.connectedComponents(vs, "node", es, "u", "v",
+        maxIter = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == n)
+    assert(out.forall(_._2 == 0L),
+      s"unconverged labels survived the cap: ${out.filter(_._2 != 0L).take(5).toSeq}")
+  }
+
   test("iterative ops: reliable checkpointDir path matches localCheckpoint and writes files") {
     // Round-6 cluster fault-tolerance story: with a durable dir the
     // loops snapshot rounds through the reliable checkpoint path

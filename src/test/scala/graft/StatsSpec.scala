@@ -68,7 +68,7 @@ class StatsSpec extends GraftSpec {
   test("graph_components equals a union-find recomputation") {
     import org.apache.spark.sql.functions._
     val edges = Tables.load(spark, sf, "lineitem")
-      .filter(col("l_orderkey") % 100 === 0)
+      .filter(col("l_orderkey") % 40 === 0)
       .select((col("l_orderkey") * 2).as("a"), (col("l_partkey") * 2 + 1).as("b"))
       .distinct().collect() // test-only reference model
       .map(r => (r.getLong(0), r.getLong(1)))
