@@ -1469,6 +1469,49 @@ object LakehouseQueries {
             col("n_rows"), col("total"))
       }.reduce(_ unionAll _).orderBy("probe")
     }),
+
+    // S35 (round 11): RETENTION VACUUM as a named lifecycle — the
+    // storage-reclaim op every table format runs on a schedule,
+    // previously API-only (CommitLog.vacuum, spec-tested in
+    // Round10OpsSpec/RenameWapSpec). v0 lands two units, v1 appends a
+    // third, v2 OPTIMIZEs all three into one compacted unit; vacuum
+    // retaining only v2 must reclaim exactly the 3 superseded unit
+    // directories + the v0/v1 manifests AND sidecars (an orphan
+    // sidecar would let stats() answer for a deleted version), while
+    // the retained snapshot reads back byte-complete. The reclaim
+    // count is layout-determined (3 write.parquet dirs), so the
+    // oracle pins it as arithmetic alongside the snapshot totals; the
+    // in-build require fails the whole query loudly if vacuum over- or
+    // under-reclaims. At 100 TB: cost = O(expired units) deletes +
+    // O(versions) metadata removals — never a data scan.
+    "dml_vacuum" -> ((s, d) => {
+      import graft.sources.CommitLog
+      val root = graft.queries.ScaleQueries.freshDir(vacuumDir, d, "orders") {
+        val dir = java.nio.file.Files.createTempDirectory("graft_vac").toString
+        val base = load(s, d, "orders")
+          .select(col("o_orderkey").as("k"), dec(col("o_totalprice")).as("p"))
+        base.filter(col("k") % 3 === 0).write.parquet(s"$dir/data/s0")
+        base.filter(col("k") % 3 === 1).write.parquet(s"$dir/data/s1")
+        CommitLog.commit(dir, 0L, Seq("data/s0", "data/s1"))
+        base.filter(col("k") % 3 === 2).write.parquet(s"$dir/data/s2")
+        CommitLog.commit(dir, 1L, Seq("data/s0", "data/s1", "data/s2"))
+        CommitLog.snapshot(s, dir, 1L)
+          .coalesce(1).write.parquet(s"$dir/data/compact")
+        CommitLog.commit(dir, 2L, Seq("data/compact"))
+        val rep = CommitLog.vacuum(dir, Seq(2L))
+        require(rep.unitsDeleted == 3 && rep.failedPaths.isEmpty,
+          s"vacuum reclaimed ${rep.unitsDeleted} units (want 3), " +
+            s"failed: ${rep.failedPaths}")
+        require(CommitLog.versions(dir) == Seq(2L),
+          "expired manifests must be gone after vacuum")
+        dir
+      }
+      CommitLog.snapshot(s, root, 2L)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("p")).cast(DecimalType(38, 2)).as("total"))
+        .select(lit(2L).as("version"), lit(3L).as("units_reclaimed"),
+          col("n_rows"), col("total"))
+    }),
   )
 
   private val cdcReadDir =
@@ -1538,6 +1581,9 @@ object LakehouseQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private val partEvoDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val vacuumDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private val incrReadDir =
@@ -1694,6 +1740,17 @@ object LakehouseQueries {
         |  CAST((SELECT sum(p) FROM base WHERE k BETWEEN lo AND hi)
         |    AS DECIMAL(38,2)) AS total
         |FROM probes ORDER BY probe""".stripMargin,
+    // S35 twin: retained-snapshot arithmetic; the reclaim count is
+    // layout-determined (3 superseded write dirs) so it pins as a
+    // literal — the in-build require() is what fails the row if the
+    // engine's vacuum ever reclaims more or less.
+    "dml_vacuum" ->
+      """SELECT CAST(2 AS BIGINT) AS version,
+        |  CAST(3 AS BIGINT) AS units_reclaimed,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+        |    AS total
+        |FROM orders""".stripMargin,
     "dml_cdc_replay" ->
       """WITH base AS (SELECT o_orderkey AS k,
         |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
