@@ -133,6 +133,32 @@ object FeatureQueries {
     // T4: deterministic categorical one-hot encoding — the dictionary
     // is dense_rank over the DEDUPED key set (vocabulary-sized), then
     // broadcast back; the bit position doubles as the bitmask index.
+    // T12 (round 11): the HASHING TRICK — fixed-width feature encoding
+    // with NO vocabulary state (the HashingVectorizer contract, public
+    // literature: Weinberger et al. ICML'09): token → bucket = the
+    // md5-derived 32-bit value mod 1024, sign from the next hash
+    // nibble, counts signed-summed per (doc, bucket); collisions
+    // cancel in expectation and exact zeros drop (the sparse
+    // representation). Map-only + ONE combinable (doc, bucket)
+    // shuffle — the stateless single-pass featurizer a 100 TB pass
+    // wants where a dictionary encoder costs O(vocab) broadcast state
+    // and a second corpus scan. md5 is a pure function shared
+    // bit-for-bit with the oracle, so the encoding is deterministic
+    // and partitioning-independent.
+    "encode_hashing_trick" -> ((s, d) =>
+      load(s, d, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .selectExpr("doc_id",
+          "CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT) % 1024" +
+            " AS bucket",
+          "CASE WHEN substring(md5(w), 9, 1) < '8' THEN CAST(1 AS BIGINT)" +
+            " ELSE CAST(-1 AS BIGINT) END AS sgn")
+        .groupBy("doc_id", "bucket")
+        .agg(sum(col("sgn")).cast("bigint").as("v"))
+        .filter(col("v") =!= 0L)
+        .orderBy("doc_id", "bucket")),
+
     "encode_onehot" -> ((s, d) => {
       val dims = load(s, d, "documents").select("lang").distinct()
         .withColumn("lang_idx",
@@ -343,6 +369,18 @@ object FeatureQueries {
         |       * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
         |    AS DECIMAL(18,6)) AS r1
         |FROM a ORDER BY event_type""".stripMargin,
+    // T12 twin: identical md5 bucket/sign arithmetic.
+    "encode_hashing_trick" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        | f AS (SELECT doc_id,
+        |    ('0x' || substring(md5(w), 1, 8))::BIGINT % 1024 AS bucket,
+        |    CASE WHEN substring(md5(w), 9, 1) < '8' THEN CAST(1 AS BIGINT)
+        |      ELSE CAST(-1 AS BIGINT) END AS sgn
+        |  FROM tok WHERE len(w) > 0)
+        |SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS v
+        |FROM f GROUP BY doc_id, bucket HAVING sum(sgn) <> 0
+        |ORDER BY doc_id, bucket""".stripMargin,
     "encode_onehot" ->
       """WITH dims AS (SELECT lang,
         |    CAST(dense_rank() OVER (ORDER BY lang) AS BIGINT) - 1 AS lang_idx

@@ -540,14 +540,7 @@ object RetrievalQueries {
     // the sup-distance is CROSS-MULTIPLIED (|cum_pos·NN − cum_neg·NP|,
     // BIGINT) so it stays all-integer until the single final division.
     "eval_ks" -> ((s, d) => {
-      val hist = load(s, d, "documents").filter(col("text").isNotNull)
-        .selectExpr("(lang = 'en') AS pos",
-          "CAST(CAST(size(filter(split(text, ' '), " +
-            "w -> w IN ('the', 'and', 'of', 'a', 'in', 'to'))) AS DOUBLE)" +
-            " / size(split(text, ' ')) AS DECIMAL(18,6)) AS score")
-        .groupBy("score")
-        .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos_s"),
-          sum(when(col("pos"), 0L).otherwise(1L)).as("n_neg_s"))
+      val hist = scoreHist(s, d)
       val wrun = Window.orderBy("score")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val tot = hist.agg(sum(col("n_pos_s")).cast("bigint").as("np"),
@@ -562,8 +555,46 @@ object RetrievalQueries {
         .selectExpr("np AS n_pos", "nn AS n_neg", "ks_num",
           "CAST(ks_num AS DOUBLE) / (CAST(np AS DOUBLE) * nn) AS ks")
         .orderBy("n_pos")
+    }),
+
+    // AB13 (round 11): PRECISION-RECALL CURVE — the threshold sweep of
+    // the same classifier eval_auc ranks: scanning distinct scores
+    // high→low, each score is a decision threshold and (tp, fp) are
+    // running sums over the SAME one-shuffle histogram; precision and
+    // recall are exact-integer ratios with one double division each.
+    // Curve length = distinct scores, never corpus size.
+    "eval_pr_curve" -> ((s, d) => {
+      val hist = scoreHist(s, d)
+      val wdesc = Window.orderBy(col("score").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = hist.agg(sum(col("n_pos_s")).cast("bigint").as("np"))
+      hist
+        .withColumn("tp", sum(col("n_pos_s")).over(wdesc).cast("bigint"))
+        .withColumn("fp", sum(col("n_neg_s")).over(wdesc).cast("bigint"))
+        .crossJoin(broadcast(tot))
+        .selectExpr("score", "tp", "fp",
+          "CAST(CAST(tp AS DOUBLE) / (tp + fp) AS DECIMAL(18,6)) AS prec",
+          "CAST(CAST(tp AS DOUBLE) / np AS DECIMAL(18,6)) AS rec")
+        .orderBy(col("score").desc)
     })
   )
+
+  /** The shared classifier-score histogram (eval_auc's collapse): the
+    * corpus reduces to one row per DISTINCT stopword-ratio score with
+    * per-class counts — ONE combinable shuffle, after which every
+    * metric (AUC, KS, the PR curve) is window arithmetic over a
+    * distinct-scores-sized table.
+    */
+  private def scoreHist(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    load(s, d, "documents").filter(col("text").isNotNull)
+      .selectExpr("(lang = 'en') AS pos",
+        "CAST(CAST(size(filter(split(text, ' '), " +
+          "w -> w IN ('the', 'and', 'of', 'a', 'in', 'to'))) AS DOUBLE)" +
+          " / size(split(text, ' ')) AS DECIMAL(18,6)) AS score")
+      .groupBy("score")
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos_s"),
+        sum(when(col("pos"), 0L).otherwise(1L)).as("n_neg_s"))
 
   /** Graded-relevance retrieval pairs shared by the ranking-metric
     * trio (AB9-AB11). Ranking signal = the sim_topk-contract cosine
@@ -826,6 +857,30 @@ object RetrievalQueries {
         |  CAST(max(abs(cp*nn - cn*np)) AS BIGINT) AS ks_num,
         |  CAST(max(abs(cp*nn - cn*np)) AS DOUBLE)
         |    / (CAST(np AS DOUBLE) * nn) AS ks
-        |FROM run, tot GROUP BY np, nn ORDER BY n_pos""".stripMargin
+        |FROM run, tot GROUP BY np, nn ORDER BY n_pos""".stripMargin,
+    "eval_pr_curve" ->
+      """WITH scored AS (
+        |  SELECT (lang = 'en') AS pos,
+        |    CAST(CAST(len(list_filter(string_split(text, ' '),
+        |        w -> w IN ('the', 'and', 'of', 'a', 'in', 'to'))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS DECIMAL(18,6)) AS score
+        |  FROM documents WHERE text IS NOT NULL),
+        | hist AS (SELECT score,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_s,
+        |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg_s
+        |  FROM scored GROUP BY score),
+        | run AS (SELECT score,
+        |    CAST(sum(n_pos_s) OVER (ORDER BY score DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS tp,
+        |    CAST(sum(n_neg_s) OVER (ORDER BY score DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS fp
+        |  FROM hist),
+        | tot AS (SELECT CAST(sum(n_pos_s) AS BIGINT) AS np FROM hist)
+        |SELECT score, tp, fp,
+        |  CAST(CAST(tp AS DOUBLE) / (tp + fp) AS DECIMAL(18,6)) AS prec,
+        |  CAST(CAST(tp AS DOUBLE) / np AS DECIMAL(18,6)) AS rec
+        |FROM run, tot ORDER BY score DESC""".stripMargin
   )
 }

@@ -178,4 +178,30 @@ class FeatureSpec extends GraftSpec {
   test("ts_cusum shares one event_type exchange across all window passes") {
     assert(plan("ts_cusum").split("Exchange hashpartitioning").length - 1 == 1)
   }
+
+  test("encode_hashing_trick matches a driver md5 recomputation") {
+    import org.apache.spark.sql.functions._
+    val out = q("encode_hashing_trick").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.nonEmpty)
+    assert(out.keys.forall { case (_, b) => b >= 0 && b < 1024 })
+    assert(out.values.forall(_ != 0L), "exact zero features must drop")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val truth = Tables.load(spark, sf, "documents")
+      .filter(col("text").isNotNull)
+      .select("doc_id", "text").collect() // test-sized reference model
+      .flatMap { r =>
+        r.getString(1).split(" ").filter(_.nonEmpty).map { w =>
+          val h = md5hex(w)
+          val b = java.lang.Long.parseLong(h.take(8), 16) % 1024
+          val sgn = if (h.charAt(8) < '8') 1L else -1L
+          (r.getLong(0), b) -> sgn
+        }
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .filter(_._2 != 0L).toMap
+    assert(out == truth,
+      s"feature maps diverge: ${out.size} vs ${truth.size} cells")
+  }
 }

@@ -321,4 +321,27 @@ class RetrievalSpec extends GraftSpec {
     assert(math.abs(row.getDouble(3) - best.toDouble / (np * nn)) < 1e-12)
     assert(row.getDouble(3) >= 0.0 && row.getDouble(3) <= 1.0)
   }
+
+  test("eval_pr_curve: threshold sweep is monotone and ends at recall 1") {
+    val rows = q("eval_pr_curve").collect()
+      .map(r => (r.getDecimal(0), r.getLong(1), r.getLong(2),
+        r.getDecimal(3).doubleValue, r.getDecimal(4).doubleValue))
+    assert(rows.nonEmpty)
+    // rows arrive threshold-descending: tp and fp are running sums,
+    // so both are nondecreasing and recall climbs to exactly 1.0
+    rows.sliding(2).foreach {
+      case Array((_, tp0, fp0, _, r0), (_, tp1, fp1, _, r1)) =>
+        assert(tp1 >= tp0 && fp1 >= fp0, "running sums must not decrease")
+        assert(r1 >= r0 - 1e-12, "recall is monotone in the sweep")
+      case _ =>
+    }
+    val last = rows.last
+    assert(math.abs(last._5 - 1.0) < 1e-12,
+      s"the all-inclusive threshold must reach recall 1, got ${last._5}")
+    rows.foreach { case (_, tp, fp, p, _) =>
+      // p = 0.0 is legitimate: a top-threshold bin of only negatives
+      assert(p >= 0.0 && p <= 1.0)
+      assert(math.abs(p - tp.toDouble / (tp + fp)) < 1e-6)
+    }
+  }
 }
