@@ -272,4 +272,39 @@ class PlanShapeSpec extends GraftSpec {
     assert(plan.contains("BroadcastHashJoin"),
       "decontamination eval-set probe must stay broadcast")
   }
+
+  test("ranking-metric trio broadcasts probes, never a cartesian product") {
+    Seq("eval_ndcg", "eval_mrr", "eval_recall_k").foreach { name =>
+      val plan = planOf(name)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name planned a cartesian product:\n${plan.take(1500)}")
+      assert(plan.contains("BroadcastNestedLoopJoin") ||
+        plan.contains("BroadcastHashJoin"),
+        s"$name: the probe side must ride a broadcast")
+    }
+  }
+
+  test("sample_negative blocks on an equi-join, never all-pairs") {
+    val plan = planOf("sample_negative")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"bucket blocking regressed to all-pairs:\n${plan.take(1500)}")
+  }
+
+  test("encode_hashing_trick is one combinable aggregation, no join") {
+    val plan = planOf("encode_hashing_trick")
+    assert(!plan.contains("Join"), "the hash encoder must be stateless")
+    assert(plan.contains("partial"),
+      "the (doc, bucket) count must partial-aggregate map-side")
+  }
+
+  test("eval_forecast shares one (type, hour) exchange family") {
+    val plan = planOf("eval_forecast")
+    assert(!plan.contains("CartesianProduct"))
+    // the corpus collapses before any window: the lag window's input
+    // is the aggregated hourly table, so a second full-corpus
+    // hashpartitioning of raw events would show as >2 exchanges
+    val exchanges = plan.split("Exchange hashpartitioning").length - 1
+    assert(exchanges <= 2, s"expected <= 2 hash exchanges, got $exchanges")
+  }
 }
