@@ -1512,6 +1512,45 @@ object LakehouseQueries {
         .select(lit(2L).as("version"), lit(3L).as("units_reclaimed"),
           col("n_rows"), col("total"))
     }),
+
+    // S36 (round 11): TIMESTAMP AS OF — version-number time travel
+    // (dml_time_travel) is an engine concept; users ask for a POINT IN
+    // TIME. Commit stamps live in an immutable `ts.txt` sidecar
+    // (explicit, not file mtimes — mtimes don't survive copies,
+    // clones or restores), strict monotonicity is enforced at publish,
+    // and versionAsOf resolves the latest stamp <= the ask (boundary
+    // INCLUSIVE: reading AS OF the exact commit instant sees that
+    // commit). Probes straddle the three stamps: mid-interval, exact
+    // boundary, and far-future; a pre-history ask fails loudly
+    // (Round11OpsSpec). Resolution is O(versions) metadata — no data
+    // touched until the resolved snapshot scans.
+    "dml_time_travel_ts" -> ((s, d) => {
+      import graft.sources.CommitLog
+      val root = graft.queries.ScaleQueries.freshDir(ttTsDir, d, "orders") {
+        val dir = java.nio.file.Files.createTempDirectory("graft_ttts").toString
+        val base = load(s, d, "orders")
+          .select(col("o_orderkey").as("k"), dec(col("o_totalprice")).as("p"))
+        base.filter(col("k") % 3 === 0).write.parquet(s"$dir/data/s0")
+        CommitLog.commit(dir, 0L, Seq("data/s0"))
+        CommitLog.writeCommitTs(dir, 0L, 1000000L)
+        base.filter(col("k") % 3 === 1).write.parquet(s"$dir/data/s1")
+        CommitLog.commit(dir, 1L, Seq("data/s0", "data/s1"))
+        CommitLog.writeCommitTs(dir, 1L, 2000000L)
+        base.filter(col("k") % 3 === 2).write.parquet(s"$dir/data/s2")
+        CommitLog.commit(dir, 2L, Seq("data/s0", "data/s1", "data/s2"))
+        CommitLog.writeCommitTs(dir, 2L, 3000000L)
+        dir
+      }
+      Seq(1500000L, 2000000L, 9999999L).map { asOf =>
+        val v = CommitLog.versionAsOf(root, asOf)
+        CommitLog.snapshot(s, root, v)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("p")).cast(DecimalType(38, 2)).as("total"))
+          .select(lit(asOf).as("as_of_us"),
+            lit(v).cast("bigint").as("version"),
+            col("n_rows"), col("total"))
+      }.reduce(_ unionAll _).orderBy("as_of_us")
+    }),
   )
 
   private val cdcReadDir =
@@ -1584,6 +1623,9 @@ object LakehouseQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private val vacuumDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val ttTsDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private val incrReadDir =
@@ -1740,6 +1782,21 @@ object LakehouseQueries {
         |  CAST((SELECT sum(p) FROM base WHERE k BETWEEN lo AND hi)
         |    AS DECIMAL(38,2)) AS total
         |FROM probes ORDER BY probe""".stripMargin,
+    // S36 twin: AS OF resolution recomputed as arithmetic over the
+    // same stamps (1.5s -> v0, exact 2.0s boundary -> v1, future -> v2).
+    "dml_time_travel_ts" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        | probes AS (
+        |   SELECT CAST(1500000 AS BIGINT) AS as_of_us,
+        |     CAST(0 AS BIGINT) AS version, 0 AS max_mod
+        |   UNION ALL SELECT CAST(2000000 AS BIGINT), CAST(1 AS BIGINT), 1
+        |   UNION ALL SELECT CAST(9999999 AS BIGINT), CAST(2 AS BIGINT), 2)
+        |SELECT as_of_us, version,
+        |  (SELECT count(*) FROM base WHERE k % 3 <= max_mod) AS n_rows,
+        |  CAST((SELECT sum(p) FROM base WHERE k % 3 <= max_mod)
+        |    AS DECIMAL(38,2)) AS total
+        |FROM probes ORDER BY as_of_us""".stripMargin,
     // S35 twin: retained-snapshot arithmetic; the reclaim count is
     // layout-determined (3 superseded write dirs) so it pins as a
     // literal — the in-build require() is what fails the row if the

@@ -433,6 +433,55 @@ object CommitLog {
     relUnits.flatMap(byUnit) // stable caller order
   }
 
+  /** Caller-stamped commit time (micros) — the `vNNNNN.ts.txt` sidecar
+    * that makes TIMESTAMP AS OF resolvable DETERMINISTICALLY (file
+    * mtimes are not portable across copies/clones/restores, so the
+    * stamp is explicit and immutable like every sidecar). Stamps must
+    * be strictly increasing across stamped versions — a non-monotonic
+    * history would make AS OF ambiguous, so it is refused at publish
+    * time (the Delta/Iceberg commit-timestamp contract).
+    */
+  def writeCommitTs(table: String, version: Long, tsMicros: Long): Unit = {
+    versions(table).filter(_ < version)
+      .flatMap(v => commitTsOpt(table, v)).lastOption.foreach { p =>
+        require(tsMicros > p,
+          s"commit ts $tsMicros for v$version must exceed the previous " +
+            s"stamped commit's $p — AS OF needs a monotonic history")
+      }
+    publishSidecar(table, version, "ts.txt", s"$tsMicros\n")
+  }
+
+  /** The stamped commit time of `version` (micros); loud if absent. */
+  def commitTs(table: String, version: Long): Long =
+    commitTsOpt(table, version).getOrElse(
+      throw new IllegalArgumentException(
+        s"$table v$version has no commit-ts sidecar"))
+
+  private def commitTsOpt(table: String, version: Long): Option[Long] = {
+    val f = logDir(table).resolve(f"v$version%05d.ts.txt")
+    if (!java.nio.file.Files.isRegularFile(f)) None
+    else Some(java.nio.file.Files.readString(f).trim.toLong)
+  }
+
+  /** TIMESTAMP AS OF: the latest stamped version whose commit time is
+    * <= `tsMicros` (boundary inclusive — reading AS OF the exact
+    * commit instant sees that commit). Loud on a time before the
+    * first stamped commit: you cannot read a table from before it
+    * existed.
+    */
+  def versionAsOf(table: String, tsMicros: Long): Long = {
+    val stamped = versions(table)
+      .flatMap(v => commitTsOpt(table, v).map(v -> _))
+    require(stamped.nonEmpty,
+      s"$table has no commit-ts sidecars — stamp commits with " +
+        "writeCommitTs to use AS OF")
+    val eligible = stamped.filter(_._2 <= tsMicros)
+    require(eligible.nonEmpty,
+      s"AS OF $tsMicros precedes $table's first stamped commit " +
+        s"(${stamped.head._2})")
+    eligible.map(_._1).max
+  }
+
   /** Publish the multi-column stats sidecar (`vNNNNN.cstats.txt`) —
     * one URL-encoded `unit|col|kind|min|max|count` line per entry,
     * same atomic hard-link publish and published-version check as the
@@ -1878,6 +1927,8 @@ object CommitLog {
         logDir(table).resolve(f"v$v%05d.bloom.txt"))
       java.nio.file.Files.deleteIfExists(
         logDir(table).resolve(f"v$v%05d.colmap.txt"))
+      java.nio.file.Files.deleteIfExists(
+        logDir(table).resolve(f"v$v%05d.ts.txt"))
     }
     VacuumReport(unitsDeleted, filesDeleted, failed.result(), external)
   }

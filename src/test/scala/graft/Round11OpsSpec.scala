@@ -383,6 +383,30 @@ class Round11OpsSpec extends GraftSpec {
       spark, t2, 0L, 0L, Seq.empty, 10L, 0.01))
   }
 
+  test("TIMESTAMP AS OF: boundary inclusive, pre-history loud, monotone stamps") {
+    import spark.implicits._
+    val t = fresh("graft_r11_asof")
+    Seq((1L, "a")).toDF("k", "s").coalesce(1).write.parquet(s"$t/u0")
+    CommitLog.commit(t, 0L, Seq("u0"))
+    // AS OF before any stamp exists is refused, not defaulted
+    intercept[IllegalArgumentException](CommitLog.versionAsOf(t, 5L))
+    CommitLog.writeCommitTs(t, 0L, 100L)
+    Seq((2L, "b")).toDF("k", "s").coalesce(1).write.parquet(s"$t/u1")
+    CommitLog.commit(t, 1L, Seq("u0", "u1"))
+    // non-monotonic stamp refused at publish (AS OF would be ambiguous)
+    intercept[IllegalArgumentException](CommitLog.writeCommitTs(t, 1L, 100L))
+    CommitLog.writeCommitTs(t, 1L, 200L)
+    // boundary INCLUSIVE: the exact commit instant sees that commit
+    assert(CommitLog.versionAsOf(t, 100L) == 0L)
+    assert(CommitLog.versionAsOf(t, 199L) == 0L)
+    assert(CommitLog.versionAsOf(t, 200L) == 1L)
+    assert(CommitLog.versionAsOf(t, Long.MaxValue) == 1L)
+    // pre-history stays loud even once stamps exist
+    intercept[IllegalArgumentException](CommitLog.versionAsOf(t, 99L))
+    // a sidecar is immutable: restamping a version is refused
+    intercept[IllegalStateException](CommitLog.writeCommitTs(t, 0L, 300L))
+  }
+
   test("dml_partition_evolution: mixed-grain layouts prune per unit") {
     // recompute the expected scanned-unit counts from first principles
     // with the same interval arithmetic the oracle uses — the query's
