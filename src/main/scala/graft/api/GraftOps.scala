@@ -1615,16 +1615,29 @@ object GraftOps {
         .select(col("__ca").as("ca"), col("cluster").as("cb"))
         .filter(col("ca") =!= col("cb"))
         .distinct()
-      val nResidual = cedges.count()
-      require(nResidual <= 4000000L,
-        s"connectedComponents: $nResidual residual inter-label edges after " +
-          s"$maxIter rounds — the graph's diameter far exceeds maxIter; " +
-          "raise maxIter (or supply a reliable checkpointDir and a higher " +
-          "cap) instead of accepting an unconverged labeling")
-      val residual = cedges
-        .collect() // metadata-sized: residual inter-LABEL pairs, required <= 4e6 just above
-        .map(r => (r.getLong(0), r.getLong(1)))
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      // ONE action (ADVICE r11): the old count()-then-collect() pair
+      // re-executed the contraction joins twice; limit(cap+1) bounds
+      // the single collect at the same cap and the length check after
+      // it replaces the count. The rows decode straight into two
+      // primitive long arrays (never a boxed-pair array), and the
+      // union-find runs on a LongMap (open-addressed primitive keys) —
+      // together roughly a 4x driver-heap cut vs boxed Rows + Map, and
+      // the cap halves to 2e6 pairs (~32 MB of longs) on top.
+      val residualCap = 2000000
+      val rows = cedges.limit(residualCap + 1)
+        .collect() // metadata-sized: residual inter-LABEL pairs, length-checked <= 2e6 just below
+      require(rows.length <= residualCap,
+        s"connectedComponents: over $residualCap residual inter-label " +
+          s"edges after $maxIter rounds — the graph's diameter far exceeds " +
+          "maxIter; raise maxIter (or supply a reliable checkpointDir and " +
+          "a higher cap) instead of accepting an unconverged labeling")
+      val ea = new Array[Long](rows.length)
+      val eb = new Array[Long](rows.length)
+      var ri = 0
+      while (ri < rows.length) {
+        ea(ri) = rows(ri).getLong(0); eb(ri) = rows(ri).getLong(1); ri += 1
+      }
+      val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
         var r = x
         while (parent.getOrElse(r, r) != r) r = parent(r)
@@ -1632,9 +1645,11 @@ object GraftOps {
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      residual.foreach { case (a, b) =>
-        val (ra, rb) = (find(a), find(b))
+      ri = 0
+      while (ri < ea.length) {
+        val (ra, rb) = (find(ea(ri)), find(eb(ri)))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        ri += 1
       }
       val closure = parent.keys.toSeq.map(l => (l, find(l)))
       val spark = vertices.sparkSession

@@ -143,8 +143,17 @@ object AnalyticsQueries {
         .selectExpr("event_type", "n",
           "CAST(CAST(sae AS DOUBLE) / n AS DECIMAL(18,6)) AS mae",
           "CAST(sqrt(CAST(sse AS DOUBLE) / n) AS DECIMAL(18,6)) AS rmse",
-          "CAST(1.0 - CAST(sse AS DOUBLE) / (CAST(svv AS DOUBLE)" +
-            " - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n)" +
+          // Zero-variance guard (ADVICE r11): a constant series makes
+          // the variance denominator exactly 0.0 — Spark would render
+          // Infinity -> NULL via the decimal cast while DuckDB ERRORS
+          // casting inf to DECIMAL, so the guard must live in BOTH
+          // twins (the eval_ndcg icg12=0 pattern). R² is undefined on
+          // a constant series; NULL is the honest answer.
+          "CAST(CASE WHEN CAST(svv AS DOUBLE)" +
+            " - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n = 0.0" +
+            " THEN NULL" +
+            " ELSE 1.0 - CAST(sse AS DOUBLE) / (CAST(svv AS DOUBLE)" +
+            " - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n) END" +
             " AS DECIMAL(18,6)) AS r2")
         .orderBy("event_type")
     }),
@@ -372,8 +381,11 @@ object AnalyticsQueries {
         |SELECT event_type, n,
         |  CAST(CAST(sae AS DOUBLE) / n AS DECIMAL(18,6)) AS mae,
         |  CAST(sqrt(CAST(sse AS DOUBLE) / n) AS DECIMAL(18,6)) AS rmse,
-        |  CAST(1.0 - CAST(sse AS DOUBLE) / (CAST(svv AS DOUBLE)
-        |    - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n)
+        |  CAST(CASE WHEN CAST(svv AS DOUBLE)
+        |      - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n = 0.0
+        |    THEN NULL
+        |    ELSE 1.0 - CAST(sse AS DOUBLE) / (CAST(svv AS DOUBLE)
+        |      - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n) END
         |    AS DECIMAL(18,6)) AS r2
         |FROM aggd ORDER BY event_type""".stripMargin,
     "text_readability" ->

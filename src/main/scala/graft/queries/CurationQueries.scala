@@ -291,19 +291,27 @@ object CurationQueries {
 
     // M10 (round 11): NEGATIVE SAMPLING for contrastive training —
     // each anchor doc gets k=3 deterministic pseudo-random negatives.
-    // The trick that scales: candidates pair only WITHIN an md5 bucket
-    // (16-way here; at 100 TB the bucket count grows with the corpus
-    // so per-bucket work stays constant — the dedup-blocking recipe
-    // applied to sampling), and the per-pair "randomness" is
-    // md5(anchor|candidate) — a pure function of the pair, so the
-    // sample is reproducible under any partitioning, immune to rerun
-    // drift, and oracle-checkable. One bucket-keyed self-join + a
-    // per-anchor top-3 window over bucket-bounded candidate sets.
+    // The trick that scales: candidates pair only WITHIN an md5
+    // bucket, and the per-pair "randomness" is md5(anchor|candidate)
+    // — a pure function of the pair, so the sample is reproducible
+    // under any partitioning, immune to rerun drift, and
+    // oracle-checkable. The bucket count DERIVES from the corpus
+    // (ADVICE r11 — a fixed 16 made the self-join O((n/16)^2) =
+    // O(n^2)): nb = greatest(16, n DIV 256) pins the expected bucket
+    // population at ~256 docs, so total candidate pairs stay
+    // O(n x 256) — linear — at any corpus size; 8 md5 hex digits give
+    // a 2^32 hash range, uniform to ~10^7 buckets. One combinable
+    // count collapsed to a broadcast 1-row nb, one bucket-keyed
+    // self-join + a per-anchor top-3 window over bounded buckets.
     "sample_negative" -> ((s, d) => {
-      val docs = load(s, d, "documents").filter(col("text").isNotNull)
+      val base = load(s, d, "documents").filter(col("text").isNotNull)
+        .select("doc_id")
+      val nb = base.agg(count(lit(1)).as("n"))
+        .selectExpr("greatest(CAST(16 AS BIGINT), n DIV 256) AS nb")
+      val docs = base.crossJoin(broadcast(nb))
         .selectExpr("doc_id",
-          "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10)" +
-            " AS BIGINT) % 16 AS b")
+          "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)" +
+            " AS BIGINT) % nb AS b")
       val cands = docs.selectExpr("b", "doc_id AS neg_id")
       val w = Window.partitionBy("doc_id").orderBy(col("pair_h"), col("neg_id"))
       docs.join(cands, "b")
@@ -352,10 +360,13 @@ object CurationQueries {
 
     // M10 twin: identical bucket hash and pair-hash ordering.
     "sample_negative" ->
-      """WITH d AS (SELECT doc_id,
-        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 16
-        |      AS b
+      """WITH nbt AS (SELECT greatest(CAST(16 AS BIGINT), count(*) // 256)
+        |      AS nb
         |  FROM documents WHERE text IS NOT NULL),
+        | d AS (SELECT doc_id,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % nb AS b
+        |  FROM documents, nbt WHERE text IS NOT NULL),
         | pairs AS (SELECT a.doc_id AS doc_id, c.doc_id AS neg_id,
         |    md5(CAST(a.doc_id AS VARCHAR) || '|' || CAST(c.doc_id AS VARCHAR))
         |      AS pair_h

@@ -131,7 +131,7 @@ class PurgeSpec extends GraftSpec {
     assert(v2.count() == 300L - 10L - 1L)
   }
 
-  test("purge refuses bloom-indexed tables and all-emptying purges; reruns are no-ops") {
+  test("purge refuses all-emptying purges; reruns are no-ops") {
     val t = fresh("graft_purge_refuse")
     seed(t)
     val e = intercept[IllegalArgumentException] {
@@ -141,12 +141,6 @@ class PurgeSpec extends GraftSpec {
     // the refused purge mutated NOTHING
     assert(CommitLog.snapshot(spark, t, 0L).count() == 200L)
     assert(CommitLog.units(t, 0L).forall(u => !u.contains("purged")))
-    // bloom sidecar present -> refuse before any work
-    CommitLog.writeBloomStats(spark, t, 1L, "k", 100L, 0.01)
-    val e2 = intercept[IllegalArgumentException] {
-      CommitLog.purgeKeys(spark, t, "k", Seq(5L))
-    }
-    assert(e2.getMessage.contains("bloom"))
     // a clean table: purging absent keys reports all-zero
     val t2 = fresh("graft_purge_noop")
     seed(t2)
@@ -154,5 +148,105 @@ class PurgeSpec extends GraftSpec {
     val again = CommitLog.purgeKeys(spark, t2, "k", Seq(77L))
     assert(again == CommitLog.PurgeReport(0L, 0L, 0L, 0L),
       "re-purging already-erased keys must be a structural no-op")
+  }
+
+  test("purge rebuilds cstats and bloom sidecars; pruning survives, no false negatives") {
+    val t = fresh("graft_purge_sidecars")
+    seed(t)
+    // index BOTH layers on both versions: range stats on k + p, bloom
+    // point-lookup on k — the round-11 refusal made these two
+    // capabilities mutually exclusive with purge
+    val relUnits = Map(0L -> Seq("u0", "u1"), 1L -> Seq("u0", "u1", "u2"))
+    (0L to 1L).foreach { v =>
+      CommitLog.writeColStats(t, v, CommitLog.footerColStats(
+        spark, t, relUnits(v), Seq("k", "p")))
+      CommitLog.writeBloomStats(spark, t, v, "k", 100L, 0.01)
+    }
+    // keys 150..159 dirty u1 only
+    val rep = CommitLog.purgeKeys(spark, t, "k", (150L until 160L).toSeq)
+    assert(rep.unitsRewritten == 1L, rep.toString)
+    (0L to 1L).foreach { v =>
+      // cstats: every manifest unit still covered, twin re-measured
+      val cs = CommitLog.colStats(t, v)
+      val csUnits = cs.map(_.unit).toSet
+      val expectClean = if (v == 0L) Set("u0") else Set("u0", "u2")
+      assert(csUnits.filterNot(_.startsWith("purged/")) == expectClean &&
+        csUnits.count(_.startsWith("purged/")) == 1,
+        s"v$v cstats must cover exactly the post-purge units: $csUnits")
+      val twinK = cs.find(s => s.unit.startsWith("purged/") && s.col == "k").get
+      assert(twinK.count == 90L && twinK.min.toLong == 100L &&
+        twinK.max.toLong == 199L,
+        s"twin k-stats re-measured from the purged data: $twinK")
+      // range probe on the SECOND indexed column still prunes
+      val (_, scanned) = CommitLog.snapshotRangeCol(spark, t, v,
+        "p", "0", "990")
+      assert(scanned == 1, s"v$v p-range probe must prune to u0 alone")
+      // bloom: surviving keys MUST still be found (no false negative),
+      // and a purged key's probe returns zero rows
+      val (hit, _) = CommitLog.snapshotBloom(spark, t, v, "k", 149L)
+      assert(hit.filter(col("k") === 149L).count() == 1L,
+        s"v$v bloom false-negatived a surviving key")
+      val (gone, _) = CommitLog.snapshotBloom(spark, t, v, "k", 155L)
+      assert(gone.filter(col("k") === 155L).limit(1).isEmpty,
+        s"v$v still returns a purged key")
+      // a never-present key still prunes to zero units (the index is
+      // an index, not a pass-through)
+      val (_, n) = CommitLog.snapshotBloom(spark, t, v, "k", 999999L)
+      assert(n <= 1, s"v$v bloom stopped pruning after the purge ($n units)")
+    }
+  }
+
+  test("twin names are deterministic per (unit, request) — rerun-idempotent naming") {
+    val ta = fresh("graft_purge_name_a")
+    val tb = fresh("graft_purge_name_b")
+    seed(ta); seed(tb)
+    CommitLog.purgeKeys(spark, ta, "k", Seq(150L, 151L))
+    CommitLog.purgeKeys(spark, tb, "k", Seq(151L, 150L)) // order must not matter
+    def twins(t: String) = CommitLog.units(t, 1L)
+      .filter(_.contains("purged/"))
+      .map(p => p.substring(p.indexOf("purged/")))
+    val twinA = twins(ta)
+    val twinB = twins(tb)
+    assert(twinA.nonEmpty && twinA == twinB,
+      s"same (unit, key set) must yield the same twin name: $twinA vs $twinB")
+    // a DIFFERENT request maps the same unit to a DIFFERENT twin
+    val tc = fresh("graft_purge_name_c")
+    seed(tc)
+    CommitLog.purgeKeys(spark, tc, "k", Seq(150L, 152L))
+    val twinC = twins(tc)
+    assert(twinC.nonEmpty && twinC != twinA,
+      "distinct key sets must not collide on a twin name")
+  }
+
+  test("frame purge plans the key set as a broadcast anti-join, not an In list") {
+    import spark.implicits._
+    val t = fresh("graft_purge_plan")
+    seed(t)
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String, qe:
+          org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      // an erasure-batch-shaped request: 10k keys, 10 of which hit
+      val keys = ((1000000L until 1010000L) ++ (150L until 160L)).toDF("k")
+      val rep = CommitLog.purgeKeys(spark, t, "k", keys)
+      assert(rep.rowsPurged == 10L && rep.unitsRewritten == 1L, rep.toString)
+      // listener delivery is async — poll for the anti-join plan
+      val deadline = System.nanoTime() + 30000000000L
+      def seen = {
+        import scala.jdk.CollectionConverters._
+        plans.asScala.exists(p =>
+          p.contains("LeftAnti") && p.contains("BroadcastHashJoin"))
+      }
+      while (!seen && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(seen, "the twin rewrite must plan as BroadcastHashJoin " +
+        "LeftAnti over the broadcast key frame")
+    } finally spark.listenerManager.unregister(l)
   }
 }
