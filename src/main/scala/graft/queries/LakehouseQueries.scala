@@ -1310,6 +1310,76 @@ object LakehouseQueries {
       }.reduce(_ unionAll _).orderBy("version")
     }),
 
+    // S39 (round 12): PURGE OVER AN INDEXED TABLE — the composition
+    // the round-11 layer refused (purgeKeys hard-errored on any
+    // cstats/bloom sidecar, so adopting point-lookup skipping
+    // forfeited GDPR erasure — VERDICT r11 #1). The table carries
+    // BOTH index layers on both versions: v0 = even keys in 4
+    // contiguous k-range units (so cstats range-prunes), v1 = those
+    // plus the odd-key unit. The purge erases the k%50==2 slice —
+    // always even, so every range unit is dirty and the odd unit is
+    // carried verbatim — and the erasure list rides the NEW
+    // DataFrame overload: broadcast semi/anti-join plans, no driver
+    // collect of the victim keys at all. Post-purge, the output pins
+    // that the indexes still WORK: a [0, width) range probe scans 1
+    // unit at v0 / 2 at v1 (cstats re-derived from the twins'
+    // footers), a surviving key's bloom probe finds its row (the
+    // rebuilt filter never false-negatives), and a purged key's
+    // probe returns zero rows. Oracle: counts/totals from the purge
+    // predicate + unit-interval intersection arithmetic recomputed
+    // from the same bucketing (the dml_partition_evolution recipe).
+    "dml_purge_indexed" -> ((s, d) => {
+      import graft.sources.CommitLog
+      val base = load(s, d, "orders")
+        .select(col("o_orderkey").as("k"), dec(col("o_totalprice")).as("p"))
+      val w = base.agg(max(col("k"))).head().getLong(0) / 4L + 1L
+      val root = graft.queries.ScaleQueries.freshDir(purgeIdxDir, d, "orders") {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_purgeidx").toString
+        (0 until 4).foreach { b =>
+          base.filter(col("k") % 2 === 0 && expr(s"k DIV $w") === b)
+            .coalesce(1).write.parquet(s"$dir/b$b")
+        }
+        val evens = (0 until 4).map(b => s"b$b")
+        CommitLog.commit(dir, 0L, evens)
+        base.filter(col("k") % 2 === 1)
+          .coalesce(1).write.parquet(s"$dir/odd")
+        CommitLog.commit(dir, 1L, evens :+ "odd")
+        (0L to 1L).foreach { v =>
+          val rels = if (v == 0L) evens else evens :+ "odd"
+          CommitLog.writeColStats(dir, v,
+            CommitLog.footerColStats(s, dir, rels, Seq("k")))
+          CommitLog.writeBloomStats(s, dir, v, "k", 8192L, 0.01)
+        }
+        // the erasure batch as a FRAME — broadcast-joined, never
+        // collected to the driver or folded into an isin literal
+        CommitLog.purgeKeys(s, dir, "k", base.filter(col("k") % 50 === 2)
+          .select(col("k")))
+        dir
+      }
+      // probe keys picked FROM the data (TPC-H orderkeys are sparse)
+      val sk = base.filter(col("k") % 2 === 0 && col("k") % 50 =!= 2)
+        .agg(min(col("k"))).head().getLong(0)
+      val pk = base.filter(col("k") % 50 === 2)
+        .agg(min(col("k"))).head().getLong(0)
+      CommitLog.versions(root).map { v =>
+        val (_, nScan) = CommitLog.snapshotRangeCol(s, root, v,
+          "k", "0", (w - 1L).toString)
+        val (bhF, _) = CommitLog.snapshotBloom(s, root, v, "k", sk)
+        val bloomHit = bhF.filter(col("k") === sk).count()
+        val (bpF, _) = CommitLog.snapshotBloom(s, root, v, "k", pk)
+        val bloomPurged = bpF.filter(col("k") === pk).count()
+        CommitLog.snapshot(s, root, v)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("p")).cast(DecimalType(38, 2)).as("total"))
+          .select(lit(v).cast("bigint").as("version"),
+            col("n_rows"), col("total"),
+            lit(nScan.toLong).as("range_units"),
+            lit(bloomHit).as("bloom_hit"),
+            lit(bloomPurged).as("bloom_purged"))
+      }.reduce(_ unionAll _).orderBy("version")
+    }),
+
     // S32 (round 11): INCREMENTAL JOIN-VIEW MAINTENANCE — the missing
     // half of the IVM story (dml_cdc_agg_view maintains a single-table
     // aggregate; real marts maintain JOINS). View = fact ⋈ dim on k,
@@ -1583,6 +1653,9 @@ object LakehouseQueries {
   private val purgeDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  private val purgeIdxDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private val mergeCowDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -1745,6 +1818,41 @@ object LakehouseQueries {
         |    CAST(count(*) AS BIGINT) AS n_rows,
         |    CAST(sum(p) AS DECIMAL(38,2)) AS total
         |FROM v GROUP BY version ORDER BY version""".stripMargin,
+    // S39 twin: purge predicate applied to counts/totals; unit-probe
+    // counts recomputed from the same k-range bucketing by interval
+    // intersection over SURVIVING keys (the twins' re-derived ranges);
+    // bloom probes recomputed as exact point counts on the live set.
+    "dml_purge_indexed" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        | w AS (SELECT max(k) // 4 + 1 AS wd FROM base),
+        | live AS (SELECT k, p FROM base WHERE k % 50 <> 2),
+        | ue AS (SELECT k // wd AS b, min(k) AS mn, max(k) AS mx
+        |    FROM live, w WHERE k % 2 = 0 GROUP BY 1),
+        | uo AS (SELECT min(k) AS mn, max(k) AS mx FROM live
+        |    WHERE k % 2 = 1),
+        | sk AS (SELECT min(k) AS v FROM base
+        |    WHERE k % 2 = 0 AND k % 50 <> 2),
+        | pk AS (SELECT min(k) AS v FROM base WHERE k % 50 = 2),
+        | vv AS (SELECT CAST(0 AS BIGINT) AS version
+        |    UNION ALL SELECT CAST(1 AS BIGINT))
+        |SELECT version,
+        |  CAST(CASE WHEN version = 0
+        |    THEN (SELECT count(*) FROM live WHERE k % 2 = 0)
+        |    ELSE (SELECT count(*) FROM live) END AS BIGINT) AS n_rows,
+        |  CAST(CASE WHEN version = 0
+        |    THEN (SELECT sum(p) FROM live WHERE k % 2 = 0)
+        |    ELSE (SELECT sum(p) FROM live) END AS DECIMAL(38,2)) AS total,
+        |  CAST((SELECT count(*) FROM ue, w
+        |      WHERE mn <= wd - 1 AND mx >= 0)
+        |    + CASE WHEN version = 1 THEN (SELECT CASE
+        |        WHEN mn <= wd - 1 AND mx >= 0 THEN 1 ELSE 0 END
+        |        FROM uo, w) ELSE 0 END AS BIGINT) AS range_units,
+        |  CAST((SELECT count(*) FROM live
+        |    WHERE k = (SELECT v FROM sk)) AS BIGINT) AS bloom_hit,
+        |  CAST((SELECT count(*) FROM live
+        |    WHERE k = (SELECT v FROM pk)) AS BIGINT) AS bloom_purged
+        |FROM vv ORDER BY version""".stripMargin,
     "dml_cdc_join_view" ->
       """WITH base AS (SELECT o_orderkey AS k,
         |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),

@@ -102,9 +102,34 @@ object RetrievalQueries {
     * boundary after its ingest).
     */
   private def postingsIndex(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    graft.queries.ScaleQueries.freshDir(postingsLogDir, d, "documents")(
+      buildPostingsAt(s, d))
+
+  // The PURGED twin of the index (text_bm25_postings_purge): its own
+  // build (the shared one must stay unpurged for the other three
+  // probes), then a doc_id%10==3 GDPR erasure THROUGH purgeKeys.
+  private[graft] val postingsPurgeLogDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def postingsPurgedIndex(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    graft.queries.ScaleQueries.freshDir(postingsPurgeLogDir, d, "documents") {
+      val dir = buildPostingsAt(s, d)
+      graft.sources.CommitLog.purgeKeys(s, dir, "doc_id",
+        load(s, d, "documents")
+          .filter(col("text").isNotNull && col("doc_id") % 10 === 3)
+          .select(col("doc_id")))
+      dir
+    }
+
+  /** The 4-version postings-index build shared by the probe family
+    * and the purge variant — see [[postingsIndex]] for the lifecycle.
+    */
+  private def buildPostingsAt(s: org.apache.spark.sql.SparkSession,
       d: String): String = {
     import graft.sources.CommitLog
-    graft.queries.ScaleQueries.freshDir(postingsLogDir, d, "documents") {
+    locally {
       val dir = java.nio.file.Files
         .createTempDirectory("graft_bm25log").toString
       val docsAll = load(s, d, "documents").filter(col("text").isNotNull)
@@ -335,6 +360,35 @@ object RetrievalQueries {
     // the v2/v3 equality and the collapsed layout).
     "text_bm25_postings_compact" -> ((s, d) =>
       bm25FromIndex(s, postingsIndex(s, d), 3L)),
+
+    // AB12 (round 12): GDPR ON THE SEARCH LAYER — the postings index
+    // through purgeKeys (VERDICT r11 #8). The doc_id%10==3 slice is
+    // physically erased from EVERY version of its own index build:
+    // the purge routes the term-hash bucket units (their per-term
+    // rows are keyed by doc_id), scrubs the v2 tombstone unit, and —
+    // the index-aware part — CARRIES the stats sidecar's bucket ids
+    // verbatim for rewritten twins (no #key= header means the mn/mx
+    // are NOT key ranges; re-deriving doc_id ranges there would
+    // corrupt probe routing), re-measuring only counts. The keyless
+    // 1-row meta units read doc_id as NULL under the purge's merged
+    // schema, so they are never dirty: N and avgdl still count the
+    // erased docs (data-plane erasure does not rewrite historical
+    // aggregates), while tf and df fold from the surviving postings
+    // only. The probe is bm25FromIndex UNCHANGED at all four
+    // versions — the purge is transparent to the probe machinery,
+    // which is the whole point. Oracle: from-scratch BM25 per
+    // version with corpus stats over the version's full membership
+    // but tf/df over the membership minus the purged slice — the
+    // purged doc gone from every version, the survivors' idf shift
+    // reproduced exactly.
+    "text_bm25_postings_purge" -> ((s, d) => {
+      val root = postingsPurgedIndex(s, d)
+      (0L to 3L).map { v =>
+        bm25FromIndex(s, root, v)
+          .select(lit(v).cast("bigint").as("version"),
+            col("doc_id"), col("n_hit"), col("bm25"))
+      }.reduce(_ unionAll _).orderBy("version", "doc_id")
+    }),
 
     // AB2: hybrid retrieval — reciprocal-rank fusion (k = 60) of a
     // lexical ranking (distinct-token overlap with the probe doc) and
@@ -705,11 +759,54 @@ object RetrievalQueries {
 
   private val bm25Sql: String = bm25SqlOver("")
 
+  /** One version of the PURGED index's scorer (text_bm25_postings_
+    * purge): corpus stats (n, avgdl) over the version's FULL
+    * membership — the untouched meta units still count the erased
+    * docs — while tf/df/dl fold from the membership MINUS the purged
+    * doc_id%10==3 slice, whose postings are physically gone. The
+    * survivors' idf shift is therefore reproduced exactly, and the
+    * purged docs appear at NO version.
+    */
+  private def bm25PurgeVersionSql(v: Int, memberPred: String): String =
+    s"""(WITH dm AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL$memberPred),
+        | d AS (SELECT doc_id, toks FROM dm WHERE doc_id % 10 <> 3),
+        | dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+        | corpus AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl FROM dm),
+        | tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+        |  WHERE term IN ('hash', 'join', 'merge', 'scan', 'window')
+        |  GROUP BY doc_id, term),
+        | df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        | ts AS (SELECT tf.doc_id, tf.term,
+        |    ln(1.0 + (CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |      * (CAST(tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / avgdl))) AS w
+        |  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id, corpus),
+        | piv AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+        |    coalesce(sum(CASE WHEN term = 'hash' THEN w END), 0.0) AS w_hash,
+        |    coalesce(sum(CASE WHEN term = 'join' THEN w END), 0.0) AS w_join,
+        |    coalesce(sum(CASE WHEN term = 'merge' THEN w END), 0.0) AS w_merge,
+        |    coalesce(sum(CASE WHEN term = 'scan' THEN w END), 0.0) AS w_scan,
+        |    coalesce(sum(CASE WHEN term = 'window' THEN w END), 0.0) AS w_window
+        |  FROM ts GROUP BY doc_id)
+        |SELECT CAST($v AS BIGINT) AS version, doc_id, n_hit,
+        |  CAST(w_hash + w_join + w_merge + w_scan + w_window AS DECIMAL(18,6)) AS bm25
+        |FROM piv)""".stripMargin
+
+  private val bm25PurgeSql: String =
+    Seq((0, " AND doc_id % 10 <> 0"), (1, ""),
+        (2, " AND doc_id % 7 <> 0"), (3, " AND doc_id % 7 <> 0"))
+      .map { case (v, p) => bm25PurgeVersionSql(v, p) }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY version, doc_id")
+
   val oracle: Map[String, String] = Map(
     "text_bm25" -> bm25Sql,
     "text_bm25_postings" -> bm25Sql,
     "text_bm25_postings_delete" -> bm25SqlOver(" AND doc_id % 7 <> 0"),
     "text_bm25_postings_compact" -> bm25SqlOver(" AND doc_id % 7 <> 0"),
+    "text_bm25_postings_purge" -> bm25PurgeSql,
     "sim_hybrid" ->
       """WITH uni AS (
         |  SELECT d.doc_id AS id, list_distinct(string_split(d.text, ' ')) AS toks,

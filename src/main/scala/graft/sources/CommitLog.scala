@@ -2050,8 +2050,13 @@ object CommitLog {
     }
     // ONE scan over the distinct historical units finds the dirty set
     // and the per-unit purge counts; the key set rides as a broadcast
-    // semi-join hash, never a literal list
-    val hits = spark.read
+    // semi-join hash, never a literal list. mergeSchema: an INDEX
+    // table mixes keyed bucket units with keyless 1-row meta units —
+    // under the merged schema the meta rows read `keyCol` as NULL,
+    // which never matches a key, so they are never dirty (a
+    // single-file-inferred schema would instead fail or silently
+    // mis-project depending on which file Spark sampled)
+    val hits = spark.read.option("mergeSchema", "true")
       .parquet(allRels.map(u => java.nio.file.Paths.get(table, u).toString): _*)
       .select(input_file_name().as("__f"), col(keyCol).as("__k"))
       .join(broadcast(kd), col("__k") === col("__pk"), "left_semi")
@@ -2110,8 +2115,21 @@ object CommitLog {
     // version): the union of columns any version's stats/cstats
     // sidecar tracked for it, footer-read in one distributed batch per
     // distinct column set.
-    val statsUnits: Set[String] = vs.filter(hasSidecar(_, "stats.txt"))
-      .flatMap(v => stats(table, v).map(_._1)).toSet
+    // A stats sidecar's mn/mx are key RANGES only when its #key=
+    // header says so; a headerless (index-table) sidecar's mn/mx are
+    // caller-defined bucket ids that row removal does not change —
+    // those carry verbatim with only the count re-measured
+    // (re-deriving key ranges there would silently corrupt the
+    // index's bucket routing).
+    val statsKeyNeeded: Map[String, Set[String]] =
+      vs.filter(hasSidecar(_, "stats.txt"))
+        .flatMap { v =>
+          statsKey(table, v) match {
+            case Some(kc) => stats(table, v).map(_._1 -> kc)
+            case None => Nil
+          }
+        }
+        .groupMap(_._1)(_._2).view.mapValues(_.toSet).toMap
     val cstatsNeeded: Map[String, Set[String]] =
       vs.filter(hasSidecar(_, "cstats.txt"))
         .flatMap(v => colStats(table, v)
@@ -2120,7 +2138,7 @@ object CommitLog {
         .groupMap(_._1)(_._2).view.mapValues(_.toSet).toMap
     def colsFor(rel: String): Set[String] =
       cstatsNeeded.getOrElse(rel, Set.empty) ++
-        (if (statsUnits(rel)) Set(keyCol) else Set.empty)
+        statsKeyNeeded.getOrElse(rel, Set.empty)
     val derived: Map[(String, String), ColStat] = rewritten
       .collect { case (rel, Some((t, _))) => rel -> t }
       .groupBy { case (rel, _) => colsFor(rel) }
@@ -2180,15 +2198,20 @@ object CommitLog {
       // re-measured from the twins' footers, dropped units removed
       val statsFile = logDir(table).resolve(f"v$v%05d.stats.txt")
       if (touched && java.nio.file.Files.isRegularFile(statsFile)) {
-        val header = statsKey(table, v)
+        val keyed = statsKey(table, v)
+        val header = keyed
           .map(c => "#key=" + java.net.URLEncoder.encode(
             c, java.nio.charset.StandardCharsets.UTF_8))
         val newStats = stats(table, v).flatMap { case (u, mn, mx, n) =>
           twinOf.get(u) match {
             case None => Some(s"$u|$mn|$mx|$n")
-            case Some(Some(t)) =>
-              val cs = derived((u, keyCol))
-              Some(s"$t|${cs.min.toLong}|${cs.max.toLong}|${cs.count}")
+            case Some(Some(t)) => keyed match {
+              case Some(kc) => // ranges ARE key ranges: re-measure
+                val cs = derived((u, kc))
+                Some(s"$t|${cs.min.toLong}|${cs.max.toLong}|${cs.count}")
+              case None => // opaque bucket ids: carry, re-count
+                Some(s"$t|$mn|$mx|${byRel(u).get._2}")
+            }
             case Some(None) => None
           }
         }
