@@ -34,7 +34,7 @@ object LlmQueries {
 
   // The delta-grown commit-log IVF table (sim_ivf_delta): built once
   // per (sfDir, embeddings fingerprint).
-  private val ivfLogDir =
+  private[graft] val ivfLogDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Build (or reuse) the 3-version commit-log IVF table: v0 = the
@@ -88,6 +88,47 @@ object LlmQueries {
       CommitLog.commit(dir, 2L, st0.map(_._1) ++ st1.map(_._1))
       CommitLog.writeStats(dir, 2L, st0 ++ st1)
       CommitLog.writeDeletes(dir, 2L, Seq("data/dv"))
+      // v3 (round 12): COMPACT — the missing end of the IVF lifecycle
+      // (grow -> delete -> compact; VERDICT r11 #3), the vector twin
+      // of the postings compaction. Dirty buckets = those holding a
+      // tombstoned vector, routed by ONE semi-join over the bucket
+      // units; each dirty bucket's base+delta GENERATIONS merge into
+      // one unit with the dead rows dropped (compaction is the
+      // generational merge); clean buckets carry by name; the dv
+      // sidecar RETIRES, so steady-state probes stop paying the
+      // anti-join forever after. v3 publishes clean-carried +
+      // compacted buckets and no deletes — probe equality with v2 is
+      // the compaction contract (Round12OpsSpec).
+      val bucketSt = st0 ++ st1
+      def abs(rel: String) = java.nio.file.Paths.get(dir, rel).toString
+      val tomb = s.read.parquet(abs("data/dv"))
+        .select(col("vec_id").as("c_id")).distinct()
+      val dirtyIds = s.read.parquet(bucketSt.map(u => abs(u._1)): _*)
+        .join(broadcast(tomb), "c_id")
+        .select(col("bval").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSet // metadata-sized: <= nlist dirty bucket ids
+      val (dirtySt, cleanSt) = bucketSt.partition(u => dirtyIds(u._2))
+      s.read.parquet(dirtySt.map(u => abs(u._1)): _*)
+        .join(broadcast(tomb), Seq("c_id"), "left_anti")
+        .withColumn("bucket", col("bval"))
+        .write.partitionBy("bucket").parquet(s"$dir/data/cpct")
+      val cpctDirs = {
+        import scala.jdk.CollectionConverters._
+        val stream = java.nio.file.Files.list(
+          java.nio.file.Paths.get(dir, "data", "cpct"))
+        try stream.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("bucket="))
+          .map(p => s"data/cpct/${p.getFileName}").toVector.sorted
+        finally stream.close()
+      }
+      val cpctCounts = CommitLog.footerColStats(s, dir, cpctDirs, Seq("c_id"))
+        .map(cs => cs.unit -> cs.count).toMap
+      val cpctSt = cpctDirs.map { u =>
+        val b = u.substring(u.indexOf("bucket=") + 7).toLong
+        (u, b, b, cpctCounts(u))
+      } ++ cleanSt
+      CommitLog.commit(dir, 3L, cpctSt.map(_._1))
+      CommitLog.writeStats(dir, 3L, cpctSt)
       dir
     }
   }
@@ -473,6 +514,38 @@ object LlmQueries {
       val bucketed = s.read.parquet(picked: _*)
         .withColumnRenamed("bval", "bucket")
         .join(broadcast(dead), Seq("c_id"), "left_anti")
+      GraftOps.ivfRank(probes, bucketed, 5).orderBy("q_id", "rn")
+    }),
+
+    // K4h (round 12): IVF COMPACTED — v3 of the same index table folds
+    // the v2 tombstones into their routed bucket units (each dirty
+    // bucket's base+delta generations merged to one unit) and retires
+    // the dv sidecar, closing the grow -> delete -> compact lifecycle
+    // the postings index already has (VERDICT r11 #3 — tombstones no
+    // longer accumulate forever on a continuously-maintained index).
+    // The probe is the manifest-pruned bucket read with NO anti-join:
+    // v3 carries no deletes, so the steady-state plan is scan + rank,
+    // nothing else — the cost a compacted index buys. Exempt tier like
+    // its family; planted truth (Round12OpsSpec): byte-identical
+    // ranking to the v2 tombstone-masked probe (compaction moves
+    // bytes, never results), dv retired, dirty buckets single-unit.
+    "sim_ivf_compact" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.sources.CommitLog
+      val emb = load(s, d, "embeddings")
+      val cent = GraftOps.centroids(emb, "label", "embedding")
+      val root = ivfLogTable(s, d, emb, cent)
+      val probes = GraftOps.ivfProbes(emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", cent, nprobe = 3)
+      val wanted = probes.select(col("bucket").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSet // metadata-sized: <= probes x nprobe ids
+      val picked = CommitLog.stats(root, 3L)
+        .filter { case (_, mn, mx, _) => wanted.exists(b => mn <= b && mx >= b) }
+        .map(u => java.nio.file.Paths.get(root, u._1).toString)
+      require(CommitLog.deletes(root, 3L).isEmpty,
+        "compacted IVF generation must carry no tombstones")
+      val bucketed = s.read.parquet(picked: _*)
+        .withColumnRenamed("bval", "bucket")
       GraftOps.ivfRank(probes, bucketed, 5).orderBy("q_id", "rn")
     }),
 

@@ -442,6 +442,11 @@ object CommitLog {
     * time (the Delta/Iceberg commit-timestamp contract).
     */
   def writeCommitTs(table: String, version: Long, tsMicros: Long): Unit = {
+    // immutability outranks monotonicity: a RESTAMP must surface as
+    // the sidecar-already-published error, not as a range complaint
+    // against the very stamp being replaced
+    if (commitTsOpt(table, version).isDefined)
+      publishSidecar(table, version, "ts.txt", s"$tsMicros\n") // throws
     versions(table).filter(_ < version)
       .flatMap(v => commitTsOpt(table, v)).lastOption.foreach { p =>
         require(tsMicros > p,

@@ -361,6 +361,29 @@ object LogStress {
     rows += (("IVF index growth: full rebuild of 10x corpus vs delta append of a fixed batch",
       f1, fs1, f2, fs2))
 
+    // GDPR purge batch size: the SAME 100 present keys (one dirty
+    // unit) purged alone vs buried in a 100k-key erasure list whose
+    // other 99,900 keys hit nothing — the broadcast key frame must
+    // make cost track dirty-unit rewrites, not batch size (an isin
+    // literal formulation would fold a 10^5-element expression tree
+    // per scan). No warmup run: purge mutates, so each measurement
+    // builds its own table and times the single real execution.
+    def timedPurge(extraAbsent: Long): (Long, Double) = {
+      val (t, _) = buildRange(base, 32)
+      val present = base.orderBy(col("k")).limit(100).select(col("k"))
+      val keys =
+        if (extraAbsent == 0L) present
+        else present.unionAll(spark.range(1L, extraAbsent + 1L)
+          .select((lit(maxK) + col("id")).cast("long").as("k")))
+      val t0 = System.nanoTime()
+      val rep = CommitLog.purgeKeys(spark, t, "k", keys)
+      (rep.rowsPurged, (System.nanoTime() - t0) / 1e9)
+    }
+    val (g1, gs1) = timedPurge(0L)
+    val (g2, gs2) = timedPurge(99900L)
+    rows += (("GDPR purge: 100-key vs 100k-key batch, same dirty unit (broadcast frame: cost is rewrites, not batch size)",
+      g1, gs1, g2, gs2))
+
     rows.result()
   }
 }

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-12 maintenance-layer completions: the IVF index's compaction
+  * generation (grow -> delete -> compact, closing the lifecycle the
+  * postings index already had), and its contracts — result identity
+  * with the tombstone-masked probe, dv retirement, and generational
+  * merge of dirty buckets.
+  */
+class Round12OpsSpec extends GraftSpec {
+
+  import graft.sources.CommitLog
+
+  /** The cached IVF commit-log table root for this spec's sf dir
+    * (built by the first sim_ivf_* query run; cache value is
+    * "fingerprint|path").
+    */
+  private def ivfRoot: String = {
+    val v = queries.LlmQueries.ivfLogDir.get(sf)
+    assert(v != null, "ivfLogTable cache must be populated")
+    v.substring(v.indexOf('|') + 1)
+  }
+
+  test("sim_ivf_compact ranks identically to the tombstone-masked probe") {
+    graft.functions.GraftFunctions.register(spark)
+    def ranking(name: String) = q(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).toPlainString,
+        r.getLong(3))).toSeq
+    val masked = ranking("sim_ivf_delete")
+    val compacted = ranking("sim_ivf_compact")
+    assert(compacted.nonEmpty)
+    assert(compacted == masked,
+      "compaction moves bytes, never results: the v3 probe must equal v2's")
+    // and transitively (the r11 pin): equal to a remaining-corpus
+    // rebuild — no tombstoned id may survive as a neighbor
+    assert(compacted.forall { case (_, cId, _, _) => cId % 9 != 0 || cId < 10 })
+  }
+
+  test("IVF compaction retires the dv sidecar and merges dirty generations") {
+    graft.functions.GraftFunctions.register(spark)
+    q("sim_ivf_compact").collect() // materialize the index build
+    val root = ivfRoot
+    // v3 carries NO deletes: the steady-state probe plan has no
+    // anti-join left to pay
+    assert(CommitLog.deletes(root, 3L).isEmpty,
+      "compacted generation must retire the tombstone sidecar")
+    // every bucket holding a tombstoned vector is SINGLE-unit at v3
+    // (base+delta generations merged into data/cpct), while v2 could
+    // carry up to two generations of it
+    val emb = Tables.load(spark, sf, "embeddings")
+    val cent = api.GraftOps.centroids(emb, "label", "embedding")
+    val dirtyBuckets = api.GraftOps.ivfAssign(
+        emb.filter(col("vec_id") % 9 === 0 && col("vec_id") >= 10),
+        "vec_id", "embedding", cent)
+      .select(col("bucket").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet // metadata-sized: <= nlist bucket ids
+    assert(dirtyBuckets.nonEmpty)
+    val st3 = CommitLog.stats(root, 3L)
+    dirtyBuckets.foreach { b =>
+      val units = st3.filter { case (_, mn, mx, _) => mn == b && mx == b }
+      assert(units.size == 1,
+        s"dirty bucket $b must compact to ONE unit, got ${units.map(_._1)}")
+      assert(units.head._1.startsWith("data/cpct/"),
+        s"dirty bucket $b's unit must be the compacted rewrite")
+    }
+    // no tombstoned vector survives in any v3 unit
+    val v3Units = st3.map(u =>
+      java.nio.file.Paths.get(root, u._1).toString)
+    val ghosts = spark.read.parquet(v3Units: _*)
+      .filter(col("c_id") % 9 === 0 && col("c_id") >= 10).count()
+    assert(ghosts == 0L, s"$ghosts tombstoned vectors survived compaction")
+    // clean buckets carried by NAME: their v2 entries appear verbatim
+    val st2 = CommitLog.stats(root, 2L).toSet
+    st3.filterNot(_._1.startsWith("data/cpct/")).foreach { e =>
+      assert(st2.contains(e), s"clean unit ${e._1} must carry verbatim")
+    }
+  }
+
+  test("commit-ts stamps are monotonic in BOTH directions (ADVICE r11)") {
+    import spark.implicits._
+    val t = java.nio.file.Files
+      .createTempDirectory("graft_r12_tsmono").toString
+    (0L to 2L).foreach { v =>
+      Seq((v, "x")).toDF("k", "s").coalesce(1).write.parquet(s"$t/u$v")
+      CommitLog.commit(t, v, (0L to v).map(u => s"u$u"))
+    }
+    // stamp out of version order: v0 then v2, then squeeze v1 in
+    CommitLog.writeCommitTs(t, 0L, 100L)
+    CommitLog.writeCommitTs(t, 2L, 200L)
+    // a v1 stamp ABOVE v2's would publish a non-monotonic history
+    // (AS OF 250 would resolve to v2 though v1 "committed later")
+    val e = intercept[IllegalArgumentException](
+      CommitLog.writeCommitTs(t, 1L, 300L))
+    assert(e.getMessage.contains("must precede"))
+    // ...and below v0's is refused by the existing direction
+    intercept[IllegalArgumentException](CommitLog.writeCommitTs(t, 1L, 50L))
+    // the in-gap stamp is fine, and AS OF resolves through it
+    CommitLog.writeCommitTs(t, 1L, 150L)
+    assert(CommitLog.versionAsOf(t, 149L) == 0L)
+    assert(CommitLog.versionAsOf(t, 150L) == 1L)
+    assert(CommitLog.versionAsOf(t, 250L) == 2L)
+    // a restamp still surfaces as the immutable-sidecar error
+    intercept[IllegalStateException](CommitLog.writeCommitTs(t, 1L, 160L))
+  }
+}
