@@ -1190,6 +1190,83 @@ object LakehouseQueries {
     // travel is name-faithful: v0 still reads column `p`
     // (RenameWapSpec). Output: the v2 mapped snapshot rolled up per
     // k%4 under the LOGICAL name, which only exists through the map.
+    // S40 (round 12): DROP COLUMN through the column mapping — the
+    // second metadata-only evolution (VERDICT r11 #6). v0 carries
+    // (k, p, clerk); v1 tombstones clerk in the mapping sidecar with
+    // ZERO data rewrites — mapped reads stop REQUESTING the column,
+    // so the old files' clerk pages are never even decoded (a scan
+    // win, not just a schema edit; plan-pinned in Round12OpsSpec);
+    // v2 appends a unit that was never written with the column, and
+    // both generations read together. Time travel below the drop
+    // still sees clerk — version-faithful schema, the lakehouse
+    // contract. Output: per-version rows/total plus a clerk non-null
+    // count that the drop forces to NULL from v1 on.
+    "dml_drop_col" -> ((s, d) => {
+      import graft.sources.CommitLog
+      val root = graft.queries.ScaleQueries.freshDir(dropColDir, d, "orders") {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_dropcol").toString
+        val base = load(s, d, "orders")
+          .select(col("o_orderkey").as("k"), dec(col("o_totalprice")).as("p"),
+            col("o_orderstatus").as("clerk"))
+        base.filter(col("k") % 2 === 0).write.parquet(s"$dir/data/s0")
+        CommitLog.commit(dir, 0L, Seq("data/s0"))
+        CommitLog.dropColumn(s, dir, "clerk") // v1, metadata-only
+        base.filter(col("k") % 2 === 1).select("k", "p")
+          .write.parquet(s"$dir/data/s1")
+        CommitLog.commit(dir, 2L, Seq("data/s0", "data/s1"))
+        dir
+      }
+      CommitLog.versions(root).map { v =>
+        val snap = CommitLog.snapshotMapped(s, root, v)
+        val clerkRows =
+          if (snap.schema.fieldNames.contains("clerk")) count(col("clerk"))
+          else max(lit(null).cast("bigint"))
+        snap.agg(count(lit(1)).as("n_rows"),
+            sum(col("p")).cast(DecimalType(38, 2)).as("total"),
+            clerkRows.as("clerk_rows"))
+          .select(lit(v).cast("bigint").as("version"),
+            col("n_rows"), col("total"), col("clerk_rows"))
+      }.reduce(_ unionAll _).orderBy("version")
+    }),
+
+    // S41 (round 12): WIDEN COLUMN TYPE through the column mapping —
+    // the third metadata-only evolution. v0's units carry cents as a
+    // physical INT; v1 widens the logical type to BIGINT without
+    // touching a byte — mapped reads request the wider schema and the
+    // PARQUET READER up-converts the narrow files inside the scan (no
+    // per-row cast expression, pushdown intact; plan-pinned); v2
+    // appends natively-BIGINT values an INT could never hold
+    // (+3x10^9), and the mixed-generation read serves both. Time
+    // travel below the widen still reads INT. Output: per-version
+    // rows + exact cents sum.
+    "dml_widen_col" -> ((s, d) => {
+      import graft.sources.CommitLog
+      val root = graft.queries.ScaleQueries.freshDir(widenColDir, d, "orders") {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_widencol").toString
+        val base = load(s, d, "orders")
+          .select(col("o_orderkey").as("k"), dec(col("o_totalprice")).as("p"))
+          .selectExpr("k", "CAST(CAST(round(p * 100) AS BIGINT) AS INT) AS cents")
+        base.filter(col("k") % 2 === 0).write.parquet(s"$dir/data/s0")
+        CommitLog.commit(dir, 0L, Seq("data/s0"))
+        CommitLog.widenColumn(s, dir, "cents", "bigint") // v1, metadata-only
+        base.filter(col("k") % 2 === 1)
+          .select(col("k"),
+            (col("cents").cast("bigint") + lit(3000000000L)).as("cents"))
+          .write.parquet(s"$dir/data/s1")
+        CommitLog.commit(dir, 2L, Seq("data/s0", "data/s1"))
+        dir
+      }
+      CommitLog.versions(root).map { v =>
+        CommitLog.snapshotMapped(s, root, v)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("cents").cast("bigint")).cast("bigint").as("sum_cents"))
+          .select(lit(v).cast("bigint").as("version"),
+            col("n_rows"), col("sum_cents"))
+      }.reduce(_ unionAll _).orderBy("version")
+    }),
+
     "dml_rename_col" -> ((s, d) => {
       import graft.sources.CommitLog
       val root = graft.queries.ScaleQueries.freshDir(renameDir, d, "orders") {
@@ -1656,6 +1733,12 @@ object LakehouseQueries {
   private val purgeIdxDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  private val dropColDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val widenColDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private val mergeCowDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -1818,6 +1901,47 @@ object LakehouseQueries {
         |    CAST(count(*) AS BIGINT) AS n_rows,
         |    CAST(sum(p) AS DECIMAL(38,2)) AS total
         |FROM v GROUP BY version ORDER BY version""".stripMargin,
+    // S40 twin: membership arithmetic per version; the clerk count is
+    // NULL from the drop version on — schema evolution observable in
+    // values, not just shapes.
+    "dml_drop_col" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p, o_orderstatus AS clerk
+        |  FROM orders),
+        | vv AS (SELECT CAST(0 AS BIGINT) AS version
+        |    UNION ALL SELECT CAST(1 AS BIGINT)
+        |    UNION ALL SELECT CAST(2 AS BIGINT))
+        |SELECT version,
+        |  CAST(CASE WHEN version <= 1
+        |    THEN (SELECT count(*) FROM base WHERE k % 2 = 0)
+        |    ELSE (SELECT count(*) FROM base) END AS BIGINT) AS n_rows,
+        |  CAST(CASE WHEN version <= 1
+        |    THEN (SELECT sum(p) FROM base WHERE k % 2 = 0)
+        |    ELSE (SELECT sum(p) FROM base) END AS DECIMAL(38,2)) AS total,
+        |  CAST(CASE WHEN version = 0
+        |    THEN (SELECT count(clerk) FROM base WHERE k % 2 = 0)
+        |    ELSE NULL END AS BIGINT) AS clerk_rows
+        |FROM vv ORDER BY version""".stripMargin,
+    // S41 twin: exact integer cents arithmetic; the widened appends
+    // add 3e9 per odd row — values an INT cannot hold.
+    "dml_widen_col" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+        |      AS cents
+        |  FROM orders),
+        | vv AS (SELECT CAST(0 AS BIGINT) AS version
+        |    UNION ALL SELECT CAST(1 AS BIGINT)
+        |    UNION ALL SELECT CAST(2 AS BIGINT))
+        |SELECT version,
+        |  CAST(CASE WHEN version <= 1
+        |    THEN (SELECT count(*) FROM base WHERE k % 2 = 0)
+        |    ELSE (SELECT count(*) FROM base) END AS BIGINT) AS n_rows,
+        |  CAST(CASE WHEN version <= 1
+        |    THEN (SELECT sum(cents) FROM base WHERE k % 2 = 0)
+        |    ELSE (SELECT sum(cents) FROM base WHERE k % 2 = 0)
+        |      + (SELECT sum(cents + 3000000000) FROM base WHERE k % 2 = 1)
+        |    END AS BIGINT) AS sum_cents
+        |FROM vv ORDER BY version""".stripMargin,
     // S39 twin: purge predicate applied to counts/totals; unit-probe
     // counts recomputed from the same k-range bucketing by interval
     // intersection over SURVIVING keys (the twins' re-derived ranges);

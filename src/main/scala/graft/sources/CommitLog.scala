@@ -2279,40 +2279,87 @@ object CommitLog {
   // with.
   // ------------------------------------------------------------------
 
+  /** The full column-mapping state in force at a version: logical
+    * RENAMES (physical -> logical), DROPPED physical columns
+    * (invisible to mapped reads, zero data rewritten), and WIDENED
+    * physical columns (physical -> the logical DDL type mapped reads
+    * request — the files keep their frozen narrow type; Spark's
+    * parquet readers up-convert under the wider requested schema).
+    */
+  final case class ColMapping(renames: Map[String, String],
+      dropped: Set[String], widened: Map[String, String]) {
+    def isEmpty: Boolean = renames.isEmpty && dropped.isEmpty && widened.isEmpty
+  }
+
+  private val EmptyMapping = ColMapping(Map.empty, Set.empty, Map.empty)
+
   /** Publish the physical->logical column map sidecar of `version`.
     * The map lists ONLY renamed columns (identity entries are
     * dropped); names are URL-encoded so a '|' in a column name cannot
     * shear the line format (the bloom-sidecar lesson, ADVICE r10).
     */
   def writeColMap(table: String, version: Long,
-      map: Seq[(String, String)]): Unit = {
+      map: Seq[(String, String)]): Unit =
+    writeColMapping(table, version,
+      ColMapping(map.toMap, Set.empty, Map.empty))
+
+  /** Line grammar (fields URL-encoded, so the RAW markers below can
+    * never collide with a real name): `P|L` rename, `P|!drop` dropped
+    * (raw `!drop` — an encoded column named "!drop" renders `%21drop`),
+    * `P|L|T` logical name L (possibly = P) read at widened DDL type T.
+    */
+  private def writeColMapping(table: String, version: Long,
+      m: ColMapping): Unit = {
     def enc(s: String) =
       java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+    val phys = (m.renames.keySet ++ m.dropped ++ m.widened.keySet).toSeq.sorted
+    val lines = phys.map { p =>
+      if (m.dropped(p)) s"${enc(p)}|!drop"
+      else m.widened.get(p) match {
+        case Some(t) =>
+          s"${enc(p)}|${enc(m.renames.getOrElse(p, p))}|${enc(t)}"
+        case None => s"${enc(p)}|${enc(m.renames(p))}"
+      }
+    }
     publishSidecar(table, version, "colmap.txt",
-      map.map { case (p, l) => s"${enc(p)}|${enc(l)}" }
-        .mkString("", "\n", "\n"))
+      lines.mkString("", "\n", "\n"))
   }
 
-  /** The physical->logical map in force AT `version`: the newest
-    * colmap sidecar published at or before it (a mapping persists
-    * across later data commits until a later rename replaces it
-    * wholesale). Empty = identity, the state of every table that never
-    * renamed. O(versions) file-existence probes, metadata only.
+  /** The full mapping in force AT `version`: the newest colmap sidecar
+    * published at or before it (a mapping persists across later data
+    * commits until a later evolution replaces it wholesale). Empty =
+    * identity, the state of every table that never evolved.
+    * O(versions) file-existence probes, metadata only.
     */
-  def colMapAt(table: String, version: Long): Map[String, String] = {
+  def colMappingAt(table: String, version: Long): ColMapping = {
     def dec(s: String) =
       java.net.URLDecoder.decode(s, java.nio.charset.StandardCharsets.UTF_8)
     versions(table).filter(_ <= version).reverse
       .map(v => logDir(table).resolve(f"v$v%05d.colmap.txt"))
       .find(java.nio.file.Files.isRegularFile(_))
       .map { f =>
-        java.nio.file.Files.readAllLines(f).toArray(Array.empty[String])
-          .toSeq.filter(_.nonEmpty).map { l =>
-            val Array(p, lg) = l.split('|')
-            dec(p) -> dec(lg)
-          }.toMap
-      }.getOrElse(Map.empty)
+        val entries = java.nio.file.Files.readAllLines(f)
+          .toArray(Array.empty[String]).toSeq.filter(_.nonEmpty)
+          .map(_.split('|'))
+        ColMapping(
+          renames = entries.collect {
+            case Array(p, l) if l != "!drop" && dec(l) != dec(p) =>
+              dec(p) -> dec(l)
+            case Array(p, l, _) if dec(l) != dec(p) => dec(p) -> dec(l)
+          }.toMap,
+          dropped = entries.collect {
+            case Array(p, "!drop") => dec(p) }.toSet,
+          widened = entries.collect {
+            case Array(p, _, t) => dec(p) -> dec(t) }.toMap)
+      }.getOrElse(EmptyMapping)
   }
+
+  /** The physical->logical RENAME map at `version` (drops and widens
+    * excluded) — the original round-11 surface, kept for rename-only
+    * consumers.
+    */
+  def colMapAt(table: String, version: Long): Map[String, String] =
+    colMappingAt(table, version).renames
 
   /** RENAME COLUMN as a metadata-only commit: publish version+1 with
     * the CURRENT snapshot's units verbatim plus a colmap sidecar whose
@@ -2324,38 +2371,145 @@ object CommitLog {
     * Cost: one footer-read for the schema + one manifest + one sidecar
     * — nothing proportional to data size.
     */
+  /** The visible logical schema at `version`: physical field names
+    * minus dropped columns, mapped through renames.
+    */
+  private def logicalFields(spark: SparkSession, table: String,
+      version: Long, cm: ColMapping): Seq[String] =
+    snapshot(spark, table, version).schema.fieldNames.toIndexedSeq
+      .filterNot(cm.dropped)
+      .map(p => cm.renames.getOrElse(p, p))
+
   def renameColumn(spark: SparkSession, table: String,
       from: String, to: String): Long = {
     val v = latestVersion(table)
-    val cur = colMapAt(table, v)
-    val physSchema = snapshot(spark, table, v).schema.fieldNames.toSeq
-    val logical = physSchema.map(p => cur.getOrElse(p, p))
+    val cm = colMappingAt(table, v)
+    val logical = logicalFields(spark, table, v, cm)
     require(logical.contains(from),
       s"rename: $table has no column $from (logical schema: " +
         s"${logical.mkString(",")})")
     require(!logical.contains(to) || from == to,
       s"rename: $table already has a column $to")
     // the physical name behind the logical `from`
-    val phys = cur.find(_._2 == from).map(_._1).getOrElse(from)
-    val next = (cur - phys) ++ (if (phys == to) Map.empty[String, String]
-      else Map(phys -> to))
+    val phys = cm.renames.find(_._2 == from).map(_._1).getOrElse(from)
+    val next = (cm.renames - phys) ++
+      (if (phys == to) Map.empty[String, String] else Map(phys -> to))
     val nv = v + 1
     commit(table, nv, unitsRel(table, v))
-    writeColMap(table, nv, next.toSeq.sortBy(_._1))
+    writeColMapping(table, nv, cm.copy(renames = next))
     nv
   }
 
-  /** Read AS OF `version` under that version's LOGICAL names — the
-    * plain [[snapshot]] scan followed by an alias-only projection, so
-    * pushdown, pruning and codegen are exactly the unmapped read's.
+  /** DROP COLUMN as a metadata-only commit (round 12 — VERDICT r11
+    * #6): publish version+1 with the CURRENT snapshot's units verbatim
+    * plus a mapping that tombstones the column — zero data bytes move,
+    * mapped reads stop REQUESTING the column so old files never even
+    * decode it (the drop is also a column-pruning win, not just a
+    * schema edit), and time travel below the drop still sees it.
+    * Refuses dropping the last visible column. Returns the published
+    * version.
+    */
+  def dropColumn(spark: SparkSession, table: String,
+      name: String): Long = {
+    val v = latestVersion(table)
+    val cm = colMappingAt(table, v)
+    val logical = logicalFields(spark, table, v, cm)
+    require(logical.contains(name),
+      s"drop: $table has no column $name (logical schema: " +
+        s"${logical.mkString(",")})")
+    require(logical.size > 1,
+      s"drop: $name is the last visible column of $table")
+    val phys = cm.renames.find(_._2 == name).map(_._1).getOrElse(name)
+    val nv = v + 1
+    commit(table, nv, unitsRel(table, v))
+    writeColMapping(table, nv, ColMapping(cm.renames - phys,
+      cm.dropped + phys, cm.widened - phys))
+    nv
+  }
+
+  /** The widenings a mapped read can serve without rewriting a byte:
+    * integral up-casts, float->double, and scale-preserving decimal
+    * precision growth — exactly the conversions Spark's parquet
+    * readers perform under a wider requested schema.
+    */
+  private def widensTo(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (a, b) if a == b => false // not a widening
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (a: DecimalType, b: DecimalType) =>
+        b.scale >= a.scale && b.precision - b.scale >= a.precision - a.scale &&
+          (b.precision > a.precision || b.scale > a.scale)
+      case _ => false
+    }
+  }
+
+  /** WIDEN COLUMN TYPE as a metadata-only commit (round 12 — VERDICT
+    * r11 #6): publish version+1 with the same units plus a mapping
+    * entry recording the new logical DDL type. No file is rewritten —
+    * mapped reads request the wider schema and the parquet reader
+    * up-converts old narrow files in the scan itself (no per-row cast
+    * expression, pushdown intact), while post-widen appends may write
+    * the wide type natively. Only lossless widenings are accepted.
+    * Returns the published version.
+    */
+  def widenColumn(spark: SparkSession, table: String,
+      name: String, toDdl: String): Long = {
+    import org.apache.spark.sql.types.StructType
+    val v = latestVersion(table)
+    val cm = colMappingAt(table, v)
+    val logical = logicalFields(spark, table, v, cm)
+    require(logical.contains(name),
+      s"widen: $table has no column $name (logical schema: " +
+        s"${logical.mkString(",")})")
+    val phys = cm.renames.find(_._2 == name).map(_._1).getOrElse(name)
+    val target = StructType.fromDDL(s"c $toDdl").head.dataType
+    // widen FROM the current logical type (widenings chain)
+    val curType = cm.widened.get(phys)
+      .map(t => StructType.fromDDL(s"c $t").head.dataType)
+      .getOrElse(snapshot(spark, table, v).schema(phys).dataType)
+    require(widensTo(curType, target),
+      s"widen: ${curType.sql} -> ${target.sql} is not a lossless " +
+        s"widening for $name")
+    val nv = v + 1
+    commit(table, nv, unitsRel(table, v))
+    writeColMapping(table, nv,
+      cm.copy(widened = cm.widened + (phys -> target.sql)))
+    nv
+  }
+
+  /** Read AS OF `version` under that version's LOGICAL schema — names
+    * mapped, dropped columns never requested (the scan does not even
+    * decode them), widened columns read under their wider type BY THE
+    * PARQUET READER (requested-schema up-conversion, not a per-row
+    * cast), then an alias-only projection. Pushdown, pruning and
+    * codegen are exactly the unmapped read's.
     */
   def snapshotMapped(spark: SparkSession, table: String,
       version: Long): DataFrame = {
-    val df = snapshot(spark, table, version)
-    val m = colMapAt(table, version)
-    if (m.isEmpty) df
-    else df.select(df.schema.fieldNames.toIndexedSeq.map(p =>
-      org.apache.spark.sql.functions.col(p).as(m.getOrElse(p, p))): _*)
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val cm = colMappingAt(table, version)
+    if (cm.isEmpty) snapshot(spark, table, version)
+    else {
+      val physSchema = snapshot(spark, table, version).schema
+      val want = StructType(physSchema.fields.toIndexedSeq
+        .filterNot(f => cm.dropped(f.name))
+        .map { f =>
+          cm.widened.get(f.name) match {
+            case Some(t) => StructField(f.name,
+              StructType.fromDDL(s"c $t").head.dataType, f.nullable)
+            case None => f
+          }
+        })
+      spark.read.schema(want).parquet(units(table, version): _*)
+        .select(want.fieldNames.toIndexedSeq.map(p =>
+          org.apache.spark.sql.functions.col(p)
+            .as(cm.renames.getOrElse(p, p))): _*)
+    }
   }
 
   /** Writer-side inverse of [[snapshotMapped]]: project a logical-name
@@ -2365,7 +2519,13 @@ object CommitLog {
     * the physical schema and break every mapped read that follows).
     */
   def toPhysical(table: String, version: Long, df: DataFrame): DataFrame = {
-    val inv = colMapAt(table, version).map(_.swap)
+    val cm = colMappingAt(table, version)
+    val inv = cm.renames.map(_.swap)
+    df.schema.fieldNames.foreach { l =>
+      require(!cm.dropped(inv.getOrElse(l, l)),
+        s"toPhysical: $l is dropped at v$version — a writer cannot " +
+          "resurrect a tombstoned column")
+    }
     if (inv.isEmpty) df
     else df.select(df.schema.fieldNames.toIndexedSeq.map(l =>
       org.apache.spark.sql.functions.col(l).as(inv.getOrElse(l, l))): _*)

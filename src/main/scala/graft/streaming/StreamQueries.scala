@@ -573,6 +573,87 @@ object StreamQueries {
     // the continuous-ingest shape: each micro-batch costs its own
     // data + one manifest write, never a table rewrite, and readers
     // get atomic versioned snapshots of the growing table.
+    // I12 (round 12): STREAMING THE TXN CATALOG — the TxnLog twin of
+    // stream_cdc_apply (VERDICT r11 #7): coordinated tables exist
+    // (dml_txn_multi), and this is the consumer that FOLLOWS them
+    // atomically. The stream source is the catalog itself: a file
+    // stream over `_txn/t?????.txt` delivers each multi-table
+    // transaction entry exactly once; the foreachBatch resolves BOTH
+    // tables at the versions that entry records (TxnLog.snapshotAt —
+    // never "latest", which could tear) and materializes one
+    // consistency row per txn into a deterministic per-txn state dir,
+    // so a replayed batch rewrites the same rows — idempotent. The
+    // lifecycle crossed between the drains is dml_txn_multi's: txn 0
+    // commits the pair; offline, a crashed writer leaves fact's v1 as
+    // an ORPHAN (manifest published, no entry — it does not match the
+    // _txn glob, so the consumer can never see it) and the retry
+    // commits the full pair as txn 1. Output: per txn, the fact-side
+    // recount NEXT TO the stored aggregate — the oracle pins them
+    // equal at EVERY transaction, maintained streamingly. At 100 TB
+    // each entry costs O(its tables' snapshots at the recorded
+    // versions); the catalog feed itself is O(txns) tiny text files.
+    "stream_txn_log" -> ((s, d) => {
+      import graft.sources.{CommitLog, TxnLog}
+      val base = load(s, d, "orders")
+        .select(col("o_orderkey").as("k"), dec(col("o_totalprice")).as("p"))
+      val root = tmp("graft_stxn")
+      val fact = s"$root/fact"
+      val agg = s"$root/agg"
+      val ckpt = tmp("graft_stxn_ckpt")
+      val outDir = tmp("graft_stxn_out")
+      def aggUnit(pred: org.apache.spark.sql.Column, sub: String): Unit =
+        base.filter(pred)
+          .agg(count(lit(1)).cast("bigint").as("n"),
+            sum(col("p")).cast(DecimalType(38, 2)).as("total"))
+          .coalesce(1).write.parquet(s"$agg/$sub")
+      def drain(): Unit = {
+        val sdf = s.readStream.text(s"$root/_txn/t?????.txt")
+          .select(col("_metadata.file_path").as("path"))
+        val q = sdf.writeStream.outputMode("append")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val paths = batch.select("path")
+              .collect().map(_.getString(0)).distinct.sorted // metadata-sized: txn-entry file paths of one batch
+            paths.foreach { p =>
+              val txnId = java.nio.file.Paths
+                .get(new java.net.URI(p).getPath).getFileName.toString
+                .stripPrefix("t").stripSuffix(".txt").toLong
+              val snaps = TxnLog.snapshotAt(s, root, txnId, Seq(fact, agg))
+              val row = snaps(fact)
+                .agg(count(lit(1)).as("fact_rows"),
+                  sum(col("p")).cast(DecimalType(38, 2)).as("fact_total"))
+                .crossJoin(snaps(agg)
+                  .select(col("n").as("agg_rows"),
+                    col("total").as("agg_total")))
+                .select(lit(txnId).cast("bigint").as("txn"),
+                  col("fact_rows"), col("fact_total"),
+                  col("agg_rows"), col("agg_total"))
+              row.coalesce(1).write.mode("overwrite")
+                .parquet(f"$outDir/t$txnId%05d")
+            }
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      // txn 0: the consistent pair
+      base.filter(col("k") % 3 === 0).coalesce(1).write.parquet(s"$fact/s0")
+      aggUnit(col("k") % 3 === 0, "a0")
+      TxnLog.commitAtomic(root, Seq(fact -> Seq("s0"), agg -> Seq("a0")))
+      drain()
+      // offline: the crash — an orphaned fact manifest with no entry
+      base.filter(col("k") % 3 === 1).coalesce(1).write.parquet(s"$fact/s1")
+      CommitLog.tryCommit(fact, 1L, Seq("s0", "s1"))
+      // the retry completes the pair before the consumer reconnects
+      aggUnit(col("k") % 3 =!= 2, "a1")
+      TxnLog.commitAtomic(root,
+        Seq(fact -> Seq("s0", "s1"), agg -> Seq("a1")))
+      drain()
+      TxnLog.txns(root)
+        .map(id => s.read.parquet(f"$outDir/t$id%05d"))
+        .reduce(_ unionAll _).orderBy("txn")
+    }),
+
     "stream_commit_sink" -> ((s, d) => {
       import graft.sources.CommitLog
       val ev = load(s, d, "events")
@@ -721,6 +802,21 @@ object StreamQueries {
     * truncation, matching Tables.load's integer-div rebuild.
     */
   val oracle: Map[String, String] = Map(
+    // I12 twin: the dml_txn_multi invariant, maintained streamingly —
+    // per txn the fact recount equals the stored aggregate; the
+    // orphaned fact version appears in NO row.
+    "stream_txn_log" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        | s0 AS (SELECT k, p FROM base WHERE k % 3 = 0),
+        | s01 AS (SELECT k, p FROM base WHERE k % 3 <> 2)
+        |SELECT CAST(0 AS BIGINT) AS txn, count(*) AS fact_rows,
+        |    CAST(sum(p) AS DECIMAL(38,2)) AS fact_total,
+        |    count(*) AS agg_rows, CAST(sum(p) AS DECIMAL(38,2)) AS agg_total
+        |  FROM s0
+        |UNION ALL SELECT 1, count(*), CAST(sum(p) AS DECIMAL(38,2)),
+        |    count(*), CAST(sum(p) AS DECIMAL(38,2)) FROM s01
+        |ORDER BY txn""".stripMargin,
     // I9: exactly-once across the version boundary — drain 0 sees the
     // k%3==0 slice, drain 1's carried state plus the added units must
     // equal one batch group-by over everything (double-count on

@@ -162,8 +162,13 @@ class CurationSpec extends GraftSpec {
     val ids = Tables.load(spark, sf, "documents")
       .filter(col("text").isNotNull)
       .select("doc_id").collect().map(_.getLong(0)) // test-sized
+    // round-12 formula: nb derives from the corpus (greatest(16,
+    // n DIV 256)), hash range is 8 md5 hex digits
+    val nb = math.max(16L,
+      Tables.load(spark, sf, "documents")
+        .filter(col("text").isNotNull).count() / 256L)
     def bucket(id: Long): Long =
-      java.lang.Long.parseLong(md5hex(id.toString).take(4), 16) % 16
+      java.lang.Long.parseLong(md5hex(id.toString).take(8), 16) % nb
     val byBucket = ids.groupBy(bucket)
     val truth = ids.flatMap { a =>
       byBucket(bucket(a)).filter(_ != a)

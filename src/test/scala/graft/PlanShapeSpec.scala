@@ -286,9 +286,15 @@ class PlanShapeSpec extends GraftSpec {
 
   test("sample_negative blocks on an equi-join, never all-pairs") {
     val plan = planOf("sample_negative")
-    assert(!plan.contains("CartesianProduct") &&
-      !plan.contains("BroadcastNestedLoopJoin"),
+    assert(!plan.contains("CartesianProduct"),
       s"bucket blocking regressed to all-pairs:\n${plan.take(1500)}")
+    // the candidate pairing must be a bucket EQUI-join; the only
+    // nested-loop join in the plan is the broadcast 1-ROW bucket-count
+    // frame (nb derives from the corpus since round 12), which is a
+    // scalar attach, not a pairing
+    assert(plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin") || plan.contains("BroadcastHashJoin"),
+      s"candidate pairing must be a bucket equi-join:\n${plan.take(1500)}")
   }
 
   test("encode_hashing_trick is one combinable aggregation, no join") {

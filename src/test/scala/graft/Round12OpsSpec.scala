@@ -103,4 +103,111 @@ class Round12OpsSpec extends GraftSpec {
     // a restamp still surfaces as the immutable-sidecar error
     intercept[IllegalStateException](CommitLog.writeCommitTs(t, 1L, 160L))
   }
+
+  private def freshDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("dropColumn: metadata-only, time-travel-faithful, never re-requested") {
+    import spark.implicits._
+    val t = freshDir("graft_r12_drop")
+    Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "s", "p")
+      .coalesce(1).write.parquet(s"$t/u0")
+    CommitLog.commit(t, 0L, Seq("u0"))
+    val v1 = CommitLog.dropColumn(spark, t, "s")
+    assert(v1 == 1L)
+    // v1 no longer SEES s; v0 still does (time travel below the drop)
+    assert(CommitLog.snapshotMapped(spark, t, 1L).schema.fieldNames.toSeq
+      == Seq("k", "p"))
+    assert(CommitLog.snapshotMapped(spark, t, 0L).schema.fieldNames.toSeq
+      == Seq("k", "s", "p"))
+    // the drop is also a scan win: the mapped read's plan never
+    // requests s — the old files' s pages are not even decoded
+    val plan = CommitLog.snapshotMapped(spark, t, 1L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ReadSchema: struct<k:bigint,s:string"),
+      "dropped column must be absent from the requested read schema")
+    // a post-drop append writes units WITHOUT the column; both
+    // generations read together
+    Seq((3L, 30L)).toDF("k", "p").coalesce(1).write.parquet(s"$t/u1")
+    CommitLog.commit(t, 2L, Seq("u0", "u1"))
+    val v2 = CommitLog.snapshotMapped(spark, t, 2L)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(v2.toSeq == Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    // the writer path refuses to resurrect it
+    intercept[IllegalArgumentException] {
+      CommitLog.toPhysical(t, 2L, Seq((9L, "z", 9L)).toDF("k", "s", "p"))
+    }
+    // and dropping the rest down to one column is refused
+    CommitLog.dropColumn(spark, t, "p")
+    intercept[IllegalArgumentException](CommitLog.dropColumn(spark, t, "k"))
+  }
+
+  test("widenColumn: old narrow files read under the wider requested schema") {
+    import spark.implicits._
+    val t = freshDir("graft_r12_widen")
+    // physical INT generation
+    Seq((1, 100), (2, 200)).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$t/u0")
+    CommitLog.commit(t, 0L, Seq("u0"))
+    val v1 = CommitLog.widenColumn(spark, t, "v", "bigint")
+    assert(v1 == 1L)
+    val widened = CommitLog.snapshotMapped(spark, t, 1L)
+    assert(widened.schema("v").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // the widening happens IN the scan (requested schema), not as a
+    // cast expression bolted on top
+    assert(!widened.queryExecution.executedPlan.toString.contains("cast(v"),
+      "widening must ride the requested schema, not a per-row cast")
+    // post-widen append holds values an INT cannot: the reason the
+    // widening existed
+    Seq((3, 10000000000L)).toDF("k", "v").coalesce(1).write.parquet(s"$t/u1")
+    CommitLog.commit(t, 2L, Seq("u0", "u1"))
+    val all = CommitLog.snapshotMapped(spark, t, 2L)
+      .orderBy("k").collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(all.toSeq == Seq((1, 100L), (2, 200L), (3, 10000000000L)))
+    // time travel below the widen still reads INT
+    assert(CommitLog.snapshotMapped(spark, t, 0L).schema("v").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // a narrowing or sideways cast is refused
+    intercept[IllegalArgumentException](
+      CommitLog.widenColumn(spark, t, "v", "int"))
+    intercept[IllegalArgumentException](
+      CommitLog.widenColumn(spark, t, "k", "string"))
+    // widenings CHAIN: int -> bigint already in force, bigint -> int
+    // refused above; decimal growth on a fresh table
+    val t2 = freshDir("graft_r12_widen2")
+    Seq((1, "1.50")).toDF("k", "d")
+      .select(col("k"), col("d").cast("decimal(10,2)").as("d"))
+      .coalesce(1).write.parquet(s"$t2/u0")
+    CommitLog.commit(t2, 0L, Seq("u0"))
+    CommitLog.widenColumn(spark, t2, "d", "decimal(30,2)")
+    val d = CommitLog.snapshotMapped(spark, t2, 1L).collect().head.getDecimal(1)
+    assert(d.toPlainString == "1.50")
+  }
+
+  test("rename, widen and drop COMPOSE through one mapping") {
+    import spark.implicits._
+    val t = freshDir("graft_r12_compose")
+    Seq((1, 10, "x"), (2, 20, "y")).toDF("k", "p", "s")
+      .coalesce(1).write.parquet(s"$t/u0")
+    CommitLog.commit(t, 0L, Seq("u0"))
+    CommitLog.renameColumn(spark, t, "p", "price") // v1
+    CommitLog.widenColumn(spark, t, "price", "bigint") // v2 — via logical name
+    CommitLog.dropColumn(spark, t, "s") // v3
+    val snap = CommitLog.snapshotMapped(spark, t, 3L)
+    assert(snap.schema.fieldNames.toSeq == Seq("k", "price"))
+    assert(snap.schema("price").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(snap.orderBy("k").collect().map(r => (r.getInt(0), r.getLong(1)))
+      .toSeq == Seq((1, 10L), (2, 20L)))
+    // renaming the widened column again keeps the widening
+    CommitLog.renameColumn(spark, t, "price", "unit_price") // v4
+    val s4 = CommitLog.snapshotMapped(spark, t, 4L)
+    assert(s4.schema.fieldNames.toSeq == Seq("k", "unit_price"))
+    assert(s4.schema("unit_price").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // and every earlier version still reads under ITS mapping
+    assert(CommitLog.snapshotMapped(spark, t, 1L).schema.fieldNames.toSeq
+      == Seq("k", "price", "s"))
+  }
 }
