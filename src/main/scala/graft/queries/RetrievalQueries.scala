@@ -476,6 +476,122 @@ object RetrievalQueries {
             / count(lit(1))).as("frac_pos"))
         .orderBy("bin")),
 
+    // AB13 (round 12): EXPECTED CALIBRATION ERROR — the one-number
+    // summary of eval_calibration's reliability diagram: ECE =
+    // Σ_b (n_b/N)·|acc_b − conf_b| = Σ_b |n_pos_b − Σp_b| / N. The
+    // per-bin deviation is EXACT decimal arithmetic (integer positive
+    // counts minus 6-dp decimal prediction sums), so the whole metric
+    // is exact until its single final division — the eval-family
+    // discipline. Plan: the same map-only binning + one combinable
+    // 10-group rollup as eval_calibration, collapsed to one row.
+    "eval_ece" -> ((s, d) =>
+      load(s, d, "documents").filter(col("text").isNotNull)
+        .selectExpr("(lang = 'en') AS pos",
+          "CAST(size(array_distinct(split(text, ' '))) AS DOUBLE)" +
+            " / size(split(text, ' ')) AS p")
+        .selectExpr("pos", "CAST(least(floor(p * 10), 9) AS BIGINT) AS bin",
+          "CAST(p AS DECIMAL(18,6)) AS pd")
+        .groupBy("bin")
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+          sum(col("pd")).cast(DecimalType(38, 6)).as("sum_p"))
+        .agg(count(lit(1)).cast("bigint").as("n_bins"),
+          sum(col("n")).cast("bigint").as("n"),
+          sum(abs(col("n_pos").cast(DecimalType(38, 6)) - col("sum_p")))
+            .cast(DecimalType(38, 6)).as("sum_dev"))
+        .selectExpr("n_bins", "n", "sum_dev",
+          "CAST(CAST(sum_dev AS DOUBLE) / n AS DECIMAL(18,6)) AS ece")),
+
+    // AB14 (round 12): SPEARMAN RANK CORRELATION between two quality
+    // orderings (total vs distinct token count) per language — the
+    // rank-statistic complement of agg_corr_pairs' Pearson. Ranks are
+    // row_number with the doc_id tie-break (deterministic, not
+    // average-rank), d² sums are ALL-INTEGER, and ρ = 1 − 6Σd²/
+    // (n(n²−1)) is exact until one double division, NULL-guarded at
+    // n<2 (the eval_forecast zero-variance discipline). One lang
+    // shuffle; both rank windows ride it.
+    "eval_spearman" -> ((s, d) => {
+      val m = load(s, d, "documents").filter(col("text").isNotNull)
+        .selectExpr("lang", "doc_id",
+          "CAST(size(split(text, ' ')) AS BIGINT) AS m_a",
+          "CAST(size(array_distinct(split(text, ' '))) AS BIGINT) AS m_b")
+      val wa = Window.partitionBy("lang")
+        .orderBy(col("m_a").desc, col("doc_id"))
+      val wb = Window.partitionBy("lang")
+        .orderBy(col("m_b").desc, col("doc_id"))
+      m.withColumn("ra", row_number().over(wa).cast("long"))
+        .withColumn("rb", row_number().over(wb).cast("long"))
+        .groupBy("lang")
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum((col("ra") - col("rb")) * (col("ra") - col("rb")))
+            .cast("bigint").as("sum_d2"))
+        .selectExpr("lang", "n", "sum_d2",
+          "CAST(CASE WHEN n < 2 THEN NULL" +
+            " ELSE 1.0 - 6.0 * CAST(sum_d2 AS DOUBLE)" +
+            " / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * n - 1.0))" +
+            " END AS DECIMAL(18,6)) AS rho")
+        .orderBy("lang")
+    }),
+
+    // AB15 (round 12): GENERATION-EVAL N-GRAM OVERLAP — the BLEU-shape
+    // core (Papineni et al. ACL'02, public literature) the eval family
+    // lacked: per (candidate, reference) pair the CLIPPED 1- and
+    // 2-gram precisions — Σ_g min(count_cand(g), count_ref(g)) over
+    // shared grams, divided by candidate gram counts. Pairs are
+    // deterministic (each doc vs the next doc_id in its language);
+    // bigrams come from a position self-join (posexplode + pos+1 —
+    // both engines build them the same way, no index-lambda
+    // divergence); clipping is exact integer min-sum; only the final
+    // precision ratios divide, through the DECIMAL(18,6) render. The
+    // transcendental BLEU fold (brevity-penalty exp, log-precision
+    // mean) is deliberately NOT computed — cross-engine libm is not
+    // bit-stable, and the distributed-heavy part IS the clipped
+    // counting. Plan: gram counts are (doc, gram)-keyed combinable
+    // aggs; each clip term is pairs ⋈ cand-grams ⋈ ref-grams on
+    // (pair, gram) — keyed equi-joins end to end, never a cartesian;
+    // everything downstream of the counts is pair-sized.
+    "eval_ngram_overlap" -> ((s, d) => {
+      val docs = load(s, d, "documents").filter(col("text").isNotNull)
+        .select(col("lang"), col("doc_id"), split(col("text"), " ").as("toks"))
+      val wl = Window.partitionBy("lang").orderBy("doc_id")
+      val pairs = docs
+        .withColumn("ref_id", lead(col("doc_id"), 1).over(wl))
+        .filter(col("ref_id").isNotNull)
+        .select("lang", "doc_id", "ref_id")
+      val toks = docs.select(col("doc_id"),
+        posexplode(col("toks")).as(Seq("pos", "tok")))
+      val uni = toks.select(col("doc_id"), col("tok").as("gram"))
+      val big = toks.as("a").join(toks.as("b"),
+          col("a.doc_id") === col("b.doc_id") &&
+            col("b.pos") === col("a.pos") + 1)
+        .select(col("a.doc_id").as("doc_id"),
+          concat(col("a.tok"), lit(" "), col("b.tok")).as("gram"))
+      def grams(g: org.apache.spark.sql.DataFrame) =
+        g.groupBy("doc_id", "gram").agg(count(lit(1)).cast("bigint").as("c"))
+      def clipSum(g: org.apache.spark.sql.DataFrame, out: String) = {
+        val cand = g.select(col("doc_id"), col("gram"), col("c").as("cc"))
+        val ref = g.select(col("doc_id").as("ref_id"), col("gram"),
+          col("c").as("rc"))
+        pairs.join(cand, "doc_id").join(ref, Seq("ref_id", "gram"))
+          .groupBy("doc_id")
+          .agg(sum(least(col("cc"), col("rc"))).cast("bigint").as(out))
+      }
+      val lens = docs.select(col("doc_id"),
+        size(col("toks")).cast("bigint").as("c_len"))
+      pairs.join(lens, "doc_id")
+        .join(clipSum(grams(uni), "cl1"), Seq("doc_id"), "left")
+        .join(clipSum(grams(big), "cl2"), Seq("doc_id"), "left")
+        .selectExpr("lang", "doc_id", "ref_id", "c_len",
+          "CAST(coalesce(cl1, 0) AS BIGINT) AS clip1",
+          "CAST(coalesce(cl2, 0) AS BIGINT) AS clip2",
+          "CAST(CAST(coalesce(cl1, 0) AS DOUBLE) / c_len" +
+            " AS DECIMAL(18,6)) AS p1",
+          "CAST(CASE WHEN c_len > 1 THEN" +
+            " CAST(coalesce(cl2, 0) AS DOUBLE) / (c_len - 1)" +
+            " ELSE NULL END AS DECIMAL(18,6)) AS p2")
+        .orderBy("lang", "doc_id")
+    }),
+
     // AB5: curriculum sampling — stage by length band, deterministic
     // md5-shuffled order within stage, and HALF of each stage's token
     // mass selected by running budget. The per-stage prefix sum runs
@@ -807,6 +923,94 @@ object RetrievalQueries {
     "text_bm25_postings_delete" -> bm25SqlOver(" AND doc_id % 7 <> 0"),
     "text_bm25_postings_compact" -> bm25SqlOver(" AND doc_id % 7 <> 0"),
     "text_bm25_postings_purge" -> bm25PurgeSql,
+    // AB13 twin: same deciles as eval_calibration, exact per-bin
+    // |n_pos − Σp| decimal deviations, one final division.
+    "eval_ece" ->
+      """WITH scored AS (
+        |  SELECT (lang = 'en') AS pos,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS p
+        |  FROM documents WHERE text IS NOT NULL),
+        | binned AS (SELECT pos,
+        |    CAST(least(floor(p * 10), 9) AS BIGINT) AS bin,
+        |    CAST(p AS DECIMAL(18,6)) AS pd
+        |  FROM scored),
+        | b AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(sum(pd) AS DECIMAL(38,6)) AS sum_p
+        |  FROM binned GROUP BY bin)
+        |SELECT CAST(count(*) AS BIGINT) AS n_bins,
+        |  CAST(sum(n) AS BIGINT) AS n,
+        |  CAST(sum(abs(CAST(n_pos AS DECIMAL(38,6)) - sum_p))
+        |    AS DECIMAL(38,6)) AS sum_dev,
+        |  CAST(CAST(sum(abs(CAST(n_pos AS DECIMAL(38,6)) - sum_p))
+        |      AS DOUBLE) / sum(n) AS DECIMAL(18,6)) AS ece
+        |FROM b""".stripMargin,
+    // AB14 twin: identical deterministic row_number ranks (doc_id
+    // tie-break), all-integer d² sums, one guarded division.
+    "eval_spearman" ->
+      """WITH m AS (SELECT lang, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS m_a,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |      AS m_b
+        |  FROM documents WHERE text IS NOT NULL),
+        | r AS (SELECT lang,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY m_a DESC, doc_id) AS BIGINT) AS ra,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY m_b DESC, doc_id) AS BIGINT) AS rb
+        |  FROM m)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2,
+        |  CAST(CASE WHEN count(*) < 2 THEN NULL
+        |    ELSE 1.0 - 6.0 * CAST(sum((ra - rb) * (ra - rb)) AS DOUBLE)
+        |      / (CAST(count(*) AS DOUBLE)
+        |        * (CAST(count(*) AS DOUBLE) * count(*) - 1.0))
+        |    END AS DECIMAL(18,6)) AS rho
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+    // AB15 twin: positions via generate_subscripts (1-based; the
+    // bigram join is pos+1 on both engines so the base cancels),
+    // clipped min-sums over shared grams, same precision renders.
+    "eval_ngram_overlap" ->
+      """WITH d AS (SELECT lang, doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        | pr AS (SELECT lang, doc_id,
+        |    lead(doc_id) OVER (PARTITION BY lang ORDER BY doc_id) AS ref_id
+        |  FROM d),
+        | p2 AS (SELECT lang, doc_id, ref_id FROM pr WHERE ref_id IS NOT NULL),
+        | tok AS (SELECT doc_id, generate_subscripts(toks, 1) AS pos,
+        |    unnest(toks) AS tok FROM d),
+        | uni AS (SELECT doc_id, tok AS gram FROM tok),
+        | big AS (SELECT a.doc_id, a.tok || ' ' || b.tok AS gram
+        |  FROM tok a JOIN tok b
+        |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        | uc AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c
+        |  FROM uni GROUP BY 1, 2),
+        | bc AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c
+        |  FROM big GROUP BY 1, 2),
+        | c1 AS (SELECT p.doc_id, CAST(sum(least(ca.c, ra.c)) AS BIGINT)
+        |      AS clip
+        |  FROM p2 p JOIN uc ca ON ca.doc_id = p.doc_id
+        |    JOIN uc ra ON ra.doc_id = p.ref_id AND ra.gram = ca.gram
+        |  GROUP BY 1),
+        | c2 AS (SELECT p.doc_id, CAST(sum(least(ca.c, ra.c)) AS BIGINT)
+        |      AS clip
+        |  FROM p2 p JOIN bc ca ON ca.doc_id = p.doc_id
+        |    JOIN bc ra ON ra.doc_id = p.ref_id AND ra.gram = ca.gram
+        |  GROUP BY 1),
+        | lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS c_len FROM d)
+        |SELECT p.lang, p.doc_id, p.ref_id, l.c_len,
+        |  CAST(coalesce(c1.clip, 0) AS BIGINT) AS clip1,
+        |  CAST(coalesce(c2.clip, 0) AS BIGINT) AS clip2,
+        |  CAST(CAST(coalesce(c1.clip, 0) AS DOUBLE) / l.c_len
+        |    AS DECIMAL(18,6)) AS p1,
+        |  CAST(CASE WHEN l.c_len > 1 THEN
+        |      CAST(coalesce(c2.clip, 0) AS DOUBLE) / (l.c_len - 1)
+        |    ELSE NULL END AS DECIMAL(18,6)) AS p2
+        |FROM p2 p JOIN lens l ON l.doc_id = p.doc_id
+        |LEFT JOIN c1 ON c1.doc_id = p.doc_id
+        |LEFT JOIN c2 ON c2.doc_id = p.doc_id
+        |ORDER BY p.lang, p.doc_id""".stripMargin,
     "sim_hybrid" ->
       """WITH uni AS (
         |  SELECT d.doc_id AS id, list_distinct(string_split(d.text, ' ')) AS toks,

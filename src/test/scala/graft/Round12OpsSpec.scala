@@ -104,6 +104,120 @@ class Round12OpsSpec extends GraftSpec {
     intercept[IllegalStateException](CommitLog.writeCommitTs(t, 1L, 160L))
   }
 
+  test("eval_ece equals the fold of eval_calibration's own bins") {
+    val cal = q("eval_calibration").collect()
+    val sumDev = cal.map(r =>
+      java.math.BigDecimal.valueOf(r.getLong(2)) // n_pos
+        .setScale(6).subtract(r.getDecimal(3)).abs) // - sum_p
+      .reduce(_ add _)
+    val n = cal.map(_.getLong(1)).sum
+    val ece = q("eval_ece").collect().head
+    assert(ece.getLong(0) == cal.length && ece.getLong(1) == n)
+    assert(ece.getDecimal(2).compareTo(sumDev) == 0,
+      s"sum_dev ${ece.getDecimal(2)} != calibration fold $sumDev")
+    val expected = new java.math.BigDecimal(
+      sumDev.doubleValue() / n).setScale(6, java.math.RoundingMode.HALF_UP)
+    assert(ece.getDecimal(3).compareTo(expected) == 0)
+  }
+
+  test("eval_spearman matches a driver-side rank recomputation") {
+    val out = q("eval_spearman").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val docs = Tables.load(spark, sf, "documents")
+      .filter(col("text").isNotNull)
+      .select("lang", "doc_id", "text").collect() // test-sized
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    docs.groupBy(_._1).foreach { case (lang, rows) =>
+      val metrics = rows.map { case (_, id, text) =>
+        val toks = text.split(" ", -1)
+        (id, toks.length.toLong, toks.distinct.length.toLong)
+      }
+      def ranks(key: ((Long, Long, Long)) => Long): Map[Long, Long] =
+        metrics.sortBy(m => (-key(m), m._1)).zipWithIndex
+          .map { case (m, i) => m._1 -> (i + 1L) }.toMap
+      val (ra, rb) = (ranks(_._2), ranks(_._3))
+      val d2 = metrics.map(m => { val d = ra(m._1) - rb(m._1); d * d }).sum
+      assert(out(lang) == ((metrics.length.toLong, d2)),
+        s"$lang: got ${out(lang)}, brute force (${metrics.length}, $d2)")
+    }
+  }
+
+  test("eval_ngram_overlap clips match a brute-force pair recomputation") {
+    val out = q("eval_ngram_overlap").collect()
+      .map(r => (r.getLong(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out.nonEmpty)
+    val docs = Tables.load(spark, sf, "documents")
+      .filter(col("text").isNotNull)
+      .select("lang", "doc_id", "text").collect() // test-sized
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val byId = docs.map(d => d._2 -> d._3).toMap
+    def gramCounts(s: String, n: Int): Map[String, Long] = {
+      val t = s.split(" ", -1)
+      t.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    }
+    def clip(c: String, r: String, n: Int): Long = {
+      val (cc, rc) = (gramCounts(c, n), gramCounts(r, n))
+      cc.map { case (g, k) => math.min(k, rc.getOrElse(g, 0L)) }.sum
+    }
+    // recompute ALL pairs: next doc_id within the language
+    docs.groupBy(_._1).foreach { case (_, rows) =>
+      val ids = rows.map(_._2).sorted
+      ids.zip(ids.drop(1)).foreach { case (cid, rid) =>
+        val (cLen, c1, c2) = out((cid, rid))
+        val cand = byId(cid)
+        assert(cLen == cand.split(" ", -1).length.toLong)
+        assert(c1 == clip(cand, byId(rid), 1),
+          s"pair ($cid,$rid) unigram clip")
+        assert(c2 == clip(cand, byId(rid), 2),
+          s"pair ($cid,$rid) bigram clip")
+      }
+    }
+  }
+
+  test("purge composes with column mapping: renamed table purges cleanly") {
+    import spark.implicits._
+    val t = freshDir("graft_r12_purgemap")
+    (0L until 100L).map(k => (k, k * 10L)).toDF("k", "p")
+      .coalesce(1).write.parquet(s"$t/u0")
+    CommitLog.commit(t, 0L, Seq("u0"))
+    CommitLog.renameColumn(spark, t, "p", "price") // v1, metadata-only
+    // purge by the PHYSICAL key column; the colmap sidecar references
+    // no units, so the rewrite leaves it in force
+    val rep = CommitLog.purgeKeys(spark, t, "k", Seq(7L, 8L))
+    assert(rep.rowsPurged == 2L)
+    (0L to 1L).foreach { v =>
+      val snap = CommitLog.snapshotMapped(spark, t, v)
+      val want = if (v == 0L) Seq("k", "p") else Seq("k", "price")
+      assert(snap.schema.fieldNames.toSeq == want)
+      assert(snap.filter(col("k").isin(7L, 8L)).limit(1).isEmpty)
+      assert(snap.count() == 98L)
+    }
+  }
+
+  test("widened columns keep range skipping: cstats probe after widen") {
+    import spark.implicits._
+    val t = freshDir("graft_r12_widenstats")
+    // two INT-typed k-range units with a cstats sidecar
+    Seq(0, 1).foreach { u =>
+      (u * 100 until u * 100 + 100).map(k => (k, k * 2))
+        .toDF("k", "v").coalesce(1).write.parquet(s"$t/u$u")
+    }
+    CommitLog.commit(t, 0L, Seq("u0", "u1"))
+    CommitLog.writeColStats(t, 0L,
+      CommitLog.footerColStats(spark, t, Seq("u0", "u1"), Seq("k")))
+    CommitLog.widenColumn(spark, t, "k", "bigint") // v1: same units
+    CommitLog.writeColStats(t, 1L,
+      CommitLog.footerColStats(spark, t, Seq("u0", "u1"), Seq("k")))
+    // footer stats of an INT32 column read as kind=long, so the range
+    // probe is type-stable across the widen
+    val (df, scanned) = CommitLog.snapshotRangeCol(spark, t, 1L,
+      "k", "0", "99")
+    assert(scanned == 1, s"widened-key probe must still prune, got $scanned")
+    assert(df.filter(col("k").between(0, 99)).count() == 100L)
+  }
+
   private def freshDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
