@@ -1267,6 +1267,46 @@ object LakehouseQueries {
       }.reduce(_ unionAll _).orderBy("version")
     }),
 
+    // S42 (round 12): ADD COLUMN WITH DEFAULT through the column
+    // mapping — the fourth metadata-only evolution, completing the
+    // rename/drop/widen family. v1 records (src, string, 'legacy') in
+    // the mapping sidecar with zero data rewrites: mapped reads
+    // REQUEST the column (pre-add files resolve it NULL in the scan)
+    // and surface the default through one null-coalescing projection;
+    // v2 appends a unit carrying src='fresh' physically, and the
+    // mixed generations read together. Time travel below the add does
+    // not see the column. Output: per-version rows/total plus
+    // legacy/fresh counts the add makes observable in VALUES.
+    "dml_add_col" -> ((s, d) => {
+      import graft.sources.CommitLog
+      val root = graft.queries.ScaleQueries.freshDir(addColDir, d, "orders") {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_addcol").toString
+        val base = load(s, d, "orders")
+          .select(col("o_orderkey").as("k"), dec(col("o_totalprice")).as("p"))
+        base.filter(col("k") % 2 === 0).write.parquet(s"$dir/data/s0")
+        CommitLog.commit(dir, 0L, Seq("data/s0"))
+        CommitLog.addColumn(s, dir, "src", "string", "'legacy'") // v1
+        base.filter(col("k") % 2 === 1).withColumn("src", lit("fresh"))
+          .write.parquet(s"$dir/data/s1")
+        CommitLog.commit(dir, 2L, Seq("data/s0", "data/s1"))
+        dir
+      }
+      CommitLog.versions(root).map { v =>
+        val snap = CommitLog.snapshotMapped(s, root, v)
+        def srcCount(value: String) =
+          if (snap.schema.fieldNames.contains("src"))
+            sum(when(col("src") === value, 1L).otherwise(0L)).cast("bigint")
+          else max(lit(null).cast("bigint"))
+        snap.agg(count(lit(1)).as("n_rows"),
+            sum(col("p")).cast(DecimalType(38, 2)).as("total"),
+            srcCount("legacy").as("n_legacy"),
+            srcCount("fresh").as("n_fresh"))
+          .select(lit(v).cast("bigint").as("version"), col("n_rows"),
+            col("total"), col("n_legacy"), col("n_fresh"))
+      }.reduce(_ unionAll _).orderBy("version")
+    }),
+
     "dml_rename_col" -> ((s, d) => {
       import graft.sources.CommitLog
       val root = graft.queries.ScaleQueries.freshDir(renameDir, d, "orders") {
@@ -1736,6 +1776,9 @@ object LakehouseQueries {
   private val dropColDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  private val addColDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private val widenColDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -1921,6 +1964,30 @@ object LakehouseQueries {
         |  CAST(CASE WHEN version = 0
         |    THEN (SELECT count(clerk) FROM base WHERE k % 2 = 0)
         |    ELSE NULL END AS BIGINT) AS clerk_rows
+        |FROM vv ORDER BY version""".stripMargin,
+    // S42 twin: membership arithmetic per version; the src counts are
+    // NULL below the add, all-legacy at the add (the default
+    // backfills), and split legacy/fresh once the physical appends
+    // land.
+    "dml_add_col" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        | vv AS (SELECT CAST(0 AS BIGINT) AS version
+        |    UNION ALL SELECT CAST(1 AS BIGINT)
+        |    UNION ALL SELECT CAST(2 AS BIGINT))
+        |SELECT version,
+        |  CAST(CASE WHEN version <= 1
+        |    THEN (SELECT count(*) FROM base WHERE k % 2 = 0)
+        |    ELSE (SELECT count(*) FROM base) END AS BIGINT) AS n_rows,
+        |  CAST(CASE WHEN version <= 1
+        |    THEN (SELECT sum(p) FROM base WHERE k % 2 = 0)
+        |    ELSE (SELECT sum(p) FROM base) END AS DECIMAL(38,2)) AS total,
+        |  CAST(CASE WHEN version = 0 THEN NULL
+        |    ELSE (SELECT count(*) FROM base WHERE k % 2 = 0)
+        |    END AS BIGINT) AS n_legacy,
+        |  CAST(CASE WHEN version = 0 THEN NULL WHEN version = 1 THEN 0
+        |    ELSE (SELECT count(*) FROM base WHERE k % 2 = 1)
+        |    END AS BIGINT) AS n_fresh
         |FROM vv ORDER BY version""".stripMargin,
     // S41 twin: exact integer cents arithmetic; the widened appends
     // add 3e9 per odd row — values an INT cannot hold.

@@ -240,7 +240,7 @@ object RetrievalQueries {
     * postings, corpus stats from the signed meta fold — then the
     * shared expression + pivot.
     */
-  private def bm25FromIndex(s: org.apache.spark.sql.SparkSession,
+  private[graft] def bm25FromIndex(s: org.apache.spark.sql.SparkSession,
       root: String, version: Long): org.apache.spark.sql.DataFrame = {
     import graft.sources.CommitLog
     // the query terms' buckets through the SAME engine hash
@@ -835,11 +835,11 @@ object RetrievalQueries {
       |      ORDER BY rel DESC, c_id) AS BIGINT) AS ik
       |  FROM pairs)""".stripMargin
 
-  /** One SQL twin for BOTH bm25 scorers: the index-backed formulation
-    * must be value-identical to the from-scratch scan — sharing the
-    * oracle string IS that contract.
+  /** The shared CTE chain of every bm25 oracle (one twin for the
+    * from-scratch scan, the index probes, AND the streamed-index
+    * probes: sharing the string IS the index contract).
     */
-  private val bm25SqlBody: String =
+  private val bm25Ctes: String =
     """ dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
         | corpus AS (SELECT CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
@@ -859,10 +859,26 @@ object RetrievalQueries {
         |    coalesce(sum(CASE WHEN term = 'merge' THEN w END), 0.0) AS w_merge,
         |    coalesce(sum(CASE WHEN term = 'scan' THEN w END), 0.0) AS w_scan,
         |    coalesce(sum(CASE WHEN term = 'window' THEN w END), 0.0) AS w_window
-        |  FROM ts GROUP BY doc_id)
-        |SELECT doc_id, n_hit,
+        |  FROM ts GROUP BY doc_id)""".stripMargin
+
+  private val bm25SqlBody: String = bm25Ctes +
+    """
+      |SELECT doc_id, n_hit,
+      |  CAST(w_hash + w_join + w_merge + w_scan + w_window AS DECIMAL(18,6)) AS bm25
+      |FROM piv ORDER BY doc_id""".stripMargin
+
+  /** One VERSION of a versioned scorer union (the streamed-index
+    * twin): the shared CTE chain over `corpusPred`'s membership with
+    * a version literal prefixed to each row.
+    */
+  private[graft] def bm25VersionedSqlOver(v: Int, corpusPred: String): String =
+    s"""(WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL$corpusPred),""".stripMargin +
+      "\n" + bm25Ctes +
+      s"""
+        |SELECT CAST($v AS BIGINT) AS version, doc_id, n_hit,
         |  CAST(w_hash + w_join + w_merge + w_scan + w_window AS DECIMAL(18,6)) AS bm25
-        |FROM piv ORDER BY doc_id""".stripMargin
+        |FROM piv)""".stripMargin
 
   /** The shared scorer SQL over a parameterizable corpus predicate —
     * one body for the scan, the index probe, AND the post-deletion

@@ -2287,8 +2287,10 @@ object CommitLog {
     * parquet readers up-convert under the wider requested schema).
     */
   final case class ColMapping(renames: Map[String, String],
-      dropped: Set[String], widened: Map[String, String]) {
-    def isEmpty: Boolean = renames.isEmpty && dropped.isEmpty && widened.isEmpty
+      dropped: Set[String], widened: Map[String, String],
+      added: Map[String, (String, String)] = Map.empty) {
+    def isEmpty: Boolean = renames.isEmpty && dropped.isEmpty &&
+      widened.isEmpty && added.isEmpty
   }
 
   private val EmptyMapping = ColMapping(Map.empty, Set.empty, Map.empty)
@@ -2306,7 +2308,10 @@ object CommitLog {
   /** Line grammar (fields URL-encoded, so the RAW markers below can
     * never collide with a real name): `P|L` rename, `P|!drop` dropped
     * (raw `!drop` — an encoded column named "!drop" renders `%21drop`),
-    * `P|L|T` logical name L (possibly = P) read at widened DDL type T.
+    * `P|L|T` logical name L (possibly = P) read at widened DDL type T,
+    * `N|!add|T|D` column N added with DDL type T and default SQL
+    * literal D (files written before the add surface D; files after
+    * it carry N physically).
     */
   private def writeColMapping(table: String, version: Long,
       m: ColMapping): Unit = {
@@ -2320,6 +2325,8 @@ object CommitLog {
           s"${enc(p)}|${enc(m.renames.getOrElse(p, p))}|${enc(t)}"
         case None => s"${enc(p)}|${enc(m.renames(p))}"
       }
+    } ++ m.added.toSeq.sortBy(_._1).map { case (n, (t, dflt)) =>
+      s"${enc(n)}|!add|${enc(t)}|${enc(dflt)}"
     }
     publishSidecar(table, version, "colmap.txt",
       lines.mkString("", "\n", "\n"))
@@ -2345,12 +2352,16 @@ object CommitLog {
           renames = entries.collect {
             case Array(p, l) if l != "!drop" && dec(l) != dec(p) =>
               dec(p) -> dec(l)
-            case Array(p, l, _) if dec(l) != dec(p) => dec(p) -> dec(l)
+            case Array(p, l, _) if l != "!add" && dec(l) != dec(p) =>
+              dec(p) -> dec(l)
           }.toMap,
           dropped = entries.collect {
             case Array(p, "!drop") => dec(p) }.toSet,
           widened = entries.collect {
-            case Array(p, _, t) => dec(p) -> dec(t) }.toMap)
+            case Array(p, l, t) if l != "!add" => dec(p) -> dec(t) }.toMap,
+          added = entries.collect {
+            case Array(n, "!add", t, dflt) => dec(n) -> (dec(t), dec(dflt))
+          }.toMap)
       }.getOrElse(EmptyMapping)
   }
 
@@ -2379,6 +2390,7 @@ object CommitLog {
     snapshot(spark, table, version).schema.fieldNames.toIndexedSeq
       .filterNot(cm.dropped)
       .map(p => cm.renames.getOrElse(p, p))
+      .filterNot(cm.added.contains) ++ cm.added.keys.toSeq.sorted
 
   def renameColumn(spark: SparkSession, table: String,
       from: String, to: String): Long = {
@@ -2390,6 +2402,9 @@ object CommitLog {
         s"${logical.mkString(",")})")
     require(!logical.contains(to) || from == to,
       s"rename: $table already has a column $to")
+    require(!cm.added.contains(from),
+      s"rename: $from is a mapping-added column — drop and re-add it " +
+        "under the new name (its default travels with the entry)")
     // the physical name behind the logical `from`
     val phys = cm.renames.find(_._2 == from).map(_._1).getOrElse(from)
     val next = (cm.renames - phys) ++
@@ -2419,11 +2434,53 @@ object CommitLog {
         s"${logical.mkString(",")})")
     require(logical.size > 1,
       s"drop: $name is the last visible column of $table")
-    val phys = cm.renames.find(_._2 == name).map(_._1).getOrElse(name)
     val nv = v + 1
     commit(table, nv, unitsRel(table, v))
-    writeColMapping(table, nv, ColMapping(cm.renames - phys,
-      cm.dropped + phys, cm.widened - phys))
+    if (cm.added.contains(name))
+      // dropping an ADDED column is pure mapping arithmetic: remove
+      // the entry (post-add files' physical copies become invisible
+      // like any tombstoned column)
+      writeColMapping(table, nv,
+        cm.copy(added = cm.added - name, dropped = cm.dropped + name))
+    else {
+      val phys = cm.renames.find(_._2 == name).map(_._1).getOrElse(name)
+      writeColMapping(table, nv, ColMapping(cm.renames - phys,
+        cm.dropped + phys, cm.widened - phys, cm.added))
+    }
+    nv
+  }
+
+  /** ADD COLUMN WITH DEFAULT as a metadata-only commit (round 12 —
+    * the fourth mapping evolution): publish version+1 with the same
+    * units plus a mapping entry recording (name, DDL type, default
+    * SQL literal). No file is rewritten — mapped reads request the
+    * column (files that predate the add resolve it as NULL in the
+    * scan) and surface the default through one null-coalescing
+    * projection; post-add appends carry it physically. Semantics are
+    * NOT-NULL-with-default: an explicitly-written NULL in a post-add
+    * file is indistinguishable from an absent value at the parquet
+    * layer and also surfaces the default — nullable added columns
+    * would need a file-generation split this mapping deliberately
+    * avoids. Time travel below the add does not see the column.
+    */
+  def addColumn(spark: SparkSession, table: String, name: String,
+      toDdl: String, defaultSql: String): Long = {
+    import org.apache.spark.sql.types.StructType
+    val v = latestVersion(table)
+    val cm = colMappingAt(table, v)
+    val logical = logicalFields(spark, table, v, cm)
+    require(!logical.contains(name),
+      s"add: $table already has a column $name")
+    val target = StructType.fromDDL(s"c $toDdl").head.dataType
+    // the default literal must parse and cast to the declared type
+    val probe = spark.range(1).select(
+      org.apache.spark.sql.functions.expr(defaultSql).cast(target))
+    require(!probe.head().isNullAt(0),
+      s"add: default $defaultSql does not cast to $toDdl")
+    val nv = v + 1
+    commit(table, nv, unitsRel(table, v))
+    writeColMapping(table, nv,
+      cm.copy(added = cm.added + (name -> (target.sql, defaultSql))))
     nv
   }
 
@@ -2466,6 +2523,9 @@ object CommitLog {
     require(logical.contains(name),
       s"widen: $table has no column $name (logical schema: " +
         s"${logical.mkString(",")})")
+    require(!cm.added.contains(name),
+      s"widen: $name is a mapping-added column — drop and re-add it " +
+        "at the wider type")
     val phys = cm.renames.find(_._2 == name).map(_._1).getOrElse(name)
     val target = StructType.fromDDL(s"c $toDdl").head.dataType
     // widen FROM the current logical type (widenings chain)
@@ -2491,13 +2551,15 @@ object CommitLog {
     */
   def snapshotMapped(spark: SparkSession, table: String,
       version: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr}
     import org.apache.spark.sql.types.{StructField, StructType}
     val cm = colMappingAt(table, version)
     if (cm.isEmpty) snapshot(spark, table, version)
     else {
       val physSchema = snapshot(spark, table, version).schema
-      val want = StructType(physSchema.fields.toIndexedSeq
+      val base = StructType(physSchema.fields.toIndexedSeq
         .filterNot(f => cm.dropped(f.name))
+        .filterNot(f => cm.added.contains(f.name))
         .map { f =>
           cm.widened.get(f.name) match {
             case Some(t) => StructField(f.name,
@@ -2505,10 +2567,20 @@ object CommitLog {
             case None => f
           }
         })
-      spark.read.schema(want).parquet(units(table, version): _*)
-        .select(want.fieldNames.toIndexedSeq.map(p =>
-          org.apache.spark.sql.functions.col(p)
-            .as(cm.renames.getOrElse(p, p))): _*)
+      // added columns are REQUESTED from the scan (pre-add files
+      // resolve them as NULL; post-add files carry real values) and
+      // surface their default through one null-coalescing projection
+      val addedFields = cm.added.toSeq.sortBy(_._1).map { case (n, (t, _)) =>
+        StructField(n, StructType.fromDDL(s"c $t").head.dataType, true)
+      }
+      val want = StructType(base.fields.toIndexedSeq ++ addedFields)
+      val df = spark.read.schema(want).parquet(units(table, version): _*)
+      df.select(base.fieldNames.toIndexedSeq.map(p =>
+        col(p).as(cm.renames.getOrElse(p, p))) ++
+        cm.added.toSeq.sortBy(_._1).map { case (n, (t, dflt)) =>
+          coalesce(col(n), expr(dflt)
+            .cast(StructType.fromDDL(s"c $t").head.dataType)).as(n)
+        }: _*)
     }
   }
 

@@ -654,6 +654,99 @@ object StreamQueries {
         .reduce(_ unionAll _).orderBy("txn")
     }),
 
+    // I13 (round 12): THE SEARCH INDEX MAINTAINED BY A STREAM — the
+    // stream_commit_sink idempotent-ingest pattern composed with the
+    // text_bm25_postings layout: each micro-batch of arriving docs
+    // tokenizes into term-hash-bucketed postings units + a 1-row meta
+    // unit (O(batch) work — the corpus is never re-tokenized), then
+    // races tryCommit at version = batchId; a replayed batch rewrites
+    // the same deterministic units and loses the race to itself, so
+    // the index never double-counts a document. The stats sidecar
+    // (bucket ids + meta markers) publishes per commit by carrying
+    // the previous version's entries verbatim + footer-measuring only
+    // the new units — O(batch) metadata, and every committed
+    // generation is probe-ready FROM BIRTH. Output: the bm25FromIndex
+    // probe at BOTH streamed generations (v0 = the standing corpus,
+    // v1 = + the arriving batch), sharing the versioned from-scratch
+    // oracle — the streamed index must score exactly like a batch
+    // rebuild at every generation, which is the whole contract. At
+    // 100 TB this is continuous search-index ingest: per micro-batch
+    // cost = tokenize(batch) + one manifest/sidecar write; probes pay
+    // only the query terms' buckets across all generations.
+    "stream_postings_ingest" -> ((s, d) => {
+      import graft.sources.CommitLog
+      val docs = load(s, d, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      val srcDir = tmp("graft_spost_src")
+      val root = tmp("graft_spost_idx")
+      val ckpt = tmp("graft_spost_ckpt")
+      def drain(): Unit = {
+        val sdf = s.readStream.schema(docs.schema).parquet(srcDir)
+        val q = sdf.writeStream.outputMode("append")
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            val sub = f"b$id%05d"
+            batch.select(col("doc_id"),
+                expr("CAST(size(split(text, ' ')) AS BIGINT)").as("dl"),
+                explode(split(col("text"), " ")).as("term"))
+              .groupBy("term", "doc_id", "dl")
+              .agg(count(lit(1)).cast("bigint").as("tf"))
+              .withColumn("bucket", expr("pmod(xxhash64(term), 8)"))
+              .withColumn("bval", col("bucket"))
+              .write.mode("overwrite").partitionBy("bucket")
+              .parquet(s"$root/data/$sub")
+            batch.agg(count(lit(1)).cast("bigint").as("n_docs"),
+                sum(expr("CAST(size(split(text, ' ')) AS BIGINT)"))
+                  .cast("bigint").as("sum_dl"))
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$root/data/${sub}_meta")
+            val dirs = {
+              import scala.jdk.CollectionConverters._
+              val st = java.nio.file.Files.list(
+                java.nio.file.Paths.get(root, "data", sub))
+              try st.iterator().asScala
+                .filter(_.getFileName.toString.startsWith("bucket="))
+                .map(p => s"data/$sub/${p.getFileName}").toVector.sorted
+              finally st.close()
+            }
+            val counts = CommitLog
+              .footerColStats(s, root, dirs, Seq("doc_id"))
+              .map(cs => cs.unit -> cs.count).toMap
+            val st = dirs.map { u =>
+              val b = u.substring(u.indexOf("bucket=") + 7).toLong
+              (u, b, b, counts(u))
+            } :+ ((s"data/${sub}_meta", -1L, -1L, 1L))
+            val havePrev = CommitLog.versions(root).nonEmpty
+            val prev: Seq[String] =
+              if (havePrev) CommitLog.unitNames(root,
+                CommitLog.latestVersion(root))
+              else Seq.empty
+            val prevSt =
+              if (havePrev) CommitLog.stats(root,
+                CommitLog.latestVersion(root))
+              else Seq.empty
+            // idempotent: a replayed batch rewrote the same units and
+            // loses the commit race here — stats publish only on win
+            if (CommitLog.tryCommit(root, id, prev ++ st.map(_._1)))
+              CommitLog.writeStats(root, id, prevSt ++ st)
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      docs.filter(col("doc_id") % 10 =!= 0).coalesce(1)
+        .write.mode("append").parquet(srcDir)
+      drain()
+      docs.filter(col("doc_id") % 10 === 0).coalesce(1)
+        .write.mode("append").parquet(srcDir)
+      drain()
+      (0L to 1L).map { v =>
+        graft.queries.RetrievalQueries.bm25FromIndex(s, root, v)
+          .select(lit(v).cast("bigint").as("version"),
+            col("doc_id"), col("n_hit"), col("bm25"))
+      }.reduce(_ unionAll _).orderBy("version", "doc_id")
+    }),
+
     "stream_commit_sink" -> ((s, d) => {
       import graft.sources.CommitLog
       val ev = load(s, d, "events")
@@ -802,6 +895,15 @@ object StreamQueries {
     * truncation, matching Tables.load's integer-div rebuild.
     */
   val oracle: Map[String, String] = Map(
+    // I13 twin: the SHARED bm25 CTE chain per streamed generation —
+    // the streamed index must score exactly like a from-scratch
+    // rebuild at every version it ever committed.
+    "stream_postings_ingest" ->
+      (graft.queries.RetrievalQueries.bm25VersionedSqlOver(
+          0, " AND doc_id % 10 <> 0") +
+        "\nUNION ALL\n" +
+        graft.queries.RetrievalQueries.bm25VersionedSqlOver(1, "") +
+        "\nORDER BY version, doc_id"),
     // I12 twin: the dml_txn_multi invariant, maintained streamingly —
     // per txn the fact recount equals the stored aggregate; the
     // orphaned fact version appears in NO row.

@@ -550,7 +550,39 @@ object ScaleStress {
     val (jr1, jt1) = timeCount(() => shardExport(d1, "1"))
     val (jrn, jtn) = timeCount(() => shardExport(dN, "N"))
 
+    // --- negative sampling over an N× corpus (round 12 / ADVICE r11:
+    //     the bucket count now DERIVES from the corpus — nb =
+    //     greatest(16, n DIV 256) — so candidate pairs stay O(n × 256)
+    //     and runtime ≈ N; the old fixed-16 blocking was O((n/16)²)
+    //     and would measure ≈ N² here) --------------------------------
+    val negBase = load(spark, sfDir, "documents")
+      .filter(col("text").isNotNull).select("doc_id")
+    def negIds(n: Int): DataFrame = materialize(
+      (0 until n).map(k =>
+        negBase.select((col("doc_id") + lit(k * off)).as("doc_id")))
+        .reduce(_ union _), s"neg$n")
+    def negSample(df: DataFrame): DataFrame = {
+      val nb = df.agg(count(lit(1)).as("n"))
+        .selectExpr("greatest(CAST(16 AS BIGINT), n DIV 256) AS nb")
+      val docs = df.crossJoin(broadcast(nb))
+        .selectExpr("doc_id",
+          "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)" +
+            " AS BIGINT) % nb AS b")
+      val cands = docs.selectExpr("b", "doc_id AS neg_id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("pair_h"), col("neg_id"))
+      docs.join(cands, "b").filter(col("doc_id") =!= col("neg_id"))
+        .withColumn("pair_h", md5(concat(col("doc_id").cast("string"),
+          lit("|"), col("neg_id").cast("string"))))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+    }
+    val (ui1r, ui1t) = timeCount(() => negSample(negIds(1)))
+    val (uiNr, uiNt) = timeCount(() => negSample(negIds(mult)))
+
     Seq(
+      ("sample_negative (corpus-derived bucket count, pairs O(n×256))",
+        ui1r, ui1t, uiNr, uiNt),
       ("sessionize_batch", sr1, st1, srn, stn),
       ("dedup_cluster (connectedComponents)", cr1, ct1, crn, ctn),
       ("dedup_embed_cos (cosinePairsBlocked)", pr1, pt1, prn, ptn),

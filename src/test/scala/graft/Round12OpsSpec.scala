@@ -299,6 +299,47 @@ class Round12OpsSpec extends GraftSpec {
     assert(d.toPlainString == "1.50")
   }
 
+  test("addColumn: default backfills pre-add files; appends carry it physically") {
+    import spark.implicits._
+    val t = freshDir("graft_r12_add")
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "p")
+      .coalesce(1).write.parquet(s"$t/u0")
+    CommitLog.commit(t, 0L, Seq("u0"))
+    val v1 = CommitLog.addColumn(spark, t, "src", "string", "'legacy'")
+    assert(v1 == 1L)
+    // v1: the default surfaces for every pre-add row; v0 never sees it
+    assert(CommitLog.snapshotMapped(spark, t, 0L).schema.fieldNames.toSeq
+      == Seq("k", "p"))
+    val s1 = CommitLog.snapshotMapped(spark, t, 1L)
+    assert(s1.schema.fieldNames.toSeq == Seq("k", "p", "src"))
+    assert(s1.filter(col("src") === "legacy").count() == 2L)
+    // post-add append carries the column physically
+    Seq((3L, 30L, "fresh")).toDF("k", "p", "src")
+      .coalesce(1).write.parquet(s"$t/u1")
+    CommitLog.commit(t, 2L, Seq("u0", "u1"))
+    val s2 = CommitLog.snapshotMapped(spark, t, 2L).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(s2.toSeq ==
+      Seq((1L, "legacy"), (2L, "legacy"), (3L, "fresh")))
+    // an invalid default is refused up front
+    intercept[IllegalArgumentException](
+      CommitLog.addColumn(spark, t, "bad", "bigint", "'not_a_number'"))
+    // adding an existing column is refused; rename/widen of an added
+    // column route to drop-and-re-add
+    intercept[IllegalArgumentException](
+      CommitLog.addColumn(spark, t, "src", "string", "'x'"))
+    intercept[IllegalArgumentException](
+      CommitLog.renameColumn(spark, t, "src", "origin"))
+    intercept[IllegalArgumentException](
+      CommitLog.widenColumn(spark, t, "src", "string"))
+    // dropping the added column removes it AND tombstones the
+    // physical copies the post-add appends wrote
+    CommitLog.dropColumn(spark, t, "src")
+    val s3 = CommitLog.snapshotMapped(spark, t, 3L)
+    assert(s3.schema.fieldNames.toSeq == Seq("k", "p"))
+    assert(s3.count() == 3L)
+  }
+
   test("rename, widen and drop COMPOSE through one mapping") {
     import spark.implicits._
     val t = freshDir("graft_r12_compose")
