@@ -297,6 +297,13 @@ class PlanShapeSpec extends GraftSpec {
       s"candidate pairing must be a bucket equi-join:\n${plan.take(1500)}")
   }
 
+  test("eval_ngram_overlap pairs grams through equi-joins, never a cartesian") {
+    val plan = planOf("eval_ngram_overlap")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"gram pairing regressed to all-pairs:\n${plan.take(1500)}")
+  }
+
   test("encode_hashing_trick is one combinable aggregation, no join") {
     val plan = planOf("encode_hashing_trick")
     assert(!plan.contains("Join"), "the hash encoder must be stateless")

@@ -176,6 +176,60 @@ class Round12OpsSpec extends GraftSpec {
     }
   }
 
+  test("purge rebuilds ALL THREE sidecar layers in one pass") {
+    import spark.implicits._
+    val t = freshDir("graft_r12_triple")
+    (0 to 1).foreach { u =>
+      (u * 100L until u * 100L + 100L).map(k => (k, k * 10L))
+        .toDF("k", "p").coalesce(1).write.parquet(s"$t/u$u")
+    }
+    CommitLog.commit(t, 0L, Seq("u0", "u1"))
+    // keyed range stats + multi-column cstats + bloom, all on v0
+    CommitLog.rebuildStats(spark, t, 0L, "k")
+    CommitLog.writeColStats(t, 0L,
+      CommitLog.footerColStats(spark, t, Seq("u0", "u1"), Seq("k", "p")))
+    CommitLog.writeBloomStats(spark, t, 0L, "k", 100L, 0.01)
+    val rep = CommitLog.purgeKeys(spark, t, "k", Seq(150L, 151L, 152L))
+    assert(rep.rowsPurged == 3L && rep.unitsRewritten == 1L)
+    // stats (keyed header): twin re-measured, count consistent
+    assert(CommitLog.statsKey(t, 0L).contains("k"))
+    assert(CommitLog.stats(t, 0L).map(_._4).sum ==
+      CommitLog.snapshot(spark, t, 0L).count())
+    // cstats: BOTH columns covered for the twin
+    val twinCs = CommitLog.colStats(t, 0L)
+      .filter(_.unit.startsWith("purged/"))
+    assert(twinCs.map(_.col).toSet == Set("k", "p"),
+      s"twin must keep every tracked column: $twinCs")
+    // bloom: surviving boundary keys still found, purged gone
+    val (hit, _) = CommitLog.snapshotBloom(spark, t, 0L, "k", 153L)
+    assert(hit.filter(col("k") === 153L).count() == 1L)
+    val (gone, _) = CommitLog.snapshotBloom(spark, t, 0L, "k", 151L)
+    assert(gone.filter(col("k") === 151L).limit(1).isEmpty)
+  }
+
+  test("purge composes with an ADDED column: defaults survive the rewrite") {
+    import spark.implicits._
+    val t = freshDir("graft_r12_purgeadd")
+    (0L until 50L).map(k => (k, k * 10L)).toDF("k", "p")
+      .coalesce(1).write.parquet(s"$t/u0")
+    CommitLog.commit(t, 0L, Seq("u0"))
+    CommitLog.addColumn(spark, t, "src", "string", "'legacy'") // v1
+    Seq((100L, 1000L, "fresh")).toDF("k", "p", "src")
+      .coalesce(1).write.parquet(s"$t/u1")
+    CommitLog.commit(t, 2L, Seq("u0", "u1"))
+    // purge keys from BOTH generations: the pre-add twin keeps its
+    // column-less physical schema, the post-add twin keeps src
+    val rep = CommitLog.purgeKeys(spark, t, "k", Seq(7L, 100L))
+    assert(rep.rowsPurged == 2L)
+    val s2 = CommitLog.snapshotMapped(spark, t, 2L)
+    assert(s2.count() == 49L)
+    assert(s2.filter(col("src") =!= "legacy").limit(1).isEmpty,
+      "the fresh row was purged; every survivor carries the default")
+    assert(s2.filter(col("k").isin(7L, 100L)).limit(1).isEmpty)
+    // v1 (pre-append) also consistent under the mapping
+    assert(CommitLog.snapshotMapped(spark, t, 1L).count() == 49L)
+  }
+
   test("purge composes with column mapping: renamed table purges cleanly") {
     import spark.implicits._
     val t = freshDir("graft_r12_purgemap")
