@@ -502,6 +502,28 @@ object RetrievalQueries {
         .selectExpr("n_bins", "n", "sum_dev",
           "CAST(CAST(sum_dev AS DOUBLE) / n AS DECIMAL(18,6)) AS ece")),
 
+    // AB16 (round 12): BRIER SCORE — the proper scoring rule
+    // companion of ECE/calibration: mean squared error of the
+    // pseudo-probability against the label. (p − y) is exact at 6 dp,
+    // its square exact at 12 dp, the sum exact decimal (the
+    // eval_forecast cast discipline keeps Spark's and DuckDB's
+    // decimal-multiply precision rules out of play) — one final
+    // division. Map-only + one combinable 1-row rollup.
+    "eval_brier" -> ((s, d) =>
+      load(s, d, "documents").filter(col("text").isNotNull)
+        .selectExpr("(lang = 'en') AS pos",
+          "CAST(size(array_distinct(split(text, ' '))) AS DOUBLE)" +
+            " / size(split(text, ' ')) AS p")
+        .selectExpr(
+          "CAST(p AS DECIMAL(18,6))" +
+            " - CAST(CASE WHEN pos THEN 1 ELSE 0 END AS DECIMAL(18,6))" +
+            " AS dv")
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(expr("CAST(dv AS DECIMAL(19,6)) * CAST(dv AS DECIMAL(18,6))"))
+            .cast(DecimalType(38, 12)).as("sum_sq"))
+        .selectExpr("n", "sum_sq",
+          "CAST(CAST(sum_sq AS DOUBLE) / n AS DECIMAL(18,6)) AS brier")),
+
     // AB14 (round 12): SPEARMAN RANK CORRELATION between two quality
     // orderings (total vs distinct token count) per language — the
     // rank-statistic complement of agg_corr_pairs' Pearson. Ranks are
@@ -939,6 +961,23 @@ object RetrievalQueries {
     "text_bm25_postings_delete" -> bm25SqlOver(" AND doc_id % 7 <> 0"),
     "text_bm25_postings_compact" -> bm25SqlOver(" AND doc_id % 7 <> 0"),
     "text_bm25_postings_purge" -> bm25PurgeSql,
+    // AB16 twin: identical decimal square chain, one final division.
+    "eval_brier" ->
+      """WITH scored AS (
+        |  SELECT (lang = 'en') AS pos,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS p
+        |  FROM documents WHERE text IS NOT NULL),
+        | dv AS (SELECT CAST(p AS DECIMAL(18,6))
+        |    - CAST(CASE WHEN pos THEN 1 ELSE 0 END AS DECIMAL(18,6)) AS dv
+        |  FROM scored)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(dv AS DECIMAL(19,6)) * CAST(dv AS DECIMAL(18,6)))
+        |    AS DECIMAL(38,12)) AS sum_sq,
+        |  CAST(CAST(sum(CAST(dv AS DECIMAL(19,6))
+        |      * CAST(dv AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+        |    AS DECIMAL(18,6)) AS brier
+        |FROM dv""".stripMargin,
     // AB13 twin: same deciles as eval_calibration, exact per-bin
     // |n_pos − Σp| decimal deviations, one final division.
     "eval_ece" ->

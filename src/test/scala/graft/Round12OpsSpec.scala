@@ -120,6 +120,29 @@ class Round12OpsSpec extends GraftSpec {
     assert(ece.getDecimal(3).compareTo(expected) == 0)
   }
 
+  test("eval_brier matches a driver-side exact-decimal recomputation") {
+    val out = q("eval_brier").collect().head
+    val docs = Tables.load(spark, sf, "documents")
+      .filter(col("text").isNotNull)
+      .select("lang", "text").collect() // test-sized
+    var sumSq = java.math.BigDecimal.ZERO
+    docs.foreach { r =>
+      val toks = r.getString(1).split(" ", -1)
+      // valueOf (shortest-repr), not the exact binary expansion —
+      // the same conversion Spark's double->decimal cast performs
+      val p = java.math.BigDecimal.valueOf(
+        toks.distinct.length.toDouble / toks.length)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+      val y = if (r.getString(0) == "en") java.math.BigDecimal.ONE
+        else java.math.BigDecimal.ZERO
+      val dv = p.subtract(y)
+      sumSq = sumSq.add(dv.multiply(dv))
+    }
+    assert(out.getLong(0) == docs.length)
+    assert(out.getDecimal(1).compareTo(sumSq.setScale(12)) == 0,
+      s"sum_sq ${out.getDecimal(1)} != $sumSq")
+  }
+
   test("eval_spearman matches a driver-side rank recomputation") {
     val out = q("eval_spearman").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
