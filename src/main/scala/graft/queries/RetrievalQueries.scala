@@ -370,8 +370,8 @@ object RetrievalQueries {
     // verbatim for rewritten twins (no #key= header means the mn/mx
     // are NOT key ranges; re-deriving doc_id ranges there would
     // corrupt probe routing), re-measuring only counts. The keyless
-    // 1-row meta units read doc_id as NULL under the purge's merged
-    // schema, so they are never dirty: N and avgdl still count the
+    // 1-row meta units read doc_id as NULL under the purge's
+    // BIGINT-requested key-only scan schema, so they are never dirty: N and avgdl still count the
     // erased docs (data-plane erasure does not rewrite historical
     // aggregates), while tf and df fold from the surviving postings
     // only. The probe is bm25FromIndex UNCHANGED at all four

@@ -2055,13 +2055,19 @@ object CommitLog {
     }
     // ONE scan over the distinct historical units finds the dirty set
     // and the per-unit purge counts; the key set rides as a broadcast
-    // semi-join hash, never a literal list. mergeSchema: an INDEX
-    // table mixes keyed bucket units with keyless 1-row meta units —
-    // under the merged schema the meta rows read `keyCol` as NULL,
-    // which never matches a key, so they are never dirty (a
-    // single-file-inferred schema would instead fail or silently
-    // mis-project depending on which file Spark sampled)
-    val hits = spark.read.option("mergeSchema", "true")
+    // semi-join hash, never a literal list. The scan REQUESTS exactly
+    // one column — `keyCol` at BIGINT (the purge-key contract type) —
+    // which makes every generation mix readable in one pass: files
+    // whose physical key is narrower (an un-widened INT generation)
+    // up-convert in the reader, files MISSING the column entirely (an
+    // index table's keyless 1-row meta units) resolve it as NULL,
+    // which never matches a key. Schema inference or mergeSchema
+    // would instead fail on the int/long split a widenColumn table
+    // legitimately carries (Round12OpsSpec pins this composition).
+    val keyOnly = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(keyCol,
+        org.apache.spark.sql.types.LongType, true)))
+    val hits = spark.read.schema(keyOnly)
       .parquet(allRels.map(u => java.nio.file.Paths.get(table, u).toString): _*)
       .select(input_file_name().as("__f"), col(keyCol).as("__k"))
       .join(broadcast(kd), col("__k") === col("__pk"), "left_semi")

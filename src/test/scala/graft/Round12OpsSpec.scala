@@ -253,6 +253,32 @@ class Round12OpsSpec extends GraftSpec {
     assert(CommitLog.snapshotMapped(spark, t, 1L).count() == 49L)
   }
 
+  test("purge composes with a WIDENED key: mixed int/long generations scan clean") {
+    import spark.implicits._
+    val t = freshDir("graft_r12_purgewiden")
+    // old generation: INT key+value files
+    Seq((1, 100), (2, 200), (4, 400)).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$t/u0")
+    CommitLog.commit(t, 0L, Seq("u0"))
+    CommitLog.widenColumn(spark, t, "k", "bigint") // v1
+    // new generation: BIGINT keys an INT cannot hold
+    Seq((10000000000L, 999L)).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$t/u1")
+    CommitLog.commit(t, 2L, Seq("u0", "u1"))
+    // the purge's merged-schema scan must survive the int/long split
+    // (mergeSchema promotes; a single-file-inferred schema would
+    // corrupt or fail depending on the sampled file) and erase keys
+    // from BOTH generations
+    val rep = CommitLog.purgeKeys(spark, t, "k", Seq(2L, 10000000000L))
+    assert(rep.rowsPurged == 2L, rep.toString)
+    val s2 = CommitLog.snapshotMapped(spark, t, 2L)
+    assert(s2.orderBy("k").collect().map(_.getLong(0)).toSeq == Seq(1L, 4L))
+    (0L to 1L).foreach { v =>
+      assert(CommitLog.snapshotMapped(spark, t, v)
+        .filter(col("k") === 2L).limit(1).isEmpty, s"key 2 visible at v$v")
+    }
+  }
+
   test("purge composes with column mapping: renamed table purges cleanly") {
     import spark.implicits._
     val t = freshDir("graft_r12_purgemap")
