@@ -65,23 +65,30 @@ object Bench {
         lastFp = fp
       }
       // per-run success tracking (ADVICE r4): a query that flakes on
-      // one of its two runs is timed from its successful run only and
-      // NOT marked failed; "failed" means both runs threw, and its
-      // recorded time is the slower time-to-failure for transparency.
+      // some runs is timed from its successful runs only and NOT
+      // marked failed; "failed" means every run threw, and its
+      // recorded time is the slowest time-to-failure for transparency.
+      // MIN-OF-3 + SPREAD (round 13 — VERDICT r12 #2): the ±20–30%
+      // single-run noise band cost two consecutive rounds of
+      // regression forensics; a third run tightens the min estimate,
+      // and the recorded per-query spread (max/min across successful
+      // runs) makes each number carry its own error bar so cross-round
+      // diffs can be judged against measured noise instead of guessed
+      // noise (see dev/bench_ratio.py for the median-of-ratios
+      // comparison protocol).
       def once(): (Double, Boolean) = {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case _: Throwable => false }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
-      val (t1, ok1) = once(); val (t2, ok2) = once()
-      val t = (ok1, ok2) match {
-        case (true, true)   => math.min(t1, t2)
-        case (true, false)  => t1
-        case (false, true)  => t2
-        case (false, false) => failed += name; math.max(t1, t2)
-      }
-      name -> t
+      val runs = Seq(once(), once(), once())
+      val good = runs.filter(_._2).map(_._1)
+      val t =
+        if (good.nonEmpty) good.min
+        else { failed += name; runs.map(_._1).max }
+      val spread = if (good.size >= 2) good.max / good.min else 1.0
+      name -> (t, spread)
     }
     // Locale.ROOT: the f-interpolator uses the JVM default locale, which
     // under e.g. de_DE prints comma decimals → invalid JSON (ADVICE r3).
@@ -94,13 +101,22 @@ object Bench {
     // "failed" and exclude it from the total so the headline number
     // aggregates only successful runs (ADVICE r3)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val ok = results.filterNot { case (n, _) => failed.contains(n) }
+    val times = results.map { case (n, (t, _)) => n -> t }
+    val ok = times.filterNot { case (n, _) => failed.contains(n) }
     val total = ok.map(_._2).sum
     val slowest5 = ok.sortBy(-_._2).take(5)
+    // aggregate noise indicator: p90 of per-query max/min spreads —
+    // readable at a glance in the driver-captured short line
+    val spreads = results.collect {
+      case (n, (_, s)) if !failed.contains(n) => s
+    }.sorted
+    val p90Spread =
+      if (spreads.isEmpty) 1.0 else spreads((spreads.size * 9 / 10).min(spreads.size - 1))
+    val spreadMap = qmap(results.map { case (n, (_, s)) => n -> s })
     val full =
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":${qmap(results)},"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":${qmap(times)},"spread":$spreadMap,"p90_spread":${num(p90Spread, 3)},"failed":$failedJson,"sf":"$sfDir"}"""
     val short =
-      s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":${qmap(slowest5)},"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":${qmap(slowest5)},"p90_spread":${num(p90Spread, 2)},"failed":$failedJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("BENCH_LOCAL.json"), full + "\n")
     spark.stop()
     // after stop(): no executor log lines can land between this and exit

@@ -1434,15 +1434,25 @@ object GraftOps {
     * durable `dir` (HDFS/object store on a real cluster) is supplied.
     * Setting the SparkContext checkpoint dir is idempotent per value.
     */
-  private def checkpointer(df: DataFrame, dir: Option[String]): (DataFrame, Boolean) => DataFrame =
+  private def checkpointer(df: DataFrame, dir: Option[String]): (DataFrame, Boolean) => DataFrame = {
+    // StatsReset: checkpoints PRESERVE origin statistics, and iterative
+    // loops compound them — size-only join estimation multiplies child
+    // sizeInBytes, so round r's estimate is a product of round r-1's
+    // and the BigInt bit-length grows geometrically; by round ~12 of a
+    // two-join round the driver burns minutes in BigInteger.multiply
+    // on 10⁸-bit numbers (round-13 finding). Stripping the stats at
+    // each round boundary keeps them leaf-default-sized; AQE supplies
+    // real sizes at execution time.
+    import org.apache.spark.sql.graftshim.StatsReset
     dir match {
       case Some(d) =>
         val sc = df.sparkSession.sparkContext
         if (!sc.getCheckpointDir.contains(d)) sc.setCheckpointDir(d)
-        (f, eager) => f.checkpoint(eager)
+        (f, eager) => StatsReset(f.checkpoint(eager))
       case None =>
-        (f, eager) => f.localCheckpoint(eager)
+        (f, eager) => StatsReset(f.localCheckpoint(eager))
     }
+  }
 
   /** Reuse-materialization strategy for a subtree that occurs several
     * times in ONE action's plan (LSH signature tables, symmetrized
@@ -1514,19 +1524,20 @@ object GraftOps {
     n
   }
 
-  /** Connected components by iterative min-label propagation — the
-    * dedup-CLUSTER step that turns near-dup pairs into groups (pick
-    * one survivor per component). Labels start as each vertex id;
-    * every round each vertex takes the min of its own and its
-    * neighbors' labels, until a fixpoint (≤ component diameter
-    * rounds, bounded by `maxIter`).
+  /** Connected components by min-label propagation WITH pointer
+    * jumping — the dedup-CLUSTER step that turns near-dup pairs into
+    * groups (pick one survivor per component). Labels start as each
+    * vertex id; every round each vertex takes the min of its own and
+    * its neighbors' labels, then jumps through its own label
+    * (label(i) := label(label(i))), until a fixpoint — O(log diameter)
+    * rounds, bounded per pass by `maxIter`, with an iterated
+    * distributed contraction finishing any graph whose diameter
+    * outruns the cap (round 13 — no hard-failure cliff, no manual
+    * maxIter rescue at any scale).
     *
-    * Scale: each round is one keyed join + keyed agg (shuffle on
+    * Scale: each round is two keyed joins + one keyed agg (shuffle on
     * vertex id); the per-round driver `count()` is the convergence
-    * check every Pregel-style loop needs, not a data collect. Dup
-    * clusters have tiny diameters in practice; for adversarial graph
-    * shapes swap in the large-star/small-star variant — the API
-    * contract (id → min-id-of-component) stays the same.
+    * check every Pregel-style loop needs, not a data collect.
     *
     * Fault tolerance: by default rounds truncate lineage with
     * `localCheckpoint` (executor-local blocks — fast, but an executor
@@ -1537,7 +1548,8 @@ object GraftOps {
     */
   def connectedComponents(vertices: DataFrame, idCol: String,
       edges: DataFrame, aCol: String, bCol: String, maxIter: Int = 20,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      residualCap: Int = 2000000): DataFrame = {
     val ckpt = checkpointer(vertices, checkpointDir)
     // localCheckpoint (eager) rather than persist: the loop below
     // re-embeds this frame's LOGICAL PLAN into every round's join, so
@@ -1561,51 +1573,77 @@ object GraftOps {
         struct(col(bCol).as("__src"), col(aCol).as("__dst")))).as("__e"))
       .select(col("__e.__src").as("__src"), col("__e.__dst").as("__dst")),
       true)
-    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("cluster"))
-    var changed = 1L
-    var i = 0
-    while (changed > 0 && i < maxIter) {
-      val nbrMin = sym.join(labels, col("__dst") === col("id"))
-        .groupBy("__src").agg(min(col("cluster")).as("__nlbl"))
-      // Per-round localCheckpoint, NOT persist: a persisted chain keeps
-      // the whole round-recursive plan alive, and InMemoryRelation
-      // rendering re-expands every previous round inside each action's
-      // listener explain string — ~round 15 of a long-diameter graph
-      // that string passes 2 GB and OOMs the driver. Checkpointing
-      // resets each round to a block scan: O(1) plan, any diameter.
-      // The convergence flag rides along in the same projection (the
-      // join already sees old and new labels), so the check is a
-      // filter-count over the checkpointed blocks, not a second join.
-      // lazy checkpoint: the convergence count below is the action
-      // that materializes the blocks — one job per round, not two
-      val newLbl = least(col("cluster"), coalesce(col("__nlbl"), col("cluster")))
-      val next = ckpt(labels.join(nbrMin, labels("id") === nbrMin("__src"), "left")
-        .select(labels("id"), newLbl.as("cluster"),
-          (newLbl =!= col("cluster")).as("__chg")),
-        false)
-      changed = next.filter(col("__chg")).count()
-      labels = next.select("id", "cluster")
-      i += 1
+    // MIN-LABEL + POINTER-JUMPING rounds (round 13 — VERDICT r12 #3).
+    // Each round: (1) hash-min — every vertex takes the min of its own
+    // and its neighbors' labels (one keyed join + keyed agg); (2) a
+    // POINTER JUMP — label(i) := label(label(i)) via one self-join
+    // (labels are vertex ids and monotonically shrink toward the
+    // component min, so the indirection is always defined and always
+    // ≤ the current label). Hash-min alone needs diameter rounds (a
+    // 10⁷-node path = 10⁷ rounds); the jump compounds the reachable
+    // shift geometrically (s → 2s+1 per round on a path), so the
+    // fixpoint lands in O(log diameter) rounds — ~24 for 10⁷. The
+    // per-round cost is one extra shuffle join, repaid exponentially
+    // in round count on deep graphs and negligible on the shallow
+    // dup-cluster graphs that dominate in practice.
+    //
+    // Per-round localCheckpoint, NOT persist: a persisted chain keeps
+    // the whole round-recursive plan alive, and InMemoryRelation
+    // rendering re-expands every previous round inside each action's
+    // listener explain string — ~round 15 of a long-diameter graph
+    // that string passes 2 GB and OOMs the driver. Checkpointing
+    // resets each round to a block scan: O(1) plan, any diameter.
+    // The convergence flag rides along in the same projection, so the
+    // check is a filter-count over the checkpointed blocks, not a
+    // second join; lazy checkpoints — the convergence count is the
+    // action that materializes both steps' blocks, one job per round.
+    def propagate(seed: DataFrame, edgesSym: DataFrame): (DataFrame, Boolean) = {
+      var labels = seed
+      var changed = 1L
+      var i = 0
+      while (changed > 0 && i < maxIter) {
+        val nbrMin = edgesSym.join(labels, col("__dst") === col("id"))
+          .groupBy("__src").agg(min(col("cluster")).as("__nlbl"))
+        val minLbl = least(col("cluster"), coalesce(col("__nlbl"), col("cluster")))
+        val step = ckpt(labels.join(nbrMin, labels("id") === nbrMin("__src"), "left")
+          .select(labels("id"), col("cluster").as("__old"), minLbl.as("__c1")),
+          false)
+        val ptr = step.select(col("id").as("__pid"), col("__c1").as("__pc"))
+        val jumped = least(col("__c1"), coalesce(col("__pc"), col("__c1")))
+        val next = ckpt(step.join(ptr, step("__c1") === col("__pid"), "left")
+          .select(step("id"), jumped.as("cluster"),
+            (jumped =!= col("__old")).as("__chg")),
+          false)
+        changed = next.filter(col("__chg")).count()
+        labels = next.select("id", "cluster")
+        i += 1
+      }
+      (labels, changed == 0L)
     }
-    // GRAPH CONTRACTION + DRIVER FINISH (round 11): if the round cap
-    // hit before the fixpoint (a diameter > maxIter graph — long
-    // order↔part chains in a sparse slice do this), the old behavior
-    // was to return the UNCONVERGED labels silently — components left
-    // split (caught at sf0.1: 674 labels for 666 true components).
-    // Instead CONTRACT once: the residual graph's vertices are the
-    // distinct labels reached so far and its edges the distinct
-    // inter-label pairs still crossing components — after maxIter
-    // rounds of merging that residual is a tiny fraction of the input
-    // (each label already stands for a ≤maxIter-hop ball). Finish it
-    // with union-find on the driver (min-label, path-compressed —
-    // exactly the fixpoint more rounds would reach) and broadcast the
-    // closure back. The driver step is bounded LOUDLY: a residual
-    // still above the cap fails with guidance (raise maxIter /
-    // pre-cluster) rather than answering wrong — at 100 TB a residual
-    // that large means the graph is adversarially chained and needs
-    // an algorithm choice, not a silent mislabel.
-    if (changed == 0) labels
-    else {
+    var (labels, converged) = propagate(
+      vertices.select(col(idCol).as("id"), col(idCol).as("cluster")), sym)
+    // ITERATED FINISH (round 13 — VERDICT r12 #3; removes the
+    // round-11/12 hard-failure cliff). If the round cap hit before the
+    // fixpoint, derive the residual: the distinct inter-label pairs
+    // still crossing components. A residual that fits the driver cap
+    // (2e6 pairs, ~32 MB of longs) finishes with union-find
+    // (min-label, path-compressed — exactly the fixpoint more rounds
+    // would reach), broadcast back. A residual ABOVE the cap — which
+    // round 11/12 REFUSED loudly — now CONTINUES the jumped
+    // propagation distributedly; because the jump compounds the
+    // already-earned reach (~×2^maxIter per pass), the loop bound
+    // below is unreachable by construction (64 passes with even
+    // maxIter=1 reach 2^64 > any long-keyed diameter) and exists only
+    // to turn a non-deterministic edge frame (labels disagreeing
+    // across actions) into a loud failure instead of an endless loop.
+    // Same exactness, no cliff, no manual maxIter rescue.
+    var meta = 0
+    while (!converged) {
+      meta += 1
+      require(meta <= 64,
+        "connectedComponents: 64 continuation passes did not converge " +
+          "— the edge frame is yielding different rows across " +
+          "actions (non-deterministic input); materialize it first")
       val resolved = ckpt(labels, true)
       val half = sym
         .join(resolved, col("__src") === col("id"))
@@ -1615,51 +1653,67 @@ object GraftOps {
         .select(col("__ca").as("ca"), col("cluster").as("cb"))
         .filter(col("ca") =!= col("cb"))
         .distinct()
-      // ONE action (ADVICE r11): the old count()-then-collect() pair
-      // re-executed the contraction joins twice; limit(cap+1) bounds
-      // the single collect at the same cap and the length check after
-      // it replaces the count. The rows decode straight into two
-      // primitive long arrays (never a boxed-pair array), and the
-      // union-find runs on a LongMap (open-addressed primitive keys) —
-      // together roughly a 4x driver-heap cut vs boxed Rows + Map, and
-      // the cap halves to 2e6 pairs (~32 MB of longs) on top.
-      val residualCap = 2000000
+      // ONE action (ADVICE r11): limit(cap+1) bounds the collect; the
+      // length check routes an over-cap residual to the distributed
+      // path. The rows decode straight into two primitive long arrays
+      // (never a boxed-pair array), and the union-find runs on a
+      // LongMap (open-addressed primitive keys).
       val rows = cedges.limit(residualCap + 1)
-        .collect() // metadata-sized: residual inter-LABEL pairs, length-checked <= 2e6 just below
-      require(rows.length <= residualCap,
-        s"connectedComponents: over $residualCap residual inter-label " +
-          s"edges after $maxIter rounds — the graph's diameter far exceeds " +
-          "maxIter; raise maxIter (or supply a reliable checkpointDir and " +
-          "a higher cap) instead of accepting an unconverged labeling")
-      val ea = new Array[Long](rows.length)
-      val eb = new Array[Long](rows.length)
-      var ri = 0
-      while (ri < rows.length) {
-        ea(ri) = rows(ri).getLong(0); eb(ri) = rows(ri).getLong(1); ri += 1
+        .collect() // metadata-sized: residual inter-LABEL pairs, length-bounded at 2e6+1; over-cap routes to the distributed contraction below
+      if (rows.isEmpty) {
+        // the cap round itself completed the labeling — changed>0 only
+        // because the final round still moved labels
+        labels = resolved.select("id", "cluster")
+        converged = true
+      } else if (rows.length <= residualCap) {
+        val ea = new Array[Long](rows.length)
+        val eb = new Array[Long](rows.length)
+        var ri = 0
+        while (ri < rows.length) {
+          ea(ri) = rows(ri).getLong(0); eb(ri) = rows(ri).getLong(1); ri += 1
+        }
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        ri = 0
+        while (ri < ea.length) {
+          val (ra, rb) = (find(ea(ri)), find(eb(ri)))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+          ri += 1
+        }
+        val closure = parent.keys.toSeq.map(l => (l, find(l)))
+        val spark = vertices.sparkSession
+        import spark.implicits._
+        val closDf = closure.toDF("__lbl", "__final")
+        labels = resolved.join(broadcast(closDf),
+            resolved("cluster") === col("__lbl"), "left")
+          .select(resolved("id"),
+            coalesce(col("__final"), resolved("cluster")).as("cluster"))
+        converged = true
+      } else {
+        // over-cap residual: CONTINUE the jumped propagation on the
+        // full graph, seeded with the labels earned so far. The
+        // pointer jump composes the existing shift multiplicatively —
+        // with reach s at the seed, one round reaches 2s+2, so a pass
+        // of maxIter rounds multiplies reach by ~2^maxIter and total
+        // convergence is log(diameter) ROUNDS, not passes. (A pure
+        // label-graph contraction is NOT used here: on a path-shaped
+        // residual min-label merges only the head segment — the label
+        // graph is the same path again and a contraction pass adds a
+        // constant, never converging. Continuation compounds instead;
+        // measured on a 200k path this is the difference between 4
+        // passes and never.)
+        val (lbl2, conv2) = propagate(resolved.select("id", "cluster"), sym)
+        labels = lbl2
+        converged = conv2
       }
-      val parent = scala.collection.mutable.LongMap.empty[Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent(r)
-        var c = x
-        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      ri = 0
-      while (ri < ea.length) {
-        val (ra, rb) = (find(ea(ri)), find(eb(ri)))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-        ri += 1
-      }
-      val closure = parent.keys.toSeq.map(l => (l, find(l)))
-      val spark = vertices.sparkSession
-      import spark.implicits._
-      val closDf = closure.toDF("__lbl", "__final")
-      resolved.join(broadcast(closDf),
-          resolved("cluster") === col("__lbl"), "left")
-        .select(resolved("id"),
-          coalesce(col("__final"), resolved("cluster")).as("cluster"))
     }
+    labels
     // Checkpoint blocks (sym + superseded rounds) are label-frame-sized
     // and freed by the ContextCleaner as references drop; explicit
     // unpersist() is a CacheManager no-op for checkpointed data.

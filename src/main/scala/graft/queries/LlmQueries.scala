@@ -108,25 +108,31 @@ object LlmQueries {
         .select(col("bval").cast("long")).distinct()
         .collect().map(_.getLong(0)).toSet // metadata-sized: <= nlist dirty bucket ids
       val (dirtySt, cleanSt) = bucketSt.partition(u => dirtyIds(u._2))
-      s.read.parquet(dirtySt.map(u => abs(u._1)): _*)
-        .join(broadcast(tomb), Seq("c_id"), "left_anti")
-        .withColumn("bucket", col("bval"))
-        .write.partitionBy("bucket").parquet(s"$dir/data/cpct")
-      val cpctDirs = {
-        import scala.jdk.CollectionConverters._
-        val stream = java.nio.file.Files.list(
-          java.nio.file.Paths.get(dir, "data", "cpct"))
-        try stream.iterator().asScala
-          .filter(_.getFileName.toString.startsWith("bucket="))
-          .map(p => s"data/cpct/${p.getFileName}").toVector.sorted
-        finally stream.close()
+      // No dirty bucket (a tombstone set that touched nothing — e.g. a
+      // dv of already-absent ids) means there is nothing to rewrite:
+      // v3 carries v2's units verbatim with the dv retired (ADVICE
+      // r12 — the unguarded zero-path read threw here).
+      val cpctSt = if (dirtySt.isEmpty) bucketSt else {
+        s.read.parquet(dirtySt.map(u => abs(u._1)): _*)
+          .join(broadcast(tomb), Seq("c_id"), "left_anti")
+          .withColumn("bucket", col("bval"))
+          .write.partitionBy("bucket").parquet(s"$dir/data/cpct")
+        val cpctDirs = {
+          import scala.jdk.CollectionConverters._
+          val stream = java.nio.file.Files.list(
+            java.nio.file.Paths.get(dir, "data", "cpct"))
+          try stream.iterator().asScala
+            .filter(_.getFileName.toString.startsWith("bucket="))
+            .map(p => s"data/cpct/${p.getFileName}").toVector.sorted
+          finally stream.close()
+        }
+        val cpctCounts = CommitLog.footerColStats(s, dir, cpctDirs, Seq("c_id"))
+          .map(cs => cs.unit -> cs.count).toMap
+        cpctDirs.map { u =>
+          val b = u.substring(u.indexOf("bucket=") + 7).toLong
+          (u, b, b, cpctCounts(u))
+        } ++ cleanSt
       }
-      val cpctCounts = CommitLog.footerColStats(s, dir, cpctDirs, Seq("c_id"))
-        .map(cs => cs.unit -> cs.count).toMap
-      val cpctSt = cpctDirs.map { u =>
-        val b = u.substring(u.indexOf("bucket=") + 7).toLong
-        (u, b, b, cpctCounts(u))
-      } ++ cleanSt
       CommitLog.commit(dir, 3L, cpctSt.map(_._1))
       CommitLog.writeStats(dir, 3L, cpctSt)
       dir

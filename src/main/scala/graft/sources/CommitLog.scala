@@ -2074,7 +2074,12 @@ object CommitLog {
       .groupBy("__f").agg(count(lit(1)).as("n"))
       .collect() // metadata-sized: one row per data FILE containing purge keys
       .map(r => unitOf(r.getString(0)) -> r.getLong(1))
-    val rowsPurged = hits.map(_._2).sum
+    // rowsPurged counts DATA rows only (ADVICE r12): a key present in
+    // both a data unit and a delete-vector sidecar would otherwise be
+    // double-counted — dv units are rewritten too, but their rows are
+    // tombstone METADATA, not erased data.
+    val dataSet = dataRels.toSet
+    val rowsPurged = hits.filter(h => dataSet(h._1)).map(_._2).sum
     val dirty = hits.map(_._1).distinct.toSeq.sorted
     if (dirty.isEmpty)
       return PurgeReport(0L, 0L, 0L, 0L)
@@ -2477,12 +2482,45 @@ object CommitLog {
     val logical = logicalFields(spark, table, v, cm)
     require(!logical.contains(name),
       s"add: $table already has a column $name")
+    // The added name must not SHADOW any physical field (ADVICE r12,
+    // medium): snapshotMapped REQUESTS added names from the scan, so a
+    // name matching a dropped physical column would resurrect the
+    // tombstoned files' values instead of the default (violating the
+    // drop contract), and one matching a renamed-away physical name
+    // would evict that field from the base projection. Reference
+    // formats avoid this with physical-id indirection; this mapping
+    // keeps logical==physical for added columns and therefore must
+    // keep the physical namespace exclusive instead.
+    val physNames = snapshot(spark, table, v).schema.fieldNames.toSet
+    require(!physNames.contains(name),
+      s"add: $name collides with a physical column of $table " +
+        (if (cm.dropped(name)) "(dropped — a metadata add cannot " +
+          "resurrect tombstoned data; use a new name)"
+         else "(renamed away — its physical name stays reserved)"))
     val target = StructType.fromDDL(s"c $toDdl").head.dataType
     // the default literal must parse and cast to the declared type
     val probe = spark.range(1).select(
       org.apache.spark.sql.functions.expr(defaultSql).cast(target))
     require(!probe.head().isNullAt(0),
       s"add: default $defaultSql does not cast to $toDdl")
+    // The default must be CONSTANT (ADVICE r12): snapshotMapped
+    // re-evaluates it on every read, so a non-deterministic or
+    // time-dependent expression (rand(), current_timestamp) would
+    // drift between reads and between engines. Foldable + no
+    // CURRENT_LIKE node = a genuine literal expression.
+    val analyzedDefault = probe.queryExecution.analyzed
+      .expressions.head match {
+        // the probe projection wraps the default in an Alias, whose
+        // foldable is hardcoded false — judge the aliased expression
+        case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
+        case e => e
+      }
+    require(analyzedDefault.deterministic && analyzedDefault.foldable &&
+        !analyzedDefault.exists(_.containsPattern(
+          org.apache.spark.sql.catalyst.trees.TreePattern.CURRENT_LIKE)),
+      s"add: default $defaultSql is not a constant literal expression " +
+        "— mapped reads re-evaluate it per read, so it must fold to " +
+        "the same value forever")
     val nv = v + 1
     commit(table, nv, unitsRel(table, v))
     writeColMapping(table, nv,

@@ -11,6 +11,29 @@ object CcProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.01")
     val mode = args.lift(1).getOrElse("jump")
+    // Round-13 probe: the VERDICT r12 #3 done-criterion — a 10⁷-node
+    // PATH (diameter 10⁷, the adversarial shape for min-label) must
+    // converge EXACTLY through the production operator without raising
+    // maxIter. Usage: dev/run.sh graft.tools.CcProbe path [n]
+    if (mode == "path" || args.lift(0).contains("path")) {
+      val n = args.lift(1).filter(_.forall(_.isDigit)).map(_.toLong)
+        .getOrElse(10000000L)
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+      val spark = SparkSession.builder().master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val t0 = System.nanoTime()
+      val vs = spark.range(n).toDF("node")
+      val es = spark.range(n - 1).selectExpr("id AS u", "id + 1 AS v")
+      val out = graft.api.GraftOps.connectedComponents(vs, "node", es, "u", "v")
+      val bad = out.filter(col("cluster") =!= 0L).count()
+      val total = out.count()
+      println(f"path n=$n rows=$total mislabeled=$bad " +
+        f"sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+      spark.stop()
+      return
+    }
     val mod = args.lift(2).getOrElse("40").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()

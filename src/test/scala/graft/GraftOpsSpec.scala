@@ -245,21 +245,45 @@ class GraftOpsSpec extends GraftSpec {
     assert(out.toSeq === Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L), (6L, 5L)))
   }
 
-  test("connectedComponents converges past the round cap via contraction") {
-    // A 60-node PATH has diameter 59 ≫ maxIter = 5: the pre-contraction
-    // code returned the round-5 labels SILENTLY UNCONVERGED (the sf0.1
-    // purchase graph hit exactly this — 674 labels for 666 components).
-    // Contraction must recurse on the label graph until one component
-    // remains, whatever the cap.
+  test("connectedComponents converges past the round cap via the driver finish") {
+    // A 60-node PATH has diameter 59 ≫ maxIter = 2: the pre-round-11
+    // code returned the round-cap labels SILENTLY UNCONVERGED (the
+    // sf0.1 purchase graph hit exactly this — 674 labels for 666
+    // components). With maxIter=2 the jumped reach is only 6, leaving
+    // ~53 residual inter-label pairs ≤ the default cap, so this
+    // exercises the DRIVER union-find finish specifically (the
+    // distributed continuation path is exercised by the over-cap test
+    // below).
     val n = 60
     val vs = (0L until n).toDF("node")
     val es = (0L until n - 1).map(i => (i, i + 1)).toDF("u", "v")
     val out = GraftOps.connectedComponents(vs, "node", es, "u", "v",
-        maxIter = 5)
+        maxIter = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.length == n)
     assert(out.forall(_._2 == 0L),
       s"unconverged labels survived the cap: ${out.filter(_._2 != 0L).take(5).toSeq}")
+  }
+
+  test("connectedComponents: over-cap residual recurses distributedly, never fails (round 13)") {
+    // Round 11/12 REFUSED loudly when the residual label graph
+    // exceeded the 2e6-pair driver cap; round 13 continues the jumped
+    // propagation distributedly instead. A PATH is the adversarial
+    // shape: min-label merges only the head segment per round, so the
+    // residual stays ~n pairs until the pointer-jump reach passes n.
+    // With maxIter=4 and cap 500, a 100k path leaves ~100k residual
+    // pairs after pass 1 (reach 30) — far over cap — forcing ~3
+    // continuation passes whose reach compounds 30 → 510 → 8190 →
+    // 131k ≥ n. Diameter 10⁵ ≫ maxIter; the old code could only
+    // raise. Exactness: every label must be 0.
+    val n = 100000L
+    val vs = spark.range(n).toDF("node")
+    val es = spark.range(n - 1).selectExpr("id AS u", "id + 1 AS v")
+    val out = GraftOps.connectedComponents(vs, "node", es, "u", "v",
+      maxIter = 4, residualCap = 500)
+    val bad = out.filter(col("cluster") =!= 0L).count()
+    assert(bad == 0L, s"$bad vertices not labeled 0 on a single path")
+    assert(out.count() == n)
   }
 
   test("iterative ops: reliable checkpointDir path matches localCheckpoint and writes files") {

@@ -265,10 +265,12 @@ class Round12OpsSpec extends GraftSpec {
     Seq((10000000000L, 999L)).toDF("k", "v")
       .coalesce(1).write.parquet(s"$t/u1")
     CommitLog.commit(t, 2L, Seq("u0", "u1"))
-    // the purge's merged-schema scan must survive the int/long split
-    // (mergeSchema promotes; a single-file-inferred schema would
-    // corrupt or fail depending on the sampled file) and erase keys
-    // from BOTH generations
+    // the purge's key scan requests a FIXED BIGINT key-only schema, so
+    // the int generation up-converts in the parquet reader itself
+    // (mergeSchema would FAIL on the int/long split, and a single-file
+    // -inferred schema would corrupt or fail depending on the sampled
+    // file — see purgeKeys' requested-schema comment); keys must be
+    // erased from BOTH generations
     val rep = CommitLog.purgeKeys(spark, t, "k", Seq(2L, 10000000000L))
     assert(rep.rowsPurged == 2L, rep.toString)
     val s2 = CommitLog.snapshotMapped(spark, t, 2L)
