@@ -49,6 +49,7 @@ object SparkEntry {
       IntervalQueries.queries ++
       ReportQueries.queries ++
       RetrievalQueries.queries ++
+      CboQueries.queries ++
       graft.streaming.StreamQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -82,5 +83,6 @@ object SparkEntry {
       IntervalQueries.oracle ++
       ReportQueries.oracle ++
       RetrievalQueries.oracle ++
+      CboQueries.oracle ++
       graft.streaming.StreamQueries.oracle
 }

@@ -793,11 +793,19 @@ object GraftOps {
     * across engines and partitionings).
     */
   def cosineTopK(corpus: DataFrame, idCol: String, vecCol: String,
-      probePredicate: Column, k: Int): DataFrame = {
+      probePredicate: Column, k: Int,
+      candidatePredicate: Column = lit(true)): DataFrame = {
+    // candidatePredicate (round 13 — VERDICT r12 #4, filtered ANN):
+    // the production vector-search shape is top-k UNDER a metadata
+    // predicate. Filtering the candidate side BEFORE the norm/dot
+    // pipeline keeps the predicate on raw corpus columns, so Catalyst
+    // pushes it into the parquet scan (PushedFilters) — the filtered
+    // scan reads fewer bytes instead of discarding rows post-join.
     val normed = withNorm(corpus, vecCol)
     val probes = normed.filter(probePredicate)
       .select(col(idCol).as("q_id"), col(vecCol).as("q"), col("__norm").as("nq"))
-    val cand = normed.select(col(idCol).as("c_id"), col(vecCol).as("c"), col("__norm").as("nc"))
+    val cand = normed.filter(candidatePredicate)
+      .select(col(idCol).as("c_id"), col(vecCol).as("c"), col("__norm").as("nc"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("c_id").asc)
     probes.crossJoin(cand).filter(col("q_id") =!= col("c_id"))
       .withColumn("cos_sim", (expr("array_dot(q, c)") / (col("nq") * col("nc")))
@@ -1070,10 +1078,15 @@ object GraftOps {
     * re-assigning the corpus. Returns (c_id, c, nc, bucket).
     */
   def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
-      cent: DataFrame): DataFrame =
+      cent: DataFrame, payload: Seq[String] = Nil): DataFrame =
+    // `payload` (round 13): scalar corpus columns carried INTO the
+    // index — the filtered-ANN pattern where metadata predicates are
+    // evaluated at the index scan itself (parquet row-group stats can
+    // then skip), instead of a post-hoc id join back to the corpus.
     withNorm(centroidTopM(corpus, vecCol, cent, 1), vecCol)
-      .select(col(idCol).as("c_id"), col(vecCol).as("c"),
-        col("__norm").as("nc"), expr("element_at(__ranked, 1).cl").as("bucket"))
+      .select(Seq(col(idCol).as("c_id"), col(vecCol).as("c"),
+        col("__norm").as("nc"), expr("element_at(__ranked, 1).cl").as("bucket")) ++
+        payload.map(col): _*)
 
   /** The probe side of an IVF lookup: each query exploded to its
     * `nprobe` nearest buckets. Returns (q_id, bucket, q, nq).
@@ -1091,23 +1104,31 @@ object GraftOps {
     * only its nprobe buckets (partition pruning), nprobe/k of the data.
     */
   def ivfIndexBuild(corpus: DataFrame, idCol: String, vecCol: String,
-      cent: DataFrame, path: String): Unit =
-    ivfAssign(corpus, idCol, vecCol, cent)
+      cent: DataFrame, path: String, payload: Seq[String] = Nil): Unit =
+    ivfAssign(corpus, idCol, vecCol, cent, payload)
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
   /** Approximate top-k against a persisted IVF index (ivfIndexBuild).
     * Probe bucket ids are collected (tiny: ≤ probes × nprobe values)
     * into an IN filter so the scan PRUNES index partitions instead of
-    * reading the whole corpus.
+    * reading the whole corpus. `candidatePredicate` (round 13 —
+    * filtered ANN) PRE-filters on index payload columns at the SAME
+    * scan: partition pruning cuts to nprobe buckets, the predicate
+    * pushes into the parquet reader within them, and ranking sees only
+    * qualifying candidates — so top-k is over the filtered set (the
+    * post-filter alternative drops non-matching hits after ranking
+    * and silently returns fewer than k rows).
     */
   def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
       probesDf: DataFrame, idCol: String, vecCol: String, cent: DataFrame,
-      k: Int, nprobe: Int): DataFrame = {
+      k: Int, nprobe: Int,
+      candidatePredicate: Option[Column] = None): DataFrame = {
     val probes = ivfProbes(probesDf, idCol, vecCol, cent, nprobe)
     val wanted = probes.select("bucket").distinct()
       .collect().map(_.get(0)).toSeq // metadata-sized: <= distinct probe buckets (the DPP pattern)
-    val bucketed = spark.read.parquet(indexPath)
+    val scan = spark.read.parquet(indexPath)
       .filter(col("bucket").isin(wanted: _*))
+    val bucketed = candidatePredicate.map(scan.filter).getOrElse(scan)
     ivfJoin(probes, bucketed, k)
   }
 

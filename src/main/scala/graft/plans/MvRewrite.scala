@@ -1,0 +1,209 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference,
+  Cast, Expression, KnownNotNull, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
+  Count, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter,
+  LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+  LogicalRelation}
+
+/** MATERIALIZED-VIEW AUTOMATIC REWRITE (round 13 — VERDICT r12 #7;
+  * ref: n/a, SURVEY §0 — the classic aggregate-rewrite of the
+  * materialized-view literature, scoped to exact-match subsumption).
+  *
+  * `dml_cdc_agg_view` maintains a per-group (n, total) state table
+  * incrementally from the commit-log CDC feed; without a rewrite rule
+  * that state only helps users who KNOW the view exists. [[MvRewrite]]
+  * closes the loop: a registered view declares (fact snapshot paths,
+  * group-key SQL, value SQL, state path), and any `Aggregate` whose
+  *  - scan reads EXACTLY the registered fact snapshot (path-set
+  *    equality — the freshness guard: a query over any other version
+  *    never matches),
+  *  - single grouping key is semantically the registered key, and
+  *  - aggregates are only count(*) / sum(value)
+  * is rewritten to a scan of the maintained state — O(groups) bytes
+  * instead of O(fact), the entire point of IVM at 100 TB. Output
+  * attribute ids, names and types are preserved (aliases keep the
+  * original exprIds; state columns cast to the query's types), so
+  * parent operators never see the substitution.
+  *
+  * Scope is deliberately exact-match: no partial rollups, no
+  * predicate subsumption — a rewrite that fires wrongly is a
+  * correctness bug, one that fails to fire is only a missed
+  * optimization. Registered via [[graft.GraftExtensions]] for cluster
+  * sessions and `experimental.extraOptimizations` locally; with an
+  * empty catalog the rule is a no-op.
+  */
+object MvCatalog {
+  /** One maintained view: `factPaths` = the EXACT unit paths of the
+    * fact snapshot the state reflects; `groupKeySql`/`valueSql` parse
+    * against that scan's columns; `statePath` holds (g, n, total)
+    * parquet where g is the key, n the live row count, total the
+    * value sum.
+    */
+  final case class MvDef(factPaths: Set[String], groupKeySql: String,
+      valueSql: String, statePath: String)
+
+  private val views =
+    new java.util.concurrent.ConcurrentHashMap[String, MvDef]()
+
+  def register(name: String, d: MvDef): Unit = views.put(name, d)
+  def drop(name: String): Unit = views.remove(name)
+  def clear(): Unit = views.clear()
+  def all(): Seq[MvDef] = {
+    import scala.jdk.CollectionConverters._
+    views.values.asScala.toSeq
+  }
+}
+
+object MvRewrite extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val defs = MvCatalog.all()
+    if (defs.isEmpty) plan
+    else plan.transformUp {
+      case agg: Aggregate =>
+        defs.view.flatMap(tryRewrite(agg, _)).headOption.getOrElse(agg)
+    }
+  }
+
+  /** The scan beneath an Aggregate plus the Project aliases on the
+    * way down — by rewrite time the optimizer has pulled complex
+    * grouping expressions into a child Project
+    * (PullOutGroupingExpressions), so the Aggregate groups by a
+    * `_groupingexpression` attribute whose definition lives one node
+    * below; the alias map lets the matcher compare DEFINITIONS, not
+    * surface attributes. A Filter means the query is not subsumed.
+    */
+  private def scanWithAliases(plan: LogicalPlan)
+      : Option[(LogicalRelation, Map[Long, Expression])] = plan match {
+    case r: LogicalRelation => Some((r, Map.empty))
+    case Project(projectList, child) =>
+      scanWithAliases(child).map { case (r, inner) =>
+        val here = projectList.collect {
+          case a: Alias => a.exprId.id -> inlineWith(a.child, inner)
+        }.toMap
+        (r, inner ++ here)
+      }
+    case _ => None
+  }
+
+  private def inlineWith(e: Expression,
+      m: Map[Long, Expression]): Expression =
+    if (m.isEmpty) e
+    else e.transformUp {
+      case a: AttributeReference if m.contains(a.exprId.id) => m(a.exprId.id)
+    }
+
+  private def stripAlias(e: Expression): Expression = e match {
+    case a: Alias => stripAlias(a.child)
+    case other => other
+  }
+
+  private def tryRewrite(agg: Aggregate, d: MvCatalog.MvDef)
+      : Option[LogicalPlan] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    for {
+      relAliases <- scanWithAliases(agg.child)
+      (rel, aliasMap) = relAliases
+      fsRel <- rel.relation match {
+        case h: HadoopFsRelation => Some(h)
+        case _ => None
+      }
+      // freshness: the scan must read exactly the registered snapshot
+      scanPaths = fsRel.location.rootPaths.map(_.toUri.getPath).toSet
+      if scanPaths == d.factPaths
+      // the single grouping key must be semantically the registered one
+      if agg.groupingExpressions.size == 1
+      groupExpr = inlineWith(stripAlias(agg.groupingExpressions.head), aliasMap)
+      keyExpr <- resolveAgainst(spark, d.groupKeySql, rel)
+      if groupExpr.semanticEquals(keyExpr)
+      valExpr <- resolveAgainst(spark, d.valueSql, rel)
+      // map every output column to a state column, or bail
+      mappings <- mapOutputs(agg.aggregateExpressions, groupExpr, valExpr,
+        aliasMap)
+    } yield {
+      // groups whose rows have all been deleted net to n = 0 in the
+      // fold — a direct aggregate has no such group
+      val stateDf = spark.read.parquet(d.statePath)
+        .filter(org.apache.spark.sql.functions.col("n") =!= 0L)
+      val statePlan =
+        org.apache.spark.sql.graft.GraftSqlInternals.analyzed(stateDf)
+      val stateAttr = statePlan.output.map(a => a.name -> a).toMap
+      val projectList: Seq[NamedExpression] =
+        agg.aggregateExpressions.zip(mappings).map { case (ne, stateCol) =>
+          val src = stateAttr(stateCol)
+          val typed: Expression =
+            if (src.dataType == ne.dataType) src else Cast(src, ne.dataType)
+          val guarded =
+            if (!ne.nullable && typed.nullable) KnownNotNull(typed) else typed
+          Alias(guarded, ne.name)(exprId = ne.exprId,
+            qualifier = ne.qualifier)
+        }
+      Project(projectList, statePlan)
+    }
+  }
+
+  /** Parse `sql`, resolve it against the scan via the session's
+    * analyzer (so type coercion matches what the query's own analysis
+    * produced — e.g. `k % 10` becomes `k % CAST(10 AS BIGINT)`), then
+    * fold constant subtrees (the query side arrives constant-folded by
+    * the optimizer, so both sides must be). The result carries the
+    * scan's attribute ids, making semanticEquals exact.
+    */
+  private def resolveAgainst(spark: org.apache.spark.sql.SparkSession,
+      sql: String, rel: LogicalRelation): Option[Expression] =
+    try {
+      val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+      val analyzed = spark.sessionState.analyzer.execute(
+        Project(Seq(Alias(parsed, "__mv_expr")()), rel))
+      analyzed match {
+        case Project(Seq(a: Alias), _) => Some(foldLiterals(a.child))
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+
+  /** Evaluate foldable non-literal subtrees to literals — the piece of
+    * ConstantFolding these comparisons need, applied locally so both
+    * comparison sides share normal form.
+    */
+  private def foldLiterals(e: Expression): Expression = e.transformUp {
+    case sub if sub.foldable &&
+        !sub.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal] =>
+      org.apache.spark.sql.catalyst.expressions.Literal
+        .create(sub.eval(null), sub.dataType)
+  }
+
+  /** Each aggregate output must be the group key, count(*) or
+    * sum(value) — returns the state column each maps to. Comparison
+    * happens after child-Project alias inlining, so the pulled-out
+    * `_groupingexpression` attribute and the raw expression match the
+    * same way.
+    */
+  private def mapOutputs(outs: Seq[NamedExpression], groupExpr: Expression,
+      valExpr: Expression, aliasMap: Map[Long, Expression])
+      : Option[Seq[String]] = {
+    val mapped = outs.map { ne =>
+      // outer casts collapse into the Aggregate (CollapseProject) —
+      // strip them for matching; the rewrite re-casts the state column
+      // to the output's exact dataType, so values are unchanged
+      stripCasts(inlineWith(stripAlias(ne), aliasMap)) match {
+        case e if e.semanticEquals(groupExpr) => Some("g")
+        case AggregateExpression(Count(Seq(lit)), _, false, None, _)
+            if lit.foldable => Some("n")
+        case AggregateExpression(Sum(e, _), _, false, None, _)
+            if e.semanticEquals(valExpr) => Some("total")
+        case _ => None
+      }
+    }
+    if (mapped.forall(_.isDefined)) Some(mapped.map(_.get)) else None
+  }
+
+  private def stripCasts(e: Expression): Expression = e match {
+    case c: Cast => stripCasts(c.child)
+    case other => other
+  }
+}

@@ -664,52 +664,42 @@ object LakehouseQueries {
     // At 100 TB this is the materialized-dashboard loop: each version
     // costs the feed plus a 10-row join, never a table re-read.
     "dml_cdc_agg_view" -> ((s, d) => {
-      import graft.sources.CommitLog
-      val root = cdcTable(s, d)
-      // like dml_cdc_replay: the view state is deterministic derived
-      // data, cached per (sfDir, fingerprint) — no per-invocation
-      // state-tree leak, and repeated runs reuse the fold
-      val stDir = graft.queries.ScaleQueries.freshDir(aggViewStateDir, d,
-          "orders") {
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft_aggview").toString
-        val zero = lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 2))
-        CommitLog.versions(root).foldLeft(Option.empty[String]) { (acc, v) =>
-          val ch = CommitLog.changes(s, root, v)
-          val delta = ch
-            .withColumn("sgn",
-              when(col("_change_type") === "insert", lit(1L))
-                .otherwise(lit(-1L)))
-            .groupBy((col("k") % 10).as("g"))
-            .agg(sum(col("sgn")).as("dn"),
-              sum((col("p") * col("sgn")).cast(DecimalType(38, 2)))
-                .cast(DecimalType(38, 2)).as("dp"))
-          acc match {
-            case None =>
-              val out = s"$dir/v$v"
-              delta.select(col("g"), col("dn").as("n"), col("dp").as("total"))
-                .write.parquet(out)
-              Some(out)
-            case Some(prev) if ch.isEmpty => Some(prev) // maintenance: no-op
-            case Some(prev) =>
-              val out = s"$dir/v$v"
-              s.read.parquet(prev).join(delta, Seq("g"), "full_outer")
-                .select(col("g"),
-                  (coalesce(col("n"), lit(0L)) +
-                    coalesce(col("dn"), lit(0L))).as("n"),
-                  (coalesce(col("total"), zero) + coalesce(col("dp"), zero))
-                    .cast(DecimalType(38, 2)).as("total"))
-                .write.parquet(out)
-              Some(out)
-          }
-        }
-        dir
-      }
-      val last = s"$stDir/v${CommitLog.replayStates(stDir).last}"
+      val last = aggViewLastState(s, d)
       s.read.parquet(last).filter(col("n") =!= 0L)
         .select(col("g").cast("bigint").as("g"),
           col("n").cast("bigint").as("n"),
           col("total").cast(DecimalType(38, 2)).as("total"))
+        .orderBy("g")
+    }),
+
+    // S48 (round 13 — VERDICT r12 #7): MATERIALIZED-VIEW AUTOMATIC
+    // REWRITE. dml_cdc_agg_view (above) proves the state is maintained
+    // incrementally; this entry proves a user needn't know it exists:
+    // the query is a plain scan+group-by over the LATEST fact snapshot
+    // — written exactly as a user who never heard of the view would
+    // write it — and the plans.MvRewrite optimizer rule recognizes the
+    // subsumption (exact snapshot paths, same group key, count/sum
+    // only) and reroutes the plan to the O(groups) state table. The
+    // fact units never appear in the executed plan (Round13OpsSpec
+    // pin); values must equal the direct aggregate (shared oracle).
+    "view_rewrite_agg" -> ((s, d) => {
+      import graft.sources.CommitLog
+      val root = cdcTable(s, d)
+      val last = aggViewLastState(s, d)
+      val vLast = CommitLog.versions(root).last
+      graft.plans.MvCatalog.register("orders_by_g",
+        graft.plans.MvCatalog.MvDef(
+          CommitLog.units(root, vLast).map(u =>
+            java.nio.file.Paths.get(u).toAbsolutePath.normalize.toString).toSet,
+          "k % 10", "p", last))
+      if (!s.experimental.extraOptimizations.contains(graft.plans.MvRewrite))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.plans.MvRewrite
+      CommitLog.snapshot(s, root, vLast)
+        .groupBy((col("k") % 10).as("g"))
+        .agg(count(lit(1)).as("n"), sum(col("p")).as("sum_p"))
+        .select(col("g"), col("n"),
+          col("sum_p").cast(DecimalType(38, 2)).as("total"))
         .orderBy("g")
     }),
 
@@ -1381,6 +1371,87 @@ object LakehouseQueries {
       }.reduce(_ unionAll _).orderBy("version")
     }),
 
+    // S47 (round 13 — VERDICT r12 #8): DECLARATIVE COMMIT CONSTRAINTS.
+    // NOT NULL / CHECK / UNIQUE-key declared once as table properties
+    // in the log; every commitConstrained validates the NEW units —
+    // O(delta), uniqueness via the stats-sidecar range-pruned probe —
+    // BEFORE the manifest links. Lifecycle: v0 clean base (accepted);
+    // three poisoned batches (null key-col, CHECK-violating negative
+    // price, snapshot-duplicate keys) each rejected LOUDLY with no
+    // version burned; the same poison staged as a WAP branch fails
+    // auditBranchConstraints and is abandoned (constraint failure =
+    // audit failure); then the clean delta lands as v1. Output: the
+    // version walk — v1 must contain exactly base+delta, nothing of
+    // any rejected batch; fully oracled by membership arithmetic.
+    "dml_constraints" -> ((s, d) => {
+      import graft.sources.CommitLog
+      val root = graft.queries.ScaleQueries.freshDir(constraintsDir, d, "orders") {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_constraints").toString
+        val base = load(s, d, "orders")
+          .select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
+            dec(col("o_totalprice")).as("p"))
+        CommitLog.declareConstraints(dir, Seq(
+          CommitLog.NotNullConstraint("k"),
+          CommitLog.NotNullConstraint("c"),
+          CommitLog.CheckConstraint("nonneg_price", "p >= 0"),
+          CommitLog.UniqueConstraint("k")))
+        base.filter(col("k") % 3 === 0).write.parquet(s"$dir/data/base")
+        CommitLog.commitConstrained(s, dir, 0L, Seq("data/base"))
+        // cstats sidecar on the key: the uniqueness probes below take
+        // the range-pruned cheap path instead of a full snapshot scan
+        CommitLog.writeColStats(dir, 0L,
+          CommitLog.footerColStats(s, dir, Seq("data/base"), Seq("k")))
+        def rejected(f: => Unit): Boolean =
+          try { f; false }
+          catch { case e: IllegalArgumentException =>
+            e.getMessage.contains("no version burned") }
+        // poison 1: nulls in the customer column
+        base.filter(col("k") % 3 === 1)
+          .select(col("k"),
+            when(col("k") % 10 === 1, lit(null)).otherwise(col("c"))
+              .cast("bigint").as("c"), col("p"))
+          .write.parquet(s"$dir/data/cand_null")
+        require(rejected(CommitLog.commitConstrained(s, dir, 1L,
+          Seq("data/base", "data/cand_null"))), "null batch must reject")
+        // poison 2: CHECK violation — negated prices
+        base.filter(col("k") % 3 === 1)
+          .select(col("k"), col("c"),
+            when(col("k") % 12 === 1, col("p") * -1).otherwise(col("p"))
+              .cast(DecimalType(18, 2)).as("p"))
+          .write.parquet(s"$dir/data/cand_neg")
+        require(rejected(CommitLog.commitConstrained(s, dir, 1L,
+          Seq("data/base", "data/cand_neg"))), "negative batch must reject")
+        // poison 3: keys the snapshot already holds (the stats-pruned
+        // + broadcast-semi-join uniqueness probe)
+        base.filter(col("k") % 6 === 0)
+          .write.parquet(s"$dir/data/cand_dup")
+        require(rejected(CommitLog.commitConstrained(s, dir, 1L,
+          Seq("data/base", "data/cand_dup"))), "dup batch must reject")
+        // WAP composition: the null poison staged as a branch fails
+        // the constraint audit and is abandoned — main never saw it
+        CommitLog.stageBranch(dir, "risky",
+          Seq("data/base", "data/cand_null"))
+        require(!CommitLog.auditBranchConstraints(s, dir, "risky"),
+          "constraint audit must fail the poisoned branch")
+        CommitLog.abandonBranch(dir, "risky")
+        require(CommitLog.versions(dir) == Seq(0L),
+          s"rejections burned a version: ${CommitLog.versions(dir)}")
+        // the clean delta commits
+        base.filter(col("k") % 3 === 1).write.parquet(s"$dir/data/delta")
+        CommitLog.commitConstrained(s, dir, 1L,
+          Seq("data/base", "data/delta"))
+        dir
+      }
+      CommitLog.versions(root).map { v =>
+        CommitLog.snapshot(s, root, v)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("p")).cast(DecimalType(38, 2)).as("total"))
+          .select(lit(v).cast("bigint").as("version"),
+            col("n_rows"), col("total"))
+      }.reduce(_ unionAll _).orderBy("version")
+    }),
+
     // S33 (round 11): RIGHT-TO-BE-FORGOTTEN — CommitLog.purgeKeys, the
     // one sanctioned HISTORY REWRITE: the k%100==7 key slice is
     // physically erased from EVERY version (data units AND the MoR
@@ -1767,6 +1838,9 @@ object LakehouseQueries {
   private val wapDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  private val constraintsDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private val purgeDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -1838,7 +1912,7 @@ object LakehouseQueries {
     * reprice of bucket 2, v2 OPTIMIZE to one unit, v3 COW delete of
     * k%4==1. Built once per (sfDir, orders fingerprint).
     */
-  private def cdcTable(s: org.apache.spark.sql.SparkSession, d: String): String =
+  private[graft] def cdcTable(s: org.apache.spark.sql.SparkSession, d: String): String =
     graft.queries.ScaleQueries.freshDir(cdcReadDir, d, "orders") {
       import graft.sources.CommitLog
       val dir = java.nio.file.Files.createTempDirectory("graft_cdc").toString
@@ -1864,6 +1938,57 @@ object LakehouseQueries {
       CommitLog.commit(dir, 3L, Seq("data/v3"))
       dir
     }
+
+  /** The incrementally-maintained per-group (n, total) view state of
+    * the S12 CDC fact lifecycle — the dml_cdc_agg_view fold, shared
+    * with view_rewrite_agg (which registers it for automatic rewrite).
+    * Like dml_cdc_replay: deterministic derived data, cached per
+    * (sfDir, fingerprint) — no per-invocation state-tree leak, and
+    * repeated runs reuse the fold. Returns the LATEST version's state
+    * parquet path.
+    */
+  private def aggViewLastState(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    import graft.sources.CommitLog
+    val root = cdcTable(s, d)
+    val stDir = graft.queries.ScaleQueries.freshDir(aggViewStateDir, d,
+        "orders") {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_aggview").toString
+      val zero = lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 2))
+      CommitLog.versions(root).foldLeft(Option.empty[String]) { (acc, v) =>
+        val ch = CommitLog.changes(s, root, v)
+        val delta = ch
+          .withColumn("sgn",
+            when(col("_change_type") === "insert", lit(1L))
+              .otherwise(lit(-1L)))
+          .groupBy((col("k") % 10).as("g"))
+          .agg(sum(col("sgn")).as("dn"),
+            sum((col("p") * col("sgn")).cast(DecimalType(38, 2)))
+              .cast(DecimalType(38, 2)).as("dp"))
+        acc match {
+          case None =>
+            val out = s"$dir/v$v"
+            delta.select(col("g"), col("dn").as("n"), col("dp").as("total"))
+              .write.parquet(out)
+            Some(out)
+          case Some(prev) if ch.isEmpty => Some(prev) // maintenance: no-op
+          case Some(prev) =>
+            val out = s"$dir/v$v"
+            s.read.parquet(prev).join(delta, Seq("g"), "full_outer")
+              .select(col("g"),
+                (coalesce(col("n"), lit(0L)) +
+                  coalesce(col("dn"), lit(0L))).as("n"),
+                (coalesce(col("total"), zero) + coalesce(col("dp"), zero))
+                  .cast(DecimalType(38, 2)).as("total"))
+              .write.parquet(out)
+            Some(out)
+        }
+      }
+      dir
+    }
+    s"$stDir/v${CommitLog.replayStates(stDir).last}"
+  }
 
   /** The 2-version DIMENSION table S32 (dml_cdc_join_view) joins the
     * S12 fact lifecycle against: v0 inserts k -> k%10 in k%4 bucket
@@ -1925,6 +2050,20 @@ object LakehouseQueries {
         |  SELECT 0 AS version, k, p FROM base WHERE k % 2 = 0
         |  UNION ALL
         |  SELECT 1 AS version, k, p FROM base)
+        |SELECT CAST(version AS BIGINT) AS version,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(p) AS DECIMAL(38,2)) AS total
+        |FROM v GROUP BY version ORDER BY version""".stripMargin,
+    // S47 twin: v0 = the k%3==0 base, v1 = base + the clean k%3==1
+    // delta; every poisoned batch was rejected pre-commit so no
+    // version reflects any of them.
+    "dml_constraints" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        | v AS (
+        |  SELECT 0 AS version, k, p FROM base WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT 1 AS version, k, p FROM base WHERE k % 3 <= 1)
         |SELECT CAST(version AS BIGINT) AS version,
         |    CAST(count(*) AS BIGINT) AS n_rows,
         |    CAST(sum(p) AS DECIMAL(38,2)) AS total
@@ -2119,6 +2258,17 @@ object LakehouseQueries {
         |    CAST(sum(p) AS DECIMAL(38,2)) AS snapshot_total
         |FROM fin""".stripMargin,
     "dml_cdc_agg_view" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        | v1 AS (SELECT k, CASE WHEN k % 4 = 2
+        |     THEN CAST(p * 2 AS DECIMAL(18,2)) ELSE p END AS p FROM base),
+        | fin AS (SELECT k, p FROM v1 WHERE k % 4 <> 1)
+        |SELECT k % 10 AS g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(p) AS DECIMAL(38,2)) AS total
+        |FROM fin GROUP BY 1 ORDER BY g""".stripMargin,
+    // S48 twin: the rewrite may change the PLAN, never the values —
+    // the direct-aggregate arithmetic is the oracle for both.
+    "view_rewrite_agg" ->
       """WITH base AS (SELECT o_orderkey AS k,
         |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
         | v1 AS (SELECT k, CASE WHEN k % 4 = 2

@@ -137,9 +137,19 @@ object RetrievalQueries {
           sub: String): Seq[(String, Long, Long, Long)] = {
         part.select(col("doc_id"),
             expr("CAST(size(split(text, ' ')) AS BIGINT)").as("dl"),
-            explode(split(col("text"), " ")).as("term"))
+            posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
           .groupBy("term", "doc_id", "dl")
-          .agg(count(lit(1)).cast("bigint").as("tf"))
+          // POSITIONAL postings (round 13 — VERDICT r12 #5): each
+          // (term, doc) row carries its sorted 0-based occurrence
+          // positions — the Lucene-style payload that turns the index
+          // phrase-capable. sort_array pins the file bytes against
+          // collect_list's shuffle-order nondeterminism; tf stays its
+          // own column (= size(positions)) so the BM25 probes keep
+          // their narrow column-pruned reads (Round13OpsSpec pins that
+          // their ReadSchema never mentions positions).
+          .agg(count(lit(1)).cast("bigint").as("tf"),
+            sort_array(collect_list(col("pos").cast("bigint")))
+              .as("positions"))
           .withColumn("bucket", expr("pmod(xxhash64(term), 8)"))
           // bval keeps the bucket INSIDE the files (the sim_ivf_delta
           // rule): pruned reads list bucket dirs directly, no
@@ -276,6 +286,77 @@ object RetrievalQueries {
       .transform(bm25Pivot)
   }
 
+  /** PHRASE query against the positional postings index (round 13 —
+    * VERDICT r12 #5): docs containing `w1` immediately followed by
+    * `w2`, with the phrase occurrence count and the two terms' BM25.
+    * The probe is the postings machinery unchanged — the two terms'
+    * buckets resolve through the engine hash, the manifest prunes to
+    * those units, tombstones anti-join away — plus ONE positional
+    * step: the two posting lists equi-join on doc_id and adjacency is
+    * `array_intersect(positions(w1)+1, positions(w2))`, per-doc array
+    * arithmetic on already-k-bounded rows (a position array is
+    * tf-sized, not doc-sized). At 100 TB the phrase probe therefore
+    * costs O(postings of the two terms) — same as the BM25 probe —
+    * not a corpus re-tokenization.
+    */
+  private[graft] def phraseFromIndex(s: org.apache.spark.sql.SparkSession,
+      root: String, version: Long, w1: String, w2: String)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.sources.CommitLog
+    val terms = Seq(w1, w2)
+    val wanted = s.createDataset(terms)(
+        org.apache.spark.sql.Encoders.STRING)
+      .selectExpr("pmod(xxhash64(value), 8) AS bucket")
+      .distinct().collect().map(_.getLong(0)) // metadata-sized: <= 2 query-term bucket ids
+      .toSet
+    val st = CommitLog.stats(root, version)
+    val picked = st
+      .filter { case (_, mn, _, _) => mn >= 0 && wanted(mn) }
+      .map(u => java.nio.file.Paths.get(root, u._1).toString)
+    val metas = st.filter(_._2 == -1L)
+      .map(u => java.nio.file.Paths.get(root, u._1).toString)
+    val corpus = s.read.parquet(metas: _*)
+      .agg(sum(col("n_docs")).cast("bigint").as("n"),
+        (sum(col("sum_dl")).cast("double") /
+          sum(col("n_docs"))).as("avgdl"))
+    val raw = s.read.parquet(picked: _*)
+      .filter(col("term").isin(terms: _*))
+      .select("term", "doc_id", "dl", "tf", "positions")
+    val dv = CommitLog.deletes(root, version)
+    val postings =
+      if (dv.isEmpty) raw
+      else raw.join(
+        broadcast(s.read.parquet(dv: _*).select("doc_id").distinct()),
+        Seq("doc_id"), "left_anti")
+    // adjacency: shift w1's positions by one and intersect with w2's —
+    // positions within a doc are distinct, so the intersection size IS
+    // the phrase occurrence count
+    val ph = postings.filter(col("term") === w1)
+      .select(col("doc_id"), col("positions").as("p1"))
+      .join(postings.filter(col("term") === w2)
+        .select(col("doc_id"), col("positions").as("p2")), "doc_id")
+      .select(col("doc_id"),
+        expr("CAST(size(array_intersect(" +
+          "transform(p1, x -> x + CAST(1 AS BIGINT)), p2)) AS BIGINT)")
+          .as("n_phrase"))
+      .filter(col("n_phrase") > 0)
+    // the two terms' BM25 for the matching docs (both weights exist by
+    // construction — a phrase doc contains both terms)
+    val dfreq = postings.groupBy("term")
+      .agg(count(lit(1)).cast("bigint").as("df"))
+    val piv = postings.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(corpus))
+      .selectExpr("doc_id", "term", bm25W)
+      .groupBy("doc_id")
+      .agg(
+        coalesce(sum(when(col("term") === w1, col("w"))), lit(0.0)).as("wa"),
+        coalesce(sum(when(col("term") === w2, col("w"))), lit(0.0)).as("wb"))
+      .selectExpr("doc_id", "CAST(wa + wb AS DECIMAL(18,6)) AS bm25")
+    ph.join(piv, "doc_id")
+      .select("doc_id", "n_phrase", "bm25")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     // AB1: Okapi BM25 scoring of the corpus against a fixed 5-term
     // query. Term order in the final sum is pinned by the 5-column
@@ -323,6 +404,18 @@ object RetrievalQueries {
     // cost is O(delta) — neither touches the corpus.
     "text_bm25_postings" -> ((s, d) =>
       bm25FromIndex(s, postingsIndex(s, d), 1L)),
+
+    // AB17 (round 13 — VERDICT r12 #5): PHRASE MATCH on the positional
+    // postings index — "the first user query after BM25". Shares the
+    // SAME index table as the whole text_bm25_postings family (probed
+    // at v1, the delta-grown full corpus): the positions column rides
+    // in every postings row, the manifest prunes to the two terms'
+    // buckets, adjacency is per-doc array arithmetic. Fully oracled:
+    // DuckDB recomputes adjacency from the raw text with a
+    // position-zipped unnest self-join — index and from-scratch scan
+    // must agree on every doc, count, and score.
+    "text_phrase_match" -> ((s, d) =>
+      phraseFromIndex(s, postingsIndex(s, d), 1L, "hash", "join")),
 
     // AB7 (round 11): the postings index UNDER DOC DELETION — the
     // secondary-index-maintenance story. v2 deletes the doc_id%7
@@ -958,6 +1051,40 @@ object RetrievalQueries {
   val oracle: Map[String, String] = Map(
     "text_bm25" -> bm25Sql,
     "text_bm25_postings" -> bm25Sql,
+    // AB17 twin: adjacency from the raw text (position-zipped unnest
+    // self-joined on pos+1) + the shared BM25 weight restricted to the
+    // two phrase terms. The index probe must reproduce this exactly.
+    "text_phrase_match" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        | dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+        | corpus AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        | tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+        |  WHERE term IN ('hash', 'join')
+        |  GROUP BY doc_id, term),
+        | df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        | ts AS (SELECT tf.doc_id, tf.term,
+        |    ln(1.0 + (CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |      * (CAST(tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / avgdl))) AS w
+        |  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id, corpus),
+        | piv AS (SELECT doc_id,
+        |    coalesce(sum(CASE WHEN term = 'hash' THEN w END), 0.0) AS wa,
+        |    coalesce(sum(CASE WHEN term = 'join' THEN w END), 0.0) AS wb
+        |  FROM ts GROUP BY doc_id),
+        | pos AS (SELECT doc_id, unnest(toks) AS tok,
+        |    unnest(range(1, len(toks) + 1)) AS pos FROM d),
+        | ph AS (SELECT t1.doc_id, CAST(count(*) AS BIGINT) AS n_phrase
+        |  FROM pos t1 JOIN pos t2
+        |    ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+        |  WHERE t1.tok = 'hash' AND t2.tok = 'join'
+        |  GROUP BY t1.doc_id)
+        |SELECT ph.doc_id, n_phrase,
+        |  CAST(wa + wb AS DECIMAL(18,6)) AS bm25
+        |FROM ph JOIN piv ON ph.doc_id = piv.doc_id
+        |ORDER BY 1""".stripMargin,
     "text_bm25_postings_delete" -> bm25SqlOver(" AND doc_id % 7 <> 0"),
     "text_bm25_postings_compact" -> bm25SqlOver(" AND doc_id % 7 <> 0"),
     "text_bm25_postings_purge" -> bm25PurgeSql,

@@ -2766,4 +2766,171 @@ object CommitLog {
     }
     n
   }
+
+  // ------------------------------------------------------------------
+  // DECLARATIVE COMMIT CONSTRAINTS (round 13 — VERDICT r12 #8; ref:
+  // n/a, SURVEY §0 — the Delta CHECK-constraint / NOT NULL table-
+  // property pattern on this log). Constraints are declared ONCE as a
+  // table property file; every [[commitConstrained]] then validates
+  // the NEW units — O(delta) data, never table-sized — BEFORE the
+  // manifest links, so a poisoned batch burns no version. Uniqueness
+  // against the standing snapshot takes the cheap path when sidecars
+  // exist: the stats sidecar prunes probe units by key range first,
+  // so a delta whose key range is disjoint from most of the table
+  // semi-joins only the overlapping units.
+  // ------------------------------------------------------------------
+
+  sealed trait TableConstraint { def render: String }
+  /** `col` must be non-null in every committed row. */
+  final case class NotNullConstraint(col: String) extends TableConstraint {
+    def render = s"notnull|$col"
+  }
+  /** SQL-standard CHECK: a row violates only when `sql` evaluates to
+    * FALSE (UNKNOWN/null passes, as in the standard).
+    */
+  final case class CheckConstraint(name: String, sql: String)
+      extends TableConstraint {
+    def render = s"check|$name|$sql"
+  }
+  /** `col` must be unique across the whole table (nulls exempt, the
+    * SQL UNIQUE convention — compose with [[NotNullConstraint]] for a
+    * primary key).
+    */
+  final case class UniqueConstraint(col: String) extends TableConstraint {
+    def render = s"unique|$col"
+  }
+
+  private def constraintsFile(table: String): java.nio.file.Path =
+    logDir(table).resolve("constraints.txt")
+
+  /** Declare (or replace) the table's constraint set — a metadata-only
+    * DDL; enforcement happens at every later [[commitConstrained]] /
+    * [[auditBranchConstraints]]. Names/columns must be separator-free;
+    * a CHECK's SQL is the line's last field so it may contain '|'.
+    */
+  def declareConstraints(table: String, cs: Seq[TableConstraint]): Unit = {
+    cs.foreach {
+      case NotNullConstraint(c) => requireCleanField(c, "notnull column")
+      case UniqueConstraint(c) => requireCleanField(c, "unique column")
+      case CheckConstraint(n, sql) =>
+        requireCleanField(n, "check name")
+        require(sql.nonEmpty && !sql.exists(ch => ch == '\n' || ch == '\r'),
+          s"check $n: SQL must be non-empty and newline-free")
+    }
+    java.nio.file.Files.createDirectories(logDir(table))
+    java.nio.file.Files.writeString(constraintsFile(table),
+      cs.map(_.render).mkString("", "\n", "\n"))
+  }
+
+  private def requireCleanField(v: String, what: String): Unit =
+    require(v.nonEmpty && !v.exists(c => c == '\n' || c == '\r' || c == '|'),
+      s"illegal $what '$v' — must be non-empty and free of newlines and '|'")
+
+  /** The declared constraint set (empty when none declared). */
+  def constraintsOf(table: String): Seq[TableConstraint] = {
+    val f = constraintsFile(table)
+    if (!java.nio.file.Files.isRegularFile(f)) Seq.empty
+    else java.nio.file.Files.readAllLines(f).toArray(Array.empty[String])
+      .toIndexedSeq.filter(_.nonEmpty).map { line =>
+        line.split("\\|", 3) match {
+          case Array("notnull", c) => NotNullConstraint(c)
+          case Array("unique", c) => UniqueConstraint(c)
+          case Array("check", n, sql) => CheckConstraint(n, sql)
+          case _ => throw new IllegalArgumentException(
+            s"corrupt constraint line: $line")
+        }
+      }
+  }
+
+  /** Validate `newUnits` against the declared constraints, with
+    * `baseVersion` (None = empty table) as the standing snapshot for
+    * uniqueness. Returns violation messages — empty means clean.
+    * Shared by the commit gate and the WAP audit so a constraint
+    * failure IS an audit failure.
+    */
+  def constraintViolations(spark: SparkSession, table: String,
+      newUnits: Seq[String], baseVersion: Option[Long]): Seq[String] = {
+    import org.apache.spark.sql.functions.{broadcast, col, count, expr, lit}
+    val cs = constraintsOf(table)
+    if (cs.isEmpty || newUnits.isEmpty) return Seq.empty
+    val fresh = spark.read.parquet(
+      newUnits.map(u => java.nio.file.Paths.get(table, u).toString): _*)
+    val out = scala.collection.mutable.ListBuffer[String]()
+    cs.foreach {
+      case NotNullConstraint(c) =>
+        if (!fresh.filter(col(c).isNull).limit(1).isEmpty)
+          out += s"notnull($c): new units carry null $c"
+      case CheckConstraint(n, sql) =>
+        // violation = predicate IS FALSE (UNKNOWN passes, SQL standard)
+        if (!fresh.filter(expr(sql) === lit(false)).limit(1).isEmpty)
+          out += s"check($n): new units violate [$sql]"
+      case UniqueConstraint(c) =>
+        val keys = fresh.filter(col(c).isNotNull).select(col(c).as("__k"))
+        val dupIn = keys.groupBy("__k").agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1).limit(1)
+        if (!dupIn.isEmpty)
+          out += s"unique($c): duplicate keys within the new batch"
+        else baseVersion.foreach { v =>
+          // keys already committed? Cheap path: stats-sidecar range
+          // pruning picks only units whose [min,max] overlaps the
+          // batch's key range; the exact probe then semi-joins the
+          // pruned scan against the broadcast batch keys. Without a
+          // stats sidecar, the probe falls back to the full snapshot
+          // (still one semi-join, never a shuffle of the table).
+          val kd = keys.distinct().localCheckpoint()
+          val bounds = kd.agg(
+            org.apache.spark.sql.functions.min("__k"),
+            org.apache.spark.sql.functions.max("__k")).head()
+          if (!bounds.isNullAt(0)) {
+            val hasCStats = java.nio.file.Files.isRegularFile(
+              logDir(table).resolve(f"v$v%05d.cstats.txt")) &&
+              colStats(table, v).exists(_.col == c)
+            val standing =
+              if (hasCStats)
+                snapshotRangeCol(spark, table, v, c,
+                  bounds.get(0).toString, bounds.get(1).toString)._1
+              else snapshot(spark, table, v)
+            val clash = standing.select(col(c).as("__k"))
+              .join(broadcast(kd), "__k").limit(1)
+            if (!clash.isEmpty)
+              out += s"unique($c): new batch re-uses keys already in v$v"
+          }
+        }
+    }
+    out.toSeq
+  }
+
+  /** Constraint-enforced commit: validates the units `version` ADDS
+    * over the previous version (O(delta)) against the declared
+    * constraint set, then commits atomically. A violation throws with
+    * every failed constraint named and BURNS NO VERSION — the manifest
+    * is never linked. Composes with the column mapping (validation
+    * reads physical files; declare constraints on physical names) and
+    * with WAP via [[auditBranchConstraints]].
+    */
+  def commitConstrained(spark: SparkSession, table: String, version: Long,
+      units: Seq[String]): Unit = {
+    val vs = versions(table)
+    val prev = vs.lastOption
+    val existing = prev.map(unitsRel(table, _).toSet).getOrElse(Set.empty)
+    val fresh = units.filterNot(existing)
+    val bad = constraintViolations(spark, table, fresh, prev)
+    require(bad.isEmpty,
+      s"commit of $table v$version rejected, no version burned:\n  " +
+        bad.mkString("\n  "))
+    commit(table, version, units)
+  }
+
+  /** WAP composition: audit a staged branch BY the declared
+    * constraints — the branch's units not already on main are the
+    * batch under audit. Returns true (publishable) only when clean.
+    */
+  def auditBranchConstraints(spark: SparkSession, table: String,
+      branch: String): Boolean = {
+    val vs = versions(table)
+    val prev = vs.lastOption
+    val existing = prev.map(unitsRel(table, _).toSet).getOrElse(Set.empty)
+    val fresh = stagedUnits(table, branch).filterNot(existing)
+    constraintViolations(spark, table, fresh, prev).isEmpty
+  }
 }

@@ -51,6 +51,7 @@ class ContractSpec extends GraftSpec {
       "Interval" -> queries.IntervalQueries.queries,
       "Report" -> queries.ReportQueries.queries,
       "Retrieval" -> queries.RetrievalQueries.queries,
+      "Cbo" -> queries.CboQueries.queries,
       "Stream" -> streaming.StreamQueries.queries)
     val clashes = modules.flatMap { case (m, qs) => qs.keys.map(_ -> m) }
       .groupBy(_._1).filter(_._2.size > 1)

@@ -73,6 +73,143 @@ class Round13OpsSpec extends GraftSpec {
       .filter(col("c_ok") =!= 4.0).limit(1).isEmpty)
   }
 
+  test("filtered ANN: IVF pre-filter equals the exact filtered tier at nprobe=nlist") {
+    import graft.api.GraftOps
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.load(spark, sf, "embeddings")
+    val cent = GraftOps.centroids(emb, "label", "embedding")
+    val nlist = cent.count().toInt
+    val idxDir = freshDir("graft_r13_ivf_filter")
+    GraftOps.ivfIndexBuild(emb, "vec_id", "embedding", cent,
+      s"$idxDir/idx", payload = Seq("label"))
+    // nprobe = nlist: every bucket scanned, so the ONLY difference
+    // from exact is the index layout — pre-filtering on index payload
+    // must reproduce the exact filtered top-k verbatim (the equality
+    // anchor; at nprobe < nlist the tiers diverge only by recall)
+    val viaIndex = GraftOps.ivfTopKFromIndex(spark, s"$idxDir/idx",
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", cent,
+        k = 5, nprobe = nlist,
+        candidatePredicate = Some(col("label") % 2 === 1))
+      .orderBy("q_id", "rn").collect().map(_.toSeq)
+    val exact = GraftOps.cosineTopK(emb, "vec_id", "embedding",
+        probePredicate = col("vec_id") < 10, k = 5,
+        candidatePredicate = col("label") % 2 === 1)
+      .orderBy("q_id", "rn").collect().map(_.toSeq)
+    assert(viaIndex.toSeq == exact.toSeq,
+      s"index tier diverged: ${viaIndex.take(3).toSeq} vs ${exact.take(3).toSeq}")
+    // every returned candidate satisfies the predicate
+    val odd = emb.filter(col("label") % 2 === 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(exact.forall(r => odd(r(1).asInstanceOf[Long])))
+  }
+
+  test("filtered ANN: the predicate reaches the index parquet scan (plan pin)") {
+    val df = SparkEntry.queries("sim_ivf_filtered")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // partition pruning on bucket AND the payload predicate pushed to
+    // the same scan: the scan's PushedFilters must mention label — a
+    // post-scan-only filter would read every row of the probed buckets
+    val scanLine = plan.linesIterator
+      .filter(l => l.contains("PushedFilters") && l.contains("label"))
+    assert(scanLine.nonEmpty,
+      "no scan pushes the label predicate:\n" + plan.take(3000))
+    assert(df.count() > 0)
+  }
+
+  test("materialized-view rewrite: the aggregate reads the view state, never the fact units") {
+    val df = SparkEntry.queries("view_rewrite_agg")(spark, sf)
+    // string pin (AQE hides scan nodes from pre-execution collect):
+    // the plan must scan the view state (the aggview fold dir) and the
+    // fact table's units (graft_cdc.../data/...) must not appear
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_aggview"),
+      "rewrite did not fire — no view-state scan:\n" + plan.take(3000))
+    assert(!plan.contains("graft_cdc"),
+      "rewritten plan still touches the fact units:\n" + plan.take(3000))
+    // and the rewritten values equal the maintained-view read
+    val direct = SparkEntry.queries("dml_cdc_agg_view")(spark, sf)
+      .collect().map(_.toSeq)
+    assert(df.collect().map(_.toSeq).toSeq == direct.toSeq)
+  }
+
+  test("materialized-view rewrite never fires for a non-subsumed aggregate") {
+    import graft.sources.CommitLog
+    // run the rewrite entry once so the catalog holds the view and
+    // the rule is injected in this session
+    SparkEntry.queries("view_rewrite_agg")(spark, sf).count()
+    // same fact snapshot, DIFFERENT group key: must scan the fact
+    val root = graft.queries.LakehouseQueries.cdcTable(spark, sf)
+    val vLast = CommitLog.versions(root).last
+    val other = CommitLog.snapshot(spark, root, vLast)
+      .groupBy((col("k") % 7).as("g7"))
+      .agg(count(lit(1)).as("n"))
+    val otherPlan = other.queryExecution.executedPlan.toString
+    assert(!otherPlan.contains("graft_aggview"),
+      "non-subsumed aggregate rerouted:\n" + otherPlan.take(3000))
+    // and an OLDER version's snapshot never matches (freshness guard)
+    val stale = CommitLog.snapshot(spark, root, 0L)
+      .groupBy((col("k") % 10).as("g"))
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("sum_p"))
+    val stalePlan = stale.queryExecution.executedPlan.toString
+    assert(!stalePlan.contains("graft_aggview"),
+      "stale snapshot rerouted to fresher state:\n" + stalePlan.take(3000))
+  }
+
+  test("CBO: catalog stats flow to the optimizer and join reorder replaces the written order") {
+    val df = SparkEntry.queries("tpch_q8_cbo")(spark, sf)
+    // 1. ANALYZE persisted row counts the optimizer can see
+    val rc = spark.table("g_cbo_lineitem")
+      .queryExecution.optimizedPlan.stats.rowCount
+    assert(rc.isDefined && rc.get.toLong ==
+      Tables.load(spark, sf, "lineitem").count(),
+      s"catalog row count not visible to the optimizer: $rc")
+    // 2. join reorder FIRED: the SQL is written fact-first, and with
+    // stats the optimizer must not leave lineitem as the first (most
+    // deeply nested left) relation — it builds the selective
+    // customer⋈nation side first; with reorder disabled the written
+    // order survives verbatim
+    def firstRelation(plan: String): String =
+      plan.linesIterator.filter(_.contains("Relation spark_catalog"))
+        .map(_.split("g_cbo_")(1).takeWhile(_.isLetter)).next()
+    val cboFirst = firstRelation(df.queryExecution.optimizedPlan.treeString)
+    assert(cboFirst != "lineitem",
+      s"join reorder did not fire — fact still leads: $cboFirst")
+    try {
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+      val naive = spark.sql(graft.queries.CboQueries.q8Sql("g_cbo_"))
+      assert(firstRelation(naive.queryExecution.optimizedPlan.treeString)
+        == "lineitem", "written order expected without reorder")
+    } finally spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    // 3. the hint-free plan lands the hand-tuned tpch_q8 SHAPE: every
+    // dimension broadcast, no sort-merge join anywhere
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin") &&
+      !phys.contains("SortMergeJoin"),
+      "stats-driven plan missed the all-broadcast shape:\n" + phys.take(2000))
+    assert(df.count() > 0)
+  }
+
+  test("positional postings do not regress the BM25 probes' column pruning") {
+    // the v-layout now carries a positions array in every postings
+    // row (text_phrase_match); the BM25 probes must keep their narrow
+    // reads — a scan that decodes tf-sized arrays for a scoring query
+    // would pay the phrase feature on every lookup
+    val df = SparkEntry.queries("text_bm25_postings")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val postingsReads = plan.linesIterator
+      .filter(l => l.contains("ReadSchema") && l.contains("term"))
+    assert(postingsReads.nonEmpty, plan.take(2000))
+    postingsReads.foreach(l =>
+      assert(!l.contains("positions"),
+        s"BM25 probe decodes the positions payload: $l"))
+    assert(df.count() > 0)
+    // and the phrase probe's scan DOES read them
+    val pf = SparkEntry.queries("text_phrase_match")(spark, sf)
+    val pplan = pf.queryExecution.executedPlan.toString
+    assert(pplan.contains("positions"), pplan.take(2000))
+    assert(pf.count() > 0)
+  }
+
   test("purge receipt counts data rows once when a key also sits in a dv sidecar") {
     import spark.implicits._
     val t = freshDir("graft_r13_purgecount")
