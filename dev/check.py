@@ -49,10 +49,23 @@ def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
     con = duckdb.connect()
+    # big-SF probes (the sf1 run): bound DuckDB's memory so an
+    # iterative-CTE oracle spills instead of ballooning past the box
+    # (observed: 80 GB RSS on graph_components at sf1), and subset the
+    # run so a resume after an interrupt doesn't repay finished queries
+    import os
+    mem = os.environ.get("GRAFT_DUCKDB_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
+        con.execute(f"SET temp_directory='/tmp/graft_duck_spill'")
+    subset = os.environ.get("GRAFT_CHECK_SUBSET")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
+    if subset:
+        keep = {s.strip() for s in subset.split(",") if s.strip()}
+        oracle = {k: v for k, v in oracle.items() if k in keep}
     n_ok = 0
     fails, warns = [], []
     for name in sorted(oracle):

@@ -143,12 +143,22 @@ case class TopKPerGroupExec(
       // pruning; heap contents follow once the input is exhausted
       // (`++` rhs is by-name, so `heaps` is fully built by then).
       var overflow: InternalRow = null
-      while (iter.hasNext && overflow == null) {
+      // `overflow == null` MUST be checked BEFORE `iter.hasNext`, and
+      // the overflow row MUST be copied (round-13 fix, caught by the
+      // sf1 probe as one wrong group in 150k): a WholeStageCodegen
+      // child's `hasNext` PRODUCES the next row into its shared
+      // UnsafeRow buffer, so evaluating `iter.hasNext` after capturing
+      // the cap-crossing row overwrote it with the following row — the
+      // overflow row silently became a duplicate of its successor and
+      // its group could lose a true top-k member. Row counts stayed
+      // right, values didn't; only a >cap-group dataset (sf1) could
+      // catch it.
+      while (overflow == null && iter.hasNext) {
         val row = iter.next()
         val key = groupProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
-          if (isPartial && heaps.size >= groupCap) overflow = row
+          if (isPartial && heaps.size >= groupCap) overflow = row.copy()
           else {
             heap = new java.util.PriorityQueue[InternalRow](kLocal + 1, ord.reverse)
             heaps.put(key.copy(), heap)

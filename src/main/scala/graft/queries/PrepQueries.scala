@@ -311,7 +311,16 @@ object PrepQueries {
       val docs = load(s, d, "documents")
         .select(col("doc_id"), substring(col("text"), 1, 60).as("p"),
           expr("concat_ws(' ', slice(split(text, ' '), 1, 2))").as("blk"))
+      // Repartition the PROBE side by block before the join: the
+      // corpus is byte-small (one input split at test SFs), so without
+      // it the broadcast join + levenshtein run in ONE task — and
+      // levenshtein is O(60²) per CANDIDATE, so the stage's cost is
+      // set by pair count, not bytes (measured at the sf1 probe: 238 s
+      // single-task → parallel after this exchange, whose own cost is
+      // one shuffle of doc-id+prefix rows, negligible against the
+      // comparisons it parallelizes).
       val a = docs.select(col("doc_id").as("a_id"), col("p").as("pa"), col("blk"))
+        .repartition(col("blk"))
       val b = docs.select(col("doc_id").as("b_id"), col("p").as("pb"), col("blk").as("b_blk"))
       a.join(b, col("blk") === col("b_blk") && col("a_id") < col("b_id"))
         .withColumn("dist", levenshtein(col("pa"), col("pb")).cast("bigint"))

@@ -210,6 +210,24 @@ class Round13OpsSpec extends GraftSpec {
     assert(pf.count() > 0)
   }
 
+  test("topKPerGroup: the cap-crossing row survives the partial overflow (sf1 find)") {
+    import graft.api.GraftOps
+    // One row per group, k=1: the output must contain every group. The
+    // pre-fix code evaluated iter.hasNext AFTER capturing the
+    // cap-crossing row without copying it — a WholeStageCodegen
+    // child's hasNext produces the NEXT row into its shared buffer, so
+    // the overflow row silently became a duplicate of its successor
+    // and its group vanished from the result (caught at the sf1 probe
+    // as one wrong group among 150k; invisible at any smaller SF
+    // because the 2^17 cap never engaged).
+    val df = spark.range(2000).selectExpr("id AS g", "id AS v").repartition(1)
+    val out = GraftOps.topKPerGroup(df, Seq("g"), Seq(("v", true)), 1,
+      maxPartialGroups = 1000)
+    assert(out.count() == 2000L)
+    assert(out.select("g").distinct().count() == 2000L,
+      "a group vanished at the partial-phase cap boundary")
+  }
+
   test("purge receipt counts data rows once when a key also sits in a dv sidecar") {
     import spark.implicits._
     val t = freshDir("graft_r13_purgecount")
