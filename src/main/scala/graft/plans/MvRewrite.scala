@@ -1,7 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference,
-  Cast, Expression, KnownNotNull, NamedExpression}
+  AttributeSet, Cast, EqualTo, Expression, If, KnownNotNull, Literal,
+  NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
   Count, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter,
@@ -11,10 +12,10 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
   LogicalRelation}
 
 /** MATERIALIZED-VIEW AUTOMATIC REWRITE (round 13 — VERDICT r12 #7;
-  * ref: n/a, SURVEY §0 — the classic aggregate-rewrite of the
-  * materialized-view literature, scoped to exact-match subsumption).
+  * rollup subsumption round 14 — VERDICT r13 #4; ref: n/a, SURVEY §0 —
+  * the classic aggregate-rewrite of the materialized-view literature).
   *
-  * `dml_cdc_agg_view` maintains a per-group (n, total) state table
+  * `dml_cdc_agg_view` maintains a per-group (n, nn, total) state table
   * incrementally from the commit-log CDC feed; without a rewrite rule
   * that state only helps users who KNOW the view exists. [[MvRewrite]]
   * closes the loop: a registered view declares (fact snapshot paths,
@@ -22,17 +23,30 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
   *  - scan reads EXACTLY the registered fact snapshot (path-set
   *    equality — the freshness guard: a query over any other version
   *    never matches),
-  *  - single grouping key is semantically the registered key, and
+  *  - single grouping key is semantically the registered key, OR is an
+  *    expression OVER the registered key (a coarser rollup — every
+  *    occurrence of the key subtree substitutes to the state's `g` and
+  *    nothing else of the scan remains), and
   *  - aggregates are only count(*) / sum(value)
-  * is rewritten to a scan of the maintained state — O(groups) bytes
-  * instead of O(fact), the entire point of IVM at 100 TB. Output
-  * attribute ids, names and types are preserved (aliases keep the
-  * original exprIds; state columns cast to the query's types), so
-  * parent operators never see the substitution.
+  * is rewritten to read the maintained state — O(groups) bytes instead
+  * of O(fact), the entire point of IVM at 100 TB. The exact-match case
+  * projects the state; the rollup case RE-AGGREGATES it (count(*) →
+  * sum(n), sum(v) → sum(total)) — sum and count are the distributive
+  * aggregates for which rollup-from-state is exact. Output attribute
+  * ids, names and types are preserved (aliases keep the original
+  * exprIds; state columns cast to the query's types), so parent
+  * operators never see the substitution.
   *
-  * Scope is deliberately exact-match: no partial rollups, no
-  * predicate subsumption — a rewrite that fires wrongly is a
-  * correctness bug, one that fails to fire is only a missed
+  * NULL semantics (ADVICE r13): a live group whose values are all NULL
+  * must yield sum = NULL, but the maintained total folds to 0. The
+  * state therefore carries `nn` = the signed count of non-null values,
+  * and every sum mapping emits NULL when the (re-aggregated) nn is 0 —
+  * exactly sum's empty-input rule.
+  *
+  * Scope remains fail-safe: any shape outside the above (extra
+  * predicates, other aggregates, a group key not a function of the
+  * view key) leaves the plan untouched — a rewrite that fires wrongly
+  * is a correctness bug, one that fails to fire is only a missed
   * optimization. Registered via [[graft.GraftExtensions]] for cluster
   * sessions and `experimental.extraOptimizations` locally; with an
   * empty catalog the rule is a no-op.
@@ -40,9 +54,9 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
 object MvCatalog {
   /** One maintained view: `factPaths` = the EXACT unit paths of the
     * fact snapshot the state reflects; `groupKeySql`/`valueSql` parse
-    * against that scan's columns; `statePath` holds (g, n, total)
-    * parquet where g is the key, n the live row count, total the
-    * value sum.
+    * against that scan's columns; `statePath` holds (g, n, nn, total)
+    * parquet where g is the key, n the signed live row count, nn the
+    * signed non-null value count, total the value sum.
     */
   final case class MvDef(factPaths: Set[String], groupKeySql: String,
       valueSql: String, statePath: String)
@@ -116,34 +130,71 @@ object MvRewrite extends Rule[LogicalPlan] {
       // freshness: the scan must read exactly the registered snapshot
       scanPaths = fsRel.location.rootPaths.map(_.toUri.getPath).toSet
       if scanPaths == d.factPaths
-      // the single grouping key must be semantically the registered one
       if agg.groupingExpressions.size == 1
       groupExpr = inlineWith(stripAlias(agg.groupingExpressions.head), aliasMap)
       keyExpr <- resolveAgainst(spark, d.groupKeySql, rel)
-      if groupExpr.semanticEquals(keyExpr)
       valExpr <- resolveAgainst(spark, d.valueSql, rel)
-      // map every output column to a state column, or bail
-      mappings <- mapOutputs(agg.aggregateExpressions, groupExpr, valExpr,
+      rewritten <- buildFromState(spark, agg, d, groupExpr, keyExpr, valExpr,
         aliasMap)
-    } yield {
-      // groups whose rows have all been deleted net to n = 0 in the
-      // fold — a direct aggregate has no such group
-      val stateDf = spark.read.parquet(d.statePath)
-        .filter(org.apache.spark.sql.functions.col("n") =!= 0L)
-      val statePlan =
-        org.apache.spark.sql.graft.GraftSqlInternals.analyzed(stateDf)
-      val stateAttr = statePlan.output.map(a => a.name -> a).toMap
-      val projectList: Seq[NamedExpression] =
-        agg.aggregateExpressions.zip(mappings).map { case (ne, stateCol) =>
-          val src = stateAttr(stateCol)
-          val typed: Expression =
-            if (src.dataType == ne.dataType) src else Cast(src, ne.dataType)
-          val guarded =
-            if (!ne.nullable && typed.nullable) KnownNotNull(typed) else typed
-          Alias(guarded, ne.name)(exprId = ne.exprId,
-            qualifier = ne.qualifier)
-        }
-      Project(projectList, statePlan)
+    } yield rewritten
+  }
+
+  /** Build the state-backed replacement plan, or None if the shape is
+    * not subsumed. Exact match (group key ≡ view key) projects the
+    * state; a group key that is an expression OVER the view key
+    * re-aggregates it.
+    */
+  private def buildFromState(spark: org.apache.spark.sql.SparkSession,
+      agg: Aggregate, d: MvCatalog.MvDef, groupExpr: Expression,
+      keyExpr: Expression, valExpr: Expression,
+      aliasMap: Map[Long, Expression]): Option[LogicalPlan] = {
+    // groups whose rows have all been deleted net to n = 0 in the
+    // fold — a direct aggregate has no such group
+    val stateDf = spark.read.parquet(d.statePath)
+      .filter(org.apache.spark.sql.functions.col("n") =!= 0L)
+    val statePlan =
+      org.apache.spark.sql.graft.GraftSqlInternals.analyzed(stateDf)
+    val stateAttr = statePlan.output.map(a => a.name -> a).toMap
+    if (!Set("g", "n", "nn", "total").subsetOf(stateAttr.keySet)) return None
+    val gAttr = stateAttr("g")
+    val gAsKey: Expression =
+      if (gAttr.dataType == keyExpr.dataType) gAttr
+      else Cast(gAttr, keyExpr.dataType)
+
+    if (groupExpr.semanticEquals(keyExpr)) {
+      // EXACT: one state row per output row — project, no re-agg.
+      // sum maps to total guarded by nn = 0 → NULL (all-NULL group).
+      val sumGuarded: Expression = If(
+        EqualTo(stateAttr("nn"), Literal(0L)),
+        Literal(null, stateAttr("total").dataType), stateAttr("total"))
+      mapOutputs(agg.aggregateExpressions, groupExpr, valExpr, aliasMap,
+        onGroup = gAsKey, onCount = stateAttr("n"), onSum = sumGuarded)
+        .map(Project(_, statePlan))
+    } else {
+      // ROLLUP: substitute every key-subtree occurrence with the state
+      // key; subsumed iff the result depends on NOTHING else of the
+      // scan (i.e. the query key is literally a function of the view
+      // key). count(*) → sum(n); sum(v) → sum(total) with the
+      // re-aggregated nn deciding the all-NULL → NULL case.
+      val rolled = groupExpr.transformUp {
+        case e if e.semanticEquals(keyExpr) => gAsKey
+      }
+      val selfContained = rolled.references.subsetOf(AttributeSet(Seq(gAttr)))
+      val substituted = !rolled.semanticEquals(groupExpr)
+      if (!selfContained || !substituted) None
+      else {
+        def sumOf(e: Expression): Expression =
+          AggregateExpression(Sum(e), org.apache.spark.sql.catalyst
+            .expressions.aggregate.Complete, isDistinct = false)
+        val countFromState: Expression = sumOf(stateAttr("n"))
+        val sumFromState: Expression = If(
+          EqualTo(sumOf(stateAttr("nn")), Literal(0L)),
+          Literal(null, stateAttr("total").dataType),
+          sumOf(stateAttr("total")))
+        mapOutputs(agg.aggregateExpressions, groupExpr, valExpr, aliasMap,
+          onGroup = rolled, onCount = countFromState, onSum = sumFromState)
+          .map(outs => Aggregate(Seq(rolled), outs, statePlan))
+      }
     }
   }
 
@@ -178,28 +229,40 @@ object MvRewrite extends Rule[LogicalPlan] {
   }
 
   /** Each aggregate output must be the group key, count(*) or
-    * sum(value) — returns the state column each maps to. Comparison
-    * happens after child-Project alias inlining, so the pulled-out
-    * `_groupingexpression` attribute and the raw expression match the
-    * same way.
+    * sum(value) — returns the output list with each mapped onto the
+    * caller-provided state-side expression (exact: a state column;
+    * rollup: a re-aggregation), cast to the output's exact dataType
+    * and keeping its exprId so parents never see the substitution.
+    * Comparison happens after child-Project alias inlining, so the
+    * pulled-out `_groupingexpression` attribute and the raw expression
+    * match the same way.
     */
   private def mapOutputs(outs: Seq[NamedExpression], groupExpr: Expression,
-      valExpr: Expression, aliasMap: Map[Long, Expression])
-      : Option[Seq[String]] = {
+      valExpr: Expression, aliasMap: Map[Long, Expression],
+      onGroup: Expression, onCount: Expression, onSum: Expression)
+      : Option[Seq[NamedExpression]] = {
     val mapped = outs.map { ne =>
       // outer casts collapse into the Aggregate (CollapseProject) —
       // strip them for matching; the rewrite re-casts the state column
       // to the output's exact dataType, so values are unchanged
       stripCasts(inlineWith(stripAlias(ne), aliasMap)) match {
-        case e if e.semanticEquals(groupExpr) => Some("g")
+        case e if e.semanticEquals(groupExpr) => Some(onGroup)
         case AggregateExpression(Count(Seq(lit)), _, false, None, _)
-            if lit.foldable => Some("n")
+            if lit.foldable => Some(onCount)
         case AggregateExpression(Sum(e, _), _, false, None, _)
-            if e.semanticEquals(valExpr) => Some("total")
+            if e.semanticEquals(valExpr) => Some(onSum)
         case _ => None
       }
     }
-    if (mapped.forall(_.isDefined)) Some(mapped.map(_.get)) else None
+    if (!mapped.forall(_.isDefined)) None
+    else Some(outs.zip(mapped.map(_.get)).map { case (ne, stateSide) =>
+      val typed: Expression =
+        if (stateSide.dataType == ne.dataType) stateSide
+        else Cast(stateSide, ne.dataType)
+      val guarded =
+        if (!ne.nullable && typed.nullable) KnownNotNull(typed) else typed
+      Alias(guarded, ne.name)(exprId = ne.exprId, qualifier = ne.qualifier)
+    })
   }
 
   private def stripCasts(e: Expression): Expression = e match {

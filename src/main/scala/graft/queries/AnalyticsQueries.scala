@@ -158,15 +158,23 @@ object AnalyticsQueries {
         .orderBy("event_type")
     }),
 
-    // U6 (round 7): classical trend/seasonal/residual decomposition
-    // of the per-type daily event series — trend = centered 7-day
-    // moving average (exact integer frame sum / frame count),
-    // seasonal = per-ISO-weekday mean of the detrended series (exact
-    // decimal sum / count), residual = remainder. Every mean is an
-    // exact-sum ÷ count double division and every intermediate rounds
-    // to DECIMAL(18,6) before reuse, so no summation order leaks into
-    // any engine's output. One corpus-grain shuffle to 150 day-groups;
-    // all decomposition math runs on that tiny table.
+    // U6 (round 7; exact-integer chain round 14 — VERDICT r13 #1):
+    // classical trend/seasonal/residual decomposition of the per-type
+    // daily event series — trend = centered 7-day moving average,
+    // seasonal = per-ISO-weekday mean of the detrended series,
+    // residual = remainder. EVERY value is carried as an exact BIGINT
+    // in 1e-6 units (the text_readability recipe): each mean is one
+    // half-away-from-zero integer rounding of an exact rational
+    // ((2|num|+den) DIV (2 den) on non-negative operands, where both
+    // engines' integral division truncates identically), so no engine
+    // ever rounds a double→decimal representation tie — the sf1 gate
+    // found 24 cells where Spark (shortest-decimal-string half-up) and
+    // DuckDB (binary-value) disagree at exactly 1e-6 on such a tie.
+    // The ×1e-6 render is an exact decimal multiply (scale 0 × scale 6
+    // → scale 6, no rounding step exists). Headroom: the DIV numerator
+    // is ≤ 2·7·cnt_day·1e6 — a 6.5e11-events/day grain before BIGINT
+    // overflow. One corpus-grain shuffle to 150 day-groups; all
+    // decomposition math runs on that tiny table.
     "ts_decompose" -> ((s, d) => {
       val daily = load(s, d, "events")
         .groupBy(col("event_type"),
@@ -176,17 +184,23 @@ object AnalyticsQueries {
       val t = daily
         .withColumn("tsum", sum(col("cnt")).over(w))
         .withColumn("tn", count(lit(1)).over(w))
-        .withColumn("trend",
-          (col("tsum").cast("double") / col("tn")).cast(DecimalType(18, 6)))
-        .withColumn("detr",
-          (col("cnt").cast("double") - col("trend").cast("double")).cast(DecimalType(18, 6)))
+        .withColumn("trend_u",
+          expr("(2 * tsum * 1000000 + tn) DIV (2 * tn)"))
+        .withColumn("detr_u", expr("cnt * 1000000 - trend_u"))
         .withColumn("isodow", expr("extract(dayofweek_iso FROM day)").cast("bigint"))
       val seas = t.groupBy("event_type", "isodow")
-        .agg((sum(col("detr")).cast("double") / count(lit(1)))
-          .cast(DecimalType(18, 6)).as("seasonal"))
+        .agg(expr("""CASE WHEN sum(detr_u) >= 0
+                    |  THEN (2 * sum(detr_u) + count(*)) DIV (2 * count(*))
+                    |  ELSE -((2 * -sum(detr_u) + count(*)) DIV (2 * count(*)))
+                    |END""".stripMargin).as("seasonal_u"))
       t.join(seas, Seq("event_type", "isodow"))
-        .select(col("event_type"), col("day"), col("cnt"), col("trend"), col("seasonal"),
-          (col("detr").cast("double") - col("seasonal").cast("double"))
+        .select(col("event_type"), col("day"), col("cnt"),
+          (col("trend_u").cast(DecimalType(18, 0)) * lit(BigDecimal("0.000001")))
+            .cast(DecimalType(18, 6)).as("trend"),
+          (col("seasonal_u").cast(DecimalType(18, 0)) * lit(BigDecimal("0.000001")))
+            .cast(DecimalType(18, 6)).as("seasonal"),
+          ((col("detr_u") - col("seasonal_u")).cast(DecimalType(18, 0))
+            * lit(BigDecimal("0.000001")))
             .cast(DecimalType(18, 6)).as("resid"))
         .orderBy("event_type", "day")
     }),
@@ -293,7 +307,11 @@ object AnalyticsQueries {
         |    AS avg_value_x1000
         |FROM t WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY channel""".stripMargin,
-    // U6 twin: identical exact-sum/round-before-reuse discipline.
+    // U6 twin (exact-integer chain, round 14): every mean is the SAME
+    // half-away-from-zero integer rounding on non-negative operands
+    // ((2|num|+den) // (2 den)); the ×1e-6 render is an exact decimal
+    // multiply. No double ever reaches a decimal cast, so the sf1
+    // representation-tie divergence cannot recur in either engine.
     "ts_decompose" ->
       """WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
         |         count(*) AS cnt FROM events GROUP BY 1, 2),
@@ -301,14 +319,19 @@ object AnalyticsQueries {
         |       WINDOW w AS (PARTITION BY event_type ORDER BY day
         |                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
         | t2 AS (SELECT event_type, day, cnt,
-        |        CAST(CAST(tsum AS DOUBLE) / tn AS DECIMAL(18,6)) AS trend FROM t),
-        | t3 AS (SELECT *, CAST(CAST(cnt AS DOUBLE) - CAST(trend AS DOUBLE) AS DECIMAL(18,6)) AS detr,
+        |        CAST((2 * tsum * 1000000 + tn) // (2 * tn) AS BIGINT) AS trend_u FROM t),
+        | t3 AS (SELECT *, cnt * 1000000 - trend_u AS detr_u,
         |        CAST(extract(isodow FROM day) AS BIGINT) AS isodow FROM t2),
         | seas AS (SELECT event_type, isodow,
-        |        CAST(CAST(sum(detr) AS DOUBLE) / count(*) AS DECIMAL(18,6)) AS seasonal
+        |        CAST(CASE WHEN sum(detr_u) >= 0
+        |          THEN (2 * sum(detr_u) + count(*)) // (2 * count(*))
+        |          ELSE -((2 * -sum(detr_u) + count(*)) // (2 * count(*)))
+        |        END AS BIGINT) AS seasonal_u
         |        FROM t3 GROUP BY 1, 2)
-        | SELECT t3.event_type, day, cnt, trend, seasonal,
-        |   CAST(CAST(detr AS DOUBLE) - CAST(seasonal AS DOUBLE) AS DECIMAL(18,6)) AS resid
+        | SELECT t3.event_type, day, cnt,
+        |   CAST(CAST(trend_u AS DECIMAL(18,0)) * 0.000001 AS DECIMAL(18,6)) AS trend,
+        |   CAST(CAST(seasonal_u AS DECIMAL(18,0)) * 0.000001 AS DECIMAL(18,6)) AS seasonal,
+        |   CAST(CAST(detr_u - seasonal_u AS DECIMAL(18,0)) * 0.000001 AS DECIMAL(18,6)) AS resid
         | FROM t3 JOIN seas USING (event_type, isodow)
         | ORDER BY event_type, day""".stripMargin,
     "win_ratio_to_report" ->

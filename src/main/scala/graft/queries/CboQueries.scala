@@ -26,22 +26,27 @@ object CboQueries {
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem")
 
-  // (applicationId, sfDir) -> registered fingerprint: the DDL+ANALYZE
-  // runs once per session per testdata generation, not per query call
-  private val catalogReady =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // The g_cbo_* catalog tables are SESSION-GLOBAL — only ONE data dir
+  // can be registered at a time. The cache therefore tracks the single
+  // currently-registered (appId, dir, fingerprint) triple (ADVICE r13:
+  // a per-(app,dir) map would stay 'ready' for dir A after dir B
+  // repointed the tables, silently querying B's data with B's stats
+  // under A's name). Any change of app, dir, or data fingerprint
+  // re-registers; synchronized because registration must be atomic
+  // with the cache write.
+  private val catalogState =
+    new java.util.concurrent.atomic.AtomicReference[(String, String, String)]()
 
-  /** Register the external catalog tables + statistics (idempotent per
-    * session and data fingerprint) and enable CBO. The confs stay set:
-    * they only change plans for catalog tables carrying stats, which
-    * are exactly the g_cbo_* tables of this module.
+  /** Register the external catalog tables + statistics (idempotent
+    * while the SAME dir+fingerprint stays current) and enable CBO. The
+    * confs stay set: they only change plans for catalog tables
+    * carrying stats, which are exactly the g_cbo_* tables.
     */
   private[graft] def ensureCatalog(s: SparkSession, d: String): Unit = {
     val fp = cboTables.map(t => graft.Tables.fingerprint(d, t)).mkString(";")
-    val key = s.sparkContext.applicationId + "|" + d
-    catalogReady.compute(key, (_, old) => {
-      if (old == fp) old
-      else {
+    val want = (s.sparkContext.applicationId, d, fp)
+    catalogState.synchronized {
+      if (catalogState.get != want) {
         s.conf.set("spark.sql.cbo.enabled", "true")
         s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
         cboTables.foreach { t =>
@@ -60,9 +65,9 @@ object CboQueries {
             .map(_.name).mkString(", ")
           s.sql(s"ANALYZE TABLE g_cbo_$t COMPUTE STATISTICS FOR COLUMNS $cols")
         }
-        fp
+        catalogState.set(want)
       }
-    })
+    }
   }
 
   /** The q8-shape market-share query, HINT-FREE, deliberately written

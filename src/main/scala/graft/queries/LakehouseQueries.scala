@@ -683,24 +683,37 @@ object LakehouseQueries {
     // fact units never appear in the executed plan (Round13OpsSpec
     // pin); values must equal the direct aggregate (shared oracle).
     "view_rewrite_agg" -> ((s, d) => {
-      import graft.sources.CommitLog
-      val root = cdcTable(s, d)
-      val last = aggViewLastState(s, d)
-      val vLast = CommitLog.versions(root).last
-      graft.plans.MvCatalog.register("orders_by_g",
-        graft.plans.MvCatalog.MvDef(
-          CommitLog.units(root, vLast).map(u =>
-            java.nio.file.Paths.get(u).toAbsolutePath.normalize.toString).toSet,
-          "k % 10", "p", last))
-      if (!s.experimental.extraOptimizations.contains(graft.plans.MvRewrite))
-        s.experimental.extraOptimizations =
-          s.experimental.extraOptimizations :+ graft.plans.MvRewrite
-      CommitLog.snapshot(s, root, vLast)
+      val (root, vLast) = registerOrdersView(s, d)
+      graft.sources.CommitLog.snapshot(s, root, vLast)
         .groupBy((col("k") % 10).as("g"))
         .agg(count(lit(1)).as("n"), sum(col("p")).as("sum_p"))
         .select(col("g"), col("n"),
           col("sum_p").cast(DecimalType(38, 2)).as("total"))
         .orderBy("g")
+    }),
+
+    // S49 (round 14 — VERDICT r13 #4): PARTIAL-ROLLUP REWRITE. The
+    // classic MV win is not the view's own shape but a COARSER one:
+    // this query groups the fact by (k % 10) % 3 — a function of the
+    // view key, never registered itself — and MvRewrite proves the
+    // subsumption (every key-subtree occurrence substitutes to the
+    // state's g with nothing else of the scan left) and re-aggregates
+    // the 10-row state (count(*) → sum(n), sum(p) → sum(total),
+    // nn deciding the all-NULL → NULL case). The fact units never
+    // appear in the executed plan (Round14OpsSpec pin, alongside a
+    // NEGATIVE pin that a group key NOT a function of the view key —
+    // k % 3 — keeps the fact scan); values must equal the direct
+    // rollup (the oracle). At 100 TB this is the dashboard-hierarchy
+    // pattern: one maintained fine-grain state serves every coarser
+    // rollup above it at O(groups) cost.
+    "view_rewrite_rollup" -> ((s, d) => {
+      val (root, vLast) = registerOrdersView(s, d)
+      graft.sources.CommitLog.snapshot(s, root, vLast)
+        .groupBy(((col("k") % 10) % 3).as("g3"))
+        .agg(count(lit(1)).as("n"), sum(col("p")).as("sum_p"))
+        .select(col("g3"), col("n"),
+          col("sum_p").cast(DecimalType(38, 2)).as("total"))
+        .orderBy("g3")
     }),
 
     // S27 (round 11): MULTI-TABLE ATOMIC COMMIT — the catalog-commit
@@ -1939,8 +1952,31 @@ object LakehouseQueries {
       dir
     }
 
-  /** The incrementally-maintained per-group (n, total) view state of
-    * the S12 CDC fact lifecycle — the dml_cdc_agg_view fold, shared
+  /** Register the maintained orders-by-(k%10) view of the S12 fact
+    * lifecycle with [[graft.plans.MvCatalog]] and install the rewrite
+    * rule — shared by view_rewrite_agg (exact shape) and
+    * view_rewrite_rollup (coarser shape). Returns (table root, latest
+    * version).
+    */
+  private def registerOrdersView(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, Long) = {
+    import graft.sources.CommitLog
+    val root = cdcTable(s, d)
+    val last = aggViewLastState(s, d)
+    val vLast = CommitLog.versions(root).last
+    graft.plans.MvCatalog.register("orders_by_g",
+      graft.plans.MvCatalog.MvDef(
+        CommitLog.units(root, vLast).map(u =>
+          java.nio.file.Paths.get(u).toAbsolutePath.normalize.toString).toSet,
+        "k % 10", "p", last))
+    if (!s.experimental.extraOptimizations.contains(graft.plans.MvRewrite))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.MvRewrite
+    (root, vLast)
+  }
+
+  /** The incrementally-maintained per-group (n, nn, total) view state
+    * of the S12 CDC fact lifecycle — the dml_cdc_agg_view fold, shared
     * with view_rewrite_agg (which registers it for automatic rewrite).
     * Like dml_cdc_replay: deterministic derived data, cached per
     * (sfDir, fingerprint) — no per-invocation state-tree leak, and
@@ -1956,6 +1992,11 @@ object LakehouseQueries {
       val dir = java.nio.file.Files
         .createTempDirectory("graft_aggview").toString
       val zero = lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 2))
+      // State carries nn = the signed count of NON-NULL values
+      // alongside (n, total) — ADVICE r13: without it a group whose
+      // values are entirely NULL folds total to 0 where a direct
+      // aggregate returns NULL; the rewrite (plans/MvRewrite) emits
+      // NULL when nn = 0, restoring sum's NULL semantics exactly.
       CommitLog.versions(root).foldLeft(Option.empty[String]) { (acc, v) =>
         val ch = CommitLog.changes(s, root, v)
         val delta = ch
@@ -1964,12 +2005,15 @@ object LakehouseQueries {
               .otherwise(lit(-1L)))
           .groupBy((col("k") % 10).as("g"))
           .agg(sum(col("sgn")).as("dn"),
+            sum(when(col("p").isNotNull, col("sgn")).otherwise(lit(0L)))
+              .as("dnn"),
             sum((col("p") * col("sgn")).cast(DecimalType(38, 2)))
               .cast(DecimalType(38, 2)).as("dp"))
         acc match {
           case None =>
             val out = s"$dir/v$v"
-            delta.select(col("g"), col("dn").as("n"), col("dp").as("total"))
+            delta.select(col("g"), col("dn").as("n"), col("dnn").as("nn"),
+              coalesce(col("dp"), zero).cast(DecimalType(38, 2)).as("total"))
               .write.parquet(out)
             Some(out)
           case Some(prev) if ch.isEmpty => Some(prev) // maintenance: no-op
@@ -1979,6 +2023,8 @@ object LakehouseQueries {
               .select(col("g"),
                 (coalesce(col("n"), lit(0L)) +
                   coalesce(col("dn"), lit(0L))).as("n"),
+                (coalesce(col("nn"), lit(0L)) +
+                  coalesce(col("dnn"), lit(0L))).as("nn"),
                 (coalesce(col("total"), zero) + coalesce(col("dp"), zero))
                   .cast(DecimalType(38, 2)).as("total"))
               .write.parquet(out)
@@ -2277,6 +2323,18 @@ object LakehouseQueries {
         |SELECT k % 10 AS g, CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(p) AS DECIMAL(38,2)) AS total
         |FROM fin GROUP BY 1 ORDER BY g""".stripMargin,
+    // S49 twin: the coarser rollup computed directly from the fact
+    // arithmetic — the rewrite may re-aggregate state, never change
+    // values.
+    "view_rewrite_rollup" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        | v1 AS (SELECT k, CASE WHEN k % 4 = 2
+        |     THEN CAST(p * 2 AS DECIMAL(18,2)) ELSE p END AS p FROM base),
+        | fin AS (SELECT k, p FROM v1 WHERE k % 4 <> 1)
+        |SELECT (k % 10) % 3 AS g3, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(p) AS DECIMAL(38,2)) AS total
+        |FROM fin GROUP BY 1 ORDER BY g3""".stripMargin,
     "dml_bloom_skipping" ->
       """WITH base AS (SELECT o_orderkey AS k,
         |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),

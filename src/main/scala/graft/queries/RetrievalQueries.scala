@@ -286,28 +286,29 @@ object RetrievalQueries {
       .transform(bm25Pivot)
   }
 
-  /** PHRASE query against the positional postings index (round 13 —
-    * VERDICT r12 #5): docs containing `w1` immediately followed by
-    * `w2`, with the phrase occurrence count and the two terms' BM25.
-    * The probe is the postings machinery unchanged — the two terms'
-    * buckets resolve through the engine hash, the manifest prunes to
-    * those units, tombstones anti-join away — plus ONE positional
-    * step: the two posting lists equi-join on doc_id and adjacency is
-    * `array_intersect(positions(w1)+1, positions(w2))`, per-doc array
-    * arithmetic on already-k-bounded rows (a position array is
-    * tf-sized, not doc-sized). At 100 TB the phrase probe therefore
-    * costs O(postings of the two terms) — same as the BM25 probe —
-    * not a corpus re-tokenization.
+  /** Shared positional-probe scaffolding (round 13 phrase; N-term +
+    * proximity round 14 — VERDICT r13 #7): manifest-prune to the
+    * query terms' buckets through the engine hash, anti-join
+    * tombstones, then hand the combiner (1) the per-term position
+    * frame — `doc_id, p0..p{n-1}` built by n−1 equi-joins of
+    * k-bounded posting lists (a position array is tf-sized, never
+    * doc-sized) — and return its match column joined with the probe
+    * terms' summed BM25. With NO postings/meta unit for any term
+    * bucket the probe returns the EMPTY result with the contract
+    * schema (ADVICE r13: an empty parquet path list throws a schema-
+    * inference error). At 100 TB every variant costs O(postings of
+    * the query terms) — never a corpus re-tokenization.
     */
-  private[graft] def phraseFromIndex(s: org.apache.spark.sql.SparkSession,
-      root: String, version: Long, w1: String, w2: String)
+  private def positionalProbe(s: org.apache.spark.sql.SparkSession,
+      root: String, version: Long, words: Seq[String], matchCol: String)(
+      combine: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Column)
       : org.apache.spark.sql.DataFrame = {
     import graft.sources.CommitLog
-    val terms = Seq(w1, w2)
-    val wanted = s.createDataset(terms)(
+    require(words.size >= 2, "a positional probe needs at least two terms")
+    val wanted = s.createDataset(words.distinct)(
         org.apache.spark.sql.Encoders.STRING)
       .selectExpr("pmod(xxhash64(value), 8) AS bucket")
-      .distinct().collect().map(_.getLong(0)) // metadata-sized: <= 2 query-term bucket ids
+      .distinct().collect().map(_.getLong(0)) // metadata-sized: <= |terms| bucket ids
       .toSet
     val st = CommitLog.stats(root, version)
     val picked = st
@@ -315,12 +316,19 @@ object RetrievalQueries {
       .map(u => java.nio.file.Paths.get(root, u._1).toString)
     val metas = st.filter(_._2 == -1L)
       .map(u => java.nio.file.Paths.get(root, u._1).toString)
+    // ADVICE r13: spark.read.parquet() on zero paths throws UNABLE_TO_
+    // _INFER_SCHEMA — no bucket unit for any query term (or no meta
+    // yet) means the phrase answer is simply empty
+    if (picked.isEmpty || metas.isEmpty)
+      return s.range(0).selectExpr("id AS doc_id",
+        s"CAST(NULL AS BIGINT) AS $matchCol",
+        "CAST(NULL AS DECIMAL(18,6)) AS bm25")
     val corpus = s.read.parquet(metas: _*)
       .agg(sum(col("n_docs")).cast("bigint").as("n"),
         (sum(col("sum_dl")).cast("double") /
           sum(col("n_docs"))).as("avgdl"))
     val raw = s.read.parquet(picked: _*)
-      .filter(col("term").isin(terms: _*))
+      .filter(col("term").isin(words.distinct: _*))
       .select("term", "doc_id", "dl", "tf", "positions")
     val dv = CommitLog.deletes(root, version)
     val postings =
@@ -328,34 +336,66 @@ object RetrievalQueries {
       else raw.join(
         broadcast(s.read.parquet(dv: _*).select("doc_id").distinct()),
         Seq("doc_id"), "left_anti")
-    // adjacency: shift w1's positions by one and intersect with w2's —
-    // positions within a doc are distinct, so the intersection size IS
-    // the phrase occurrence count
-    val ph = postings.filter(col("term") === w1)
-      .select(col("doc_id"), col("positions").as("p1"))
-      .join(postings.filter(col("term") === w2)
-        .select(col("doc_id"), col("positions").as("p2")), "doc_id")
-      .select(col("doc_id"),
-        expr("CAST(size(array_intersect(" +
-          "transform(p1, x -> x + CAST(1 AS BIGINT)), p2)) AS BIGINT)")
-          .as("n_phrase"))
-      .filter(col("n_phrase") > 0)
-    // the two terms' BM25 for the matching docs (both weights exist by
-    // construction — a phrase doc contains both terms)
+    // doc_id, p0..p{n-1}: one tf-bounded position array per term
+    val positional = words.zipWithIndex.map { case (w, i) =>
+      postings.filter(col("term") === w)
+        .select(col("doc_id"), col("positions").as(s"p$i"))
+    }.reduce(_.join(_, "doc_id"))
+    val matched = positional
+      .select(col("doc_id"), combine(positional).cast("bigint").as(matchCol))
+      .filter(col(matchCol) > 0)
+    // the probe terms' BM25 for the matching docs (each weight exists
+    // by construction — a matching doc contains every term); the
+    // per-term conditional sums added in fixed textual order keep the
+    // double addition shuffle-order-independent
     val dfreq = postings.groupBy("term")
       .agg(count(lit(1)).cast("bigint").as("df"))
+    val aggs = words.distinct.zipWithIndex.map { case (w, i) =>
+      coalesce(sum(when(col("term") === w, col("w"))), lit(0.0)).as(s"w$i") }
     val piv = postings.join(broadcast(dfreq), "term")
       .crossJoin(broadcast(corpus))
       .selectExpr("doc_id", "term", bm25W)
       .groupBy("doc_id")
-      .agg(
-        coalesce(sum(when(col("term") === w1, col("w"))), lit(0.0)).as("wa"),
-        coalesce(sum(when(col("term") === w2, col("w"))), lit(0.0)).as("wb"))
-      .selectExpr("doc_id", "CAST(wa + wb AS DECIMAL(18,6)) AS bm25")
-    ph.join(piv, "doc_id")
-      .select("doc_id", "n_phrase", "bm25")
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr("doc_id",
+        s"CAST(${words.distinct.indices.map(i => s"w$i").mkString(" + ")}" +
+          " AS DECIMAL(18,6)) AS bm25")
+    matched.join(piv, "doc_id")
+      .select("doc_id", matchCol, "bm25")
       .orderBy("doc_id")
   }
+
+  /** PHRASE query against the positional postings index: docs
+    * containing `words` consecutively, with the occurrence count and
+    * the terms' BM25. Adjacency generalizes to N terms as a CHAINED
+    * POSITION-SHIFT INTERSECTION: a phrase starts at position x iff
+    * x ∈ p0 ∧ x+1 ∈ p1 ∧ … ∧ x+(n−1) ∈ p{n−1}, i.e.
+    * `array_intersect(p0, p1−1, …, p{n−1}−(n−1))` — positions within
+    * a doc are distinct, so the intersection size IS the phrase count.
+    */
+  private[graft] def phraseFromIndex(s: org.apache.spark.sql.SparkSession,
+      root: String, version: Long, words: Seq[String])
+      : org.apache.spark.sql.DataFrame =
+    positionalProbe(s, root, version, words, "n_phrase") { _ =>
+      val shifted = words.indices.map {
+        case 0 => "p0"
+        case i => s"transform(p$i, x -> x - CAST($i AS BIGINT))"
+      }
+      expr(s"size(${shifted.reduce((a, b) => s"array_intersect($a, $b)")})")
+    }
+
+  /** PROXIMITY query: docs where `w1` and `w2` occur within `k`
+    * positions of each other, counting the w1 anchors that have a w2
+    * neighbor — per-doc array arithmetic
+    * (`filter(p0, x -> exists(p1, y -> |y−x| ≤ k))`) on tf-bounded
+    * rows, sharing the phrase probe's bucket pruning end to end.
+    */
+  private[graft] def proximityFromIndex(s: org.apache.spark.sql.SparkSession,
+      root: String, version: Long, w1: String, w2: String, k: Int)
+      : org.apache.spark.sql.DataFrame =
+    positionalProbe(s, root, version, Seq(w1, w2), "n_near") { _ =>
+      expr(s"size(filter(p0, x -> exists(p1, y -> abs(y - x) <= $k)))")
+    }
 
   val queries: Map[String, Q] = Map(
     // AB1: Okapi BM25 scoring of the corpus against a fixed 5-term
@@ -415,7 +455,24 @@ object RetrievalQueries {
     // position-zipped unnest self-join — index and from-scratch scan
     // must agree on every doc, count, and score.
     "text_phrase_match" -> ((s, d) =>
-      phraseFromIndex(s, postingsIndex(s, d), 1L, "hash", "join")),
+      phraseFromIndex(s, postingsIndex(s, d), 1L, Seq("hash", "join"))),
+
+    // AB18 (round 14 — VERDICT r13 #7): 3-TERM PHRASE — the chained
+    // position-shift intersection beyond adjacency: a doc matches iff
+    // some x has x∈p("big"), x+1∈p("order"), x+2∈p("scan"). The probe
+    // still opens only the query terms' buckets (Round14OpsSpec pin);
+    // cost is O(postings of 3 terms) at any corpus size.
+    "text_phrase_n" -> ((s, d) =>
+      phraseFromIndex(s, postingsIndex(s, d), 1L,
+        Seq("big", "order", "scan"))),
+
+    // AB19 (round 14 — VERDICT r13 #7): WITHIN-k PROXIMITY — docs
+    // where 'hash' has a 'join' within 5 positions (either side),
+    // n_near = the count of such hash anchors. Same postings index,
+    // same manifest pruning; the window test is per-doc array
+    // arithmetic on tf-bounded rows.
+    "text_proximity" -> ((s, d) =>
+      proximityFromIndex(s, postingsIndex(s, d), 1L, "hash", "join", 5)),
 
     // AB7 (round 11): the postings index UNDER DOC DELETION — the
     // secondary-index-maintenance story. v2 deletes the doc_id%7
@@ -1082,6 +1139,78 @@ object RetrievalQueries {
         |  WHERE t1.tok = 'hash' AND t2.tok = 'join'
         |  GROUP BY t1.doc_id)
         |SELECT ph.doc_id, n_phrase,
+        |  CAST(wa + wb AS DECIMAL(18,6)) AS bm25
+        |FROM ph JOIN piv ON ph.doc_id = piv.doc_id
+        |ORDER BY 1""".stripMargin,
+    // AB18 twin: 3-term adjacency from the raw text — t2 at pos+1, t3
+    // at pos+2 — plus the shared BM25 weight over the three terms,
+    // summed in the probe's fixed textual order.
+    "text_phrase_n" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        | dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+        | corpus AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        | tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+        |  WHERE term IN ('big', 'order', 'scan')
+        |  GROUP BY doc_id, term),
+        | df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        | ts AS (SELECT tf.doc_id, tf.term,
+        |    ln(1.0 + (CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |      * (CAST(tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / avgdl))) AS w
+        |  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id, corpus),
+        | piv AS (SELECT doc_id,
+        |    coalesce(sum(CASE WHEN term = 'big' THEN w END), 0.0) AS wa,
+        |    coalesce(sum(CASE WHEN term = 'order' THEN w END), 0.0) AS wb,
+        |    coalesce(sum(CASE WHEN term = 'scan' THEN w END), 0.0) AS wc
+        |  FROM ts GROUP BY doc_id),
+        | pos AS (SELECT doc_id, unnest(toks) AS tok,
+        |    unnest(range(1, len(toks) + 1)) AS pos FROM d),
+        | ph AS (SELECT t1.doc_id, CAST(count(*) AS BIGINT) AS n_phrase
+        |  FROM pos t1 JOIN pos t2
+        |    ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+        |  JOIN pos t3
+        |    ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2
+        |  WHERE t1.tok = 'big' AND t2.tok = 'order' AND t3.tok = 'scan'
+        |  GROUP BY t1.doc_id)
+        |SELECT ph.doc_id, n_phrase,
+        |  CAST(wa + wb + wc AS DECIMAL(18,6)) AS bm25
+        |FROM ph JOIN piv ON ph.doc_id = piv.doc_id
+        |ORDER BY 1""".stripMargin,
+    // AB19 twin: within-5 proximity from the raw text — n_near counts
+    // the DISTINCT anchor positions of 'hash' having a 'join' within
+    // 5 (matching the probe's filter/exists array form exactly).
+    "text_proximity" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        | dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+        | corpus AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        | tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+        |  WHERE term IN ('hash', 'join')
+        |  GROUP BY doc_id, term),
+        | df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        | ts AS (SELECT tf.doc_id, tf.term,
+        |    ln(1.0 + (CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |      * (CAST(tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / avgdl))) AS w
+        |  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id, corpus),
+        | piv AS (SELECT doc_id,
+        |    coalesce(sum(CASE WHEN term = 'hash' THEN w END), 0.0) AS wa,
+        |    coalesce(sum(CASE WHEN term = 'join' THEN w END), 0.0) AS wb
+        |  FROM ts GROUP BY doc_id),
+        | pos AS (SELECT doc_id, unnest(toks) AS tok,
+        |    unnest(range(1, len(toks) + 1)) AS pos FROM d),
+        | ph AS (SELECT t1.doc_id,
+        |    CAST(count(DISTINCT t1.pos) AS BIGINT) AS n_near
+        |  FROM pos t1 JOIN pos t2
+        |    ON t1.doc_id = t2.doc_id AND abs(t2.pos - t1.pos) <= 5
+        |  WHERE t1.tok = 'hash' AND t2.tok = 'join'
+        |  GROUP BY t1.doc_id)
+        |SELECT ph.doc_id, n_near,
         |  CAST(wa + wb AS DECIMAL(18,6)) AS bm25
         |FROM ph JOIN piv ON ph.doc_id = piv.doc_id
         |ORDER BY 1""".stripMargin,

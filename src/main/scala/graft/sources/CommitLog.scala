@@ -2882,11 +2882,37 @@ object CommitLog {
             org.apache.spark.sql.functions.min("__k"),
             org.apache.spark.sql.functions.max("__k")).head()
           if (!bounds.isNullAt(0)) {
-            val hasCStats = java.nio.file.Files.isRegularFile(
-              logDir(table).resolve(f"v$v%05d.cstats.txt")) &&
-              colStats(table, v).exists(_.col == c)
+            // ADVICE r13: the range-pruned path renders the batch
+            // bounds via toString and snapshotRangeCol reparses by the
+            // footer kind — only BIGINT and STRING keys round-trip
+            // that rendering (a decimal's toString is not its INT64
+            // footer form); any other type takes the always-correct
+            // full-snapshot semi-join.
+            val rangeSafe = fresh.schema(c).dataType match {
+              case org.apache.spark.sql.types.LongType |
+                   org.apache.spark.sql.types.StringType => true
+              case _ => false
+            }
+            val tomb = deletes(table, v)
             val standing =
-              if (hasCStats)
+              if (tomb.nonEmpty) {
+                // ADVICE r13: with MoR deletes outstanding the probe
+                // must see the LIVE rows, not the raw pre-image — a
+                // key whose only copy was tombstoned must accept a
+                // re-insert. Tombstone units carry the delete-key
+                // column; the sequence-aware read applies them (and
+                // upsert post-image exemptions) exactly as every
+                // other reader does. Pruning is skipped here —
+                // correctness over speed until compaction clears the
+                // sidecar and the fast path returns.
+                val tombCols = spark.read.parquet(tomb.head).schema.fieldNames
+                if (tombCols.length == 1)
+                  snapshotMoRSeq(spark, table, v, tombCols.head)
+                else snapshot(spark, table, v) // unknown key: raw, conservative
+              }
+              else if (rangeSafe && java.nio.file.Files.isRegularFile(
+                  logDir(table).resolve(f"v$v%05d.cstats.txt")) &&
+                  colStats(table, v).exists(_.col == c))
                 snapshotRangeCol(spark, table, v, c,
                   bounds.get(0).toString, bounds.get(1).toString)._1
               else snapshot(spark, table, v)

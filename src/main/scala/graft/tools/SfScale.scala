@@ -93,12 +93,17 @@ object SfScale {
         .withColumn("n_chars", length(col("text")).cast("bigint"))
     })
     val dims = 64
+    // ADVICE r13: a mult above dims would produce negative-length
+    // slices (silent vector corruption); rotate by i mod dims so any
+    // copy count yields a valid rotation (copy i == copy i+dims is an
+    // acceptable repeat — the copies are already key-shifted apart).
     dump("embeddings", copies(load("embeddings")) { (d, i) =>
       val shifted = shift(d, i, "vec_id")
-      if (i == 0) shifted
+      val rot = i % dims
+      if (rot == 0) shifted
       else shifted.withColumn("embedding",
-        expr(s"concat(slice(embedding, ${i + 1}, ${dims - i}), " +
-          s"slice(embedding, 1, $i))"))
+        expr(s"concat(slice(embedding, ${rot + 1}, ${dims - rot}), " +
+          s"slice(embedding, 1, $rot))"))
     })
     java.nio.file.Files.writeString(marker, s"src=$src mult=$mult\n")
     println(s"done: $out (mult=$mult)")

@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-14 pins: MvRewrite rollup subsumption + NULL-sum semantics
+  * (VERDICT r13 #4, ADVICE r13), the exact-integer ts_decompose chain,
+  * and the CBO catalog single-dir cache (ADVICE r13 medium).
+  */
+class Round14OpsSpec extends GraftSpec {
+
+  private def freshDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("MV rollup rewrite: coarser group-by reads the view state, never the fact units") {
+    val df = SparkEntry.queries("view_rewrite_rollup")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_aggview"),
+      "rollup rewrite did not fire — no view-state scan:\n" + plan.take(3000))
+    assert(!plan.contains("graft_cdc"),
+      "rewritten rollup still touches the fact units:\n" + plan.take(3000))
+    // the re-aggregation must equal rolling up the maintained view read
+    val direct = SparkEntry.queries("dml_cdc_agg_view")(spark, sf)
+      .groupBy((col("g") % 3).as("g3"))
+      .agg(sum(col("n")).as("n"),
+        sum(col("total")).cast(DecimalType(38, 2)).as("total"))
+      .orderBy("g3").collect().map(_.toSeq)
+    assert(df.collect().map(_.toSeq).toSeq == direct.toSeq)
+  }
+
+  test("MV rollup rewrite never fires when the key mixes in non-key columns") {
+    import graft.sources.CommitLog
+    SparkEntry.queries("view_rewrite_rollup")(spark, sf).count()
+    val root = graft.queries.LakehouseQueries.cdcTable(spark, sf)
+    val vLast = CommitLog.versions(root).last
+    // (k % 10) appears, but the group key ALSO references p — not a
+    // function of the view key; substitution leaves a scan attribute
+    // behind and the rule must decline
+    val mixed = CommitLog.snapshot(spark, root, vLast)
+      .groupBy(((col("k") % 10) + col("p").cast("bigint")).as("gx"))
+      .agg(count(lit(1)).as("n"))
+    val mixedPlan = mixed.queryExecution.executedPlan.toString
+    assert(!mixedPlan.contains("graft_aggview"),
+      "non-subsumed rollup rerouted:\n" + mixedPlan.take(3000))
+  }
+
+  test("MV rewrite emits NULL (not 0) for a group whose values are all NULL") {
+    import spark.implicits._
+    val dir = freshDir("graft_r14_mvnull")
+    // fact: k % 4 groups 1 and 3 carry only NULL values
+    val fact = Seq[(Long, Option[java.math.BigDecimal])](
+      (0L, Some(new java.math.BigDecimal("10.00"))),
+      (1L, None), (2L, Some(new java.math.BigDecimal("20.00"))),
+      (3L, None), (4L, Some(new java.math.BigDecimal("30.00"))),
+      (5L, None), (6L, Some(new java.math.BigDecimal("40.00"))),
+      (7L, None)).toDF("k", "p")
+      .select(col("k"), col("p").cast(DecimalType(18, 2)).as("p"))
+    fact.coalesce(1).write.parquet(s"$dir/fact")
+    // the maintained state the fold would produce: nn = non-null count
+    fact.groupBy((col("k") % 4).as("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("p").isNotNull, 1L).otherwise(0L)).as("nn"),
+        coalesce(sum(col("p")),
+          lit(java.math.BigDecimal.ZERO)).cast(DecimalType(38, 2)).as("total"))
+      .write.parquet(s"$dir/state")
+    val factPath = java.nio.file.Paths.get(s"$dir/fact")
+      .toAbsolutePath.normalize.toString
+    graft.plans.MvCatalog.register("r14_nulls",
+      graft.plans.MvCatalog.MvDef(Set(factPath), "k % 4", "p", s"$dir/state"))
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.MvRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.MvRewrite
+    try {
+      def expect(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] = {
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("graft_r14_mvnull") && plan.contains("state"),
+          "rewrite did not fire:\n" + plan.take(2000))
+        assert(!plan.contains("fact"),
+          "rewritten plan still reads the fact:\n" + plan.take(2000))
+        df.collect().map(_.toSeq).toSeq
+      }
+      // EXACT shape: groups 1 and 3 must sum to NULL, not 0
+      val exact = expect(spark.read.parquet(s"$dir/fact")
+        .groupBy((col("k") % 4).as("g"))
+        .agg(count(lit(1)).as("n"), sum(col("p")).as("sp"))
+        .orderBy("g"))
+      assert(exact.map(r => (r(0), r(1))) ==
+        Seq((0L, 2L), (1L, 2L), (2L, 2L), (3L, 2L)))
+      assert(exact(1)(2) == null && exact(3)(2) == null,
+        s"all-NULL groups must sum to NULL: $exact")
+      assert(exact(0)(2) != null && exact(2)(2) != null)
+      // ROLLUP shape: (k%4)%2 = 1 merges two all-NULL groups → NULL;
+      // (k%4)%2 = 0 merges NULL-free groups → 10+20+30+40
+      val rolled = expect(spark.read.parquet(s"$dir/fact")
+        .groupBy(((col("k") % 4) % 2).as("g2"))
+        .agg(count(lit(1)).as("n"), sum(col("p")).as("sp"))
+        .orderBy("g2"))
+      assert(rolled.map(r => (r(0), r(1))) == Seq((0L, 4L), (1L, 4L)))
+      assert(rolled(1)(2) == null, s"merged all-NULL rollup must be NULL: $rolled")
+      assert(rolled(0)(2).toString == "100.00", s"rollup sum wrong: $rolled")
+    } finally graft.plans.MvCatalog.drop("r14_nulls")
+  }
+
+  test("ts_decompose: integer chain matches a reference decimal computation (no double ever cast)") {
+    val rows = SparkEntry.queries("ts_decompose")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val trend = r.getDecimal(3); val seasonal = r.getDecimal(4)
+      val resid = r.getDecimal(5)
+      assert(trend.scale == 6 && seasonal.scale == 6 && resid.scale == 6)
+      // the decomposition identity holds EXACTLY in 1e-6 units:
+      // cnt - trend - seasonal - resid == 0 (every term exact)
+      val cnt = new java.math.BigDecimal(r.getLong(2)).setScale(6)
+      assert(cnt.subtract(trend).subtract(seasonal).subtract(resid)
+        .compareTo(java.math.BigDecimal.ZERO) == 0,
+        s"decomposition identity broken at $r")
+    }
+  }
+
+  test("CBO catalog: switching data dirs re-registers the session-global tables") {
+    // ADVICE r13 (medium): the g_cbo_* tables are session-global; a
+    // per-(app,dir) cache stayed 'ready' for dir A after dir B
+    // repointed them. Registering A, then B, then A again must leave
+    // the catalog serving A's row counts.
+    val a = sf
+    val b = "/root/testdata/sf0.01"
+    graft.queries.CboQueries.ensureCatalog(spark, a)
+    val rowsA = spark.table("g_cbo_orders").count()
+    graft.queries.CboQueries.ensureCatalog(spark, b)
+    val rowsB = spark.table("g_cbo_orders").count()
+    assert(rowsB > rowsA, s"dir switch did not repoint: $rowsA vs $rowsB")
+    graft.queries.CboQueries.ensureCatalog(spark, a)
+    assert(spark.table("g_cbo_orders").count() == rowsA,
+      "switch-back served the stale dir's data")
+    // and the optimizer-visible stats moved with it
+    val rc = spark.table("g_cbo_orders")
+      .queryExecution.optimizedPlan.stats.rowCount
+    assert(rc.isDefined && rc.get.toLong == rowsA,
+      s"stats stale after switch-back: $rc vs $rowsA")
+  }
+}
