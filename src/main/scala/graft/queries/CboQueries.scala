@@ -98,13 +98,213 @@ object CboQueries {
        |    / CAST(sum(volume) AS DOUBLE) AS mkt_share
        |FROM vol GROUP BY yr ORDER BY yr""".stripMargin
 
+  /** The q3/q5/q7/q10 bodies, prefix-parameterized like q8 — the SAME
+    * text the hand-tuned entries use as their DuckDB oracle, so the
+    * CBO run and the oracle cannot drift (round 14 — VERDICT r13 #5:
+    * one query proves the path, a family proves the practice).
+    */
+  private[graft] def q3Sql(p: String): String =
+    s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+       | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+       |   * CAST(1 - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(4,2))) AS DECIMAL(38,4)) AS revenue
+       | FROM ${p}customer, ${p}orders, ${p}lineitem
+       | WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+       |   AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+       |   AND l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
+       | GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       | ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+       | LIMIT 10""".stripMargin
+
+  private[graft] def q5Sql(p: String): String =
+    s"""SELECT n_name,
+       | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+       |   * CAST(1 - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(4,2))) AS DECIMAL(38,4)) AS revenue
+       | FROM ${p}customer, ${p}orders, ${p}lineitem, ${p}supplier, ${p}nation, ${p}region
+       | WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+       |   AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |   AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+       |   AND r_name = 'ASIA'
+       |   AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |   AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+       | GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin
+
+  private[graft] def q7Sql(p: String): String =
+    s"""SELECT supp_nation, cust_nation, yr,
+       |  CAST(sum(volume) AS DECIMAL(38,4)) AS revenue, CAST(count(*) AS BIGINT) AS n
+       |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |        CAST(year(l_shipdate) AS BIGINT) AS yr,
+       |        CAST(l_extendedprice AS DECIMAL(18,2))
+       |          * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
+       |      FROM ${p}supplier
+       |      JOIN ${p}lineitem ON s_suppkey = l_suppkey
+       |      JOIN ${p}orders ON o_orderkey = l_orderkey
+       |      JOIN ${p}customer ON c_custkey = o_custkey
+       |      JOIN ${p}nation n1 ON s_nationkey = n1.n_nationkey
+       |      JOIN ${p}nation n2 ON c_nationkey = n2.n_nationkey
+       |      WHERE n1.n_regionkey = 0 AND n2.n_regionkey = 1
+       |        AND l_shipdate >= TIMESTAMP '1996-01-01'
+       |        AND l_shipdate < TIMESTAMP '1998-01-01') v
+       |GROUP BY supp_nation, cust_nation, yr
+       |ORDER BY supp_nation, cust_nation, yr""".stripMargin
+
+  private[graft] def q10Sql(p: String): String =
+    s"""SELECT c_custkey, c_name, n_name,
+       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+       |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+       |FROM ${p}customer
+       |JOIN ${p}orders ON c_custkey = o_custkey
+       |JOIN ${p}lineitem ON l_orderkey = o_orderkey
+       |JOIN ${p}nation ON c_nationkey = n_nationkey
+       |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+       |  AND o_orderdate < TIMESTAMP '1996-04-01'
+       |  AND l_returnflag = 'R'
+       |GROUP BY c_custkey, c_name, n_name
+       |ORDER BY revenue DESC, c_custkey
+       |LIMIT 20""".stripMargin
+
+  // ------------------------------------------------------------------
+  // SIDECAR-FED STATISTICS (round 14 — VERDICT r13 #5 second half):
+  // the commit log already derives per-unit column stats FROM PARQUET
+  // FOOTERS at write time (CommitLog.footerColStats → cstats sidecar —
+  // metadata I/O, no data pages). At 100 TB an ANALYZE per ingest is a
+  // second full table scan; folding the sidecar instead is O(units ×
+  // cols) strings. registerSidecarStats lifts that fold into the
+  // session catalog via the SAME CatalogStatistics field ANALYZE
+  // populates — rowCount = Σ unit counts, min/max folded by kind — so
+  // join reorder and broadcast decisions run with NO scan ever issued
+  // for statistics (Round14OpsSpec pins rowCount visibility with no
+  // ANALYZE in the path).
+  // ------------------------------------------------------------------
+
+  private val sidecarDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val sidecarState =
+    new java.util.concurrent.atomic.AtomicReference[(String, String)]()
+
+  /** A commit-log table of orders + customer built ONCE per (sfDir,
+    * fingerprint): each table's units are single parquet FILES under
+    * `<root>/<name>/data`, committed with a footer-derived cstats
+    * sidecar — the write-time stats a real ingest publishes.
+    */
+  private[graft] def sidecarTables(s: SparkSession, d: String): String =
+    graft.queries.ScaleQueries.freshDir(sidecarDir, d, "orders") {
+      import graft.sources.CommitLog
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_cbo_sidecar").toString
+      def build(name: String, df: org.apache.spark.sql.DataFrame,
+          splitCol: String, statCols: Seq[String]): Unit = {
+        val t = s"$root/$name"
+        val units = (0 until 4).map { i =>
+          val tmp = s"$t/_build_$i"
+          df.filter(org.apache.spark.sql.functions.col(splitCol) % 4 === i)
+            .coalesce(1).write.parquet(tmp)
+          import scala.jdk.CollectionConverters._
+          val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+            .iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          java.nio.file.Files.createDirectories(
+            java.nio.file.Paths.get(t, "data"))
+          java.nio.file.Files.move(part,
+            java.nio.file.Paths.get(t, "data", s"u$i.parquet"))
+          graft.queries.ScaleQueries.deleteRecursively(tmp)
+          s"data/u$i.parquet"
+        }
+        CommitLog.commit(t, 0L, units)
+        CommitLog.writeColStats(t, 0L,
+          CommitLog.footerColStats(s, t, units, statCols))
+      }
+      build("orders", graft.Tables.load(s, d, "orders"),
+        "o_orderkey", Seq("o_orderkey", "o_custkey"))
+      build("customer", graft.Tables.load(s, d, "customer"),
+        "c_custkey", Seq("c_custkey", "c_nationkey"))
+      root
+    }
+
+  /** Register `g_sc_orders` / `g_sc_customer` over the sidecar tables
+    * and feed their CatalogStatistics from the cstats sidecars ALONE —
+    * no ANALYZE, no scan. Same single-current-dir discipline as
+    * [[ensureCatalog]].
+    */
+  private[graft] def ensureSidecarCatalog(s: SparkSession, d: String): Unit = {
+    val root = sidecarTables(s, d)
+    val want = (s.sparkContext.applicationId, root)
+    sidecarState.synchronized {
+      if (sidecarState.get != want) {
+        s.conf.set("spark.sql.cbo.enabled", "true")
+        s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        Seq("orders", "customer").foreach { name =>
+          import graft.sources.CommitLog
+          val t = s"$root/$name"
+          s.sql(s"DROP TABLE IF EXISTS g_sc_$name")
+          s.sql(s"CREATE TABLE g_sc_$name USING parquet LOCATION '$t/data'")
+          val cs = CommitLog.colStats(t, 0L)
+          val lead = cs.map(_.col).head
+          val rowCount = cs.filter(_.col == lead).map(_.count).sum
+          val sizeInBytes = {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.list(java.nio.file.Paths.get(t, "data"))
+              .iterator().asScala.map(java.nio.file.Files.size).sum
+          }
+          // fold per-unit [min,max] by footer kind; only long columns
+          // are published (their footer rendering IS the catalog's
+          // external string form — the unique-probe lesson)
+          val colStats = cs.groupBy(_.col).collect {
+            case (c, units) if units.forall(_.kind == "long") =>
+              c -> org.apache.spark.sql.catalyst.catalog.CatalogColumnStat(
+                distinctCount = None,
+                min = Some(units.map(_.min.toLong).min.toString),
+                max = Some(units.map(_.max.toLong).max.toString),
+                nullCount = Some(BigInt(0)))
+          }
+          s.sessionState.catalog.alterTableStats(
+            org.apache.spark.sql.catalyst.TableIdentifier(s"g_sc_$name"),
+            Some(org.apache.spark.sql.catalyst.catalog.CatalogStatistics(
+              sizeInBytes = BigInt(sizeInBytes),
+              rowCount = Some(BigInt(rowCount)),
+              colStats = colStats)))
+          s.catalog.refreshTable(s"g_sc_$name")
+        }
+        sidecarState.set(want)
+      }
+    }
+  }
+
+  private[graft] def sidecarQuerySql(p: (String, String)): String =
+    s"""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+       |FROM ${p._1} JOIN ${p._2} ON o_custkey = c_custkey
+       |WHERE o_totalprice > 100000.0
+       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, Q] = Map(
     // P8-CBO (round 13): the tpch_q8 semantics with every hint
     // removed, planned from catalog statistics. Values must equal the
     // hand-tuned tpch_q8 (same oracle body).
-    "tpch_q8_cbo" -> ((s, d) => { ensureCatalog(s, d); s.sql(q8Sql("g_cbo_")) })
+    "tpch_q8_cbo" -> ((s, d) => { ensureCatalog(s, d); s.sql(q8Sql("g_cbo_")) }),
+    // P9-CBO (round 14 — VERDICT r13 #5): the q3/q5/q7/q10 family,
+    // hint-free, planned from the same catalog statistics — values
+    // must equal the hand-tuned entries (shared oracle bodies);
+    // Round14OpsSpec pins plan parity (all-broadcast dims, no
+    // sort-merge join, fact never on a build side).
+    "tpch_q3_cbo" -> ((s, d) => { ensureCatalog(s, d); s.sql(q3Sql("g_cbo_")) }),
+    "tpch_q5_cbo" -> ((s, d) => { ensureCatalog(s, d); s.sql(q5Sql("g_cbo_")) }),
+    "tpch_q7_cbo" -> ((s, d) => { ensureCatalog(s, d); s.sql(q7Sql("g_cbo_")) }),
+    "tpch_q10_cbo" -> ((s, d) => { ensureCatalog(s, d); s.sql(q10Sql("g_cbo_")) }),
+    // P10 (round 14 — VERDICT r13 #5): catalog statistics fed from the
+    // commit-log cstats SIDECARS alone — the 100 TB stats practice: no
+    // ANALYZE scan ever runs; rowCount/min-max fold from write-time
+    // footer stats. Values oracled by the same join over bare tables.
+    "cbo_sidecar_stats" -> ((s, d) => {
+      ensureSidecarCatalog(s, d)
+      s.sql(sidecarQuerySql(("g_sc_orders", "g_sc_customer")))
+    })
   )
 
   val oracle: Map[String, String] = Map(
-    "tpch_q8_cbo" -> q8Sql(""))
+    "tpch_q8_cbo" -> q8Sql(""),
+    "tpch_q3_cbo" -> q3Sql(""),
+    "tpch_q5_cbo" -> q5Sql(""),
+    "tpch_q7_cbo" -> q7Sql(""),
+    "tpch_q10_cbo" -> q10Sql(""),
+    "cbo_sidecar_stats" -> sidecarQuerySql(("orders", "customer")))
 }

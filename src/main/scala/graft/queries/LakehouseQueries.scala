@@ -1465,6 +1465,90 @@ object LakehouseQueries {
       }.reduce(_ unionAll _).orderBy("version")
     }),
 
+    // S51 (round 14 — VERDICT r13 #8): FOREIGN-KEY constraint — the
+    // referential class completing the round-13 set. A fact table
+    // declares fk(c) → dim.ck; the probe broadcast-semi-joins the
+    // batch's distinct FK values against the referenced table's key,
+    // STATS-ROUTED (an entirely out-of-range batch proves its orphans
+    // from the dim's cstats manifest alone — the orphan poison here
+    // takes that path) and MoR-AWARE (after the dim tombstones a key
+    // slice, a batch referencing it rejects: liveness, not pre-image).
+    // Composes with WAP like the other classes: the staged orphan
+    // branch fails the audit and main never sees it. Enforcement is
+    // commit-time, not retroactive — rows committed before the dim
+    // delete stay (the standard lakehouse contract; retroactive
+    // cascade is a DELETE the user issues). Rejections burn no
+    // version. Output: per-version fact rollup, oracled by orders
+    // arithmetic.
+    "dml_fk_constraint" -> ((s, d) => {
+      import graft.sources.CommitLog
+      val root = graft.queries.ScaleQueries.freshDir(fkDir, d, "orders") {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_fk").toString
+        val dim = s"$dir/dim"
+        val fact = s"$dir/fact"
+        load(s, d, "customer").select(col("c_custkey").as("ck"))
+          .coalesce(1).write.parquet(s"$dim/u0")
+        CommitLog.commit(dim, 0L, Seq("u0"))
+        CommitLog.writeColStats(dim, 0L,
+          CommitLog.footerColStats(s, dim, Seq("u0"), Seq("ck")))
+        CommitLog.declareConstraints(fact, Seq(
+          CommitLog.NotNullConstraint("k"),
+          CommitLog.ForeignKeyConstraint("c", dim, "ck")))
+        val base = load(s, d, "orders")
+          .select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
+            dec(col("o_totalprice")).as("p"))
+        def rejected(f: => Unit): Boolean =
+          try { f; false }
+          catch { case e: IllegalArgumentException =>
+            e.getMessage.contains("no version burned") }
+        // clean batch: every c exists in the dim
+        base.filter(col("k") % 3 === 0).write.parquet(s"$fact/data/b0")
+        CommitLog.commitConstrained(s, fact, 0L, Seq("data/b0"))
+        // poison 1: orphan keys outside the dim's range — the probe
+        // proves absence from the cstats manifest without opening a
+        // dim unit
+        base.filter(col("k") % 3 === 1)
+          .select(col("k"), (col("c") + lit(10000000L)).as("c"), col("p"))
+          .write.parquet(s"$fact/data/orphan")
+        require(rejected(CommitLog.commitConstrained(s, fact, 1L,
+          Seq("data/b0", "data/orphan"))), "orphan batch must reject")
+        // WAP composition: the orphan staged as a branch fails the
+        // audit and is abandoned — main never saw it
+        CommitLog.stageBranch(fact, "risky", Seq("data/b0", "data/orphan"))
+        require(!CommitLog.auditBranchConstraints(s, fact, "risky"),
+          "constraint audit must fail the orphan branch")
+        CommitLog.abandonBranch(fact, "risky")
+        // dim v1: MoR-delete the ck%100==7 parent slice
+        load(s, d, "customer").filter(col("c_custkey") % 100 === 7)
+          .select(col("c_custkey").as("ck"))
+          .coalesce(1).write.parquet(s"$dim/t0")
+        CommitLog.commit(dim, 1L, Seq("u0"))
+        CommitLog.writeDeletes(dim, 1L, Seq("t0"))
+        // poison 2: a batch referencing the tombstoned parents — must
+        // reject against the LIVE dim, not the raw pre-image
+        base.filter(col("k") % 3 === 2 && col("c") % 100 === 7)
+          .write.parquet(s"$fact/data/deadref")
+        require(rejected(CommitLog.commitConstrained(s, fact, 1L,
+          Seq("data/b0", "data/deadref"))), "dead-parent batch must reject")
+        require(CommitLog.versions(fact) == Seq(0L),
+          s"rejections burned a version: ${CommitLog.versions(fact)}")
+        // the clean delta (live parents only) commits
+        base.filter(col("k") % 3 =!= 0 && col("c") % 100 =!= 7)
+          .write.parquet(s"$fact/data/b1")
+        CommitLog.commitConstrained(s, fact, 1L, Seq("data/b0", "data/b1"))
+        dir
+      }
+      val fact = s"$root/fact"
+      CommitLog.versions(fact).map { v =>
+        CommitLog.snapshot(s, fact, v)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("p")).cast(DecimalType(38, 2)).as("total"))
+          .select(lit(v).cast("bigint").as("version"),
+            col("n_rows"), col("total"))
+      }.reduce(_ unionAll _).orderBy("version")
+    }),
+
     // S33 (round 11): RIGHT-TO-BE-FORGOTTEN — CommitLog.purgeKeys, the
     // one sanctioned HISTORY REWRITE: the k%100==7 key slice is
     // physically erased from EVERY version (data units AND the MoR
@@ -1852,6 +1936,9 @@ object LakehouseQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private val constraintsDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val fkDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private val purgeDir =
@@ -2323,6 +2410,21 @@ object LakehouseQueries {
         |SELECT k % 10 AS g, CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(p) AS DECIMAL(38,2)) AS total
         |FROM fin GROUP BY 1 ORDER BY g""".stripMargin,
+    // S51 twin: per-version fact rollup under the lifecycle's accept
+    // set — v0 = the k%3=0 batch; v1 adds the k%3≠0 rows whose parent
+    // survived the dim delete (c%100≠7).
+    "dml_fk_constraint" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_custkey AS c,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        | v0 AS (SELECT * FROM base WHERE k % 3 = 0),
+        | v1 AS (SELECT * FROM base
+        |   WHERE k % 3 = 0 OR (k % 3 <> 0 AND c % 100 <> 7))
+        |SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_rows,
+        |    CAST(sum(p) AS DECIMAL(38,2)) AS total FROM v0
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), count(*),
+        |    CAST(sum(p) AS DECIMAL(38,2)) FROM v1
+        |ORDER BY version""".stripMargin,
     // S49 twin: the coarser rollup computed directly from the fact
     // arithmetic — the rewrite may re-aggregate state, never change
     // values.

@@ -438,6 +438,33 @@ object LlmQueries {
         .orderBy("src", "rn")
     }),
 
+    // K3e (round 14 — VERDICT r13 #2): k-NN graph with a CORPUS-SCALED
+    // block key. embed_knn_block's `label` has FIXED cardinality 10,
+    // so its Σb² candidate volume grows 100× on 10× rows (measured
+    // ~74× at sf1) — fine when the user's partitioner scales, wrong
+    // as a default. Here the block count is derived FROM the corpus —
+    // nb = greatest(16, n DIV 256), the sample_negative recipe, via
+    // the engine-portable md5 bucket — so expected block size stays
+    // ≈256 at ANY corpus and Σb² ≈ 256·n grows LINEARLY (ScaleStress
+    // row). The trade is explicit: a hash block bounds cost but not
+    // recall — the similarity-preserving scaled partitioner is the
+    // IVF cell family (sim_ivf*), whose cells this blocking stands in
+    // for when no trained quantizer exists yet (e.g. the first pass
+    // that BUILDS one). Same contract and ranking as embed_knn_block.
+    "embed_knn_scaled" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = load(s, d, "embeddings")
+      val nb = emb.agg(count(lit(1)).as("n"))
+        .selectExpr("greatest(CAST(16 AS BIGINT), n DIV 256) AS nb")
+      val blocked = emb.crossJoin(broadcast(nb))
+        .selectExpr("vec_id", "embedding",
+          "CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 8), 16, 10)" +
+            " AS BIGINT) % nb AS blk")
+      GraftOps.cosineKnnBlocked(blocked, "vec_id", "embedding",
+        blockCol = "blk", k = 3)
+        .orderBy("src", "rn")
+    }),
+
     // IVF-style ANN (the third similarity-search tier after brute-force
     // sim_topk and LSH sim_ann): corpus bucketed ONCE by nearest coarse
     // centroid and PERSISTED as bucket-partitioned parquet — the
@@ -968,6 +995,24 @@ object LlmQueries {
         |                CAST(list_cosine_similarity(a.v, b.v) AS DECIMAL(18,6)) AS cos_sim
         |              FROM e a JOIN e b
         |                ON a.label = b.label AND a.vec_id <> b.vec_id)
+        | SELECT src, block, dst, cos_sim, rn FROM (
+        |   SELECT src, block, dst, cos_sim,
+        |     row_number() OVER (PARTITION BY src ORDER BY cos_sim DESC, dst ASC) AS rn
+        |   FROM sims) t
+        | WHERE rn <= 3 ORDER BY src, rn""".stripMargin,
+    // K3e twin: identical md5 bucket (the sample_negative recipe) +
+    // the same ranking contract.
+    "embed_knn_scaled" ->
+      """WITH nbt AS (SELECT greatest(CAST(16 AS BIGINT),
+        |               CAST(count(*) AS BIGINT) // 256) AS nb FROM embeddings),
+        |     e AS (SELECT vec_id,
+        |             CAST(CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % nb AS BIGINT) AS blk,
+        |             CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings, nbt),
+        |     sims AS (SELECT a.vec_id AS src, a.blk AS block, b.vec_id AS dst,
+        |                CAST(list_cosine_similarity(a.v, b.v) AS DECIMAL(18,6)) AS cos_sim
+        |              FROM e a JOIN e b
+        |                ON a.blk = b.blk AND a.vec_id <> b.vec_id)
         | SELECT src, block, dst, cos_sim, rn FROM (
         |   SELECT src, block, dst, cos_sim,
         |     row_number() OVER (PARTITION BY src ORDER BY cos_sim DESC, dst ASC) AS rn
