@@ -148,6 +148,97 @@ object AnnStress {
       println(f"| int8 JL sim_project | ${n}x | $rq%.2f | $tq%.2f | ${dirBytes(q8Path) / 1e6}%.1f |")
       println(f"| (int8 full corpus, for bytes only) | ${n}x | - | - | ${dirBytes(qcPath) / 1e6}%.1f |")
     }
+
+    // ------------------------------------------------------------------
+    // FILTERED ANN (round 14 — VERDICT r13 #9): pre-filter (predicate
+    // pushed into the already-bucket-pruned index scan) vs post-filter
+    // (rank first, filter the top-k after) for the sim_ivf_filtered
+    // composition — recall AND the bytes the probe actually reads
+    // (task inputMetrics), at 1× and N×. The planted partners carry
+    // ODD labels, so the pre-filter tier can retrieve them while the
+    // post-filter tier loses every slot an even-label neighbor
+    // occupied. The predicate is label IN (1,3,5,7,9) — a pushable In
+    // filter: IVF cells of this corpus are nearly label-pure, so
+    // row-group stats skip most even cells' bytes inside the probed
+    // buckets.
+    // ------------------------------------------------------------------
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            bytesRead.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+      })
+    def measureBytes(build: () => DataFrame): (Double, Double, Double, Double) = {
+      build().count() // warm
+      Thread.sleep(500); bytesRead.set(0L)
+      val t0 = System.nanoTime()
+      val rows = build().collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500) // listener drain
+      val hits = rows.count(r => r.getLong(1) == r.getLong(0) - probeBase)
+      // filled@5: fraction of the k·probes result slots that hold a
+      // PREDICATE-SATISFYING row — the post-filter tier's structural
+      // loss (it discards every slot an even-label neighbor ranked
+      // into), invisible to planted recall when the partner is rank 1
+      (hits.toDouble / nProbes, sec, bytesRead.get / 1e6,
+        rows.length / (5.0 * nProbes))
+    }
+    val oddPred = col("label").isin(1L, 3L, 5L, 7L, 9L)
+    println()
+    println(s"| filtered tier | scale | recall@5 (planted, odd-label) | filled@5 | sec | probe-scanned MB |")
+    println("|---|---|---|---|---|---|")
+    for (n <- Seq(1, mult)) {
+      // labeled corpus: copies keep labels; probes are mutants of the
+      // first nProbes ODD-label vectors (partner = the copy-0
+      // original, odd by construction, so the filtered ceiling is 1.0)
+      val oddIds = emb.filter(col("label") % 2 === 1)
+        .select("vec_id").orderBy("vec_id").limit(nProbes)
+        .collect().map(_.getLong(0)) // metadata-sized: nProbes ids
+      val copies = (0 until n).map { k =>
+        val r = k % dim
+        emb.select((col("vec_id") + lit(k * off)).as("vec_id"),
+          expr(s"concat(slice(embedding, ${r + 1}, ${dim - r}), slice(embedding, 1, $r))")
+            .as("embedding"), col("label"))
+      }.reduce(_ union _)
+      val mutants = emb.filter(col("vec_id").isin(oddIds: _*))
+        .select((col("vec_id") + lit(probeBase)).as("vec_id"),
+          expr(s"zip_with(embedding, concat(slice(embedding, 9, ${dim - 8}), slice(embedding, 1, 8)), " +
+            "(x, y) -> cast(x + 0.1D * y as float))").as("embedding"),
+          col("label"))
+      val cL = materialize(copies.unionByName(mutants), s"corpusL$n")
+      val cent = GraftOps.centroids(cL, "label", "embedding")
+      val idxPath = s"$scratch/ivfL$n"
+      GraftOps.ivfIndexBuild(cL, "vec_id", "embedding", cent,
+        idxPath, payload = Seq("label"))
+      val probes = cL.filter(col("vec_id") >= probeBase)
+      def hitsOf(rows: Array[org.apache.spark.sql.Row]): Double =
+        rows.count(r => r.getLong(1) == r.getLong(0) - probeBase)
+          .toDouble / oddIds.length
+      // PRE-filter: predicate inside the bucket-pruned index scan
+      val (rePre, tPre, mbPre, fPre) = measureBytes(() =>
+        GraftOps.ivfTopKFromIndex(spark, idxPath, probes, "vec_id",
+          "embedding", cent, k = 5, nprobe = 3,
+          candidatePredicate = Some(oddPred)))
+      // POST-filter: rank unrestricted, filter the ranked result —
+      // reads the same buckets WITHOUT the pushed predicate and loses
+      // every top-k slot an even-label neighbor held
+      val (rePost, tPost, mbPost, fPost) = measureBytes(() =>
+        GraftOps.ivfTopKFromIndex(spark, idxPath, probes, "vec_id",
+          "embedding", cent, k = 5, nprobe = 3,
+          candidatePredicate = None)
+          .join(cL.filter(oddPred).select(col("vec_id").as("c_id")), "c_id")
+          .select("q_id", "c_id", "cos_sim", "rn"))
+      // exact filtered tier: the full-corpus ceiling and its bytes
+      val (reEx, tEx, mbEx, fEx) = measureBytes(() =>
+        GraftOps.cosineTopK(cL, "vec_id", "embedding",
+          probePredicate = col("vec_id") >= probeBase, k = 5,
+          candidatePredicate = oddPred))
+      println(f"| ivf PRE-filter (pushed In) | ${n}x | $rePre%.2f | $fPre%.2f | $tPre%.2f | $mbPre%.1f |")
+      println(f"| ivf POST-filter | ${n}x | $rePost%.2f | $fPost%.2f | $tPost%.2f | $mbPost%.1f |")
+      println(f"| exact filtered (full scan) | ${n}x | $reEx%.2f | $fEx%.2f | $tEx%.2f | $mbEx%.1f |")
+    }
     spark.stop()
   }
 }
