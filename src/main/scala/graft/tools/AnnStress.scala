@@ -235,9 +235,9 @@ object AnnStress {
         GraftOps.cosineTopK(cL, "vec_id", "embedding",
           probePredicate = col("vec_id") >= probeBase, k = 5,
           candidatePredicate = oddPred))
-      println(f"| ivf PRE-filter (pushed In) | ${n}x | $rePre%.2f | $fPre%.2f | $tPre%.2f | $mbPre%.1f |")
-      println(f"| ivf POST-filter | ${n}x | $rePost%.2f | $fPost%.2f | $tPost%.2f | $mbPost%.1f |")
-      println(f"| exact filtered (full scan) | ${n}x | $reEx%.2f | $fEx%.2f | $tEx%.2f | $mbEx%.1f |")
+      println(f"| ivf PRE-filter (pushed In) | ${n}x | $rePre%.2f | $fPre%.2f | $tPre%.2f | $mbPre%.2f |")
+      println(f"| ivf POST-filter | ${n}x | $rePost%.2f | $fPost%.2f | $tPost%.2f | $mbPost%.2f |")
+      println(f"| exact filtered (full scan) | ${n}x | $reEx%.2f | $fEx%.2f | $tEx%.2f | $mbEx%.2f |")
     }
     spark.stop()
   }

@@ -200,6 +200,59 @@ class Round14OpsSpec extends GraftSpec {
     assert(cs == Seq(CommitLog.ForeignKeyConstraint("c", emptyRef, "ck")))
   }
 
+  test("unique constraint: decimal keys take the full-snapshot path (no footer reparse crash)") {
+    import graft.sources.CommitLog
+    import spark.implicits._
+    val t = freshDir("graft_r14_uqdec")
+    CommitLog.declareConstraints(t, Seq(CommitLog.UniqueConstraint("dk")))
+    Seq("1.10", "2.20").map(new java.math.BigDecimal(_)).toDF("dk")
+      .select(col("dk").cast(DecimalType(18, 2)).as("dk"))
+      .coalesce(1).write.parquet(s"$t/u0")
+    CommitLog.commitConstrained(spark, t, 0L, Seq("u0"))
+    // a cstats sidecar on the decimal key exists — ADVICE r13: the
+    // range-pruned path would stringify Row.get.toString ("3.30") and
+    // reparse by the footer kind ("long", the INT64 physical) →
+    // NumberFormatException; the type gate must route around it
+    CommitLog.writeColStats(t, 0L,
+      CommitLog.footerColStats(spark, t, Seq("u0"), Seq("dk")))
+    Seq("3.30").map(new java.math.BigDecimal(_)).toDF("dk")
+      .select(col("dk").cast(DecimalType(18, 2)).as("dk"))
+      .coalesce(1).write.parquet(s"$t/u1")
+    CommitLog.commitConstrained(spark, t, 1L, Seq("u0", "u1")) // must not throw
+    // and a genuine duplicate still rejects through the fallback path
+    Seq("1.10").map(new java.math.BigDecimal(_)).toDF("dk")
+      .select(col("dk").cast(DecimalType(18, 2)).as("dk"))
+      .coalesce(1).write.parquet(s"$t/u2")
+    val e = intercept[IllegalArgumentException] {
+      CommitLog.commitConstrained(spark, t, 2L, Seq("u0", "u1", "u2"))
+    }
+    assert(e.getMessage.contains("unique(dk)"), e.getMessage)
+  }
+
+  test("unique constraint: a key whose only copy was MoR-deleted accepts a re-insert") {
+    import graft.sources.CommitLog
+    import spark.implicits._
+    val t = freshDir("graft_r14_uqmor")
+    CommitLog.declareConstraints(t, Seq(CommitLog.UniqueConstraint("k")))
+    Seq(1L, 2L, 3L).toDF("k").coalesce(1).write.parquet(s"$t/u0")
+    CommitLog.commitConstrained(spark, t, 0L, Seq("u0"))
+    // v1: MoR-delete k=2 (tombstone unit, no data rewrite)
+    Seq(2L).toDF("k").coalesce(1).write.parquet(s"$t/t0")
+    CommitLog.commit(t, 1L, Seq("u0"))
+    CommitLog.writeDeletes(t, 1L, Seq("t0"))
+    // ADVICE r13: the probe used to run on the raw pre-image, so the
+    // dead key 2 falsely rejected its re-insert; it must commit now
+    Seq(2L).toDF("k").coalesce(1).write.parquet(s"$t/u1")
+    CommitLog.commitConstrained(spark, t, 2L, Seq("u0", "u1"))
+    assert(CommitLog.versions(t) == Seq(0L, 1L, 2L))
+    // while a LIVE key still rejects under the same MoR snapshot
+    Seq(3L).toDF("k").coalesce(1).write.parquet(s"$t/u2")
+    val e = intercept[IllegalArgumentException] {
+      CommitLog.commitConstrained(spark, t, 3L, Seq("u0", "u1", "u2"))
+    }
+    assert(e.getMessage.contains("unique(k)"), e.getMessage)
+  }
+
   test("CBO catalog: switching data dirs re-registers the session-global tables") {
     // ADVICE r13 (medium): the g_cbo_* tables are session-global; a
     // per-(app,dir) cache stayed 'ready' for dir A after dir B
