@@ -27,6 +27,9 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
   *    expression OVER the registered key (a coarser rollup — every
   *    occurrence of the key subtree substitutes to the state's `g` and
   *    nothing else of the scan remains), and
+  *  - every filter between aggregate and scan is a deterministic
+  *    function of the registered key (whole-group selection — round
+  *    14 predicate subsumption; a row-level predicate declines), and
   *  - aggregates are only count(*) / sum(value)
   * is rewritten to read the maintained state — O(groups) bytes instead
   * of O(fact), the entire point of IVM at 100 TB. The exact-match case
@@ -43,9 +46,9 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
   * and every sum mapping emits NULL when the (re-aggregated) nn is 0 —
   * exactly sum's empty-input rule.
   *
-  * Scope remains fail-safe: any shape outside the above (extra
-  * predicates, other aggregates, a group key not a function of the
-  * view key) leaves the plan untouched — a rewrite that fires wrongly
+  * Scope remains fail-safe: any shape outside the above (a predicate
+  * touching non-key columns, other aggregates, a group key not a
+  * function of the view key) leaves the plan untouched — a rewrite that fires wrongly
   * is a correctness bug, one that fails to fire is only a missed
   * optimization. Registered via [[graft.GraftExtensions]] for cluster
   * sessions and `experimental.extraOptimizations` locally; with an
@@ -90,20 +93,29 @@ object MvRewrite extends Rule[LogicalPlan] {
     * (PullOutGroupingExpressions), so the Aggregate groups by a
     * `_groupingexpression` attribute whose definition lives one node
     * below; the alias map lets the matcher compare DEFINITIONS, not
-    * surface attributes. A Filter means the query is not subsumed.
+    * surface attributes. Filters on the way down are COLLECTED
+    * (alias-inlined) rather than rejected: a deterministic predicate
+    * that is a function of the view key selects WHOLE groups, so it
+    * subsumes as a filter over the state (round 14); any predicate
+    * that fails that test declines later — fail-safe unchanged.
     */
   private def scanWithAliases(plan: LogicalPlan)
-      : Option[(LogicalRelation, Map[Long, Expression])] = plan match {
-    case r: LogicalRelation => Some((r, Map.empty))
-    case Project(projectList, child) =>
-      scanWithAliases(child).map { case (r, inner) =>
-        val here = projectList.collect {
-          case a: Alias => a.exprId.id -> inlineWith(a.child, inner)
-        }.toMap
-        (r, inner ++ here)
-      }
-    case _ => None
-  }
+      : Option[(LogicalRelation, Map[Long, Expression], Seq[Expression])] =
+    plan match {
+      case r: LogicalRelation => Some((r, Map.empty, Nil))
+      case Project(projectList, child) =>
+        scanWithAliases(child).map { case (r, inner, preds) =>
+          val here = projectList.collect {
+            case a: Alias => a.exprId.id -> inlineWith(a.child, inner)
+          }.toMap
+          (r, inner ++ here, preds)
+        }
+      case Filter(cond, child) =>
+        scanWithAliases(child).map { case (r, inner, preds) =>
+          (r, inner, preds :+ inlineWith(cond, inner))
+        }
+      case _ => None
+    }
 
   private def inlineWith(e: Expression,
       m: Map[Long, Expression]): Expression =
@@ -122,7 +134,7 @@ object MvRewrite extends Rule[LogicalPlan] {
     val spark = org.apache.spark.sql.SparkSession.active
     for {
       relAliases <- scanWithAliases(agg.child)
-      (rel, aliasMap) = relAliases
+      (rel, aliasMap, preds) = relAliases
       fsRel <- rel.relation match {
         case h: HadoopFsRelation => Some(h)
         case _ => None
@@ -135,7 +147,7 @@ object MvRewrite extends Rule[LogicalPlan] {
       keyExpr <- resolveAgainst(spark, d.groupKeySql, rel)
       valExpr <- resolveAgainst(spark, d.valueSql, rel)
       rewritten <- buildFromState(spark, agg, d, groupExpr, keyExpr, valExpr,
-        aliasMap)
+        aliasMap, preds)
     } yield rewritten
   }
 
@@ -147,19 +159,39 @@ object MvRewrite extends Rule[LogicalPlan] {
   private def buildFromState(spark: org.apache.spark.sql.SparkSession,
       agg: Aggregate, d: MvCatalog.MvDef, groupExpr: Expression,
       keyExpr: Expression, valExpr: Expression,
-      aliasMap: Map[Long, Expression]): Option[LogicalPlan] = {
+      aliasMap: Map[Long, Expression],
+      preds: Seq[Expression]): Option[LogicalPlan] = {
     // groups whose rows have all been deleted net to n = 0 in the
     // fold — a direct aggregate has no such group
     val stateDf = spark.read.parquet(d.statePath)
       .filter(org.apache.spark.sql.functions.col("n") =!= 0L)
-    val statePlan =
+    val basePlan =
       org.apache.spark.sql.graft.GraftSqlInternals.analyzed(stateDf)
-    val stateAttr = statePlan.output.map(a => a.name -> a).toMap
+    val stateAttr = basePlan.output.map(a => a.name -> a).toMap
     if (!Set("g", "n", "nn", "total").subsetOf(stateAttr.keySet)) return None
     val gAttr = stateAttr("g")
     val gAsKey: Expression =
       if (gAttr.dataType == keyExpr.dataType) gAttr
       else Cast(gAttr, keyExpr.dataType)
+
+    // PREDICATE SUBSUMPTION (round 14): a deterministic filter that is
+    // a function of the view key selects whole groups — substitute the
+    // key subtree with the state key and require nothing else of the
+    // scan to remain; the rewritten filter runs over O(groups) state
+    // rows. Any other predicate (e.g. on the value column — a
+    // row-level filter INSIDE groups) declines the whole rewrite.
+    val predsOverState = preds.map { p =>
+      val sub = p.transformUp {
+        case e if e.semanticEquals(keyExpr) => gAsKey
+      }
+      (p, sub)
+    }
+    val subsumed = predsOverState.forall { case (p, sub) =>
+      p.deterministic && sub.references.subsetOf(AttributeSet(Seq(gAttr)))
+    }
+    if (!subsumed) return None
+    val statePlan = predsOverState.foldLeft(basePlan)(
+      (pl, ps) => Filter(ps._2, pl))
 
     if (groupExpr.semanticEquals(keyExpr)) {
       // EXACT: one state row per output row — project, no re-agg.

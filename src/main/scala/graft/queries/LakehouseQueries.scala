@@ -716,6 +716,26 @@ object LakehouseQueries {
         .orderBy("g3")
     }),
 
+    // S50 (round 14 — VERDICT r13 #4 companion): PREDICATE-SUBSUMED
+    // REWRITE. The query FILTERS on a function of the view key
+    // ((k%10) IN (2,4,6)) before grouping — a whole-group selection —
+    // and MvRewrite reroutes it to the state table with the predicate
+    // rewritten over g: a 10-row scan filtered to 3 rows, the fact
+    // untouched (Round14OpsSpec pin; a filter touching the VALUE
+    // column — a row-level predicate — is pinned to decline). The
+    // composition with the rollup path is exercised too: the group
+    // key here is the view key itself, the filter is the new part.
+    "view_rewrite_filtered" -> ((s, d) => {
+      val (root, vLast) = registerOrdersView(s, d)
+      graft.sources.CommitLog.snapshot(s, root, vLast)
+        .filter((col("k") % 10).isin(2L, 4L, 6L))
+        .groupBy((col("k") % 10).as("g"))
+        .agg(count(lit(1)).as("n"), sum(col("p")).as("sum_p"))
+        .select(col("g"), col("n"),
+          col("sum_p").cast(DecimalType(38, 2)).as("total"))
+        .orderBy("g")
+    }),
+
     // S27 (round 11): MULTI-TABLE ATOMIC COMMIT — the catalog-commit
     // protocol (sources/TxnLog.scala) driven through its canonical
     // use: a fact table and its derived 1-row aggregate that must
@@ -2410,6 +2430,18 @@ object LakehouseQueries {
         |SELECT k % 10 AS g, CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(p) AS DECIMAL(38,2)) AS total
         |FROM fin GROUP BY 1 ORDER BY g""".stripMargin,
+    // S50 twin: the same whole-group filter computed directly from
+    // the fact arithmetic.
+    "view_rewrite_filtered" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        | v1 AS (SELECT k, CASE WHEN k % 4 = 2
+        |     THEN CAST(p * 2 AS DECIMAL(18,2)) ELSE p END AS p FROM base),
+        | fin AS (SELECT k, p FROM v1 WHERE k % 4 <> 1)
+        |SELECT k % 10 AS g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(p) AS DECIMAL(38,2)) AS total
+        |FROM fin WHERE k % 10 IN (2, 4, 6)
+        |GROUP BY 1 ORDER BY g""".stripMargin,
     // S51 twin: per-version fact rollup under the lifecycle's accept
     // set — v0 = the k%3=0 batch; v1 adds the k%3≠0 rows whose parent
     // survived the dim delete (c%100≠7).

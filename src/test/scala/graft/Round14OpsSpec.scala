@@ -28,6 +28,31 @@ class Round14OpsSpec extends GraftSpec {
     assert(df.collect().map(_.toSeq).toSeq == direct.toSeq)
   }
 
+  test("MV predicate subsumption: a whole-group filter reads the state; a value filter declines") {
+    import graft.sources.CommitLog
+    val df = SparkEntry.queries("view_rewrite_filtered")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_aggview"),
+      "filtered rewrite did not fire:\n" + plan.take(3000))
+    assert(!plan.contains("graft_cdc"),
+      "filtered rewrite still touches the fact:\n" + plan.take(3000))
+    // values equal the maintained-view read filtered the same way
+    val direct = SparkEntry.queries("dml_cdc_agg_view")(spark, sf)
+      .filter(col("g").isin(2L, 4L, 6L)).collect().map(_.toSeq)
+    assert(df.collect().map(_.toSeq).toSeq == direct.toSeq)
+    // NEGATIVE: a row-level predicate (on the value column) must keep
+    // the fact scan — filtering p inside groups is not group-selection
+    val root = graft.queries.LakehouseQueries.cdcTable(spark, sf)
+    val vLast = CommitLog.versions(root).last
+    val rowLevel = CommitLog.snapshot(spark, root, vLast)
+      .filter(col("p") > 1000.0)
+      .groupBy((col("k") % 10).as("g"))
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("sum_p"))
+    val rlPlan = rowLevel.queryExecution.executedPlan.toString
+    assert(!rlPlan.contains("graft_aggview"),
+      "row-level predicate wrongly subsumed:\n" + rlPlan.take(3000))
+  }
+
   test("MV rollup rewrite never fires when the key mixes in non-key columns") {
     import graft.sources.CommitLog
     SparkEntry.queries("view_rewrite_rollup")(spark, sf).count()
