@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference,
-  AttributeSet, Cast, EqualTo, Expression, If, KnownNotNull, Literal,
+  AttributeSet, Cast, Divide, EqualTo, Expression, If, KnownNotNull, Literal,
   NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
   Count, Sum}
@@ -193,6 +193,27 @@ object MvRewrite extends Rule[LogicalPlan] {
     val statePlan = predsOverState.foldLeft(basePlan)(
       (pl, ps) => Filter(ps._2, pl))
 
+    // avg(value) = total / nn (avg IGNORES nulls, so the divisor is
+    // the non-null count, never n) — supported for DECIMAL values
+    // only: the state total is an exact decimal fold, and the
+    // division below reproduces the DIRECT query's arithmetic by
+    // first casting total down to Average's own sum type (p+10, s) so
+    // both sides round the same rational at the same scales. A double
+    // value column would compare a shuffle-order-dependent direct sum
+    // against the fold — declined.
+    val avgSumType = valExpr.dataType match {
+      case dt: org.apache.spark.sql.types.DecimalType =>
+        Some(org.apache.spark.sql.types.DecimalType(
+          math.min(38, dt.precision + 10), dt.scale))
+      case _ => None
+    }
+    def avgOf(totalE: Expression, nnE: Expression): Option[Expression] =
+      avgSumType.map { st =>
+        val div = Divide(Cast(totalE, st),
+          Cast(nnE, org.apache.spark.sql.types.DecimalType(20, 0)))
+        If(EqualTo(nnE, Literal(0L)), Literal(null, div.dataType), div)
+      }
+
     if (groupExpr.semanticEquals(keyExpr)) {
       // EXACT: one state row per output row — project, no re-agg.
       // sum maps to total guarded by nn = 0 → NULL (all-NULL group).
@@ -200,14 +221,16 @@ object MvRewrite extends Rule[LogicalPlan] {
         EqualTo(stateAttr("nn"), Literal(0L)),
         Literal(null, stateAttr("total").dataType), stateAttr("total"))
       mapOutputs(agg.aggregateExpressions, groupExpr, valExpr, aliasMap,
-        onGroup = gAsKey, onCount = stateAttr("n"), onSum = sumGuarded)
+        onGroup = gAsKey, onCount = stateAttr("n"), onSum = sumGuarded,
+        onAvg = avgOf(stateAttr("total"), stateAttr("nn")))
         .map(Project(_, statePlan))
     } else {
       // ROLLUP: substitute every key-subtree occurrence with the state
       // key; subsumed iff the result depends on NOTHING else of the
       // scan (i.e. the query key is literally a function of the view
       // key). count(*) → sum(n); sum(v) → sum(total) with the
-      // re-aggregated nn deciding the all-NULL → NULL case.
+      // re-aggregated nn deciding the all-NULL → NULL case;
+      // avg(v) → sum(total) / sum(nn).
       val rolled = groupExpr.transformUp {
         case e if e.semanticEquals(keyExpr) => gAsKey
       }
@@ -224,7 +247,8 @@ object MvRewrite extends Rule[LogicalPlan] {
           Literal(null, stateAttr("total").dataType),
           sumOf(stateAttr("total")))
         mapOutputs(agg.aggregateExpressions, groupExpr, valExpr, aliasMap,
-          onGroup = rolled, onCount = countFromState, onSum = sumFromState)
+          onGroup = rolled, onCount = countFromState, onSum = sumFromState,
+          onAvg = avgOf(sumOf(stateAttr("total")), sumOf(stateAttr("nn"))))
           .map(outs => Aggregate(Seq(rolled), outs, statePlan))
       }
     }
@@ -271,7 +295,8 @@ object MvRewrite extends Rule[LogicalPlan] {
     */
   private def mapOutputs(outs: Seq[NamedExpression], groupExpr: Expression,
       valExpr: Expression, aliasMap: Map[Long, Expression],
-      onGroup: Expression, onCount: Expression, onSum: Expression)
+      onGroup: Expression, onCount: Expression, onSum: Expression,
+      onAvg: Option[Expression])
       : Option[Seq[NamedExpression]] = {
     val mapped = outs.map { ne =>
       // outer casts collapse into the Aggregate (CollapseProject) —
@@ -283,6 +308,10 @@ object MvRewrite extends Rule[LogicalPlan] {
             if lit.foldable => Some(onCount)
         case AggregateExpression(Sum(e, _), _, false, None, _)
             if e.semanticEquals(valExpr) => Some(onSum)
+        case AggregateExpression(
+            org.apache.spark.sql.catalyst.expressions.aggregate
+              .Average(e, _), _, false, None, _)
+            if e.semanticEquals(valExpr) => onAvg
         case _ => None
       }
     }

@@ -716,6 +716,23 @@ object LakehouseQueries {
         .orderBy("g3")
     }),
 
+    // S52 (round 14): AVG THROUGH THE REWRITE — avg is the third
+    // distributive-pair aggregate (total/nn, nulls excluded from the
+    // divisor per SQL), here in the HARDEST composition: a rollup
+    // group key ((k%10)%3) so the rewrite re-aggregates the state and
+    // divides sum(total) by sum(nn), casting total down to Average's
+    // own sum type first so both sides round the same rational at the
+    // same scales. Decimal values only (a double avg is shuffle-order
+    // dependent on the direct side — declined). Oracle renders the
+    // same mean by the exact-integer half-up recipe (ts_decompose).
+    "view_rewrite_avg" -> ((s, d) => {
+      val (root, vLast) = registerOrdersView(s, d)
+      graft.sources.CommitLog.snapshot(s, root, vLast)
+        .groupBy(((col("k") % 10) % 3).as("g3"))
+        .agg(count(lit(1)).as("n"), avg(col("p")).as("avg_p"))
+        .orderBy("g3")
+    }),
+
     // S50 (round 14 — VERDICT r13 #4 companion): PREDICATE-SUBSUMED
     // REWRITE. The query FILTERS on a function of the view key
     // ((k%10) IN (2,4,6)) before grouping — a whole-group selection —
@@ -2430,6 +2447,22 @@ object LakehouseQueries {
         |SELECT k % 10 AS g, CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(p) AS DECIMAL(38,2)) AS total
         |FROM fin GROUP BY 1 ORDER BY g""".stripMargin,
+    // S52 twin: the rollup mean rendered by the exact-integer half-up
+    // recipe — (2·Σcents·10⁴ + n) // (2n) is the 1e-6-unit half-up of
+    // the rational mean (all-positive operands, so // is floor), and
+    // the ×1e-6 render is an exact decimal multiply; Spark's decimal
+    // avg rounds the same rational at the same final scale.
+    "view_rewrite_avg" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        | v1 AS (SELECT k, CASE WHEN k % 4 = 2
+        |     THEN CAST(p * 2 AS DECIMAL(18,2)) ELSE p END AS p FROM base),
+        | fin AS (SELECT k, p FROM v1 WHERE k % 4 <> 1)
+        |SELECT (k % 10) % 3 AS g3, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(CAST((2 * CAST(sum(CAST(p * 100 AS BIGINT)) AS HUGEINT) * 10000
+        |        + count(p)) // (2 * count(p)) AS DECIMAL(22,0))
+        |    * 0.000001 AS DECIMAL(22,6)) AS avg_p
+        |FROM fin GROUP BY 1 ORDER BY g3""".stripMargin,
     // S50 twin: the same whole-group filter computed directly from
     // the fact arithmetic.
     "view_rewrite_filtered" ->

@@ -53,6 +53,45 @@ class Round14OpsSpec extends GraftSpec {
       "row-level predicate wrongly subsumed:\n" + rlPlan.take(3000))
   }
 
+  test("MV avg rewrite: rollup avg reads the state and matches the direct quotient") {
+    val df = SparkEntry.queries("view_rewrite_avg")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_aggview"),
+      "avg rewrite did not fire:\n" + plan.take(3000))
+    assert(!plan.contains("graft_cdc"),
+      "avg rewrite still touches the fact:\n" + plan.take(3000))
+    // the re-aggregated quotient equals rolling up the maintained
+    // view read: sum(total)/sum(n) at this fixture (no NULL values,
+    // so nn == n) — computed through the same decimal division
+    val direct = SparkEntry.queries("dml_cdc_agg_view")(spark, sf)
+      .groupBy((col("g") % 3).as("g3"))
+      .agg(sum(col("n")).as("n"),
+        (sum(col("total"))
+          .cast(org.apache.spark.sql.types.DecimalType(28, 2))
+          / sum(col("n")).cast(org.apache.spark.sql.types.DecimalType(20, 0)))
+          .cast(df.schema("avg_p").dataType).as("avg_p"))
+      .orderBy("g3").collect().map(_.toSeq)
+    assert(df.collect().map(_.toSeq).toSeq == direct.toSeq)
+    // and the values equal the REAL direct aggregate with the view
+    // dropped from the catalog (the entry would re-register, so the
+    // unrewritten twin is built by hand on the same snapshot)
+    import graft.sources.CommitLog
+    val root = graft.queries.LakehouseQueries.cdcTable(spark, sf)
+    val vLast = CommitLog.versions(root).last
+    graft.plans.MvCatalog.drop("orders_by_g")
+    try {
+      val off = CommitLog.snapshot(spark, root, vLast)
+        .groupBy(((col("k") % 10) % 3).as("g3"))
+        .agg(count(lit(1)).as("n"), avg(col("p")).as("avg_p"))
+        .orderBy("g3")
+      assert(!off.queryExecution.executedPlan.toString
+        .contains("graft_aggview"))
+      assert(off.collect().map(_.toSeq).toSeq ==
+        df.collect().map(_.toSeq).toSeq,
+        "rewritten avg diverges from the direct aggregate")
+    } finally SparkEntry.queries("view_rewrite_avg")(spark, sf).count()
+  }
+
   test("MV rollup rewrite never fires when the key mixes in non-key columns") {
     import graft.sources.CommitLog
     SparkEntry.queries("view_rewrite_rollup")(spark, sf).count()
