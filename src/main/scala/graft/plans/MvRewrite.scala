@@ -23,10 +23,10 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
   *  - scan reads EXACTLY the registered fact snapshot (path-set
   *    equality — the freshness guard: a query over any other version
   *    never matches),
-  *  - single grouping key is semantically the registered key, OR is an
-  *    expression OVER the registered key (a coarser rollup — every
-  *    occurrence of the key subtree substitutes to the state's `g` and
-  *    nothing else of the scan remains), and
+  *  - grouping keys are each semantically the registered key OR an
+  *    expression OVER the registered key (a coarser/multi-dimensional
+  *    rollup — every occurrence of the key subtree substitutes to the
+  *    state's `g` and nothing else of the scan remains), and
   *  - every filter between aggregate and scan is a deterministic
   *    function of the registered key (whole-group selection — round
   *    14 predicate subsumption; a row-level predicate declines), and
@@ -142,11 +142,12 @@ object MvRewrite extends Rule[LogicalPlan] {
       // freshness: the scan must read exactly the registered snapshot
       scanPaths = fsRel.location.rootPaths.map(_.toUri.getPath).toSet
       if scanPaths == d.factPaths
-      if agg.groupingExpressions.size == 1
-      groupExpr = inlineWith(stripAlias(agg.groupingExpressions.head), aliasMap)
+      if agg.groupingExpressions.nonEmpty
+      groupExprs = agg.groupingExpressions.map(g =>
+        inlineWith(stripAlias(g), aliasMap))
       keyExpr <- resolveAgainst(spark, d.groupKeySql, rel)
       valExpr <- resolveAgainst(spark, d.valueSql, rel)
-      rewritten <- buildFromState(spark, agg, d, groupExpr, keyExpr, valExpr,
+      rewritten <- buildFromState(spark, agg, d, groupExprs, keyExpr, valExpr,
         aliasMap, preds)
     } yield rewritten
   }
@@ -157,7 +158,7 @@ object MvRewrite extends Rule[LogicalPlan] {
     * re-aggregates it.
     */
   private def buildFromState(spark: org.apache.spark.sql.SparkSession,
-      agg: Aggregate, d: MvCatalog.MvDef, groupExpr: Expression,
+      agg: Aggregate, d: MvCatalog.MvDef, groupExprs: Seq[Expression],
       keyExpr: Expression, valExpr: Expression,
       aliasMap: Map[Long, Expression],
       preds: Seq[Expression]): Option[LogicalPlan] = {
@@ -214,28 +215,39 @@ object MvRewrite extends Rule[LogicalPlan] {
         If(EqualTo(nnE, Literal(0L)), Literal(null, div.dataType), div)
       }
 
-    if (groupExpr.semanticEquals(keyExpr)) {
+    if (groupExprs.size == 1 && groupExprs.head.semanticEquals(keyExpr)) {
       // EXACT: one state row per output row — project, no re-agg.
       // sum maps to total guarded by nn = 0 → NULL (all-NULL group).
       val sumGuarded: Expression = If(
         EqualTo(stateAttr("nn"), Literal(0L)),
         Literal(null, stateAttr("total").dataType), stateAttr("total"))
-      mapOutputs(agg.aggregateExpressions, groupExpr, valExpr, aliasMap,
-        onGroup = gAsKey, onCount = stateAttr("n"), onSum = sumGuarded,
+      mapOutputs(agg.aggregateExpressions,
+        onGroups = Seq(groupExprs.head -> gAsKey), valExpr, aliasMap,
+        onCount = stateAttr("n"), onSum = sumGuarded,
         onAvg = avgOf(stateAttr("total"), stateAttr("nn")))
         .map(Project(_, statePlan))
     } else {
-      // ROLLUP: substitute every key-subtree occurrence with the state
-      // key; subsumed iff the result depends on NOTHING else of the
-      // scan (i.e. the query key is literally a function of the view
-      // key). count(*) → sum(n); sum(v) → sum(total) with the
+      // ROLLUP (round 14; multi-key round-14 second wave): substitute
+      // every key-subtree occurrence in EVERY grouping expression with
+      // the state key; subsumed iff each result depends on NOTHING
+      // else of the scan (every query key is a function of the view
+      // key — grouping the state re-partitions whole groups, so the
+      // re-aggregation is exact), and at least one substitution
+      // happened (an all-constant key set over the raw scan is not a
+      // state query). count(*) → sum(n); sum(v) → sum(total) with the
       // re-aggregated nn deciding the all-NULL → NULL case;
       // avg(v) → sum(total) / sum(nn).
-      val rolled = groupExpr.transformUp {
-        case e if e.semanticEquals(keyExpr) => gAsKey
+      val rolledPairs = groupExprs.map { ge =>
+        ge -> ge.transformUp {
+          case e if e.semanticEquals(keyExpr) => gAsKey
+        }
       }
-      val selfContained = rolled.references.subsetOf(AttributeSet(Seq(gAttr)))
-      val substituted = !rolled.semanticEquals(groupExpr)
+      val selfContained = rolledPairs.forall {
+        case (_, r) => r.references.subsetOf(AttributeSet(Seq(gAttr)))
+      }
+      val substituted = rolledPairs.exists {
+        case (ge, r) => !r.semanticEquals(ge)
+      }
       if (!selfContained || !substituted) None
       else {
         def sumOf(e: Expression): Expression =
@@ -246,10 +258,11 @@ object MvRewrite extends Rule[LogicalPlan] {
           EqualTo(sumOf(stateAttr("nn")), Literal(0L)),
           Literal(null, stateAttr("total").dataType),
           sumOf(stateAttr("total")))
-        mapOutputs(agg.aggregateExpressions, groupExpr, valExpr, aliasMap,
-          onGroup = rolled, onCount = countFromState, onSum = sumFromState,
+        mapOutputs(agg.aggregateExpressions, onGroups = rolledPairs,
+          valExpr, aliasMap,
+          onCount = countFromState, onSum = sumFromState,
           onAvg = avgOf(sumOf(stateAttr("total")), sumOf(stateAttr("nn"))))
-          .map(outs => Aggregate(Seq(rolled), outs, statePlan))
+          .map(outs => Aggregate(rolledPairs.map(_._2), outs, statePlan))
       }
     }
   }
@@ -293,9 +306,10 @@ object MvRewrite extends Rule[LogicalPlan] {
     * pulled-out `_groupingexpression` attribute and the raw expression
     * match the same way.
     */
-  private def mapOutputs(outs: Seq[NamedExpression], groupExpr: Expression,
+  private def mapOutputs(outs: Seq[NamedExpression],
+      onGroups: Seq[(Expression, Expression)],
       valExpr: Expression, aliasMap: Map[Long, Expression],
-      onGroup: Expression, onCount: Expression, onSum: Expression,
+      onCount: Expression, onSum: Expression,
       onAvg: Option[Expression])
       : Option[Seq[NamedExpression]] = {
     val mapped = outs.map { ne =>
@@ -303,7 +317,8 @@ object MvRewrite extends Rule[LogicalPlan] {
       // strip them for matching; the rewrite re-casts the state column
       // to the output's exact dataType, so values are unchanged
       stripCasts(inlineWith(stripAlias(ne), aliasMap)) match {
-        case e if e.semanticEquals(groupExpr) => Some(onGroup)
+        case e if onGroups.exists(g => e.semanticEquals(g._1)) =>
+          onGroups.find(g => e.semanticEquals(g._1)).map(_._2)
         case AggregateExpression(Count(Seq(lit)), _, false, None, _)
             if lit.foldable => Some(onCount)
         case AggregateExpression(Sum(e, _), _, false, None, _)

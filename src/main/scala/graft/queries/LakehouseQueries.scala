@@ -716,6 +716,24 @@ object LakehouseQueries {
         .orderBy("g3")
     }),
 
+    // S53 (round 14): MULTI-KEY ROLLUP REWRITE — the dashboard
+    // hierarchy shape: TWO grouping keys, each a function of the view
+    // key (a CASE band over k%10 plus the key itself), rewritten to a
+    // re-aggregation of the 10-row state grouped by the substituted
+    // pair. Every query key being key-functional means the state's
+    // groups re-partition wholes — exactness is structural.
+    "view_rewrite_multikey" -> ((s, d) => {
+      val (root, vLast) = registerOrdersView(s, d)
+      graft.sources.CommitLog.snapshot(s, root, vLast)
+        .groupBy(
+          expr("CASE WHEN k % 10 < 5 THEN 'low' ELSE 'high' END").as("band"),
+          (col("k") % 10).as("g"))
+        .agg(count(lit(1)).as("n"), sum(col("p")).as("sum_p"))
+        .select(col("band"), col("g"), col("n"),
+          col("sum_p").cast(DecimalType(38, 2)).as("total"))
+        .orderBy("band", "g")
+    }),
+
     // S52 (round 14): AVG THROUGH THE REWRITE — avg is the third
     // distributive-pair aggregate (total/nn, nulls excluded from the
     // divisor per SQL), here in the HARDEST composition: a rollup
@@ -2447,6 +2465,18 @@ object LakehouseQueries {
         |SELECT k % 10 AS g, CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(p) AS DECIMAL(38,2)) AS total
         |FROM fin GROUP BY 1 ORDER BY g""".stripMargin,
+    // S53 twin: the two-key rollup computed directly from the fact
+    // arithmetic.
+    "view_rewrite_multikey" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        | v1 AS (SELECT k, CASE WHEN k % 4 = 2
+        |     THEN CAST(p * 2 AS DECIMAL(18,2)) ELSE p END AS p FROM base),
+        | fin AS (SELECT k, p FROM v1 WHERE k % 4 <> 1)
+        |SELECT CASE WHEN k % 10 < 5 THEN 'low' ELSE 'high' END AS band,
+        |    k % 10 AS g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(p) AS DECIMAL(38,2)) AS total
+        |FROM fin GROUP BY 1, 2 ORDER BY band, g""".stripMargin,
     // S52 twin: the rollup mean rendered by the exact-integer half-up
     // recipe — (2·Σcents·10⁴ + n) // (2n) is the 1e-6-unit half-up of
     // the rational mean (all-positive operands, so // is floor), and

@@ -92,6 +92,33 @@ class Round14OpsSpec extends GraftSpec {
     } finally SparkEntry.queries("view_rewrite_avg")(spark, sf).count()
   }
 
+  test("MV multi-key rollup: both key-functional grouping keys read the state") {
+    val df = SparkEntry.queries("view_rewrite_multikey")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_aggview"),
+      "multi-key rewrite did not fire:\n" + plan.take(3000))
+    assert(!plan.contains("graft_cdc"),
+      "multi-key rewrite still touches the fact:\n" + plan.take(3000))
+    val direct = SparkEntry.queries("dml_cdc_agg_view")(spark, sf)
+      .groupBy(
+        expr("CASE WHEN g < 5 THEN 'low' ELSE 'high' END").as("band"),
+        col("g"))
+      .agg(sum(col("n")).as("n"),
+        sum(col("total")).cast(DecimalType(38, 2)).as("total"))
+      .orderBy("band", "g").collect().map(_.toSeq)
+    assert(df.collect().map(_.toSeq).toSeq == direct.toSeq)
+    // and a PAIR where one key is non-key-functional still declines
+    import graft.sources.CommitLog
+    val root = graft.queries.LakehouseQueries.cdcTable(spark, sf)
+    val vLast = CommitLog.versions(root).last
+    val mixed = CommitLog.snapshot(spark, root, vLast)
+      .groupBy((col("k") % 10).as("g"), (col("k") % 7).as("g7"))
+      .agg(count(lit(1)).as("n"))
+    assert(!mixed.queryExecution.executedPlan.toString
+      .contains("graft_aggview"),
+      "pair with a non-key-functional member wrongly rerouted")
+  }
+
   test("MV rollup rewrite never fires when the key mixes in non-key columns") {
     import graft.sources.CommitLog
     SparkEntry.queries("view_rewrite_rollup")(spark, sf).count()
