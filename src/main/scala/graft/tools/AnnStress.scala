@@ -170,7 +170,11 @@ object AnnStress {
           if (t.taskMetrics != null)
             bytesRead.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
       })
-    def measureBytes(build: () => DataFrame): (Double, Double, Double, Double) = {
+    // probeCount = the ACTUAL probe-set size (ADVICE r14: the odd-label
+    // probe set is limit(nProbes) and can come up short — dividing by
+    // the requested nProbes would understate recall for every tier)
+    def measureBytes(build: () => DataFrame, probeCount: Int)
+        : (Double, Double, Double, Double) = {
       build().count() // warm
       Thread.sleep(500); bytesRead.set(0L)
       val t0 = System.nanoTime()
@@ -182,8 +186,8 @@ object AnnStress {
       // PREDICATE-SATISFYING row — the post-filter tier's structural
       // loss (it discards every slot an even-label neighbor ranked
       // into), invisible to planted recall when the partner is rank 1
-      (hits.toDouble / nProbes, sec, bytesRead.get / 1e6,
-        rows.length / (5.0 * nProbes))
+      (hits.toDouble / probeCount, sec, bytesRead.get / 1e6,
+        rows.length / (5.0 * probeCount))
     }
     val oddPred = col("label").isin(1L, 3L, 5L, 7L, 9L)
     println()
@@ -213,14 +217,11 @@ object AnnStress {
       GraftOps.ivfIndexBuild(cL, "vec_id", "embedding", cent,
         idxPath, payload = Seq("label"))
       val probes = cL.filter(col("vec_id") >= probeBase)
-      def hitsOf(rows: Array[org.apache.spark.sql.Row]): Double =
-        rows.count(r => r.getLong(1) == r.getLong(0) - probeBase)
-          .toDouble / oddIds.length
       // PRE-filter: predicate inside the bucket-pruned index scan
       val (rePre, tPre, mbPre, fPre) = measureBytes(() =>
         GraftOps.ivfTopKFromIndex(spark, idxPath, probes, "vec_id",
           "embedding", cent, k = 5, nprobe = 3,
-          candidatePredicate = Some(oddPred)))
+          candidatePredicate = Some(oddPred)), oddIds.length)
       // POST-filter: rank unrestricted, filter the ranked result —
       // reads the same buckets WITHOUT the pushed predicate and loses
       // every top-k slot an even-label neighbor held
@@ -229,12 +230,12 @@ object AnnStress {
           "embedding", cent, k = 5, nprobe = 3,
           candidatePredicate = None)
           .join(cL.filter(oddPred).select(col("vec_id").as("c_id")), "c_id")
-          .select("q_id", "c_id", "cos_sim", "rn"))
+          .select("q_id", "c_id", "cos_sim", "rn"), oddIds.length)
       // exact filtered tier: the full-corpus ceiling and its bytes
       val (reEx, tEx, mbEx, fEx) = measureBytes(() =>
         GraftOps.cosineTopK(cL, "vec_id", "embedding",
           probePredicate = col("vec_id") >= probeBase, k = 5,
-          candidatePredicate = oddPred))
+          candidatePredicate = oddPred), oddIds.length)
       println(f"| ivf PRE-filter (pushed In) | ${n}x | $rePre%.2f | $fPre%.2f | $tPre%.2f | $mbPre%.2f |")
       println(f"| ivf POST-filter | ${n}x | $rePost%.2f | $fPost%.2f | $tPost%.2f | $mbPost%.2f |")
       println(f"| exact filtered (full scan) | ${n}x | $reEx%.2f | $fEx%.2f | $tEx%.2f | $mbEx%.2f |")

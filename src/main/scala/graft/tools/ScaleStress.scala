@@ -437,6 +437,19 @@ object ScaleStress {
     val (mr1, mt1) = timeCount(() => mmPairs(mm1))
     val (mrn, mtn) = timeCount(() => mmPairs(mmN))
 
+    // --- guarded fuzzy prefix dedup over the same rotated copies ----
+    // Round 15 (VERDICT r14 #1): the flood-guarded dedup_fuzzy. Run at
+    // the SHIPPED entry's maxBlock = 3 so the hot route dominates:
+    // every natural block > 3 docs routes through the banded-MinHash
+    // candidate tier. Rotation keeps blocks copy-local (the 2-word
+    // prefix rotates with the text), so true-pair volume grows exactly
+    // N× — the unguarded operator measured 194× on 10× rows at sf1;
+    // the guard's contract is ≈ N here.
+    def fuzzy(df: DataFrame): DataFrame =
+      GraftOps.fuzzyPrefixPairs(df, "doc_id", "text", maxBlock = 3)
+    val (fzr1, fzt1) = timeCount(() => fuzzy(mm1))
+    val (fzrn, fztn) = timeCount(() => fuzzy(mmN))
+
     // --- span removal over the same rotated copies ------------------
     // Duplicated spans stay copy-local under rotation, so removal
     // volume and output rows grow exactly N×; the shingle-grain
@@ -619,9 +632,10 @@ object ScaleStress {
       ("ts_concurrency (disjoint type shards)", xr1, xt1, xrn, xtn),
       ("topk_physical (heap operator, disjoint customers)", yr1, yt1, yrn, ytn),
       ("dedup_minhash (rotated copies, disjoint signatures)", mr1, mt1, mrn, mtn),
+      ("dedup_fuzzy (flood-guarded, rotated copies, copy-local blocks)", fzr1, fzt1, fzrn, fztn),
       ("text_dedup_spans (rotated copies, copy-local spans)", vr1, vt1, vrn, vtn),
       ("dedup_incremental (indexed corpus, 20% delta probe)", ir1, it1, irn, itn),
-      ("embed_knn_block (fixed block size, N× blocks)", zr1, zt1, zrn, ztn),
+      ("embed_knn_block_unscaled (fixed block size, N× blocks)", zr1, zt1, zrn, ztn),
       ("embed_knn_scaled (corpus-derived nb, Σb² ≈ 256·n)", sk1r, sk1t, skNr, skNt),
       ("text_tokenize_bpe (shared vocab, N× occurrences)", fr1, ft1, frn, ftn),
       ("cluster_kmeans_step (shared labels, growing corpus; output k×dims)", hr1, ht1, hrn, htn),

@@ -26,7 +26,7 @@ class DeterminismSpec extends GraftSpec {
     "vocab_bpe_pairs",      // weighted pair counts + top-20 tie-break (round 5)
     "sample_temperature",   // decimal-normalized rates + md5 buckets (round 6)
     "text_entropy",         // fixed-order 26-term float fold (round 8)
-    "embed_knn_block",      // blocked rounded-cosine ranking (round 8)
+    "embed_knn_block_unscaled",      // blocked rounded-cosine ranking (round 8)
     "cluster_kmeans_step",  // E-step margin + exact-integer M-step (round 8)
     "seq_markov")           // lag bigrams + single exact-int division (round 8)
 

@@ -67,8 +67,8 @@ class PlanShapeSpec extends GraftSpec {
     }
   }
 
-  test("embed_knn_block drops the vectors before the ranking window") {
-    val plan = q("embed_knn_block").queryExecution.optimizedPlan
+  test("embed_knn_block_unscaled drops the vectors before the ranking window") {
+    val plan = q("embed_knn_block_unscaled").queryExecution.optimizedPlan
     val wins = plan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }

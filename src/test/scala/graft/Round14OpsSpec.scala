@@ -221,9 +221,33 @@ class Round14OpsSpec extends GraftSpec {
         !plan.contains("ShuffledHashJoin"),
         s"$q: stats-driven plan missed the all-broadcast shape:\n" +
           plan.take(2500))
-      // lineitem (the fact) must never be a broadcast build side
-      val builds = plan.linesIterator
-        .filter(_.contains("BroadcastExchange")).mkString("\n")
+      // The RAW fact must never be a broadcast build side: walk each
+      // BroadcastExchange's SUBTREE in the plan text (child lines
+      // indent deeper) and require that any lineitem scan under it is
+      // FILTERED first (ADVICE r14: the previous formulation computed
+      // the exchange lines but never asserted on them). A filtered
+      // fact legitimately broadcasts when the stats say it is the
+      // smaller side — at this SF q10's returnflag-filtered lineitem
+      // fits the threshold while the orders side estimates large (its
+      // TIMESTAMP_NTZ date predicate carries no column stats, see
+      // ensureCatalog) — but an UNFILTERED fact build is always a
+      // stats failure.
+      val lines = plan.linesIterator.toVector
+      def nodeStart(l: String): Int = {
+        val i = l.indexWhere(c => !" :+-".contains(c))
+        if (i < 0) Int.MaxValue else i
+      }
+      lines.zipWithIndex.filter(_._1.contains("BroadcastExchange"))
+        .foreach { case (bLine, i) =>
+          val ind = nodeStart(bLine)
+          val subtree = lines.drop(i + 1)
+            .takeWhile(l => nodeStart(l) > ind)
+          if (subtree.exists(_.contains("lineitem")))
+            assert(subtree.exists(l =>
+              l.contains("Filter") && l.contains("l_")),
+              s"$q: RAW lineitem broadcast as a build side:\n" +
+                (bLine +: subtree).mkString("\n"))
+        }
       assert(df.count() > 0)
     }
     // and the values equal the hand-tuned entries (shared oracle body)

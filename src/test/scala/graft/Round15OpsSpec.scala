@@ -1,0 +1,249 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-15 pins: the dedup_fuzzy flood guard (VERDICT r14 #1), the
+  * MvRewrite grouping-determinism gate (ADVICE r14 medium), and the
+  * FK/unique stats-routing footer-kind gate (ADVICE r14 low).
+  */
+class Round15OpsSpec extends GraftSpec {
+
+  private def freshDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("dedup_fuzzy flood guard: hot blocks route through banding; exact verify unchanged") {
+    import spark.implicits._
+    // one HOT block (40 docs share the 2-word prefix "alpha beta"; the
+    // first 20 carry an IDENTICAL 60-char prefix → C(20,2) planted
+    // pairs at dist 0, the other 20 are pairwise-distant fillers) plus
+    // small 2-doc blocks with a dist ≤ 5 pair each
+    val common = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val hot = (0 until 20).map(i => (i.toLong, s"$common tail$i")) ++
+      (20 until 40).map(i => (i.toLong,
+        s"alpha beta q$i w$i e$i r$i t$i y$i u$i i$i o$i p$i a$i s$i d$i f$i"))
+    val small = (0 until 5).flatMap { j =>
+      val base = s"block$j word$j some shared sentence body here padded out to sixty chars"
+      Seq((100L + 2 * j, base), (101L + 2 * j, base.replace("shared", "shered")))
+    }
+    val df = (hot ++ small).toDF("doc_id", "text")
+    val guarded = graft.api.GraftOps.fuzzyPrefixPairs(df, "doc_id", "text",
+      maxBlock = 8)
+    val got = guarded.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted identical-prefix pair recalls (identical shingle
+    // sets share every band signature — recall 1 by construction)
+    val planted = (for (a <- 0 until 20; b <- (a + 1) until 20)
+      yield (a.toLong, b.toLong)).toSet
+    assert(planted.subsetOf(got),
+      s"banding lost planted pairs: ${(planted -- got).take(5)}")
+    // every small-block pair survives the guard untouched
+    val smallPairs = (0 until 5).map(j => (100L + 2 * j, 101L + 2 * j)).toSet
+    assert(smallPairs.subsetOf(got))
+    // the verify stays exact: every emitted dist really is ≤ 5, and on
+    // this corpus (fillers pairwise-distant) the guarded result equals
+    // the unguarded operator's exactly
+    guarded.collect().foreach { r =>
+      assert(r.getLong(2) <= 5L, s"verify leak: $r")
+    }
+    val unguarded = graft.api.GraftOps.fuzzyPrefixPairs(df, "doc_id", "text",
+      maxBlock = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == unguarded,
+      s"guarded/unguarded diverge: only-guarded=${(got -- unguarded).take(5)} " +
+        s"only-unguarded=${(unguarded -- got).take(5)}")
+  }
+
+  test("dedup_fuzzy flood guard bounds hot-block candidates below the quadratic") {
+    import spark.implicits._
+    // 200 docs in ONE block, pairwise-distant prefixes (distinct
+    // hex-word bodies): the unguarded operator compares C(200,2) =
+    // 19900 pairs; the banding tier's candidate volume must stay well
+    // below that — the guard's whole point
+    def hexWords(i: Int): String = (0 until 8).map { j =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+    }.mkString(" ")
+    val df = (0 until 200).map(i => (i.toLong, s"omega psi ${hexWords(i)}"))
+      .toDF("doc_id", "text")
+    val out = graft.api.GraftOps.fuzzyPrefixPairs(df, "doc_id", "text",
+      maxBlock = 32)
+    assert(out.count() == 0L)
+    // and the banded candidate volume stayed bounded: re-derive the
+    // candidate tier's size through the same signature algebra
+    val p = df.select(col("doc_id"), substring(col("text"), 1, 60).as("__p"))
+      .withColumn("__s", explode(expr(
+        "array_distinct(transform(sequence(1, greatest(length(__p) - 2, 1)), " +
+          "i -> substring(__p, i, 3)))")))
+    val aggs = (0 until 8).map { k =>
+      min(substring(md5(concat(lit(s"${k / 4}:"), col("__s"))),
+        (k % 4) * 8 + 1, 8)).as(s"__h$k")
+    }
+    val mh = p.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val bands = mh.select(col("doc_id"), explode(array((0 until 4).map { b =>
+      concat(col(s"__h${2 * b}"), col(s"__h${2 * b + 1}"))
+    }: _*)).as("sig"))
+    val cand = bands.groupBy("sig").agg(count(lit(1)).as("n"))
+      .agg(sum(expr("n * (n - 1) DIV 2"))).head().getLong(0)
+    assert(cand < 19900L / 10,
+      s"banding produced $cand candidates for 19900 possible pairs")
+  }
+
+  test("MV join rewrite: fact⋈dim aggregate reads the maintained state, neither table scanned") {
+    import graft.sources.CommitLog
+    val df = SparkEntry.queries("view_rewrite_join")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_joinview"),
+      "join rewrite did not fire — no state scan:\n" + plan.take(3000))
+    assert(!plan.contains("graft_cdc") && !plan.contains("graft_dim"),
+      "rewritten join query still touches a base table:\n" + plan.take(3000))
+    // values equal the maintained view read (the state itself)
+    val direct = SparkEntry.queries("dml_cdc_join_view")(spark, sf)
+      .collect().map(_.toSeq)
+    assert(df.collect().map(_.toSeq).toSeq == direct.toSeq)
+    val (fact, dim, vf, vd) =
+      graft.queries.LakehouseQueries.registerOrdersJoinView(spark, sf)
+    def factSnap = CommitLog.snapshot(spark, fact, vf)
+      .select(col("k"), col("p"))
+    def dimSnap = CommitLog.snapshot(spark, dim, vd)
+      .select(col("k"), col("g"))
+    // ROLLUP through the join: a coarser key over the dim group key
+    // re-aggregates the state — and a whole-group filter subsumes too
+    val roll = factSnap.join(dimSnap, "k")
+      .filter(col("g") % 2 === 0)
+      .groupBy((col("g") % 3).as("g3"))
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("sp"))
+    val rollPlan = roll.queryExecution.executedPlan.toString
+    assert(rollPlan.contains("graft_joinview") &&
+      !rollPlan.contains("graft_cdc") && !rollPlan.contains("graft_dim"),
+      "join rollup+filter did not reroute:\n" + rollPlan.take(3000))
+    val rollDirect = SparkEntry.queries("dml_cdc_join_view")(spark, sf)
+      .filter(col("g") % 2 === 0)
+      .groupBy((col("g") % 3).as("g3"))
+      .agg(sum(col("n")).as("n"),
+        sum(col("total"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 2)).as("sp"))
+    assert(roll.orderBy("g3").collect().map(_.toSeq).toSeq ==
+      rollDirect.orderBy("g3").collect().map(_.toSeq).toSeq)
+    // NEGATIVE: a different join condition (k = k + 1) keeps the scans
+    val shifted = factSnap
+      .join(dimSnap.select((col("k") + 1L).as("k2"), col("g")),
+        col("k") === col("k2"))
+      .groupBy(col("g")).agg(count(lit(1)).as("n"))
+    assert(!shifted.queryExecution.executedPlan.toString
+      .contains("graft_joinview"),
+      "non-registered join condition wrongly rerouted")
+    // NEGATIVE: an outer join declines (the state reflects the inner)
+    val lj = factSnap.join(dimSnap, Seq("k"), "left")
+      .groupBy(col("g")).agg(count(lit(1)).as("n"))
+    assert(!lj.queryExecution.executedPlan.toString
+      .contains("graft_joinview"),
+      "left join wrongly rerouted")
+    // NEGATIVE: a row-level predicate (on the fact value) declines
+    val rowLevel = factSnap.join(dimSnap, "k")
+      .filter(col("p") > 1000.0)
+      .groupBy(col("g")).agg(count(lit(1)).as("n"))
+    assert(!rowLevel.queryExecution.executedPlan.toString
+      .contains("graft_joinview"),
+      "row-level predicate wrongly subsumed through the join")
+  }
+
+  test("MV rewrite declines a nondeterministic grouping expression (ADVICE r14)") {
+    import graft.sources.CommitLog
+    // registers the view + rule
+    SparkEntry.queries("view_rewrite_rollup")(spark, sf).count()
+    val root = graft.queries.LakehouseQueries.cdcTable(spark, sf)
+    val vLast = CommitLog.versions(root).last
+    val snap = CommitLog.snapshot(spark, root, vLast)
+    // GROUP BY (k%10, rand()): rand() references nothing of the scan,
+    // so the old containment check passed and the rewrite grouped the
+    // 10-row STATE by a fresh rand() draw instead of grouping every
+    // fact row — the determinism gate must decline
+    val nd = snap.groupBy((col("k") % 10).as("g"),
+        (rand(7L) * 4).cast("int").as("r"))
+      .agg(count(lit(1)).as("n"))
+    val plan = nd.queryExecution.executedPlan.toString
+    assert(!plan.contains("graft_aggview"),
+      "nondeterministic grouping wrongly rerouted to the state:\n" +
+        plan.take(3000))
+    // the direct aggregate still runs over the fact — total row weight
+    // must equal the snapshot count (the state-grouped wrong answer
+    // would produce ≤ 10·4 tiny groups summing to 10 state rows)
+    val totalN = nd.agg(sum(col("n"))).head().getLong(0)
+    assert(totalN == snap.count(),
+      s"grouped row weight $totalN != fact count ${snap.count()}")
+  }
+
+  test("FK stats routing: footer-kind mismatch falls back to the full-snapshot probe") {
+    import graft.sources.CommitLog
+    import spark.implicits._
+    // Case A (spurious-prune direction, ADVICE r14): the referenced
+    // key is the STRING "02" — equal to the batch's LONG 2 under SQL
+    // coercion, but lexically BELOW the rendered bound "2" ("02" < "2"
+    // since '0' < '2'). The pruned path compares the numeric bounds
+    // lexically against the string footer, sees max "02" < lo "2",
+    // prunes the only unit, and falsely rejects a VALID commit. The
+    // kind gate must fall back to the full-snapshot probe and accept.
+    val t = freshDir("graft_r15_fkkind")
+    val ref = s"$t/ref"
+    Seq("02", "03").toDF("ck").coalesce(1).write.parquet(s"$ref/u0")
+    CommitLog.commit(ref, 0L, Seq("u0"))
+    CommitLog.writeColStats(ref, 0L,
+      CommitLog.footerColStats(spark, ref, Seq("u0"), Seq("ck")))
+    val fact = s"$t/fact"
+    CommitLog.declareConstraints(fact,
+      Seq(CommitLog.ForeignKeyConstraint("c", ref, "ck")))
+    Seq((1L, 2L)).toDF("k", "c").coalesce(1).write.parquet(s"$fact/u0")
+    CommitLog.commitConstrained(spark, fact, 0L, Seq("u0")) // must accept
+    assert(CommitLog.versions(fact) == Seq(0L))
+
+    // Case B (the reverse mismatch): referenced keys are LONG with a
+    // long footer; the batch FK column is STRING. The kind gate routes
+    // to the fallback probe, where SQL coercion gives the right
+    // answers: a coercible valid reference accepts, a coercible orphan
+    // rejects with the constraint message. (A NON-coercible string —
+    // 'abc' against a BIGINT key — fails the ANSI cast loudly inside
+    // the probe: a user type error surfaced as an error, never a
+    // silent accept; the unique-probe scaladoc documents the same
+    // pass-the-column's-own-type contract.)
+    val ref2 = s"$t/ref2"
+    Seq(1L, 2L, 3L).toDF("ck").coalesce(1).write.parquet(s"$ref2/u0")
+    CommitLog.commit(ref2, 0L, Seq("u0"))
+    CommitLog.writeColStats(ref2, 0L,
+      CommitLog.footerColStats(spark, ref2, Seq("u0"), Seq("ck")))
+    val fact2 = s"$t/fact2"
+    CommitLog.declareConstraints(fact2,
+      Seq(CommitLog.ForeignKeyConstraint("c", ref2, "ck")))
+    Seq((1L, "2")).toDF("k", "c").coalesce(1).write.parquet(s"$fact2/u0")
+    CommitLog.commitConstrained(spark, fact2, 0L, Seq("u0")) // valid ref
+    assert(CommitLog.versions(fact2) == Seq(0L))
+    Seq((2L, "99")).toDF("k", "c").coalesce(1).write.parquet(s"$fact2/u1")
+    val e = intercept[IllegalArgumentException] {
+      CommitLog.commitConstrained(spark, fact2, 1L, Seq("u0", "u1"))
+    }
+    assert(e.getMessage.contains("foreignkey(c)"), e.getMessage)
+  }
+
+  test("unique stats routing: a type-evolved key (long batch vs string footer) still probes correctly") {
+    import graft.sources.CommitLog
+    import spark.implicits._
+    val t = freshDir("graft_r15_uqkind")
+    CommitLog.declareConstraints(t, Seq(CommitLog.UniqueConstraint("k")))
+    // v0 committed the key as STRINGS ("02" — coercion-equal to long 2
+    // but lexically below the rendered bound "2") with lexical footer
+    // stats
+    Seq("02", "03").toDF("k").coalesce(1).write.parquet(s"$t/u0")
+    CommitLog.commitConstrained(spark, t, 0L, Seq("u0"))
+    CommitLog.writeColStats(t, 0L,
+      CommitLog.footerColStats(spark, t, Seq("u0"), Seq("k")))
+    // the next batch writes the key as LONG 2 — a real duplicate of
+    // "02" under coercion. The pruned path compares [2,2] lexically
+    // against ["02","03"], sees max "03" < lo "2", prunes the unit and
+    // silently ACCEPTS the duplicate; the kind gate must fall back to
+    // the full probe and reject.
+    Seq(2L).toDF("k").coalesce(1).write.parquet(s"$t/u1")
+    val e = intercept[IllegalArgumentException] {
+      CommitLog.commitConstrained(spark, t, 1L, Seq("u0", "u1"))
+    }
+    assert(e.getMessage.contains("unique(k)"), e.getMessage)
+  }
+}

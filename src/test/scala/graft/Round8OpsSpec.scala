@@ -4,7 +4,7 @@ import java.math.RoundingMode
 
 /** Round-8 additions: planted-truth / driver-side-recomputation checks
   * for the five new operators (text_entropy, seq_markov, dq_benford,
-  * quality_lr_score, embed_knn_block) on top of their DuckDB oracles —
+  * quality_lr_score, embed_knn_block_unscaled) on top of their DuckDB oracles —
   * the oracle proves cross-engine agreement, these prove the shared
   * formula is the INTENDED one.
   */
@@ -171,7 +171,7 @@ class Round8OpsSpec extends GraftSpec {
       "the bloom prescreen must be semantically invisible")
   }
 
-  test("embed_knn_block: exact top-3 within label, verified brute-force") {
+  test("embed_knn_block_unscaled: exact top-3 within label, verified brute-force") {
     val emb = Tables.load(spark, sf, "embeddings")
       .select("vec_id", "embedding", "label").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
@@ -195,7 +195,7 @@ class Round8OpsSpec extends GraftSpec {
         id -> top
       }
     }.toMap
-    val rows = q("embed_knn_block").collect().groupBy(_.getLong(0))
+    val rows = q("embed_knn_block_unscaled").collect().groupBy(_.getLong(0))
     assert(rows.size == emb.length)
     rows.foreach { case (src, rs) =>
       val got = rs.sortBy(_.getLong(4)).map(r => (r.getLong(2), r.getDecimal(3)))
