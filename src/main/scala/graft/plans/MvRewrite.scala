@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference,
   AttributeSet, Cast, Divide, EqualTo, Expression, If, IsNotNull,
   KnownNotNull, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
-  Count, Sum}
+  Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join,
   LogicalPlan, Project}
@@ -31,15 +31,24 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
   *  - every filter between aggregate and scan is a deterministic
   *    function of the registered key (whole-group selection — round
   *    14 predicate subsumption; a row-level predicate declines), and
-  *  - aggregates are only count(*) / sum(value)
+  *  - aggregates are only count(*) / sum(value) / avg(value, decimal)
+  *    — plus min/max(value) IFF the state carries mn/mx columns, which
+  *    only the APPEND-ONLY-feed fold produces (round 15: min/max are
+  *    not self-maintainable under deletes; the fold refuses a
+  *    retraction-bearing feed, and a state without mn/mx declines
+  *    min/max queries fail-safe)
   * is rewritten to read the maintained state — O(groups) bytes instead
   * of O(fact), the entire point of IVM at 100 TB. The exact-match case
   * projects the state; the rollup case RE-AGGREGATES it (count(*) →
-  * sum(n), sum(v) → sum(total)) — sum and count are the distributive
-  * aggregates for which rollup-from-state is exact. Output attribute
-  * ids, names and types are preserved (aliases keep the original
-  * exprIds; state columns cast to the query's types), so parent
-  * operators never see the substitution.
+  * sum(n), sum(v) → sum(total), min/max → min(mn)/max(mx)) — these are
+  * the distributive aggregates for which rollup-from-state is exact.
+  * Round 15 adds the JOIN-VIEW twin ([[MvCatalog.MvJoinDef]] +
+  * [[tryRewriteJoin]]): an aggregate over `fact ⋈ dim` whose grouped
+  * state `dml_cdc_join_view` maintains rewrites under the same guards
+  * with BOTH tables' snapshot paths as the freshness key. Output
+  * attribute ids, names and types are preserved (aliases keep the
+  * original exprIds; state columns cast to the query's types), so
+  * parent operators never see the substitution.
   *
   * NULL semantics (ADVICE r13): a live group whose values are all NULL
   * must yield sum = NULL, but the maintained total folds to 0. The
@@ -297,6 +306,16 @@ object MvRewrite extends Rule[LogicalPlan] {
       org.apache.spark.sql.graft.GraftSqlInternals.analyzed(stateDf)
     val stateAttr = basePlan.output.map(a => a.name -> a).toMap
     if (!Set("g", "n", "nn", "total").subsetOf(stateAttr.keySet)) return None
+    // min/max (round 15 — VERDICT r14 #4): NOT self-maintainable under
+    // deletes (retracting the max needs a rescan), so only a state
+    // maintained from an APPEND-ONLY feed carries mn/mx columns — the
+    // fold refuses to produce them otherwise. A min/max query over a
+    // state WITHOUT them declines here (fail-safe: the direct
+    // aggregate runs); over a state WITH them it projects (exact) or
+    // re-aggregates (rollup — min/max are distributive, so
+    // rollup-from-state is exact, and both ignore nulls natively:
+    // an all-null group's stored mn/mx are already NULL).
+    val hasMinMax = Set("mn", "mx").subsetOf(stateAttr.keySet)
     val gAttr = stateAttr("g")
     val gAsKey: Expression =
       if (gAttr.dataType == keyExpr.dataType) gAttr
@@ -351,7 +370,9 @@ object MvRewrite extends Rule[LogicalPlan] {
       mapOutputs(agg.aggregateExpressions,
         onGroups = Seq(groupExprs.head -> gAsKey), valExpr, aliasMap,
         onCount = stateAttr("n"), onSum = sumGuarded,
-        onAvg = avgOf(stateAttr("total"), stateAttr("nn")))
+        onAvg = avgOf(stateAttr("total"), stateAttr("nn")),
+        onMin = if (hasMinMax) Some(stateAttr("mn")) else None,
+        onMax = if (hasMinMax) Some(stateAttr("mx")) else None)
         .map(Project(_, statePlan))
     } else {
       // ROLLUP (round 14; multi-key round-14 second wave): substitute
@@ -392,10 +413,18 @@ object MvRewrite extends Rule[LogicalPlan] {
           EqualTo(sumOf(stateAttr("nn")), Literal(0L)),
           Literal(null, stateAttr("total").dataType),
           sumOf(stateAttr("total")))
+        def minMaxOf(fn: Expression => org.apache.spark.sql.catalyst
+            .expressions.aggregate.DeclarativeAggregate,
+            c: String): Option[Expression] =
+          if (!hasMinMax) None
+          else Some(AggregateExpression(fn(stateAttr(c)),
+            org.apache.spark.sql.catalyst.expressions.aggregate.Complete,
+            isDistinct = false))
         mapOutputs(agg.aggregateExpressions, onGroups = rolledPairs,
           valExpr, aliasMap,
           onCount = countFromState, onSum = sumFromState,
-          onAvg = avgOf(sumOf(stateAttr("total")), sumOf(stateAttr("nn"))))
+          onAvg = avgOf(sumOf(stateAttr("total")), sumOf(stateAttr("nn"))),
+          onMin = minMaxOf(Min(_), "mn"), onMax = minMaxOf(Max(_), "mx"))
           .map(outs => Aggregate(rolledPairs.map(_._2), outs, statePlan))
       }
     }
@@ -444,7 +473,9 @@ object MvRewrite extends Rule[LogicalPlan] {
       onGroups: Seq[(Expression, Expression)],
       valExpr: Expression, aliasMap: Map[Long, Expression],
       onCount: Expression, onSum: Expression,
-      onAvg: Option[Expression])
+      onAvg: Option[Expression],
+      onMin: Option[Expression] = None,
+      onMax: Option[Expression] = None)
       : Option[Seq[NamedExpression]] = {
     val mapped = outs.map { ne =>
       // outer casts collapse into the Aggregate (CollapseProject) —
@@ -461,6 +492,10 @@ object MvRewrite extends Rule[LogicalPlan] {
             org.apache.spark.sql.catalyst.expressions.aggregate
               .Average(e, _), _, false, None, _)
             if e.semanticEquals(valExpr) => onAvg
+        case AggregateExpression(Min(e), _, false, None, _)
+            if e.semanticEquals(valExpr) => onMin
+        case AggregateExpression(Max(e), _, false, None, _)
+            if e.semanticEquals(valExpr) => onMax
         case _ => None
       }
     }

@@ -191,32 +191,52 @@ object CboQueries {
       import graft.sources.CommitLog
       val root = java.nio.file.Files
         .createTempDirectory("graft_cbo_sidecar").toString
+      def writeUnit(t: String, df: org.apache.spark.sql.DataFrame,
+          rel: String): String = {
+        val tmp = s"$t/_build_${rel.replace('/', '_')}"
+        df.coalesce(1).write.parquet(tmp)
+        import scala.jdk.CollectionConverters._
+        val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+          .iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(t, rel).getParent)
+        java.nio.file.Files.move(part, java.nio.file.Paths.get(t, rel))
+        graft.queries.ScaleQueries.deleteRecursively(tmp)
+        rel
+      }
       def build(name: String, df: org.apache.spark.sql.DataFrame,
-          splitCol: String, statCols: Seq[String]): Unit = {
+          splitCol: String, statCols: Seq[String]): Seq[String] = {
         val t = s"$root/$name"
         val units = (0 until 4).map { i =>
-          val tmp = s"$t/_build_$i"
-          df.filter(org.apache.spark.sql.functions.col(splitCol) % 4 === i)
-            .coalesce(1).write.parquet(tmp)
-          import scala.jdk.CollectionConverters._
-          val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
-            .iterator().asScala
-            .find(_.getFileName.toString.endsWith(".parquet")).get
-          java.nio.file.Files.createDirectories(
-            java.nio.file.Paths.get(t, "data"))
-          java.nio.file.Files.move(part,
-            java.nio.file.Paths.get(t, "data", s"u$i.parquet"))
-          graft.queries.ScaleQueries.deleteRecursively(tmp)
-          s"data/u$i.parquet"
+          writeUnit(t, df.filter(
+            org.apache.spark.sql.functions.col(splitCol) % 4 === i),
+            s"data/u$i.parquet")
         }
         CommitLog.commit(t, 0L, units)
         CommitLog.writeColStats(t, 0L,
           CommitLog.footerColStats(s, t, units, statCols))
+        units
       }
-      build("orders", graft.Tables.load(s, d, "orders"),
+      val oUnits = build("orders", graft.Tables.load(s, d, "orders"),
         "o_orderkey", Seq("o_orderkey", "o_custkey"))
       build("customer", graft.Tables.load(s, d, "customer"),
         "c_custkey", Seq("c_custkey", "c_nationkey"))
+      // orders v1 (round 15 — VERDICT r14 #3): append a delta unit
+      // (a COPY of the o_orderkey%4==0 slice) under delta/ — outside
+      // data/, so the g_sc_orders catalog location is untouched —
+      // making v0 a HISTORICAL version with its own standing sidecar.
+      // A reader that wrongly resolved "latest" instead of v0 would
+      // double-count the copied slice and fail the oracle.
+      val oT = s"$root/orders"
+      val dUnit = writeUnit(oT, graft.Tables.load(s, d, "orders")
+        .filter(org.apache.spark.sql.functions.col("o_orderkey") % 4 === 0),
+        "delta/u4.parquet")
+      val v1Units = oUnits :+ dUnit
+      CommitLog.commit(oT, 1L, v1Units)
+      CommitLog.writeColStats(oT, 1L,
+        CommitLog.footerColStats(s, oT, v1Units,
+          Seq("o_orderkey", "o_custkey")))
       root
     }
 
@@ -269,6 +289,12 @@ object CboQueries {
     }
   }
 
+  private[graft] def snapshotStatsSql(p: (String, String)): String =
+    s"""SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,
+       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+       |FROM ${p._1} JOIN ${p._2} ON o_custkey = c_custkey
+       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   private[graft] def sidecarQuerySql(p: (String, String)): String =
     s"""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
@@ -297,6 +323,31 @@ object CboQueries {
     "cbo_sidecar_stats" -> ((s, d) => {
       ensureSidecarCatalog(s, d)
       s.sql(sidecarQuerySql(("g_sc_orders", "g_sc_customer")))
+    }),
+    // P11 (round 15 — VERDICT r14 #3): sidecar statistics on COMMIT-LOG
+    // SNAPSHOT reads generally — no catalog registration at all. Both
+    // tables are read at a HISTORICAL version (orders v1 exists; the
+    // v0 read must exclude its delta unit or the oracle fails) through
+    // CommitLog.snapshotWithStats, which attaches CatalogStatistics
+    // folded from that version's cstats sidecar to the scan itself, so
+    // the hint-free join plans from statistics at any version with no
+    // ANALYZE and no second scan (Round15OpsSpec pins relation-level
+    // rowCount visibility and the broadcast shape).
+    "cbo_snapshot_stats" -> ((s, d) => {
+      import graft.sources.CommitLog
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.DecimalType
+      val root = sidecarTables(s, d)
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      val o = CommitLog.snapshotWithStats(s, s"$root/orders", 0L)
+      val c = CommitLog.snapshotWithStats(s, s"$root/customer", 0L)
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DecimalType(38, 2)).as("revenue"))
+        .orderBy("c_nationkey")
     })
   )
 
@@ -306,5 +357,6 @@ object CboQueries {
     "tpch_q5_cbo" -> q5Sql(""),
     "tpch_q7_cbo" -> q7Sql(""),
     "tpch_q10_cbo" -> q10Sql(""),
-    "cbo_sidecar_stats" -> sidecarQuerySql(("orders", "customer")))
+    "cbo_sidecar_stats" -> sidecarQuerySql(("orders", "customer")),
+    "cbo_snapshot_stats" -> snapshotStatsSql(("orders", "customer")))
 }

@@ -760,6 +760,29 @@ object LakehouseQueries {
     // column — a row-level predicate — is pinned to decline). The
     // composition with the rollup path is exercised too: the group
     // key here is the view key itself, the filter is the new part.
+    // S57 (round 15 — VERDICT r14 #4): MIN/MAX THROUGH THE REWRITE —
+    // the aggregates that are NOT self-maintainable under deletes
+    // (retracting the max needs a rescan), decided and shipped as:
+    // maintainable on APPEND-ONLY feeds only. The state fold refuses
+    // any feed carrying a retraction (appendAggViewState's require);
+    // a state without mn/mx declines min/max queries (fail-safe —
+    // Round15OpsSpec pins the decline over the delete-bearing S12
+    // view). Here the 2-version append-only table's state carries
+    // mn/mx, and a plain group-by with count/min/max/sum reroutes to
+    // the O(groups) state — the fact units never appear in the
+    // executed plan. least/greatest fold the per-version extremes;
+    // min/max ignore nulls natively so no nn guard is needed.
+    "view_rewrite_minmax" -> ((s, d) => {
+      val (root, vLast) = registerAppendOrdersView(s, d)
+      graft.sources.CommitLog.snapshot(s, root, vLast)
+        .groupBy((col("k") % 10).as("g"))
+        .agg(count(lit(1)).as("n"), min(col("p")).as("min_p"),
+          max(col("p")).as("max_p"), sum(col("p")).as("sum_p"))
+        .select(col("g"), col("n"), col("min_p"), col("max_p"),
+          col("sum_p").cast(DecimalType(38, 2)).as("total"))
+        .orderBy("g")
+    }),
+
     "view_rewrite_filtered" -> ((s, d) => {
       val (root, vLast) = registerOrdersView(s, d)
       graft.sources.CommitLog.snapshot(s, root, vLast)
@@ -1939,6 +1962,12 @@ object LakehouseQueries {
   private val replayStateDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  private val appendTableDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val appendViewStateDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private val aggViewStateDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -2167,6 +2196,123 @@ object LakehouseQueries {
       dir
     }
     s"$stDir/final"
+  }
+
+  /** A 2-version APPEND-ONLY orders table (v0 = even keys, v1 appends
+    * the odd keys) — the feed class for which min/max ARE
+    * self-maintainable (round 15 — VERDICT r14 #4).
+    */
+  private[graft] def appendTable(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    graft.queries.ScaleQueries.freshDir(appendTableDir, d, "orders") {
+      import graft.sources.CommitLog
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_appendtab").toString
+      val base = load(s, d, "orders")
+        .select(col("o_orderkey").as("k"), dec(col("o_totalprice")).as("p"))
+      base.filter(col("k") % 2 === 0).coalesce(1)
+        .write.parquet(s"$dir/data/v0")
+      CommitLog.commit(dir, 0L, Seq("data/v0"))
+      base.filter(col("k") % 2 === 1).coalesce(1)
+        .write.parquet(s"$dir/data/v1")
+      CommitLog.commit(dir, 1L, Seq("data/v0", "data/v1"))
+      dir
+    }
+
+  /** The (g, n, nn, total, mn, mx) state of an append-only table's
+    * CDC feed — the aggAViewLastState fold EXTENDED with min/max,
+    * which are exact under inserts (monotone: least/greatest fold)
+    * and IMPOSSIBLE under retraction (removing the max needs a
+    * rescan), so the fold REFUSES any feed carrying a non-insert row
+    * rather than maintain a silently wrong extreme. The refusal is the
+    * documented contract: delete-bearing lifecycles keep the
+    * (n, nn, total) state and min/max queries over them decline the
+    * rewrite (Round15OpsSpec pins both sides).
+    */
+  private[graft] def appendAggViewState(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    import graft.sources.CommitLog
+    val root = appendTable(s, d)
+    val stDir = graft.queries.ScaleQueries.freshDir(appendViewStateDir, d,
+        "orders") {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_appendview").toString
+      foldAppendMinMaxState(s, root, dir)
+      dir
+    }
+    s"$stDir/v${CommitLog.replayStates(stDir).last}"
+  }
+
+  /** The min/max-bearing fold itself, separated so the retraction
+    * refusal is directly spec-testable against any commit-log table.
+    */
+  private[graft] def foldAppendMinMaxState(
+      s: org.apache.spark.sql.SparkSession, root: String,
+      dir: String): Unit = {
+    import graft.sources.CommitLog
+    val zero = lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 2))
+    CommitLog.versions(root).foldLeft(Option.empty[String]) { (acc, v) =>
+      val ch = CommitLog.changes(s, root, v)
+      require(ch.filter(col("_change_type") =!= "insert").isEmpty,
+        s"append-only min/max view: version $v of $root carries a " +
+          "retraction — min/max are not self-maintainable under " +
+          "deletes; rebuild the state or drop the mn/mx columns")
+      val delta = ch
+        .groupBy((col("k") % 10).as("g"))
+        .agg(count(lit(1)).as("dn"),
+          sum(when(col("p").isNotNull, lit(1L)).otherwise(lit(0L)))
+            .as("dnn"),
+          sum(col("p").cast(DecimalType(38, 2)))
+            .cast(DecimalType(38, 2)).as("dp"),
+          min(col("p")).as("dmn"), max(col("p")).as("dmx"))
+      acc match {
+        case None =>
+          val out = s"$dir/v$v"
+          delta.select(col("g"), col("dn").as("n"), col("dnn").as("nn"),
+            coalesce(col("dp"), zero).cast(DecimalType(38, 2)).as("total"),
+            col("dmn").as("mn"), col("dmx").as("mx"))
+            .write.parquet(out)
+          Some(out)
+        case Some(prev) if ch.isEmpty => Some(prev)
+        case Some(prev) =>
+          val out = s"$dir/v$v"
+          // least/greatest skip nulls, so an absent side (group new
+          // this version, or untouched) folds through correctly
+          s.read.parquet(prev).join(delta, Seq("g"), "full_outer")
+            .select(col("g"),
+              (coalesce(col("n"), lit(0L)) +
+                coalesce(col("dn"), lit(0L))).as("n"),
+              (coalesce(col("nn"), lit(0L)) +
+                coalesce(col("dnn"), lit(0L))).as("nn"),
+              (coalesce(col("total"), zero) + coalesce(col("dp"), zero))
+                .cast(DecimalType(38, 2)).as("total"),
+              least(col("mn"), col("dmn")).as("mn"),
+              greatest(col("mx"), col("dmx")).as("mx"))
+            .write.parquet(out)
+          Some(out)
+      }
+    }
+    ()
+  }
+
+  /** Register the append-only orders view (state WITH mn/mx) with
+    * [[graft.plans.MvCatalog]]. Returns (table root, latest version).
+    */
+  private[graft] def registerAppendOrdersView(
+      s: org.apache.spark.sql.SparkSession, d: String): (String, Long) = {
+    import graft.sources.CommitLog
+    val root = appendTable(s, d)
+    val state = appendAggViewState(s, d)
+    val vLast = CommitLog.versions(root).last
+    graft.plans.MvCatalog.register("orders_append_by_g",
+      graft.plans.MvCatalog.MvDef(
+        CommitLog.units(root, vLast).map(u =>
+          java.nio.file.Paths.get(u).toAbsolutePath.normalize.toString).toSet,
+        "k % 10", "p", state))
+    if (!s.experimental.extraOptimizations.contains(graft.plans.MvRewrite))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.MvRewrite
+    (root, vLast)
   }
 
   /** Register the maintained fact⋈dim join view of the S32 lifecycle
@@ -2598,6 +2744,14 @@ object LakehouseQueries {
         |    CAST(sum(p) AS DECIMAL(38,2)) AS total
         |FROM fin WHERE k % 10 IN (2, 4, 6)
         |GROUP BY 1 ORDER BY g""".stripMargin,
+    // S57 twin: the append-only table's final snapshot is the whole
+    // orders table (v0 even + v1 odd keys, no reprice, no delete)
+    "view_rewrite_minmax" ->
+      """SELECT o_orderkey % 10 AS g, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS min_p,
+        |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS max_p,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |FROM orders GROUP BY 1 ORDER BY g""".stripMargin,
     // S51 twin: per-version fact rollup under the lifecycle's accept
     // set — v0 = the k%3=0 batch; v1 adds the k%3≠0 rows whose parent
     // survived the dim delete (c%100≠7).

@@ -54,6 +54,100 @@ object StreamQueries {
   private def tmp(prefix: String): String =
     java.nio.file.Files.createTempDirectory(tmpRoot, prefix).toString
 
+  /** Build the stream_agg_view lifecycle (round 15 — VERDICT r14 #5):
+    * a fresh commit-log table walked by a streaming foreachBatch
+    * consumer that maintains the (g, n, nn, total) agg-view state per
+    * version — the dml_cdc_agg_view fold driven by the stream — then
+    * registers the state with [[graft.plans.MvCatalog]] so the plain
+    * fact aggregate rewrites to it. Returns (table root, state dir,
+    * latest version). private[graft] so Round15OpsSpec can pin
+    * per-version equality with the batch fold.
+    */
+  private[graft] def streamAggViewFixture(s: SparkSession, d: String)
+      : (String, String, Long) = {
+    import graft.sources.CommitLog
+    val base = load(s, d, "orders")
+      .select(col("o_orderkey").as("k"), dec(col("o_totalprice")).as("p"))
+    val root = tmp("graft_sgv_tab")
+    val ckpt = tmp("graft_sgv_ckpt")
+    val stateDir = tmp("graft_sgv_state")
+    val zero = lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 2))
+    def foldInto(v: Long): Unit = {
+      val out = java.nio.file.Paths.get(stateDir, s"v$v")
+      if (java.nio.file.Files.exists(out)) return // replay: published
+      val ch = CommitLog.changes(s, root, v)
+        .withColumn("sgn",
+          when(col("_change_type") === "insert", lit(1L))
+            .otherwise(lit(-1L)))
+      if (ch.isEmpty) return // maintenance version: empty feed, no-op
+      val delta = ch.groupBy((col("k") % 10).as("g"))
+        .agg(sum(col("sgn")).as("dn"),
+          sum(when(col("p").isNotNull, col("sgn")).otherwise(lit(0L)))
+            .as("dnn"),
+          sum((col("p") * col("sgn")).cast(DecimalType(38, 2)))
+            .cast(DecimalType(38, 2)).as("dp"))
+      val next = CommitLog.replayStates(stateDir).filter(_ < v)
+        .lastOption match {
+        case None =>
+          delta.select(col("g"), col("dn").as("n"), col("dnn").as("nn"),
+            coalesce(col("dp"), zero).cast(DecimalType(38, 2)).as("total"))
+        case Some(pv) =>
+          s.read.parquet(s"$stateDir/v$pv")
+            .join(delta, Seq("g"), "full_outer")
+            .select(col("g"),
+              (coalesce(col("n"), lit(0L)) +
+                coalesce(col("dn"), lit(0L))).as("n"),
+              (coalesce(col("nn"), lit(0L)) +
+                coalesce(col("dnn"), lit(0L))).as("nn"),
+              (coalesce(col("total"), zero) + coalesce(col("dp"), zero))
+                .cast(DecimalType(38, 2)).as("total"))
+      }
+      // exactly-once per version: exists-skip above + atomic-move
+      // publish below (the replayInto pattern) — a replayed batch or
+      // checkpoint re-delivery can never half-apply or double-apply
+      val tmpOut = java.nio.file.Paths.get(stateDir, s"_tmp_v$v")
+      next.write.mode("overwrite").parquet(tmpOut.toString)
+      java.nio.file.Files.move(tmpOut, out,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    def drain(): Unit = {
+      val sdf = s.readStream.text(s"$root/_log/v?????.txt")
+        .select(col("_metadata.file_path").as("path"))
+      val q = sdf.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.select("path").distinct().collect() // metadata-sized: one row per arrived manifest
+            .map(_.getString(0).split('/').last
+              .stripPrefix("v").stripSuffix(".txt").toLong)
+            .sorted.foreach(foldInto)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    base.filter(col("k") % 3 === 0).coalesce(1).write.parquet(s"$root/u0")
+    CommitLog.commit(root, 0L, Seq("u0"))
+    drain()
+    // offline growth between drains: reprice k%15 ×2 and insert the
+    // k%3==1 slice (MoR pre/post pair feed), then the maintenance pass
+    CommitLog.upsertMoR(s, root,
+      base.filter(col("k") % 15 === 0)
+        .select(col("k"), (col("p") * 2).cast(DecimalType(18, 2)).as("p"))
+        .unionAll(base.filter(col("k") % 3 === 1)), "k")
+    CommitLog.applyDeletes(s, root, "k")
+    drain()
+    val lastState = s"$stateDir/v${CommitLog.replayStates(stateDir).last}"
+    val vLast = CommitLog.versions(root).last
+    graft.plans.MvCatalog.register("orders_stream_by_g",
+      graft.plans.MvCatalog.MvDef(
+        CommitLog.units(root, vLast).map(u => java.nio.file.Paths.get(u)
+          .toAbsolutePath.normalize.toString).toSet,
+        "k % 10", "p", lastState))
+    if (!s.experimental.extraOptimizations.contains(graft.plans.MvRewrite))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.MvRewrite
+    (root, stateDir, vLast)
+  }
+
   // The replay source is immutable per sf-dir — materialize it once
   // per JVM and share across the streaming queries (Bench runs all
   // seven; one write instead of seven).
@@ -507,6 +601,38 @@ object StreamQueries {
     // 100 TB per-drain cost is O(changed rows since last drain), never
     // O(table): the replica-maintenance shape for a downstream index,
     // feature store, or serving copy.
+    // I10b (round 15 — VERDICT r14 #5): STREAMING MAINTENANCE OF THE
+    // AGG VIEW STATE — the batch/stream symmetry close for the MV
+    // layer. dml_cdc_agg_view folds the (g, n, nn, total) state per
+    // version in batch; here the SAME signed-delta algebra runs as a
+    // foreachBatch consumer of the commit log (file stream over the
+    // manifests, exactly-once per version via the exists-skip +
+    // atomic-move publish replayInto uses), across an offline-growth
+    // lifecycle: v0 insert slice → drain; offline upsertMoR (reprice
+    // ×2 on k%15, insert the k%3==1 slice — the feed is the
+    // delete(pre)+insert(post) pair) and applyDeletes (EMPTY feed,
+    // maintenance no-op) → drain. Then the continuously-maintained
+    // state is REGISTERED with MvCatalog and the entry's output is a
+    // plain fact aggregate a user would write — plans.MvRewrite serves
+    // it from the stream-maintained state (Round15OpsSpec pins the
+    // fact units absent and per-version equality with the batch fold).
+    // At 100 TB: the dashboard's state is maintained by the streaming
+    // job at O(changes)/version; every ad-hoc aggregate over the
+    // current snapshot reads O(groups) — no scheduled refresh, no
+    // stale-view window beyond the consumer's lag.
+    "stream_agg_view" -> ((s, d) => {
+      import graft.sources.CommitLog
+      val (root, _, vLast) = streamAggViewFixture(s, d)
+      // the user-shaped query: a plain aggregate over the snapshot —
+      // served from the stream-maintained state by the rewrite
+      CommitLog.snapshot(s, root, vLast)
+        .groupBy((col("k") % 10).as("g"))
+        .agg(count(lit(1)).as("n"), sum(col("p")).as("sum_p"))
+        .select(col("g"), col("n"),
+          col("sum_p").cast(DecimalType(38, 2)).as("total"))
+        .orderBy("g")
+    }),
+
     "stream_cdc_apply" -> ((s, d) => {
       import graft.sources.CommitLog
       val base = load(s, d, "orders")
@@ -948,6 +1074,18 @@ object StreamQueries {
         |    CAST((SELECT sum(p) FROM fin) AS DECIMAL(38,2)) AS replica_total,
         |    (SELECT count(*) FROM fin) AS snapshot_rows,
         |    CAST((SELECT sum(p) FROM fin) AS DECIMAL(38,2)) AS snapshot_total""".stripMargin,
+    // I10b: the rewritten aggregate over the final snapshot — same
+    // lifecycle arithmetic as stream_cdc_apply, grouped by k % 10.
+    "stream_agg_view" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        | fin AS (SELECT k, CASE WHEN k % 15 = 0
+        |      THEN CAST(p * 2 AS DECIMAL(18,2)) ELSE p END AS p
+        |    FROM base WHERE k % 3 = 0
+        |  UNION ALL SELECT k, p FROM base WHERE k % 3 = 1)
+        |SELECT k % 10 AS g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(p) AS DECIMAL(38,2)) AS total
+        |FROM fin GROUP BY 1 ORDER BY g""".stripMargin,
     // I1: complete-mode tumbling agg over one batch = plain group-by.
     // Exact decimal sum → double, same as the Spark side's
     // dec→DECIMAL(38,2)→Canon(double) pipeline.

@@ -147,6 +147,91 @@ class Round15OpsSpec extends GraftSpec {
       "row-level predicate wrongly subsumed through the join")
   }
 
+  test("MV min/max rewrite: append-only state serves min/max; delete-bearing view declines") {
+    import graft.sources.CommitLog
+    val df = SparkEntry.queries("view_rewrite_minmax")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_appendview"),
+      "min/max rewrite did not fire:\n" + plan.take(3000))
+    assert(!plan.contains("graft_appendtab"),
+      "rewritten min/max query still touches the fact:\n" + plan.take(3000))
+    // ROLLUP: min(mn)/max(mx) re-aggregation is exact
+    val (root, vLast) =
+      graft.queries.LakehouseQueries.registerAppendOrdersView(spark, sf)
+    def rollQ = CommitLog.snapshot(spark, root, vLast)
+      .groupBy(((col("k") % 10) % 3).as("g3"))
+      .agg(min(col("p")).as("mn"), max(col("p")).as("mx"))
+      .orderBy("g3")
+    val roll = rollQ
+    assert(roll.queryExecution.executedPlan.toString
+      .contains("graft_appendview"), "min/max rollup did not reroute")
+    val rolled = roll.collect().map(_.toSeq).toSeq
+    graft.plans.MvCatalog.drop("orders_append_by_g")
+    try {
+      val off = rollQ
+      assert(!off.queryExecution.executedPlan.toString
+        .contains("graft_appendview"))
+      assert(off.collect().map(_.toSeq).toSeq == rolled,
+        "rewritten min/max rollup diverges from the direct aggregate")
+    } finally
+      graft.queries.LakehouseQueries.registerAppendOrdersView(spark, sf)
+    // NEGATIVE: the DELETE-bearing S12 view's state has no mn/mx —
+    // a min query over it must keep the fact scan (fail-safe decline)
+    SparkEntry.queries("view_rewrite_agg")(spark, sf).count()
+    val cdcRoot = graft.queries.LakehouseQueries.cdcTable(spark, sf)
+    val vc = CommitLog.versions(cdcRoot).last
+    val m = CommitLog.snapshot(spark, cdcRoot, vc)
+      .groupBy((col("k") % 10).as("g")).agg(min(col("p")).as("mn"))
+    assert(!m.queryExecution.executedPlan.toString.contains("graft_aggview"),
+      "min over a delete-bearing view wrongly rerouted")
+    // NEGATIVE: the fold itself REFUSES a retraction-bearing feed
+    val e = intercept[IllegalArgumentException] {
+      graft.queries.LakehouseQueries.foldAppendMinMaxState(spark, cdcRoot,
+        freshDir("graft_r15_mmrefuse"))
+    }
+    assert(e.getMessage.contains("retraction"), e.getMessage)
+  }
+
+  test("stream-maintained agg view: equals the one-shot fold per version and serves the rewrite") {
+    import graft.sources.CommitLog
+    import org.apache.spark.sql.types.DecimalType
+    val df = SparkEntry.queries("stream_agg_view")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_sgv_state"),
+      "rewrite did not fire against the stream-maintained state:\n" +
+        plan.take(3000))
+    assert(!plan.contains("graft_sgv_tab"),
+      "rewritten aggregate still scans the fact:\n" + plan.take(3000))
+    // fresh fixture; for EVERY published state version, the stream-
+    // maintained content must equal a one-shot signed fold of all
+    // changes up to that version (an independent recomputation — no
+    // shared code with the consumer)
+    val (root, stateDir, _) =
+      graft.streaming.StreamQueries.streamAggViewFixture(spark, sf)
+    val published = CommitLog.replayStates(stateDir)
+    assert(published.nonEmpty)
+    for (v <- published) {
+      val allCh = CommitLog.versions(root).filter(_ <= v)
+        .map(CommitLog.changes(spark, root, _)).reduce(_ unionAll _)
+        .withColumn("sgn",
+          when(col("_change_type") === "insert", lit(1L))
+            .otherwise(lit(-1L)))
+      val expected = allCh.groupBy((col("k") % 10).as("g"))
+        .agg(sum(col("sgn")).as("n"),
+          sum(when(col("p").isNotNull, col("sgn")).otherwise(lit(0L)))
+            .as("nn"),
+          coalesce(sum((col("p") * col("sgn")).cast(DecimalType(38, 2))),
+            lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 2)))
+            .cast(DecimalType(38, 2)).as("total"))
+        .orderBy("g").collect().map(_.toSeq).toSeq
+      val got = spark.read.parquet(s"$stateDir/v$v")
+        .select(col("g"), col("n"), col("nn"),
+          col("total").cast(DecimalType(38, 2)).as("total"))
+        .orderBy("g").collect().map(_.toSeq).toSeq
+      assert(got == expected, s"stream state v$v diverges from the fold")
+    }
+  }
+
   test("MV rewrite declines a nondeterministic grouping expression (ADVICE r14)") {
     import graft.sources.CommitLog
     // registers the view + rule
@@ -171,6 +256,47 @@ class Round15OpsSpec extends GraftSpec {
     val totalN = nd.agg(sum(col("n"))).head().getLong(0)
     assert(totalN == snap.count(),
       s"grouped row weight $totalN != fact count ${snap.count()}")
+  }
+
+  test("snapshot stats: commit-log reads carry sidecar-fed CatalogStatistics, no ANALYZE") {
+    val df = SparkEntry.queries("cbo_snapshot_stats")(spark, sf)
+    // relation-level rowCount must be visible to the optimizer on BOTH
+    // scans — only the injected CatalogStatistics can put it there (a
+    // plain parquet relation has sizeInBytes only)
+    val rels = df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr
+    }
+    assert(rels.size == 2, s"expected 2 scans, got ${rels.size}")
+    val no = Tables.load(spark, sf, "orders").count()
+    val nc = Tables.load(spark, sf, "customer").count()
+    val rcs = rels.flatMap(_.stats.rowCount.map(_.toLong)).toSet
+    assert(rcs == Set(no, nc),
+      s"sidecar rowCounts not visible at the relations: $rcs vs $no/$nc")
+    // and the sidecar min/max made it into attributeStats
+    assert(rels.exists(_.stats.attributeStats.exists(
+      _._1.name == "o_orderkey")),
+      "o_orderkey column stats missing from the snapshot relation")
+    // the smaller side (customer) broadcasts; orders stays probe-side
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    val lines = plan.linesIterator.toVector
+    def nodeStart(l: String): Int = {
+      val i = l.indexWhere(c => !" :+-".contains(c))
+      if (i < 0) Int.MaxValue else i
+    }
+    lines.zipWithIndex.filter(_._1.contains("BroadcastExchange"))
+      .foreach { case (bLine, i) =>
+        val subtree = lines.drop(i + 1)
+          .takeWhile(l => nodeStart(l) > nodeStart(bLine))
+        assert(!subtree.exists(_.contains("/orders/")),
+          s"orders broadcast as a build side:\n" +
+            (bLine +: subtree).mkString("\n"))
+      }
+    // historical correctness: the v0 read equals the base table even
+    // though v1 (with a duplicating delta unit) exists
+    assert(df.agg(org.apache.spark.sql.functions.sum("n_orders"))
+      .head().getLong(0) == no)
   }
 
   test("FK stats routing: footer-kind mismatch falls back to the full-snapshot probe") {
