@@ -86,15 +86,37 @@ object MvCatalog {
       factKeySql: String, dimKeySql: String, groupKeySql: String,
       valueSql: String, statePath: String)
 
+  /** A STALE-TOLERANT view (round 15, second wave): the state was
+    * folded through `stateVersion` of the commit-log table at
+    * `tableRoot`, and a query scanning ANY later version `v` rewrites
+    * to the state COMPENSATED with the signed deltas of the tail
+    * feed (changes stateVersion+1 .. v) — O(state + tail changes)
+    * instead of O(fact), without requiring the maintenance job to
+    * have caught up. The 100 TB shape: the state covers the
+    * historical bulk; a query after an un-refreshed ingest reads only
+    * the new units' change feed. Long tails should still refresh
+    * (the compensation plan grows one branch per tail version).
+    */
+  final case class MvStaleDef(tableRoot: String, stateVersion: Long,
+      groupKeySql: String, valueSql: String, statePath: String)
+
   private val views =
     new java.util.concurrent.ConcurrentHashMap[String, MvDef]()
   private val joinViews =
     new java.util.concurrent.ConcurrentHashMap[String, MvJoinDef]()
+  private val staleViews =
+    new java.util.concurrent.ConcurrentHashMap[String, MvStaleDef]()
 
   def register(name: String, d: MvDef): Unit = views.put(name, d)
   def registerJoin(name: String, d: MvJoinDef): Unit = joinViews.put(name, d)
-  def drop(name: String): Unit = { views.remove(name); joinViews.remove(name) }
-  def clear(): Unit = { views.clear(); joinViews.clear() }
+  def registerStale(name: String, d: MvStaleDef): Unit =
+    staleViews.put(name, d)
+  def drop(name: String): Unit = {
+    views.remove(name); joinViews.remove(name); staleViews.remove(name)
+  }
+  def clear(): Unit = {
+    views.clear(); joinViews.clear(); staleViews.clear()
+  }
   def all(): Seq[MvDef] = {
     import scala.jdk.CollectionConverters._
     views.values.asScala.toSeq
@@ -103,6 +125,10 @@ object MvCatalog {
     import scala.jdk.CollectionConverters._
     joinViews.values.asScala.toSeq
   }
+  def allStale(): Seq[MvStaleDef] = {
+    import scala.jdk.CollectionConverters._
+    staleViews.values.asScala.toSeq
+  }
 }
 
 object MvRewrite extends Rule[LogicalPlan] {
@@ -110,11 +136,15 @@ object MvRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val defs = MvCatalog.all()
     val joinDefs = MvCatalog.allJoins()
-    if (defs.isEmpty && joinDefs.isEmpty) plan
+    val staleDefs = MvCatalog.allStale()
+    if (defs.isEmpty && joinDefs.isEmpty && staleDefs.isEmpty) plan
     else plan.transformUp {
       case agg: Aggregate =>
+        // fresh exact-snapshot views first (cheapest plan), then the
+        // join twin, then stale-state + tail compensation
         defs.view.flatMap(tryRewrite(agg, _)).headOption
           .orElse(joinDefs.view.flatMap(tryRewriteJoin(agg, _)).headOption)
+          .orElse(staleDefs.view.flatMap(tryRewriteStale(agg, _)).headOption)
           .getOrElse(agg)
     }
   }
@@ -288,6 +318,94 @@ object MvRewrite extends Rule[LogicalPlan] {
     } yield rewritten
   }
 
+  /** STALE-STATE + TAIL COMPENSATION (round 15, second wave): the
+    * scan's snapshot may be NEWER than the registered state — resolve
+    * which version the scan reads (unit-set equality against the
+    * commit log), and if it is ≥ the state's version, rewrite to the
+    * state COMPENSATED with the tail versions' signed change-feed
+    * deltas, folded into an effective (g, n, nn, total) frame that
+    * the shared exact/rollup/avg machinery consumes unchanged. The
+    * plan reads O(state) + O(tail changes) — at 100 TB that is the
+    * historical bulk via 10-row state plus only the un-refreshed
+    * ingest's feed, never the fact. min/max never compensate (no
+    * mn/mx in the folded frame → a min/max query declines fail-safe).
+    */
+  private def tryRewriteStale(agg: Aggregate, d: MvCatalog.MvStaleDef)
+      : Option[LogicalPlan] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    for {
+      relAliases <- scanWithAliases(agg.child)
+      (rel, aliasMap, preds) = relAliases
+      fsRel <- rel.relation match {
+        case h: HadoopFsRelation => Some(h)
+        case _ => None
+      }
+      scanPaths = fsRel.location.rootPaths.map(_.toUri.getPath).toSet
+      scanV <- versionOf(d.tableRoot, scanPaths)
+      if scanV >= d.stateVersion
+      if agg.groupingExpressions.nonEmpty
+      groupExprs = agg.groupingExpressions.map(g =>
+        inlineWith(stripAlias(g), aliasMap))
+      keyExpr <- resolveAgainst(spark, d.groupKeySql, rel)
+      valExpr <- resolveAgainst(spark, d.valueSql, rel)
+      effective <- compensatedState(spark, d, scanV)
+      rewritten <- buildFromStateDf(spark, agg, effective, groupExprs,
+        keyExpr, valExpr, aliasMap, preds)
+    } yield rewritten
+  }
+
+  /** Which version's snapshot a unit-path set reads, if any. */
+  private def versionOf(root: String,
+      scanPaths: Set[String]): Option[Long] =
+    try {
+      graft.sources.CommitLog.versions(root).find { v =>
+        graft.sources.CommitLog.units(root, v).map(u => java.nio.file
+          .Paths.get(u).toAbsolutePath.normalize.toString)
+          .toSet == scanPaths
+      }
+    } catch { case _: Exception => None }
+
+  /** The registered state unioned with the tail versions' signed
+    * change-feed deltas, re-folded to one (g, n, nn, total) frame.
+    * Any failure (missing feed, unresolvable key over the feed)
+    * declines the rewrite rather than risking a wrong compensation.
+    */
+  private def compensatedState(spark: org.apache.spark.sql.SparkSession,
+      d: MvCatalog.MvStaleDef, scanV: Long)
+      : Option[org.apache.spark.sql.DataFrame] =
+    try {
+      val F = org.apache.spark.sql.functions
+      val dec382 = org.apache.spark.sql.types.DecimalType(38, 2)
+      val st = spark.read.parquet(d.statePath)
+        .select(F.col("g"), F.col("n"), F.col("nn"),
+          F.col("total").cast(dec382).as("total"))
+      val tail = graft.sources.CommitLog.versions(d.tableRoot)
+        .filter(v => v > d.stateVersion && v <= scanV)
+      if (tail.isEmpty) Some(st)
+      else {
+        val zero = F.lit(java.math.BigDecimal.ZERO).cast(dec382)
+        val deltas = tail.map { v =>
+          val ch = graft.sources.CommitLog.changes(spark, d.tableRoot, v)
+            .withColumn("__sgn",
+              F.when(F.col("_change_type") === "insert", F.lit(1L))
+                .otherwise(F.lit(-1L)))
+          val keyC = F.expr(d.groupKeySql)
+          val valC = F.expr(d.valueSql)
+          ch.groupBy(keyC.as("g"))
+            .agg(F.sum(F.col("__sgn")).as("n"),
+              F.sum(F.when(valC.isNotNull, F.col("__sgn"))
+                .otherwise(F.lit(0L))).as("nn"),
+              F.coalesce(F.sum((valC * F.col("__sgn")).cast(dec382)), zero)
+                .cast(dec382).as("total"))
+        }
+        val all = (st +: deltas).reduce(_ unionAll _)
+        Some(all.groupBy("g").agg(
+          F.sum(F.col("n")).as("n"),
+          F.sum(F.col("nn")).as("nn"),
+          F.sum(F.col("total")).cast(dec382).as("total")))
+      }
+    } catch { case _: Exception => None }
+
   /** Build the state-backed replacement plan, or None if the shape is
     * not subsumed. Exact match (group key ≡ view key) projects the
     * state; a group key that is an expression OVER the view key
@@ -297,10 +415,19 @@ object MvRewrite extends Rule[LogicalPlan] {
       agg: Aggregate, statePath: String, groupExprs: Seq[Expression],
       keyExpr: Expression, valExpr: Expression,
       aliasMap: Map[Long, Expression],
+      preds: Seq[Expression]): Option[LogicalPlan] =
+    buildFromStateDf(spark, agg, spark.read.parquet(statePath), groupExprs,
+      keyExpr, valExpr, aliasMap, preds)
+
+  private def buildFromStateDf(spark: org.apache.spark.sql.SparkSession,
+      agg: Aggregate, state: org.apache.spark.sql.DataFrame,
+      groupExprs: Seq[Expression],
+      keyExpr: Expression, valExpr: Expression,
+      aliasMap: Map[Long, Expression],
       preds: Seq[Expression]): Option[LogicalPlan] = {
     // groups whose rows have all been deleted net to n = 0 in the
     // fold — a direct aggregate has no such group
-    val stateDf = spark.read.parquet(statePath)
+    val stateDf = state
       .filter(org.apache.spark.sql.functions.col("n") =!= 0L)
     val basePlan =
       org.apache.spark.sql.graft.GraftSqlInternals.analyzed(stateDf)

@@ -783,6 +783,27 @@ object LakehouseQueries {
         .orderBy("g")
     }),
 
+    // S58 (round 15, second wave): STALE STATE + TAIL COMPENSATION —
+    // the query scans v1 of the append table while the registered
+    // k%7 state was folded through v0 ONLY (the maintenance job
+    // hasn't caught up). MvRewrite resolves which version the scan
+    // reads, sees it is newer than the state, and rewrites to
+    // state(v0) ⊎ signed-delta(changes v1) re-folded — the plan reads
+    // the O(groups) state plus ONLY the v1 delta unit, never the v0
+    // bulk (Round15OpsSpec pins data/v0 absent, data/v1 present). At
+    // 100 TB this is the freshness-decoupling shape: a query after an
+    // un-refreshed ingest costs the new units' feed, not the fact,
+    // and no one has to schedule the refresh on the query path.
+    "view_rewrite_stale" -> ((s, d) => {
+      val (root, _) = registerStaleOrdersView(s, d)
+      graft.sources.CommitLog.snapshot(s, root, 1L)
+        .groupBy((col("k") % 7).as("g"))
+        .agg(count(lit(1)).as("n"), sum(col("p")).as("sum_p"))
+        .select(col("g"), col("n"),
+          col("sum_p").cast(DecimalType(38, 2)).as("total"))
+        .orderBy("g")
+    }),
+
     "view_rewrite_filtered" -> ((s, d) => {
       val (root, vLast) = registerOrdersView(s, d)
       graft.sources.CommitLog.snapshot(s, root, vLast)
@@ -1965,6 +1986,9 @@ object LakehouseQueries {
   private val appendTableDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  private val appendStaleStateDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private val appendViewStateDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -2293,6 +2317,48 @@ object LakehouseQueries {
       }
     }
     ()
+  }
+
+  /** A deliberately STALE view state: the k%7 grouped (g, n, nn,
+    * total) fold of the append table's v0 feed ONLY — v1 exists but
+    * was never folded in, the "maintenance job hasn't caught up"
+    * shape the stale-tolerant rewrite compensates.
+    */
+  private[graft] def appendStaleState(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    import graft.sources.CommitLog
+    val root = appendTable(s, d)
+    val stDir = graft.queries.ScaleQueries.freshDir(appendStaleStateDir, d,
+        "orders") {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_stalestate").toString
+      val zero = lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 2))
+      CommitLog.changes(s, root, 0L)
+        .groupBy((col("k") % 7).as("g"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("p").isNotNull, lit(1L)).otherwise(lit(0L))).as("nn"),
+          coalesce(sum(col("p").cast(DecimalType(38, 2))), zero)
+            .cast(DecimalType(38, 2)).as("total"))
+        .write.parquet(s"$dir/v0")
+      dir
+    }
+    s"$stDir/v0"
+  }
+
+  /** Register the stale k%7 view of the append table (state at v0,
+    * table at v1) with [[graft.plans.MvCatalog]]. Returns (table
+    * root, state path).
+    */
+  private[graft] def registerStaleOrdersView(
+      s: org.apache.spark.sql.SparkSession, d: String): (String, String) = {
+    val root = appendTable(s, d)
+    val state = appendStaleState(s, d)
+    graft.plans.MvCatalog.registerStale("orders_append_stale_k7",
+      graft.plans.MvCatalog.MvStaleDef(root, 0L, "k % 7", "p", state))
+    if (!s.experimental.extraOptimizations.contains(graft.plans.MvRewrite))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.MvRewrite
+    (root, state)
   }
 
   /** Register the append-only orders view (state WITH mn/mx) with
@@ -2744,6 +2810,12 @@ object LakehouseQueries {
         |    CAST(sum(p) AS DECIMAL(38,2)) AS total
         |FROM fin WHERE k % 10 IN (2, 4, 6)
         |GROUP BY 1 ORDER BY g""".stripMargin,
+    // S58 twin: state(v0) + delta(v1) must equal the direct aggregate
+    // over the full table (v0 ∪ v1 = all of orders)
+    "view_rewrite_stale" ->
+      """SELECT o_orderkey % 7 AS g, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |FROM orders GROUP BY 1 ORDER BY g""".stripMargin,
     // S57 twin: the append-only table's final snapshot is the whole
     // orders table (v0 even + v1 odd keys, no reprice, no delete)
     "view_rewrite_minmax" ->

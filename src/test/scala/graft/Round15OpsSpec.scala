@@ -192,6 +192,64 @@ class Round15OpsSpec extends GraftSpec {
     assert(e.getMessage.contains("retraction"), e.getMessage)
   }
 
+  test("MV stale rewrite: state(v0) + tail delta serves a v1 scan without reading the v0 bulk") {
+    import graft.sources.CommitLog
+    val df = SparkEntry.queries("view_rewrite_stale")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_stalestate"),
+      "stale rewrite did not fire — no state scan:\n" + plan.take(3000))
+    assert(plan.contains("data/v1"),
+      "compensation did not read the tail delta unit:\n" + plan.take(3000))
+    assert(!plan.contains("data/v0"),
+      "stale rewrite still reads the v0 bulk:\n" + plan.take(3000))
+    // values equal the direct aggregate with the view dropped
+    val (root, state) =
+      graft.queries.LakehouseQueries.registerStaleOrdersView(spark, sf)
+    val got = df.collect().map(_.toSeq).toSeq
+    graft.plans.MvCatalog.drop("orders_append_stale_k7")
+    try {
+      val off = CommitLog.snapshot(spark, root, 1L)
+        .groupBy((col("k") % 7).as("g"))
+        .agg(count(lit(1)).as("n"), sum(col("p")).as("sum_p"))
+        .select(col("g"), col("n"),
+          col("sum_p").cast(org.apache.spark.sql.types.DecimalType(38, 2))
+            .as("total"))
+        .orderBy("g")
+      assert(!off.queryExecution.executedPlan.toString
+        .contains("graft_stalestate"))
+      assert(off.collect().map(_.toSeq).toSeq == got,
+        "compensated rewrite diverges from the direct aggregate")
+    } finally
+      graft.queries.LakehouseQueries.registerStaleOrdersView(spark, sf)
+    // ROLLUP through the compensation: a coarser key still rewrites
+    val roll = CommitLog.snapshot(spark, root, 1L)
+      .groupBy(((col("k") % 7) % 2).as("g2"))
+      .agg(count(lit(1)).as("n"))
+    assert(roll.queryExecution.executedPlan.toString
+      .contains("graft_stalestate"), "stale rollup did not reroute")
+    // NEGATIVE: min/max never compensate (no mn/mx in the folded frame)
+    val m = CommitLog.snapshot(spark, root, 1L)
+      .groupBy((col("k") % 7).as("g")).agg(min(col("p")).as("mn"))
+    assert(!m.queryExecution.executedPlan.toString
+      .contains("graft_stalestate"),
+      "min through the stale compensation wrongly rerouted")
+    // NEGATIVE: a state NEWER than the scan declines (the rewrite only
+    // compensates forward, never un-applies versions)
+    graft.plans.MvCatalog.drop("orders_append_stale_k7")
+    graft.plans.MvCatalog.registerStale("tmp_stale_newer",
+      graft.plans.MvCatalog.MvStaleDef(root, 1L, "k % 7", "p", state))
+    try {
+      val back = CommitLog.snapshot(spark, root, 0L)
+        .groupBy((col("k") % 7).as("g")).agg(count(lit(1)).as("n"))
+      assert(!back.queryExecution.executedPlan.toString
+        .contains("graft_stalestate"),
+        "scan OLDER than the state wrongly compensated")
+    } finally {
+      graft.plans.MvCatalog.drop("tmp_stale_newer")
+      graft.queries.LakehouseQueries.registerStaleOrdersView(spark, sf)
+    }
+  }
+
   test("stream-maintained agg view: equals the one-shot fold per version and serves the rewrite") {
     import graft.sources.CommitLog
     import org.apache.spark.sql.types.DecimalType
