@@ -100,22 +100,48 @@ object MvCatalog {
   final case class MvStaleDef(tableRoot: String, stateVersion: Long,
       groupKeySql: String, valueSql: String, statePath: String)
 
+  /** The stale-tolerant JOIN view (round 15, second wave — the fourth
+    * cell of the {single,join} × {fresh,stale} rewrite matrix): the
+    * state was folded through the cut (factStateVersion,
+    * dimStateVersion), and `tail` DECLARES the maintenance schedule's
+    * remaining steps — (isFactStep, changedVersion, otherSideVersion)
+    * in fold order, exactly the interleaving the registrar's
+    * maintenance job would apply. A query scanning the cut reached by
+    * the tail rewrites to the state compensated step-by-step with the
+    * same signed delta ⋈ other-snapshot algebra the fold uses. The
+    * schedule is registration-declared rather than inferred from
+    * commit timestamps: the view's owner knows the interleaving; the
+    * optimizer must not guess it. Key SQLs must be bare column names
+    * (they qualify both sides of the compensation join).
+    */
+  final case class MvJoinStaleDef(factRoot: String, dimRoot: String,
+      factStateVersion: Long, dimStateVersion: Long,
+      tail: Seq[(Boolean, Long, Long)],
+      factKeySql: String, dimKeySql: String, groupKeySql: String,
+      valueSql: String, statePath: String)
+
   private val views =
     new java.util.concurrent.ConcurrentHashMap[String, MvDef]()
   private val joinViews =
     new java.util.concurrent.ConcurrentHashMap[String, MvJoinDef]()
   private val staleViews =
     new java.util.concurrent.ConcurrentHashMap[String, MvStaleDef]()
+  private val joinStaleViews =
+    new java.util.concurrent.ConcurrentHashMap[String, MvJoinStaleDef]()
 
   def register(name: String, d: MvDef): Unit = views.put(name, d)
   def registerJoin(name: String, d: MvJoinDef): Unit = joinViews.put(name, d)
   def registerStale(name: String, d: MvStaleDef): Unit =
     staleViews.put(name, d)
+  def registerJoinStale(name: String, d: MvJoinStaleDef): Unit =
+    joinStaleViews.put(name, d)
   def drop(name: String): Unit = {
     views.remove(name); joinViews.remove(name); staleViews.remove(name)
+    joinStaleViews.remove(name)
   }
   def clear(): Unit = {
     views.clear(); joinViews.clear(); staleViews.clear()
+    joinStaleViews.clear()
   }
   def all(): Seq[MvDef] = {
     import scala.jdk.CollectionConverters._
@@ -129,6 +155,10 @@ object MvCatalog {
     import scala.jdk.CollectionConverters._
     staleViews.values.asScala.toSeq
   }
+  def allJoinStale(): Seq[MvJoinStaleDef] = {
+    import scala.jdk.CollectionConverters._
+    joinStaleViews.values.asScala.toSeq
+  }
 }
 
 object MvRewrite extends Rule[LogicalPlan] {
@@ -137,14 +167,19 @@ object MvRewrite extends Rule[LogicalPlan] {
     val defs = MvCatalog.all()
     val joinDefs = MvCatalog.allJoins()
     val staleDefs = MvCatalog.allStale()
-    if (defs.isEmpty && joinDefs.isEmpty && staleDefs.isEmpty) plan
+    val joinStaleDefs = MvCatalog.allJoinStale()
+    if (defs.isEmpty && joinDefs.isEmpty && staleDefs.isEmpty &&
+      joinStaleDefs.isEmpty) plan
     else plan.transformUp {
       case agg: Aggregate =>
         // fresh exact-snapshot views first (cheapest plan), then the
-        // join twin, then stale-state + tail compensation
+        // join twin, then stale-state + tail compensation (single,
+        // then join)
         defs.view.flatMap(tryRewrite(agg, _)).headOption
           .orElse(joinDefs.view.flatMap(tryRewriteJoin(agg, _)).headOption)
           .orElse(staleDefs.view.flatMap(tryRewriteStale(agg, _)).headOption)
+          .orElse(joinStaleDefs.view
+            .flatMap(tryRewriteJoinStale(agg, _)).headOption)
           .getOrElse(agg)
     }
   }
@@ -317,6 +352,135 @@ object MvRewrite extends Rule[LogicalPlan] {
         keyExpr, valExpr, aliasMap, remaining)
     } yield rewritten
   }
+
+  /** STALE JOIN VIEW (round 15, second wave — the fourth rewrite
+    * cell): an aggregate over `fact ⋈ dim` where BOTH scans may be
+    * newer than the registered state's cut. The registration declares
+    * the maintenance schedule's remaining steps; the rewrite verifies
+    * the declared tail walks consistently from the state cut to
+    * exactly the scanned version pair, then compensates the state
+    * step-by-step with the SAME signed delta ⋈ other-snapshot algebra
+    * the dml_cdc_join_view fold uses (delta side broadcast). Any
+    * inconsistency — tail not reaching the scanned cut, out-of-order
+    * step, missing feed — declines fail-safe.
+    */
+  private def tryRewriteJoinStale(agg: Aggregate, d: MvCatalog.MvJoinStaleDef)
+      : Option[LogicalPlan] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    def pathsOf(rel: LogicalRelation): Option[Set[String]] =
+      rel.relation match {
+        case h: HadoopFsRelation =>
+          Some(h.location.rootPaths.map(_.toUri.getPath).toSet)
+        case _ => None
+      }
+    for {
+      scans <- joinScanWithAliases(agg.child)
+      (relA, relB, aliasMap, preds, cond) = scans
+      pathsA <- pathsOf(relA)
+      pathsB <- pathsOf(relB)
+      assigned <- {
+        val aAsFact =
+          for (fv <- versionOf(d.factRoot, pathsA);
+               dv <- versionOf(d.dimRoot, pathsB)) yield (relA, relB, fv, dv)
+        val bAsFact =
+          for (fv <- versionOf(d.factRoot, pathsB);
+               dv <- versionOf(d.dimRoot, pathsA)) yield (relB, relA, fv, dv)
+        aAsFact.orElse(bAsFact)
+      }
+      (factRel, dimRel, factScanV, dimScanV) = assigned
+      // the declared tail must walk consistently from the state cut
+      // to exactly the scanned version pair
+      if {
+        var cf = d.factStateVersion
+        var cd = d.dimStateVersion
+        var ok = true
+        d.tail.foreach { case (isFact, chV, otherV) =>
+          if (isFact) { ok &&= otherV == cd && chV > cf; cf = chV }
+          else { ok &&= otherV == cf && chV > cd; cd = chV }
+        }
+        ok && cf == factScanV && cd == dimScanV
+      }
+      if agg.groupingExpressions.nonEmpty
+      factKey <- resolveAgainst(spark, d.factKeySql, factRel)
+      dimKey <- resolveAgainst(spark, d.dimKeySql, dimRel)
+      if (cond match {
+        case EqualTo(a, b) =>
+          (a.semanticEquals(factKey) && b.semanticEquals(dimKey)) ||
+            (a.semanticEquals(dimKey) && b.semanticEquals(factKey))
+        case _ => false
+      })
+      keyExpr <- resolveAgainst(spark, d.groupKeySql, dimRel)
+      valExpr <- resolveAgainst(spark, d.valueSql, factRel)
+      groupExprs = agg.groupingExpressions.map(g =>
+        inlineWith(stripAlias(g), aliasMap))
+      remaining = preds.filterNot {
+        case IsNotNull(e) =>
+          e.semanticEquals(factKey) || e.semanticEquals(dimKey)
+        case _ => false
+      }
+      effective <- compensatedJoinState(spark, d)
+      rewritten <- buildFromStateDf(spark, agg, effective, groupExprs,
+        keyExpr, valExpr, aliasMap, remaining)
+    } yield rewritten
+  }
+
+  /** The registered join-view state folded forward through the
+    * declared tail steps — the dml_cdc_join_view algebra (signed
+    * delta broadcast against the other side's snapshot at its
+    * declared version, full_outer merge), as an in-memory DataFrame.
+    */
+  private def compensatedJoinState(spark: org.apache.spark.sql.SparkSession,
+      d: MvCatalog.MvJoinStaleDef)
+      : Option[org.apache.spark.sql.DataFrame] =
+    try {
+      val F = org.apache.spark.sql.functions
+      val dec382 = org.apache.spark.sql.types.DecimalType(38, 2)
+      val zero = F.lit(java.math.BigDecimal.ZERO).cast(dec382)
+      var st = spark.read.parquet(d.statePath)
+        .select(F.col("g"), F.col("n"), F.col("nn"),
+          F.col("total").cast(dec382).as("total"))
+      d.tail.foreach { case (isFact, chV, otherV) =>
+        val (chRoot, otherRoot, chKey, otherKey) =
+          if (isFact) (d.factRoot, d.dimRoot, d.factKeySql, d.dimKeySql)
+          else (d.dimRoot, d.factRoot, d.dimKeySql, d.factKeySql)
+        val ch = graft.sources.CommitLog.changes(spark, chRoot, chV)
+          .withColumn("__sgn",
+            F.when(F.col("_change_type") === "insert", F.lit(1L))
+              .otherwise(F.lit(-1L)))
+          .drop("_change_type")
+        if (!ch.isEmpty) {
+          // rename the delta's key instead of aliasing the frames, and
+          // no broadcast() hint: SubqueryAlias and ResolvedHint nodes
+          // would survive into the substituted subtree (this rule runs
+          // AFTER EliminateSubqueryAliases/EliminateResolvedHint) and
+          // the planner has no strategy for either. The delta side is
+          // O(changes) — size-based join selection / AQE broadcasts it
+          // without the hint. Contract: beyond the join keys, fact and
+          // dim column names are disjoint — the same requirement the
+          // maintenance fold's using-join has.
+          val joined = graft.sources.CommitLog
+            .snapshot(spark, otherRoot, otherV)
+            .join(ch.withColumnRenamed(chKey, "__ck"),
+              F.col(otherKey) === F.col("__ck"))
+          val delta = joined.groupBy(F.expr(d.groupKeySql).as("g"))
+            .agg(F.sum(F.col("__sgn")).as("dn"),
+              F.sum(F.when(F.expr(d.valueSql).isNotNull, F.col("__sgn"))
+                .otherwise(F.lit(0L))).as("dnn"),
+              F.coalesce(
+                F.sum((F.expr(d.valueSql) * F.col("__sgn")).cast(dec382)),
+                zero).cast(dec382).as("dp"))
+          st = st.join(delta, Seq("g"), "full_outer")
+            .select(F.col("g"),
+              (F.coalesce(F.col("n"), F.lit(0L)) +
+                F.coalesce(F.col("dn"), F.lit(0L))).as("n"),
+              (F.coalesce(F.col("nn"), F.lit(0L)) +
+                F.coalesce(F.col("dnn"), F.lit(0L))).as("nn"),
+              (F.coalesce(F.col("total"), zero) +
+                F.coalesce(F.col("dp"), zero)).cast(dec382).as("total"))
+        }
+      }
+      Some(st)
+    } catch { case _: Exception => None }
 
   /** STALE-STATE + TAIL COMPENSATION (round 15, second wave): the
     * scan's snapshot may be NEWER than the registered state — resolve

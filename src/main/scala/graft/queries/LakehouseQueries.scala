@@ -783,6 +783,30 @@ object LakehouseQueries {
         .orderBy("g")
     }),
 
+    // S59 (round 15, second wave): STALE JOIN VIEW — the fourth cell
+    // of the {single,join} × {fresh,stale} rewrite matrix. The query
+    // joins fact@v3 with dim@v0 — a version pair NO fresh view covers
+    // — and the registered state is the (fact v2, dim v0) fold cut
+    // with ONE declared remaining maintenance step (fact v3 against
+    // dim@0). MvRewrite verifies the declared tail walks exactly from
+    // the cut to the scanned pair, then compensates with the same
+    // signed delta ⋈ other-snapshot algebra the fold uses. Plan pins
+    // (Round15OpsSpec): the s2 state present, dim's v1 promoted unit
+    // ABSENT (the compensation consults dim@0 only). At 100 TB this
+    // is the mart answering an as-of join query between refreshes:
+    // state + one version's feed, never a fact⋈dim recompute.
+    "view_rewrite_join_stale" -> ((s, d) => {
+      val (fact, dim, _) = registerStaleOrdersJoinView(s, d)
+      import graft.sources.CommitLog
+      CommitLog.snapshot(s, fact, 3L).select(col("k"), col("p"))
+        .join(CommitLog.snapshot(s, dim, 0L).select(col("k"), col("g")), "k")
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n"), sum(col("p")).as("sum_p"))
+        .select(col("g").cast("bigint").as("g"), col("n"),
+          col("sum_p").cast(DecimalType(38, 2)).as("total"))
+        .orderBy("g")
+    }),
+
     // S58 (round 15, second wave): STALE STATE + TAIL COMPENSATION —
     // the query scans v1 of the append table while the registered
     // k%7 state was folded through v0 ONLY (the maintenance job
@@ -2144,6 +2168,16 @@ object LakehouseQueries {
     * count so the rewrite keeps sum's NULL semantics.
     */
   private[graft] def joinViewFinalState(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    s"${joinViewStateRoot(s, d)}/final"
+
+  /** The join-view state DIRECTORY (per-step files s1, s2, s4, s5 +
+    * final — step 0 joins an unborn fact and step 3's OPTIMIZE feed is
+    * empty, so neither materializes). s2 is the (fact v2, dim v0) cut
+    * the stale-join rewrite registers as its deliberately-behind
+    * state.
+    */
+  private[graft] def joinViewStateRoot(s: org.apache.spark.sql.SparkSession,
       d: String): String = {
     import graft.sources.CommitLog
     val fact = cdcTable(s, d)
@@ -2219,7 +2253,30 @@ object LakehouseQueries {
       }
       dir
     }
-    s"$stDir/final"
+    stDir
+  }
+
+  /** Register the STALE join view (round 15, second wave): state at
+    * the (fact v2, dim v0) cut — the s2 fold file — with the declared
+    * remaining maintenance step (fact v3 against dim@0). Serves
+    * queries over the (fact v3, dim v0) version pair, a cut NO fresh
+    * view covers. Returns (fact root, dim root, state dir).
+    */
+  private[graft] def registerStaleOrdersJoinView(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : (String, String, String) = {
+    val fact = cdcTable(s, d)
+    val dim = dimTable(s, d)
+    val root = joinViewStateRoot(s, d)
+    graft.plans.MvCatalog.registerJoinStale("orders_join_dim_stale",
+      graft.plans.MvCatalog.MvJoinStaleDef(fact, dim,
+        factStateVersion = 2L, dimStateVersion = 0L,
+        tail = Seq((true, 3L, 0L)),
+        "k", "k", "g", "p", s"$root/s2"))
+    if (!s.experimental.extraOptimizations.contains(graft.plans.MvRewrite))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.MvRewrite
+    (fact, dim, root)
   }
 
   /** A 2-version APPEND-ONLY orders table (v0 = even keys, v1 appends
@@ -2810,6 +2867,17 @@ object LakehouseQueries {
         |    CAST(sum(p) AS DECIMAL(38,2)) AS total
         |FROM fin WHERE k % 10 IN (2, 4, 6)
         |GROUP BY 1 ORDER BY g""".stripMargin,
+    // S59 twin: fact-final ⋈ dim@v0 (g = k%10, no bucket-3 promotion)
+    "view_rewrite_join_stale" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        | v1 AS (SELECT k, CASE WHEN k % 4 = 2
+        |     THEN CAST(p * 2 AS DECIMAL(18,2)) ELSE p END AS p FROM base),
+        | fin AS (SELECT k, p FROM v1 WHERE k % 4 <> 1),
+        | dim0 AS (SELECT k, k % 10 AS g FROM base)
+        |SELECT CAST(g AS BIGINT) AS g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(p) AS DECIMAL(38,2)) AS total
+        |FROM fin JOIN dim0 USING (k) GROUP BY g ORDER BY g""".stripMargin,
     // S58 twin: state(v0) + delta(v1) must equal the direct aggregate
     // over the full table (v0 ∪ v1 = all of orders)
     "view_rewrite_stale" ->

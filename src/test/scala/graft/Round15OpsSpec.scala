@@ -250,6 +250,44 @@ class Round15OpsSpec extends GraftSpec {
     }
   }
 
+  test("MV stale join rewrite: declared-tail compensation serves a cut no fresh view covers") {
+    import graft.sources.CommitLog
+    import org.apache.spark.sql.types.DecimalType
+    val (fact, dim, root) =
+      graft.queries.LakehouseQueries.registerStaleOrdersJoinView(spark, sf)
+    val df = SparkEntry.queries("view_rewrite_join_stale")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains(s"$root/s2"),
+      "stale join rewrite did not read the s2 cut state:\n" + plan.take(3000))
+    assert(!plan.contains("v1b3"),
+      "compensation touched dim v1's promoted unit:\n" + plan.take(3000))
+    def joinQ(dimV: Long, factV: Long = 3L) =
+      CommitLog.snapshot(spark, fact, factV).select(col("k"), col("p"))
+        .join(CommitLog.snapshot(spark, dim, dimV)
+          .select(col("k"), col("g")), "k")
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n"), sum(col("p")).as("sum_p"))
+        .select(col("g").cast("bigint").as("g"), col("n"),
+          col("sum_p").cast(DecimalType(38, 2)).as("total"))
+        .orderBy("g")
+    // values equal the direct join+aggregate with the def dropped
+    val got = df.collect().map(_.toSeq).toSeq
+    graft.plans.MvCatalog.drop("orders_join_dim_stale")
+    try {
+      val off = joinQ(0L)
+      assert(!off.queryExecution.executedPlan.toString.contains(s"$root/s2"))
+      assert(off.collect().map(_.toSeq).toSeq == got,
+        "compensated join rewrite diverges from the direct aggregate")
+    } finally
+      graft.queries.LakehouseQueries.registerStaleOrdersJoinView(spark, sf)
+    // NEGATIVE: a version pair the declared tail does not reach —
+    // fact@2 ⋈ dim@1 — declines (no view, fresh or stale, covers it)
+    val other = joinQ(dimV = 1L, factV = 2L)
+    assert(!other.queryExecution.executedPlan.toString
+      .contains("graft_joinview"),
+      "uncovered version pair wrongly rerouted")
+  }
+
   test("stream-maintained agg view: equals the one-shot fold per version and serves the rewrite") {
     import graft.sources.CommitLog
     import org.apache.spark.sql.types.DecimalType
