@@ -309,12 +309,6 @@ object MvRewrite extends Rule[LogicalPlan] {
   private def tryRewriteJoin(agg: Aggregate, d: MvCatalog.MvJoinDef)
       : Option[LogicalPlan] = {
     val spark = org.apache.spark.sql.SparkSession.active
-    def pathsOf(rel: LogicalRelation): Option[Set[String]] =
-      rel.relation match {
-        case h: HadoopFsRelation =>
-          Some(h.location.rootPaths.map(_.toUri.getPath).toSet)
-        case _ => None
-      }
     for {
       scans <- joinScanWithAliases(agg.child)
       (relA, relB, aliasMap, preds, cond) = scans
@@ -328,30 +322,54 @@ object MvRewrite extends Rule[LogicalPlan] {
           Some((relB, relA))
         else None
       if agg.groupingExpressions.nonEmpty
-      factKey <- resolveAgainst(spark, d.factKeySql, factRel)
-      dimKey <- resolveAgainst(spark, d.dimKeySql, dimRel)
-      // the join must be exactly the registered key equality
+      kv <- joinKeysAndPreds(spark, cond, factRel, dimRel,
+        d.factKeySql, d.dimKeySql, d.groupKeySql, d.valueSql, preds)
+      (keyExpr, valExpr, remaining) = kv
+      groupExprs = agg.groupingExpressions.map(g =>
+        inlineWith(stripAlias(g), aliasMap))
+      rewritten <- buildFromState(spark, agg, d.statePath, groupExprs,
+        keyExpr, valExpr, aliasMap, remaining)
+    } yield rewritten
+  }
+
+  private def pathsOf(rel: LogicalRelation): Option[Set[String]] =
+    rel.relation match {
+      case h: HadoopFsRelation =>
+        Some(h.location.rootPaths.map(_.toUri.getPath).toSet)
+      case _ => None
+    }
+
+  /** Shared join-shape guard (review r15 — extracted so the fresh and
+    * stale join paths cannot diverge): resolve the registered keys
+    * against the assigned scans, require the join condition be
+    * exactly their equality (either order), resolve the group key
+    * (dim side) and value (fact side), and drop the inner-join-
+    * implied IsNotNull predicates before subsumption.
+    */
+  private def joinKeysAndPreds(spark: org.apache.spark.sql.SparkSession,
+      cond: Expression, factRel: LogicalRelation, dimRel: LogicalRelation,
+      factKeySql: String, dimKeySql: String, groupKeySql: String,
+      valueSql: String, preds: Seq[Expression])
+      : Option[(Expression, Expression, Seq[Expression])] =
+    for {
+      factKey <- resolveAgainst(spark, factKeySql, factRel)
+      dimKey <- resolveAgainst(spark, dimKeySql, dimRel)
       if (cond match {
         case EqualTo(a, b) =>
           (a.semanticEquals(factKey) && b.semanticEquals(dimKey)) ||
             (a.semanticEquals(dimKey) && b.semanticEquals(factKey))
         case _ => false
       })
-      keyExpr <- resolveAgainst(spark, d.groupKeySql, dimRel)
-      valExpr <- resolveAgainst(spark, d.valueSql, factRel)
-      groupExprs = agg.groupingExpressions.map(g =>
-        inlineWith(stripAlias(g), aliasMap))
-      // inner-join-implied null filters carry no information the
-      // state lacks — drop them before subsumption
-      remaining = preds.filterNot {
+      keyExpr <- resolveAgainst(spark, groupKeySql, dimRel)
+      valExpr <- resolveAgainst(spark, valueSql, factRel)
+    } yield {
+      val remaining = preds.filterNot {
         case IsNotNull(e) =>
           e.semanticEquals(factKey) || e.semanticEquals(dimKey)
         case _ => false
       }
-      rewritten <- buildFromState(spark, agg, d.statePath, groupExprs,
-        keyExpr, valExpr, aliasMap, remaining)
-    } yield rewritten
-  }
+      (keyExpr, valExpr, remaining)
+    }
 
   /** STALE JOIN VIEW (round 15, second wave — the fourth rewrite
     * cell): an aggregate over `fact ⋈ dim` where BOTH scans may be
@@ -367,12 +385,6 @@ object MvRewrite extends Rule[LogicalPlan] {
   private def tryRewriteJoinStale(agg: Aggregate, d: MvCatalog.MvJoinStaleDef)
       : Option[LogicalPlan] = {
     val spark = org.apache.spark.sql.SparkSession.active
-    def pathsOf(rel: LogicalRelation): Option[Set[String]] =
-      rel.relation match {
-        case h: HadoopFsRelation =>
-          Some(h.location.rootPaths.map(_.toUri.getPath).toSet)
-        case _ => None
-      }
     for {
       scans <- joinScanWithAliases(agg.child)
       (relA, relB, aliasMap, preds, cond) = scans
@@ -389,35 +401,36 @@ object MvRewrite extends Rule[LogicalPlan] {
       }
       (factRel, dimRel, factScanV, dimScanV) = assigned
       // the declared tail must walk consistently from the state cut
-      // to exactly the scanned version pair
-      if {
+      // to exactly the scanned version pair, stepping through EVERY
+      // log version on the way (review r15: a tail that skips a
+      // version would silently omit that version's feed — each step's
+      // changed version must be the SUCCESSOR of the current cut in
+      // the table's own log, so a forgotten step declines instead)
+      if (try {
+        val factVs = graft.sources.CommitLog.versions(d.factRoot)
+        val dimVs = graft.sources.CommitLog.versions(d.dimRoot)
         var cf = d.factStateVersion
         var cd = d.dimStateVersion
         var ok = true
         d.tail.foreach { case (isFact, chV, otherV) =>
-          if (isFact) { ok &&= otherV == cd && chV > cf; cf = chV }
-          else { ok &&= otherV == cf && chV > cd; cd = chV }
+          if (isFact) {
+            ok &&= otherV == cd &&
+              factVs.filter(_ > cf).headOption.contains(chV)
+            cf = chV
+          } else {
+            ok &&= otherV == cf &&
+              dimVs.filter(_ > cd).headOption.contains(chV)
+            cd = chV
+          }
         }
         ok && cf == factScanV && cd == dimScanV
-      }
+      } catch { case _: Exception => false })
       if agg.groupingExpressions.nonEmpty
-      factKey <- resolveAgainst(spark, d.factKeySql, factRel)
-      dimKey <- resolveAgainst(spark, d.dimKeySql, dimRel)
-      if (cond match {
-        case EqualTo(a, b) =>
-          (a.semanticEquals(factKey) && b.semanticEquals(dimKey)) ||
-            (a.semanticEquals(dimKey) && b.semanticEquals(factKey))
-        case _ => false
-      })
-      keyExpr <- resolveAgainst(spark, d.groupKeySql, dimRel)
-      valExpr <- resolveAgainst(spark, d.valueSql, factRel)
+      kv <- joinKeysAndPreds(spark, cond, factRel, dimRel,
+        d.factKeySql, d.dimKeySql, d.groupKeySql, d.valueSql, preds)
+      (keyExpr, valExpr, remaining) = kv
       groupExprs = agg.groupingExpressions.map(g =>
         inlineWith(stripAlias(g), aliasMap))
-      remaining = preds.filterNot {
-        case IsNotNull(e) =>
-          e.semanticEquals(factKey) || e.semanticEquals(dimKey)
-        case _ => false
-      }
       effective <- compensatedJoinState(spark, d)
       rewritten <- buildFromStateDf(spark, agg, effective, groupExprs,
         keyExpr, valExpr, aliasMap, remaining)
@@ -436,10 +449,19 @@ object MvRewrite extends Rule[LogicalPlan] {
       val F = org.apache.spark.sql.functions
       val dec382 = org.apache.spark.sql.types.DecimalType(38, 2)
       val zero = F.lit(java.math.BigDecimal.ZERO).cast(dec382)
-      var st = spark.read.parquet(d.statePath)
+      val st = spark.read.parquet(d.statePath)
         .select(F.col("g"), F.col("n"), F.col("nn"),
           F.col("total").cast(dec382).as("total"))
-      d.tail.foreach { case (isFact, chV, otherV) =>
+      // Each declared step contributes an ADDITIVE signed delta
+      // (computed against its declared other-side snapshot), so the
+      // fold is one union + one groupBy re-fold — NOT a chain of
+      // full_outer merges, which (a) never match NULL group keys
+      // (review r15: a NULL-g state row and a NULL-g delta would
+      // emerge as two output rows where the direct aggregate has
+      // one — groupBy treats NULL as an ordinary group) and (b) would
+      // need a per-step emptiness probe; an empty step's delta is a
+      // free empty union branch here, no optimizer-time Spark job.
+      val deltas = d.tail.map { case (isFact, chV, otherV) =>
         val (chRoot, otherRoot, chKey, otherKey) =
           if (isFact) (d.factRoot, d.dimRoot, d.factKeySql, d.dimKeySql)
           else (d.dimRoot, d.factRoot, d.dimKeySql, d.factKeySql)
@@ -448,38 +470,30 @@ object MvRewrite extends Rule[LogicalPlan] {
             F.when(F.col("_change_type") === "insert", F.lit(1L))
               .otherwise(F.lit(-1L)))
           .drop("_change_type")
-        if (!ch.isEmpty) {
-          // rename the delta's key instead of aliasing the frames, and
-          // no broadcast() hint: SubqueryAlias and ResolvedHint nodes
-          // would survive into the substituted subtree (this rule runs
-          // AFTER EliminateSubqueryAliases/EliminateResolvedHint) and
-          // the planner has no strategy for either. The delta side is
-          // O(changes) — size-based join selection / AQE broadcasts it
-          // without the hint. Contract: beyond the join keys, fact and
-          // dim column names are disjoint — the same requirement the
-          // maintenance fold's using-join has.
-          val joined = graft.sources.CommitLog
-            .snapshot(spark, otherRoot, otherV)
-            .join(ch.withColumnRenamed(chKey, "__ck"),
-              F.col(otherKey) === F.col("__ck"))
-          val delta = joined.groupBy(F.expr(d.groupKeySql).as("g"))
-            .agg(F.sum(F.col("__sgn")).as("dn"),
-              F.sum(F.when(F.expr(d.valueSql).isNotNull, F.col("__sgn"))
-                .otherwise(F.lit(0L))).as("dnn"),
-              F.coalesce(
-                F.sum((F.expr(d.valueSql) * F.col("__sgn")).cast(dec382)),
-                zero).cast(dec382).as("dp"))
-          st = st.join(delta, Seq("g"), "full_outer")
-            .select(F.col("g"),
-              (F.coalesce(F.col("n"), F.lit(0L)) +
-                F.coalesce(F.col("dn"), F.lit(0L))).as("n"),
-              (F.coalesce(F.col("nn"), F.lit(0L)) +
-                F.coalesce(F.col("dnn"), F.lit(0L))).as("nn"),
-              (F.coalesce(F.col("total"), zero) +
-                F.coalesce(F.col("dp"), zero)).cast(dec382).as("total"))
-        }
+        // rename the delta's key instead of aliasing the frames, and
+        // no broadcast() hint: SubqueryAlias and ResolvedHint nodes
+        // would survive into the substituted subtree (this rule runs
+        // AFTER EliminateSubqueryAliases/EliminateResolvedHint) and
+        // the planner has no strategy for either. The delta side is
+        // O(changes) — size-based join selection / AQE broadcasts it
+        // without the hint. Contract: beyond the join keys, fact and
+        // dim column names are disjoint — the same requirement the
+        // maintenance fold's using-join has.
+        graft.sources.CommitLog.snapshot(spark, otherRoot, otherV)
+          .join(ch.withColumnRenamed(chKey, "__ck"),
+            F.col(otherKey) === F.col("__ck"))
+          .groupBy(F.expr(d.groupKeySql).as("g"))
+          .agg(F.sum(F.col("__sgn")).as("n"),
+            F.sum(F.when(F.expr(d.valueSql).isNotNull, F.col("__sgn"))
+              .otherwise(F.lit(0L))).as("nn"),
+            F.coalesce(
+              F.sum((F.expr(d.valueSql) * F.col("__sgn")).cast(dec382)),
+              zero).cast(dec382).as("total"))
       }
-      Some(st)
+      Some((st +: deltas).reduce(_ unionAll _).groupBy("g").agg(
+        F.sum(F.col("n")).as("n"),
+        F.sum(F.col("nn")).as("nn"),
+        F.sum(F.col("total")).cast(dec382).as("total")))
     } catch { case _: Exception => None }
 
   /** STALE-STATE + TAIL COMPENSATION (round 15, second wave): the
@@ -518,11 +532,19 @@ object MvRewrite extends Rule[LogicalPlan] {
     } yield rewritten
   }
 
-  /** Which version's snapshot a unit-path set reads, if any. */
+  /** Which version's snapshot a unit-path set reads, if any. The
+    * cheap prefix test runs first (review r15): once any stale def is
+    * registered this is probed for every Aggregate in every query, and
+    * scans of unrelated tables must not pay the manifest enumeration.
+    */
   private def versionOf(root: String,
       scanPaths: Set[String]): Option[Long] =
     try {
-      graft.sources.CommitLog.versions(root).find { v =>
+      val rootAbs = java.nio.file.Paths.get(root)
+        .toAbsolutePath.normalize.toString
+      if (scanPaths.isEmpty ||
+        !scanPaths.forall(_.startsWith(rootAbs + "/"))) None
+      else graft.sources.CommitLog.versions(root).find { v =>
         graft.sources.CommitLog.units(root, v).map(u => java.nio.file
           .Paths.get(u).toAbsolutePath.normalize.toString)
           .toSet == scanPaths

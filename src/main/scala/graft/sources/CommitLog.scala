@@ -234,10 +234,36 @@ object CommitLog {
     if (cs.isEmpty) return df
     val lead = cs.head.col
     val rowCount = cs.filter(_.col == lead).map(_.count).sum
-    val sizeInBytes = units(table, version)
-      .map(u => java.nio.file.Files.size(java.nio.file.Paths.get(u))).sum
+    // units are routinely DIRECTORIES of part files (review r15:
+    // Files.size on a directory returns the inode size, which would
+    // report a multi-GB snapshot as a few KB and broadcast the huge
+    // side of a join) — walk each unit and sum its regular files
+    val sizeInBytes = units(table, version).map { u =>
+      val p = java.nio.file.Paths.get(u)
+      if (java.nio.file.Files.isDirectory(p)) {
+        import scala.jdk.CollectionConverters._
+        val st = java.nio.file.Files.walk(p)
+        try st.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(java.nio.file.Files.size).sum
+        finally st.close()
+      } else java.nio.file.Files.size(p)
+    }.sum
+    // only columns whose SPARK type is integral publish min/max: the
+    // footer kind "long" also covers DATE (INT32), TIMESTAMP (INT64)
+    // and small DECIMAL (INT64) logical columns, whose CatalogColumnStat
+    // external string form is NOT the raw physical number — publishing
+    // it would crash or mis-scale CBO's estimation (review r15; the
+    // unique-probe lesson again, from the other side)
+    val integral: Set[org.apache.spark.sql.types.DataType] = Set(
+      org.apache.spark.sql.types.LongType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.ByteType)
+    val sparkTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val perCol = cs.groupBy(_.col).collect {
-      case (c, us) if us.forall(_.kind == "long") =>
+      case (c, us) if us.forall(_.kind == "long") &&
+          sparkTypes.get(c).exists(integral.contains) =>
         c -> org.apache.spark.sql.catalyst.catalog.CatalogColumnStat(
           distinctCount = None,
           min = Some(us.map(_.min.toLong).min.toString),

@@ -26,4 +26,14 @@ abstract class GraftSpec extends AnyFunSuite {
   protected val sf: String = TestSession.sf
   protected def q(name: String): DataFrame =
     SparkEntry.queries(name)(spark, sf)
+
+  /** Plan-text subtree scoping: the column where a tree line's node
+    * label starts (child lines indent deeper) — shared by the
+    * broadcast-subtree assertions so the parsing heuristic lives in
+    * one place.
+    */
+  protected def nodeStart(l: String): Int = {
+    val i = l.indexWhere(c => !" :+-".contains(c))
+    if (i < 0) Int.MaxValue else i
+  }
 }

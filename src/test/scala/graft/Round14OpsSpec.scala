@@ -233,10 +233,6 @@ class Round14OpsSpec extends GraftSpec {
       // ensureCatalog) — but an UNFILTERED fact build is always a
       // stats failure.
       val lines = plan.linesIterator.toVector
-      def nodeStart(l: String): Int = {
-        val i = l.indexWhere(c => !" :+-".contains(c))
-        if (i < 0) Int.MaxValue else i
-      }
       lines.zipWithIndex.filter(_._1.contains("BroadcastExchange"))
         .foreach { case (bLine, i) =>
           val ind = nodeStart(bLine)

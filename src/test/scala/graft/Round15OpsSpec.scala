@@ -288,6 +288,145 @@ class Round15OpsSpec extends GraftSpec {
       "uncovered version pair wrongly rerouted")
   }
 
+  test("MV stale join rewrite: NULL group keys merge across state and compensation") {
+    import spark.implicits._
+    import graft.sources.CommitLog
+    import org.apache.spark.sql.types.DecimalType
+    val t = freshDir("graft_r15_nullg")
+    val fact = s"$t/fact"
+    val dim = s"$t/dim"
+    // fact v0: (1,10),(2,20); v1 appends (3,30)
+    Seq((1L, "10.00"), (2L, "20.00"))
+      .toDF("k", "ps").select(col("k"),
+        col("ps").cast(DecimalType(18, 2)).as("p"))
+      .coalesce(1).write.parquet(s"$fact/u0")
+    CommitLog.commit(fact, 0L, Seq("u0"))
+    Seq((3L, "30.00")).toDF("k", "ps").select(col("k"),
+        col("ps").cast(DecimalType(18, 2)).as("p"))
+      .coalesce(1).write.parquet(s"$fact/u1")
+    CommitLog.commit(fact, 1L, Seq("u0", "u1"))
+    // dim v0: keys 1 and 3 carry a NULL group
+    Seq((1L, Option.empty[Long]), (2L, Some(5L)), (3L, Option.empty[Long]))
+      .toDF("k", "g").coalesce(1).write.parquet(s"$dim/u0")
+    CommitLog.commit(dim, 0L, Seq("u0"))
+    // state at the (fact v0, dim v0) cut — includes a NULL-g row
+    val statePath = s"$t/state"
+    CommitLog.snapshot(spark, fact, 0L)
+      .join(CommitLog.snapshot(spark, dim, 0L), "k")
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("p").isNotNull, lit(1L)).otherwise(lit(0L))).as("nn"),
+        sum(col("p").cast(DecimalType(38, 2)))
+          .cast(DecimalType(38, 2)).as("total"))
+      .write.parquet(statePath)
+    graft.plans.MvCatalog.registerJoinStale("tmp_nullg_stale",
+      graft.plans.MvCatalog.MvJoinStaleDef(fact, dim, 0L, 0L,
+        tail = Seq((true, 1L, 0L)), "k", "k", "g", "p", statePath))
+    try {
+      val df = CommitLog.snapshot(spark, fact, 1L).select(col("k"), col("p"))
+        .join(CommitLog.snapshot(spark, dim, 0L).select(col("k"), col("g")),
+          "k")
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("p")).cast(DecimalType(38, 2)).as("total"))
+        .orderBy("g")
+      assert(df.queryExecution.executedPlan.toString.contains("state"),
+        "NULL-g fixture rewrite did not fire")
+      val rows = df.collect()
+      // review r15: the full_outer-merge formulation emitted TWO
+      // NULL-g rows (NULL never joins NULL); the union+re-fold must
+      // emit exactly one, with both NULL-key fact rows merged
+      assert(rows.length == 2, rows.mkString(", "))
+      val nullRow = rows.find(_.isNullAt(0)).get
+      assert(nullRow.getLong(1) == 2L &&
+        nullRow.getDecimal(2).compareTo(new java.math.BigDecimal("40.00")) == 0,
+        s"NULL group mis-merged: $nullRow")
+    } finally graft.plans.MvCatalog.drop("tmp_nullg_stale")
+  }
+
+  test("MV stale join rewrite: a declared tail that skips a log version declines") {
+    import graft.sources.CommitLog
+    val (fact, dim, root) =
+      graft.queries.LakehouseQueries.registerStaleOrdersJoinView(spark, sf)
+    def q3 = CommitLog.snapshot(spark, fact, 3L).select(col("k"), col("p"))
+      .join(CommitLog.snapshot(spark, dim, 0L).select(col("k"), col("g")),
+        "k")
+      .groupBy(col("g")).agg(count(lit(1)).as("n"))
+    graft.plans.MvCatalog.drop("orders_join_dim_stale")
+    // a tail jumping fact 1 → 3 silently omits v2's feed (empty here,
+    // but the rule cannot know that) — the successor check declines
+    graft.plans.MvCatalog.registerJoinStale("tmp_skip_stale",
+      graft.plans.MvCatalog.MvJoinStaleDef(fact, dim, 1L, 0L,
+        tail = Seq((true, 3L, 0L)), "k", "k", "g", "p", s"$root/s2"))
+    try {
+      assert(!q3.queryExecution.executedPlan.toString.contains(s"$root/s2"),
+        "version-skipping tail wrongly accepted")
+      // the COMPLETE tail from the same cut — including the empty v2
+      // step — walks and fires, and the empty delta is a no-op
+      graft.plans.MvCatalog.drop("tmp_skip_stale")
+      graft.plans.MvCatalog.registerJoinStale("tmp_full_stale",
+        graft.plans.MvCatalog.MvJoinStaleDef(fact, dim, 1L, 0L,
+          tail = Seq((true, 2L, 0L), (true, 3L, 0L)),
+          "k", "k", "g", "p", s"$root/s2"))
+      val df = q3
+      assert(df.queryExecution.executedPlan.toString.contains(s"$root/s2"),
+        "complete tail did not fire")
+      val direct = SparkEntry.queries("view_rewrite_join_stale")(spark, sf)
+        .select(col("g"), col("n"))
+      assert(df.orderBy("g").collect().map(_.toSeq).toSeq ==
+        direct.collect().map(_.toSeq).toSeq)
+    } finally {
+      graft.plans.MvCatalog.drop("tmp_skip_stale")
+      graft.plans.MvCatalog.drop("tmp_full_stale")
+      graft.queries.LakehouseQueries.registerStaleOrdersJoinView(spark, sf)
+    }
+  }
+
+  test("snapshotWithStats: directory units size correctly; non-integral long-footer columns stay out") {
+    import spark.implicits._
+    import graft.sources.CommitLog
+    val t = freshDir("graft_r15_swstats")
+    // ONE directory unit written by df.write.parquet (the routine unit
+    // shape), with a long column and a TIMESTAMP column — whose footer
+    // kind is also "long" but whose CatalogColumnStat external form is
+    // not the raw number
+    val df0 = spark.range(0, 1000).toDF("id")
+      .withColumn("ts",
+        expr("timestamp_micros(cast(id * 1000000 as long))"))
+    df0.write.parquet(s"$t/data/v0")
+    CommitLog.commit(t, 0L, Seq("data/v0"))
+    CommitLog.writeColStats(t, 0L,
+      CommitLog.footerColStats(spark, t, Seq("data/v0"), Seq("id", "ts")))
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    val snap = CommitLog.snapshotWithStats(spark, t, 0L)
+    val rel = snap.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr
+    }.head
+    // review r15: Files.size on the directory inode reported ~4 KB for
+    // any snapshot — the stats must reflect the actual part files
+    import scala.jdk.CollectionConverters._
+    val walked = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(s"$t/data/v0"))
+      .iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(java.nio.file.Files.size).sum
+    // (plan-level stats re-derive sizeInBytes from rowCount × row
+    // width under CBO, so the injected CATALOG value is the thing to
+    // pin — it drives the non-CBO broadcast decision)
+    assert(rel.catalogTable.get.stats.get.sizeInBytes == BigInt(walked),
+      s"catalog sizeInBytes ${rel.catalogTable.get.stats.get.sizeInBytes}" +
+        s" != walked $walked")
+    assert(rel.stats.rowCount.contains(BigInt(1000)))
+    val statCols = rel.stats.attributeStats.keys.map(_.name).toSet
+    assert(statCols == Set("id"),
+      s"non-integral column leaked into column stats: $statCols")
+    // and a range predicate on the timestamp column must not crash
+    // CBO's estimation (it would, had ts published its raw INT64)
+    assert(snap.filter(col("ts") >
+      lit("1970-01-01 00:00:10").cast("timestamp")).count() == 989L)
+  }
+
   test("stream-maintained agg view: equals the one-shot fold per version and serves the rewrite") {
     import graft.sources.CommitLog
     import org.apache.spark.sql.types.DecimalType
@@ -377,10 +516,6 @@ class Round15OpsSpec extends GraftSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
     val lines = plan.linesIterator.toVector
-    def nodeStart(l: String): Int = {
-      val i = l.indexWhere(c => !" :+-".contains(c))
-      if (i < 0) Int.MaxValue else i
-    }
     lines.zipWithIndex.filter(_._1.contains("BroadcastExchange"))
       .foreach { case (bLine, i) =>
         val subtree = lines.drop(i + 1)
