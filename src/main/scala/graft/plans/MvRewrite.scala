@@ -400,12 +400,17 @@ object MvRewrite extends Rule[LogicalPlan] {
         aAsFact.orElse(bAsFact)
       }
       (factRel, dimRel, factScanV, dimScanV) = assigned
+      if agg.groupingExpressions.nonEmpty
       // the declared tail must walk consistently from the state cut
       // to exactly the scanned version pair, stepping through EVERY
-      // log version on the way (review r15: a tail that skips a
-      // version would silently omit that version's feed — each step's
-      // changed version must be the SUCCESSOR of the current cut in
-      // the table's own log, so a forgotten step declines instead)
+      // log version on the way. The check is PREDECESSOR-based
+      // (review r15, second pass): each step's changed version must
+      // have the CURRENT CUT as its log predecessor — a tail that
+      // skips a version declines (its feed would be silently
+      // omitted), and so does a cut whose manifest has since been
+      // vacuumed out of the log (changes(chV) would then diff against
+      // an earlier survivor and double-apply deltas the state already
+      // folded).
       if (try {
         val factVs = graft.sources.CommitLog.versions(d.factRoot)
         val dimVs = graft.sources.CommitLog.versions(d.dimRoot)
@@ -415,17 +420,16 @@ object MvRewrite extends Rule[LogicalPlan] {
         d.tail.foreach { case (isFact, chV, otherV) =>
           if (isFact) {
             ok &&= otherV == cd &&
-              factVs.filter(_ > cf).headOption.contains(chV)
+              factVs.filter(_ < chV).lastOption.contains(cf)
             cf = chV
           } else {
             ok &&= otherV == cf &&
-              dimVs.filter(_ > cd).headOption.contains(chV)
+              dimVs.filter(_ < chV).lastOption.contains(cd)
             cd = chV
           }
         }
         ok && cf == factScanV && cd == dimScanV
       } catch { case _: Exception => false })
-      if agg.groupingExpressions.nonEmpty
       kv <- joinKeysAndPreds(spark, cond, factRel, dimRel,
         d.factKeySql, d.dimKeySql, d.groupKeySql, d.valueSql, preds)
       (keyExpr, valExpr, remaining) = kv
@@ -437,39 +441,77 @@ object MvRewrite extends Rule[LogicalPlan] {
     } yield rewritten
   }
 
+  // ---- shared compensation algebra (review r15, second pass: one
+  // copy for the single-table and join paths, so nn/decimal/NULL
+  // handling cannot drift between them) --------------------------------
+
+  private val dec382 = org.apache.spark.sql.types.DecimalType(38, 2)
+
+  /** The version's change feed with the signed multiplicity column. */
+  private def signedChanges(spark: org.apache.spark.sql.SparkSession,
+      root: String, v: Long): org.apache.spark.sql.DataFrame = {
+    val F = org.apache.spark.sql.functions
+    graft.sources.CommitLog.changes(spark, root, v)
+      .withColumn("__sgn",
+        F.when(F.col("_change_type") === "insert", F.lit(1L))
+          .otherwise(F.lit(-1L)))
+      .drop("_change_type")
+  }
+
+  /** One additive (g, n, nn, total) delta from a signed frame. */
+  private def deltaAgg(df: org.apache.spark.sql.DataFrame,
+      groupKeySql: String, valueSql: String)
+      : org.apache.spark.sql.DataFrame = {
+    val F = org.apache.spark.sql.functions
+    val zero = F.lit(java.math.BigDecimal.ZERO).cast(dec382)
+    val valC = F.expr(valueSql)
+    df.groupBy(F.expr(groupKeySql).as("g"))
+      .agg(F.sum(F.col("__sgn")).as("n"),
+        F.sum(F.when(valC.isNotNull, F.col("__sgn")).otherwise(F.lit(0L)))
+          .as("nn"),
+        F.coalesce(F.sum((valC * F.col("__sgn")).cast(dec382)), zero)
+          .cast(dec382).as("total"))
+  }
+
+  /** The persisted state normalized to the fold schema. */
+  private def stateSelect(spark: org.apache.spark.sql.SparkSession,
+      statePath: String): org.apache.spark.sql.DataFrame = {
+    val F = org.apache.spark.sql.functions
+    spark.read.parquet(statePath).select(F.col("g"), F.col("n"),
+      F.col("nn"), F.col("total").cast(dec382).as("total"))
+  }
+
+  /** State ⊎ additive deltas → one union + one groupBy re-fold — NOT
+    * a chain of full_outer merges, which (a) never match NULL group
+    * keys (review r15: a NULL-g state row and a NULL-g delta would
+    * emerge as two output rows where the direct aggregate has one —
+    * groupBy treats NULL as an ordinary group) and (b) would need a
+    * per-step emptiness probe; an empty delta is a free empty union
+    * branch here, no optimizer-time Spark job.
+    */
+  private def refold(frames: Seq[org.apache.spark.sql.DataFrame])
+      : org.apache.spark.sql.DataFrame = {
+    val F = org.apache.spark.sql.functions
+    frames.reduce(_ unionAll _).groupBy("g").agg(
+      F.sum(F.col("n")).as("n"),
+      F.sum(F.col("nn")).as("nn"),
+      F.sum(F.col("total")).cast(dec382).as("total"))
+  }
+
   /** The registered join-view state folded forward through the
     * declared tail steps — the dml_cdc_join_view algebra (signed
-    * delta broadcast against the other side's snapshot at its
-    * declared version, full_outer merge), as an in-memory DataFrame.
+    * delta against the other side's snapshot at its declared
+    * version), as an in-memory DataFrame.
     */
   private def compensatedJoinState(spark: org.apache.spark.sql.SparkSession,
       d: MvCatalog.MvJoinStaleDef)
       : Option[org.apache.spark.sql.DataFrame] =
     try {
       val F = org.apache.spark.sql.functions
-      val dec382 = org.apache.spark.sql.types.DecimalType(38, 2)
-      val zero = F.lit(java.math.BigDecimal.ZERO).cast(dec382)
-      val st = spark.read.parquet(d.statePath)
-        .select(F.col("g"), F.col("n"), F.col("nn"),
-          F.col("total").cast(dec382).as("total"))
-      // Each declared step contributes an ADDITIVE signed delta
-      // (computed against its declared other-side snapshot), so the
-      // fold is one union + one groupBy re-fold — NOT a chain of
-      // full_outer merges, which (a) never match NULL group keys
-      // (review r15: a NULL-g state row and a NULL-g delta would
-      // emerge as two output rows where the direct aggregate has
-      // one — groupBy treats NULL as an ordinary group) and (b) would
-      // need a per-step emptiness probe; an empty step's delta is a
-      // free empty union branch here, no optimizer-time Spark job.
       val deltas = d.tail.map { case (isFact, chV, otherV) =>
         val (chRoot, otherRoot, chKey, otherKey) =
           if (isFact) (d.factRoot, d.dimRoot, d.factKeySql, d.dimKeySql)
           else (d.dimRoot, d.factRoot, d.dimKeySql, d.factKeySql)
-        val ch = graft.sources.CommitLog.changes(spark, chRoot, chV)
-          .withColumn("__sgn",
-            F.when(F.col("_change_type") === "insert", F.lit(1L))
-              .otherwise(F.lit(-1L)))
-          .drop("_change_type")
         // rename the delta's key instead of aliasing the frames, and
         // no broadcast() hint: SubqueryAlias and ResolvedHint nodes
         // would survive into the substituted subtree (this rule runs
@@ -479,21 +521,13 @@ object MvRewrite extends Rule[LogicalPlan] {
         // without the hint. Contract: beyond the join keys, fact and
         // dim column names are disjoint — the same requirement the
         // maintenance fold's using-join has.
-        graft.sources.CommitLog.snapshot(spark, otherRoot, otherV)
-          .join(ch.withColumnRenamed(chKey, "__ck"),
-            F.col(otherKey) === F.col("__ck"))
-          .groupBy(F.expr(d.groupKeySql).as("g"))
-          .agg(F.sum(F.col("__sgn")).as("n"),
-            F.sum(F.when(F.expr(d.valueSql).isNotNull, F.col("__sgn"))
-              .otherwise(F.lit(0L))).as("nn"),
-            F.coalesce(
-              F.sum((F.expr(d.valueSql) * F.col("__sgn")).cast(dec382)),
-              zero).cast(dec382).as("total"))
+        deltaAgg(graft.sources.CommitLog.snapshot(spark, otherRoot, otherV)
+          .join(signedChanges(spark, chRoot, chV)
+            .withColumnRenamed(chKey, "__ck"),
+            F.col(otherKey) === F.col("__ck")),
+          d.groupKeySql, d.valueSql)
       }
-      Some((st +: deltas).reduce(_ unionAll _).groupBy("g").agg(
-        F.sum(F.col("n")).as("n"),
-        F.sum(F.col("nn")).as("nn"),
-        F.sum(F.col("total")).cast(dec382).as("total")))
+      Some(refold(stateSelect(spark, d.statePath) +: deltas))
     } catch { case _: Exception => None }
 
   /** STALE-STATE + TAIL COMPENSATION (round 15, second wave): the
@@ -560,36 +594,19 @@ object MvRewrite extends Rule[LogicalPlan] {
       d: MvCatalog.MvStaleDef, scanV: Long)
       : Option[org.apache.spark.sql.DataFrame] =
     try {
-      val F = org.apache.spark.sql.functions
-      val dec382 = org.apache.spark.sql.types.DecimalType(38, 2)
-      val st = spark.read.parquet(d.statePath)
-        .select(F.col("g"), F.col("n"), F.col("nn"),
-          F.col("total").cast(dec382).as("total"))
-      val tail = graft.sources.CommitLog.versions(d.tableRoot)
-        .filter(v => v > d.stateVersion && v <= scanV)
+      val st = stateSelect(spark, d.statePath)
+      val vs = graft.sources.CommitLog.versions(d.tableRoot)
+      val tail = vs.filter(v => v > d.stateVersion && v <= scanV)
       if (tail.isEmpty) Some(st)
-      else {
-        val zero = F.lit(java.math.BigDecimal.ZERO).cast(dec382)
-        val deltas = tail.map { v =>
-          val ch = graft.sources.CommitLog.changes(spark, d.tableRoot, v)
-            .withColumn("__sgn",
-              F.when(F.col("_change_type") === "insert", F.lit(1L))
-                .otherwise(F.lit(-1L)))
-          val keyC = F.expr(d.groupKeySql)
-          val valC = F.expr(d.valueSql)
-          ch.groupBy(keyC.as("g"))
-            .agg(F.sum(F.col("__sgn")).as("n"),
-              F.sum(F.when(valC.isNotNull, F.col("__sgn"))
-                .otherwise(F.lit(0L))).as("nn"),
-              F.coalesce(F.sum((valC * F.col("__sgn")).cast(dec382)), zero)
-                .cast(dec382).as("total"))
-        }
-        val all = (st +: deltas).reduce(_ unionAll _)
-        Some(all.groupBy("g").agg(
-          F.sum(F.col("n")).as("n"),
-          F.sum(F.col("nn")).as("nn"),
-          F.sum(F.col("total")).cast(dec382).as("total")))
-      }
+      // the cut must still be the first tail version's LOG PREDECESSOR
+      // (review r15, second pass): if the cut's manifest was vacuumed,
+      // changes(tail.head) diffs against an earlier survivor and
+      // double-applies deltas the state already folded — decline
+      else if (!vs.filter(_ < tail.head).lastOption.contains(d.stateVersion))
+        None
+      else Some(refold(st +: tail.map(v =>
+        deltaAgg(signedChanges(spark, d.tableRoot, v),
+          d.groupKeySql, d.valueSql))))
     } catch { case _: Exception => None }
 
   /** Build the state-backed replacement plan, or None if the shape is

@@ -237,18 +237,9 @@ object CommitLog {
     // units are routinely DIRECTORIES of part files (review r15:
     // Files.size on a directory returns the inode size, which would
     // report a multi-GB snapshot as a few KB and broadcast the huge
-    // side of a join) — walk each unit and sum its regular files
-    val sizeInBytes = units(table, version).map { u =>
-      val p = java.nio.file.Paths.get(u)
-      if (java.nio.file.Files.isDirectory(p)) {
-        import scala.jdk.CollectionConverters._
-        val st = java.nio.file.Files.walk(p)
-        try st.iterator().asScala
-          .filter(java.nio.file.Files.isRegularFile(_))
-          .map(java.nio.file.Files.size).sum
-        finally st.close()
-      } else java.nio.file.Files.size(p)
-    }.sum
+    // side of a join) — [[unitSize]] is the directory-aware sizing
+    // authority (it also drives compact's minUnitBytes packing)
+    val sizeInBytes = units(table, version).map(u => unitSize(u)._1).sum
     // only columns whose SPARK type is integral publish min/max: the
     // footer kind "long" also covers DATE (INT32), TIMESTAMP (INT64)
     // and small DECIMAL (INT64) logical columns, whose CatalogColumnStat

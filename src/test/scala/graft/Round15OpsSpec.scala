@@ -371,10 +371,16 @@ class Round15OpsSpec extends GraftSpec {
       val df = q3
       assert(df.queryExecution.executedPlan.toString.contains(s"$root/s2"),
         "complete tail did not fire")
-      val direct = SparkEntry.queries("view_rewrite_join_stale")(spark, sf)
-        .select(col("g"), col("n"))
-      assert(df.orderBy("g").collect().map(_.toSeq).toSeq ==
-        direct.collect().map(_.toSeq).toSeq)
+      val got = df.orderBy("g").collect().map(_.toSeq).toSeq
+      // ground truth = the UNREWRITTEN aggregate (review r15, second
+      // pass: the previous baseline re-registered the entry's own
+      // stale def and compared two rewrites against each other)
+      graft.plans.MvCatalog.drop("tmp_full_stale")
+      val direct = q3
+      assert(!direct.queryExecution.executedPlan.toString
+        .contains(s"$root/s2"))
+      assert(got == direct.orderBy("g").collect().map(_.toSeq).toSeq,
+        "multi-step compensation diverges from the direct aggregate")
     } finally {
       graft.plans.MvCatalog.drop("tmp_skip_stale")
       graft.plans.MvCatalog.drop("tmp_full_stale")
