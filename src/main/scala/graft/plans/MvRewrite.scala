@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
   Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join,
-  LogicalPlan, Project}
+  LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
   LogicalRelation}
@@ -111,8 +111,9 @@ object MvCatalog {
     * same signed delta ⋈ other-snapshot algebra the fold uses. The
     * schedule is registration-declared rather than inferred from
     * commit timestamps: the view's owner knows the interleaving; the
-    * optimizer must not guess it. Key SQLs must be bare column names
-    * (they qualify both sides of the compensation join).
+    * optimizer must not guess it. Each SQL is evaluated on its own
+    * side before the compensation join (round 16), so fact and dim
+    * may freely share column names beyond the keys.
     */
   final case class MvJoinStaleDef(factRoot: String, dimRoot: String,
       factStateVersion: Long, dimStateVersion: Long,
@@ -177,6 +178,7 @@ object MvRewrite extends Rule[LogicalPlan] {
         // then join)
         defs.view.flatMap(tryRewrite(agg, _)).headOption
           .orElse(joinDefs.view.flatMap(tryRewriteJoin(agg, _)).headOption)
+          .orElse(tryRewriteUnion(agg, defs))
           .orElse(staleDefs.view.flatMap(tryRewriteStale(agg, _)).headOption)
           .orElse(joinStaleDefs.view
             .flatMap(tryRewriteJoinStale(agg, _)).headOption)
@@ -339,6 +341,104 @@ object MvRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** MULTI-VIEW UNION ROLLUP (round 16 — VERDICT r15 #4): an
+    * Aggregate over the UNION of registered snapshots — the
+    * archive ∪ current-quarter shape, the most common real MV miss
+    * after plain staleness — refolds the branches' states (one union
+    * + one groupBy over O(groups) rows each) and serves the aggregate
+    * from the refold, never scanning any branch's table. Guards:
+    *  - every union branch walks down (through the Projects
+    *    PushProjectionThroughUnion leaves in the branches) to a scan
+    *    whose path set IS some registered view's snapshot — one
+    *    unregistered branch declines the whole union;
+    *  - all matched views registered the SAME (groupKeySql, valueSql)
+    *    text: the states must share a key domain or the refold's
+    *    groupBy("g") would merge a k%10 row with a k%20 row (and the
+    *    per-branch shape checks below would judge DIFFERENT
+    *    substitutions while one plan is emitted);
+    *  - no Filter anywhere (above the union or inside a branch): the
+    *    optimizer pushes a common filter into every branch, but a
+    *    genuinely branch-local predicate applied to the COMBINED
+    *    refold would filter the other branches' contributions too —
+    *    fail-safe means declining the whole family rather than
+    *    proving the cross-branch-equality it would take to tell the
+    *    two apart;
+    *  - each branch independently passes the full
+    *    [[buildFromStateDf]] shape check (group keys functions of the
+    *    view key, count/sum/avg only — the refold carries no mn/mx,
+    *    so min/max declines structurally) with its own attribute
+    *    mapping; the emitted plan is branch 0's build over the
+    *    refolded state, identical across branches by the same-SQL
+    *    guard.
+    * unionAll semantics make the refold exact: aggregating the
+    * concatenated multisets IS summing the per-branch (n, nn, total)
+    * folds per group — including the degenerate self-union (both
+    * branches one table), where the refold doubles the state exactly
+    * as the direct plan doubles the rows.
+    */
+  private def tryRewriteUnion(agg: Aggregate, defs: Seq[MvCatalog.MvDef])
+      : Option[LogicalPlan] = {
+    if (defs.isEmpty) return None
+    val spark = org.apache.spark.sql.SparkSession.active
+    // walk to the Union, collecting Project aliases exactly like
+    // scanWithAliases (inner aliases first so outer definitions
+    // inline fully); any Filter above the union declines
+    def toUnion(plan: LogicalPlan)
+        : Option[(Union, Map[Long, Expression])] = plan match {
+      case u: Union => Some((u, Map.empty))
+      case Project(pl, child) => toUnion(child).map { case (u, inner) =>
+        (u, inner ++ pl.collect {
+          case a: Alias => a.exprId.id -> inlineWith(a.child, inner)
+        }.toMap)
+      }
+      case _ => None
+    }
+    for {
+      unionAliases <- toUnion(agg.child)
+      (u, outerAliases) = unionAliases
+      if agg.groupingExpressions.nonEmpty
+      branches <- {
+        val resolved = u.children.map { br =>
+          for {
+            scan <- scanWithAliases(br)
+            (rel, am, brPreds) = scan
+            if brPreds.isEmpty
+            paths <- pathsOf(rel)
+            d <- defs.find(_.factPaths == paths)
+            keyExpr <- resolveAgainst(spark, d.groupKeySql, rel)
+            valExpr <- resolveAgainst(spark, d.valueSql, rel)
+          } yield {
+            // one substitution map from the aggregate's expression
+            // space down to THIS branch's scan: union output attr →
+            // branch output attr (Union.output reuses branch 0's
+            // exprIds, so branch 0's entries are identities), with
+            // every value pre-inlined to scan attributes — transformUp
+            // replaces once and must land in rel space directly
+            val subst = u.output.map(_.exprId.id)
+              .zip(br.output.map(a => inlineWith(a, am))).toMap
+            val full = am ++ subst ++ outerAliases.view.mapValues(v =>
+              inlineWith(inlineWith(v, subst), am)).toMap
+            (d, keyExpr, valExpr, full)
+          }
+        }
+        if (resolved.forall(_.isDefined)) Some(resolved.map(_.get)) else None
+      }
+      if branches.map(b => (b._1.groupKeySql, b._1.valueSql)).distinct.size == 1
+      effective <- (try Some(refold(branches.map(b =>
+        stateSelect(spark, b._1.statePath)))) catch {
+        case _: Exception => None
+      })
+      built = branches.map { case (_, keyExpr, valExpr, full) =>
+        buildFromStateDf(spark, agg, effective,
+          agg.groupingExpressions.map(g =>
+            inlineWith(stripAlias(g), full)),
+          keyExpr, valExpr, full, Nil)
+      }
+      if built.forall(_.isDefined)
+      head <- built.head
+    } yield head
+  }
+
   /** Shared join-shape guard (review r15 — extracted so the fresh and
     * stale join paths cannot diverge): resolve the registered keys
     * against the assigned scans, require the join condition be
@@ -463,14 +563,25 @@ object MvRewrite extends Rule[LogicalPlan] {
       groupKeySql: String, valueSql: String)
       : org.apache.spark.sql.DataFrame = {
     val F = org.apache.spark.sql.functions
+    deltaAggCols(df.select(F.expr(groupKeySql).as("__g"),
+      F.expr(valueSql).as("__val"), F.col("__sgn")))
+  }
+
+  /** [[deltaAgg]] over a pre-projected (__g, __val, __sgn) frame —
+    * the shared fold for callers that must evaluate the key/value
+    * expressions per SIDE before a join (the stale-join compensation)
+    * rather than over one flat frame.
+    */
+  private def deltaAggCols(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val F = org.apache.spark.sql.functions
     val zero = F.lit(java.math.BigDecimal.ZERO).cast(dec382)
-    val valC = F.expr(valueSql)
-    df.groupBy(F.expr(groupKeySql).as("g"))
+    df.groupBy(F.col("__g").as("g"))
       .agg(F.sum(F.col("__sgn")).as("n"),
-        F.sum(F.when(valC.isNotNull, F.col("__sgn")).otherwise(F.lit(0L)))
-          .as("nn"),
-        F.coalesce(F.sum((valC * F.col("__sgn")).cast(dec382)), zero)
-          .cast(dec382).as("total"))
+        F.sum(F.when(F.col("__val").isNotNull, F.col("__sgn"))
+          .otherwise(F.lit(0L))).as("nn"),
+        F.coalesce(F.sum((F.col("__val") * F.col("__sgn")).cast(dec382)),
+          zero).cast(dec382).as("total"))
   }
 
   /** The persisted state normalized to the fold schema. */
@@ -512,20 +623,32 @@ object MvRewrite extends Rule[LogicalPlan] {
         val (chRoot, otherRoot, chKey, otherKey) =
           if (isFact) (d.factRoot, d.dimRoot, d.factKeySql, d.dimKeySql)
           else (d.dimRoot, d.factRoot, d.dimKeySql, d.factKeySql)
-        // rename the delta's key instead of aliasing the frames, and
-        // no broadcast() hint: SubqueryAlias and ResolvedHint nodes
-        // would survive into the substituted subtree (this rule runs
-        // AFTER EliminateSubqueryAliases/EliminateResolvedHint) and
-        // the planner has no strategy for either. The delta side is
-        // O(changes) — size-based join selection / AQE broadcasts it
-        // without the hint. Contract: beyond the join keys, fact and
-        // dim column names are disjoint — the same requirement the
-        // maintenance fold's using-join has.
-        deltaAgg(graft.sources.CommitLog.snapshot(spark, otherRoot, otherV)
-          .join(signedChanges(spark, chRoot, chV)
-            .withColumnRenamed(chKey, "__ck"),
-            F.col(otherKey) === F.col("__ck")),
-          d.groupKeySql, d.valueSql)
+        // Evaluate each side's registered expressions BEFORE the join
+        // and project everything else away (round 16 — VERDICT r15
+        // #3): the group key is a dim-side expression and the value a
+        // fact-side expression, so each is computable on its own side
+        // — joining the two pre-projected three-column frames removes
+        // the old disjoint-non-key-names contract (a column name
+        // shared by fact and dim can no longer be ambiguous; it never
+        // reaches the join). Still no SubqueryAlias / broadcast()
+        // hint: this rule runs after EliminateSubqueryAliases /
+        // EliminateResolvedHint and the planner has no strategy for
+        // either — the delta side is O(changes), so size-based join
+        // selection / AQE broadcasts it unhinted.
+        val ch = signedChanges(spark, chRoot, chV)
+        val other = graft.sources.CommitLog.snapshot(spark, otherRoot, otherV)
+        val (chProj, otherProj) =
+          if (isFact)
+            (ch.select(F.expr(chKey).as("__ck"),
+              F.expr(d.valueSql).as("__val"), F.col("__sgn")),
+              other.select(F.expr(otherKey).as("__ok"),
+                F.expr(d.groupKeySql).as("__g")))
+          else
+            (ch.select(F.expr(chKey).as("__ck"),
+              F.expr(d.groupKeySql).as("__g"), F.col("__sgn")),
+              other.select(F.expr(otherKey).as("__ok"),
+                F.expr(d.valueSql).as("__val")))
+        deltaAggCols(otherProj.join(chProj, F.col("__ok") === F.col("__ck")))
       }
       Some(refold(stateSelect(spark, d.statePath) +: deltas))
     } catch { case _: Exception => None }

@@ -716,6 +716,35 @@ object LakehouseQueries {
         .orderBy("g3")
     }),
 
+    // S63 (round 16 — VERDICT r15 #4): MULTI-VIEW UNION ROLLUP. The
+    // archive ∪ current-quarter shape: the query aggregates the UNION
+    // of the S12 lifecycle's final snapshot and a separate ARCHIVE
+    // table (the k%4==1 slice the lifecycle deleted, original prices)
+    // — each with its own registered (k%10, p) view — and MvRewrite
+    // recognizes the union, refolds BOTH states (one union + one
+    // 20-row groupBy) and serves the aggregate without scanning
+    // either table (Round16OpsSpec pins both state paths present and
+    // both fact roots absent, plus the negative: one branch
+    // unregistered declines). unionAll semantics make the refold
+    // exact — aggregating concatenated multisets IS summing the
+    // per-branch folds per group. At 100 TB this is the most common
+    // real MV miss after staleness: the hot quarter and the archive
+    // each maintain a state, and the all-history dashboard union
+    // reads 2 × O(groups) rows instead of both tables.
+    "view_rewrite_union" -> ((s, d) => {
+      val (root, vLast) = registerOrdersView(s, d)
+      val (archRoot, archV) = registerArchView(s, d)
+      graft.sources.CommitLog.snapshot(s, root, vLast)
+        .select(col("k"), col("p"))
+        .unionAll(graft.sources.CommitLog.snapshot(s, archRoot, archV)
+          .select(col("k"), col("p")))
+        .groupBy((col("k") % 10).as("g"))
+        .agg(count(lit(1)).as("n"), sum(col("p")).as("sum_p"))
+        .select(col("g"), col("n"),
+          col("sum_p").cast(DecimalType(38, 2)).as("total"))
+        .orderBy("g")
+    }),
+
     // S53 (round 14): MULTI-KEY ROLLUP REWRITE — the dashboard
     // hierarchy shape: TWO grouping keys, each a function of the view
     // key (a CASE band over k%10 plus the key itself), rewritten to a
@@ -2019,6 +2048,12 @@ object LakehouseQueries {
   private val aggViewStateDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  private val archTableDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val archStateDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private val joinViewStateDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -2156,6 +2191,60 @@ object LakehouseQueries {
       s.experimental.extraOptimizations =
         s.experimental.extraOptimizations :+ graft.plans.MvRewrite
     (root, vLast)
+  }
+
+  /** The ARCHIVE table for the S63 union rewrite: a single-version
+    * commit-log table holding the k%4==1 slice the S12 lifecycle
+    * deleted at v3, at ORIGINAL prices — together the two snapshots
+    * partition a repriced copy of orders, the archive ∪ current
+    * split. Built once per (sfDir, orders fingerprint).
+    */
+  private[graft] def archTable(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    graft.queries.ScaleQueries.freshDir(archTableDir, d, "orders") {
+      import graft.sources.CommitLog
+      val dir = java.nio.file.Files.createTempDirectory("graft_archtab").toString
+      load(s, d, "orders")
+        .select(col("o_orderkey").as("k"), dec(col("o_totalprice")).as("p"))
+        .filter(col("k") % 4 === 1)
+        .coalesce(1).write.parquet(s"$dir/data/v0")
+      CommitLog.commit(dir, 0L, Seq("data/v0"))
+      dir
+    }
+
+  /** Register the archive-by-(k%10) view for the S63 union rewrite.
+    * The archive is born complete (one insert version), so its state
+    * is the direct (g, n, nn, total) fold of the v0 snapshot — how a
+    * state was produced is irrelevant to the rewrite; its CONTENT is
+    * the contract. Returns (table root, version 0).
+    */
+  private def registerArchView(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, Long) = {
+    import graft.sources.CommitLog
+    val root = archTable(s, d)
+    val stDir = graft.queries.ScaleQueries.freshDir(archStateDir, d,
+        "orders") {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_archstate").toString
+      val zero = lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 2))
+      CommitLog.snapshot(s, root, 0L)
+        .groupBy((col("k") % 10).as("g"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("p").isNotNull, lit(1L)).otherwise(lit(0L))).as("nn"),
+          coalesce(sum(col("p").cast(DecimalType(38, 2))), zero)
+            .cast(DecimalType(38, 2)).as("total"))
+        .write.parquet(s"$dir/v0")
+      dir
+    }
+    graft.plans.MvCatalog.register("orders_arch_by_g",
+      graft.plans.MvCatalog.MvDef(
+        CommitLog.units(root, 0L).map(u => java.nio.file.Paths.get(u)
+          .toAbsolutePath.normalize.toString).toSet,
+        "k % 10", "p", s"$stDir/v0"))
+    if (!s.experimental.extraOptimizations.contains(graft.plans.MvRewrite))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.MvRewrite
+    (root, 0L)
   }
 
   /** The incrementally-maintained fact⋈dim grouped state (g, n, nn,
@@ -2827,6 +2916,19 @@ object LakehouseQueries {
         |SELECT k % 10 AS g, CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(p) AS DECIMAL(38,2)) AS total
         |FROM fin GROUP BY 1 ORDER BY g""".stripMargin,
+    // S63 twin: lifecycle-final ∪ archive slice aggregated directly —
+    // the rewrite may refold two states, never change values.
+    "view_rewrite_union" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        | v1 AS (SELECT k, CASE WHEN k % 4 = 2
+        |     THEN CAST(p * 2 AS DECIMAL(18,2)) ELSE p END AS p FROM base),
+        | fin AS (SELECT k, p FROM v1 WHERE k % 4 <> 1),
+        | arch AS (SELECT k, p FROM base WHERE k % 4 = 1),
+        | un AS (SELECT * FROM fin UNION ALL SELECT * FROM arch)
+        |SELECT k % 10 AS g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(p) AS DECIMAL(38,2)) AS total
+        |FROM un GROUP BY 1 ORDER BY g""".stripMargin,
     // S53 twin: the two-key rollup computed directly from the fact
     // arithmetic.
     "view_rewrite_multikey" ->

@@ -274,10 +274,20 @@ object LlmQueries {
     // shingles (seeded ⇒ deterministic). No DuckDB twin (LSH is not
     // SQL-expressible); the unit test asserts recall of the planted
     // shared-prefix groups instead.
-    "dedup_near" -> ((s, d) =>
-      GraftOps.minHashNearDupPairs(load(s, d, "documents"), "doc_id", "text",
-        maxJaccardDist = 0.5)
-        .orderBy("a_id", "b_id")),
+    // Round 16 (VERDICT r15 #1): representative collapse in front of
+    // the LSH tier — signatures are a pure function of the text, so
+    // rep pairs expand EXACTLY to the full pair set (cross fan-out +
+    // within-group pairs at Jaccard distance 0); the planted-truth
+    // recall pin is unchanged.
+    "dedup_near" -> ((s, d) => {
+      val (reps, members) =
+        GraftOps.collapseReplicas(load(s, d, "documents"), "doc_id", "text")
+      GraftOps.expandRepPairs(
+          GraftOps.minHashNearDupPairs(reps, "doc_id", "text",
+            maxJaccardDist = 0.5),
+          members, "doc_id")
+        .orderBy("a_id", "b_id")
+    }),
 
     // SimHash near-dedup: 64-bit fingerprints from per-word hashes,
     // candidates via C(8,2)=28 block-pair tables (16-bit keys —
@@ -287,9 +297,18 @@ object LlmQueries {
     // ~0.7 to ≥0.9 on this short-doc corpus while the verify holds
     // precision; the xxhash64 word hash is engine-specific ⇒ no
     // oracle, planted-truth tested instead.
+    // Round 16: same representative collapse as dedup_near — identical
+    // texts have identical fingerprints (hamming 0, every band-pair
+    // table collides, verify Jaccard 1), so within-group pairs carry
+    // hamming = 0 and cross pairs carry the representatives' hamming.
     "dedup_simhash" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
-      GraftOps.simhashPairs(load(s, d, "documents"), "doc_id", "text")
+      val (reps, members) =
+        GraftOps.collapseReplicas(load(s, d, "documents"), "doc_id", "text")
+      GraftOps.expandRepPairs(
+          GraftOps.simhashPairs(reps, "doc_id", "text"),
+          members, "doc_id", passCols = Seq("hamming"),
+          withinExtras = Seq(lit(0).cast("int").as("hamming")))
         .orderBy("a_id", "b_id")
     }),
 

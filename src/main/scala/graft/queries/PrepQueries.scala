@@ -313,10 +313,30 @@ object PrepQueries {
     // round 6; the exact levenshtein verify is unchanged. maxBlock = 3
     // here is deliberately tiny so BOTH routes run and are
     // oracle-checked at the sf0.01 gate; the production default is
-    // 1024.
+    // 1024. SEMANTICS NOTE (ADVICE r15): with maxBlock this small the
+    // entry's contract is the APPROXIMATE one — nearly every real
+    // block takes the banded route, whose worst-case band recall for
+    // dist-5 pairs of 60-char prefixes is ~0.8 (the oracle mirrors
+    // the same banding, so the gate checks the routed pipeline, not
+    // exact completeness). The exact contract at the production
+    // threshold is the separately-named `dedup_fuzzy_exact` below.
     "dedup_fuzzy" -> ((s, d) =>
       graft.api.GraftOps.fuzzyPrefixPairs(load(s, d, "documents"),
         "doc_id", "text", prefixLen = 60, maxDist = 5, maxBlock = 3)
+        .orderBy("a_id", "b_id")),
+
+    // N15b (round 16 — ADVICE r15): the SAME operator at its
+    // production threshold (maxBlock = 1024), where every sf0.01
+    // block (largest = 4 docs) takes the exact within-block route —
+    // so this entry's oracle is the UNROUTED exact blocked join and
+    // the gate pins exact-completeness semantics, the contract a
+    // production caller gets on all but pathological flood blocks.
+    // Together the two entries make the exact/approximate split an
+    // explicit, separately-named surface instead of a hidden
+    // parameter choice.
+    "dedup_fuzzy_exact" -> ((s, d) =>
+      graft.api.GraftOps.fuzzyPrefixPairs(load(s, d, "documents"),
+        "doc_id", "text", prefixLen = 60, maxDist = 5, maxBlock = 1024)
         .orderBy("a_id", "b_id")),
 
     // N16: sliding-window distinct — unique users per 2-hour window
@@ -610,6 +630,19 @@ object PrepQueries {
         | allp AS (SELECT * FROM small_pairs UNION ALL SELECT * FROM hot_pairs)
         | SELECT a_id, b_id, CAST(levenshtein(pa, pb) AS BIGINT) AS dist
         | FROM allp WHERE levenshtein(pa, pb) <= 5
+        | ORDER BY a_id, b_id""".stripMargin,
+    // exact-route contract: at sf0.01 every block is <= 1024 docs, so
+    // the Spark side's routed operator degenerates to the plain
+    // within-block self-join this SQL expresses — the gate pins exact
+    // completeness at the production threshold
+    "dedup_fuzzy_exact" ->
+      """WITH d AS (SELECT doc_id, substring(text, 1, 60) AS p,
+        |    array_to_string((string_split(text, ' '))[1:2], ' ') AS blk
+        |  FROM documents)
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |   CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
+        | FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        | WHERE levenshtein(a.p, b.p) <= 5
         | ORDER BY a_id, b_id""".stripMargin,
     "agg_window_distinct" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

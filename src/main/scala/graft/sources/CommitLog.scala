@@ -232,8 +232,15 @@ object CommitLog {
         logDir(table).resolve(f"v$version%05d.cstats.txt"))) return df
     val cs = colStats(table, version)
     if (cs.isEmpty) return df
-    val lead = cs.head.col
-    val rowCount = cs.filter(_.col == lead).map(_.count).sum
+    // row-count authority = MAX over per-column count sums (ADVICE
+    // r15): schema-on-read evolution can add a column mid-history, so
+    // the sidecar's FIRST column may be absent from early units and
+    // its sum would silently understate rows (stats-only, but enough
+    // to flip a broadcast decision). Per-column counts include nulls,
+    // so any column present in every unit sums to the true row count
+    // and every partially-covered column sums lower — max picks a
+    // fully-covered column without needing to know which one it is.
+    val rowCount = cs.groupBy(_.col).map(_._2.map(_.count).sum).max
     // units are routinely DIRECTORIES of part files (review r15:
     // Files.size on a directory returns the inode size, which would
     // report a multi-GB snapshot as a few KB and broadcast the huge

@@ -330,7 +330,11 @@ class Round15OpsSpec extends GraftSpec {
         .agg(count(lit(1)).as("n"),
           sum(col("p")).cast(DecimalType(38, 2)).as("total"))
         .orderBy("g")
-      assert(df.queryExecution.executedPlan.toString.contains("state"),
+      // ADVICE r15: pin the FULL statePath, not the bare word "state"
+      // (which matches any path/operator containing it) — the
+      // rewrite-fired precondition must be real before the NULL-merge
+      // assertion below means anything
+      assert(df.queryExecution.executedPlan.toString.contains(statePath),
         "NULL-g fixture rewrite did not fire")
       val rows = df.collect()
       // review r15: the full_outer-merge formulation emitted TWO
