@@ -275,19 +275,16 @@ object LlmQueries {
     // SQL-expressible); the unit test asserts recall of the planted
     // shared-prefix groups instead.
     // Round 16 (VERDICT r15 #1): representative collapse in front of
-    // the LSH tier — signatures are a pure function of the text, so
-    // rep pairs expand EXACTLY to the full pair set (cross fan-out +
-    // within-group pairs at Jaccard distance 0); the planted-truth
-    // recall pin is unchanged.
-    "dedup_near" -> ((s, d) => {
-      val (reps, members) =
-        GraftOps.collapseReplicas(load(s, d, "documents"), "doc_id", "text")
-      GraftOps.expandRepPairs(
-          GraftOps.minHashNearDupPairs(reps, "doc_id", "text",
-            maxJaccardDist = 0.5),
-          members, "doc_id")
-        .orderBy("a_id", "b_id")
-    }),
+    // the LSH tier when the corpus has exact replicas — signatures
+    // are a pure function of the text, so rep pairs expand EXACTLY to
+    // the full pair set (cross fan-out + within-group pairs at
+    // Jaccard distance 0); below a 10% replica fraction the gate
+    // short-circuits to the direct tier. Planted-truth pin unchanged.
+    "dedup_near" -> ((s, d) =>
+      GraftOps.collapsedPairs(load(s, d, "documents"), "doc_id", "text")(
+          GraftOps.minHashNearDupPairs(_, "doc_id", "text",
+            maxJaccardDist = 0.5))
+        .orderBy("a_id", "b_id")),
 
     // SimHash near-dedup: 64-bit fingerprints from per-word hashes,
     // candidates via C(8,2)=28 block-pair tables (16-bit keys —
@@ -297,18 +294,16 @@ object LlmQueries {
     // ~0.7 to ≥0.9 on this short-doc corpus while the verify holds
     // precision; the xxhash64 word hash is engine-specific ⇒ no
     // oracle, planted-truth tested instead.
-    // Round 16: same representative collapse as dedup_near — identical
+    // Round 16: same adaptive collapse as dedup_near — identical
     // texts have identical fingerprints (hamming 0, every band-pair
     // table collides, verify Jaccard 1), so within-group pairs carry
     // hamming = 0 and cross pairs carry the representatives' hamming.
     "dedup_simhash" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
-      val (reps, members) =
-        GraftOps.collapseReplicas(load(s, d, "documents"), "doc_id", "text")
-      GraftOps.expandRepPairs(
-          GraftOps.simhashPairs(reps, "doc_id", "text"),
-          members, "doc_id", passCols = Seq("hamming"),
-          withinExtras = Seq(lit(0).cast("int").as("hamming")))
+      GraftOps.collapsedPairs(load(s, d, "documents"), "doc_id", "text",
+          passCols = Seq("hamming"),
+          withinExtras = Seq(lit(0).cast("int").as("hamming")))(
+          GraftOps.simhashPairs(_, "doc_id", "text"))
         .orderBy("a_id", "b_id")
     }),
 

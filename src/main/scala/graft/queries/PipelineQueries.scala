@@ -235,21 +235,20 @@ object PipelineQueries {
     "dedup_cluster" -> ((s, d) => {
       val docs = load(s, d, "documents")
       // Round 16 (VERDICT r15 #1): collapse exact replicas to a
-      // min-id representative BEFORE the pair-graph build — the sf1
-      // corpus (like any crawl) is replica-dominated, so the blocked
-      // self-join's candidate volume shrinks quadratically in the
-      // replica factor. Loss-free: replicas share their rep's block/
-      // shingles (Jaccard 1), so the component structure over reps,
-      // re-expanded through the membership, IS the full-corpus
-      // clustering, and each component's min label is unchanged (the
-      // rep is already its group's min id) — the DuckDB closure
+      // min-id representative BEFORE the pair-graph build when the
+      // corpus has any — a real crawl is replica-dominated and the
+      // blocked self-join's candidate volume shrinks quadratically in
+      // the replica factor. Loss-free: replicas share their rep's
+      // block/shingles (Jaccard 1), so the component structure over
+      // reps, re-expanded through the membership, IS the full-corpus
+      // clustering with unchanged min labels — the DuckDB closure
       // oracle below is computed over ALL docs and still matches.
-      val (reps, members) = GraftOps.collapseReplicas(docs, "doc_id", "text")
-      val pairs = GraftOps.ngramJaccardPairs(reps, "doc_id", "text", minJaccard = 0.8)
-      members.join(
-          GraftOps.connectedComponents(reps, "doc_id", pairs, "a_id", "b_id")
-            .withColumnRenamed("id", "__rep"), "__rep")
-        .select(col("doc_id"), col("cluster"))
+      // Below a 10% replica fraction (this driver's synthetic copies
+      // carry distinct prefix tokens by design — factor ~1.0) the
+      // operator short-circuits to the direct formulation after one
+      // cheap count, so stray duplicates cost nothing.
+      GraftOps.collapsedClusters(docs, "doc_id", "text")(
+          GraftOps.ngramJaccardPairs(_, "doc_id", "text", minJaccard = 0.8))
         .orderBy("doc_id")
     }),
 

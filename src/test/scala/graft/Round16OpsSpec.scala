@@ -101,6 +101,39 @@ class Round16OpsSpec extends GraftSpec {
     assert(Seq(1L, 9L, 50L, 10L, 11L).forall(viaReps(_) == 1L), viaReps.toString)
   }
 
+  test("collapsedPairs routes both ways and equals the direct tier either way") {
+    def direct(df: org.apache.spark.sql.DataFrame) = pairSet(
+      graft.api.GraftOps.minHashNearDupPairs(df, "doc_id", "text",
+        maxJaccardDist = 0.5))
+    def adaptive(df: org.apache.spark.sql.DataFrame) = pairSet(
+      graft.api.GraftOps.collapsedPairs(df, "doc_id", "text")(
+        graft.api.GraftOps.minHashNearDupPairs(_, "doc_id", "text",
+          maxJaccardDist = 0.5)))
+    // replica-bearing corpus → collapse + expansion branch
+    assert(adaptive(corpus) == direct(corpus))
+    // replica-free corpus (drop the copies; NULL singletons are not
+    // replicas — each is its own representative) → short-circuit
+    // branch, the tier runs directly on the input
+    val free = corpus.filter(!col("doc_id").isin(9L, 50L, 11L, 31L))
+    assert(adaptive(free) == direct(free))
+  }
+
+  test("collapsedClusters routes both ways and equals the direct clustering") {
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      graft.api.GraftOps.ngramJaccardPairs(df, "doc_id", "text",
+        minJaccard = 0.8)
+    def direct(df: org.apache.spark.sql.DataFrame) =
+      graft.api.GraftOps.connectedComponents(df, "doc_id", pairsOf(df),
+          "a_id", "b_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def adaptive(df: org.apache.spark.sql.DataFrame) =
+      graft.api.GraftOps.collapsedClusters(df, "doc_id", "text")(pairsOf)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(adaptive(corpus) == direct(corpus))
+    val free = corpus.filter(!col("doc_id").isin(9L, 50L, 11L, 31L))
+    assert(adaptive(free) == direct(free))
+  }
+
   // ---- MV union rollup (VERDICT r15 #4) ------------------------------
 
   private def unionQuery(): org.apache.spark.sql.DataFrame = {
@@ -155,6 +188,121 @@ class Round16OpsSpec extends GraftSpec {
       assert(plan.contains("graft_archtab"),
         "archive branch not scanned directly:\n" + plan.take(3000))
     } finally SparkEntry.queries("view_rewrite_union")(spark, sf).count()
+  }
+
+  // VERDICT r15 #3: fact and dim sharing a NON-key column name must
+  // pass through the stale-join compensation — each side's registered
+  // expressions are now evaluated before the compensation join, so no
+  // shared name can be ambiguous (the old disjoint-names registration
+  // contract is gone).
+  test("stale join compensation tolerates fact/dim sharing a non-key column name") {
+    import spark.implicits._
+    import graft.sources.CommitLog
+    import org.apache.spark.sql.types.DecimalType
+    val t = java.nio.file.Files
+      .createTempDirectory("graft_r16_shared").toString
+    val fact = s"$t/fact"
+    val dim = s"$t/dim"
+    // BOTH tables carry a column named "note" (non-key, non-value)
+    Seq((1L, "10.00", "fa"), (2L, "20.00", "fb"))
+      .toDF("k", "ps", "note").select(col("k"),
+        col("ps").cast(DecimalType(18, 2)).as("p"), col("note"))
+      .coalesce(1).write.parquet(s"$fact/u0")
+    CommitLog.commit(fact, 0L, Seq("u0"))
+    Seq((3L, "30.00", "fc")).toDF("k", "ps", "note").select(col("k"),
+        col("ps").cast(DecimalType(18, 2)).as("p"), col("note"))
+      .coalesce(1).write.parquet(s"$fact/u1")
+    CommitLog.commit(fact, 1L, Seq("u0", "u1"))
+    Seq((1L, 7L, "da"), (2L, 5L, "db"), (3L, 7L, "dc"))
+      .toDF("k", "g", "note").coalesce(1).write.parquet(s"$dim/u0")
+    CommitLog.commit(dim, 0L, Seq("u0"))
+    val statePath = s"$t/state"
+    CommitLog.snapshot(spark, fact, 0L).select("k", "p")
+      .join(CommitLog.snapshot(spark, dim, 0L).select("k", "g"), "k")
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("p").isNotNull, lit(1L)).otherwise(lit(0L))).as("nn"),
+        sum(col("p").cast(DecimalType(38, 2)))
+          .cast(DecimalType(38, 2)).as("total"))
+      .write.parquet(statePath)
+    graft.plans.MvCatalog.registerJoinStale("tmp_shared_stale",
+      graft.plans.MvCatalog.MvJoinStaleDef(fact, dim, 0L, 0L,
+        tail = Seq((true, 1L, 0L)), "k", "k", "g", "p", statePath))
+    try {
+      val df = CommitLog.snapshot(spark, fact, 1L).select(col("k"), col("p"))
+        .join(CommitLog.snapshot(spark, dim, 0L).select(col("k"), col("g")),
+          "k")
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("p")).cast(DecimalType(38, 2)).as("total"))
+        .orderBy("g")
+      assert(df.queryExecution.executedPlan.toString.contains(statePath),
+        "shared-name fixture rewrite did not fire")
+      val rows = df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDecimal(2).toPlainString)).toSet
+      // g=7 merges state (k=1: 10.00) + compensated v1 append (k=3:
+      // 30.00); g=5 untouched from state
+      assert(rows == Set((5L, 1L, "20.00"), (7L, 2L, "40.00")), rows.toString)
+    } finally graft.plans.MvCatalog.drop("tmp_shared_stale")
+  }
+
+  // VERDICT r15 #5: the stale path feeds the shared buildFromStateDf,
+  // so predicate subsumption and rollup over a COMPENSATED state work
+  // structurally — pin the composition (values + both plan
+  // directions) so it can't silently regress.
+  test("stale compensation composes with predicate subsumption and rollup") {
+    import graft.sources.CommitLog
+    val (root, _) =
+      graft.queries.LakehouseQueries.registerStaleOrdersView(spark, sf)
+    // whole-group filter (a function of the view key) over a scan
+    // NEWER than the state: rewrite fires, filter runs over the
+    // compensated refold, v0 bulk stays out of the plan
+    def filtered() = CommitLog.snapshot(spark, root, 1L)
+      .filter((col("k") % 7).isin(1, 3, 5))
+      .groupBy((col("k") % 7).as("g"))
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("sum_p"))
+      .select(col("g"), col("n"), col("sum_p")
+        .cast(org.apache.spark.sql.types.DecimalType(38, 2)).as("total"))
+      .orderBy("g")
+    val df = filtered()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_stalestate"),
+      "stale + predicate did not reroute:\n" + plan.take(3000))
+    assert(!plan.contains("data/v0"),
+      "stale + predicate still reads the v0 bulk:\n" + plan.take(3000))
+    val got = df.collect().map(_.toSeq).toSeq
+    // values equal the direct filtered aggregate with the view dropped
+    graft.plans.MvCatalog.drop("orders_append_stale_k7")
+    try {
+      val off = filtered()
+      assert(!off.queryExecution.executedPlan.toString
+        .contains("graft_stalestate"))
+      assert(off.collect().map(_.toSeq).toSeq == got,
+        "stale + predicate rewrite diverges from the direct aggregate")
+      // rollup VALUES through the compensation (r15 pinned the plan
+      // only): coarser key over the compensated state == direct
+      val direct = CommitLog.snapshot(spark, root, 1L)
+        .groupBy(((col("k") % 7) % 2).as("g2"))
+        .agg(count(lit(1)).as("n")).orderBy("g2")
+        .collect().map(_.toSeq).toSeq
+      graft.queries.LakehouseQueries.registerStaleOrdersView(spark, sf)
+      val roll = CommitLog.snapshot(spark, root, 1L)
+        .groupBy(((col("k") % 7) % 2).as("g2"))
+        .agg(count(lit(1)).as("n")).orderBy("g2")
+      assert(roll.queryExecution.executedPlan.toString
+        .contains("graft_stalestate"))
+      assert(roll.collect().map(_.toSeq).toSeq == direct,
+        "stale rollup diverges from the direct aggregate")
+    } finally
+      graft.queries.LakehouseQueries.registerStaleOrdersView(spark, sf)
+    // NEGATIVE: a row-level predicate (on the value column) declines
+    // the whole rewrite — compensation must not serve filtered rows
+    val row = CommitLog.snapshot(spark, root, 1L)
+      .filter(col("p") > 10)
+      .groupBy((col("k") % 7).as("g")).agg(count(lit(1)).as("n"))
+    assert(!row.queryExecution.executedPlan.toString
+      .contains("graft_stalestate"),
+      "row-level predicate wrongly rerouted through compensation")
   }
 
   test("MV union rewrite: coarser rollup over the union re-aggregates the refold") {
