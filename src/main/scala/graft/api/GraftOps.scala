@@ -95,8 +95,7 @@ object GraftOps {
     */
   def collapseReplicas(df: DataFrame, idCol: String, textCol: String)
       : (DataFrame, DataFrame) = {
-    val keyed = df.withColumn("__dg",
-      coalesce(md5(col(textCol)), concat(lit("\u0000null:"), col(idCol))))
+    val keyed = df.withColumn("__dg", collapseDigest(idCol, textCol))
     val groups = keyed.groupBy("__dg").agg(min(col(idCol)).as("__rep"))
     val membership = keyed.select(col(idCol), col("__dg"))
       .join(groups, "__dg").select(col(idCol), col("__rep"))
@@ -104,6 +103,89 @@ object GraftOps {
         Seq("__dg", idCol), "left_semi").drop("__dg")
     (reps, membership)
   }
+
+  /** The collapse grouping key: md5 of the raw text, with NULL texts
+    * forced into per-row singleton groups (the sentinel cannot
+    * collide with 32-hex-char digests).
+    */
+  private def collapseDigest(idCol: String, textCol: String): Column =
+    coalesce(md5(col(textCol)), concat(lit("\u0000null:"), col(idCol)))
+
+  /** A pair tier through the representative collapse, with a
+    * REPLICA-FRACTION GATE (round 16, measured): on a corpus with few
+    * exact replicas the collapse is a near-identity — but its
+    * semi-join feeds every recompute of the tier's internal frames
+    * and the expansion joins ride the full (possibly huge) pair
+    * output, a measured +40% on dedup_simhash at sf1 (whose synthetic
+    * copies carry distinct prefix tokens BY DESIGN, replica factor
+    * 1.0016). So pay one scalar aggregate (count + distinct-digest
+    * count, combinable two-phase, no join — the same class of
+    * driver-side scalar as an iterative loop's convergence count) and
+    * route: representatives > 90% of docs → the tier runs DIRECTLY on
+    * the input, plans byte-identical to the uncollapsed operator;
+    * otherwise → tier over representatives + exact [[expandRepPairs]]
+    * expansion, the quadratic-shrinking path a replica-dominated
+    * crawl needs, with the reps/membership frames persisted once
+    * (reuse materializer) so the tier's internal recomputes and the
+    * expansion's four membership scans read cached blocks.
+    *
+    * Route equivalence: for a tier whose pair set is a pure function
+    * of each document's text the two routes produce the SAME rows
+    * ([[expandRepPairs]] exactness; Round16OpsSpec pins both). For a
+    * FLOOD-GUARDED tier (ngramJaccardPairs / fuzzyPrefixPairs above
+    * maxBlock) the collapse shrinks per-block counts, so blocks near
+    * the cap may take the exact route collapsed where they banded
+    * direct — the collapsed route's recall DOMINATES the direct
+    * route's (banding is a recall filter; the exact route is
+    * complete), so crossing the gate can only move the result TOWARD
+    * the unrouted-exact answer, never away from it.
+    */
+  def collapsedPairs(df: DataFrame, idCol: String, textCol: String,
+      passCols: Seq[String] = Nil, withinExtras: Seq[Column] = Nil)
+      (tier: DataFrame => DataFrame): DataFrame =
+    if (!collapsePays(df, idCol, textCol))
+      tier(df).select(col("a_id") +: col("b_id") +: passCols.map(col): _*)
+    else {
+      val mat = reuseMaterializer(df, None)
+      val (reps, members) = collapseReplicas(df, idCol, textCol)
+      expandRepPairs(tier(mat(reps)), mat(members), idCol, passCols,
+        withinExtras)
+    }
+
+  /** The shared collapse-route gate: true iff representatives
+    * (= distinct collapse digests) are ≤ 90% of documents. One
+    * combinable two-phase aggregate, no join; an EMPTY input routes
+    * direct (count(distinct) folds to 0 — no NULL surprises, and the
+    * direct plan is the cheaper identity on nothing).
+    */
+  private def collapsePays(df: DataFrame, idCol: String,
+      textCol: String): Boolean = {
+    val row = df.agg(count(lit(1)).as("n"),
+      countDistinct(collapseDigest(idCol, textCol)).as("nr")).head()
+    row.getLong(0) > 0L && row.getLong(1) * 10L <= row.getLong(0) * 9L
+  }
+
+  /** [[collapsedPairs]]' clustering twin: connected components over a
+    * tier's pair graph, built on representatives when the gate routes
+    * through the collapse (membership re-expands each doc to its
+    * representative's cluster; the component min-label is unchanged
+    * because every representative is already its group's min id) and
+    * directly otherwise. Output: (idCol, cluster).
+    */
+  def collapsedClusters(df: DataFrame, idCol: String, textCol: String)
+      (pairsOf: DataFrame => DataFrame): DataFrame =
+    if (!collapsePays(df, idCol, textCol))
+      connectedComponents(df, idCol, pairsOf(df), "a_id", "b_id")
+        .select(col("id").as(idCol), col("cluster"))
+    else {
+      val mat = reuseMaterializer(df, None)
+      val (reps, members) = collapseReplicas(df, idCol, textCol)
+      val r = mat(reps)
+      mat(members).join(
+          connectedComponents(r, idCol, pairsOf(r), "a_id", "b_id")
+            .withColumnRenamed("id", "__rep"), "__rep")
+        .select(col(idCol), col("cluster"))
+    }
 
   /** Re-expand representative-level near-dup pairs to all-document
     * pairs through a [[collapseReplicas]] membership. The full-corpus
@@ -119,68 +201,6 @@ object GraftOps {
     * honestly quadratic in replica count (it IS the answer), but no
     * signature or verify work is spent producing it.
     */
-  /** A pair tier through the representative collapse, with a
-    * REPLICA-COUNT SHORT-CIRCUIT (round 16, measured): on a corpus
-    * with no exact replicas the collapse is an identity — but its
-    * semi-join feeds every recompute of the tier's internal frames
-    * and the expansion joins ride the full (possibly huge) pair
-    * output, a measured +40% on dedup_simhash at sf1 (whose synthetic
-    * copies carry distinct prefix tokens BY DESIGN, replica factor
-    * 1.0). So pay one cheap scalar aggregate over the membership
-    * (scan + 16-byte-digest combinable groupBy — the same class of
-    * driver-side scalar as an iterative loop's convergence count) and
-    * route: no replicas → the tier runs DIRECTLY on the input, plans
-    * byte-identical to the uncollapsed operator; replicas present →
-    * tier over representatives + exact [[expandRepPairs]] expansion,
-    * the quadratic-shrinking path a replica-dominated crawl needs.
-    * Both routes produce the same rows ([[expandRepPairs]] exactness;
-    * Round16OpsSpec pins both), so the gate is a pure COST heuristic:
-    * collapse only when representatives shrink the corpus by ≥ 10%
-    * (`reps ≤ 0.9 × docs`) — a handful of stray duplicates (this sf1
-    * corpus: 80 in 50k) never justifies re-routing every internal
-    * recompute through the collapse semi-join.
-    */
-  def collapsedPairs(df: DataFrame, idCol: String, textCol: String,
-      passCols: Seq[String] = Nil, withinExtras: Seq[Column] = Nil)
-      (tier: DataFrame => DataFrame): DataFrame = {
-    val (reps, members) = collapseReplicas(df, idCol, textCol)
-    if (!collapsePays(members, idCol))
-      tier(df).select(col("a_id") +: col("b_id") +: passCols.map(col): _*)
-    else expandRepPairs(tier(reps), members, idCol, passCols, withinExtras)
-  }
-
-  /** The shared collapse-route gate: true iff representatives are
-    * ≤ 90% of documents. One scalar aggregate over the membership —
-    * the same class of driver-side scalar as an iterative loop's
-    * convergence count.
-    */
-  private def collapsePays(members: DataFrame, idCol: String): Boolean = {
-    val row = members.agg(count(lit(1)).as("n"),
-      sum(when(col(idCol) === col("__rep"), lit(1L)).otherwise(lit(0L)))
-        .as("nr")).head()
-    row.getLong(1) * 10L <= row.getLong(0) * 9L
-  }
-
-  /** [[collapsedPairs]]' clustering twin: connected components over a
-    * tier's pair graph, built on representatives when replicas exist
-    * (membership re-expands each doc to its representative's cluster;
-    * the component min-label is unchanged because every
-    * representative is already its group's min id) and directly
-    * otherwise. Output: (idCol, cluster).
-    */
-  def collapsedClusters(df: DataFrame, idCol: String, textCol: String)
-      (pairsOf: DataFrame => DataFrame): DataFrame = {
-    val (reps, members) = collapseReplicas(df, idCol, textCol)
-    if (!collapsePays(members, idCol))
-      connectedComponents(df, idCol, pairsOf(df), "a_id", "b_id")
-        .select(col("id").as(idCol), col("cluster"))
-    else
-      members.join(
-          connectedComponents(reps, idCol, pairsOf(reps), "a_id", "b_id")
-            .withColumnRenamed("id", "__rep"), "__rep")
-        .select(col(idCol), col("cluster"))
-  }
-
   def expandRepPairs(repPairs: DataFrame, membership: DataFrame,
       idCol: String, passCols: Seq[String] = Nil,
       withinExtras: Seq[Column] = Nil): DataFrame = {

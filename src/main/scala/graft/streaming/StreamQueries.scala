@@ -181,6 +181,12 @@ object StreamQueries {
         .unionAll(base.filter(col("k") % 3 === 1)), "k")
     CommitLog.applyDeletes(s, root, "k")
     drain()
+    // the checkpoint only matters BETWEEN the two drains above; the
+    // built table/state are static afterward, so reclaim it here
+    // (review r16: the cache tuple only carries root + stateDir, and
+    // ckpt lands preferentially on RAM-backed /dev/shm — leaking one
+    // per regen contradicts the cache's reclaim contract)
+    graft.queries.ScaleQueries.deleteRecursively(ckpt)
     (root, stateDir, CommitLog.versions(root).last)
   }
 
