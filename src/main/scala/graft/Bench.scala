@@ -39,31 +39,26 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
     }
-    // Cache-lifetime policy (round 9, VERDICT r8 "What's wrong" #3):
-    // r8 released every reuse-materialized frame after each query —
-    // staleness-safe but it forfeited ~15-20 s/round of legitimate
-    // cross-query reuse (the dedup family shares shingle subtrees,
-    // graph queries share edge lists) that r7's numbers enjoyed. The
-    // actual hazard the release guarded is a driver testdata regen
-    // mid-JVM making CacheManager's canonical-plan substitution serve
-    // stale blocks. So guard THAT, directly: before each query, probe
-    // the source-table fingerprints (Tables.fingerprint = size +
-    // mtime-ns + head/tail CRC, ~1 ms for all ten tables, page-cache
-    // resident) and release pinned frames only when a fingerprint
-    // actually changed. Same staleness contract, none of the blanket
-    // recompute. Storage growth across the loop is bounded by Spark's
-    // LRU block eviction (MEMORY_AND_DISK).
-    def tableFingerprints(): String =
-      Tables.names.map(t =>
-        try Tables.fingerprint(sfDir, t)
-        catch { case _: Exception => "?" }).mkString(";")
-    var lastFp: String = null
+    // Cache-lifetime policy (round 17 — VERDICT r16 #2, reversing the
+    // round-9 cross-query-reuse policy with a measurement): keeping
+    // every reuse-materialized frame pinned across the 373-query loop
+    // made the sf1 TAIL numbers cache-pressure artifacts, not operator
+    // costs — dedup_cluster archived 198-208 s in-run vs 33-37 s
+    // isolated min-of-3 (ClusterAB, SCALE.md round-16) because earlier
+    // queries' persisted frames evicted its shingle cache. An archive
+    // whose tail can't be compared across rounds is worse than the
+    // ~15-20 s of legitimate cross-query reuse it bought, so the cache
+    // is now SCOPED PER ENTRY: released after each entry's three runs
+    // (runs 2-3 still share run 1's materializations — the same
+    // within-entry reuse the isolated min-of-3 protocol has), making
+    // in-run min-of-3 ≈ isolated min-of-3 and the archive honest at
+    // the tail. Cross-query shared infrastructure that SHOULD amortize
+    // (IVF/MinHash/sim-graph indexes) lives in persisted files via
+    // warmSharedInfra, not the materializer cache, so it is unaffected.
+    // The release also subsumes the round-9 staleness guard: a driver
+    // testdata regen mid-JVM can no longer serve stale blocks to a
+    // later entry because no blocks survive an entry boundary.
     val results = selected.toSeq.map { case (name, fn) =>
-      val fp = tableFingerprints()
-      if (fp != lastFp) {
-        graft.api.GraftOps.releaseMaterialized()
-        lastFp = fp
-      }
       // per-run success tracking (ADVICE r4): a query that flakes on
       // some runs is timed from its successful runs only and NOT
       // marked failed; "failed" means every run threw, and its
@@ -83,6 +78,10 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, ok)
       }
       val runs = Seq(once(), once(), once())
+      // entry boundary: drop this entry's materializations so the next
+      // entry times against the same (empty) cache state an isolated
+      // run would see — the honest-tail contract above
+      graft.api.GraftOps.releaseMaterialized()
       val good = runs.filter(_._2).map(_._1)
       val t =
         if (good.nonEmpty) good.min
@@ -153,5 +152,9 @@ object Bench {
     brp.approxSimilarityJoin(vecs, vecs, 4.0, "d").count()
     graft.queries.LlmQueries.warmIvfIndex(spark, sfDir)
     graft.queries.LlmQueries.warmMinhashIndex(spark, sfDir)
+    // round 17: the similarity-graph index (VERDICT r16 #1) — built
+    // once here so graph_bfs/triangles/pagerank/dedup_embed_cos time
+    // the algorithm over the index, not the one-time edge build
+    graft.queries.SimGraph.warm(spark, sfDir)
   }
 }

@@ -18,27 +18,40 @@ import org.apache.spark.sql.types.DecimalType
   */
 object GraftOps {
 
-  /** 128-bit content digest of the normalized text — the dedup group
-    * key. Grouping on the digest instead of the text itself keeps the
-    * shuffle key at 32 bytes regardless of document size (a 100 KB
+  /** Content digest of the normalized text — the dedup group key.
+    * Grouping on the digest instead of the text itself keeps the
+    * shuffle key at ~54 bytes regardless of document size (a 100 KB
     * document would otherwise ride the wire twice: once as key, once
-    * as payload). MD5 over 2^64 documents has collision probability
-    * < 2^-60 — far below the error rate of the storage layer — so the
-    * digest group IS the exact-text group at any realistic scale.
+    * as payload). The key is [[dualDigest]] (md5 ++ xxhash64 —
+    * ADVICE r16): random collision probability stays < 2^-60 over
+    * 2^64 documents, and a CONSTRUCTED md5 collision (practical since
+    * 2004) no longer suffices to silently merge two distinct texts.
     *
     * Null-safe: a null text digests to a sentinel (not SQL NULL), so
     * null documents form one dedup group instead of silently vanishing
     * through null-rejecting equi-join keys — the semantics the window
     * formulation had (window partitioning groups NULLs together).
-    * The sentinel cannot collide with a real digest (md5 output is 32
-    * hex chars).
+    * The sentinel cannot collide with a real digest (real digests are
+    * ≥ 34 chars of hex ++ ':' ++ decimal).
     */
   private def normDigest(textCol: String): Column =
-    coalesce(md5(lower(trim(col(textCol)))), lit("null-doc"))
+    coalesce(dualDigest(lower(trim(col(textCol)))), lit("null-doc"))
+
+  /** md5 ++ ':' ++ xxhash64 of the same text (ADVICE r16): each digest
+    * is authoritative with no downstream verify, and single-md5
+    * collisions are practically constructible — an adversarial crawl
+    * pair could silently merge two distinct texts into one dedup
+    * group. Breaking BOTH md5 and the independently-designed xxhash64
+    * on the same input pair is beyond any published attack, at the
+    * cost of one extra codegen'd hash pass. NULL-safe like md5 (NULL
+    * in → NULL out), so the callers' sentinel coalesce is unchanged.
+    */
+  private def dualDigest(text: Column): Column =
+    concat(md5(text), lit(":"), xxhash64(text).cast("string"))
 
   /** Exact dedup on a normalization of `textCol`: one surviving row id
     * (the minimum) + duplicate count per distinct normalized text.
-    * Single hash-partition shuffle keyed by the 16-byte [[normDigest]]
+    * Single hash-partition shuffle keyed by the narrow [[normDigest]]
     * (not the text), with map-side partial aggregation — an
     * exact-duplicate flood collapses to one row per map partition
     * before the exchange; at any scale.
@@ -54,7 +67,7 @@ object GraftOps {
     *
     * Shape: digest-keyed combinable `groupBy(min(id))` computes the
     * keep-set, then a left-semi join on (digest, id) selects the
-    * surviving rows. Both exchanges carry narrow keys (16-byte digest
+    * surviving rows. Both exchanges carry narrow keys (~54-byte digest
     * + id); the window formulation this replaces had NO partial
     * aggregation (a hot-document flood landed every copy in one
     * window partition) and shuffled the entire text as the key.
@@ -84,12 +97,12 @@ object GraftOps {
     *
     * Returns (representatives, membership): representatives = the
     * full input rows whose id is their text-group's min; membership =
-    * (`idCol`, `__rep`). The collapse key is md5 of the RAW text (no
+    * (`idCol`, `__rep`). The collapse key digests the RAW text (no
     * normalization — the tiers shingle raw text, so only
     * byte-identical texts are provably interchangeable); NULL texts
     * stay singletons (a NULL block/shingle key pairs with nothing in
     * any tier, so the collapse must not invent a group). Both
-    * exchanges carry narrow keys (16-byte digest + id) with map-side
+    * exchanges carry narrow keys (~54-byte digest + id) with map-side
     * partial aggregation — the replica flood collapses per map
     * partition before the shuffle, the [[exactDedupRows]] contract.
     */
@@ -104,12 +117,14 @@ object GraftOps {
     (reps, membership)
   }
 
-  /** The collapse grouping key: md5 of the raw text, with NULL texts
-    * forced into per-row singleton groups (the sentinel cannot
-    * collide with 32-hex-char digests).
+  /** The collapse grouping key: [[dualDigest]] of the raw text
+    * (md5 ++ xxhash64 — ADVICE r16: the key is authoritative with no
+    * downstream verify, and bare-md5 collisions are constructible),
+    * with NULL texts forced into per-row singleton groups (the
+    * sentinel's leading NUL cannot appear in the hex/decimal digest).
     */
   private def collapseDigest(idCol: String, textCol: String): Column =
-    coalesce(md5(col(textCol)), concat(lit("\u0000null:"), col(idCol)))
+    coalesce(dualDigest(col(textCol)), concat(lit("\u0000null:"), col(idCol)))
 
   /** A pair tier through the representative collapse, with a
     * REPLICA-FRACTION GATE (round 16, measured): on a corpus with few
@@ -141,9 +156,10 @@ object GraftOps {
     * the unrouted-exact answer, never away from it.
     */
   def collapsedPairs(df: DataFrame, idCol: String, textCol: String,
-      passCols: Seq[String] = Nil, withinExtras: Seq[Column] = Nil)
+      passCols: Seq[String] = Nil, withinExtras: Seq[Column] = Nil,
+      routeHint: Option[Boolean] = None)
       (tier: DataFrame => DataFrame): DataFrame =
-    if (!collapsePays(df, idCol, textCol))
+    if (!routeHint.getOrElse(collapsePays(df, idCol, textCol)))
       tier(df).select(col("a_id") +: col("b_id") +: passCols.map(col): _*)
     else {
       val mat = reuseMaterializer(df, None)
@@ -157,6 +173,16 @@ object GraftOps {
     * combinable two-phase aggregate, no join; an EMPTY input routes
     * direct (count(distinct) folds to 0 — no NULL surprises, and the
     * direct plan is the cheaper identity on nothing).
+    *
+    * Round 17 (VERDICT r16 #3 + ADVICE r16): the decision is a pure
+    * function of the corpus CONTENT, so callers that invoke several
+    * gated tiers over one corpus should compute it ONCE and pass it as
+    * `routeHint` to [[collapsedPairs]]/[[collapsedClusters]] — the
+    * public [[collapseGate]] exists for exactly that (the query layer
+    * caches it per source fingerprint). Without the hint each tier
+    * pays this full-corpus digest aggregate at plan-construction time
+    * (measured +6.6% on dedup_simhash sf1 isolated, ×3 tiers per
+    * surface run, all buying the SAME bit).
     */
   private def collapsePays(df: DataFrame, idCol: String,
       textCol: String): Boolean = {
@@ -165,6 +191,14 @@ object GraftOps {
     row.getLong(0) > 0L && row.getLong(1) * 10L <= row.getLong(0) * 9L
   }
 
+  /** The [[collapsePays]] decision as a public, shareable value: true
+    * iff the representative collapse pays for `df` (distinct texts
+    * ≤ 90% of rows). Compute once per corpus and pass to every gated
+    * tier via `routeHint` — one aggregate instead of one per tier.
+    */
+  def collapseGate(df: DataFrame, idCol: String, textCol: String): Boolean =
+    collapsePays(df, idCol, textCol)
+
   /** [[collapsedPairs]]' clustering twin: connected components over a
     * tier's pair graph, built on representatives when the gate routes
     * through the collapse (membership re-expands each doc to its
@@ -172,9 +206,10 @@ object GraftOps {
     * because every representative is already its group's min id) and
     * directly otherwise. Output: (idCol, cluster).
     */
-  def collapsedClusters(df: DataFrame, idCol: String, textCol: String)
+  def collapsedClusters(df: DataFrame, idCol: String, textCol: String,
+      routeHint: Option[Boolean] = None)
       (pairsOf: DataFrame => DataFrame): DataFrame =
-    if (!collapsePays(df, idCol, textCol))
+    if (!routeHint.getOrElse(collapsePays(df, idCol, textCol)))
       connectedComponents(df, idCol, pairsOf(df), "a_id", "b_id")
         .select(col("id").as(idCol), col("cluster"))
     else {
@@ -987,6 +1022,53 @@ object GraftOps {
       .withColumn("cos_sim", col("__cos_d").cast(DecimalType(18, 6)))
       .filter(col("cos_sim") >= minCos)
       .select("a_id", "b_id", "cos_sim")
+  }
+
+  /** CROSS-corpus companion of [[cosinePairsBlocked]] (round 17 —
+    * VERDICT r16 #1): all pairs (p ∈ `probe`, c ∈ `corpus`) with
+    * cosine ≥ `minCos`, via the same provably-complete 3-neighbor-cell
+    * grid join — the O(delta) APPEND step of a persisted similarity
+    * graph. When a batch of new vectors arrives, the new edges are
+    * exactly (new × standing) ∪ (new × new): this operator computes
+    * the first term without ever re-crossing the standing corpus with
+    * itself, so index growth costs O(batch × collisions), not a full
+    * rebuild — the sim_ivf_delta contract applied to the edge list.
+    *
+    * Contract: the two inputs' id spaces must be DISJOINT (the append
+    * use case — a batch is new by construction); output is normalized
+    * to (a_id, b_id, cos_sim) with a_id < b_id via least/greatest, so
+    * it unions directly with the self-join's edges. Completeness is
+    * [[cosinePairsBlocked]]'s argument verbatim: the probe row's cell
+    * and a qualifying corpus row's cell differ by at most one, and the
+    * corpus side replicates across ±1 cells. Salting as in the
+    * self-join: a dense cell's probe rows spread over `numSalts`
+    * shards, the corpus side replicates across them.
+    */
+  def cosinePairsBlockedCross(probe: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, minCos: Double,
+      numSalts: Int = 16): DataFrame = {
+    val cellW = math.sqrt(2.0 - 2.0 * minCos) * (1.0 + 1e-7)
+    def cells(df: DataFrame) = withNorm(df, vecCol)
+      .withColumn("__cell",
+        floor(element_at(col(vecCol), 1).cast("double") / col("__norm") / lit(cellW))
+          .cast("long"))
+    val a = cells(probe).select(col(idCol).as("p_id"), col(vecCol).as("q"),
+      col("__norm").as("nq"), col("__cell"),
+      pmod(col(idCol).cast("long"), lit(numSalts)).as("__salt"))
+      .repartition(col("__cell"), col("__salt"))
+    val b = cells(corpus).select(col(idCol).as("c_id"), col(vecCol).as("c"),
+      col("__norm").as("nc"), col("__cell"))
+      .withColumn("__bcell",
+        explode(array(col("__cell") - 1, col("__cell"), col("__cell") + 1)))
+      .withColumn("__salt", explode_outer(expr(s"sequence(0, ${numSalts - 1})")))
+    a.join(b, a("__cell") === b("__bcell") && a("__salt") === b("__salt")
+        && col("p_id") =!= col("c_id"))
+      .withColumn("__cos_d", expr("array_dot(q, c)") / (col("nq") * col("nc")))
+      .filter(col("__cos_d") >= minCos - 5e-7)
+      .withColumn("cos_sim", col("__cos_d").cast(DecimalType(18, 6)))
+      .filter(col("cos_sim") >= minCos)
+      .select(least(col("p_id"), col("c_id")).as("a_id"),
+        greatest(col("p_id"), col("c_id")).as("b_id"), col("cos_sim"))
   }
 
   /** Exact k-NN graph WITHIN blocks: each row's top-`k` cosine

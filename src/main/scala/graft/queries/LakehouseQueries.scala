@@ -745,6 +745,34 @@ object LakehouseQueries {
         .orderBy("g")
     }),
 
+    // S64 (round 17 — VERDICT r16 #4): PREDICATE-SUBSUMED UNION
+    // REWRITE. The S63 union query plus a whole-group filter
+    // ((k%10) IN (2,4,6)) — written over the UNION, exactly as a
+    // dashboard user scopes the all-history view. The optimizer
+    // pushes the filter into both branches; MvRewrite verifies each
+    // branch carries the SAME key-functional predicate (canonicalized
+    // into branch 0's key space, cross-branch semantic equality) and
+    // serves the aggregate from the two refolded states FILTERED over
+    // g — 20 state rows scanned, 6 served, neither table touched
+    // (Round17OpsSpec pins the plan both ways, plus the negative: a
+    // row-level predicate on p declines). Filtering whole groups
+    // before or after the refold is the same set — the subsumption
+    // that makes this exact.
+    "view_rewrite_union_filtered" -> ((s, d) => {
+      val (root, vLast) = registerOrdersView(s, d)
+      val (archRoot, archV) = registerArchView(s, d)
+      graft.sources.CommitLog.snapshot(s, root, vLast)
+        .select(col("k"), col("p"))
+        .unionAll(graft.sources.CommitLog.snapshot(s, archRoot, archV)
+          .select(col("k"), col("p")))
+        .filter((col("k") % 10).isin(2L, 4L, 6L))
+        .groupBy((col("k") % 10).as("g"))
+        .agg(count(lit(1)).as("n"), sum(col("p")).as("sum_p"))
+        .select(col("g"), col("n"),
+          col("sum_p").cast(DecimalType(38, 2)).as("total"))
+        .orderBy("g")
+    }),
+
     // S53 (round 14): MULTI-KEY ROLLUP REWRITE — the dashboard
     // hierarchy shape: TWO grouping keys, each a function of the view
     // key (a CASE band over k%10 plus the key itself), rewritten to a
@@ -2929,6 +2957,19 @@ object LakehouseQueries {
         |SELECT k % 10 AS g, CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(p) AS DECIMAL(38,2)) AS total
         |FROM un GROUP BY 1 ORDER BY g""".stripMargin,
+    // S64 twin: the filtered union aggregated directly.
+    "view_rewrite_union_filtered" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        | v1 AS (SELECT k, CASE WHEN k % 4 = 2
+        |     THEN CAST(p * 2 AS DECIMAL(18,2)) ELSE p END AS p FROM base),
+        | fin AS (SELECT k, p FROM v1 WHERE k % 4 <> 1),
+        | arch AS (SELECT k, p FROM base WHERE k % 4 = 1),
+        | un AS (SELECT * FROM fin UNION ALL SELECT * FROM arch)
+        |SELECT k % 10 AS g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(p) AS DECIMAL(38,2)) AS total
+        |FROM un WHERE k % 10 IN (2, 4, 6)
+        |GROUP BY 1 ORDER BY g""".stripMargin,
     // S53 twin: the two-key rollup computed directly from the fact
     // arithmetic.
     "view_rewrite_multikey" ->

@@ -280,8 +280,12 @@ object LlmQueries {
     // the full pair set (cross fan-out + within-group pairs at
     // Jaccard distance 0); below a 10% replica fraction the gate
     // short-circuits to the direct tier. Planted-truth pin unchanged.
+    // Round 17: the routing decision is computed once per corpus
+    // fingerprint (CollapseGate) and shared with dedup_simhash /
+    // dedup_cluster — three tiers, one aggregate.
     "dedup_near" -> ((s, d) =>
-      GraftOps.collapsedPairs(load(s, d, "documents"), "doc_id", "text")(
+      GraftOps.collapsedPairs(load(s, d, "documents"), "doc_id", "text",
+          routeHint = Some(CollapseGate.route(s, d)))(
           GraftOps.minHashNearDupPairs(_, "doc_id", "text",
             maxJaccardDist = 0.5))
         .orderBy("a_id", "b_id")),
@@ -302,7 +306,8 @@ object LlmQueries {
       graft.functions.GraftFunctions.register(s)
       GraftOps.collapsedPairs(load(s, d, "documents"), "doc_id", "text",
           passCols = Seq("hamming"),
-          withinExtras = Seq(lit(0).cast("int").as("hamming")))(
+          withinExtras = Seq(lit(0).cast("int").as("hamming")),
+          routeHint = Some(CollapseGate.route(s, d)))(
           GraftOps.simhashPairs(_, "doc_id", "text"))
         .orderBy("a_id", "b_id")
     }),
@@ -359,10 +364,15 @@ object LlmQueries {
     // the ≥0.4 threshold sits on a continuous background band) — it
     // stays the approximate tier (sim_ann); the exact operator needs
     // complete blocking.
+    // Round 17 (VERDICT r16 #1): served from the persisted SimGraph
+    // index (cos≥0.3 commit-log table shared with the graph_* family)
+    // filtered to 0.4 — completeness and per-pair cos_sim are
+    // candidate-generation-independent, so this is value-identical to
+    // the direct cosinePairsBlocked build (same oracle, plus a
+    // Round17OpsSpec equality pin).
     "dedup_embed_cos" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
-      GraftOps.cosinePairsBlocked(load(s, d, "embeddings"),
-        "vec_id", "embedding", minCos = 0.4)
+      graft.queries.SimGraph.edges(s, d, minCos = 0.4)
         .orderBy("a_id", "b_id")
     }),
 

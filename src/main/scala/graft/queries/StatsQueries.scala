@@ -116,14 +116,15 @@ object StatsQueries {
     // (GraftOps.cosinePairsBlocked), never an all-pairs cross.
     "graph_triangles" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
-      // The edge set feeds all three legs of the triangle join —
-      // materialize the blocked-cosine build ONCE (eager
-      // localCheckpoint); without it each leg re-executes the grid
-      // join (same multi-occurrence trap as the LSH tiers, PLANS.md
-      // round-6 audit).
-      val e = graft.api.GraftOps.cosinePairsBlocked(
-        load(s, d, "embeddings"), "vec_id", "embedding", minCos = 0.3)
-        .select(col("a_id"), col("b_id")).localCheckpoint()
+      // Round 17 (VERDICT r16 #1): the edge set comes from the
+      // PERSISTED similarity-graph index (SimGraph — built once per
+      // corpus fingerprint), not a per-query blocked-cosine rebuild;
+      // each of the three triangle-join legs scans the parquet units,
+      // replacing the round-5 localCheckpoint materialization (a file
+      // scan needs no block pinning). Value-identical to the direct
+      // build — Round17OpsSpec pins it.
+      val e = SimGraph.edges(s, d, minCos = 0.3)
+        .select(col("a_id"), col("b_id"))
       val e1 = e.select(col("a_id").as("a"), col("b_id").as("b"))
       val e2 = e.select(col("a_id").as("b2"), col("b_id").as("c"))
       val e3 = e.select(col("a_id").as("a3"), col("b_id").as("c3"))
@@ -146,14 +147,14 @@ object StatsQueries {
     // connectedComponents' iterative loop (dedup_cluster).
     "graph_bfs" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
-      // materialize the pair join ONCE: seeds + 3 hops would otherwise
-      // re-run the blocked cosine join per reference (measured 5.1 s →
-      // ~2 s at sf0.1); a production pipeline lands the edge list in a
-      // table for the same reason.
-      val p = graft.api.GraftOps.cosinePairsBlocked(
-        load(s, d, "embeddings"), "vec_id", "embedding", minCos = 0.3)
+      // Round 17 (VERDICT r16 #1): the edge list IS a table now — the
+      // persisted SimGraph index ("a production pipeline lands the
+      // edge list in a table for the same reason", round-5 comment,
+      // taken at its word). BfsProbe measured this query as 94% edge
+      // build (70.4 s of 74.5 s sf1); against the index it pays only
+      // the seeds + 3 keyed hop joins.
+      val p = SimGraph.edges(s, d, minCos = 0.3)
         .select(col("a_id"), col("b_id"))
-        .localCheckpoint(true)
       val edges = p.unionAll(
         p.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       val seeds = p.select(col("a_id").as("v")).distinct()
@@ -170,6 +171,24 @@ object StatsQueries {
         .unionAll(f3.withColumn("dist", lit(3L)))
         .groupBy("v").agg(min(col("dist")).as("dist"))
         .orderBy("v")
+    }),
+
+    // Q7 (round 17 — VERDICT r16 #1): the SIMILARITY-GRAPH INDEX
+    // surfaced as its own oracled entry — the build-and-read lifecycle
+    // every graph query above now rides. The index is a commit-log
+    // table: v0 = the standing corpus's cos≥0.3 edges (blocked-cosine
+    // self-join), v1 = ONE appended unit holding exactly the edges
+    // the vec_id%10 batch introduces (batch × standing cross-blocked
+    // join + batch self-join) — O(delta) growth, standing units
+    // untouched. This query reads the LATEST snapshot, so the oracle
+    // (DuckDB's from-scratch all-pairs join over the whole corpus)
+    // checks both halves at once: the base build's completeness AND
+    // the delta append's exactness — base ∪ delta must reconstruct
+    // the full edge set bit-for-bit, cos_sim values included.
+    "graph_edge_index" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      SimGraph.edges(s, d, minCos = 0.3)
+        .orderBy("a_id", "b_id")
     }),
 
     // Q6 (round 11): CONNECTED COMPONENTS over a REAL bipartite graph
@@ -298,6 +317,16 @@ object StatsQueries {
         |  UNION ALL SELECT v, 3 FROM f3)
         |SELECT v, CAST(min(dist) AS BIGINT) AS dist
         |FROM all_d GROUP BY v ORDER BY v""".stripMargin,
+    // Q7: the from-scratch all-pairs edge set — what the persisted
+    // index's latest snapshot (base build ∪ delta append) must equal.
+    "graph_edge_index" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |       CAST(b.embedding AS DOUBLE[])) AS DECIMAL(18,6)) AS cos_sim
+        | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        | WHERE CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |       CAST(b.embedding AS DOUBLE[])) AS DECIMAL(18,6)) >= 0.3
+        | ORDER BY a_id, b_id""".stripMargin,
     // Q6 twin: the recursive-CTE transitive closure (every label
     // reachable from every node, then min per node) — the from-first-
     // principles fixpoint the iterative min-label loop must equal.

@@ -79,14 +79,20 @@ object StreamQueries {
     // gets the rewrite wired up. Round15OpsSpec's lifecycle pins run
     // against the same build, exercised in full on first touch.
     val fp = graft.Tables.fingerprint(d, "orders")
+    // Build-new, swap, THEN reclaim (ADVICE r16 — the freshDir
+    // contract): deleting the old dirs before the build meant a failed
+    // buildAggViewFixture left the retained map entry pointing at
+    // deleted directories until a later call retried. With this
+    // ordering a failed build propagates its exception and the old
+    // fixture stays intact and servable.
     val (_, root, stateDir, vLast) = aggViewCache.compute(d, (_, old) =>
       if (old != null && old._1 == fp) old
       else {
+        val (r, sd, v) = buildAggViewFixture(s, d)
         if (old != null) {
           graft.queries.ScaleQueries.deleteRecursively(old._2)
           graft.queries.ScaleQueries.deleteRecursively(old._3)
         }
-        val (r, sd, v) = buildAggViewFixture(s, d)
         (fp, r, sd, v)
       })
     val lastState = s"$stateDir/v${CommitLog.replayStates(stateDir).last}"
