@@ -109,11 +109,16 @@ object MvCatalog {
     * maintenance job would apply. A query scanning the cut reached by
     * the tail rewrites to the state compensated step-by-step with the
     * same signed delta ⋈ other-snapshot algebra the fold uses. The
-    * schedule is registration-declared rather than inferred from
-    * commit timestamps: the view's owner knows the interleaving; the
-    * optimizer must not guess it. Each SQL is evaluated on its own
-    * side before the compensation join (round 16), so fact and dim
-    * may freely share column names beyond the keys.
+    * schedule MAY be registration-declared (the registrar's contract,
+    * honored verbatim when present); round 17 (VERDICT r16 #5) also
+    * accepts `tail = Nil` with a newer scanned pair, INFERRING the
+    * canonical fact-steps-then-dim-steps staircase from the two logs
+    * — sound because the signed-multiset join is bilinear and the
+    * fold additive, so every monotone staircase's deltas telescope to
+    * the same frame (see tryRewriteJoinStale); version CONTINUITY is
+    * still verified per step, never guessed. Each SQL is evaluated on
+    * its own side before the compensation join (round 16), so fact
+    * and dim may freely share column names beyond the keys.
     */
   final case class MvJoinStaleDef(factRoot: String, dimRoot: String,
       factStateVersion: Long, dimStateVersion: Long,
@@ -553,12 +558,47 @@ object MvRewrite extends Rule[LogicalPlan] {
       }
       (factRel, dimRel, factScanV, dimScanV) = assigned
       if agg.groupingExpressions.nonEmpty
-      // the declared tail must walk consistently from the state cut
-      // to exactly the scanned version pair, stepping through EVERY
-      // log version on the way. The check is PREDECESSOR-based
-      // (review r15, second pass): each step's changed version must
-      // have the CURRENT CUT as its log predecessor — a tail that
-      // skips a version declines (its feed would be silently
+      // TAIL INFERENCE (round 17 — VERDICT r16 #5, carried from r15
+      // #4): when the registration declares NO tail but the scanned
+      // pair is ahead of the state cut, the tail is INFERRED as the
+      // canonical staircase — every fact log version from the cut to
+      // the scanned fact version (each against the dim cut), then
+      // every dim version (each against the scanned fact version).
+      // This is sound because the compensation is PATH-INDEPENDENT:
+      // the join is bilinear over signed multisets and the (n, nn,
+      // total) aggregate additive, so for any monotone staircase the
+      // deltas telescope — Δfact ⋈ dim@d0 + fact@f1 ⋈ Δdim =
+      // (f1−f0)⋈d0 + f1⋈(d1−d0) = f1⋈d1 − f0⋈d0 — and every valid
+      // interleaving (including the registrar's real maintenance
+      // schedule) sums to the same frame. The r15 rationale ("the
+      // optimizer must not guess the interleaving") was therefore
+      // stronger than needed: the interleaving CANNOT matter; what
+      // must never be guessed is version CONTINUITY, and the
+      // predecessor-verified walk below still checks that for the
+      // inferred tail exactly as for a declared one (a vacuumed
+      // intermediate manifest fails the predecessor probe and
+      // declines). A declared tail still takes precedence — it is the
+      // registrar's contract and costs nothing to honor.
+      effTail <- (try {
+        if (d.tail.nonEmpty ||
+          (factScanV == d.factStateVersion && dimScanV == d.dimStateVersion))
+          Some(d.tail)
+        else {
+          val factVs = graft.sources.CommitLog.versions(d.factRoot)
+            .filter(v => v > d.factStateVersion && v <= factScanV)
+          val dimVs = graft.sources.CommitLog.versions(d.dimRoot)
+            .filter(v => v > d.dimStateVersion && v <= dimScanV)
+          Some(factVs.map(v => (true, v, d.dimStateVersion)) ++
+            dimVs.map(v => (false, v, factScanV)))
+        }
+      } catch { case _: Exception => None })
+      // the (declared or inferred) tail must walk consistently from
+      // the state cut to exactly the scanned version pair, stepping
+      // through EVERY log version on the way. The check is
+      // PREDECESSOR-based (review r15, second pass): each step's
+      // changed version must have the CURRENT CUT as its log
+      // predecessor — a tail that skips a version declines (its feed
+      // would be silently
       // omitted), and so does a cut whose manifest has since been
       // vacuumed out of the log (changes(chV) would then diff against
       // an earlier survivor and double-apply deltas the state already
@@ -569,7 +609,7 @@ object MvRewrite extends Rule[LogicalPlan] {
         var cf = d.factStateVersion
         var cd = d.dimStateVersion
         var ok = true
-        d.tail.foreach { case (isFact, chV, otherV) =>
+        effTail.foreach { case (isFact, chV, otherV) =>
           if (isFact) {
             ok &&= otherV == cd &&
               factVs.filter(_ < chV).lastOption.contains(cf)
@@ -587,7 +627,7 @@ object MvRewrite extends Rule[LogicalPlan] {
       (keyExpr, valExpr, remaining) = kv
       groupExprs = agg.groupingExpressions.map(g =>
         inlineWith(stripAlias(g), aliasMap))
-      effective <- compensatedJoinState(spark, d)
+      effective <- compensatedJoinState(spark, d.copy(tail = effTail))
       rewritten <- buildFromStateDf(spark, agg, effective, groupExprs,
         keyExpr, valExpr, aliasMap, remaining)
     } yield rewritten

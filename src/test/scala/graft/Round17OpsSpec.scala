@@ -186,6 +186,97 @@ class Round17OpsSpec extends GraftSpec {
     } finally graft.plans.MvCatalog.drop("tmp_decoy_k20")
   }
 
+  // ---- stale-join tail inference (VERDICT r16 #5) --------------------
+
+  /** Fact (v0: k=1,2; v1 appends k=3; v2 appends k=4) ⋈ dim (v0;
+    * v1 appends k=4's row) with the state folded at a given cut —
+    * the fixture for declared-vs-inferred tails. Returns (fact root,
+    * dim root, state path).
+    */
+  private def staleJoinFixture(cutFact: Long, cutDim: Long): (String, String, String) = {
+    import spark.implicits._
+    import graft.sources.CommitLog
+    import org.apache.spark.sql.types.DecimalType
+    val t = java.nio.file.Files
+      .createTempDirectory("graft_r17_infer").toString
+    val fact = s"$t/fact"
+    val dim = s"$t/dim"
+    def factRows(rows: Seq[(Long, String)], unit: String): Unit =
+      rows.toDF("k", "ps").select(col("k"),
+          col("ps").cast(DecimalType(18, 2)).as("p"))
+        .coalesce(1).write.parquet(s"$fact/$unit")
+    factRows(Seq((1L, "10.00"), (2L, "20.00")), "u0")
+    CommitLog.commit(fact, 0L, Seq("u0"))
+    factRows(Seq((3L, "30.00")), "u1")
+    CommitLog.commit(fact, 1L, Seq("u0", "u1"))
+    factRows(Seq((4L, "40.00")), "u2")
+    CommitLog.commit(fact, 2L, Seq("u0", "u1", "u2"))
+    Seq((1L, 7L), (2L, 5L), (3L, 7L)).toDF("k", "g")
+      .coalesce(1).write.parquet(s"$dim/u0")
+    CommitLog.commit(dim, 0L, Seq("u0"))
+    Seq((4L, 5L)).toDF("k", "g").coalesce(1).write.parquet(s"$dim/u1")
+    CommitLog.commit(dim, 1L, Seq("u0", "u1"))
+    val statePath = s"$t/state"
+    CommitLog.snapshot(spark, fact, cutFact).select("k", "p")
+      .join(CommitLog.snapshot(spark, dim, cutDim).select("k", "g"), "k")
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("p").isNotNull, lit(1L)).otherwise(lit(0L))).as("nn"),
+        sum(col("p").cast(DecimalType(38, 2)))
+          .cast(DecimalType(38, 2)).as("total"))
+      .write.parquet(statePath)
+    (fact, dim, statePath)
+  }
+
+  private def staleJoinQuery(fact: String, dim: String, fv: Long, dv: Long) = {
+    import graft.sources.CommitLog
+    import org.apache.spark.sql.types.DecimalType
+    CommitLog.snapshot(spark, fact, fv).select(col("k"), col("p"))
+      .join(CommitLog.snapshot(spark, dim, dv).select(col("k"), col("g")), "k")
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("p")).cast(DecimalType(38, 2)).as("total"))
+      .orderBy("g")
+  }
+
+  test("undeclared stale-join tail is inferred from the two logs and compensates exactly") {
+    val (fact, dim, statePath) = staleJoinFixture(0L, 0L)
+    // tail = Nil, but the query scans (fact@2, dim@1) — two fact
+    // steps + one dim step ahead of the cut
+    graft.plans.MvCatalog.registerJoinStale("tmp_infer_stale",
+      graft.plans.MvCatalog.MvJoinStaleDef(fact, dim, 0L, 0L,
+        tail = Nil, "k", "k", "g", "p", statePath))
+    try {
+      val df = staleJoinQuery(fact, dim, 2L, 1L)
+      assert(df.queryExecution.executedPlan.toString.contains(statePath),
+        "inferred-tail rewrite did not fire:\n" +
+          df.queryExecution.executedPlan.toString.take(3000))
+      val rows = df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDecimal(2).toPlainString)).toSet
+      // direct: k=1,3 → g7 (10+30); k=2,4 → g5 (20+40)
+      assert(rows == Set((5L, 2L, "60.00"), (7L, 2L, "40.00")), rows.toString)
+      // the fresh cut still rewrites with zero deltas
+      val fresh = staleJoinQuery(fact, dim, 0L, 0L)
+      assert(fresh.queryExecution.executedPlan.toString.contains(statePath))
+    } finally graft.plans.MvCatalog.drop("tmp_infer_stale")
+  }
+
+  test("inference declines when the state cut's manifest was vacuumed (continuity unprovable)") {
+    val (fact, dim, statePath) = staleJoinFixture(1L, 0L)
+    // vacuum the CUT version's manifest: changes(v2) would then diff
+    // against v0 and double-apply v1's delta the state already folded
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(fact, "_log", "v00001.txt"))
+    graft.plans.MvCatalog.registerJoinStale("tmp_infer_vacuumed",
+      graft.plans.MvCatalog.MvJoinStaleDef(fact, dim, 1L, 0L,
+        tail = Nil, "k", "k", "g", "p", statePath))
+    try {
+      val df = staleJoinQuery(fact, dim, 2L, 0L)
+      assert(!df.queryExecution.executedPlan.toString.contains(statePath),
+        "inference compensated across a vacuumed cut")
+    } finally graft.plans.MvCatalog.drop("tmp_infer_vacuumed")
+  }
+
   test("CollapseGate.route agrees with the direct gate decision") {
     val direct = graft.api.GraftOps.collapseGate(
       Tables.load(spark, sf, "documents"), "doc_id", "text")
