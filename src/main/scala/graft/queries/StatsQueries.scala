@@ -212,13 +212,18 @@ object StatsQueries {
         .distinct()
       val verts = li.select(col("a").as("id"))
         .unionAll(li.select(col("b").as("id"))).distinct()
-      // maxIter 12 + the operator's exact contraction finish: 12
-      // distributed rounds collapse every ≤12-hop ball, the residual
-      // label graph (a few hundred pairs here) closes exactly on the
-      // driver — half the wall-clock of running HashMin to its ~27-
-      // round fixpoint, same pinned answer
+      // maxIter 6 + the operator's exact contraction finish (round 17,
+      // re-measured: CcProbe shows the jumped fixpoint needs 18 rounds
+      // at sf0.1, ~0.45 s/round — the r11 choice of 12 paid 6 more
+      // distributed rounds than the driver finish needs). 6 jumped
+      // rounds collapse every ≤2^6-hop ball; the residual inter-LABEL
+      // pair graph is metadata-sized (measured 3.0k pairs sf0.1 —
+      // CcProbe `jump 40 6` — well under the 2e6 cap even at sf1's
+      // ~10× growth) and closes exactly in the capped
+      // union-find — same pinned answer, ~2.4 s less wall-clock, and
+      // the over-cap distributed continuation still guards any scale.
       graft.api.GraftOps
-        .connectedComponents(verts, "id", li, "a", "b", maxIter = 12)
+        .connectedComponents(verts, "id", li, "a", "b", maxIter = 6)
         .groupBy(col("cluster"))
         .agg(count(lit(1)).cast("bigint").as("n_nodes"),
           sum(when(col("id") % 2 === 0, 1L).otherwise(0L))

@@ -35,6 +35,10 @@ object CcProbe {
       return
     }
     val mod = args.lift(2).getOrElse("40").toInt
+    // round 17: cap the loop at N rounds and report the residual
+    // inter-label pair count — sizes the driver union-find finish for
+    // a given maxIter (the graph_components 12→6 re-tune evidence)
+    val capRounds = args.lift(3).map(_.toInt).getOrElse(40)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -56,7 +60,7 @@ object CcProbe {
     var labels = verts.select(col("id"), col("id").as("cluster"))
     var changed = 1L
     var i = 0
-    while (changed > 0 && i < 40) {
+    while (changed > 0 && i < capRounds) {
       val t0 = System.nanoTime()
       val nbrMin = sym.join(labels, col("__dst") === col("id"))
         .groupBy("__src").agg(min(col("cluster")).as("__nlbl"))
@@ -88,6 +92,16 @@ object CcProbe {
     }
     println(s"mode=$mode rounds=$i components=" +
       labels.select("cluster").distinct().count())
+    if (changed > 0) {
+      // capped before fixpoint: the residual the production finish
+      // would hand to the driver union-find
+      val half = sym.join(labels, col("__src") === col("id"))
+        .select(col("__dst"), col("cluster").as("__ca"))
+      val resid = half.join(labels, col("__dst") === col("id"))
+        .select(col("__ca").as("ca"), col("cluster").as("cb"))
+        .filter(col("ca") =!= col("cb")).distinct().count()
+      println(s"residual inter-label pairs at round $i: $resid")
+    }
     spark.stop()
   }
 }
