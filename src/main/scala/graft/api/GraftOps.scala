@@ -1843,6 +1843,20 @@ object GraftOps {
     java.util.Collections.newSetFromMap(
       new java.util.concurrent.ConcurrentHashMap[DataFrame, java.lang.Boolean]())
 
+  /** Materialize a frame that a composed pipeline references more than
+    * once (round 17 — guide §5: cache only what is reused AND expensive
+    * to recompute): the public binding of the internal reuse
+    * materializer the pair tiers already use. Lazy MEMORY_AND_DISK —
+    * the first consuming action computes and caches, later plan
+    * occurrences re-read blocks instead of re-executing the subtree
+    * (Spark's canonical-exchange reuse does NOT fire across separate
+    * aggregate/join subtrees of one query). Registered for
+    * [[releaseMaterialized]] like every other pinned frame, so Verify's
+    * per-dump and Bench's per-entry release bound the storage.
+    */
+  def materializeOnce(df: DataFrame): DataFrame =
+    reuseMaterializer(df, None)(df)
+
   /** Unpersist every DataFrame the reuse materializer has pinned since
     * the last release, returning how many were dropped. Call when the
     * pinned blocks can no longer be trusted or afforded: Verify calls

@@ -298,8 +298,17 @@ object PipelineQueries {
     // GraftOps.exactDedupRows: an exact-duplicate flood collapses
     // map-side (windows have no partial aggregation) and the shuffle
     // key is the 16-byte digest, not the document text
-    val ded = GraftOps.exactDedupRows(q, "doc_id", "text")
-    if (stage == 2) return ded
+    val dedRaw = GraftOps.exactDedupRows(q, "doc_id", "text")
+    if (stage == 2) return dedRaw
+    // Round 17 (guide §5 + the PLANS.md round-6 multi-occurrence
+    // lesson, applied here by stage-wise measurement): `ded` feeds BOTH
+    // the contamination shingle branch and the left-anti keep side, and
+    // `clean` below feeds sampleTemperature's count aggregate AND its
+    // final join — without materialization the quality+dedup subtree
+    // executes up to 4× inside one action (PipelineStages measured the
+    // decontamination step at +2.6 s of a 4.0 s total). Materialize
+    // each reused cut once; Bench/Verify release the blocks per entry.
+    val ded = GraftOps.materializeOnce(dedRaw)
     // stage 3: decontamination — drop survivors sharing a 5-gram
     // shingle with the eval split (broadcast eval set, semi-join)
     val ev = GraftOps.shingles(
@@ -310,11 +319,13 @@ object PipelineQueries {
       .select(col("doc_id"), explode(col("sh")).as("s"))
       .join(broadcast(ev), "s")
       .select("doc_id").distinct()
-    val clean = ded.join(contaminated, Seq("doc_id"), "left_anti")
-    if (stage == 3) return clean
-    // stage 4: temperature resampling of the survivor mix
-    GraftOps.sampleTemperature(clean, "doc_id", "lang",
-        alpha = 0.5, targetFrac = 0.5)
+    val cleanRaw = ded.join(contaminated, Seq("doc_id"), "left_anti")
+    if (stage == 3) return cleanRaw
+    // stage 4: temperature resampling of the survivor mix (clean is
+    // referenced twice inside sampleTemperature — materialized, see
+    // the stage-3 note)
+    GraftOps.sampleTemperature(GraftOps.materializeOnce(cleanRaw),
+        "doc_id", "lang", alpha = 0.5, targetFrac = 0.5)
       .select("doc_id", "lang", "n_words")
       .orderBy("doc_id")
   }
