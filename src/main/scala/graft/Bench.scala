@@ -27,6 +27,22 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // Round 17 (in-run vs isolated tail gap, second iteration): the
+      // ContextCleaner only reclaims dead shuffle files and
+      // localCheckpoint blocks after a DRIVER GC processes their weak
+      // references, and its safety-net periodic GC defaults to 30 MIN
+      // — so a 75-minute 375-entry loop can hold shuffle/checkpoint
+      // garbage from long-released entries for half an hour, pressure
+      // no isolated run sees. The r17 sf1 gate still showed
+      // dedup_cluster at 233 s in-run vs 40.5 s isolated min-of-3 with
+      // spread 1.04 (all three runs depressed EQUALLY — environment
+      // pressure, not per-run recompute), so the per-entry cache scope
+      // alone did not close the gap. A 5-minute periodic GC bounds the
+      // garbage window at ~7% of the loop — the standard
+      // long-running-driver practice, a no-op for short dev runs; the
+      // adjudication protocol (SCALE.md) keeps isolated min-of-3 as
+      // the per-operator ground truth either way.
+      .config("spark.cleaner.periodicGC.interval", "5min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     warmSharedInfra(spark, sfDir)

@@ -216,14 +216,28 @@ object PipelineQueries {
     "dq_checks" -> ((s, d) => {
       val li = load(s, d, "lineitem")
       val o = load(s, d, "orders")
-      val basic = li.agg(
-        sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).cast("bigint").as("n_null_qty"),
-        sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L).otherwise(0L))
-          .cast("bigint").as("n_bad_domain"))
-      val orphans = li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti")
-        .agg(count(lit(1)).as("n_orphans"))
-      val dups = li.groupBy("l_orderkey", "l_linenumber").agg(count(lit(1)).as("n"))
-        .filter(col("n") > 1)
+      // Round 17 (guide §2.3/§2.4): the three rule families previously
+      // scanned lineitem three times (global null/domain agg, orphan
+      // anti-join, duplicate-key groupBy). ONE grouped pass at the
+      // natural key grain now carries all three: per (orderkey,
+      // linenumber) the row count plus combinable null/domain tallies;
+      // the global tallies are sums over the groups, the duplicate
+      // surplus is Σ(n−1 | n>1), and orphan ROWS are Σn over groups
+      // whose orderkey anti-joins orders — identical arithmetic, one
+      // lineitem scan + one shuffle instead of three scans + two. The
+      // grouped cut is materialized once (three downstream consumers).
+      val g = GraftOps.materializeOnce(
+        li.groupBy("l_orderkey", "l_linenumber").agg(
+          count(lit(1)).as("n"),
+          sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("nulls"),
+          sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L).otherwise(0L))
+            .as("bad")))
+      val basic = g.agg(
+        sum(col("nulls")).cast("bigint").as("n_null_qty"),
+        sum(col("bad")).cast("bigint").as("n_bad_domain"))
+      val orphans = g.join(o, g("l_orderkey") === o("o_orderkey"), "left_anti")
+        .agg(coalesce(sum(col("n")), lit(0L)).as("n_orphans"))
+      val dups = g.filter(col("n") > 1)
         .agg(coalesce(sum(col("n") - 1), lit(0L)).cast("bigint").as("n_dup_rows"))
       basic.crossJoin(orphans).crossJoin(dups)
     }),

@@ -106,10 +106,22 @@ object RobustQueries {
         col("l_returnflag").as("flag"),
         graft.Tables.dec(col("l_extendedprice")).as("v"),
         col("l_quantity").cast("bigint").as("wt"))
+      // Round 17 (guide §2.5): partitionBy("flag") has THREE distinct
+      // values, so the window serialized the whole table into 3 tasks
+      // (8.1 s at sf1). Pre-aggregate per (flag, v) first — map-side
+      // combinable, fully parallel — and run the same RANGE-frame
+      // cumulative over the per-value weight sums. Exactly equal by
+      // construction: the RANGE frame already groups tied v (ties
+      // share one group-end cumulative), so cw at value v is the sum
+      // of all weight at values ≤ v on both formulations, tot is the
+      // flag total either way, and min(v) over 2·cw ≥ tot is
+      // unchanged. The window now sorts distinct values per flag
+      // instead of every row.
+      val pv = b.groupBy("flag", "v").agg(sum(col("wt")).as("w"))
       val cum = Window.partitionBy("flag").orderBy("v")
         .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-      b.withColumn("cw", sum(col("wt")).over(cum))
-        .withColumn("tot", sum(col("wt")).over(Window.partitionBy("flag")))
+      pv.withColumn("cw", sum(col("w")).over(cum))
+        .withColumn("tot", sum(col("w")).over(Window.partitionBy("flag")))
         .filter(lit(2) * col("cw") >= col("tot"))
         .groupBy("flag")
         .agg(min(col("v")).as("wmedian"), max(col("tot")).cast("bigint").as("wt_total"))

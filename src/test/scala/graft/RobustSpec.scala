@@ -60,4 +60,30 @@ class RobustSpec extends GraftSpec {
       assert(math.abs(bd(r, "mad_v") * 100 - expected(t)._2) < 0.5, s"mad wrong for $t")
     }
   }
+
+  // Round 17: agg_weighted_median pre-aggregates per (flag, v) before
+  // the RANGE-frame cumulative (the 3-partition window serialized the
+  // whole table — guide §2.5). This pins the rewrite against the
+  // original row-level formulation: the RANGE frame groups tied v, so
+  // both compute cw(v) = Σ weight at values ≤ v and the same selection.
+  test("agg_weighted_median pre-aggregated rewrite equals the row-level window formulation") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val b = Tables.load(spark, sf, "lineitem").select(
+      col("l_returnflag").as("flag"),
+      Tables.dec(col("l_extendedprice")).as("v"),
+      col("l_quantity").cast("bigint").as("wt"))
+    val cum = Window.partitionBy("flag").orderBy("v")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val rowLevel = b.withColumn("cw", sum(col("wt")).over(cum))
+      .withColumn("tot", sum(col("wt")).over(Window.partitionBy("flag")))
+      .filter(lit(2) * col("cw") >= col("tot"))
+      .groupBy("flag")
+      .agg(min(col("v")).as("wmedian"), max(col("tot")).cast("bigint").as("wt_total"))
+      .collect().map(r => (r.getString(0),
+        r.getDecimal(1).toPlainString, r.getLong(2))).toSet
+    val shipped = q("agg_weighted_median").collect().map(r => (r.getString(0),
+      r.getDecimal(1).toPlainString, r.getLong(2))).toSet
+    assert(shipped == rowLevel, s"shipped=$shipped rowLevel=$rowLevel")
+  }
 }
