@@ -45,7 +45,14 @@ object Bench {
       .config("spark.cleaner.periodicGC.interval", "5min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Round 18 (VERDICT r17 #2/#3): warm-up elapsed is REPORTED in both
+    // JSON outputs ("warm_sec") so the amortized-index claim is
+    // auditable — the one-time SimGraph/IVF/MinHash builds are real
+    // cost relocated out of per-query timings, and a number nobody can
+    // see is a number nobody can audit.
+    val warmT0 = System.nanoTime()
     warmSharedInfra(spark, sfDir)
+    val warmSec = (System.nanoTime() - warmT0) / 1e9
     val failed = scala.collection.mutable.ListBuffer[String]()
     // Dev loop: SPARK_GRAFT_ONLY=q1,q2 times just those queries (the
     // driver never sets it, so driver runs always time the full map).
@@ -98,12 +105,61 @@ object Bench {
       // entry times against the same (empty) cache state an isolated
       // run would see — the honest-tail contract above
       graft.api.GraftOps.releaseMaterialized()
+      // Round 18 (VERDICT r17 #1, second iteration): periodicGC=5min
+      // did NOT close the in-run tail gap (r18pre gate: dedup_cluster
+      // 258.9 s in-run vs ~40 s isolated, spread 1.05 — all runs
+      // equally depressed, same signature as r17). The ContextCleaner
+      // can only reclaim a dead entry's shuffle files and
+      // localCheckpoint blocks after a DRIVER GC clears their weak
+      // references, and a 5-minute cadence still leaves minutes-wide
+      // accumulation windows over a 375-entry loop. Pin the reclaim to
+      // the ENTRY BOUNDARY instead — the JMH practice (forced GC
+      // between benchmark iterations), strictly outside every timed
+      // region: each entry then starts from the reclaimed-state
+      // environment its isolated retime runs in, which is the contract
+      // the archive is adjudicated against. Wall-clock cost ~0.1-2 s
+      // per boundary, charged to no query.
+      System.gc()
+      // Round 18 (VERDICT r17 #1): per-entry environment telemetry,
+      // env-gated so driver runs are unaffected — prints driver heap,
+      // live persistent-RDD count (localCheckpoint blocks the
+      // ContextCleaner has not yet reclaimed) and the block-manager
+      // disk footprint after each entry, to localize WHAT accumulates
+      // if an in-run tail number diverges from its isolated retime.
+      if (sys.env.contains("SPARK_GRAFT_TELEMETRY")) {
+        val rt = Runtime.getRuntime
+        val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1 << 20)
+        val nRdds = spark.sparkContext.getPersistentRDDs.size
+        val blockMb = try {
+          val dirs = java.nio.file.Files.list(
+            java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
+            .filter(p => p.getFileName.toString.startsWith("blockmgr-"))
+            .iterator()
+          var bytes = 0L
+          while (dirs.hasNext) {
+            java.nio.file.Files.walk(dirs.next())
+              .filter(java.nio.file.Files.isRegularFile(_))
+              .forEach(f => bytes += java.nio.file.Files.size(f))
+          }
+          bytes / (1 << 20)
+        } catch { case _: Throwable => -1L }
+        Console.err.println(
+          f"[telemetry] $name heapMB=$heapMb rdds=$nRdds blockMB=$blockMb " +
+            f"t=${runs.map(_._1).min}%.2f")
+      }
       val good = runs.filter(_._2).map(_._1)
       val t =
         if (good.nonEmpty) good.min
         else { failed += name; runs.map(_._1).max }
       val spread = if (good.size >= 2) good.max / good.min else 1.0
-      name -> (t, spread)
+      // COLD run-1 time (round 18 — VERDICT r17 #2): for entries that
+      // pin reused cuts via materializeOnce, runs 2-3 re-read run 1's
+      // persisted blocks (Spark's CacheManager serves canonically-equal
+      // plans), so min-of-3 records the warm-cache re-read, not the
+      // plan cost. Recording run 1 alongside the min keeps the archive
+      // cold-honest without changing the 17-round min-of-3 protocol —
+      // additions-only, dev/bench_ratio.py consumers unaffected.
+      name -> (t, spread, runs.head._1)
     }
     // Locale.ROOT: the f-interpolator uses the JVM default locale, which
     // under e.g. de_DE prints comma decimals → invalid JSON (ADVICE r3).
@@ -116,22 +172,23 @@ object Bench {
     // "failed" and exclude it from the total so the headline number
     // aggregates only successful runs (ADVICE r3)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val times = results.map { case (n, (t, _)) => n -> t }
+    val times = results.map { case (n, (t, _, _)) => n -> t }
     val ok = times.filterNot { case (n, _) => failed.contains(n) }
     val total = ok.map(_._2).sum
     val slowest5 = ok.sortBy(-_._2).take(5)
     // aggregate noise indicator: p90 of per-query max/min spreads —
     // readable at a glance in the driver-captured short line
     val spreads = results.collect {
-      case (n, (_, s)) if !failed.contains(n) => s
+      case (n, (_, s, _)) if !failed.contains(n) => s
     }.sorted
     val p90Spread =
       if (spreads.isEmpty) 1.0 else spreads((spreads.size * 9 / 10).min(spreads.size - 1))
-    val spreadMap = qmap(results.map { case (n, (_, s)) => n -> s })
+    val spreadMap = qmap(results.map { case (n, (_, s, _)) => n -> s })
+    val firstMap = qmap(results.map { case (n, (_, _, f)) => n -> f })
     val full =
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":${qmap(times)},"spread":$spreadMap,"p90_spread":${num(p90Spread, 3)},"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":${qmap(times)},"spread":$spreadMap,"first":$firstMap,"warm_sec":${num(warmSec, 3)},"p90_spread":${num(p90Spread, 3)},"failed":$failedJson,"sf":"$sfDir"}"""
     val short =
-      s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":${qmap(slowest5)},"p90_spread":${num(p90Spread, 2)},"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":${qmap(slowest5)},"warm_sec":${num(warmSec, 2)},"p90_spread":${num(p90Spread, 2)},"failed":$failedJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("BENCH_LOCAL.json"), full + "\n")
     spark.stop()
     // after stop(): no executor log lines can land between this and exit
@@ -168,6 +225,11 @@ object Bench {
     brp.approxSimilarityJoin(vecs, vecs, 4.0, "d").count()
     graft.queries.LlmQueries.warmIvfIndex(spark, sfDir)
     graft.queries.LlmQueries.warmMinhashIndex(spark, sfDir)
+    // round 18: the dedup_near/dedup_simhash per-doc signature tables
+    // (VERDICT r17 #4) — built here so the tiers time candidate
+    // generation + verify over an existing table; the build cost is
+    // inside the reported warm_sec
+    graft.queries.LlmQueries.warmDedupSignatures(spark, sfDir)
     // round 17: the similarity-graph index (VERDICT r16 #1) — built
     // once here so graph_bfs/triangles/pagerank/dedup_embed_cos time
     // the algorithm over the index, not the one-time edge build

@@ -273,13 +273,54 @@ object GraftOps {
   def minHashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxJaccardDist: Double = 0.5, shingleSize: Int = 3,
       numHashTables: Int = 5, seed: Long = 42L): DataFrame = {
+    val feat = minHashSignatures(df, idCol, textCol, shingleSize,
+      numHashTables, seed).select(col(idCol), col("__features"),
+        col("__hashes")).cache()
+    minHashNearDupPairsFromSignatures(feat, idCol, maxJaccardDist,
+      numHashTables, seed)
+  }
+
+  /** The per-document MinHash signature frame (idCol, __features,
+    * __hashes) the LSH tier joins on — exposed so it can be PERSISTED
+    * once per corpus (round 18 — VERDICT r17 #4, the IVF/SimGraph
+    * index precedent applied to signatures): features and hashes are a
+    * pure per-doc function of the text (HashingTF is stateless;
+    * MinHashLSH's coefficients are drawn from `seed` alone, never from
+    * data), so a fingerprint-keyed parquet of this frame feeds
+    * [[minHashNearDupPairsFromSignatures]] bit-identically.
+    */
+  def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashTables: Int = 5,
+      seed: Long = 42L): DataFrame = {
     val sh = shingles(df, textCol, shingleSize, "__shingles")
     val tf = new HashingTF().setInputCol("__shingles").setOutputCol("__features")
       .setNumFeatures(1 << 18).setBinary(true)
-    val feat = tf.transform(sh).select(col(idCol), col("__features")).cache()
+    val feat = tf.transform(sh).select(col(idCol), col("__features"))
+    new MinHashLSH().setInputCol("__features").setOutputCol("__hashes")
+      .setNumHashTables(numHashTables).setSeed(seed)
+      .fit(feat).transform(feat)
+  }
+
+  /** [[minHashNearDupPairs]] over an existing signature frame
+    * (idCol, __features, __hashes — see [[minHashSignatures]]).
+    * approxSimilarityJoin uses the provided `__hashes` column as-is
+    * (MLlib only re-transforms when the output column is absent), so
+    * neither shingling, TF, nor the per-row MinHash UDF runs at query
+    * time — the candidate join and the exact Jaccard-distance verify
+    * are unchanged. The `fit` below only draws the seed-deterministic
+    * hash coefficients (data-independent), kept identical to the
+    * direct tier's.
+    */
+  def minHashNearDupPairsFromSignatures(sig: DataFrame, idCol: String,
+      maxJaccardDist: Double = 0.5, numHashTables: Int = 5,
+      seed: Long = 42L): DataFrame = {
     val lsh = new MinHashLSH().setInputCol("__features").setOutputCol("__hashes")
       .setNumHashTables(numHashTables).setSeed(seed)
-    lsh.fit(feat).approxSimilarityJoin(feat, feat, maxJaccardDist, "jaccard_dist")
+    // fit validates that the OUTPUT column is absent — drop it for the
+    // (data-independent, seed-only) fit; the join then consumes sig's
+    // existing __hashes column as-is
+    lsh.fit(sig.drop("__hashes"))
+      .approxSimilarityJoin(sig, sig, maxJaccardDist, "jaccard_dist")
       .filter(col(s"datasetA.$idCol") < col(s"datasetB.$idCol"))
       .select(col(s"datasetA.$idCol").as("a_id"), col(s"datasetB.$idCol").as("b_id"))
   }
@@ -304,22 +345,46 @@ object GraftOps {
     * runs on candidates only.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 6, minJaccard: Double = 0.5): DataFrame = {
+      maxHamming: Int = 6, minJaccard: Double = 0.5): DataFrame =
+    simhashPairsFromSignatures(
+      simhashSignatures(df, idCol, textCol), idCol, maxHamming, minJaccard)
+
+  /** The per-document SimHash signature frame (idCol, __simhash, __w)
+    * — fingerprint + 3-gram shingle set, the two per-doc inputs the
+    * banding and the verify consume. Exposed for PERSISTENCE (round 18
+    * — VERDICT r17 #4): both columns are pure per-doc functions of the
+    * text, so a fingerprint-keyed parquet of this frame feeds
+    * [[simhashPairsFromSignatures]] identically while the query-side
+    * plan's 4 corpus scans (banding evaluates simhash64(split(text))
+    * per side, the verify rebuilds the shingle arrays per side) become
+    * column-pruned reads of the signature table.
+    */
+  def simhashSignatures(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
     // Fingerprint votes over the word MULTISET (unchanged semantics).
     // The verify compares 3-gram SHINGLE sets — order-sensitive on
     // purpose: distinct-token sets cannot separate near-identical
     // docs from same-vocabulary permutations (measured max token-set
     // Jaccard 1.0 between unrelated docs on this corpus).
-    // (id, simhash, shingles) appears in the banding and both verify
-    // joins; measured (round 6) that materializing it costs MORE than
-    // recomputation here — the shingle arrays are wide and the
-    // per-row expressions cheap — so unlike minhashBandPairs /
-    // ngramJaccardPairs this op keeps the recompute.
-    val words = df.select(col(idCol), split(col(textCol), " ").as("__wall"))
+    df.select(col(idCol), split(col(textCol), " ").as("__wall"))
       .withColumn("__simhash", expr("simhash64(__wall)"))
       .withColumn("__w", expr(
         "array_distinct(transform(sequence(1, greatest(size(__wall) - 2, 1)), " +
           "i -> concat_ws(' ', slice(__wall, i, 3))))"))
+      .select(col(idCol), col("__simhash"), col("__w"))
+
+  /** [[simhashPairs]] over an existing signature frame (idCol,
+    * __simhash, __w — see [[simhashSignatures]]): Manku-style C(8,2)
+    * block-pair banding + hamming filter + exact shingle-Jaccard
+    * verify, unchanged. (Round 6 measured that materializing the
+    * signature subtree INSIDE one action costs more than recomputation
+    * — wide arrays, cheap expressions; round 18's persisted-signature
+    * path changes the trade because the table is built once per corpus
+    * ACROSS actions and each consumer scan prunes to the one column it
+    * needs.)
+    */
+  def simhashPairsFromSignatures(words: DataFrame, idCol: String,
+      maxHamming: Int = 6, minJaccard: Double = 0.5): DataFrame = {
     // 28 tables, one per unordered byte pair (i, j): key = byte_i ++ byte_j.
     val tables = (0 until 8).combinations(2).toSeq.zipWithIndex.map {
       case (Seq(i, j), t) =>

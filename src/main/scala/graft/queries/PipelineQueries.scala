@@ -280,9 +280,13 @@ object PipelineQueries {
     // digest-keyed combinable groupBy + semi-join (flood-proof, narrow
     // shuffle keys); decontamination explodes ONLY the deduped
     // survivors against a broadcast eval-shingle set; the sampler adds
-    // a combinable count + broadcast thresholds. One corpus scan feeds
-    // it all — at 100 TB the stages pipeline without materializing
-    // intermediates.
+    // a combinable count + broadcast thresholds. Since round 17 the
+    // DAG pins its two REUSED cuts (`ded`, `clean` — each feeds two
+    // consumers) via materializeOnce (MEMORY_AND_DISK, released per
+    // entry/dump by Bench/Verify): one corpus scan feeds the pipeline
+    // and each multiply-consumed intermediate materializes exactly
+    // once instead of re-executing the quality+dedup subtree per
+    // consumer (up to 4× inside one action, PipelineStages-measured).
     "pipeline_end2end" -> ((s, d) => endToEnd(load(s, d, "documents"))),
   )
 
@@ -337,8 +341,18 @@ object PipelineQueries {
     if (stage == 3) return cleanRaw
     // stage 4: temperature resampling of the survivor mix (clean is
     // referenced twice inside sampleTemperature — materialized, see
-    // the stage-3 note)
-    GraftOps.sampleTemperature(GraftOps.materializeOnce(cleanRaw),
+    // the stage-3 note). Round 18 (VERDICT r17 #2 + guide §2.3
+    // "project before you materialize"): BOTH of clean's consumers
+    // (the per-lang count aggregate and the final threshold join) need
+    // only (doc_id, lang, n_words) — the r17 pin carried the full
+    // `text` column into the cached blocks, corpus-sized storage for a
+    // 24-byte-per-row need, which is what regressed the COLD run-1
+    // path (r18pre: first=30.4 s vs r16's 23.5). Projecting ahead of
+    // the pin keeps the reuse and shrinks the block write to the three
+    // narrow columns.
+    GraftOps.sampleTemperature(
+        GraftOps.materializeOnce(
+          cleanRaw.select("doc_id", "lang", "n_words")),
         "doc_id", "lang", alpha = 0.5, targetFrac = 0.5)
       .select("doc_id", "lang", "n_words")
       .orderBy("doc_id")

@@ -111,26 +111,54 @@ object StatsQueries {
     }),
 
     // Q4: triangle count per vertex on the cos≥0.3 similarity graph —
-    // node-iterator: ordered edges (a<b) joined twice on int ids;
-    // the edge set itself comes from the grid-blocked candidate join
-    // (GraftOps.cosinePairsBlocked), never an all-pairs cross.
+    // the edge set comes from the PERSISTED similarity-graph index
+    // (SimGraph, round 17 — built once per corpus fingerprint), never
+    // an all-pairs cross or a per-query blocked-cosine rebuild.
+    //
+    // Round 18 (VERDICT r17 #3 — guide §2.3/§2.5): DEGREE-ORDERED
+    // orientation (the standard compact-forward cut). The round-5
+    // node-iterator joined (a<b)⋈(b<c) on the middle vertex, so the
+    // wedge intermediate is Σ_v indeg<(v)·outdeg<(v) under ID order —
+    // on a similarity graph whose hubs sit at arbitrary ids that
+    // product is hub-quadratic. Orienting every edge from its
+    // lower-(degree, id) endpoint to its higher one caps every
+    // vertex's out-degree at O(√m), so the wedge join (out-neighbor
+    // pairs of one vertex) enumerates O(m^{3/2}) wedges worst-case —
+    // the known optimum for exact triangle listing. Each triangle
+    // {p,q,r} with (deg,id)-order p<q<r is found exactly once as the
+    // wedge (p→q, p→r) closed by the oriented edge q→r, so the
+    // per-vertex counts are IDENTICAL to the node-iterator's (same
+    // oracle, plus a Round18OpsSpec equality pin).
     "graph_triangles" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
-      // Round 17 (VERDICT r16 #1): the edge set comes from the
-      // PERSISTED similarity-graph index (SimGraph — built once per
-      // corpus fingerprint), not a per-query blocked-cosine rebuild;
-      // each of the three triangle-join legs scans the parquet units,
-      // replacing the round-5 localCheckpoint materialization (a file
-      // scan needs no block pinning). Value-identical to the direct
-      // build — Round17OpsSpec pins it.
       val e = SimGraph.edges(s, d, minCos = 0.3)
         .select(col("a_id"), col("b_id"))
-      val e1 = e.select(col("a_id").as("a"), col("b_id").as("b"))
-      val e2 = e.select(col("a_id").as("b2"), col("b_id").as("c"))
-      val e3 = e.select(col("a_id").as("a3"), col("b_id").as("c3"))
-      val tri = e1.join(e2, col("b") === col("b2"))
-        .join(e3, col("a") === col("a3") && col("c") === col("c3"))
-        .select("a", "b", "c")
+      // degrees over the undirected edge set (vertex-sized frame)
+      val deg = e.select(col("a_id").as("v"))
+        .unionAll(e.select(col("b_id").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("dg"))
+      // orient each edge lower-(deg, id) → higher-(deg, id); carry the
+      // destination's (deg, id) so the wedge join can order the two
+      // out-neighbors without re-joining degrees
+      val aLower = col("da") < col("db") ||
+        (col("da") === col("db") && col("a_id") < col("b_id"))
+      val o = e
+        .join(deg.select(col("v").as("a_id"), col("dg").as("da")), "a_id")
+        .join(deg.select(col("v").as("b_id"), col("dg").as("db")), "b_id")
+        .select(
+          when(aLower, col("a_id")).otherwise(col("b_id")).as("src"),
+          when(aLower, col("b_id")).otherwise(col("a_id")).as("dst"),
+          when(aLower, col("db")).otherwise(col("da")).as("ddg"))
+      // wedges: ordered out-neighbor pairs of one vertex, closed by the
+      // oriented edge between the two neighbors
+      val w1 = o.select(col("src"), col("dst").as("x"), col("ddg").as("dx"))
+      val w2 = o.select(col("src"), col("dst").as("y"), col("ddg").as("dy"))
+      val close = o.select(col("src").as("x2"), col("dst").as("y2"))
+      val tri = w1.join(w2, Seq("src"))
+        .filter(col("dx") < col("dy") ||
+          (col("dx") === col("dy") && col("x") < col("y")))
+        .join(close, col("x") === col("x2") && col("y") === col("y2"))
+        .select(col("src").as("a"), col("x").as("b"), col("y").as("c"))
       tri.select(col("a").as("vec_id"))
         .unionAll(tri.select(col("b").as("vec_id")))
         .unionAll(tri.select(col("c").as("vec_id")))
@@ -218,7 +246,7 @@ object StatsQueries {
       // distributed rounds than the driver finish needs). 6 jumped
       // rounds collapse every ≤2^6-hop ball; the residual inter-LABEL
       // pair graph is metadata-sized (measured 3.0k pairs sf0.1 —
-      // CcProbe `jump 40 6` — well under the 2e6 cap even at sf1's
+      // `CcProbe <sfDir> jump 40 6` — well under the 2e6 cap even at sf1's
       // ~10× growth) and closes exactly in the capped
       // union-find — same pinned answer, ~2.4 s less wall-clock, and
       // the over-cap distributed continuation still guards any scale.

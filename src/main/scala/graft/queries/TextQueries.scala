@@ -24,11 +24,6 @@ object TextQueries {
     "fr" -> Seq("le", "la", "et", "les", "est"),
     "zh" -> Seq("的", "是", "了", "在", "和"))
 
-  private def markerCount(lang: String): String = {
-    val list = markers(lang).map(w => s"'$w'").mkString(", ")
-    s"size(filter(split(text, ' '), w -> w IN ($list)))"
-  }
-
   private def markerCountDuck(lang: String): String = {
     val list = markers(lang).map(w => s"'$w'").mkString(", ")
     s"len(list_filter(string_split(text, ' '), w -> w IN ($list)))"
@@ -45,19 +40,37 @@ object TextQueries {
        | WHEN ${score("fr")} >= ${score("zh")} THEN 'fr'
        | ELSE 'zh' END""".stripMargin
 
+  // Round 18 (guide §1.2 "per-task work"): marker counts over a
+  // PRE-SPLIT word array column. Inlining markerCount into
+  // predictedCase evaluated size(filter(split(text)…)) up to 20× per
+  // row — codegen's subexpression elimination does not hoist
+  // expressions that only occur under later CASE branches (they are
+  // conditionally executed), so every branch predicate re-split the
+  // text. Staging the split (once) and the five scores (once each) as
+  // their own projections leaves the argmax CASE comparing plain
+  // columns; CollapseProject keeps the stages separate because the
+  // aliases are multiply-referenced and non-cheap. Same scores, same
+  // argmax, same oracle.
+  private def markerCountOn(arr: String)(lang: String): String = {
+    val list = markers(lang).map(w => s"'$w'").mkString(", ")
+    s"size(filter($arr, w -> w IN ($list)))"
+  }
+
+  private def scoreCols(pre: Seq[String]): Seq[String] =
+    pre ++ Seq("de", "en", "es", "fr", "zh").map(l =>
+      s"CAST(${markerCountOn("__w")(l)} AS BIGINT) AS score_$l")
+
+  private val argmaxCase: String = predictedCase(l => s"score_$l")
+
   val queries: Map[String, Q] = Map(
     // Language-ID: n-gram/marker-word heuristic, argmax over per-lang
     // scores with a deterministic tie-break.
     "text_langid" -> ((s, d) =>
-      load(s, d, "documents").selectExpr(
-        "doc_id",
-        "lang",
-        s"CAST(${markerCount("de")} AS BIGINT) AS score_de",
-        s"CAST(${markerCount("en")} AS BIGINT) AS score_en",
-        s"CAST(${markerCount("es")} AS BIGINT) AS score_es",
-        s"CAST(${markerCount("fr")} AS BIGINT) AS score_fr",
-        s"CAST(${markerCount("zh")} AS BIGINT) AS score_zh",
-        s"${predictedCase(markerCount)} AS predicted")
+      load(s, d, "documents")
+        .selectExpr("doc_id", "lang", "split(text, ' ') AS __w")
+        .selectExpr(scoreCols(Seq("doc_id", "lang")): _*)
+        .selectExpr("doc_id", "lang", "score_de", "score_en", "score_es",
+          "score_fr", "score_zh", s"$argmaxCase AS predicted")
         .withColumn("hit", (col("predicted") === col("lang")))
         .orderBy("doc_id")),
 
@@ -152,8 +165,12 @@ object TextQueries {
     // identical IEEE expression shape on both engines.
     "eval_confusion" -> ((s, d) => {
       import s.implicits._
+      // round 18: staged split + scores (see markerCountOn) — the CASE
+      // argmax compares columns instead of re-splitting text per branch
       val cm = load(s, d, "documents")
-        .selectExpr("lang", s"${predictedCase(markerCount)} AS predicted")
+        .selectExpr("lang", "split(text, ' ') AS __w")
+        .selectExpr(scoreCols(Seq("lang")): _*)
+        .selectExpr("lang", s"$argmaxCase AS predicted")
         .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
       val cls = Seq("de", "en", "es", "fr", "zh").toDF("class")
       cls.crossJoin(cm).groupBy("class").agg(

@@ -5,7 +5,10 @@ import org.apache.spark.sql.functions._
 
 /** Dev probe: per-round timing + plan shape of the HashMin loop
   * with/without a pointer-jump step, on the graph_components slice.
-  * Usage: dev/run.sh graft.tools.CcProbe [sfDir] [jump|plain]
+  * Usage: dev/run.sh graft.tools.CcProbe [sfDir] [jump|plain] [mod] [capRounds]
+  *   e.g. dev/run.sh graft.tools.CcProbe /root/testdata/sf0.1 jump 40 6
+  * (positional: args 0..3 = sfDir, mode, l_orderkey modulus, round cap;
+  * the path-convergence probe is `CcProbe path [n]`.)
   */
 object CcProbe {
   def main(args: Array[String]): Unit = {
