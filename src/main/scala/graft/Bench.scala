@@ -225,11 +225,6 @@ object Bench {
     brp.approxSimilarityJoin(vecs, vecs, 4.0, "d").count()
     graft.queries.LlmQueries.warmIvfIndex(spark, sfDir)
     graft.queries.LlmQueries.warmMinhashIndex(spark, sfDir)
-    // round 18: the dedup_near/dedup_simhash per-doc signature tables
-    // (VERDICT r17 #4) — built here so the tiers time candidate
-    // generation + verify over an existing table; the build cost is
-    // inside the reported warm_sec
-    graft.queries.LlmQueries.warmDedupSignatures(spark, sfDir)
     // round 17: the similarity-graph index (VERDICT r16 #1) — built
     // once here so graph_bfs/triangles/pagerank/dedup_embed_cos time
     // the algorithm over the index, not the one-time edge build

@@ -290,62 +290,17 @@ object LlmQueries {
   def warmMinhashIndex(s: org.apache.spark.sql.SparkSession, d: String): Unit =
     mhIndexFor(s, d)
 
-  // Round 18 (VERDICT r17 #4): persisted PER-DOCUMENT SIGNATURE tables
-  // for the two batch near-dup tiers — the IVF/SimGraph/postings
-  // precedent applied to MinHash features/hashes and SimHash
-  // fingerprint/shingles. Signatures are a pure per-doc function of
-  // the text (seeded, data-independent hash families), so the tables
-  // are fingerprint-keyed and rebuilt on any regen; the build runs in
-  // Bench.warmSharedInfra where its cost is REPORTED (warm_sec), and
-  // the query-side tiers read column-pruned parquet instead of
-  // re-scanning + re-hashing the corpus per side per stage.
-  // Value-identity pinned in Round18OpsSpec (FromSignatures == direct
-  // tier, both tiers).
-  private val nearSigCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val shSigCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  private[graft] def nearSigFor(s: org.apache.spark.sql.SparkSession,
-      sfDir: String): org.apache.spark.sql.DataFrame = {
-    val fp = srcFingerprint(sfDir, "documents")
-    val path = nearSigCache.computeIfAbsent(s"$sfDir|$fp", _ => {
-      val p = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-        s"graft_nearsig_${Integer.toHexString((sfDir + fp).hashCode)}").toString
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_SUCCESS")))
-        GraftOps.minHashSignatures(load(s, sfDir, "documents"),
-          "doc_id", "text").write.mode("overwrite").parquet(p)
-      p
-    })
-    s.read.parquet(path)
-  }
-
-  private[graft] def shSigFor(s: org.apache.spark.sql.SparkSession,
-      sfDir: String): org.apache.spark.sql.DataFrame = {
-    val fp = srcFingerprint(sfDir, "documents")
-    val path = shSigCache.computeIfAbsent(s"$sfDir|$fp", _ => {
-      val p = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-        s"graft_shsig_${Integer.toHexString((sfDir + fp).hashCode)}").toString
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_SUCCESS"))) {
-        graft.functions.GraftFunctions.register(s) // simhash64
-        GraftOps.simhashSignatures(load(s, sfDir, "documents"),
-          "doc_id", "text").write.mode("overwrite").parquet(p)
-      }
-      p
-    })
-    s.read.parquet(path)
-  }
-
-  /** Pre-build (idempotently) both persisted signature tables —
-    * called by Bench.warmSharedInfra so dedup_near / dedup_simhash
-    * time the candidate join + verify over an existing signature
-    * table, the steady state a production near-dup pipeline runs in.
-    */
-  def warmDedupSignatures(s: org.apache.spark.sql.SparkSession,
-      d: String): Unit = {
-    nearSigFor(s, d)
-    shSigFor(s, d)
-  }
+  // Round 18 note: persisted per-document signature TABLES for
+  // dedup_near/dedup_simhash (VERDICT r17 #4's proposed lever) were
+  // implemented, measured at sf1, and REVERTED — a net loss on both
+  // tiers (90.9→104.6 / 122.7→132.5 s isolated): the cost lives in
+  // candidate generation + verify, not in the per-doc signature
+  // recompute, and UDT/array parquet decode outweighs the seeded
+  // re-hash it replaces. Evidence in OPTIMIZATION_r18.md §4. The
+  // signature FRAME builders stay in GraftOps (minHashSignatures /
+  // simhashSignatures) — the tiers route through them in-query, which
+  // hoists the MinHash transform ahead of the cache (one evaluation
+  // instead of one per join side).
 
   /** Composable (built-ins only) cosine — kept as the reference
     * formulation for functions.ArrayFloatDot, which computes the same
@@ -376,23 +331,21 @@ object LlmQueries {
     // Round 17: the routing decision is computed once per corpus
     // fingerprint (CollapseGate) and shared with dedup_simhash /
     // dedup_cluster — three tiers, one aggregate.
-    // Round 18 (VERDICT r17 #4): the DIRECT route reads the persisted
-    // per-doc signature table (nearSigFor — shingles + HashingTF +
-    // seeded MinHash are pure per-doc functions, built once per corpus
-    // fingerprint in warm) so the query times the candidate join +
-    // exact-distance verify, not a 3rd rebuild of the signatures. The
-    // collapsed route keeps the r16 representative path (its tier runs
-    // on the collapsed reps, not the standing corpus). Value-identity:
-    // Round18OpsSpec pins FromSignatures == direct tier.
+    // Round 18 (VERDICT r17 #4): a PERSISTED per-doc signature table
+    // (parquet of __features/__hashes, warm-built, read here) was
+    // implemented and MEASURED — sf1 isolated min-of-3 moved 90.9 →
+    // 104.6 s, i.e. a net LOSS: the tier's cost is the candidate join
+    // + exact-distance verify, not signature recompute, and decoding
+    // VectorUDT columns back out of parquet costs more than the seeded
+    // re-hash it saves (while adding ~25 s of warm-up). Reverted;
+    // evidence in OPTIMIZATION_r18.md §4. The in-query hash
+    // computation IS hoisted ahead of the cache now (one transform
+    // instead of one per join side — GraftOps.minHashSignatures).
     "dedup_near" -> ((s, d) =>
-      (if (CollapseGate.route(s, d))
-        GraftOps.collapsedPairs(load(s, d, "documents"), "doc_id", "text",
-            routeHint = Some(true))(
-            GraftOps.minHashNearDupPairs(_, "doc_id", "text",
-              maxJaccardDist = 0.5))
-      else
-        GraftOps.minHashNearDupPairsFromSignatures(nearSigFor(s, d),
-          "doc_id", maxJaccardDist = 0.5))
+      GraftOps.collapsedPairs(load(s, d, "documents"), "doc_id", "text",
+          routeHint = Some(CollapseGate.route(s, d)))(
+          GraftOps.minHashNearDupPairs(_, "doc_id", "text",
+            maxJaccardDist = 0.5))
         .orderBy("a_id", "b_id")),
 
     // SimHash near-dedup: 64-bit fingerprints from per-word hashes,
@@ -407,20 +360,18 @@ object LlmQueries {
     // texts have identical fingerprints (hamming 0, every band-pair
     // table collides, verify Jaccard 1), so within-group pairs carry
     // hamming = 0 and cross pairs carry the representatives' hamming.
-    // Round 18 (VERDICT r17 #4): direct route over the persisted
-    // signature table (shSigFor) — see dedup_near above; the banding
-    // reads only (doc_id, __simhash), the verify only (doc_id, __w),
-    // each a column-pruned scan instead of a corpus re-scan + re-hash.
+    // Round 18 (VERDICT r17 #4): the persisted signature table was
+    // measured a net LOSS here too (sf1 122.7 → 132.5 s isolated —
+    // string-array parquet decode ≥ the re-hash it saves; the cost
+    // lives in the 28-table candidate join + verify). Reverted — see
+    // dedup_near above and OPTIMIZATION_r18.md §4.
     "dedup_simhash" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
-      (if (CollapseGate.route(s, d))
-        GraftOps.collapsedPairs(load(s, d, "documents"), "doc_id", "text",
-            passCols = Seq("hamming"),
-            withinExtras = Seq(lit(0).cast("int").as("hamming")),
-            routeHint = Some(true))(
-            GraftOps.simhashPairs(_, "doc_id", "text"))
-      else
-        GraftOps.simhashPairsFromSignatures(shSigFor(s, d), "doc_id"))
+      GraftOps.collapsedPairs(load(s, d, "documents"), "doc_id", "text",
+          passCols = Seq("hamming"),
+          withinExtras = Seq(lit(0).cast("int").as("hamming")),
+          routeHint = Some(CollapseGate.route(s, d)))(
+          GraftOps.simhashPairs(_, "doc_id", "text"))
         .orderBy("a_id", "b_id")
     }),
 

@@ -111,54 +111,34 @@ object StatsQueries {
     }),
 
     // Q4: triangle count per vertex on the cos≥0.3 similarity graph —
+    // node-iterator: ordered edges (a<b) joined twice on int ids;
     // the edge set comes from the PERSISTED similarity-graph index
     // (SimGraph, round 17 — built once per corpus fingerprint), never
     // an all-pairs cross or a per-query blocked-cosine rebuild.
     //
-    // Round 18 (VERDICT r17 #3 — guide §2.3/§2.5): DEGREE-ORDERED
-    // orientation (the standard compact-forward cut). The round-5
-    // node-iterator joined (a<b)⋈(b<c) on the middle vertex, so the
-    // wedge intermediate is Σ_v indeg<(v)·outdeg<(v) under ID order —
-    // on a similarity graph whose hubs sit at arbitrary ids that
-    // product is hub-quadratic. Orienting every edge from its
-    // lower-(degree, id) endpoint to its higher one caps every
-    // vertex's out-degree at O(√m), so the wedge join (out-neighbor
-    // pairs of one vertex) enumerates O(m^{3/2}) wedges worst-case —
-    // the known optimum for exact triangle listing. Each triangle
-    // {p,q,r} with (deg,id)-order p<q<r is found exactly once as the
-    // wedge (p→q, p→r) closed by the oriented edge q→r, so the
-    // per-vertex counts are IDENTICAL to the node-iterator's (same
-    // oracle, plus a Round18OpsSpec equality pin).
+    // Round 18 (VERDICT r17 #3): the degree-ordered compact-forward
+    // orientation was IMPLEMENTED AND MEASURED — sf1 isolated
+    // min-of-3 went 22.9 → 49.5 s (2.2× SLOWER), so it was reverted.
+    // Why it loses here: the cos≥0.3 similarity graph of this corpus
+    // is a union of near-regular dense label clusters, so the (deg,
+    // id) order degenerates to the ID order inside each cluster — the
+    // wedge count the orientation is supposed to shrink stays the
+    // same, and the plan pays a vertex-degree aggregate plus two
+    // degree-attach joins plus a wider closing join for nothing
+    // (guide §1.1: "a fresh implementation of the ideal plan is
+    // usually slower — switch back to the empirical loop").
+    // Evidence: plans/r18/graph_triangles_{before,after}.txt (the
+    // rejected plan: 2 → 20 Exchanges) + OPTIMIZATION_r18.md §3.
     "graph_triangles" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       val e = SimGraph.edges(s, d, minCos = 0.3)
         .select(col("a_id"), col("b_id"))
-      // degrees over the undirected edge set (vertex-sized frame)
-      val deg = e.select(col("a_id").as("v"))
-        .unionAll(e.select(col("b_id").as("v")))
-        .groupBy("v").agg(count(lit(1)).as("dg"))
-      // orient each edge lower-(deg, id) → higher-(deg, id); carry the
-      // destination's (deg, id) so the wedge join can order the two
-      // out-neighbors without re-joining degrees
-      val aLower = col("da") < col("db") ||
-        (col("da") === col("db") && col("a_id") < col("b_id"))
-      val o = e
-        .join(deg.select(col("v").as("a_id"), col("dg").as("da")), "a_id")
-        .join(deg.select(col("v").as("b_id"), col("dg").as("db")), "b_id")
-        .select(
-          when(aLower, col("a_id")).otherwise(col("b_id")).as("src"),
-          when(aLower, col("b_id")).otherwise(col("a_id")).as("dst"),
-          when(aLower, col("db")).otherwise(col("da")).as("ddg"))
-      // wedges: ordered out-neighbor pairs of one vertex, closed by the
-      // oriented edge between the two neighbors
-      val w1 = o.select(col("src"), col("dst").as("x"), col("ddg").as("dx"))
-      val w2 = o.select(col("src"), col("dst").as("y"), col("ddg").as("dy"))
-      val close = o.select(col("src").as("x2"), col("dst").as("y2"))
-      val tri = w1.join(w2, Seq("src"))
-        .filter(col("dx") < col("dy") ||
-          (col("dx") === col("dy") && col("x") < col("y")))
-        .join(close, col("x") === col("x2") && col("y") === col("y2"))
-        .select(col("src").as("a"), col("x").as("b"), col("y").as("c"))
+      val e1 = e.select(col("a_id").as("a"), col("b_id").as("b"))
+      val e2 = e.select(col("a_id").as("b2"), col("b_id").as("c"))
+      val e3 = e.select(col("a_id").as("a3"), col("b_id").as("c3"))
+      val tri = e1.join(e2, col("b") === col("b2"))
+        .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+        .select("a", "b", "c")
       tri.select(col("a").as("vec_id"))
         .unionAll(tri.select(col("b").as("vec_id")))
         .unionAll(tri.select(col("c").as("vec_id")))

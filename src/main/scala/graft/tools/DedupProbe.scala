@@ -110,31 +110,27 @@ object DedupProbe {
   private def ngramAb(s: SparkSession, docs: DataFrame,
       time: String => (=> DataFrame) => Unit): Unit = {
     def agg(tg: DataFrame) = tg.groupBy("lang", "tg").agg(count(lit(1)).as("c"))
-    time("A positions+substring (shipped)")(agg(
-      docs.filter(length(col("text")) >= 3)
-        .select(col("lang"), lower(col("text")).as("tx"))
-        .select(col("lang"),
-          explode(expr("sequence(1, length(tx) - 2)")).as("i"), col("tx"))
-        .select(col("lang"), expr("substring(tx, i, 3)").as("tg"))))
-    time("B split-chars + indexed concat")(agg(
-      docs.filter(length(col("text")) >= 3)
-        .select(col("lang"), split(lower(col("text")), "").as("ca"))
-        .select(col("lang"), explode(expr(
-          "transform(sequence(0, size(ca) - 3), " +
-            "i -> concat(ca[i], ca[i+1], ca[i+2]))")).as("tg"))))
-    // cross-check equality of the aggregated profiles
-    val a = agg(docs.filter(length(col("text")) >= 3)
+    def a = agg(docs.filter(length(col("text")) >= 3)
       .select(col("lang"), lower(col("text")).as("tx"))
       .select(col("lang"),
         explode(expr("sequence(1, length(tx) - 2)")).as("i"), col("tx"))
       .select(col("lang"), expr("substring(tx, i, 3)").as("tg")))
-      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    val b = agg(docs.filter(length(col("text")) >= 3)
+    def b = agg(docs.filter(length(col("text")) >= 3)
       .select(col("lang"), split(lower(col("text")), "").as("ca"))
       .select(col("lang"), explode(expr(
         "transform(sequence(0, size(ca) - 3), " +
           "i -> concat(ca[i], ca[i+1], ca[i+2]))")).as("tg")))
-      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    println(s"profiles equal: ${a == b} (a=${a.size} groups, b=${b.size} groups)")
+    // alternate twice: round 1 pays JVM/codegen warm-up, round 2 is the
+    // comparable pair (order bias cost one wrong call this round)
+    time("A positions+substring r1")(a)
+    time("B split-chars r1")(b)
+    time("A positions+substring r2")(a)
+    time("B split-chars r2")(b)
+    // cross-check equality of the aggregated profiles
+    def pmap(df: DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val pa = pmap(a)
+    val pb = pmap(b)
+    println(s"profiles equal: ${pa == pb} (a=${pa.size} groups, b=${pb.size} groups)")
   }
 }

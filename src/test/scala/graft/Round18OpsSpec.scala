@@ -8,32 +8,6 @@ import org.apache.spark.sql.functions._
   */
 class Round18OpsSpec extends GraftSpec {
 
-  test("graph_triangles degree-ordered orientation == node-iterator per-vertex counts") {
-    graft.functions.GraftFunctions.register(spark)
-    // the shipped (oriented) formulation
-    val oriented = q("graph_triangles").collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // the round-5 node-iterator over the SAME edge set: ordered edges
-    // (a<b) joined twice on the middle vertex
-    val e = graft.queries.SimGraph.edges(spark, sf, minCos = 0.3)
-      .select(col("a_id"), col("b_id"))
-    val e1 = e.select(col("a_id").as("a"), col("b_id").as("b"))
-    val e2 = e.select(col("a_id").as("b2"), col("b_id").as("c"))
-    val e3 = e.select(col("a_id").as("a3"), col("b_id").as("c3"))
-    val tri = e1.join(e2, col("b") === col("b2"))
-      .join(e3, col("a") === col("a3") && col("c") === col("c3"))
-      .select("a", "b", "c")
-    val nodeIter = tri.select(col("a").as("vec_id"))
-      .unionAll(tri.select(col("b").as("vec_id")))
-      .unionAll(tri.select(col("c").as("vec_id")))
-      .groupBy("vec_id").agg(count(lit(1)).as("n_tri"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(nodeIter.nonEmpty, "triangle fixture degenerate — no triangles")
-    assert(oriented == nodeIter,
-      s"only-oriented=${(oriented.toSet -- nodeIter.toSet).take(5)} " +
-        s"only-nodeiter=${(nodeIter.toSet -- oriented.toSet).take(5)}")
-  }
-
   test("text_ngram_profile split-chars trigrams == positions+substring trigrams") {
     // the shipped split-chars formulation (O(len) per doc) must produce
     // the identical (lang, tg, c) profile as the former
@@ -70,31 +44,30 @@ class Round18OpsSpec extends GraftSpec {
       "parquet round-trip of the quantizer diverged from the direct aggregate")
   }
 
-  test("dedup_near FromSignatures == direct MinHash tier") {
+  // The dedup tiers route through the staged signature frames
+  // (GraftOps.minHashSignatures / simhashSignatures) in-query; pin the
+  // staged composition against hand-rolled r17-shaped equivalents —
+  // hashes hoisted ahead of the cache must not change any pair.
+  test("minHash tier via staged signatures == r17 direct formulation") {
+    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
     val docs = Tables.load(spark, sf, "documents")
-    val direct = graft.api.GraftOps.minHashNearDupPairs(
+    val staged = graft.api.GraftOps.minHashNearDupPairs(
       docs, "doc_id", "text", maxJaccardDist = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val indexed = graft.api.GraftOps.minHashNearDupPairsFromSignatures(
-      graft.queries.LlmQueries.nearSigFor(spark, sf), "doc_id",
-      maxJaccardDist = 0.5)
+    val sh = graft.api.GraftOps.shingles(docs, "text", 3, "__shingles")
+    val tf = new HashingTF().setInputCol("__shingles").setOutputCol("__features")
+      .setNumFeatures(1 << 18).setBinary(true)
+    val feat = tf.transform(sh).select(col("doc_id"), col("__features"))
+    val lsh = new MinHashLSH().setInputCol("__features").setOutputCol("__hashes")
+      .setNumHashTables(5).setSeed(42L)
+    val direct = lsh.fit(feat)
+      .approxSimilarityJoin(feat, feat, 0.5, "jaccard_dist")
+      .filter(col("datasetA.doc_id") < col("datasetB.doc_id"))
+      .select(col("datasetA.doc_id").as("a_id"), col("datasetB.doc_id").as("b_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(indexed.nonEmpty && indexed == direct,
-      s"only-indexed=${(indexed -- direct).take(5)} " +
-        s"only-direct=${(direct -- indexed).take(5)}")
-  }
-
-  test("dedup_simhash FromSignatures == direct SimHash tier (hamming included)") {
-    graft.functions.GraftFunctions.register(spark)
-    val docs = Tables.load(spark, sf, "documents")
-    val direct = graft.api.GraftOps.simhashPairs(docs, "doc_id", "text")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    val indexed = graft.api.GraftOps.simhashPairsFromSignatures(
-      graft.queries.LlmQueries.shSigFor(spark, sf), "doc_id")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    assert(indexed.nonEmpty && indexed == direct,
-      s"only-indexed=${(indexed -- direct).take(5)} " +
-        s"only-direct=${(direct -- indexed).take(5)}")
+    assert(staged.nonEmpty && staged == direct,
+      s"only-staged=${(staged -- direct).take(5)} " +
+        s"only-direct=${(direct -- staged).take(5)}")
   }
 
   test("persisted IVF index (c_id, bucket) == fresh ivfAssign routing (the sim_ivfpq read)") {
